@@ -1,0 +1,135 @@
+"""J1–J3: distributed batch model inference (the reference's flagship).
+
+The reference scores aerial-image tiles with a CNN by parallelizing file
+paths and doing ``mapPartitions`` with one model load per partition
+(SURVEY.md §3.1 [PK]). The Spark-native equivalent is an **Iterator
+pandas UDF**: model state is initialized once per Python worker, then
+applied to Arrow-delivered batches — the same amortized-init,
+vectorized-forward-pass shape, without hand-managed partitioning.
+
+No pretrained DNN exists in this container (no network), so the model is
+a deterministic **nearest-centroid classifier** fit on the fixture
+``embeddings`` table. It preserves the computational shape that matters
+for the engine: broadcast model parameters, batched matrix math in the
+worker, argmax to a class id. Verified in tests against a single-process
+NumPy oracle (SURVEY.md §5.3).
+
+Scale notes (100 TB): fitting is a distributed aggregation (posexplode →
+per-(label, dim) partial avg — two-phase HashAggregate, no collect of raw
+data; only the 10×64 parameter matrix comes to the driver). Scoring is
+zero-shuffle, embarrassingly parallel — identical to the reference's
+structure but Arrow-vectorized.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+from ..registry import register
+from ..sources.tables import t
+
+EMB_DIM = 64
+N_CLASSES = 10
+
+
+def fit_centroids(emb: DataFrame) -> np.ndarray:
+    """Per-label mean embedding, computed distributed.
+
+    posexplode(embedding) → groupBy(label, pos).avg(val) is a standard
+    two-phase aggregation; only n_classes × dim tiny rows are collected.
+    """
+    rows = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+        .collect()
+    )
+    labels = sorted({r["label"] for r in rows})
+    dim = max(r["pos"] for r in rows) + 1
+    cents = np.zeros((len(labels), dim), dtype=np.float64)
+    label_index = {lab: i for i, lab in enumerate(labels)}
+    for r in rows:
+        cents[label_index[r["label"]], r["pos"]] = r["c"]
+    return cents, np.asarray(labels, dtype=np.int32)
+
+
+def nearest_centroid_predict(X: np.ndarray, cents: np.ndarray, labels: np.ndarray) -> np.ndarray:
+    """argmin_c ||x - c||² via the expanded form (no sqrt needed)."""
+    # ||x||² is constant per row for the argmin — skip it.
+    d = -2.0 * X @ cents.T + (cents * cents).sum(axis=1)
+    return labels[np.argmin(d, axis=1)]
+
+
+def make_predict_udf(cents: np.ndarray, labels: np.ndarray):
+    """Iterator pandas UDF: params captured once per worker, applied to
+    every Arrow batch — the Spark-native 'one model load per partition'."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(IntegerType())
+    def predict(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # Worker-side one-time init happens here (model deserialize).
+        C = np.ascontiguousarray(cents)
+        L = labels
+        for s in batches:
+            X = np.stack(s.to_numpy())
+            yield pd.Series(nearest_centroid_predict(X, C, L))
+
+    return predict
+
+
+def score_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings → (vec_id, label, pred): the distributed scoring job."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents, labels = fit_centroids(emb)
+    predict = make_predict_udf(cents, labels)
+    return emb.select("vec_id", "label", predict("embedding").alias("pred"))
+
+
+@register("q_infer_batch", oracle=None, tags=("J1", "rows-only"))
+def q_infer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch inference: one row per embedding with its predicted class."""
+    return score_embeddings(spark, sf_dir).orderBy("vec_id")
+
+
+@register("q_infer_eval", oracle=None, tags=("J1", "D2", "rows-only"))
+def q_infer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation: overall accuracy of the model (reference §3.3 analog)."""
+    scored = score_embeddings(spark, sf_dir)
+    return scored.agg(
+        F.round(F.avg(F.when(F.col("pred") == F.col("label"), 1.0).otherwise(0.0)), 6).alias(
+            "accuracy"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The M0 end-to-end query: score → join truth → confusion counts +
+    per-class accuracy. Fuses the reference's scoring notebook and its
+    evaluation notebook into one lazy plan."""
+    scored = score_embeddings(spark, sf_dir)
+    per_class = (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0)).alias("n_correct"),
+        )
+        .withColumn("class_accuracy", F.round(F.col("n_correct") / F.col("n"), 6))
+    )
+    confusion = scored.groupBy("label", "pred").agg(F.count("*").alias("n_pred"))
+    top_confusion = (
+        confusion.filter(F.col("label") != F.col("pred"))
+        .groupBy("label")
+        .agg(F.max("n_pred").alias("max_confused_n"))
+    )
+    return (
+        per_class.join(top_confusion, "label", "left")
+        .na.fill({"max_confused_n": 0})
+        .orderBy("label")
+    )

@@ -1,0 +1,106 @@
+"""Query registry — the single source of truth for the driver contract.
+
+Every operator in SURVEY.md §2 registers here as a named query:
+
+    @register("q_agg_basic", oracle="SELECT ... ")
+    def q_agg_basic(spark, sf_dir): ...
+
+``queries()`` / ``oracles()`` feed ``__spark_entry__.py`` directly.
+Queries registered with ``oracle=None`` are rows-only checks (not
+SQL-expressible in DuckDB: inference, LSH, streaming, sinks).
+
+Design rules enforced by convention here (SURVEY.md §7 risks):
+  * every computed/aggregate column is aliased identically in the Spark
+    query and the oracle SQL;
+  * floating aggregate outputs are rounded to 6 decimals on both sides;
+  * timestamps are cast to DATE / date_trunc'ed before being exposed;
+  * collect_list-style outputs are sorted (sort_array / list_sort).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: Optional[str]  # ANSI SQL for DuckDB, or None => rows-only check
+    tags: tuple = field(default_factory=tuple)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str] = None, tags: tuple = ()):
+    """Register a (spark, sf_dir) -> DataFrame callable under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or "")
+        )
+        return fn
+
+    return deco
+
+
+def specs() -> dict[str, QuerySpec]:
+    _ensure_loaded()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {n: s.fn for n, s in specs().items()}
+
+
+def oracles() -> dict[str, str]:
+    return {n: s.oracle for n, s in specs().items() if s.oracle is not None}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    _LOADED = True
+    from importlib import import_module
+
+    pkg = __package__  # embarrassingly_parallel_image_classification_spark
+    for mod in (
+        "operators.projection",
+        "operators.joins",
+        "operators.aggregates",
+        "operators.windows",
+        "operators.sort_limit",
+        "operators.setops",
+        "functions.scalar",
+        "functions.vectors",
+        "ml.inference",
+        "ml.knn",
+        "ml.dedup",
+        "ml.text",
+        "ml.multimodal",
+        "sources.formats",
+        "streaming.queries",
+    ):
+        try:
+            import_module(f"{pkg}.{mod}")
+        except ModuleNotFoundError as e:
+            # Tolerate not-yet-written modules during incremental build,
+            # but only for OUR modules — a typo'ed third-party import must
+            # still surface.
+            if pkg not in str(e):
+                raise

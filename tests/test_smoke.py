@@ -1,0 +1,62 @@
+"""M0 smoke: the flagship entry() runs end-to-end and inference matches a
+single-process NumPy oracle (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from tests.conftest import SF_SMOKE
+
+
+def test_entry_returns_rows(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    cols = set(df.columns)
+    assert {"label", "n", "n_correct", "class_accuracy"} <= cols
+
+
+def test_inference_matches_numpy_oracle(spark):
+    """Spark-scored predictions must EQUAL local single-process NumPy
+    predictions on the same rows (deterministic model)."""
+    from embarrassingly_parallel_image_classification_spark.ml.inference import (
+        fit_centroids,
+        nearest_centroid_predict,
+        score_embeddings,
+    )
+    from embarrassingly_parallel_image_classification_spark.sources.tables import t
+
+    emb = t(spark, SF_SMOKE, "embeddings")
+    cents, labels = fit_centroids(emb)
+
+    # Local oracle: load the same parquet with pyarrow, predict in-process.
+    tbl = pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+    pdf = tbl.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(pdf["embedding"].to_numpy())
+    want = nearest_centroid_predict(X, cents, labels)
+
+    got = (
+        score_embeddings(spark, SF_SMOKE)
+        .orderBy("vec_id")
+        .toPandas()["pred"]
+        .to_numpy()
+    )
+    assert (got == want).all()
+
+    # Sanity: better than chance (10 classes => chance = 0.1). The synthetic
+    # embeddings are mostly noise, so absolute accuracy is low; determinism
+    # (the equality above) is the real contract.
+    acc = (pdf["label"].to_numpy() == want).mean()
+    assert acc > 0.15, f"nearest-centroid accuracy at/below chance: {acc}"
+
+
+def test_registry_contract(spark):
+    """Every oracle key has a query; names are well-formed."""
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert all(n.startswith("q_") for n in qs)
