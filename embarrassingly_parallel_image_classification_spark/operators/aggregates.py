@@ -1,0 +1,292 @@
+"""D1–D12: aggregation family (SURVEY.md §2-D).
+
+Reference analog: ``value_counts`` / numpy means / sklearn crosstab in the
+evaluation notebook [PK]. Every groupBy below compiles to Spark's
+two-phase HashAggregate (partial map-side combine → final after shuffle),
+so the shuffle moves one row per (group × partition), not raw data — the
+property that makes these safe at 100 TB.
+
+Oracle-compat rules applied throughout (SURVEY §7): float aggregates
+rounded to 6; collect_list compared as a sorted joined string; pivot
+columns written as FILTER aggregates in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import t
+
+
+@register(
+    "q_agg_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 6) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 6) AS sum_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           ROUND(MIN(l_extendedprice), 6) AS min_price,
+           ROUND(MAX(l_extendedprice), 6) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("D1",),
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregate: the per-class prediction counts of
+    the reference's evaluation [PK], generalized."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.min("l_extendedprice"), 6).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "q_agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           ROUND(AVG(l_quantity), 6) AS avg_qty
+    FROM lineitem
+    """,
+    tags=("D2",),
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless global aggregate (the overall-accuracy scalar of §3.3)."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+    )
+
+
+@register(
+    "q_agg_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           ROUND(SUM(CASE WHEN o_totalprice > 150000 THEN o_totalprice ELSE 0 END), 6)
+               AS big_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("D3",),
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates — per-class hit counts of the reference."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.round(
+                F.sum(F.when(F.col("o_totalprice") > 150000, F.col("o_totalprice")).otherwise(0)),
+                6,
+            ).alias("big_total"),
+        )
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(DISTINCT c.c_mktsegment) AS n_segments,
+           COUNT(DISTINCT c.c_custkey) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("D4",),
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates per group (expand-based two-distinct plan)."""
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register("q_agg_approx_distinct", oracle=None, tags=("D5", "rows-only"))
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality — THE 100-TB distinct (constant memory
+    vs a full distinct's shuffle). Approx ⇒ rows-only; pytest bounds its
+    error vs the exact count instead (tests/test_aggregates.py)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"))
+    )
+
+
+@register(
+    "q_pivot_confusion",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+           COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+           COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+           COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("D6",),
+)
+def q_pivot_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → the confusion-matrix crosstab of the reference [PK].
+    Pivot values are passed explicitly: at scale, never let Spark run the
+    extra distinct job to discover them."""
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", pri)
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("D7",),
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with grouping ids (subtotals by year/class analog)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("o_orderstatus") + F.lit(2) * F.grouping("o_orderpriority")
+            ).alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+    SELECT c_mktsegment,
+           STRING_AGG(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("D8",),
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set compared order-insensitively: sorted + joined to one
+    string so both engines hash identically (SURVEY §7 risk 3)."""
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_mktsegment")
+        .agg(F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"))
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("D9",),
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use continuous
+    interpolation; approx_percentile is the 100-TB variant, bench-only)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        )
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+           ROUND(VAR_SAMP(l_discount), 6) AS var_disc,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("D10",),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments + correlation per group."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        )
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderstatus,
+               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+               COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'urgent' AS priority, urgent AS n FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'low' AS priority, low AS n FROM wide
+    """,
+    tags=("D12",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide confusion-matrix columns back to long rows."""
+    wide = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("urgent"),
+            F.count_if(F.col("o_orderpriority") == "5-LOW").alias("low"),
+        )
+    )
+    return wide.unpivot("o_orderstatus", ["urgent", "low"], "priority", "n")

@@ -1,0 +1,271 @@
+"""C1–C9: the join family (SURVEY.md §2-C).
+
+Reference analog: pandas ``merge`` on tile id for evaluation and the
+2010-vs-2016 change-detection self-join [PK]. Here each shape maps to a
+Catalyst join strategy chosen deliberately:
+
+* facts ⋈ facts → sort-merge (shuffle on key, AQE-coalesced);
+* fact ⋈ small dim → broadcast hash (explicit ``F.broadcast`` hint);
+* semi/anti → dedicated join types (never a distinct-after-inner);
+* range/theta → bucket-prefilter + BNLJ only within buckets at scale;
+* as-of → union + window (zero theta join), the scalable formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import t
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    tags=("C1",),
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders⋈customer (predictions⋈truth analog)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 6) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("C2", "D1"),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dim chain (customer→nation→region). The label
+    taxonomy lookup of the reference [PK] — dims stay broadcast at any
+    scale because region/nation are fixed-size."""
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 6).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q_join_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           ROUND(COALESCE(o.total_spend, 0.0), 6) AS total_spend
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_totalprice) AS total_spend
+        FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+    tags=("C3",),
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers with zero orders. Aggregate-
+    before-join: the fact table is reduced to one row per key *before*
+    the join — the 100-TB-safe formulation."""
+    c = t(spark, sf_dir, "customer")
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("total_spend"))
+    )
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce("total_spend", F.lit(0.0)), 6).alias("total_spend"),
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    tags=("C4",),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join — EXISTS without duplicating the left side."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("C5",),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — the reference's 'tiles scored in one year but
+    absent the other' set difference [PK≈]."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_self",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(o_orderkey) AS first_key,
+               MAX(o_orderkey) AS last_key
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT f.o_custkey,
+           a.o_totalprice AS first_price,
+           b.o_totalprice AS last_price,
+           ROUND(b.o_totalprice - a.o_totalprice, 6) AS price_delta
+    FROM firsts f
+    JOIN orders a ON a.o_orderkey = f.first_key
+    JOIN orders b ON b.o_orderkey = f.last_key
+    """,
+    tags=("C6",),
+)
+def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: first vs last order per customer — the 2010-vs-2016
+    prediction-snapshot comparison [PK] on one table with two aliases."""
+    o = t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min("o_orderkey").alias("first_key"), F.max("o_orderkey").alias("last_key")
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    return (
+        firsts.join(a, F.col("a.o_orderkey") == F.col("first_key"))
+        .join(b, F.col("b.o_orderkey") == F.col("last_key"))
+        .select(
+            firsts.o_custkey,
+            F.col("a.o_totalprice").alias("first_price"),
+            F.col("b.o_totalprice").alias("last_price"),
+            F.round(F.col("b.o_totalprice") - F.col("a.o_totalprice"), 6).alias("price_delta"),
+        )
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+    tags=("C7",),
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (guarded to small dims; the basis of brute-force kNN)."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('small', 0.0, 1000.0), ('mid', 1000.0, 1400.0), ('large', 1400.0, 1e9)
+    )
+    SELECT b.band, COUNT(*) AS n_parts, ROUND(AVG(p.p_retailprice), 6) AS avg_price
+    FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+    tags=("C8",),
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: parts into price bands. The band table is tiny →
+    broadcast nested loop, the right plan; at scale band membership of a
+    huge probe side stays a broadcast BNLJ (O(n·bands))."""
+    p = t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 1000.0), ("mid", 1000.0, 1400.0), ("large", 1400.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_parts"), F.round(F.avg("p_retailprice"), 6).alias("avg_price"))
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, epoch(date_trunc('second', ts)) AS tsec
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, value, epoch(date_trunc('second', ts)) AS tsec
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           MAX(c.tsec) AS last_click_sec
+    FROM p JOIN c ON c.user_id = p.user_id AND c.tsec <= p.tsec
+    GROUP BY p.event_id, p.user_id
+    """,
+    tags=("C9",),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click at-or-before it.
+
+    Implemented WITHOUT a theta join: union both sides tagged, one window
+    sorted by time carries the last click forward (last ignorenulls).
+    One shuffle on user_id instead of an O(clicks×purchases) nested loop —
+    this is the formulation that survives 100 TB. Oracle uses the naive
+    greatest-match SQL (fine for DuckDB at sf0.01).
+
+    Timestamps are second-truncated on both sides (fixture ts is ns;
+    Spark µs vs DuckDB ns would otherwise diverge — SURVEY §7 risk 1).
+    """
+    ev = t(spark, sf_dir, "events")
+    tsec = F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("tsec")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", tsec)
+    c = ev.filter(F.col("event_type") == "click").select("user_id", tsec)
+    unioned = p.withColumn("click_sec", F.lit(None).cast("long")).unionByName(
+        c.select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "tsec",
+            F.col("tsec").alias("click_sec"),
+        )
+    )
+    # Clicks sort before purchases at the same tsec (is_purchase=0 first)
+    # so a same-second click matches `<=`.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("tsec"), F.col("event_id").isNotNull().cast("int"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("last_click_sec", F.last("click_sec", ignorenulls=True).over(w))
+        .filter(F.col("event_id").isNotNull() & F.col("last_click_sec").isNotNull())
+        .select("event_id", "user_id", "last_click_sec")
+    )

@@ -1,0 +1,142 @@
+"""B1–B6: projection, filter, conditional expressions, nulls, distinct,
+sampling (SURVEY.md §2-B).
+
+Reference analog: pervasive pandas/numpy row ops in the notebooks [PK] —
+here they are declarative Catalyst expressions, so predicate pushdown and
+column pruning reach the parquet scan for free (verified in
+tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import t
+
+
+@register(
+    "q_project",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           l_quantity,
+           ROUND(l_extendedprice * (1 - l_discount), 6) AS net_price,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged
+    FROM lineitem
+    """,
+    tags=("B1",),
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with computed columns (derived prices per lineitem)."""
+    li = t(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(net, 6).alias("net_price"),
+        F.round(net * (1 + F.col("l_tax")), 6).alias("charged"),
+    )
+
+
+@register(
+    "q_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.08
+      AND l_returnflag <> 'A'
+    """,
+    tags=("B2",),
+)
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicate filter — pushed down to the parquet scan."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30)
+        & (F.col("l_discount").between(0.02, 0.08))
+        & (F.col("l_returnflag") != "A")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+
+
+@register(
+    "q_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+                ELSE 'low' END AS priority_class,
+           CASE WHEN o_totalprice >= 200000 THEN 'large'
+                WHEN o_totalprice >= 50000 THEN 'mid'
+                ELSE 'small' END AS size_class
+    FROM orders
+    """,
+    tags=("B3",),
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN remap — the NLCD-code→coarse-class pattern of the
+    reference's label taxonomy [PK], as a Catalyst expression."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
+        .otherwise("low")
+        .alias("priority_class"),
+        F.when(F.col("o_totalprice") >= 200000, "large")
+        .when(F.col("o_totalprice") >= 50000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+@register(
+    "q_null_handling",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNSEGMENTED') AS segment,
+           CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL THEN 1 ELSE 0 END AS was_null,
+           COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS acctbal_nonneg
+    FROM customer
+    """,
+    tags=("B4",),
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null introduction + coalesce/isNull handling (fixtures have no
+    nulls, so nullif manufactures them deterministically)."""
+    c = t(spark, sf_dir, "customer")
+    seg_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        F.coalesce(seg_null, F.lit("UNSEGMENTED")).alias("segment"),
+        F.when(seg_null.isNull(), 1).otherwise(0).alias("was_null"),
+        F.coalesce(
+            F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")), F.lit(0.0)
+        ).alias("acctbal_nonneg"),
+    )
+
+
+@register(
+    "q_distinct",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """,
+    tags=("B5",),
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct over a two-column projection (partial-agg dedup plan)."""
+    return t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register("q_sample", oracle=None, tags=("B6", "rows-only"))
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample by l_returnflag (seeded; rows-only — sampling is
+    engine-specific even when seeded). The reference's class-balanced
+    training-set draw [PK] is this exact operator."""
+    li = t(spark, sf_dir, "lineitem")
+    frac = {"A": 0.1, "N": 0.05, "R": 0.1}
+    return li.sampleBy("l_returnflag", fractions=frac, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )

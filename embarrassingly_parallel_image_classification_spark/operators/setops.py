@@ -1,0 +1,71 @@
+"""G1–G3: set operations (SURVEY.md §2-G).
+
+Reference analog: pandas concat of the 2010+2016 prediction sets and
+python set ops on tile ids [PK]. unionByName is a zero-shuffle
+concatenation of partitions; intersect/except compile to semi/anti
+joins after a distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import t
+
+
+@register(
+    "q_union",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, 'auto' AS cohort FROM customer
+    WHERE c_mktsegment = 'AUTOMOBILE'
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, 'machine' AS cohort FROM customer
+    WHERE c_mktsegment = 'MACHINERY'
+    """,
+    tags=("G1",),
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName of two tagged cohorts (2010 ∪ 2016 snapshots analog)."""
+    c = t(spark, sf_dir, "customer")
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        "c_custkey", "c_mktsegment", F.lit("auto").alias("cohort")
+    )
+    mach = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        "c_custkey", "c_mktsegment", F.lit("machine").alias("cohort")
+    )
+    return auto.unionByName(mach)
+
+
+@register(
+    "q_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("G2",),
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations having both customers and suppliers."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "q_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+    tags=("G3",),
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who never ordered, as a set difference (EXCEPT DISTINCT
+    semantics via ``subtract`` — exceptAll would keep multiplicity)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.subtract(o)

@@ -1,0 +1,140 @@
+"""E1–E4: window functions (SURVEY.md §2-E).
+
+Every ORDER BY inside a window includes a unique tiebreak column
+(orderkey / linenumber) so ranking is deterministic across engines —
+rank over a non-unique ordering is the classic cross-engine flake
+(SURVEY §7 risk 3).
+
+Scale note: a window = one shuffle on partitionBy keys + per-partition
+sort. Keys here (custkey, suppkey) are high-cardinality, so partitions
+stay small; a low-cardinality partitionBy (e.g. returnflag) over 100 TB
+would funnel everything into 3 tasks — deliberately avoided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import t
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rk,
+           DENSE_RANK() OVER w AS drk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("E1",),
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking trio per customer (top-confidence-per-class analog)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+    )
+
+
+@register(
+    "q_window_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS odate,
+           COALESCE(LAG(CAST(o_orderdate AS DATE)) OVER w, DATE '1900-01-01') AS prev_date,
+           COALESCE(LEAD(o_orderkey) OVER w, -1) AS next_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("E2",),
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead — year-over-year change detection done the window way
+    instead of the reference's self-merge [PK]. Window-edge NULLs are
+    coalesced to sentinels on both sides: NULL date/int surface as
+    NaT/NaN vs None across the two engines' pandas bridges and would
+    false-fail the value hash."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("odate"),
+        F.coalesce(
+            F.lag(F.col("o_orderdate").cast("date")).over(w), F.lit("1900-01-01").cast("date")
+        ).alias("prev_date"),
+        F.coalesce(F.lead("o_orderkey").over(w), F.lit(-1)).alias("next_key"),
+    )
+
+
+@register(
+    "q_window_running",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           ROUND(SUM(l_extendedprice) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+           ROUND(AVG(l_quantity) OVER (
+               w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg_qty
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity)
+    """,
+    tags=("E3",),
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame aggregates: running total + moving average per supplier.
+
+    The fixture lineitem has duplicate (l_orderkey, l_linenumber) pairs,
+    so price+quantity join the ORDER BY to make frame order fully
+    deterministic across engines; remaining ties are identical rows,
+    which are interchangeable in any frame."""
+    order = [
+        F.asc("l_orderkey"),
+        F.asc("l_linenumber"),
+        F.asc("l_extendedprice"),
+        F.asc("l_quantity"),
+    ]
+    run = Window.partitionBy("l_suppkey").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mov = Window.partitionBy("l_suppkey").orderBy(*order).rowsBetween(-3, Window.currentRow)
+    return t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(run), 4).alias("running_total"),
+        F.round(F.avg("l_quantity").over(mov), 6).alias("moving_avg_qty"),
+    )
+
+
+@register(
+    "q_window_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+           ROUND(CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cd
+    FROM orders
+    """,
+    tags=("E4",),
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deciles over a global ordering. NOTE: an unpartitioned window is a
+    single-task sort — fine for a report over an already-reduced result,
+    never over a raw 100 TB fact (use approx quantiles there, D9/D5)."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

@@ -34,7 +34,23 @@ BROADCAST_DIMS = ("region", "nation")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as a
+    long (legacy conf) and rebuild a µs timestamp via integer division —
+    never float division: ns epochs ≈ 1.7e18 exceed double's 53-bit
+    mantissa and would corrupt low-order digits.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -10,11 +10,12 @@ spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as e
 
-t0 = time.time()
-df = e.entry(spark)
-rows = df.collect()
-print(f"SMOKE entry(): {len(rows)} rows in {time.time()-t0:.1f}s schema={df.columns}")
-for r in rows[:3]: print("  ", r)
+if len(sys.argv) == 1:  # full run: include the smoke check
+    t0 = time.time()
+    df = e.entry(spark)
+    rows = df.collect()
+    print(f"SMOKE entry(): {len(rows)} rows in {time.time()-t0:.1f}s schema={df.columns}")
+    for r in rows[:3]: print("  ", r)
 
 SF = "/root/testdata/sf0.01"
 con = duckdb.connect()
@@ -34,8 +35,11 @@ def norm(pdf):
     res = pd.DataFrame(out)
     return res.sort_values(by=list(res.columns), kind="mergesort").reset_index(drop=True) if len(res) else res
 
+only = sys.argv[1:]  # optional name substrings to filter
 fails = 0
 for name, fn in sorted(qs.items()):
+    if only and not any(s in name for s in only):
+        continue
     t0 = time.time()
     try:
         got = fn(spark, SF).toPandas()
