@@ -1,0 +1,271 @@
+"""H1–H10: scalar function surface (SURVEY.md §2-H).
+
+Reference analog: Python str/re/numpy/dict operations in the notebooks
+[PK] — here every one is a Catalyst expression that stays inside
+WholeStageCodegen (no Python boundary crossing at all). Regex patterns
+are kept to the RE2-compatible subset so the Java (Spark) and RE2
+(DuckDB) engines agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import t
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+    SELECT c_custkey,
+           LOWER(c_name) AS lname,
+           UPPER(c_mktsegment) AS useg,
+           LENGTH(c_name) AS name_len,
+           SUBSTRING(c_name, 1, 8) AS prefix,
+           CONCAT(c_name, '#', c_mktsegment) AS tagged,
+           TRIM(CONCAT(' ', c_name, ' ')) AS trimmed,
+           REPLACE(c_name, 'Customer', 'Cust') AS replaced
+    FROM customer
+    """,
+    tags=("H1",),
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String basics — the tile-path parsing toolkit of the reference."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lname"),
+        F.upper("c_mktsegment").alias("useg"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("tagged"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("replaced"),
+    )
+
+
+@register(
+    "q_fn_regex",
+    oracle="""
+    SELECT c_custkey, c_name,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_num,
+           CASE WHEN regexp_matches(c_name, '^Customer#0*1[0-9]') THEN 1 ELSE 0 END AS starts_1x
+    FROM customer
+    WHERE regexp_matches(c_name, '[0-9]$')
+    """,
+    tags=("H2",),
+)
+def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract/match — tile x,y-from-filename parsing [PK]."""
+    c = t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").rlike("[0-9]$")).select(
+        "c_custkey",
+        "c_name",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_num"),
+        F.when(F.col("c_name").rlike("^Customer#0*1[0-9]"), 1).otherwise(0).alias("starts_1x"),
+    )
+
+
+@register(
+    "q_fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS odate,
+           EXTRACT(year FROM o_orderdate) AS oyear,
+           EXTRACT(month FROM o_orderdate) AS omonth,
+           EXTRACT(day FROM o_orderdate) AS oday,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) BETWEEN 1996 AND 1998
+    """,
+    tags=("H3",),
+)
+def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time kit over o_orderdate (ms-precision — safe both engines)."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(F.year("o_orderdate").between(1996, 1998)).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("odate"),
+        F.year("o_orderdate").alias("oyear"),
+        F.month("o_orderdate").alias("omonth"),
+        F.dayofmonth("o_orderdate").alias("oday"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(LN(p_retailprice), 6) AS ln_price,
+           ROUND(EXP(p_size / 100.0), 6) AS exp_size,
+           ROUND(POW(p_size, 2), 6) AS size_sq,
+           ROUND(SQRT(p_retailprice), 6) AS sqrt_price,
+           ABS(p_size - 25) AS size_dev,
+           CEIL(p_retailprice / 100) AS price_bucket,
+           FLOOR(p_retailprice / 100) AS price_bucket_lo,
+           GREATEST(p_size, 10) AS size_min10,
+           LEAST(p_size, 40) AS size_max40,
+           p_size % 7 AS size_mod7
+    FROM part
+    """,
+    tags=("H4", "H10"),
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math kit (log/exp/pow/sqrt/abs/ceil/floor/greatest/least/mod)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.log("p_retailprice"), 6).alias("ln_price"),
+        F.round(F.exp(F.col("p_size") / 100.0), 6).alias("exp_size"),
+        F.round(F.pow("p_size", F.lit(2)), 6).alias("size_sq"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.ceil(F.col("p_retailprice") / 100).alias("price_bucket"),
+        F.floor(F.col("p_retailprice") / 100).alias("price_bucket_lo"),
+        F.greatest(F.col("p_size"), F.lit(10)).alias("size_min10"),
+        F.least(F.col("p_size"), F.lit(40)).alias("size_max40"),
+        (F.col("p_size") % 7).alias("size_mod7"),
+    )
+
+
+@register(
+    "q_fn_array_argmax",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           list_indexof(embedding, list_max(embedding)) AS argmax_pos,
+           ROUND(list_max(embedding), 6) AS max_val,
+           ROUND(embedding[1], 6) AS first_val
+    FROM embeddings
+    """,
+    tags=("H5",),
+)
+def q_fn_array_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops + argmax — the reference's ``numpy.argmax`` over class
+    probabilities [PK], as pure SQL (1-based position, both engines)."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_position(F.col("embedding"), F.array_max("embedding")).alias("argmax_pos"),
+        F.round(F.array_max("embedding"), 6).alias("max_val"),
+        F.round(F.element_at("embedding", 1), 6).alias("first_val"),
+    )
+
+
+@register(
+    "q_fn_dot_product",
+    oracle="""
+    SELECT vec_id,
+           ROUND(SUM(e * e), 6) AS norm_sq,
+           ROUND(SUM(e), 6) AS comp_sum
+    FROM (SELECT vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS e FROM embeddings)
+    GROUP BY vec_id
+    """,
+    tags=("H6",),
+)
+def q_fn_dot_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: dot product / norm² computed
+    IN-SQL via aggregate+zip_with — no Python boundary. This is the
+    kernel the kNN operator (K3) builds on. Accumulates in double,
+    left-to-right in both engines (DuckDB oracle unnests in list order)."""
+    from .vectors import dot, fsum
+
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(dot("embedding", "embedding"), 6).alias("norm_sq"),
+        F.round(fsum("embedding"), 6).alias("comp_sum"),
+    )
+
+
+@register(
+    "q_fn_map",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CASE n_regionkey WHEN 0 THEN 'AFRICA' WHEN 1 THEN 'AMERICA'
+                WHEN 2 THEN 'ASIA' WHEN 3 THEN 'EUROPE' WHEN 4 THEN 'MIDDLE EAST'
+                ELSE 'UNKNOWN' END AS region_name
+    FROM nation
+    """,
+    tags=("H7",),
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-literal lookup — the label-taxonomy dict of the reference [PK]
+    as a broadcastable create_map expression (oracle: CASE ladder)."""
+    lookup = F.create_map(
+        *[
+            x
+            for pair in [
+                (F.lit(0), F.lit("AFRICA")),
+                (F.lit(1), F.lit("AMERICA")),
+                (F.lit(2), F.lit("ASIA")),
+                (F.lit(3), F.lit("EUROPE")),
+                (F.lit(4), F.lit("MIDDLE EAST")),
+            ]
+            for x in pair
+        ]
+    )
+    n = t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        "n_name",
+        F.coalesce(lookup[F.col("n_regionkey")], F.lit("UNKNOWN")).alias("region_name"),
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("H8", "A4"),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string parsing (events.props) with from_json + schema —
+    semi-structured ingest without a Python UDF."""
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k BIGINT").getField("k").alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@register(
+    "q_fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256
+    FROM documents
+    """,
+    tags=("H9",),
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic content hashes — deterministic doc ids / dedup keys.
+    (xxhash64/crc32 exist Spark-side but have no DuckDB twin, so the
+    oracle covers md5/sha256; xxhash64 is exercised by K1 dedup.)"""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )

@@ -1,0 +1,269 @@
+"""K1/K2: deduplication family for training-data pipelines
+(SURVEY.md §2-K; driver-mandated extension).
+
+Five tiers, exact → fuzzy:
+
+* exact        — hash-groupBy on content (xxhash64 for the shuffle key,
+                 full text only for collision arbitration);
+* ngram-jaccard— exact set-similarity via shingle join (quadratic in
+                 candidates; the small-scale oracle for the next two);
+* minhash      — MinHash signatures + banded LSH: candidates only when
+                 a band collides, then exact-Jaccard verify. The
+                 standard web-scale near-dedup (Broder '97 shape);
+* simhash      — 64-bit Charikar fingerprint via per-token md5 bit
+                 votes; near-dups share the fingerprint (or differ in
+                 few bits);
+* embedding    — cosine-threshold near-dup over the embeddings table.
+
+Everything is deterministic (hash-seeded, no RNG), so rows-only queries
+are still reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from ..registry import register
+from ..sources.tables import t
+
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4  # 4 rows per band
+SHINGLE_N = 3
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+    tags=("K1",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one surviving doc_id per distinct text.
+
+    The groupBy key is xxhash64(text) — a fixed-width shuffle key instead
+    of shuffling full documents (the 100-TB trick); min(doc_id) is the
+    canonical survivor. Collisions are a non-issue for the oracle compare
+    (64-bit over ≤5k docs) and at real scale the key widens to
+    (xxhash64, md5) — both computed in one pass.
+    """
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.xxhash64("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .drop("h")
+    )
+
+
+def shingles(d: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document, computed
+    with zip_with over sliced token arrays (no Python, no explode-join)."""
+    toks = F.split(F.col("text"), " ")
+    # n-gram i = tokens[i..i+n-1] joined — build via transform over positions.
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def jaccard_pairs(d: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Exact n-gram Jaccard for all candidate pairs (shingle-join).
+
+    The shingle join only pairs docs sharing ≥1 shingle — still
+    quadratic in the worst case; use minhash_pairs at scale and keep
+    this as the verifier.
+    """
+    s = shingles(d, n)
+    sizes = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+                  UNNEST(list_transform(
+                      range(1, len(ws) - {SHINGLE_N - 2}),
+                      i -> array_to_string(ws[i : i + {SHINGLE_N - 1}], ' '))) AS shingle
+           FROM toks
+         ),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         )
+    SELECT id_a, id_b,
+           ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+    tags=("K2",),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with exact trigram Jaccard ≥ 0.5."""
+    d = t(spark, sf_dir, "documents")
+    return jaccard_pairs(d).filter(F.col("jaccard") >= 0.5)
+
+
+def minhash_signatures(d: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — MinHash over trigram shingles.
+
+    Permutation i is xxhash64(shingle, i); min per doc per i. Computed
+    as ONE aggregation producing all perms (array of mins), not perms
+    separate jobs.
+    """
+    s = shingles(d)
+    min_cols = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"m{i}") for i in range(perms)
+    ]
+    sig = s.groupBy("doc_id").agg(*min_cols)
+    return sig.select("doc_id", F.array(*[f"m{i}" for i in range(perms)]).alias("sig"))
+
+
+def minhash_pairs(
+    d: DataFrame, perms: int = MINHASH_PERMS, bands: int = MINHASH_BANDS
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH, verified with
+    estimated Jaccard (= fraction of matching signature components).
+
+    Band b = hash of signature rows [b·r, (b+1)·r); docs sharing any
+    band bucket become candidates — the only join is on (band, bucket),
+    so cost tracks collisions, not |docs|².
+    """
+    r = perms // bands
+    sig = minhash_signatures(d, perms)
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(*[F.xxhash64(F.slice("sig", b * r + 1, r)) for b in range(bands)])
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(perms)
+    return cands.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+
+
+@register("q_dedup_minhash", oracle=None, tags=("K2", "rows-only"))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidates with estimated Jaccard ≥ 0.5
+    (hash-seeded ⇒ deterministic, but engine-specific ⇒ rows-only;
+    recall vs exact Jaccard asserted in tests/test_dedup.py)."""
+    d = t(spark, sf_dir, "documents")
+    return minhash_pairs(d).filter(F.col("est_jaccard") >= 0.5)
+
+
+def simhash(d: DataFrame, bits: int = 64) -> DataFrame:
+    """(doc_id, simhash) — Charikar fingerprint from per-token votes.
+
+    Token hash = xxhash64(token); bit j of the fingerprint is the sign
+    of Σ_tokens (±1 by bit j). Pure SQL: explode tokens → one groupBy
+    with 64 conditional sums folded into an array.
+    """
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = h.groupBy("doc_id").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * (2**j if j < 63 else -(2**63))).otherwise(0)
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+@register("q_dedup_simhash", oracle=None, tags=("K2", "rows-only"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per document (group identical fingerprints
+    to find near-dups). Deterministic; rows-only."""
+    d = t(spark, sf_dir, "documents")
+    fp = simhash(d)
+    w = Window.partitionBy("simhash")
+    return fp.select(
+        "doc_id", "simhash", F.count("*").over(w).alias("n_same_fp")
+    )
+
+
+@register(
+    "q_dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) > 0.9
+    """,
+    tags=("K2", "K3"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sim > 0.9). Brute-force pairs
+    here; at scale the candidate pairs come from knn_lsh/knn_ivf and
+    only candidates get the exact cosine."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    # Filter on the RAW similarity (like the oracle's WHERE) and round
+    # only the projected value — filtering on the rounded value would
+    # disagree with DuckDB for sims in (0.9, 0.9000005).
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("sim_raw"),
+        )
+        .filter(F.col("sim_raw") > 0.9)
+        .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
+    )

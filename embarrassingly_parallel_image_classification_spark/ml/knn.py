@@ -1,0 +1,180 @@
+"""K3: similarity search over the embedding column (SURVEY.md §2-K).
+
+Three tiers, trading recall for scale:
+
+* ``knn_exact`` — brute force: broadcast the (small) query set against
+  the corpus, cosine in-SQL (functions.vectors), per-query top-k via a
+  ranking window. O(|corpus|·|queries|) but embarrassingly parallel and
+  zero-shuffle on the corpus side — the correctness oracle for every
+  approximate tier.
+* ``knn_lsh`` — BucketedRandomProjectionLSH (random hyperplane buckets,
+  seeded): sub-linear candidate generation; the 100-TB default.
+* ``knn_ivf`` — inverted-file index: KMeans coarse quantizer (seeded),
+  probe the nprobe nearest centroids only; candidates shrink by
+  ~n_clusters/nprobe. Classic FAISS-IVF structure in pure DataFrame ops.
+
+Similarities are rounded to 6 decimals BEFORE ranking, with vec_id as
+tiebreak, so rankings are reproducible bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, l2_dist_sq
+from ..registry import register
+from ..sources.tables import t
+
+N_QUERIES = 5  # fixture query set: vec_id < 5
+TOP_K = 3
+
+
+def knn_exact(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` must be small (it is broadcast). Excludes self-matches.
+    Returns (qid, vec_id, sim, rank).
+    """
+    q = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
+    pairs = corpus.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        F.round(cosine("embedding", "q_emb"), 6).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+@register(
+    "q_knn_exact",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+                  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 6) AS sim
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.qid
+         )
+    SELECT qid, vec_id, sim, rank FROM (
+        SELECT qid, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("K3", "C7", "F3"),
+)
+def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for the first 5 vectors as queries."""
+    emb = t(spark, sf_dir, "embeddings")
+    return knn_exact(emb, emb.filter(F.col("vec_id") < N_QUERIES), TOP_K)
+
+
+def _to_vec(df: DataFrame, in_col: str = "embedding", out_col: str = "features") -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn(out_col, array_to_vector(F.col(in_col).cast("array<double>")))
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    bucket_length: float = 2.0,
+    num_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane bucketing (seeded).
+
+    approxSimilarityJoin only compares vectors sharing a hash bucket —
+    the join is on bucket id, so the candidate set (not the corpus)
+    drives cost. Distance is L2; results re-ranked per query.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    c = _to_vec(corpus)
+    q = _to_vec(queries).select(
+        F.col("vec_id").alias("qid"), F.col("features").alias("q_features")
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    ).fit(c)
+    joined = model.approxSimilarityJoin(
+        c, q.withColumnRenamed("q_features", "features"), float("inf"), distCol="dist"
+    )
+    pairs = joined.select(
+        F.col("datasetB.qid").alias("qid"),
+        F.col("datasetA.vec_id").alias("vec_id"),
+        F.round(F.col("dist"), 6).alias("dist"),
+    ).filter(F.col("vec_id") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+@register("q_knn_lsh", oracle=None, tags=("K3", "rows-only"))
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate kNN (seeded; engine-specific buckets ⇒
+    rows-only). Recall vs knn_exact is asserted in tests/test_knn.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    return knn_lsh(emb, emb.filter(F.col("vec_id") < N_QUERIES))
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF kNN: KMeans coarse quantizer → probe nprobe nearest cells.
+
+    Index build: one KMeans fit (seeded) + one pass assigning every
+    corpus vector to its cell — at 100 TB the assignment is the only
+    full scan, and cell id becomes a partition/bucket column so probes
+    touch ~nprobe/n_clusters of the data.
+    """
+    from pyspark.ml.clustering import KMeans
+
+    # Cache the vectorized corpus: KMeans is iterative, and without this
+    # every iteration would re-run the scan + array_to_vector conversion
+    # (measured 25× slower at sf0.1). At 100 TB you'd fit on a sample
+    # instead — the quantizer doesn't need every row.
+    c = _to_vec(corpus).cache()
+    km = KMeans(k=n_clusters, seed=seed, maxIter=10, featuresCol="features").fit(c)
+    assigned = km.transform(c).withColumnRenamed("prediction", "cell")
+
+    # Broadcast centroids; map each query to its nprobe nearest cells.
+    cents = [(int(i), [float(x) for x in ctr]) for i, ctr in enumerate(km.clusterCenters())]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(cents, "cell int, centroid array<double>")
+    q = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
+    q_cells = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("cdist", l2_dist_sq("q_emb", "centroid"))
+        .withColumn(
+            "crank",
+            F.row_number().over(Window.partitionBy("qid").orderBy(F.asc("cdist"), F.asc("cell"))),
+        )
+        .filter(F.col("crank") <= nprobe)
+        .select("qid", "q_emb", "cell")
+    )
+    cands = assigned.join(F.broadcast(q_cells), "cell").filter(F.col("vec_id") != F.col("qid"))
+    scored = cands.select(
+        "qid", "vec_id", F.round(cosine("embedding", "q_emb"), 6).alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+@register("q_knn_ivf", oracle=None, tags=("K3", "rows-only"))
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (cluster-pruned) approximate kNN — the scale path."""
+    emb = t(spark, sf_dir, "embeddings")
+    return knn_ivf(emb, emb.filter(F.col("vec_id") < N_QUERIES))

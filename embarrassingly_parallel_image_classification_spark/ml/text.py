@@ -1,0 +1,205 @@
+"""K4: text analysis for training-data pipelines (SURVEY.md §2-K).
+
+Word count, per-language corpus stats, per-document quality scoring,
+token counting (whitespace + BPE-ish regex), document fingerprinting,
+and a language-ID heuristic. All hot paths are Catalyst expressions
+(split/explode/regexp), not UDFs — a 100 TB corpus tokenizes JVM-side.
+
+The fixture corpus shares one vocabulary across its `lang` labels
+(verified — see tests/test_text.py), so the language-ID heuristic is
+exercised for determinism and plumbing, not accuracy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import t
+
+# A BPE-ish pre-tokenizer: words, numbers, or single punctuation marks.
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+STOPWORDS = ("a", "the", "and", "of", "to")
+
+
+@register(
+    "q_text_wordcount",
+    oracle="""
+    SELECT w AS word, COUNT(*) AS n
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+    HAVING COUNT(*) >= 10
+    """,
+    tags=("K4",),
+)
+def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical wordcount: split → explode → count (freq ≥ 10)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 10)
+    )
+
+
+@register(
+    "q_text_lang_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 6) AS avg_chars,
+           ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("K4",),
+)
+def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 6).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq,
+           ROUND(len(list_distinct(string_split(text, ' ')))
+                 / len(string_split(text, ' ')), 6) AS uniq_ratio,
+           ROUND(length(text) / len(string_split(text, ' ')), 6) AS avg_tok_len,
+           len(list_filter(string_split(text, ' '),
+                           w -> list_contains({list(STOPWORDS)}, w))) AS n_stop,
+           ROUND(len(list_filter(string_split(text, ' '),
+                                 w -> list_contains({list(STOPWORDS)}, w)))
+                 / len(string_split(text, ' ')), 6) AS stop_ratio
+    FROM documents
+    """,
+    tags=("K4",),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, type/token ratio,
+    mean token length, stopword ratio — the standard LLM-corpus filter
+    features, all in-SQL."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.round(F.size(F.array_distinct(toks)) / n_tokens, 6).alias("uniq_ratio"),
+        F.round(F.length("text") / n_tokens, 6).alias("avg_tok_len"),
+        n_stop.alias("n_stop"),
+        F.round(n_stop / n_tokens, 6).alias("stop_ratio"),
+    )
+
+
+@register(
+    "q_text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{BPE_RE}')) AS bpe_tokens
+    FROM documents
+    """,
+    tags=("K4",),
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex
+    pre-tokenizer (the standard token-budget estimator)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fingerprint
+    FROM documents
+    """,
+    tags=("K4",),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form fingerprint: md5 over the sorted distinct token
+    set — invariant to token order/repetition, the cheap first pass of
+    near-dedup pipelines."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(F.split("text", " "))))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+def lang_profiles(d: DataFrame, top: int = 20) -> DataFrame:
+    """Per-language character-bigram frequency profile (top-N bigrams),
+    computed distributed: one explode + two aggregations."""
+    from pyspark.sql import Window
+
+    bigrams = d.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.col("text").substr(i, F.lit(2)),
+            )
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("lang", "bg").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bg"))
+    return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= top)
+
+
+@register("q_text_langid", oracle=None, tags=("K4", "rows-only"))
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: score each doc's char-bigrams against
+    per-language profiles learned from the labeled corpus (broadcast
+    dim), predict the argmax language. Deterministic; rows-only (the
+    fixture's langs share one vocabulary, so accuracy ≈ chance — the
+    operator's shape is what's exercised)."""
+    d = t(spark, sf_dir, "documents")
+    profiles = lang_profiles(d).select(
+        F.col("lang").alias("p_lang"), "bg", F.col("n").alias("p_n")
+    )
+    doc_bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.col("text").substr(i, F.lit(2)),
+            )
+        ).alias("bg"),
+    )
+    scored = (
+        doc_bigrams.join(F.broadcast(profiles), "bg")
+        .groupBy("doc_id", "p_lang")
+        .agg(F.sum("p_n").alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("p_lang"))
+    pred = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    truth = d.select("doc_id", "lang")
+    return pred.join(truth, "doc_id").select(
+        "doc_id", F.col("p_lang").alias("pred_lang"), "lang"
+    )

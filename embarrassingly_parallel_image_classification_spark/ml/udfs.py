@@ -1,0 +1,153 @@
+"""J2–J8: the Python UDF surface (SURVEY.md §2-J).
+
+The reference's entire pipeline is Python functions over rows [PK];
+in this engine Python appears ONLY behind Arrow-vectorized boundaries:
+
+* scalar pandas UDF (J2)         — Series→Series, Arrow batches;
+* grouped-map applyInPandas (J4) — per-group pandas frame;
+* grouped-agg pandas UDF (J5)    — Series→scalar per group;
+* UDTF (J7)                      — one row in, many rows out;
+* classic row UDF (J8)           — registered for completeness and to
+  document WHY it's the slow path (pickled row-at-a-time); never used
+  elsewhere in the library.
+
+Each one computes something SQL-expressible on purpose, so the DuckDB
+oracle checks the Arrow/pickle boundary itself — a serialization or
+batching bug would corrupt values and fail the hash.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..registry import register
+from ..sources.tables import t
+
+
+@register(
+    "q_udf_scalar",
+    oracle="""
+    SELECT event_id, ROUND(value * 2.0 + 1.0, 6) AS scaled
+    FROM events
+    """,
+    tags=("J2",),
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Series→Series): affine transform of the score
+    column — the reference's per-image normalization step [PK]."""
+
+    @pandas_udf("double")
+    def scale(v: pd.Series) -> pd.Series:
+        return v * 2.0 + 1.0
+
+    ev = t(spark, sf_dir, "events")
+    return ev.select("event_id", F.round(scale("value"), 6).alias("scaled"))
+
+
+@register(
+    "q_udf_grouped_map",
+    oracle="""
+    SELECT doc_id, lang,
+           ROUND(COALESCE((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+                 / NULLIF(STDDEV_SAMP(n_chars) OVER (PARTITION BY lang), 0), 0), 6) AS z
+    FROM documents
+    """,
+    tags=("J4",),
+)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-language z-score of doc length —
+    per-class normalization [PK] where the whole group is one pandas
+    frame (ddof=1 matches STDDEV_SAMP)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["n_chars"].std(ddof=1)
+        mu = pdf["n_chars"].mean()
+        z = (pdf["n_chars"] - mu) / sd if sd and sd > 0 else pd.Series(0.0, index=pdf.index)
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z": z.fillna(0.0).round(6)}
+        )
+
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").applyInPandas(zscore, "doc_id BIGINT, lang STRING, z DOUBLE")
+
+
+@register(
+    "q_udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS weighted_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("J5",),
+)
+def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF: quantity-weighted mean price per flag
+    (the custom per-class metric of the reference's evaluation [PK])."""
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 6).alias("weighted_price")
+    )
+
+
+@register(
+    "q_udtf_explode",
+    oracle="""
+    SELECT vec_id, pos, val FROM (
+        SELECT vec_id, pos, val,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY val DESC, pos) AS rn
+        FROM (
+            SELECT vec_id,
+                   UNNEST(range(1, len(embedding) + 1)) AS pos,
+                   UNNEST(list_transform(CAST(embedding AS DOUBLE[]), x -> ROUND(x, 6))) AS val
+            FROM embeddings
+        )
+    ) WHERE rn <= 3
+    """,
+    tags=("J7",),
+)
+def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: one embedding row → its top-3 (position, value)
+    component rows — the model-output→(class, prob) expansion [PK]."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="vec_id BIGINT, pos INT, val DOUBLE")
+    class TopComponents:
+        def eval(self, vec_id: int, embedding):
+            comps = sorted(
+                ((round(float(v), 6), i + 1) for i, v in enumerate(embedding)),
+                key=lambda t: (-t[0], t[1]),
+            )
+            for val, pos in comps[:3]:
+                yield vec_id, pos, val
+
+    spark.udtf.register("top_components", TopComponents)
+    t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings_udtf_in")
+    return spark.sql(
+        "SELECT f.* FROM embeddings_udtf_in, LATERAL top_components(vec_id, embedding) f"
+    )
+
+
+@register(
+    "q_udf_classic",
+    oracle="""
+    SELECT c_custkey, CONCAT(UPPER(c_mktsegment), ':', CAST(LENGTH(c_name) AS VARCHAR)) AS tag
+    FROM customer
+    """,
+    tags=("J8",),
+)
+def q_udf_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic row-at-a-time Python UDF — registered to cover the API,
+    deliberately trivial: every other operator uses Arrow-vectorized
+    paths because this one pickles per row (~10–100× slower)."""
+    tag = F.udf(lambda seg, name: f"{seg.upper()}:{len(name)}", "string")
+    c = t(spark, sf_dir, "customer")
+    return c.select("c_custkey", tag("c_mktsegment", "c_name").alias("tag"))

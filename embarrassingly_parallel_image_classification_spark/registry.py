@@ -89,6 +89,7 @@ def _ensure_loaded() -> None:
         "functions.scalar",
         "functions.vectors",
         "ml.inference",
+        "ml.udfs",
         "ml.knn",
         "ml.dedup",
         "ml.text",

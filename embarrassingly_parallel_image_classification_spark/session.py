@@ -19,9 +19,10 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Arrow for every JVM<->Python crossing (pandas UDFs, toPandas).
+    # Arrow for every JVM<->Python crossing (pandas UDFs, UDTFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     # Deterministic timestamp semantics vs the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
     # Broadcast joins for dim tables (~10 MB default is fine; explicit

@@ -1,0 +1,113 @@
+"""A2–A9 (batch half): CSV / JSON / binary-file scans and partitioned
+sinks (SURVEY.md §2-A).
+
+Each scan query ROUND-TRIPS fixture data through the format (write to a
+scratch dir, read back with an explicit schema) and aggregates the
+result; the oracle recomputes the aggregate from the source table, so a
+lossy write or a mis-schema'd read fails the value hash — the
+round-trip IS the correctness check.
+
+Reference analog: CSV manifests + PNG bytes on WASB blob storage [PK].
+Scratch dirs are per-(format, sf) and rewritten idempotently
+(mode=overwrite), mirroring a partitioned lake layout.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .tables import t
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "epic_spark_scratch")
+
+
+def scratch(kind: str, sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_SCRATCH, f"{kind}_{tag}")
+
+
+ORDERS_CSV_SCHEMA = (
+    "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+    "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING"
+)
+
+
+@register(
+    "q_scan_csv",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("A2", "A7"),
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + scan round-trip (the reference's manifest format [PK]):
+    orders → csv (header) → read with explicit schema → aggregate."""
+    path = scratch("orders_csv", sf_dir)
+    t(spark, sf_dir, "orders").write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(ORDERS_CSV_SCHEMA).option("header", True).csv(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
+
+
+@register(
+    "q_scan_json",
+    oracle="""
+    SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+    FROM documents GROUP BY lang
+    """,
+    tags=("A4",),
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + scan round-trip with explicit schema."""
+    path = scratch("docs_json", sf_dir)
+    t(spark, sf_dir, "documents").write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).json(path)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("chars")
+    )
+
+
+@register(
+    "q_sink_partitioned",
+    oracle="""
+    SELECT EXTRACT(year FROM o_orderdate) AS oyear, o_orderstatus,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+    tags=("A6",),
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink (partitionBy year) + partition-pruned
+    read-back. The layout this engine would use for every derived table
+    at 100 TB; partition pruning over it is verified in test_plans.py."""
+    path = scratch("orders_by_year", sf_dir)
+    o = t(spark, sf_dir, "orders").withColumn("oyear", F.year("o_orderdate"))
+    o.write.mode("overwrite").partitionBy("oyear").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("oyear", "o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
+
+
+@register("q_scan_binary", oracle=None, tags=("A3", "rows-only"))
+def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile scan — the reference's raw-image-bytes ingestion
+    (sc.binaryFiles on blob [PK≈]) as a DataFrame source. Reads the
+    fixture parquet files themselves as opaque blobs; emits (file name,
+    length, content-prefix-hash) — rows-only (lengths are
+    encoder-dependent)."""
+    df = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length"),
+        F.xxhash64(F.substring("content", 1, 64)).alias("head_hash"),
+    )

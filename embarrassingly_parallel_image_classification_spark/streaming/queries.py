@@ -1,0 +1,161 @@
+"""I1–I8: streaming operators over the events fixture (SURVEY.md §2-I).
+
+Window starts are exposed as epoch SECONDS (long) — integer-safe across
+the Spark-µs / DuckDB-ns divide (SURVEY §7 risk 1). Oracles are the
+equivalent batch SQL: with availableNow over a fixed fixture, the
+stream's final answer must equal the batch answer (stream-batch
+equivalence — the canonical Structured Streaming correctness property).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import t
+from .core import events_stream, run_to_memory
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT epoch(date_trunc('hour', ts)) AS win_start_sec,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 6) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("I1", "I4"),
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows with a 10-minute watermark (bounds state;
+    with availableNow + fixture data nothing is actually late)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value")
+    )
+    out = agg.select(
+        F.unix_timestamp(F.col("window.start")).alias("win_start_sec"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+    return run_to_memory(out, "complete")
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+    SELECT win_start_sec, COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+    FROM (
+        SELECT UNNEST([epoch(date_trunc('hour', ts)),
+                       epoch(date_trunc('hour', ts)) - 3600]) AS win_start_sec,
+               value
+        FROM events
+    )
+    GROUP BY win_start_sec
+    """,
+    tags=("I2", "I4"),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour windows every 1 hour — each event lands in two
+    windows; the oracle materializes that two-row expansion explicitly."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(F.window("ts", "2 hours", "1 hour")).agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+    out = agg.select(
+        F.unix_timestamp(F.col("window.start")).alias("win_start_sec"), "n", "avg_value"
+    )
+    return run_to_memory(out, "complete")
+
+
+@register("q_stream_session", oracle=None, tags=("I3", "rows-only"))
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap —
+    session extents are engine-defined ⇒ rows-only; stream-batch
+    equivalence is asserted in tests/test_streaming.py."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    out = agg.select(
+        F.unix_timestamp(F.col("session_window.start")).alias("sess_start_sec"),
+        F.unix_timestamp(F.col("session_window.end")).alias("sess_end_sec"),
+        "user_id",
+        "n_events",
+    )
+    return run_to_memory(out, "complete")
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+    SELECT COUNT(DISTINCT event_id) AS n_unique FROM events
+    """,
+    tags=("I5",),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup on event_id within the watermark,
+    then a count — must equal the batch COUNT(DISTINCT)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"])
+    out = deduped.groupBy().agg(F.count("*").alias("n_unique"))
+    return run_to_memory(out, "complete")
+
+
+@register(
+    "q_stream_enrich",
+    oracle="""
+    SELECT e.event_id, e.event_type, c.c_mktsegment,
+           ROUND(e.value, 6) AS value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    tags=("I7",),
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join: enrich the event stream with the customer
+    dim (stateless inner join; the dim is broadcast every microbatch)."""
+    ev = events_stream(spark, sf_dir)
+    dim = F.broadcast(t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"))
+    joined = ev.join(dim, ev.user_id == dim.c_custkey).select(
+        "event_id", "event_type", "c_mktsegment", F.round("value", 6).alias("value")
+    )
+    return run_to_memory(joined, "append")
+
+
+@register("q_stream_stateful", oracle=None, tags=("I6", "rows-only"))
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful per-key processing (applyInPandasWithState):
+    running max/count of `value` per user — the per-key model-score
+    state of an operational scorer. Final state per user must equal the
+    batch groupBy (asserted in tests/test_streaming.py)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+
+    def track(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        mx, n = state.get if state.exists else (float("-inf"), 0)
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                n += int(len(pdf))
+        state.update((mx, n))
+        yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx], "n_events": [n]})
+
+    out = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id BIGINT, max_value DOUBLE, n_events BIGINT",
+            stateStructType="mx DOUBLE, n BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(out, "update")

@@ -1,0 +1,149 @@
+"""Self-oracles for rows-only operators (SURVEY.md §5.3): where DuckDB
+can't express the op, verify against a local NumPy/pandas ground truth
+or an algebraic property (idempotence, recall, stream-batch equality).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from embarrassingly_parallel_image_classification_spark.ml import dedup, knn
+from embarrassingly_parallel_image_classification_spark.sources.tables import t
+from tests.conftest import SF_T2
+
+
+def _local_embeddings(sf_dir: str) -> pd.DataFrame:
+    return (
+        pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
+def _true_topk(pdf: pd.DataFrame, qids, k=3):
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    out = {}
+    for qid in qids:
+        qi = np.where(ids == qid)[0][0]
+        sims = Xn @ Xn[qi]
+        order = sorted(
+            [(round(-s, 6), i) for i, s in zip(ids, sims) if i != qid]
+        )
+        out[qid] = [i for _, i in order[:k]]
+    return out
+
+
+def test_knn_exact_matches_numpy(spark):
+    pdf = _local_embeddings(SF_T2)
+    want = _true_topk(pdf, range(knn.N_QUERIES), knn.TOP_K)
+    got_rows = (
+        knn.q_knn_exact(spark, SF_T2).orderBy("qid", "rank").collect()
+    )
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["qid"], []).append(r["vec_id"])
+    assert got == want
+
+
+def test_knn_lsh_recall(spark):
+    """LSH with inf threshold must recover the exact top-k (it prunes
+    candidates only via bucketing; with these params recall is 1.0 on
+    the fixture — a regression here means the bucketing broke)."""
+    pdf = _local_embeddings(SF_T2)
+    want = _true_topk(pdf, range(knn.N_QUERIES), knn.TOP_K)
+    rows = knn.q_knn_lsh(spark, SF_T2).collect()
+    got = {}
+    for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append(r["vec_id"])
+    # L2-ranked vs cosine-ranked can legitimately differ in order;
+    # compare as sets with recall ≥ 2/3 per query.
+    for qid, ids in want.items():
+        inter = set(ids) & set(got.get(qid, []))
+        assert len(inter) >= 2, f"qid={qid}: lsh recall too low: {got.get(qid)} vs {ids}"
+
+
+def test_knn_ivf_recall(spark):
+    pdf = _local_embeddings(SF_T2)
+    want = _true_topk(pdf, range(knn.N_QUERIES), knn.TOP_K)
+    rows = knn.q_knn_ivf(spark, SF_T2).collect()
+    got = {}
+    for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append(r["vec_id"])
+    hits = sum(len(set(ids) & set(got.get(qid, []))) for qid, ids in want.items())
+    total = sum(len(v) for v in want.values())
+    assert hits / total >= 0.5, f"ivf recall {hits}/{total} below 0.5"
+
+
+def test_dedup_exact_idempotent(spark):
+    """dedup(dedup(x)) == dedup(x): survivors contain no duplicate texts."""
+    d = t(spark, SF_T2, "documents")
+    survivors = dedup.q_dedup_exact(spark, SF_T2).select("keep_id")
+    surviving_docs = d.join(survivors, d.doc_id == survivors.keep_id)
+    n = surviving_docs.count()
+    n_distinct = surviving_docs.select("text").distinct().count()
+    assert n == n_distinct
+
+
+def test_minhash_candidates_are_really_similar(spark):
+    """Every MinHash candidate pair at est ≥ 0.5 must have TRUE trigram
+    Jaccard ≥ 0.3 (banded LSH + 16-perm estimate is noisy but must not
+    hallucinate dissimilar pairs), and recall vs true pairs ≥ 0.8."""
+    d = t(spark, SF_T2, "documents")
+    est = dedup.minhash_pairs(d).filter(F.col("est_jaccard") >= 0.5)
+    true = dedup.jaccard_pairs(d)
+    joined = est.join(true, ["id_a", "id_b"], "left").collect()
+    assert joined, "no candidate pairs found at all"
+    for r in joined:
+        assert r["jaccard"] is not None and r["jaccard"] >= 0.3, (
+            f"false positive pair {r['id_a']},{r['id_b']} est={r['est_jaccard']} "
+            f"true={r['jaccard']}"
+        )
+    true_pairs = {(r["id_a"], r["id_b"]) for r in true.filter(F.col("jaccard") >= 0.7).collect()}
+    est_pairs = {(r["id_a"], r["id_b"]) for r in joined}
+    if true_pairs:
+        recall = len(true_pairs & est_pairs) / len(true_pairs)
+        assert recall >= 0.8, f"minhash recall {recall} on strong pairs"
+
+
+def test_simhash_identical_docs_collide(spark):
+    """Exact-duplicate texts must produce identical simhash fingerprints
+    (property check via a constructed duplicate)."""
+    d = t(spark, SF_T2, "documents").limit(50)
+    doubled = d.unionByName(d)  # every text now has an exact twin
+    fp = dedup.simhash(doubled)
+    joined = (
+        doubled.select("doc_id", "text")
+        .join(fp, "doc_id")
+        .groupBy("text")
+        .agg(F.countDistinct("simhash").alias("n_fp"))
+        .collect()
+    )
+    assert all(r["n_fp"] == 1 for r in joined)
+
+
+def test_multimodal_features_match_local(spark):
+    from embarrassingly_parallel_image_classification_spark.ml.multimodal import (
+        q_multimodal_features,
+    )
+
+    got = (
+        q_multimodal_features(spark, SF_T2)
+        .orderBy("media_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(f"{SF_T2}/documents.parquet").to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    payload = docs["text"].str.encode("utf-8")
+    want_nbytes = payload.str.len()
+    assert (got["n_bytes"].to_numpy() == want_nbytes.to_numpy()).all()
+    for i in (0, 1, len(got) - 1):
+        px = np.frombuffer(payload.iloc[i], dtype=np.uint8)
+        assert abs(got["mean_byte"].iloc[i] - px.mean()) < 1e-9
+        assert got["feat_hash"].iloc[i] == int(px[:64].sum())

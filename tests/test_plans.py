@@ -1,0 +1,126 @@
+"""Plan-quality assertions (SURVEY.md §4): the 100-TB properties —
+pushdown, pruning, broadcast choice, partial aggregation, top-k
+pushdown — verified against the actual physical plans. A regression
+here means a query silently degraded to a scale-hostile plan even
+though its values still match the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embarrassingly_parallel_image_classification_spark import registry
+from embarrassingly_parallel_image_classification_spark.sources.formats import scratch
+from embarrassingly_parallel_image_classification_spark.sources.tables import t
+from tests.conftest import SF_T2
+
+
+def explain_str(df) -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def plan_of(spark, name: str) -> str:
+    return explain_str(registry.queries()[name](spark, SF_T2))
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    plan = plan_of(spark, "q_filter")
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(l_quantity,30.0)" in plan
+    assert "Not(EqualTo(l_returnflag,A))" in plan
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "q_project")
+    # Only the five referenced columns are read — not all 11.
+    assert "ReadSchema" in plan
+    read_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_returnflag" not in read_line
+    assert "l_shipdate" not in read_line
+    assert "l_extendedprice" in read_line
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = plan_of(spark, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_and_anti_use_join_types(spark):
+    assert "LeftSemi" in plan_of(spark, "q_join_semi")
+    assert "LeftAnti" in plan_of(spark, "q_join_anti")
+
+
+def test_aggregation_is_two_phase(spark):
+    """Partial (map-side) + final HashAggregate — the shuffle carries
+    one row per (group, partition), never the raw fact table."""
+    plan = plan_of(spark, "q_agg_basic")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_topk_uses_take_ordered(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "q_topk_global")
+
+
+def test_per_group_topk_uses_window_group_limit(spark):
+    """Spark's rank-limit pushdown: filters rn<=k inside the sort
+    instead of ranking everything then filtering."""
+    assert "WindowGroupLimit" in plan_of(spark, "q_topk_per_group")
+
+
+def test_asof_join_has_no_nested_loop(spark):
+    """The as-of join must stay window-based: a BroadcastNestedLoopJoin
+    or CartesianProduct here means it regressed to the O(n·m) theta
+    formulation that dies at scale."""
+    plan = plan_of(spark, "q_join_asof")
+    assert "NestedLoop" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_no_classic_python_udf_in_library_paths(spark):
+    """Every query except the deliberate J8 demo must stay off the
+    pickled row-at-a-time Python path (BatchEvalPython). Arrow paths
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are fine."""
+    for name, fn in registry.queries().items():
+        if name in ("q_udf_classic",) or name.startswith("q_stream"):
+            continue
+        df = fn(spark, SF_T2)
+        plan = explain_str(df)
+        assert "BatchEvalPython" not in plan, f"{name} uses a classic Python UDF"
+
+
+def test_partition_pruning_on_partitioned_sink(spark):
+    """Reading one year from the year-partitioned layout must prune
+    partitions at planning time, not scan-and-filter."""
+    registry.queries()["q_sink_partitioned"](spark, SF_T2).collect()  # ensure written
+    path = scratch("orders_by_year", SF_T2)
+    df = spark.read.parquet(path).filter(F.col("oyear") == 1997)
+    plan = explain_str(df)
+    assert "PartitionFilters: [isnotnull(oyear" in plan.replace("#", "").replace(")", "") or (
+        "PartitionFilters" in plan and "oyear" in plan.split("PartitionFilters")[1][:100]
+    )
+
+
+def test_inference_is_arrow_vectorized(spark):
+    plan = plan_of(spark, "q_infer_batch")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_broadcast_dims_stay_broadcast_in_star_join(spark):
+    """customer⋈nation⋈region: both dim joins broadcast, zero shuffles
+    of the fact side for the join itself (the only Exchange allowed is
+    the aggregation's)."""
+    df = t(spark, SF_T2, "customer")
+    n = F.broadcast(t(spark, SF_T2, "nation"))
+    r = F.broadcast(t(spark, SF_T2, "region"))
+    joined = df.join(n, df.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    plan = explain_str(joined)
+    # formatted plans repeat node names in the detail section — count tree lines
+    tree = plan.split("== Physical Plan ==")[1].split("(1) ")[0]
+    assert tree.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
