@@ -79,19 +79,18 @@ def main() -> None:
     warmup(spark, sf_dir)
 
     qs = registry.queries()
+    # Two full passes, min per query: the box shares CPU with other
+    # tenants and contention spikes last tens of seconds — back-to-back
+    # repeats of one query land in the same spike, interleaved passes
+    # don't.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        # Two runs, report the min: the box shares CPU with other
-        # tenants and a single run can eat a multi-second contention
-        # spike that has nothing to do with the plan being measured.
-        best = float("inf")
-        for _ in range(2):
+    for _round in range(3):
+        for name in HEADLINE:
             t0 = time.time()
-            df = fn(spark, sf_dir)
+            df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            dt = time.time() - t0
+            timings[name] = round(min(timings.get(name, float("inf")), dt), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -91,6 +91,43 @@ def score_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "label", predict("embedding").alias("pred"))
 
 
+def score_embeddings_pbu(spark: SparkSession, sf_dir: str, batch_size: int = 1024) -> DataFrame:
+    """Same scoring job via ``pyspark.ml.functions.predict_batch_udf`` —
+    Spark's first-class batch-inference API (lazy per-worker model init,
+    tensor batching). Kept alongside the Iterator-UDF path to prove the
+    two J1 formulations agree (tests/test_smoke.py)."""
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql.types import IntegerType
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents, labels = fit_centroids(emb)
+
+    def make_predict_fn():
+        # Runs once per Python worker — the model "load".
+        C = np.ascontiguousarray(cents)
+        L = labels
+
+        def predict(inputs: np.ndarray) -> np.ndarray:
+            return nearest_centroid_predict(inputs, C, L)
+
+        return predict
+
+    predict = predict_batch_udf(
+        make_predict_fn,
+        return_type=IntegerType(),
+        batch_size=batch_size,
+        input_tensor_shapes=[[EMB_DIM]],
+    )
+    return emb.select("vec_id", "label", predict("embedding").alias("pred"))
+
+
+@register("q_infer_batch_pbu", oracle=None, tags=("J1", "rows-only"))
+def q_infer_batch_pbu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch inference through predict_batch_udf (the MMLSpark
+    CNTKModel-transformer analog [PK])."""
+    return score_embeddings_pbu(spark, sf_dir).orderBy("vec_id")
+
+
 @register("q_infer_batch", oracle=None, tags=("J1", "rows-only"))
 def q_infer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch inference: one row per embedding with its predicted class."""

@@ -129,6 +129,38 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, "append")
 
 
+@register(
+    "q_stream_foreach_batch",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("I8", "A9"),
+)
+def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each microbatch appended to a parquet lake
+    dir, then the lake is read back and aggregated — the
+    stream-to-table ingestion pattern; the oracle recomputes from the
+    source, so a dropped/duplicated batch fails the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), "epic_spark_scratch", "stream_lake")
+    shutil.rmtree(out, ignore_errors=True)
+    ev = events_stream(spark, sf_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = ev.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    lake = spark.read.parquet(out)
+    return lake.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value")
+    )
+
+
 @register("q_stream_stateful", oracle=None, tags=("I6", "rows-only"))
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful per-key processing (applyInPandasWithState):

@@ -53,6 +53,19 @@ def test_inference_matches_numpy_oracle(spark):
     assert acc > 0.15, f"nearest-centroid accuracy at/below chance: {acc}"
 
 
+def test_predict_batch_udf_agrees_with_iterator_udf(spark):
+    """The two J1 formulations (Iterator pandas UDF vs
+    pyspark.ml predict_batch_udf) must produce identical predictions."""
+    from embarrassingly_parallel_image_classification_spark.ml.inference import (
+        score_embeddings,
+        score_embeddings_pbu,
+    )
+
+    a = score_embeddings(spark, SF_SMOKE).orderBy("vec_id").toPandas()
+    b = score_embeddings_pbu(spark, SF_SMOKE).orderBy("vec_id").toPandas()
+    assert (a["pred"].to_numpy() == b["pred"].to_numpy()).all()
+
+
 def test_registry_contract(spark):
     """Every oracle key has a query; names are well-formed."""
     import __spark_entry__ as e
