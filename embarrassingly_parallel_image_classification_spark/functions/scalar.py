@@ -187,6 +187,48 @@ def q_fn_dot_product(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fn_array_set",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(text, ' ')[1:10] AS a,
+               string_split(text, ' ')[6:15] AS b
+        FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(a)), ',') AS a_distinct,
+           array_to_string(list_sort(list_distinct(list_cat(a, b))), ',') AS ab_union,
+           array_to_string(list_sort(list_intersect(a, b)), ',') AS ab_inter,
+           array_to_string(list_sort(list_distinct(
+               list_filter(a, x -> NOT list_contains(b, x)))), ',') AS ab_diff,
+           len(flatten([a, b])) AS flat_len
+    FROM toks
+    """,
+    tags=("H5",),
+)
+def q_fn_array_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (distinct/union/intersect/except/flatten) over
+    token slices — compared as sorted joined strings since array
+    element ORDER differs legitimately between engines."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    a = F.slice(toks, 1, 10)
+    b = F.slice(toks, 6, 10)
+
+    def srt(arr):
+        return F.array_join(F.sort_array(arr), ",")
+
+    return d.select(
+        "doc_id",
+        srt(F.array_distinct(a)).alias("a_distinct"),
+        srt(F.array_union(a, b)).alias("ab_union"),
+        srt(F.array_intersect(a, b)).alias("ab_inter"),
+        srt(F.array_except(a, b)).alias("ab_diff"),
+        F.size(F.flatten(F.array(a, b))).alias("flat_len"),
+    )
+
+
+@register(
     "q_fn_map",
     oracle="""
     SELECT n_nationkey, n_name,

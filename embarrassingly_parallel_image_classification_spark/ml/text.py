@@ -151,6 +151,81 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_text_ngrams",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         bg AS (
+           SELECT UNNEST(list_transform(range(1, len(ws)),
+                         i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+           FROM toks
+         )
+    SELECT bigram, COUNT(*) AS n
+    FROM bg GROUP BY bigram HAVING COUNT(*) >= 20
+    """,
+    tags=("K4",),
+)
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram counts (freq ≥ 20) — n-gram extraction via sliced
+    token arrays, no Python."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    return (
+        d.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 20)
+    )
+
+
+@register(
+    "q_text_tfidf",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, w AS word, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY doc_id, w
+    ),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.word,
+           ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+    FROM tf JOIN df USING (word) CROSS JOIN n
+    WHERE tf.doc_id < 50
+    """,
+    tags=("K4",),
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smoothed idf) per (doc, term), computed relationally:
+    explode → two aggregations → broadcast joins. The 100-TB shape —
+    the term-frequency table shuffles once on word; no vocabulary
+    dictionary on the driver (vs MLlib HashingTF+IDF which is also
+    available but hashes away the term identity)."""
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # tiny scalar; at scale use a broadcast 1-row agg
+    return (
+        tf.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(df), "word")
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
 def lang_profiles(d: DataFrame, top: int = 20) -> DataFrame:
     """Per-language character-bigram frequency profile (top-N bigrams),
     computed distributed: one explode + two aggregations."""

@@ -265,6 +265,76 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_minby",
+    oracle="""
+    SELECT o_orderstatus,
+           MIN_BY(o_orderkey, epoch(o_orderdate) * 1000000 + o_orderkey) AS earliest_key,
+           MAX_BY(o_orderkey, o_orderkey) AS max_key,
+           ANY_VALUE(o_orderstatus) AS status_echo
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("D11",),
+)
+def q_agg_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by/any_value — representative-row-per-group.
+    Determinism care: min_by over a tying comparand picks an arbitrary
+    row per engine, so the unique orderkey is folded into an integer
+    comparand (epoch·10⁶ + key, exact in int64); any_value is made
+    deterministic by echoing the group key itself."""
+    o = t(spark, sf_dir, "orders")
+    comparand = F.unix_timestamp("o_orderdate") * F.lit(1000000) + F.col("o_orderkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", comparand).alias("earliest_key"),
+        F.max_by("o_orderkey", "o_orderkey").alias("max_key"),
+        F.any_value("o_orderstatus").alias("status_echo"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("D7",),
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube: all 2^k grouping combinations in one pass (Expand operator
+    multiplies rows by 4 here — at 100 TB prefer explicit grouping sets
+    of just the combinations you need, q_agg_grouping_sets)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus") + F.lit(2) * F.grouping("o_orderpriority")).alias(
+                "gid"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    tags=("D7",),
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets — only the needed combinations."""
+    return t(spark, sf_dir, "orders").groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]], "o_orderstatus", "o_orderpriority"
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
     "q_unpivot",
     oracle="""
     WITH wide AS (

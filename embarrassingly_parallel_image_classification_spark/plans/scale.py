@@ -1,0 +1,206 @@
+"""Scale techniques as library operators (SURVEY.md §4): the moves a
+100 TB deployment makes that are invisible at fixture scale — each
+expressed as a reusable function plus a registered query whose oracle
+proves the technique is SEMANTICS-PRESERVING (same answer as the naive
+formulation; only the physical plan differs).
+
+* bloom_semi_join   — ship a Bloom filter of the dim keys instead of
+                      shuffling the fact for a semi join: fact rows are
+                      pre-dropped at the scan side, the residual exact
+                      semi join only sees survivors. At 100 TB this cuts
+                      the shuffle by the filter's selectivity.
+* salted_join       — break a skewed hot key across S salt buckets:
+                      fact key → (key, hash%S), dim replicated S× with a
+                      salt column. Every bucket shuffles independently —
+                      no single reducer owns the hot key. (AQE skew-join
+                      handles sort-merge skew automatically; salting is
+                      the portable fallback and works for aggregates.)
+* bucketed_join     — co-located join via bucketBy table layout: both
+                      sides pre-hashed into the same bucket scheme at
+                      write time, so the join plans with ZERO Exchange
+                      (verified in tests/test_plans_scale.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import t
+
+
+BLOOM_BITS = 1 << 17  # 128 Ki bits = 2048 longs — fine as a broadcast literal
+BLOOM_SEEDS = (1, 2, 3, 4, 5)
+
+
+def build_bloom(dim: DataFrame, key: str, m_bits: int = BLOOM_BITS, seeds=BLOOM_SEEDS) -> list[int]:
+    """Build a Bloom-filter bitmap (list of int64 words) from the dim
+    keys — IN SPARK, so the probe side's xxhash64 agrees bit-for-bit.
+
+    One job: union of per-seed positions → groupBy word → bit_or of the
+    set bits; only m/64 words come back to the driver.
+    """
+    pos = None
+    for s in seeds:
+        p = dim.select(F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(m_bits)).alias("p"))
+        pos = p if pos is None else pos.unionAll(p)
+    rows = (
+        pos.select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.pmod(F.col("p"), F.lit(64)).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def bloom_might_contain(
+    words: list[int], key: Column, m_bits: int = BLOOM_BITS, seeds=BLOOM_SEEDS
+) -> Column:
+    """Pure-Catalyst Bloom membership test: k hash positions checked
+    against an array<long> literal — stays inside whole-stage codegen,
+    no Python, no shuffle, applied at the scan."""
+    arr = F.lit(words)
+    cond = F.lit(True)
+    for s in seeds:
+        p = F.pmod(F.xxhash64(key, F.lit(s)), F.lit(m_bits))
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftright", word, F.pmod(p, F.lit(64)).cast("int")
+        ).bitwiseAND(F.lit(1))
+        cond = cond & (bit == 1)
+    return cond
+
+
+def bloom_semi_join(fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str) -> DataFrame:
+    """Semi join with a Bloom pre-prune: the fact side is filtered by the
+    dim-key Bloom BEFORE the exact semi join, so at 100 TB the shuffle
+    only carries probable matches (false positives removed by the
+    residual semi join — the result is exactly ``fact ⋉ dim``)."""
+    words = build_bloom(dim, dim_key)
+    pruned = fact.filter(bloom_might_contain(words, F.col(fact_key)))
+    d = dim.select(F.col(dim_key).alias("__dk")).distinct()
+    return pruned.join(d, pruned[fact_key] == d["__dk"], "left_semi")
+
+
+@register(
+    "q_scale_bloom_prune",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_orderkey
+    """,
+    tags=("scale", "C4"),
+)
+def q_scale_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join: lineitems of urgent orders. Must equal
+    the plain IN-subquery — the Bloom filter only pre-drops rows."""
+    li = t(spark, sf_dir, "lineitem")
+    urgent = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    pruned = bloom_semi_join(li, "l_orderkey", urgent, "o_orderkey")
+    return pruned.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: fact side gets a deterministic salt from
+    a secondary hash, dim side is replicated n_salts×; the join key
+    becomes (key, salt). Result is exactly fact ⋈ dim."""
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    dim_rep = dim.select("*", salts)
+    fact_salted = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    out = fact_salted.join(dim_rep, [key, "_salt"]).drop("_salt")
+    return out
+
+
+@register(
+    "q_scale_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n, ROUND(SUM(o.o_totalprice), 4) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("scale", "C1"),
+)
+def q_scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted orders⋈customer must give the same aggregate as the plain
+    join (the salt only re-routes rows among reducers)."""
+    o = t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "join_key")
+    c = t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "join_key")
+    joined = salted_join(o, c, "join_key", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
+
+
+BUCKETS = 8
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = BUCKETS) -> None:
+    """Persist a table bucketed by the join key (sorted within buckets).
+    At 100 TB this is done once at ingest; every subsequent equi-join or
+    aggregation on the key is shuffle-free."""
+    (
+        # repartition on the bucket key first → exactly one file per
+        # bucket; Spark only trusts (and exploits) the sortBy order
+        # when a bucket is a single file, which is what eliminates the
+        # Sort under the join as well as the Exchange.
+        df.repartition(buckets, F.col(key))
+        .write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", os.path.join(tempfile.gettempdir(), "epic_spark_scratch", table))
+        .saveAsTable(table)
+    )
+
+
+@register(
+    "q_scale_bucketed_join",
+    oracle="""
+    SELECT o.o_orderstatus, COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_extendedprice), 4) AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("scale", "C1"),
+)
+def q_scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem⋈orders through a bucketed layout: both sides bucketed by
+    orderkey at write time → the join itself plans with no Exchange
+    (asserted in tests); values equal the plain join."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    lt, ot = f"lineitem_b_{tag}", f"orders_b_{tag}"
+    # Trust the per-bucket sortBy order at scan time (one file per
+    # bucket, see write_bucketed) — this is what removes the Sort under
+    # the SMJ, not just the Exchange.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    if not spark.catalog.tableExists(lt):
+        write_bucketed(t(spark, sf_dir, "lineitem"), lt, "l_orderkey")
+    if not spark.catalog.tableExists(ot):
+        write_bucketed(t(spark, sf_dir, "orders"), ot, "o_orderkey")
+    li = spark.table(lt)
+    o = spark.table(ot)
+    # merge hint: force SMJ so the bucketed layout shows its value —
+    # zero Exchange AND zero Sort on both sides (pre-bucketed+sorted).
+    joined = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_lines"), F.round(F.sum("l_extendedprice"), 4).alias("total_price")
+    )

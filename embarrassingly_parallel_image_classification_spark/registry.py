@@ -96,6 +96,8 @@ def _ensure_loaded() -> None:
         "ml.multimodal",
         "sources.formats",
         "streaming.queries",
+        "plans.tpch",
+        "plans.scale",
     ):
         try:
             import_module(f"{pkg}.{mod}")
