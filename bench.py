@@ -45,6 +45,10 @@ HEADLINE = [
     "q_json_extract",
     "q_udf_grouped_agg",
     "q_stream_tumbling",
+    "q_tpch_q1",
+    "q_tpch_q5",
+    "q_scale_bloom_prune",
+    "q_sessionize",
 ]
 
 

@@ -69,6 +69,42 @@ def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fn_string_ext",
+    oracle="""
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           rpad(c_mktsegment, 12, '.') AS padded_seg,
+           reverse(c_name) AS rev_name,
+           repeat('ab', 3) AS rep,
+           left(c_name, 4) AS l4,
+           right(c_name, 4) AS r4,
+           strpos(c_name, '#') AS hash_pos,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+           levenshtein(c_mktsegment, 'MACHINERY') AS lev_to_machinery
+    FROM customer
+    """,
+    tags=("H1",),
+)
+def q_fn_string_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string kit: padding, reverse/repeat, left/right,
+    position, translate, edit distance (levenshtein — the scalar
+    building block of fuzzy matching)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.rpad("c_mktsegment", 12, ".").alias("padded_seg"),
+        F.reverse("c_name").alias("rev_name"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.substring("c_name", 1, 4).alias("l4"),
+        F.col("c_name").substr(F.length("c_name") - 3, F.lit(4)).alias("r4"),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("translated"),
+        F.levenshtein("c_mktsegment", F.lit("MACHINERY")).alias("lev_to_machinery"),
+    )
+
+
+@register(
     "q_fn_datetime",
     oracle="""
     SELECT o_orderkey,

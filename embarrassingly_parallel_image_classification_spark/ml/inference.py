@@ -146,6 +146,58 @@ def q_infer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_change_detection",
+    oracle="""
+    WITH y96 AS (SELECT o_custkey, SUM(o_totalprice) AS total FROM orders
+                 WHERE EXTRACT(year FROM o_orderdate) = 1996 GROUP BY o_custkey),
+         y97 AS (SELECT o_custkey, SUM(o_totalprice) AS total FROM orders
+                 WHERE EXTRACT(year FROM o_orderdate) = 1997 GROUP BY o_custkey)
+    SELECT c.c_mktsegment,
+           COUNT(*) AS newly_active,
+           ROUND(SUM(y97.total), 4) AS new_revenue
+    FROM customer c
+    LEFT JOIN y96 ON c.c_custkey = y96.o_custkey
+    JOIN y97 ON c.c_custkey = y97.o_custkey
+    WHERE y96.o_custkey IS NULL
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("composite", "C3", "C6"),
+)
+def q_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's change-detection analysis (§3.3 [PK]): two
+    year-stamped snapshots of the same schema, joined on entity id,
+    filtered for state transitions (there: tile went non-Developed →
+    Developed between 2010 and 2016; here: customer inactive in 1996 →
+    active in 1997), aggregated per class.
+
+    Scale: each snapshot is aggregated to one row per key BEFORE the
+    join (aggregate-before-join), and the year predicate partition-
+    prunes on a year-partitioned layout (A6)."""
+    o = t(spark, sf_dir, "orders")
+    y96 = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .groupBy(F.col("o_custkey").alias("k96"))
+        .agg(F.sum("o_totalprice").alias("t96"))
+    )
+    y97 = (
+        o.filter(F.year("o_orderdate") == 1997)
+        .groupBy(F.col("o_custkey").alias("k97"))
+        .agg(F.sum("o_totalprice").alias("t97"))
+    )
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.join(y96, c.c_custkey == F.col("k96"), "left")
+        .join(y97, c.c_custkey == F.col("k97"), "inner")
+        .filter(F.col("k96").isNull())
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("newly_active"),
+            F.round(F.sum("t97"), 4).alias("new_revenue"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The M0 end-to-end query: score → join truth → confusion counts +
     per-class accuracy. Fuses the reference's scoring notebook and its

@@ -117,6 +117,63 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sessionize",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch(date_trunc('second', ts)) AS tsec, event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, tsec, event_id,
+               CASE WHEN tsec - LAG(tsec) OVER w > 1800 OR LAG(tsec) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, tsec,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MAX(tsec) - MIN(tsec) AS duration_sec
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("E2", "E3", "I3"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap) — the lag-flag-cumsum
+    idiom: one window pass marks session starts, a running sum numbers
+    them, a groupBy summarizes. The batch twin of q_stream_session (I3)
+    and the standard eventization of any activity log.
+
+    Scale: two window passes + one agg, all partitioned by user_id —
+    high-cardinality key, no global sort anywhere."""
+    from ..sources.tables import t as _t
+
+    ev = _t(spark, sf_dir, "events")
+    tsec = F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("tsec")
+    e = ev.select("user_id", tsec, "event_id")
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    flagged = e.withColumn(
+        "is_start",
+        F.when(
+            (F.col("tsec") - F.lag("tsec").over(w) > 1800)
+            | F.lag("tsec").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    cum = Window.partitionBy("user_id").orderBy("tsec", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_start").over(cum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("tsec") - F.min("tsec")).alias("duration_sec"),
+    )
+
+
+@register(
     "q_window_ntile",
     oracle="""
     SELECT o_orderkey,

@@ -1,0 +1,34 @@
+"""Error bounds for the approximate operators (the 100-TB variants of
+exact aggregates): approx must land within its documented tolerance of
+the exact answer, or the scale path is silently lying."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embarrassingly_parallel_image_classification_spark.sources.tables import t
+from tests.conftest import SF_T2
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    li = t(spark, SF_T2, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("exact"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+        )
+        .collect()
+    )
+    for r in rows:
+        rel_err = abs(r["approx"] - r["exact"]) / r["exact"]
+        assert rel_err < 0.06, f"{r['l_returnflag']}: rel err {rel_err:.3f} (3×rsd bound)"
+
+
+def test_approx_percentile_close_to_exact(spark):
+    li = t(spark, SF_T2, "lineitem")
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
