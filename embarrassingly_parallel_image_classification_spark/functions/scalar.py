@@ -235,8 +235,10 @@ def q_fn_dot_product(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(list_sort(list_distinct(a)), ',') AS a_distinct,
            array_to_string(list_sort(list_distinct(list_cat(a, b))), ',') AS ab_union,
            array_to_string(list_sort(list_intersect(a, b)), ',') AS ab_inter,
-           array_to_string(list_sort(list_distinct(
-               list_filter(a, x -> NOT list_contains(b, x)))), ',') AS ab_diff,
+           -- COALESCE: an all-filtered list surfaces as NULL here but as
+           -- '' from Spark's array_join(empty)
+           COALESCE(array_to_string(list_sort(list_distinct(
+               list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS ab_diff,
            len(flatten([a, b])) AS flat_len
     FROM toks
     """,

@@ -200,6 +200,35 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(d).filter(F.col("est_jaccard") >= 0.5)
 
 
+@register("q_dedup_minhash_mllib", oracle=None, tags=("K2", "rows-only"))
+def q_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib variant of near-dedup: HashingTF token vectors →
+    MinHashLSH.approxSimilarityJoin (seeded). Distance ≤ 0.1: the
+    fixture corpus draws from a ~31-word vocabulary, so word-SET
+    Jaccard saturates (loose thresholds match most pairs) —
+    trigram shingles (q_dedup_minhash) stay discriminative and are the
+    preferred formulation; this variant covers the MLlib API."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    d = t(spark, sf_dir, "documents")
+    toks = Tokenizer(inputCol="text", outputCol="toks").transform(d)
+    vecs = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 14).transform(
+        toks
+    )
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=3, seed=42
+    ).fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, 0.1, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+        )
+    )
+
+
 def simhash(d: DataFrame, bits: int = 64) -> DataFrame:
     """(doc_id, simhash) — Charikar fingerprint from per-token votes.
 

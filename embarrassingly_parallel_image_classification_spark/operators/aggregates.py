@@ -127,6 +127,24 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_agg_hll_sketch", oracle=None, tags=("D5", "rows-only"))
+def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches): per-group sketches
+    union'd into a global estimate — THE pattern for distinct counts
+    over partitioned 100 TB data (per-partition sketches persist, any
+    rollup is a cheap union, no re-scan). Estimate bound-tested in
+    tests/test_approx.py."""
+    li = t(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias("est_per_flag"),
+    )
+    return per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total"),
+        F.round(F.sum("est_per_flag"), 1).alias("sum_of_group_ests"),
+    )
+
+
 @register("q_agg_approx_distinct", oracle=None, tags=("D5", "rows-only"))
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ cardinality — THE 100-TB distinct (constant memory

@@ -79,6 +79,23 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_freq_items", oracle=None, tags=("F4", "rows-only"))
+def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.freqItems: single-pass heavy-hitter sketch (Karp et al.) —
+    the constant-memory alternative to groupBy-count-sort when only
+    items above a support threshold matter. Approximate (may include
+    false positives) ⇒ rows-only; exactness checked in test vs true
+    frequencies."""
+    ev = t(spark, sf_dir, "events")
+    freq = ev.freqItems(["event_type", "user_id"], support=0.1)
+    return freq.select(
+        F.array_join(
+            F.sort_array(F.col("event_type_freqItems")), ","
+        ).alias("frequent_types"),
+        F.size(F.col("user_id_freqItems")).alias("n_frequent_users"),
+    )
+
+
 @register(
     "q_topk_freq",
     oracle="""

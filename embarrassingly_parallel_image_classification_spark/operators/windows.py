@@ -117,6 +117,32 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           COUNT(*) OVER (ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_within_1k,
+           ROUND(AVG(o_totalprice) OVER (ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING), 6)
+               AS avg_within_1k
+    FROM orders
+    """,
+    tags=("E3",),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): peers within ±1000 of
+    each row's price. Unlike ROWS frames, ties don't need a tiebreak —
+    the frame is defined by the ORDER-BY value itself."""
+    w = Window.orderBy("o_totalprice").rangeBetween(-1000, 1000)
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_within_1k"),
+        F.round(F.avg("o_totalprice").over(w), 6).alias("avg_within_1k"),
+    )
+
+
+@register(
     "q_sessionize",
     oracle="""
     WITH e AS (

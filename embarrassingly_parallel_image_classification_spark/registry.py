@@ -60,7 +60,23 @@ def specs() -> dict[str, QuerySpec]:
 
 
 def queries() -> dict[str, QueryFn]:
-    return {n: s.fn for n, s in specs().items()}
+    """Registered queries, each wrapped to apply the engine confs first:
+    the driver may call these on a session that never went through
+    entry()/get_spark(), and oracle parity needs e.g. the UTC session
+    timezone regardless of how the session was built."""
+
+    def with_confs(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from .session import apply_engine_confs
+
+            apply_engine_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        return wrapped
+
+    return {n: with_confs(s.fn) for n, s in specs().items()}
 
 
 def oracles() -> dict[str, str]:

@@ -98,6 +98,32 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_inmemory_source",
+    oracle="""
+    WITH taxonomy(code, coarse) AS (
+        VALUES (11, 'Water'), (21, 'Developed'), (22, 'Developed'),
+               (41, 'Forest'), (42, 'Forest'), (81, 'Cultivated')
+    )
+    SELECT coarse, COUNT(*) AS n_codes, MIN(code) AS min_code
+    FROM taxonomy GROUP BY coarse
+    """,
+    tags=("A5",),
+)
+def q_inmemory_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory source: a literal label-taxonomy table (the reference's
+    NLCD-code→coarse-class dict [PK]) created driver-side and aggregated
+    like any other relation."""
+    taxonomy = spark.createDataFrame(
+        [(11, "Water"), (21, "Developed"), (22, "Developed"),
+         (41, "Forest"), (42, "Forest"), (81, "Cultivated")],
+        "code int, coarse string",
+    )
+    return taxonomy.groupBy("coarse").agg(
+        F.count("*").alias("n_codes"), F.min("code").alias("min_code")
+    )
+
+
 @register("q_scan_binary", oracle=None, tags=("A3", "rows-only"))
 def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile scan — the reference's raw-image-bytes ingestion

@@ -17,7 +17,8 @@ if len(sys.argv) == 1:  # full run: include the smoke check
     print(f"SMOKE entry(): {len(rows)} rows in {time.time()-t0:.1f}s schema={df.columns}")
     for r in rows[:3]: print("  ", r)
 
-SF = "/root/testdata/sf0.01"
+import os
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for name in ("region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"):
     con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{SF}/{name}.parquet')")

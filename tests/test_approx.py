@@ -25,6 +25,14 @@ def test_approx_count_distinct_within_rsd(spark):
         assert rel_err < 0.06, f"{r['l_returnflag']}: rel err {rel_err:.3f} (3×rsd bound)"
 
 
+def test_hll_sketch_union_estimate_close_to_exact(spark):
+    from embarrassingly_parallel_image_classification_spark import registry
+
+    row = registry.queries()["q_agg_hll_sketch"](spark, SF_T2).collect()[0]
+    exact = t(spark, SF_T2, "lineitem").select("l_orderkey").distinct().count()
+    assert abs(row["est_total"] - exact) / exact < 0.05
+
+
 def test_approx_percentile_close_to_exact(spark):
     li = t(spark, SF_T2, "lineitem")
     row = li.agg(
