@@ -72,6 +72,62 @@ def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_exact(emb, emb.filter(F.col("vec_id") < N_QUERIES), TOP_K)
 
 
+def knn_exact_pandas(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact kNN as a tournament: NumPy-vectorized cosine inside
+    mapInPandas emits only each PARTITION's top-k per query, then one
+    tiny window merges partials — at 100 TB the shuffle carries
+    k·partitions rows instead of |corpus|·|queries| pair scores.
+
+    Must return exactly knn_exact's answer (asserted in tests); the two
+    formulations trade JVM-side expression eval (zip_with cosine)
+    against Arrow-batched BLAS — pick by profiling, semantics identical.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select("vec_id", "embedding").collect()  # small by contract
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            sims = Xn @ Qn.T  # |batch| × |queries|
+            ids = pdf["vec_id"].to_numpy()
+            out = []
+            for j, qid in enumerate(q_ids):
+                mask = ids != qid
+                # Round BEFORE ranking and break ties on vec_id — the
+                # exact ordering the JVM window uses, so the partition
+                # partial provably contains every global top-k member.
+                col = np.round(sims[:, j][mask], 6)
+                mids = ids[mask]
+                cand = np.lexsort((mids, -col))[:k]
+                out.append(
+                    pd.DataFrame({"qid": qid, "vec_id": mids[cand], "sim": col[cand]})
+                )
+            if out:
+                yield pd.concat(out)
+
+    partials = corpus.select("vec_id", "embedding").mapInPandas(
+        partial_topk, "qid long, vec_id long, sim double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return partials.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+@register("q_knn_exact_pandas", oracle=None, tags=("K3", "J6", "rows-only"))
+def q_knn_exact_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tournament top-k kNN (partition partials → merge); equals
+    q_knn_exact row-for-row (tests/test_ml_self_oracles.py)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return knn_exact_pandas(emb, emb.filter(F.col("vec_id") < N_QUERIES))
+
+
 def _to_vec(df: DataFrame, in_col: str = "embedding", out_col: str = "features") -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 

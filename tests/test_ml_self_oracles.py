@@ -51,6 +51,20 @@ def test_knn_exact_matches_numpy(spark):
     assert got == want
 
 
+def test_knn_pandas_tournament_equals_jvm_exact(spark):
+    """The mapInPandas tournament formulation must return exactly the
+    same (qid, vec_id, sim, rank) rows as the in-SQL exact kNN."""
+    a = sorted(
+        (r["qid"], r["vec_id"], r["sim"], r["rank"])
+        for r in knn.q_knn_exact(spark, SF_T2).collect()
+    )
+    b = sorted(
+        (r["qid"], r["vec_id"], r["sim"], r["rank"])
+        for r in knn.q_knn_exact_pandas(spark, SF_T2).collect()
+    )
+    assert a == b
+
+
 def test_knn_lsh_recall(spark):
     """LSH with inf threshold must recover the exact top-k (it prunes
     candidates only via bucketing; with these params recall is 1.0 on
