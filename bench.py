@@ -83,7 +83,7 @@ def main() -> None:
     warmup(spark, sf_dir)
 
     qs = registry.queries()
-    # Two full passes, min per query: the box shares CPU with other
+    # Three full passes, min per query: the box shares CPU with other
     # tenants and contention spikes last tens of seconds — back-to-back
     # repeats of one query land in the same spike, interleaved passes
     # don't.

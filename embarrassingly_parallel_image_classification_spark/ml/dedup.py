@@ -93,10 +93,14 @@ def jaccard_pairs(d: DataFrame, n: int = SHINGLE_N) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
-            ).alias("jaccard"),
+            # Raw ratio kept for thresholding (filters must compare raw,
+            # like the oracle's WHERE — rounding first would disagree at
+            # boundaries); rounded copy for value comparison.
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias(
+                "jaccard_raw"
+            ),
         )
+        .withColumn("jaccard", F.round("jaccard_raw", 6))
     )
 
 
@@ -127,9 +131,14 @@ def jaccard_pairs(d: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     tags=("K2",),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with exact trigram Jaccard ≥ 0.5."""
+    """Near-dup pairs with exact trigram Jaccard ≥ 0.5 (filtered on the
+    raw ratio to match the oracle's WHERE)."""
     d = t(spark, sf_dir, "documents")
-    return jaccard_pairs(d).filter(F.col("jaccard") >= 0.5)
+    return (
+        jaccard_pairs(d)
+        .filter(F.col("jaccard_raw") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def minhash_signatures(d: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
@@ -195,7 +204,7 @@ def minhash_pairs(
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH candidates with estimated Jaccard ≥ 0.5
     (hash-seeded ⇒ deterministic, but engine-specific ⇒ rows-only;
-    recall vs exact Jaccard asserted in tests/test_dedup.py)."""
+    recall vs exact Jaccard asserted in tests/test_ml_self_oracles.py)."""
     d = t(spark, sf_dir, "documents")
     return minhash_pairs(d).filter(F.col("est_jaccard") >= 0.5)
 

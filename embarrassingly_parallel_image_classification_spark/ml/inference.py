@@ -38,12 +38,26 @@ EMB_DIM = 64
 N_CLASSES = 10
 
 
-def fit_centroids(emb: DataFrame) -> np.ndarray:
-    """Per-label mean embedding, computed distributed.
+_CENTROID_CACHE: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def fit_centroids(emb: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Per-label mean embedding (centroid matrix, label vector),
+    computed distributed and memoized per (session, source files).
 
     posexplode(embedding) → groupBy(label, pos).avg(val) is a standard
     two-phase aggregation; only n_classes × dim tiny rows are collected.
+    The memo key includes the application id (results are plain NumPy,
+    but the fit job shouldn't rerun for every query in a driver pass)
+    and the input file list (distinct sf_dirs get distinct fits).
     """
+    key = (
+        emb.sparkSession.sparkContext.applicationId,
+        ",".join(sorted(emb.inputFiles())),
+    )
+    cached = _CENTROID_CACHE.get(key)
+    if cached is not None:
+        return cached
     rows = (
         emb.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", "pos")
@@ -56,7 +70,9 @@ def fit_centroids(emb: DataFrame) -> np.ndarray:
     label_index = {lab: i for i, lab in enumerate(labels)}
     for r in rows:
         cents[label_index[r["label"]], r["pos"]] = r["c"]
-    return cents, np.asarray(labels, dtype=np.int32)
+    result = (cents, np.asarray(labels, dtype=np.int32))
+    _CENTROID_CACHE[key] = result
+    return result
 
 
 def nearest_centroid_predict(X: np.ndarray, cents: np.ndarray, labels: np.ndarray) -> np.ndarray:

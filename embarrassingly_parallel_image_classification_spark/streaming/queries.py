@@ -190,4 +190,11 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return run_to_memory(out, "update")
+    sink = run_to_memory(out, "update")
+    # Update mode emits one row per key per microbatch; if the source
+    # ever splits into multiple batches, earlier rows are running
+    # prefixes of the final state. Both tracked quantities are monotone,
+    # so max() over the emitted rows IS the final state per key.
+    return sink.groupBy("user_id").agg(
+        F.max("max_value").alias("max_value"), F.max("n_events").alias("n_events")
+    )

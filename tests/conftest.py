@@ -22,11 +22,9 @@ def spark():
 
 @pytest.fixture(scope="session")
 def duck():
-    con = duckdb.connect()
-    for sf, prefix in ((SF_SMOKE, ""), (SF_T2, "")):
-        pass
-    # Views are (re)registered per sf_dir by the helper below.
-    yield con
+    """Shared DuckDB connection; views are (re)registered per sf_dir by
+    register_views / assert_matches_oracle."""
+    yield duckdb.connect()
 
 
 def register_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:

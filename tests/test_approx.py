@@ -33,6 +33,20 @@ def test_hll_sketch_union_estimate_close_to_exact(spark):
     assert abs(row["est_total"] - exact) / exact < 0.05
 
 
+def test_freq_items_contains_all_true_heavy_hitters(spark):
+    """freqItems(support=s) guarantees no false NEGATIVES: every value
+    with true frequency ≥ s must appear (false positives are allowed)."""
+    ev = t(spark, SF_T2, "events")
+    n = ev.count()
+    freq = ev.freqItems(["event_type"], support=0.1).collect()[0]["event_type_freqItems"]
+    true_heavy = [
+        r["event_type"]
+        for r in ev.groupBy("event_type").count().collect()
+        if r["count"] / n >= 0.1
+    ]
+    assert set(true_heavy) <= set(freq)
+
+
 def test_approx_percentile_close_to_exact(spark):
     li = t(spark, SF_T2, "lineitem")
     row = li.agg(

@@ -9,7 +9,6 @@ test modules (self-oracles, SURVEY §5.3).
 
 from __future__ import annotations
 
-import duckdb
 import pytest
 
 from embarrassingly_parallel_image_classification_spark import registry
@@ -20,16 +19,11 @@ def _specs():
     return sorted(registry.specs().values(), key=lambda s: s.name)
 
 
-@pytest.fixture(scope="module")
-def con():
-    return duckdb.connect()
-
-
 @pytest.mark.parametrize("spec", _specs(), ids=lambda s: s.name)
-def test_oracle_parity(spark, con, spec):
+def test_oracle_parity(spark, duck, spec):
     if spec.oracle is None:
         df = spec.fn(spark, SF_T2)
         assert df.columns, f"{spec.name}: no columns"
         assert df.count() >= 0
     else:
-        assert_matches_oracle(spark, con, spec.name, spec.fn, spec.oracle, SF_T2)
+        assert_matches_oracle(spark, duck, spec.name, spec.fn, spec.oracle, SF_T2)
