@@ -144,8 +144,8 @@ def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(POW(p_size, 2), 6) AS size_sq,
            ROUND(SQRT(p_retailprice), 6) AS sqrt_price,
            ABS(p_size - 25) AS size_dev,
-           CEIL(p_retailprice / 100) AS price_bucket,
-           FLOOR(p_retailprice / 100) AS price_bucket_lo,
+           CAST(CEIL(p_retailprice / 100) AS BIGINT) AS price_bucket,
+           CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS price_bucket_lo,
            GREATEST(p_size, 10) AS size_min10,
            LEAST(p_size, 40) AS size_max40,
            p_size % 7 AS size_mod7
@@ -306,7 +306,7 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events

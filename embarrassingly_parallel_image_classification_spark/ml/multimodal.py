@@ -109,7 +109,7 @@ def extract_features(df: DataFrame) -> DataFrame:
     oracle="""
     SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
            COUNT(*) AS n_media,
-           SUM(strlen(text)) AS total_bytes
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
     FROM documents
     GROUP BY 1
     """,

@@ -222,9 +222,11 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_join_asof",
     oracle="""
-    WITH p AS (SELECT event_id, user_id, epoch(date_trunc('second', ts)) AS tsec
+    WITH p AS (SELECT event_id, user_id,
+                      CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec
                FROM events WHERE event_type = 'purchase'),
-         c AS (SELECT user_id, value, epoch(date_trunc('second', ts)) AS tsec
+         c AS (SELECT user_id, value,
+                      CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec
                FROM events WHERE event_type = 'click')
     SELECT p.event_id, p.user_id,
            MAX(c.tsec) AS last_click_sec

@@ -119,26 +119,54 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_window_range_frame",
     oracle="""
-    SELECT o_orderkey, o_totalprice,
-           COUNT(*) OVER (ORDER BY o_totalprice
-                          RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_within_1k,
-           ROUND(AVG(o_totalprice) OVER (ORDER BY o_totalprice
-                          RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING), 6)
-               AS avg_within_1k
-    FROM orders
+    WITH o AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    f AS (
+        SELECT o_orderkey, o_totalprice,
+               COUNT(*) OVER w AS cnt,
+               CAST(SUM(cents) OVER w AS BIGINT) AS sum_c
+        FROM o
+        WINDOW w AS (ORDER BY cents RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING)
+    )
+    SELECT o_orderkey, o_totalprice, cnt AS n_within_1k,
+           CAST((sum_c * 200 + cnt) // (2 * cnt) AS BIGINT) / 10000.0 AS avg_within_1k
+    FROM f
     """,
     tags=("E3",),
 )
 def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame (value-based, not row-based): peers within ±1000 of
     each row's price. Unlike ROWS frames, ties don't need a tiebreak —
-    the frame is defined by the ORDER-BY value itself."""
-    w = Window.orderBy("o_totalprice").rangeBetween(-1000, 1000)
-    return t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_totalprice",
-        F.count("*").over(w).alias("n_within_1k"),
-        F.round(F.avg("o_totalprice").over(w), 6).alias("avg_within_1k"),
+    the frame is defined by the ORDER-BY value itself.
+
+    The frame orders and sums over integer CENTS, and the average is
+    rounded to 4 decimals with INTEGER round-half-up arithmetic
+    ((200·sum + n) div 2n, then /10^4): a double-valued frame diverges
+    in last-ulp summation order, and even an exact double average hits
+    round-half ties where Spark (half-up) and DuckDB (half-even)
+    disagree — both were round-1/round-2 driver reds."""
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    w = Window.orderBy("cents").rangeBetween(-100_000, 100_000)
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", cents.alias("cents"))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.count("*").over(w).alias("cnt"),
+            F.sum("cents").over(w).alias("sum_c"),
+        )
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("cnt").alias("n_within_1k"),
+            (
+                F.expr("(sum_c * 200 + cnt) DIV (2 * cnt)") / F.lit(10000.0)
+            ).alias("avg_within_1k"),
+        )
     )
 
 
@@ -146,7 +174,10 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sessionize",
     oracle="""
     WITH e AS (
-        SELECT user_id, epoch(date_trunc('second', ts)) AS tsec, event_id
+        -- CAST: DuckDB epoch() is DOUBLE; Spark unix_timestamp is BIGINT,
+        -- and the driver's value hash is dtype-exact.
+        SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec,
+               event_id
         FROM events
     ),
     flagged AS (
@@ -156,9 +187,12 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
     ),
     sessions AS (
+        -- CAST: DuckDB windowed SUM(int) is HUGEINT (fetchdf -> float64);
+        -- Spark emits BIGINT.
         SELECT user_id, tsec,
-               SUM(is_start) OVER (PARTITION BY user_id ORDER BY tsec, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -59,7 +59,7 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_scan_json",
     oracle="""
-    SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
     FROM documents GROUP BY lang
     """,
     tags=("A4",),

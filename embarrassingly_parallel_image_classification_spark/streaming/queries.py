@@ -23,7 +23,7 @@ from .core import events_stream, run_to_memory
 @register(
     "q_stream_tumbling",
     oracle="""
-    SELECT epoch(date_trunc('hour', ts)) AS win_start_sec,
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start_sec,
            event_type,
            COUNT(*) AS n,
            ROUND(SUM(value), 6) AS total_value
@@ -53,8 +53,8 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT win_start_sec, COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
     FROM (
-        SELECT UNNEST([epoch(date_trunc('hour', ts)),
-                       epoch(date_trunc('hour', ts)) - 3600]) AS win_start_sec,
+        SELECT UNNEST([CAST(epoch(date_trunc('hour', ts)) AS BIGINT),
+                       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600]) AS win_start_sec,
                value
         FROM events
     )
