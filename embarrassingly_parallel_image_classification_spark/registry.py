@@ -153,6 +153,7 @@ _DRIVER_PRIORITY = (
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_embedding",
+    "q_dedup_embedding_lsh",
     "q_text_wordcount",
     "q_text_lang_stats",
     "q_text_quality",
@@ -165,6 +166,7 @@ _DRIVER_PRIORITY = (
     "q_scan_json",
     "q_sink_partitioned",
     "q_inmemory_source",
+    "q_scan_custom_source",
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
@@ -177,6 +179,7 @@ _DRIVER_PRIORITY = (
     "q_stream_dedup",
     "q_stream_enrich",
     "q_stream_foreach_batch",
+    "q_stream_stream_join",
     # 3. round-1-green canaries
     "q_agg_basic",
     "q_join_inner",
@@ -198,6 +201,7 @@ _QUERY_MODULES = (
         "ml.text",
         "ml.multimodal",
         "sources.formats",
+        "sources.custom",
         "streaming.queries",
         "plans.tpch",
         "plans.scale",

@@ -1,0 +1,97 @@
+"""A-family: custom batch connector via the Python DataSource API
+(Spark 4, `pyspark.sql.datasource`) — SURVEY.md §7 later-rounds item.
+
+A deterministic synthetic table source ("epic_synthetic"): rows are a
+pure function of the row id, so the DuckDB oracle regenerates the same
+table from `range()` and the driver's exact hash applies to a source
+that Spark itself didn't read from disk. Demonstrates the full custom-
+connector surface: options, schema declaration, partition planning
+(N independent InputPartitions → N parallel tasks), and per-partition
+iteration — the same mechanics a real REST/queue/foreign-format
+connector needs at 100 TB (partition count drives parallelism; each
+partition must be independently computable on any executor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+# value = (id * KNUTH) % MOD — integer-valued doubles, so partial sums
+# are exact in any summation order (driver hash is exact; never expose
+# an order-dependent float sum).
+KNUTH = 2654435761
+MOD = 1000
+
+
+def _make_datasource():
+    """Build the DataSource class lazily: pyspark.sql.datasource exists
+    only on Spark 4+, and import-time failures must not shrink the
+    registry (registry.py's loud-failure rule)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class SyntheticReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", "1000"))
+            self.parts = int(options.get("parts", "4"))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition):
+            i = partition.value
+            lo = i * self.n // self.parts
+            hi = (i + 1) * self.n // self.parts
+            for rid in range(lo, hi):
+                yield (rid, rid % 10, float((rid * KNUTH) % MOD))
+
+    class SyntheticDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "epic_synthetic"
+
+        def schema(self):
+            return "id bigint, bucket int, value double"
+
+        def reader(self, schema):
+            return SyntheticReader(self.options)
+
+    return SyntheticDataSource
+
+
+def synthetic_table(spark: SparkSession, n: int = 10_000, parts: int = 8) -> DataFrame:
+    """Register (idempotent) and read the epic_synthetic source."""
+    spark.dataSource.register(_make_datasource())
+    return (
+        spark.read.format("epic_synthetic")
+        .option("n", str(n))
+        .option("parts", str(parts))
+        .load()
+    )
+
+
+@register(
+    "q_scan_custom_source",
+    oracle=f"""
+    SELECT CAST(id % 10 AS INT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM((id * {KNUTH}) % {MOD}) AS DOUBLE) AS sum_value,
+           ROUND(AVG((id * {KNUTH}) % {MOD}), 6) AS avg_value
+    FROM range(10000) t(id)
+    GROUP BY 1
+    """,
+    tags=("A10",),
+)
+def q_scan_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a custom Python DataSource (8 planned partitions → 8
+    parallel tasks) and aggregate it. The oracle regenerates the rows
+    from DuckDB `range()` — identical by construction; the aggregate is
+    over integer-valued doubles so every partial-sum order is exact."""
+    df = synthetic_table(spark, n=10_000, parts=8)
+    return df.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )

@@ -161,6 +161,62 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    WITH p AS (SELECT event_id AS p_id, user_id, date_trunc('second', ts) AS pts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS c_id, user_id, date_trunc('second', ts) AS cts
+               FROM events WHERE event_type = 'click')
+    SELECT p.p_id, c.c_id, p.user_id,
+           CAST(epoch(p.pts) AS BIGINT) AS purchase_sec
+    FROM p JOIN c ON c.user_id = p.user_id
+                 AND c.cts >= p.pts - INTERVAL 1 HOUR
+                 AND c.cts <= p.pts
+    """,
+    tags=("I9", "I4"),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream inner join: each purchase paired with the same
+    user's clicks in the preceding hour. Watermarks on BOTH sides plus
+    the time-range predicate bound the join state (clicks older than
+    the range + watermark are evicted) — the canonical two-stream
+    enrichment; with availableNow the emitted pairs must equal the
+    batch theta-join (oracle).
+
+    Second-truncated event times on both sides (Spark µs vs DuckDB ns,
+    SURVEY §7 risk 1); the range condition uses the truncated
+    timestamps so boundary pairs agree across engines."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.date_trunc("second", "ts").alias("pts"),
+        )
+        .withWatermark("pts", "10 minutes")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.date_trunc("second", "ts").alias("cts"),
+        )
+        .withWatermark("cts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") <= F.col("pts")),
+        "inner",
+    ).select("p_id", "c_id", "user_id", F.unix_timestamp("pts").alias("purchase_sec"))
+    return run_to_memory(joined, "append")
+
+
 @register("q_stream_stateful", oracle=None, tags=("I6", "rows-only"))
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful per-key processing (applyInPandasWithState):
