@@ -141,6 +141,107 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(node, cluster_id): undirected connected components by iterative
+    min-label propagation — the step that turns near-dup PAIRS into
+    dedup CLUSTERS (pairs alone over-delete: {A~B, B~C} must keep one
+    of {A,B,C}, not two survivors of two pairs).
+
+    ``edges`` is (id_a, id_b). Each iteration joins current labels to
+    neighbors and takes the min — one shuffle on the node key per
+    iteration, converging in O(component diameter) rounds (dup clusters
+    are near-cliques: 2–3 rounds in practice). The label total is
+    monotone non-increasing and integer, so equal consecutive totals ⇔
+    fixpoint. Lineage is truncated per round with localCheckpoint —
+    without it the iterated plan grows exponentially. At extreme scale
+    swap the inner step for large-star/small-star (Kiveris et al.,
+    same DataFrame ops, fewer rounds); the driver-side loop itself is
+    how iterative graph algorithms run on Spark (GraphFrames does the
+    same), not a collect() anti-pattern — per-round driver data is one
+    scalar."""
+    both = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    both = both.localCheckpoint(eager=True)
+    labels = both.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    prev_total = None
+    for _ in range(max_iter):
+        prop = both.join(labels, both.src == labels.node).select(
+            F.col("dst").alias("node"), "lab"
+        )
+        labels = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("lab").alias("lab"))
+        ).localCheckpoint(eager=True)
+        total = labels.agg(F.sum("lab")).collect()[0][0]
+        if total == prev_total:
+            break
+        prev_total = total
+    return labels.select("node", F.col("lab").alias("cluster_id"))
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(
+                   range(1, len(ws) - {SHINGLE_N - 2}),
+                   i -> array_to_string(ws[i : i + {SHINGLE_N - 1}], ' '))) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    ),
+    e2 AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT src, src FROM e2
+        UNION
+        SELECT b.dst, r.lab FROM reach r JOIN e2 b ON b.src = r.node
+    ),
+    clusters AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_survivor
+    FROM clusters
+    """,
+    tags=("K2", "composite"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: trigram-Jaccard pairs (≥ 0.5) → connected
+    components → one survivor per cluster (min doc_id). The full dedup
+    pipeline ending: candidate pairs from LSH/minhash, transitive
+    closure so overlapping pairs delete correctly, survivor flag for
+    the keep-list. Oracle is a DuckDB recursive-CTE label propagation
+    over the same edge set."""
+    d = t(spark, sf_dir, "documents")
+    edges = jaccard_pairs(d).filter(F.col("jaccard_raw") >= 0.5).select("id_a", "id_b")
+    cc = connected_components(edges)
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("node") == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
 def minhash_signatures(d: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
     """(doc_id, sig: array<bigint>) — MinHash over trigram shingles.
 

@@ -10,7 +10,7 @@ shape). Scale notes per query in the docstrings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -149,6 +149,190 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
+        )
+    )
+
+
+def _cents(col: str) -> Column:
+    """Exact integer cents from a 2-decimal money double. Money sums run
+    on BIGINT cents so every partial-sum order is exact — double sums
+    diverge last-ulp between engines (round-1 lesson; the fixture's
+    money columns are verified 2-decimal)."""
+    return F.round(F.col(col) * 100, 0).cast("bigint")
+
+
+@register(
+    "q_tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+           / 10000.0 AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+    tags=("composite", "B2", "D2"),
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecast-revenue change: pure scan-filter-sum, no join.
+    Scale: the canonical pushdown showcase — all three predicates reach
+    the parquet scan, the agg is a two-phase global sum of a fixed-width
+    integer; the whole query is one codegen span over the scan."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(_cents("l_extendedprice") * _cents("l_discount")) / F.lit(10000.0)).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q14",
+    oracle="""
+    WITH j AS (
+        SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS rev,
+               p_type
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-09-01'
+          AND CAST(l.l_shipdate AS DATE) < DATE '1997-10-01'
+    )
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END) AS BIGINT)
+                 / CAST(SUM(rev) AS BIGINT), 6) AS promo_revenue_pct
+    FROM j
+    """,
+    tags=("composite", "C2", "D3"),
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promotion effect: one-month lineitem ⋈ part, conditional
+    ratio aggregate. Scale: part is the broadcast side (dim), the month
+    predicate prunes the fact scan, and the ratio divides two exact
+    integer sums — deterministic across engines."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-09-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-10-01").cast("date"))
+    )
+    p = F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select(rev.alias("rev"), "p_type")
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), F.col("rev")).otherwise(F.lit(0)))
+                / F.sum("rev"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q_tpch_q18",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS odate, o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    tags=("composite", "D1", "F2"),
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume customers: agg-HAVING feeding a join, top-20.
+    Scale: the HAVING filter runs on the aggregated (small) side before
+    any join — orders/customer join only the surviving keys; quantities
+    are integer-valued doubles, so the grouped sums are exact.
+    TakeOrderedAndProject caps the output without a global sort."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("odate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_tpch_q19",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+           / 10000.0 AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 24
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("composite", "C1", "B2"),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted revenue, disjunctive predicates: equi-join on
+    partkey with an OR-of-ANDs residual filter. Scale: Catalyst keeps
+    the equi-join key (hash join, part broadcast) and applies the
+    disjunction as a post-join filter; the common p_size/l_quantity
+    lower bounds could be factored for extra pushdown, but the join key
+    is what matters at 100×."""
+    li = t(spark, sf_dir, "lineitem")
+    p = F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size"))
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 24)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(rev) / F.lit(10000.0)).alias("revenue"),
         )
     )
 

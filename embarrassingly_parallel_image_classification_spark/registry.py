@@ -135,7 +135,8 @@ _DRIVER_PRIORITY = (
     "q_sessionize",
     "q_window_range_frame",
     # 2. round-1-unverified oracle-backed families
-    "q_fn_string_ext",
+    # (q_fn_string_ext yields its slot to q_dedup_clusters: H1 is already
+    # represented by round-1-green q_fn_string.)
     "q_fn_datetime",
     "q_fn_math",
     "q_fn_array_argmax",
@@ -154,6 +155,7 @@ _DRIVER_PRIORITY = (
     "q_dedup_ngram_jaccard",
     "q_dedup_embedding",
     "q_dedup_embedding_lsh",
+    "q_dedup_clusters",
     "q_text_wordcount",
     "q_text_lang_stats",
     "q_text_quality",
@@ -171,6 +173,8 @@ _DRIVER_PRIORITY = (
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q10",
+    "q_tpch_q14",
+    "q_tpch_q18",
     "q_scale_bloom_prune",
     "q_scale_salted_join",
     "q_scale_bucketed_join",
@@ -180,10 +184,9 @@ _DRIVER_PRIORITY = (
     "q_stream_enrich",
     "q_stream_foreach_batch",
     "q_stream_stream_join",
-    # 3. round-1-green canaries
-    "q_agg_basic",
-    "q_join_inner",
 )
+# (round-1-green families act as their own canaries right behind the
+# window: non-priority oracle-backed queries keep registration order.)
 
 _QUERY_MODULES = (
         "operators.projection",
