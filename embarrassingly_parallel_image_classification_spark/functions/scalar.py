@@ -349,3 +349,55 @@ def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.sha2("text", 256).alias("text_sha256"),
     )
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           p_partkey & 255 AS k_and,
+           p_partkey | 4096 AS k_or,
+           xor(p_partkey, 255) AS k_xor,
+           p_partkey << 2 AS k_shl,
+           p_partkey >> 1 AS k_shr,
+           CAST(bit_count(p_partkey) AS INT) AS k_bits
+    FROM part
+    """,
+    tags=("H4",),
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operators — the building blocks of signature/bucket
+    tricks (SimHash bit votes, banded LSH signatures, bloom hashing)
+    exposed as first-class scalar functions."""
+    p = t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return p.select(
+        "p_partkey",
+        k.bitwiseAND(F.lit(255)).alias("k_and"),
+        k.bitwiseOR(F.lit(4096)).alias("k_or"),
+        k.bitwiseXOR(F.lit(255)).alias("k_xor"),
+        F.shiftleft(k, 2).alias("k_shl"),
+        F.shiftright(k, 1).alias("k_shr"),
+        F.bit_count(k).alias("k_bits"),
+    )
+
+
+@register(
+    "q_fn_editdist",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_brand, p_type) AS lev_brand_type,
+           levenshtein(p_name, p_brand) AS lev_name_brand
+    FROM part
+    """,
+    tags=("H1",),
+)
+def q_fn_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance (Levenshtein) — fuzzy string matching for entity
+    resolution / near-dup key canonicalization; JVM-side, no UDF."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").alias("lev_brand_type"),
+        F.levenshtein("p_name", "p_brand").alias("lev_name_brand"),
+    )

@@ -255,3 +255,43 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@register(
+    "q_upsert_latest",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS last_sec,
+           ROUND(value, 6) AS last_value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id
+            ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("composite", "E1", "I5"),
+)
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/SCD1 snapshot: collapse an event log to the LATEST row per
+    key — the upsert/merge primitive every lake pipeline needs (without
+    a table format, latest-wins is a window dedup). Ordering key is the
+    second-truncated timestamp with event_id tiebreak: deterministic
+    across engines (Spark sees µs, DuckDB ns — raw-ts ordering could
+    disagree below the second). Scale: one shuffle on user_id and
+    WindowGroupLimit keeps only the per-key max row per partition."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.date_trunc("second", "ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.unix_timestamp(F.date_trunc("second", "ts")).alias("last_sec"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )

@@ -99,6 +99,30 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scan_orc",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A2", "A6"),
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan round-trip (Spark's second built-in columnar
+    format; a lake in ORC is a drop-in for parquet — same pushdown and
+    column pruning via the native ORC reader). The oracle recomputes
+    from the parquet origin, so a lossy round-trip fails the hash."""
+    path = scratch("lineitem_orc", sf_dir)
+    t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    ).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty")
+    )
+
+
+@register(
     "q_inmemory_source",
     oracle="""
     WITH taxonomy(code, coarse) AS (

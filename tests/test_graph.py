@@ -1,0 +1,34 @@
+"""Unit tests for the iterative operators (connected components) and
+the custom Python DataSource — properties the SQL oracle can't pin."""
+
+from __future__ import annotations
+
+from embarrassingly_parallel_image_classification_spark.ml.dedup import (
+    connected_components,
+)
+from embarrassingly_parallel_image_classification_spark.sources.custom import (
+    synthetic_table,
+)
+
+
+def test_connected_components_known_graph(spark):
+    """Path, triangle, and pair components all collapse to their min id
+    — including transitive closure over a 3-hop path."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_custom_source_plans_requested_partitions(spark):
+    """The DataSource's partition planning drives parallelism: 8
+    requested InputPartitions -> 8 scan partitions, and the union of
+    partition ranges is exactly [0, n)."""
+    df = synthetic_table(spark, n=1000, parts=8)
+    assert df.rdd.getNumPartitions() == 8
+    ids = sorted(r["id"] for r in df.select("id").collect())
+    assert ids == list(range(1000))

