@@ -194,6 +194,7 @@ _QUERY_MODULES = (
         "operators.aggregates",
         "operators.windows",
         "operators.sort_limit",
+        "operators.timeseries",
         "operators.setops",
         "functions.scalar",
         "functions.vectors",
