@@ -130,6 +130,26 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
 
 
+@register(
+    "q_sample_hash",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE md5(text) < '28'
+    """,
+    tags=("B6",),
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sample (~15.6 %): keep rows whose content-md5
+    sorts below a hex threshold. THE reproducible-sampling technique at
+    100 TB — engine-independent (same rows on Spark, DuckDB, anything
+    with md5), stable across reruns and cluster sizes, and it degrades
+    to a per-row filter with no shuffle. The seeded-RNG variant
+    (q_sample) stays for API parity but is engine-specific."""
+    d = t(spark, sf_dir, "documents")
+    return d.filter(F.md5("text") < "28").select("doc_id", "lang", "n_chars")
+
+
 @register("q_sample", oracle=None, tags=("B6", "rows-only"))
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sample by l_returnflag (seeded; rows-only — sampling is
