@@ -401,3 +401,30 @@ def q_fn_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("p_brand", "p_type").alias("lev_brand_type"),
         F.levenshtein("p_name", "p_brand").alias("lev_name_brand"),
     )
+
+
+@register(
+    "q_fn_array_hof",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           len(list_filter(embedding, x -> x > 2)) > 0 AS any_big,
+           len(list_filter(embedding, x -> abs(x) >= 10)) = 0 AS all_small,
+           ROUND(list_filter(embedding, x -> x > 0)[1], 6) AS first_pos
+    FROM embeddings
+    """,
+    tags=("H5", "H6"),
+)
+def q_fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array predicates — filter/exists/forall lambdas,
+    all JVM-side (the array-column toolkit for embedding hygiene
+    checks: count signs, detect outliers, validate ranges)."""
+    e = t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.exists(emb, lambda x: x > 2).alias("any_big"),
+        F.forall(emb, lambda x: F.abs(x) < 10).alias("all_small"),
+        F.round(F.element_at(F.filter(emb, lambda x: x > 0), 1), 6).alias("first_pos"),
+    )
