@@ -524,3 +524,82 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim_raw") > 0.9)
     )
     return verified.select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
+
+
+@register(
+    "q_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(
+                   range(1, len(ws) - {SHINGLE_N - 2}),
+                   i -> array_to_string(ws[i : i + {SHINGLE_N - 1}], ' '))) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    ),
+    e2 AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT src, src FROM e2
+        UNION
+        SELECT b.dst, r.lab FROM reach r JOIN e2 b ON b.src = r.node
+    ),
+    clusters AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id, n_members, n_chars AS best_chars
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("K2", "K4", "composite"),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: per near-dup cluster keep the HIGHEST-
+    QUALITY member (longest doc, id tiebreak), not the arbitrary min id
+    — the keep-policy real training-data pipelines apply after
+    clustering. Composition: jaccard pairs → connected components →
+    quality join → per-cluster argmax (one window over the tiny
+    clustered subset)."""
+    d = t(spark, sf_dir, "documents")
+    edges = jaccard_pairs(d).filter(F.col("jaccard_raw") >= 0.5).select("id_a", "id_b")
+    cc = connected_components(edges)
+    joined = cc.join(
+        d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("node"))
+    return (
+        joined.select(
+            "cluster_id",
+            "node",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("cluster_id")).alias("n_members"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("node").alias("keep_doc_id"),
+            "n_members",
+            F.col("n_chars").alias("best_chars"),
+        )
+    )
