@@ -1,0 +1,752 @@
+"""TPC-H completion — the 14 query shapes not yet in plans/tpch.py,
+adapted to the fixture schema (FIXTURES.md).
+
+With these, all 22 classic TPC-H query *shapes* are registered:
+Q1/Q3/Q5/Q6/Q10/Q14/Q18/Q19 live in plans/tpch.py; this module adds
+Q2, Q4, Q7, Q8, Q9, Q11, Q12, Q13, Q15, Q16, Q17, Q20, Q21, Q22.
+
+The fixture has no ``partsupp`` table and no ``l_shipmode`` /
+``l_commitdate`` / ``l_receiptdate`` / ``c_phone`` columns, so the
+affected queries keep the original's *plan shape* (the part Catalyst
+has to get right — correlated scalar subqueries, EXISTS/NOT-EXISTS
+pairs, count-of-counts outer joins, scalar-MAX filters, NOT IN
+anti-joins) with adapted predicates:
+
+  * part–supplier pairs come from ``SELECT DISTINCT l_partkey,
+    l_suppkey FROM lineitem`` instead of partsupp (Q2/Q16/Q20);
+  * "late" is ``l_shipdate > o_orderdate + 60 days`` instead of
+    receipt-vs-commit (Q4/Q21);
+  * supply cost is ``p_retailprice`` instead of ps_supplycost (Q9);
+  * Q12 groups by ``l_returnflag`` instead of l_shipmode; Q22 groups
+    by ``c_nationkey`` instead of phone country code.
+
+Determinism rules (round-1 lesson, see plans/tpch.py): money sums run
+on BIGINT cents; averages compared as integer cross-products
+(``5*qty*n < sum`` instead of ``qty < 0.2*avg``); counts are BIGINT on
+both engines; DuckDB HUGEINT sums are CAST to BIGINT before exposure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import t
+from .tpch import _cents
+
+
+def _qty(colname: str = "l_quantity"):
+    """Lineitem quantities are integer-valued doubles (verified in
+    FIXTURES.md) — exact as BIGINT."""
+    return F.round(F.col(colname), 0).cast("bigint")
+
+
+@register(
+    "q_tpch_q2",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    cand AS (
+        SELECT ps.l_partkey, s.s_name, s.s_acctbal, n.n_name
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE')
+    SELECT p.p_partkey, p.p_name, c.s_name,
+           ROUND(c.s_acctbal, 6) AS acctbal, c.n_name
+    FROM part p JOIN cand c ON c.l_partkey = p.p_partkey
+    WHERE p.p_size = 15 AND p.p_type = 'SMALL'
+      AND c.s_acctbal = (SELECT MIN(c2.s_acctbal) FROM cand c2
+                         WHERE c2.l_partkey = p.p_partkey)
+    """,
+    tags=("composite", "C1", "D2"),
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier: correlated scalar-MIN subquery per
+    part over the region-filtered part↔supplier relationship.
+    Spark side is the decorrelated plan Catalyst would produce anyway:
+    per-part MIN as a groupBy, then an equality join back — no
+    per-row subquery execution. Scale: the pair set and supplier dim
+    broadcast; equality on *stored* doubles (no arithmetic) is exact."""
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    s = t(spark, sf_dir, "supplier")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    cand = (
+        ps.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "s_name", "s_acctbal", "n_name")
+    )
+    minbal = cand.groupBy("l_partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    return (
+        p.join(cand, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            minbal.withColumnRenamed("l_partkey", "mb_partkey"),
+            (F.col("mb_partkey") == F.col("p_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("s_acctbal", 6).alias("acctbal"),
+            "n_name",
+        )
+    )
+
+
+@register(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND CAST(l.l_shipdate AS DATE)
+                        > CAST(o.o_orderdate AS DATE) + 60)
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("composite", "C4", "D1"),
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority checking: correlated EXISTS with an
+    inequality on the outer row ("any line shipped >60 days after the
+    order date"), counted per priority. Spark: LEFT SEMI join whose
+    condition mixes the equi key with the correlated date predicate —
+    the semi join stops at first match, no fanout, no dedup needed."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-04-01").cast("date"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    sel = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 60)
+        ),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q_tpch_q7",
+    oracle="""
+    WITH flat AS (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+               CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)) AS rev_e4
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND CAST(l.l_shipdate AS DATE)
+              BETWEEN DATE '1996-01-01' AND DATE '1997-12-31')
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(rev_e4) AS BIGINT) / 10000.0 AS revenue
+    FROM flat GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("composite", "C1", "C2"),
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume shipping between two nations, by direction and year.
+    The nation dim joins twice (supplier side and customer side) under
+    different roles — both broadcast. The disjunctive nation-pair
+    predicate sits above the joins; year comes from the fact's
+    shipdate. Revenue on exact cents."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate")
+        .cast("date")
+        .between(F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date"))
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n1 = F.broadcast(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    rev_e4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n1, F.col("s_nk") == F.col("s_nationkey"))
+        .join(n2, F.col("c_nk") == F.col("c_nationkey"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            rev_e4.alias("rev_e4"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum("rev_e4") / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q8",
+    oracle="""
+    WITH flat AS (
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)) AS rev_e4,
+               n1.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = nc.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+          AND CAST(o.o_orderdate AS DATE)
+              BETWEEN DATE '1996-01-01' AND DATE '1997-12-31')
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                               THEN rev_e4 ELSE 0 END) AS BIGINT)
+                 / CAST(SUM(rev_e4) AS BIGINT), 6) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+    tags=("composite", "C2", "D3"),
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national market share: one nation's fraction of regional
+    revenue for one part type, per year. The ratio divides two exact
+    integer sums, so the only floating op is the final division —
+    bit-identical across engines."""
+    li = t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate")
+        .cast("date")
+        .between(F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date"))
+    )
+    c = t(spark, sf_dir, "customer")
+    nc = F.broadcast(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+        )
+    )
+    r = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA"))
+    s = t(spark, sf_dir, "supplier")
+    n1 = F.broadcast(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    rev_e4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    flat = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(nc, F.col("c_nk") == F.col("c_nationkey"))
+        .join(r, F.col("r_regionkey") == F.col("c_rk"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n1, F.col("s_nk") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            rev_e4.alias("rev_e4"),
+            "supp_nation",
+        )
+    )
+    return flat.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", F.col("rev_e4")).otherwise(
+                    F.lit(0)
+                )
+            )
+            / F.sum("rev_e4"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q_tpch_q9",
+    oracle="""
+    WITH flat AS (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT))
+               - CAST(ROUND(p.p_retailprice * 100, 0) AS BIGINT)
+                 * CAST(ROUND(l.l_quantity, 0) AS BIGINT) * 100 AS profit_e4
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%widget%')
+    SELECT nation, o_year,
+           CAST(SUM(profit_e4) AS BIGINT) / 10000.0 AS sum_profit
+    FROM flat GROUP BY nation, o_year
+    """,
+    tags=("composite", "C1", "D1"),
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit by supplier nation and order year.
+    Adapted: the fixture has no partsupp.ps_supplycost, so unit cost is
+    p_retailprice (same plan shape: fact joins part+supplier+orders,
+    profit = revenue − cost·qty). All arithmetic in 1e-4-dollar ints."""
+    li = t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    profit_e4 = _cents("l_extendedprice") * (
+        F.lit(100) - _cents("l_discount")
+    ) - _cents("p_retailprice") * _qty() * F.lit(100)
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            profit_e4.alias("profit_e4"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("profit_e4") / F.lit(10000.0)).alias("sum_profit"))
+    )
+
+
+@register(
+    "q_tpch_q11",
+    oracle="""
+    WITH nv AS (
+        SELECT n.n_name,
+               SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS value_c
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name)
+    SELECT n_name, CAST(value_c AS BIGINT) / 100.0 AS value
+    FROM nv
+    WHERE 20 * value_c > (SELECT SUM(CAST(ROUND(l2.l_extendedprice * 100, 0)
+                                          AS BIGINT))
+                          FROM lineitem l2)
+    """,
+    tags=("composite", "D1", "D2"),
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important-stock concentration: groups whose value exceeds a
+    fraction of the GLOBAL total — an aggregate filtered by a scalar
+    subquery over the same fact. Adapted to supplier-nation shipped
+    value (no partsupp). Spark: the global total is a 1-row agg,
+    broadcast-cross-joined into the HAVING predicate; the threshold
+    compares exact integers (20·group > total ⟺ group > 5%)."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    nv = (
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_cents("l_extendedprice")).alias("value_c"))
+    )
+    total = li.agg(F.sum(_cents("l_extendedprice")).alias("total_c"))
+    return (
+        nv.crossJoin(F.broadcast(total))
+        .filter(F.lit(20) * F.col("value_c") > F.col("total_c"))
+        .select("n_name", (F.col("value_c") / F.lit(100.0)).alias("value"))
+    )
+
+
+@register(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+    tags=("composite", "C1", "D3"),
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping-priority split: join + complementary conditional
+    counts. Adapted: groups by l_returnflag (no l_shipmode column);
+    the high/low CASE pair over o_orderpriority is verbatim."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q13",
+    oracle="""
+    WITH co AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                           AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM co GROUP BY c_count
+    """,
+    tags=("composite", "C3", "D1"),
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution: LEFT OUTER join with a
+    join-time residual predicate (NOT a post-filter — customers whose
+    only orders are urgent must still appear with count 0), then a
+    count-of-counts histogram. COUNT(col) counts non-null join matches
+    on both engines."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    co = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q_tpch_q15",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+               AS total_e4
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_e4 AS BIGINT) / 10000.0 AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_e4 = (SELECT MAX(total_e4) FROM rev)
+    """,
+    tags=("composite", "D1", "F2"),
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier: revenue "view" reused twice — once grouped,
+    once for its scalar MAX — keeping every supplier tied for the max
+    (the reason Q15 is not a LIMIT 1). Exact integer revenue makes the
+    tie test deterministic. Spark: 1-row MAX agg broadcast into an
+    equality join against the same cached aggregate."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-04-01").cast("date"))
+    )
+    rev_e4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(F.sum(rev_e4).alias("total_e4"))
+    mx = rev.agg(F.max("total_e4").alias("mx"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(mx), F.col("total_e4") == F.col("mx"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_e4") / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q16",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("composite", "C5", "D4"),
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 parts/supplier relationship count: NOT IN (anti-join against
+    a filtered dim) + COUNT DISTINCT per part attribute triple.
+    Adapted: the pair set comes from lineitem (no partsupp); the
+    excluded suppliers are the negative-balance ones (no s_comment)."""
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        ps.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle="""
+    WITH pa AS (
+        SELECT l_partkey,
+               SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) / 100.0 / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND 5 * CAST(ROUND(l.l_quantity, 0) AS BIGINT) * pa.n < pa.sum_qty
+    """,
+    tags=("composite", "C1", "D2"),
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue: the classic correlated AVG
+    subquery (qty < 0.2·avg(qty) per part), decorrelated into a
+    per-part pre-aggregate joined back to the fact. The threshold is
+    evaluated as the integer cross-product 5·qty·n < Σqty — identical
+    to the 0.2·avg comparison but with zero float divergence."""
+    li = t(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.sum(_qty()).alias("sum_qty"), F.count("*").alias("n")
+    )
+    p = F.broadcast(
+        t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa, F.col("pa_partkey") == F.col("l_partkey"))
+        .filter(F.lit(5) * _qty() * F.col("n") < F.col("sum_qty"))
+        .agg(
+            (F.sum(_cents("l_extendedprice")) / F.lit(100.0) / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "q_tpch_q20",
+    oracle="""
+    WITH heavy AS (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'small%'
+          AND CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) > 50)
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+      AND n.n_regionkey = 2
+    """,
+    tags=("composite", "C4", "D1"),
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 potential-promotion suppliers: IN-subquery (semi join)
+    whose inner side is itself an agg-HAVING over the part-filtered
+    fact — suppliers who moved >50 units of any 'small%' part in 1997.
+    Adapted from partsupp availqty to shipped-quantity sums."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    p = F.broadcast(
+        t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    )
+    heavy = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_qty()).alias("sq"))
+        .filter(F.col("sq") > 50)
+        .select("l_suppkey")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = F.broadcast(t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2))
+    return (
+        s.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+    )
+
+
+@register(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F' AND n.n_name = 'NATION_3'
+      AND CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3 JOIN orders o3
+              ON o3.o_orderkey = l3.l_orderkey
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND CAST(l3.l_shipdate AS DATE)
+                  > CAST(o3.o_orderdate AS DATE) + 60)
+    GROUP BY s.s_name
+    """,
+    tags=("composite", "C4", "C5"),
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers who kept orders waiting: the EXISTS/NOT-EXISTS
+    pair — another supplier participated in the order, but no OTHER
+    supplier was late. Adapted lateness = shipped >60 days after the
+    order date. Spark: the NOT EXISTS side pre-joins orders once so
+    the anti-join right side carries its own o_orderdate (no
+    correlation into the outer orders row needed); then SEMI (other
+    participant) + ANTI (other late participant) on the same keys."""
+    s = t(spark, sf_dir, "supplier")
+    n = F.broadcast(t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3"))
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = t(spark, sf_dir, "lineitem")
+    late = (
+        F.col("l_shipdate").cast("date")
+        > F.date_add(F.col("o_orderdate").cast("date"), 60)
+    )
+    l1 = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(late)
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    late_others = (
+        li.join(
+            t(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .filter(late)
+        .select(
+            F.col("l_orderkey").alias("y_orderkey"),
+            F.col("l_suppkey").alias("y_suppkey"),
+        )
+    )
+    waiting = (
+        l1.join(
+            others,
+            (F.col("x_orderkey") == F.col("l_orderkey"))
+            & (F.col("x_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        ).join(
+            late_others,
+            (F.col("y_orderkey") == F.col("l_orderkey"))
+            & (F.col("y_suppkey") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "q_tpch_q22",
+    oracle="""
+    WITH pos AS (
+        SELECT SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS sum_c,
+               COUNT(*) AS n
+        FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+           / 100.0 AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) * pos.n > pos.sum_c
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+    tags=("composite", "C5", "D2"),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global-sales opportunity: customers above the positive-
+    balance average with no urgent orders, grouped by nation (the
+    fixture has no c_phone country code). The "above average" test is
+    the integer cross-product bal·n > Σbal — exact. Adapted anti-join:
+    every fixture customer has orders, so NOT EXISTS filters on
+    urgent orders specifically to keep the anti-join non-trivial."""
+    c = t(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(_cents("c_acctbal")).alias("sum_c"), F.count("*").alias("n")
+    )
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(_cents("c_acctbal") * F.col("n") > F.col("sum_c"))
+        .join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum(_cents("c_acctbal")) / F.lit(100.0)).alias("totacctbal"),
+        )
+    )

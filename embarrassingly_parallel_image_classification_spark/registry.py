@@ -208,6 +208,7 @@ _QUERY_MODULES = (
         "sources.custom",
         "streaming.queries",
         "plans.tpch",
+        "plans.tpch2",
         "plans.scale",
 )
 # NOTE: module-load errors propagate — a missing/broken module must fail

@@ -153,3 +153,29 @@ def test_dedup_lsh_join_is_bucketed_not_cartesian(spark):
 def test_upsert_latest_uses_window_group_limit(spark):
     """Latest-per-key must push the rank limit into the sort."""
     assert "WindowGroupLimit" in plan_of(spark, "q_upsert_latest")
+
+
+def test_tpch_q21_exists_pair_stays_hash_joined(spark):
+    """Q21's EXISTS/NOT-EXISTS pair must plan as LeftSemi + LeftAnti
+    hash joins on the order key — a NestedLoop/Cartesian here means the
+    inequality residual (`l2.suppkey <> l1.suppkey`) displaced the equi
+    key and the query went quadratic in lineitems-per-order-group."""
+    plan = plan_of(spark, "q_tpch_q21")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_tpch_q17_correlated_avg_is_one_fact_shuffle(spark):
+    """Q17's decorrelated per-part AVG joins the pre-aggregate back to
+    the fact; the part dim must broadcast, never sort-merge."""
+    plan = plan_of(spark, "q_tpch_q17")
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan
+
+
+def test_tpch_q11_scalar_subquery_is_broadcast(spark):
+    """The global-total scalar feeding Q11's HAVING threshold must
+    arrive via BroadcastNestedLoopJoin of a 1-row relation (a plain
+    CartesianProduct would shuffle the grouped side pointlessly)."""
+    plan = plan_of(spark, "q_tpch_q11")
+    assert "CartesianProduct" not in plan
