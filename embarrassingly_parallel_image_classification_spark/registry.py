@@ -195,6 +195,7 @@ _QUERY_MODULES = (
         "operators.windows",
         "operators.sort_limit",
         "operators.timeseries",
+        "operators.graph",
         "operators.setops",
         "functions.scalar",
         "functions.vectors",
