@@ -67,3 +67,75 @@ def scale(a: str | Column, s: float | Column) -> Column:
 def unit(a: str | Column) -> Column:
     """a / ‖a‖ — unit-normalized copy (double elements)."""
     return scale(a, F.lit(1.0) / F.nullif(norm(a), F.lit(0.0)))
+
+
+# ---------------------------------------------------------------------------
+# Registered query: the distributed "training" step of the flagship
+# pipeline — per-label centroids of the embedding table. entry()'s
+# nearest-centroid classifier fits these same centroids driver-side in
+# NumPy; this is the scale path that replaces that when the corpus
+# stops fitting on the driver.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from ..registry import register  # noqa: E402
+from ..sources.tables import t  # noqa: E402
+
+
+@register(
+    "q_embed_centroids",
+    oracle="""
+    WITH flat AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings),
+    agg AS (
+        SELECT label, pos, SUM(q) AS s, COUNT(*) AS n
+        FROM flat GROUP BY label, pos)
+    SELECT label,
+           list(CAST(s AS BIGINT) / n / 1000000.0 ORDER BY pos) AS centroid,
+           MIN(n) AS n_vectors
+    FROM agg GROUP BY label
+    """,
+    tags=("K", "H5", "D1"),
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the nearest-centroid model's fit).
+    Float sums are order-dependent across engines, so components are
+    quantized to 1e-6 ints FIRST (floor(x·1e6 + 0.5) — half-up round,
+    identical in both engines), summed exactly as BIGINT, and divided
+    back once — the mean of quantized values, bit-identical everywhere.
+    Scale: posexplode fans 64× then two-phase aggregates on (label,
+    pos) — fixed-width rows, map-side partials, one shuffle; the
+    re-assembly collect_list is |labels|×64 rows (tiny)."""
+    emb = t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("v").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    agg = flat.groupBy("label", "pos").agg(
+        F.sum("q").alias("s"), F.count("*").alias("n")
+    )
+    return (
+        agg.select(
+            "label",
+            "pos",
+            (F.col("s") / F.col("n") / F.lit(1000000.0)).alias("m"),
+            "n",
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+            ).alias("centroid"),
+            F.min("n").alias("n_vectors"),
+        )
+    )

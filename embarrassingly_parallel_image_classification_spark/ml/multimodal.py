@@ -132,3 +132,63 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-stub + feature extraction via mapInPandas (rows-only; the
     features are asserted against a local NumPy loop in tests)."""
     return extract_features(media_table(spark, sf_dir))
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+_FRAME_LEN, _FRAME_STRIDE, _FRAME_EVERY = 32, 16, 4
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Frame sampling over media payloads — the audio/video analog of
+    decode_stub: a 'frame' is a 32-byte window at stride 16 (overlapped,
+    audio-style), and every 4th frame is kept. One input row fans out to
+    0..n output rows (the UDTF-ish mapInPandas shape). A real video
+    sampler (pyav / ffmpeg keyframe extraction) replaces the windowing
+    loop only; batch iteration, fanout schema and partitioning hold."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out: list[tuple[int, int, str]] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"], strict=True):
+                buf = bytes(payload)
+                n_frames = (len(buf) - _FRAME_LEN) // _FRAME_STRIDE + 1
+                for i in range(0, max(n_frames, 0), _FRAME_EVERY):
+                    frame = buf[i * _FRAME_STRIDE : i * _FRAME_STRIDE + _FRAME_LEN]
+                    out.append((int(mid), i, hashlib.md5(frame).hexdigest()))
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_md5"])
+
+    return df.select("media_id", "payload").mapInPandas(frames, FRAME_SCHEMA)
+
+
+@register(
+    "q_multimodal_frames",
+    oracle="""
+    WITH idx AS (
+        SELECT doc_id, text,
+               unnest(range(0, CAST((strlen(text) - 32) // 16 AS BIGINT) + 1, 4))
+               AS i
+        FROM documents WHERE strlen(text) >= 32)
+    SELECT doc_id AS media_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           md5(substr(text, CAST(i * 16 + 1 AS INT), 32)) AS frame_md5
+    FROM idx
+    """,
+    tags=("K5", "J6"),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample every media payload (video/audio K5 path). Because
+    the stub 'codec' is deterministic byte windowing over ASCII payloads,
+    the whole mapInPandas fanout is exactly reproducible in SQL
+    (substr windows + md5) — an oracle-backed Python fanout UDF. Scale:
+    no shuffle at all; each task fans its own Arrow batches out and the
+    wide payload column never returns to the JVM."""
+    return sample_frames(media_table(spark, sf_dir))

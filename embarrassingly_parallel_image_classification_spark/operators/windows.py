@@ -295,3 +295,43 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 6).alias("last_value"),
         )
     )
+
+
+@register(
+    "q_window_firstlast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           FIRST_VALUE(l_partkey) OVER w AS first_pk,
+           LAST_VALUE(l_partkey) OVER w AS last_pk,
+           COALESCE(NTH_VALUE(l_partkey, 2) OVER w, -1) AS second_pk
+    FROM lineitem
+    WINDOW w AS (
+        PARTITION BY l_orderkey
+        ORDER BY l_linenumber, l_partkey, l_suppkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("E3",),
+)
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over the FULL partition
+    frame (default frames differ per engine and per function — pinning
+    ROWS UNBOUNDED..UNBOUNDED on all three is the only portable
+    reading). Ordering adds l_partkey+l_suppkey tiebreaks because the
+    fixture has duplicate (l_orderkey, l_linenumber) pairs; nth_value's
+    NULL on 1-row groups is coalesced to -1 to keep the column BIGINT
+    on both engines (a NULL would float64-ify the pandas compare).
+    Scale: one shuffle on l_orderkey, single window pass."""
+    li = t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.first("l_partkey").over(w).alias("first_pk"),
+        F.last("l_partkey").over(w).alias("last_pk"),
+        F.coalesce(F.nth_value("l_partkey", 2).over(w), F.lit(-1)).alias("second_pk"),
+    )
