@@ -47,8 +47,13 @@ HEADLINE = [
     "q_stream_tumbling",
     "q_tpch_q1",
     "q_tpch_q5",
+    "q_tpch_q9",
+    "q_tpch_q21",
     "q_scale_bloom_prune",
     "q_sessionize",
+    "q_graph_pagerank",
+    "q_embed_centroids",
+    "q_multimodal_frames",
 ]
 
 

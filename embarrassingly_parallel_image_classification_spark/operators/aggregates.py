@@ -378,3 +378,42 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return wide.unpivot("o_orderstatus", ["urgent", "low"], "priority", "n")
+
+
+@register(
+    "q_profile_table",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           CAST(MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS min_price_c,
+           CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS max_price_c,
+           MIN(CAST(o_orderdate AS DATE)) AS min_date,
+           MAX(CAST(o_orderdate AS DATE)) AS max_date
+    FROM orders
+    """,
+    tags=("D4", "D2"),
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile: row count, per-column cardinalities,
+    exact min/max ranges — the schema-inspection primitive every
+    ingestion pipeline runs first. Three COUNT DISTINCTs in ONE
+    aggregate exercise Spark's Expand-based multi-distinct rewrite
+    (each distinct column gets its own grouping stream, single scan).
+    Scale: distinct-heavy profiling over 100 TB would swap exact
+    distincts for D5's approx_count_distinct — same query shape."""
+    o = t(spark, sf_dir, "orders")
+    price_c = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.min(price_c).alias("min_price_c"),
+        F.max(price_c).alias("max_price_c"),
+        F.min(F.col("o_orderdate").cast("date")).alias("min_date"),
+        F.max(F.col("o_orderdate").cast("date")).alias("max_date"),
+    )

@@ -101,7 +101,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     init = _SCALE // n_nodes
     base = (_DAMP_DEN - _DAMP_NUM) * init // _DAMP_DEN
     ranks = nodes.select("node", F.lit(init).cast("bigint").alias("r"))
-    for _ in range(_ITERS):
+    for it in range(_ITERS):
         contrib = (
             edges.join(F.broadcast(ranks), F.col("node") == F.col("src"))
             .join(F.broadcast(outdeg), "src")
@@ -117,14 +117,68 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" DIV {_DAMP_DEN}"
             ).alias("r"),
         )
-        # Truncate lineage each iteration: without this the final plan
-        # is 10 stacked join+agg trees and Catalyst re-optimization
-        # dominates wall time (9.4s → ~1s at sf0.01). At cluster scale
-        # this would be checkpoint()/write-to-parquet; locally the
-        # executor-local variant is equivalent and deterministic.
-        ranks = ranks.localCheckpoint(eager=True)
+        # Truncate lineage every other iteration: unchecked, the final
+        # plan is 10 stacked join+agg trees and Catalyst re-optimization
+        # dominates wall time; checkpointing every step instead pays one
+        # serial Spark job per iteration (~0.3 s of fixed scheduling).
+        # Every-2 balances plan depth against job count. At cluster
+        # scale this is checkpoint()/write-to-parquet; the executor-
+        # local variant is equivalent and deterministic.
+        if it % 2 == 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         "node",
         F.col("r").alias("rank_fp"),
         (F.col("r") / F.lit(float(_SCALE))).alias("rank"),
+    )
+
+
+@register(
+    "q_recursive_bfs",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    reach(node, hops) AS (
+        SELECT CAST(0 AS INT) AS node, 0 AS hops
+        UNION ALL
+        SELECT e.dst AS node, r.hops + 1 AS hops
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.hops < 3
+    )
+    SELECT node, MIN(hops) AS hops FROM reach GROUP BY node
+    """,
+    tags=("iterative", "E"),
+)
+def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-hop BFS from nation 0 over the trade graph via a
+    RECURSIVE CTE (Spark 4 supports WITH RECURSIVE — the declarative
+    dual of q_graph_pagerank's driver-side loop; the engine, not the
+    caller, owns the iteration). The bounded-depth UNION ALL expansion
+    plus an outer MIN collapses paths to first-reach distance; all
+    integer, so exact everywhere. Scale note: UNION-ALL recursion
+    re-enumerates paths (breadth explosion on dense graphs) — bound the
+    depth and aggregate outside, or use the q_graph_pagerank loop shape
+    with a frontier-minus-visited anti-join for unbounded traversals."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(node, hops) AS (
+            SELECT CAST(0 AS INT) AS node, 0 AS hops
+            UNION ALL
+            SELECT e.dst AS node, r.hops + 1 AS hops
+            FROM reach r JOIN {edges} e ON e.src = r.node
+            WHERE r.hops < 3
+        )
+        SELECT node, MIN(hops) AS hops FROM reach GROUP BY node
+        """,
+        edges=edges,
     )

@@ -160,3 +160,31 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sampleBy("l_returnflag", fractions=frac, seed=42).select(
         "l_orderkey", "l_linenumber", "l_returnflag"
     )
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE md5(text) < CASE lang WHEN 'en' THEN '80'
+                                WHEN 'fr' THEN '40'
+                                ELSE '1a' END
+    """,
+    tags=("B6",),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum keep-rates via
+    per-row hash thresholds (~50 % en, ~25 % fr, ~10 % rest) — the
+    reference's class-balanced training-set draw [PK] with q_sample_hash's
+    engine-independent reproducibility. Unlike sampleBy (seeded RNG,
+    engine-specific — kept as rows-only q_sample), the same rows
+    survive on any engine and any cluster size, and the operator stays
+    a shuffle-free per-row filter."""
+    d = t(spark, sf_dir, "documents")
+    thr = (
+        F.when(F.col("lang") == "en", "80")
+        .when(F.col("lang") == "fr", "40")
+        .otherwise("1a")
+    )
+    return d.filter(F.md5(F.col("text").cast("binary")) < thr).select("doc_id", "lang")

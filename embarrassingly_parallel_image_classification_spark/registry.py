@@ -153,7 +153,11 @@ _DRIVER_PRIORITY = (
     "q_knn_exact",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
-    "q_dedup_embedding",
+    # (q_dedup_embedding — the demoted all-pairs verifier — yields its
+    # slot to q_graph_pagerank: the LSH primary right below carries the
+    # K2-embedding row, and the iterative-graph family has no other
+    # representative in the window.)
+    "q_graph_pagerank",
     "q_dedup_embedding_lsh",
     "q_dedup_clusters",
     "q_text_wordcount",
