@@ -417,3 +417,37 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("o_orderdate").cast("date")).alias("min_date"),
         F.max(F.col("o_orderdate").cast("date")).alias("max_date"),
     )
+
+
+@register(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS min_c,
+           CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS max_c
+    FROM orders GROUP BY bin
+    """,
+    tags=("D1",),
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram (bin = ⌊price/25k⌋) with exact
+    per-bin cent ranges — the distribution-sketch primitive behind
+    every profiling UI. Bin edges are exact-representable doubles, so
+    edge rows bin identically on both engines. One two-phase agg."""
+    o = t(spark, sf_dir, "orders")
+    price_c = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return (
+        o.select(
+            F.floor(F.col("o_totalprice") / 25000).cast("bigint").alias("bin"),
+            price_c.alias("pc"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("pc").alias("min_c"),
+            F.max("pc").alias("max_c"),
+        )
+    )

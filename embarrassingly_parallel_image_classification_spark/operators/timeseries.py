@@ -73,3 +73,99 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().alias("is_gap"),
         )
     )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup'
+                   THEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) END)
+                   AS t_signup,
+               MIN(CASE WHEN event_type = 'click'
+                   THEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) END)
+                   AS t_click,
+               MIN(CASE WHEN event_type = 'purchase'
+                   THEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) END)
+                   AS t_purchase
+        FROM events GROUP BY user_id)
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup_then_click,
+           CAST(SUM(CASE WHEN t_click > t_signup AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM per_user
+    """,
+    tags=("composite", "D3", "E2"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → first click → first purchase:
+    conditional MIN timestamps per user, then strict-order comparisons
+    (NULL semantics make 'never did X' drop out of the > tests on both
+    engines identically). Two aggregations, one shuffle on user_id —
+    the funnel never materializes per-event state. Timestamps compared
+    at second granularity as BIGINT (ns-parquet / µs-Spark safe)."""
+    ev = t(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, sec)).alias(f"t_{kind}")
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup"), first_ts("click"), first_ts("purchase")
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0)).alias("n_signup"),
+        F.sum(F.when(F.col("t_click") > F.col("t_signup"), 1).otherwise(0)).alias(
+            "n_signup_then_click"
+        ),
+        F.sum(
+            F.when(
+                (F.col("t_click") > F.col("t_signup"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events),
+    fc AS (SELECT user_id, MIN(d) AS cohort_d FROM ud GROUP BY user_id)
+    SELECT fc.cohort_d,
+           CAST(datediff('day', fc.cohort_d, ud.d) AS BIGINT) AS day_offset,
+           COUNT(*) AS n_active
+    FROM ud JOIN fc ON ud.user_id = fc.user_id
+    GROUP BY fc.cohort_d, day_offset
+    """,
+    tags=("composite", "D1", "C1"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-active day,
+    activity counted per (cohort, days-since-cohort). Offsets are
+    day-integers (datediff), not week truncations — engine week-start
+    conventions never enter. Scale: the distinct (user, day) set is the
+    only fact-sized shuffle; the first-seen join is user-keyed."""
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    fc = ud.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        ud.join(fc, "user_id")
+        .select(
+            "cohort_d",
+            F.datediff(F.col("d"), F.col("cohort_d")).cast("bigint").alias("day_offset"),
+        )
+        .groupBy("cohort_d", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+    )

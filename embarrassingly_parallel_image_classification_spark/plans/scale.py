@@ -204,3 +204,49 @@ def q_scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_lines"), F.round(F.sum("l_extendedprice"), 4).alias("total_price")
     )
+
+
+def _spread_sql(x: str) -> str:
+    """8-bit → even-bit-positions spread (Morton half), as portable SQL
+    integer ops (same text runs on Spark SQL and DuckDB)."""
+    s = x
+    s = f"(({s} | ({s} << 4)) & 3855)"   # 0x0F0F
+    s = f"(({s} | ({s} << 2)) & 13107)"  # 0x3333
+    s = f"(({s} | ({s} << 1)) & 21845)"  # 0x5555
+    return s
+
+
+_ZKEY_SQL = (
+    f"({_spread_sql('(user_id % 256)')}"
+    f" | ({_spread_sql('(CAST(FLOOR(ABS(value)) AS BIGINT) % 256)')} << 1))"
+)
+
+
+@register(
+    "q_scale_zorder",
+    oracle=f"""
+    SELECT event_id,
+           CAST({_ZKEY_SQL} AS BIGINT) AS zkey
+    FROM events
+    ORDER BY zkey, event_id
+    LIMIT 100
+    """,
+    tags=("S", "H11", "F1"),
+)
+def q_scale_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave the low 8 bits of
+    user_id and a value bucket via magic-number bit spreads — the
+    multi-dimensional data-layout technique behind Delta/Iceberg
+    OPTIMIZE ZORDER. Sorting 100 TB by zkey before writing makes
+    parquet min/max stats selective on BOTH dimensions at once, so
+    either-column predicates skip files (a single-column sort only
+    prunes its own column). Pure integer bit ops — the SAME SQL text
+    is the Spark expression and the DuckDB oracle. Here the key is
+    computed, sorted and truncated; the full pipeline would
+    `.repartitionByRange(zkey).sortWithinPartitions(zkey).write`."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", F.expr(_ZKEY_SQL).cast("bigint").alias("zkey"))
+        .orderBy("zkey", "event_id")
+        .limit(100)
+    )
