@@ -271,3 +271,42 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id").isNotNull() & F.col("last_click_sec").isNotNull())
         .select("event_id", "user_id", "last_click_sec")
     )
+
+
+@register(
+    "q_fuzzy_join",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM names a JOIN names b
+      ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    tags=("C", "H12", "K"),
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) self-join — the entity-resolution
+    primitive: candidate pairs come from an EQUI-join on a blocking key
+    (the product-name noun), and the expensive levenshtein runs on
+    candidates only. Same block→verify architecture as the LSH dedup
+    paths: never all-pairs. Matching runs on the DISTINCT name domain
+    (64 values), not the 2k-row table — dedupe before matching, then
+    propagate, the standard ER pipeline shape. All-integer distance, so
+    exact across engines."""
+    names = t(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(
+            b,
+            (
+                F.split_part(F.col("name_a"), F.lit(" "), F.lit(2))
+                == F.split_part(F.col("name_b"), F.lit(" "), F.lit(2))
+            )
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .filter(F.col("dist") <= 2)
+    )

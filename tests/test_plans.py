@@ -179,3 +179,40 @@ def test_tpch_q11_scalar_subquery_is_broadcast(spark):
     CartesianProduct would shuffle the grouped side pointlessly)."""
     plan = plan_of(spark, "q_tpch_q11")
     assert "CartesianProduct" not in plan
+
+
+# Queries where an unkeyed join is the DELIBERATE algorithm (cross/theta
+# shapes or 1-row scalar broadcasts), not a degraded equi-join.
+_CARTESIAN_OK = {
+    "q_join_cross",          # C7: guarded cross join demo
+    "q_join_range",          # C8: theta/range join (BNLJ by design)
+    "q_join_asof",           # C9 oracle-shape uses a range pairing
+    "q_knn_exact",           # broadcast crossJoin vs tiny query side
+    "q_knn_exact_pandas",    # same query-side broadcast
+    "q_dedup_embedding",     # demoted all-pairs verifier (docstring'd)
+    "q_dedup_ngram_jaccard", # exact-Jaccard verifier (docstring'd)
+    "q_tpch_q11",            # 1-row global-total scalar into HAVING
+    "q_tpch_q22",            # 1-row positive-balance scalar threshold
+    "q_scale_bloom_prune",   # 1-row Bloom-aggregate scalar
+    "q_timeseries_gapfill",  # spine × types build is a deliberate cross
+    "q_dedup_embedding_lsh", # hyperplane table broadcast-crossJoined to
+                             # every vector (constant-size right side);
+                             # the candidate join is hash on (band, sig)
+    "q_knn_ivf",             # query-set × centroid table (k×nprobe rows)
+                             # cross for cell selection; corpus join is
+                             # hash on cell
+    "q_knn_lsh",             # MLlib approxSimilarityJoin internals
+}
+
+
+def test_no_accidental_cartesian_anywhere(spark):
+    """Global plan lint: an unlisted CartesianProduct or
+    BroadcastNestedLoopJoin means some equi-join silently lost its key
+    (the classic way a query regresses to O(n·m) at scale). Every
+    allowlisted query documents WHY its unkeyed join is the algorithm."""
+    for name, fn in registry.queries().items():
+        if name in _CARTESIAN_OK or name.startswith("q_stream"):
+            continue
+        plan = explain_str(fn(spark, SF_T2))
+        assert "CartesianProduct" not in plan, f"{name} has a CartesianProduct"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a BNLJ"
