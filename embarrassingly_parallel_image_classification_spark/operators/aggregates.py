@@ -451,3 +451,43 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pc").alias("max_c"),
         )
     )
+
+
+@register(
+    "q_observe_metrics",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS sum_price_c
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY l_linestatus
+    """,
+    tags=("D1", "A5"),
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API: df.observe() attaches named aggregate
+    metrics (row count, sum) that are collected DURING execution of the
+    main query — the zero-extra-pass audit counters a production
+    pipeline emits (rows read, bytes billed) without a second scan.
+    The observed metrics ride the same physical plan; the query output
+    is unchanged and oracle-checked, and tests assert the observation
+    values equal an independent aggregation."""
+    from pyspark.sql import Observation
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 25)
+    obs = Observation("audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias(
+            "cents_seen"
+        ),
+    )
+    return observed.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias(
+            "sum_price_c"
+        ),
+    )

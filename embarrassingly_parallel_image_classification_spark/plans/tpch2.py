@@ -750,3 +750,32 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(_cents("c_acctbal")) / F.lit(100.0)).alias("totacctbal"),
         )
     )
+
+
+# One SQL text, two engines: registered as BOTH the Spark query (run
+# via spark.sql over temp views) and the DuckDB oracle, byte for byte.
+_PORTABLE_SQL = """
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_lines,
+           COUNT(DISTINCT o.o_custkey) AS n_customers,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS gross_c,
+           MIN(CAST(o.o_orderdate AS DATE)) AS first_order,
+           MAX(CAST(o.o_orderdate AS DATE)) AS last_order
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus <> 'P'
+    GROUP BY l.l_returnflag
+"""
+
+
+@register("q_sql_portable", oracle=_PORTABLE_SQL, tags=("composite", "A5"))
+def q_sql_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end parity proof: the ORACLE STRING ITSELF is executed
+    by spark.sql() over temp views of the fixture tables — zero
+    translation, the dialect-portable ANSI subset (exact integer money,
+    explicit CASTs, no engine-specific functions) this whole oracle
+    harness is built on. Any query written in that subset runs on
+    either engine unchanged."""
+    for name in ("orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_PORTABLE_SQL)

@@ -104,3 +104,29 @@ def test_registry_driver_window_ordering():
         "q_stream_stream_join", "q_tpch_q1", "q_scale_bloom_prune",
     }
     assert must_be_inside <= set(window), must_be_inside - set(window)
+
+
+def test_observation_metrics_match_independent_agg(spark):
+    """q_observe_metrics' observed counters (collected during the main
+    query's execution, no extra pass) must equal a separately-computed
+    aggregation over the same filter."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from embarrassingly_parallel_image_classification_spark.sources.tables import t
+    from tests.conftest import SF_T2
+
+    li = t(spark, SF_T2, "lineitem").filter(F.col("l_quantity") >= 25)
+    obs = Observation("audit_test")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(cents).alias("cents_seen"),
+    )
+    observed.groupBy("l_linestatus").count().collect()  # trigger execution
+    expected = li.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("c")
+    ).collect()[0]
+    assert obs.get["rows_seen"] == expected["n"]
+    assert obs.get["cents_seen"] == expected["c"]
