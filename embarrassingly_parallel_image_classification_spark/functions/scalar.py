@@ -428,3 +428,29 @@ def q_fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.forall(emb, lambda x: F.abs(x) < 10).alias("all_small"),
         F.round(F.element_at(F.filter(emb, lambda x: x > 0), 1), 6).alias("first_pos"),
     )
+
+
+@register(
+    "q_fn_binary",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(substr(text, 1, 24))) AS b64,
+           hex(encode(substr(text, 1, 8))) AS hx,
+           sha256(text) AS sha
+    FROM documents WHERE doc_id < 100
+    """,
+    tags=("H9", "H1"),
+)
+def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encode/digest surface: base64, hex and SHA-256 over utf8
+    payload prefixes — content-addressing and wire-format primitives
+    (both engines emit RFC-4648 base64 with padding and uppercase hex,
+    verified). Pure per-row JVM expressions, no shuffle."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    as_bin = lambda c: c.cast("binary")  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.base64(as_bin(F.substring("text", 1, 24))).alias("b64"),
+        F.hex(as_bin(F.substring("text", 1, 8))).alias("hx"),
+        F.sha2(as_bin(F.col("text")), 256).alias("sha"),
+    )

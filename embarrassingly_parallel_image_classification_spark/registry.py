@@ -215,6 +215,7 @@ _QUERY_MODULES = (
         "plans.tpch",
         "plans.tpch2",
         "plans.scale",
+        "plans.pipeline",
 )
 # NOTE: module-load errors propagate — a missing/broken module must fail
 # loudly, never silently shrink the registry (a swallowed import error
