@@ -95,3 +95,101 @@ def q_scan_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").alias("sum_value"),
         F.round(F.avg("value"), 6).alias("avg_value"),
     )
+
+
+def _make_stream_datasource():
+    """Streaming flavor of the synthetic source (lazy-built, same rule
+    as _make_datasource): a DataSourceStreamReader whose offsets are
+    plain row counts. latestOffset() advances a fixed chunk per
+    microbatch; with trigger(availableNow) the engine drains to the
+    cap and stops — a finite, deterministic stream."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _Range(InputPartition):
+        def __init__(self, lo, hi):
+            self.lo, self.hi = lo, hi
+
+    class SyntheticStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.total = int(options.get("n", "5000"))
+            self.parts = int(options.get("parts", "4"))
+
+        def initialOffset(self):
+            return {"offset": 0}
+
+        def latestOffset(self):
+            # availableNow snapshots this ONCE and drains to it, so it
+            # must report everything available — not a rate-limited
+            # increment (that pattern is for continuous triggers).
+            return {"offset": self.total}
+
+        def partitions(self, start, end):
+            lo, hi = start["offset"], end["offset"]
+            n = hi - lo
+            return [
+                _Range(lo + i * n // self.parts, lo + (i + 1) * n // self.parts)
+                for i in range(self.parts)
+            ]
+
+        def read(self, partition):
+            for rid in range(partition.lo, partition.hi):
+                yield (rid, rid % 10, float((rid * KNUTH) % MOD))
+
+        def commit(self, end):
+            pass
+
+    class SyntheticStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "epic_synthetic_stream"
+
+        def schema(self):
+            return "id bigint, bucket int, value double"
+
+        def streamReader(self, schema):
+            return SyntheticStreamReader(self.options)
+
+    return SyntheticStreamSource
+
+
+@register(
+    "q_stream_custom_source",
+    oracle=f"""
+    SELECT CAST(id % 10 AS INT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM((id * {KNUTH}) % {MOD}) AS DOUBLE) AS sum_value
+    FROM range(5000) t(id)
+    GROUP BY 1
+    """,
+    tags=("A10", "A8", "I8"),
+)
+def q_stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource STREAMING reader end-to-end: offset
+    tracking (row-count offsets), per-microbatch partition planning
+    (4 executor-parallel ranges per batch), availableNow drain,
+    complete-mode aggregate into a memory sink. The
+    stream's final answer equals the batch regeneration from DuckDB
+    range() — a fully oracle-checked custom streaming connector.
+    latestOffset reports ALL available rows (availableNow snapshots it
+    once); a rate-limited per-batch advance is the continuous-trigger
+    pattern, not this one.
+    With the batch reader above, the connector surface is covered in
+    both execution modes."""
+    from ..streaming.core import run_to_memory
+
+    spark.dataSource.register(_make_stream_datasource())
+    stream = (
+        spark.readStream.format("epic_synthetic_stream")
+        .option("n", "5000")
+        .option("parts", "4")
+        .load()
+    )
+    agg = stream.groupBy((F.col("id") % 10).cast("int").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sum_value"),
+    )
+    return run_to_memory(agg, "complete")
