@@ -491,3 +491,83 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price_c"
         ),
     )
+
+
+_CMS_SEEDS, _CMS_WIDTH = 4, 512
+_CMS_PROBES = ("join", "filter", "merge", "window", "zzz_absent")
+
+
+def _cms_oracle() -> str:
+    """Count-min oracle: the same md5-derived hash family, as SQL."""
+
+    def bucket(seed: int, w: str) -> str:
+        return (
+            f"CAST('0x' || substr(md5('{seed}' || {w}), 1, 8) AS BIGINT) % {_CMS_WIDTH}"
+        )
+
+    b_rows = "\n      UNION ALL ".join(
+        f"SELECT {s} AS seed, {bucket(s, 'w')} AS bucket FROM toks"
+        for s in range(_CMS_SEEDS)
+    )
+    pb_rows = "\n      UNION ALL ".join(
+        f"SELECT w, {s} AS seed, {bucket(s, 'w')} AS bucket FROM probes"
+        for s in range(_CMS_SEEDS)
+    )
+    vals = ", ".join(f"('{p}')" for p in _CMS_PROBES)
+    return f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    b AS ({b_rows}),
+    sk AS (SELECT seed, bucket, COUNT(*) AS c FROM b GROUP BY seed, bucket),
+    probes(w) AS (VALUES {vals}),
+    pb AS ({pb_rows}),
+    est AS (
+        SELECT pb.w, MIN(COALESCE(sk.c, 0)) AS cms_est
+        FROM pb LEFT JOIN sk ON sk.seed = pb.seed AND sk.bucket = pb.bucket
+        GROUP BY pb.w),
+    tr AS (SELECT w, COUNT(*) AS true_n FROM toks GROUP BY w)
+    SELECT est.w AS word,
+           CAST(COALESCE(tr.true_n, 0) AS BIGINT) AS true_n,
+           CAST(est.cms_est AS BIGINT) AS cms_est
+    FROM est LEFT JOIN tr ON tr.w = est.w
+    """
+
+
+@register("q_agg_countmin", oracle=_cms_oracle(), tags=("D5", "S"))
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch, relationally: 4 md5-derived hash rows × 512
+    buckets built in ONE map-side pass (stack(), no fanout join), point
+    queries answered by MIN over each probe's 4 counters. The
+    fixed-size counter table is the 100-TB heavy-hitter primitive when
+    exact per-token counts don't fit; CMS never undercounts, and the
+    output exposes (true_n, cms_est) side by side so the overestimate
+    property is visible (probe 'zzz_absent': true 0, est = collision
+    mass). Hash family is portable (md5-hex→int), so unlike the HLL
+    sketch this approximate structure is EXACTLY oracle-checkable."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+
+    def bucket(seed: int, col):
+        h = F.conv(F.substring(F.md5(F.concat(F.lit(str(seed)), col)), 1, 8), 16, 10)
+        return (h.cast("bigint") % _CMS_WIDTH).alias(f"b{seed}")
+
+    stack_args = ", ".join(f"{s}, b{s}" for s in range(_CMS_SEEDS))
+    b = toks.select(*[bucket(s, F.col("w")) for s in range(_CMS_SEEDS)]).selectExpr(
+        f"stack({_CMS_SEEDS}, {stack_args}) AS (seed, bucket)"
+    )
+    sk = b.groupBy("seed", "bucket").agg(F.count("*").alias("c"))
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "w string")
+    pb = probes.select(
+        "w", *[bucket(s, F.col("w")) for s in range(_CMS_SEEDS)]
+    ).selectExpr("w", f"stack({_CMS_SEEDS}, {stack_args}) AS (seed, bucket)")
+    est = (
+        pb.join(sk, ["seed", "bucket"], "left")
+        .select("w", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .groupBy("w")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    tr = toks.groupBy("w").agg(F.count("*").alias("true_n"))
+    return est.join(tr, "w", "left").select(
+        F.col("w").alias("word"),
+        F.coalesce(F.col("true_n"), F.lit(0)).cast("bigint").alias("true_n"),
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+    )
