@@ -169,3 +169,81 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_d", "day_offset")
         .agg(F.count("*").alias("n_active"))
     )
+
+
+@register(
+    "q_scd2_lookup",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, d, value AS day_value
+        FROM (
+            SELECT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+                       ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rn
+            FROM events)
+        WHERE rn = 1),
+    dim AS (
+        SELECT user_id, day_value,
+               d AS valid_from,
+               COALESCE(LEAD(d) OVER (PARTITION BY user_id ORDER BY d),
+                        DATE '2100-01-01') AS valid_to
+        FROM daily),
+    fact AS (
+        SELECT event_id, user_id, CAST(date_trunc('day', ts) AS DATE) AS fd
+        FROM events WHERE event_type = 'purchase')
+    SELECT f.event_id, f.fd AS asof_day,
+           ROUND(dim.day_value, 6) AS asof_value
+    FROM fact f
+    JOIN dim ON dim.user_id = f.user_id
+            AND f.fd >= dim.valid_from AND f.fd < dim.valid_to
+    """,
+    tags=("composite", "C8", "E2"),
+)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 effective-dated dimension lookup — the warehouse pattern
+    the as-of join doesn't cover: (1) collapse a change log to daily
+    snapshots (latest event per user-day, the q_upsert_latest idiom),
+    (2) derive validity intervals [valid_from, valid_to) with LEAD —
+    each row's window closes when the next opens, (3) point-in-time
+    join facts by user + day-in-interval. Scale: the join is EQUI on
+    user_id with the interval test as a residual — a hash join, never
+    a range BNLJ; intervals per user are non-overlapping by
+    construction so each fact matches exactly one dim row."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    w_day = Window.partitionBy("user_id", "d").orderBy(
+        F.date_trunc("second", F.col("ts")).desc(), F.col("event_id").desc()
+    )
+    daily = (
+        ev.select("user_id", day.alias("d"), "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "d", F.col("value").alias("day_value"))
+    )
+    w_user = Window.partitionBy("user_id").orderBy("d")
+    dim = daily.select(
+        "user_id",
+        "day_value",
+        F.col("d").alias("valid_from"),
+        F.coalesce(
+            F.lead("d").over(w_user), F.lit("2100-01-01").cast("date")
+        ).alias("valid_to"),
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("f_user"), day.alias("fd")
+    )
+    return fact.join(
+        dim,
+        (F.col("user_id") == F.col("f_user"))
+        & (F.col("fd") >= F.col("valid_from"))
+        & (F.col("fd") < F.col("valid_to")),
+    ).select(
+        "event_id",
+        F.col("fd").alias("asof_day"),
+        F.round("day_value", 6).alias("asof_value"),
+    )
