@@ -454,3 +454,49 @@ def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(as_bin(F.substring("text", 1, 8))).alias("hx"),
         F.sha2(as_bin(F.col("text")), 256).alias("sha"),
     )
+
+
+@register(
+    "q_variant_extract",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS priority,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           CAST(o_orderdate AS DATE) AS d
+    FROM orders
+    """,
+    tags=("H8", "A4"),
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT round-trip: build a nested JSON document per
+    order (to_json over nested structs), parse_json it into an open
+    VARIANT column, then pull typed leaves back out with
+    try_variant_get path expressions — the schema-on-read flow for
+    semi-structured ingest where the document shape isn't known at
+    write time (vs q_json_extract's fixed from_json schema). The
+    oracle is the round-trip identity: extraction must return the
+    source columns bit-for-bit (money as integer cents, date via
+    ISO string)."""
+    orders = t(spark, sf_dir, "orders")
+    doc = orders.select(
+        "o_orderkey",
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderpriority").alias("priority"),
+                    F.struct(
+                        F.round(F.col("o_totalprice") * 100, 0)
+                        .cast("bigint")
+                        .alias("cents"),
+                        F.col("o_orderdate").cast("date").cast("string").alias("d"),
+                    ).alias("meta"),
+                )
+            )
+        ).alias("v"),
+    )
+    return doc.select(
+        "o_orderkey",
+        F.try_variant_get("v", "$.priority", "string").alias("priority"),
+        F.try_variant_get("v", "$.meta.cents", "bigint").alias("cents"),
+        F.try_variant_get("v", "$.meta.d", "date").alias("d"),
+    )

@@ -55,6 +55,44 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("G2",),
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection (INTERSECT ALL): per nation the result keeps
+    min(#customers, #suppliers) rows — multiplicity-aware matching, the
+    capacity-pairing semantics DISTINCT intersect destroys. Compiles to
+    one shuffle per side + a multiplicity-tracking hash agg, not a
+    distinct-then-semi-join."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@register(
+    "q_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("G3",),
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (EXCEPT ALL): per nation, max(0, #customers −
+    #suppliers) rows survive — the 'unmatched demand' multiset a
+    DISTINCT except collapses to 0/1."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+@register(
     "q_except",
     oracle="""
     SELECT c_custkey AS custkey FROM customer

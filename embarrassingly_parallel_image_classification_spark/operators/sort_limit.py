@@ -117,3 +117,39 @@ def q_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("event_type"))
         .limit(3)
     )
+
+
+@register(
+    "q_lateral_topn",
+    oracle="""
+    SELECT n.n_name, c2.c_custkey, c2.acctbal_cents
+    FROM nation n, LATERAL (
+        SELECT c_custkey,
+               CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents
+        FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2) c2
+    """,
+    tags=("F3", "C8"),
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via a correlated LATERAL subquery
+    (DataFrame.lateralJoin, Spark 4) — the SQL-native alternative to
+    the window+filter idiom of q_topk_per_group: for each nation, its
+    two richest customers. Catalyst decorrelates the LIMITed subquery
+    into a ranked join (DomainJoin → window), so the plan is still one
+    shuffle — no per-outer-row re-execution. Money compared in integer
+    cents for cross-engine exactness."""
+    nat = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    sub = (
+        cust.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(2)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("acctbal_cents"),
+        )
+    )
+    return nat.lateralJoin(sub).select("n_name", "c_custkey", "acctbal_cents")

@@ -247,3 +247,75 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fd").alias("asof_day"),
         F.round("day_value", 6).alias("asof_value"),
     )
+
+
+@register(
+    "q_timeseries_ffill",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    spine AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(epoch(s.h) AS BIGINT) AS hour_sec,
+           t.event_type,
+           c.cents IS NULL AS is_gap,
+           LAST_VALUE(c.cents IGNORE NULLS) OVER (
+               PARTITION BY t.event_type ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN hourly c ON c.h = s.h AND c.event_type = t.event_type
+    """,
+    tags=("composite", "E2", "E3", "H3"),
+)
+def q_timeseries_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward): hourly per-type
+    value totals on the dense spine, where gap hours inherit the most
+    recent observed hour's total — F.last(ignorenulls=True) over a
+    running ROWS frame, the LOCF resample every feature/monitoring
+    pipeline needs. Leading hours before a type's first observation
+    stay NULL on both engines. Totals are integer cents so the carry
+    is bit-exact; one window pass per type after a single (hour, type)
+    shuffle."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("spine_h")
+    )
+    types = ev.select(F.col("event_type").alias("spine_type")).distinct()
+    hourly = ev.groupBy(hour.alias("cnt_h"), F.col("event_type").alias("cnt_type")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents")
+    )
+    w = (
+        Window.partitionBy("spine_type")
+        .orderBy("spine_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(
+            hourly,
+            (F.col("cnt_h") == F.col("spine_h"))
+            & (F.col("cnt_type") == F.col("spine_type")),
+            "left",
+        )
+        .select(
+            F.unix_timestamp("spine_h").alias("hour_sec"),
+            F.col("spine_type").alias("event_type"),
+            F.col("cents").isNull().alias("is_gap"),
+            F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
+        )
+    )

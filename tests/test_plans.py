@@ -195,6 +195,7 @@ _CARTESIAN_OK = {
     "q_tpch_q22",            # 1-row positive-balance scalar threshold
     "q_scale_bloom_prune",   # 1-row Bloom-aggregate scalar
     "q_timeseries_gapfill",  # spine × types build is a deliberate cross
+    "q_timeseries_ffill",    # same spine × types dense-grid build
     "q_dedup_embedding_lsh", # hyperplane table broadcast-crossJoined to
                              # every vector (constant-size right side);
                              # the candidate join is hash on (band, sig)
