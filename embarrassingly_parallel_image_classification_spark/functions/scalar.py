@@ -500,3 +500,32 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get("v", "$.meta.cents", "bigint").alias("cents"),
         F.try_variant_get("v", "$.meta.d", "date").alias("d"),
     )
+
+
+@register(
+    "q_fn_try_safe",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(CAST(o_orderkey % 10 AS BIGINT), 0) AS safe_div,
+           TRY_CAST(o_orderstatus AS BIGINT) AS bad_cast,
+           TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS prio_num
+    FROM orders
+    """,
+    tags=("H4", "H10"),
+)
+def q_fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression kit (ANSI mode without the blast radius):
+    try_divide turns ÷0 into NULL instead of failing the 1000-executor
+    job at hour three, try_cast turns malformed strings into NULL
+    instead of throwing — row-level fault tolerance as plain Catalyst
+    expressions. Oracle maps try_divide to x / NULLIF(y, 0) and
+    try_cast to DuckDB TRY_CAST."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide("o_totalprice", (F.col("o_orderkey") % 10).cast("bigint")).alias(
+            "safe_div"
+        ),
+        F.expr("TRY_CAST(o_orderstatus AS BIGINT)").alias("bad_cast"),
+        F.expr("TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT)").alias("prio_num"),
+    )

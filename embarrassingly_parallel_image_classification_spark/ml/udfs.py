@@ -151,3 +151,45 @@ def q_udf_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = F.udf(lambda seg, name: f"{seg.upper()}:{len(name)}", "string")
     c = t(spark, sf_dir, "customer")
     return c.select("c_custkey", tag("c_mktsegment", "c_name").alias("tag"))
+
+
+@register(
+    "q_udf_map_arrow",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           STRLEN(text) AS n_bytes,
+           CAST(LENGTH(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+    tags=("J6",),
+)
+def q_udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow whole-partition transform: the zero-copy sibling of
+    mapInPandas — batches arrive as pyarrow RecordBatches and every op
+    below is a vectorized Arrow compute kernel (C++, no pandas
+    materialization, no Python loop). Token counting matches the DuckDB
+    oracle exactly because both sides run RE2 `\\w+` semantics (pyarrow
+    count_substring_regex vs duckdb regexp_extract_all). The shape to
+    reach for when a Python hot path is unavoidable but the data is
+    columnar end-to-end — at 100 TB the batch never leaves Arrow."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(pc.count_substring_regex(text, r"\w+"), pa.int64()),
+                ],
+                names=["doc_id", "n_chars", "n_bytes", "n_tokens"],
+            )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        stats, "doc_id bigint, n_chars bigint, n_bytes bigint, n_tokens bigint"
+    )
