@@ -571,3 +571,19 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("true_n"), F.lit(0)).cast("bigint").alias("true_n"),
         F.col("cms_est").cast("bigint").alias("cms_est"),
     )
+
+
+@register("q_agg_approx_percentile", oracle=None, tags=("D9", "D5", "rows-only"))
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) — the 100-TB
+    quantile: constant memory per group, mergeable partials, no global
+    sort (q_agg_percentile's exact interpolation needs one). Sketch
+    estimates are engine-specific ⇒ rows-only; the rank-error bound vs
+    the exact percentile is asserted in tests/test_approx.py."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95)), 10000
+        ).alias("approx_price_quantiles"),
+        F.count("*").alias("n"),
+    )

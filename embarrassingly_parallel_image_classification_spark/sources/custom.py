@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .tables import t
 
 # value = (id * KNUTH) % MOD — integer-valued doubles, so partial sums
 # are exact in any summation order (driver hash is exact; never expose
@@ -193,3 +194,104 @@ def q_stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").alias("sum_value"),
     )
     return run_to_memory(agg, "complete")
+
+
+def _make_writer_datasource():
+    """Custom batch SINK via the Python DataSource writer API (lazy-
+    built, same rule as _make_datasource): each executor partition
+    serializes its rows to one JSON-lines file and returns the file
+    name as its WriterCommitMessage; the driver-side commit() writes a
+    manifest listing exactly the committed files — the two-phase-commit
+    shape (task output + driver manifest) every real object-store sink
+    (Hive FileOutputCommitter, Iceberg/Delta manifests) is built on.
+    abort() leaves no manifest, so half-written task files are never
+    visible to readers."""
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+    class _Committed(WriterCommitMessage):
+        def __init__(self, filename, n):
+            self.filename = filename
+            self.n = n
+
+    class JsonlWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, rows):
+            os.makedirs(self.path, exist_ok=True)
+            name = f"part-{uuid.uuid4().hex}.jsonl"
+            n = 0
+            with open(os.path.join(self.path, name), "w") as f:
+                for row in rows:
+                    f.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _Committed(name, n)
+
+        def commit(self, messages):
+            manifest = {
+                "files": sorted(m.filename for m in messages),
+                "rows": sum(m.n for m in messages),
+            }
+            with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+                json.dump(manifest, f)
+
+        def abort(self, messages):
+            pass
+
+    class JsonlSinkDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "epic_jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return JsonlWriter(self.options)
+
+    return JsonlSinkDataSource
+
+
+@register(
+    "q_sink_custom_writer",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("A10", "A7"),
+)
+def q_sink_custom_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource batch WRITER round-trip: orders →
+    epic_jsonl_sink (per-partition task files + driver manifest
+    two-phase commit) → read back ONLY the manifest-listed files →
+    aggregate; must equal aggregating the source directly (oracle).
+    With the batch/stream readers above, the Python connector surface
+    is now covered in all three modes (batch read, stream read, batch
+    write)."""
+    import json
+    import os
+    import shutil
+
+    from .formats import scratch
+
+    spark.dataSource.register(_make_writer_datasource())
+    path = scratch("custom_jsonl", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    src.write.format("epic_jsonl_sink").option("path", path).mode("append").save()
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        files = [os.path.join(path, name) for name in json.load(f)["files"]]
+    back = spark.read.schema("o_orderkey bigint, priority string, cents bigint").json(
+        files
+    )
+    return back.groupBy("priority").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("cents")
+    )

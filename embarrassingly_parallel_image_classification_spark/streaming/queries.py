@@ -254,3 +254,68 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.groupBy("user_id").agg(
         F.max("max_value").alias("max_value"), F.max("n_events").alias("n_events")
     )
+
+
+@register(
+    "q_stream_outer_join",
+    oracle="""
+    WITH p AS (SELECT event_id AS p_id, user_id, date_trunc('second', ts) AS pts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS c_id, user_id, date_trunc('second', ts) AS cts
+               FROM events WHERE event_type = 'click'),
+         wm AS (SELECT LEAST((SELECT MAX(pts) FROM p), (SELECT MAX(cts) FROM c))
+                       - INTERVAL 10 MINUTE AS w)
+    SELECT p.p_id, c.c_id, p.user_id,
+           CAST(epoch(p.pts) AS BIGINT) AS purchase_sec
+    FROM p JOIN c ON c.user_id = p.user_id
+                 AND c.cts >= p.pts - INTERVAL 1 HOUR
+                 AND c.cts <= p.pts
+    UNION ALL
+    SELECT p.p_id, CAST(NULL AS BIGINT) AS c_id, p.user_id,
+           CAST(epoch(p.pts) AS BIGINT) AS purchase_sec
+    FROM p, wm
+    WHERE p.pts < wm.w
+      AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                      AND c.cts >= p.pts - INTERVAL 1 HOUR AND c.cts <= p.pts)
+    """,
+    tags=("I9", "I4", "C3"),
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream LEFT OUTER join — the semantics the inner join
+    can't show: a purchase with no click in its preceding hour emits a
+    null-click row, but only once the GLOBAL watermark (min across both
+    input streams, minus the 10-min delay) proves no matching click can
+    still arrive. The oracle encodes exactly that: inner pairs emit
+    unconditionally, unmatched purchases only where pts < watermark —
+    on this fixture the final-window purchase is withheld (1947 of 1948
+    unmatched emit), so the driver check pins the eviction semantics,
+    not just the join. State stays bounded: clicks older than
+    range+delay are evicted every microbatch."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.date_trunc("second", "ts").alias("pts"),
+        )
+        .withWatermark("pts", "10 minutes")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.date_trunc("second", "ts").alias("cts"),
+        )
+        .withWatermark("cts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") <= F.col("pts")),
+        "leftOuter",
+    ).select("p_id", "c_id", "user_id", F.unix_timestamp("pts").alias("purchase_sec"))
+    return run_to_memory(joined, "append")
