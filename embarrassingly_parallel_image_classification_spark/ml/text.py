@@ -272,3 +272,131 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.join(truth, "doc_id").select(
         "doc_id", F.col("p_lang").alias("pred_lang"), "lang"
     )
+
+
+_CHUNK_WIN, _CHUNK_STRIDE = 64, 48  # 16-token overlap between chunks
+
+
+@register(
+    "q_text_chunking",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens,
+               len(string_split(text, ' ')) AS n
+        FROM documents),
+    spans AS (
+        SELECT doc_id, tokens,
+               UNNEST(generate_series(0,
+                   CASE WHEN n <= {_CHUNK_WIN} THEN 0
+                        ELSE (n - {_CHUNK_WIN} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}
+                   END)) AS chunk_idx
+        FROM toks)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(tokens[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                       chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_WIN}]) AS BIGINT)
+               AS chunk_tokens,
+           md5(array_to_string(tokens[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                       chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_WIN}], ' ')) AS chunk_md5
+    FROM spans
+    """,
+    tags=("K4", "H5"),
+)
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for retrieval/embedding pipelines: overlapping
+    {win}-token windows at stride {stride} (the context-window prep
+    step every RAG/training corpus needs). Pure Catalyst — split once,
+    explode a per-doc chunk-index sequence, slice the token array per
+    chunk; no Python, no shuffle (explode is narrow), chunk content
+    pinned by md5. At 100 TB this is the map-only stage it should be."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split("text", " ").alias("tokens"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    n_last = F.when(F.col("n") <= _CHUNK_WIN, F.lit(0)).otherwise(
+        F.expr(f"(n - {_CHUNK_WIN} + {_CHUNK_STRIDE} - 1) DIV {_CHUNK_STRIDE}")
+    )
+    spans = toks.select(
+        "doc_id",
+        "tokens",
+        F.explode(F.sequence(F.lit(0), n_last)).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("tokens"), F.col("chunk_idx") * _CHUNK_STRIDE + 1, _CHUNK_WIN
+    )
+    return spans.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+q_text_chunking.__doc__ = q_text_chunking.__doc__.format(
+    win=_CHUNK_WIN, stride=_CHUNK_STRIDE
+)
+
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+@register(
+    "q_text_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS tok
+        FROM documents),
+    placed AS (
+        SELECT lang, tok,
+               CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+                    AS BIGINT) AS cum_before
+        FROM toks)
+    SELECT lang,
+           CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS bin_tokens,
+           CAST((1000 * SUM(tok)) // {_PACK_BUDGET} AS BIGINT) AS fill_permille
+    FROM placed
+    GROUP BY lang, bin
+    """,
+    tags=("K4", "E3", "composite"),
+)
+def q_text_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the batch-prep step that turns a ragged
+    corpus into fixed token-budget training sequences: docs are laid
+    end-to-end per language in deterministic doc_id order, and each
+    doc's bin is its running-offset DIV budget (greedy sequential
+    packing; docs may straddle a boundary, the standard
+    concat-then-split regime). One window pass + one groupBy, all
+    integers ⇒ exact. Partitioned by lang so the running sum
+    parallelizes per group — the per-shard pattern real pipelines use
+    (a single global pack order would serialize into one task)."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.select(
+        "lang",
+        "tok",
+        (F.sum("tok").over(w) - F.col("tok")).cast("bigint").alias("cum_before"),
+    )
+    return (
+        placed.groupBy(
+            "lang", F.expr(f"cum_before DIV {_PACK_BUDGET}").cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("bin_tokens"),
+            F.expr(f"(1000 * SUM(tok)) DIV {_PACK_BUDGET}")
+            .cast("bigint")
+            .alias("fill_permille"),
+        )
+    )

@@ -185,3 +185,60 @@ def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         edges=edges,
     )
+
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH base AS ({_EDGES_SQL}),
+    e AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+          FROM base WHERE src <> dst)
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*) FROM (SELECT u FROM e UNION SELECT v FROM e)) AS n_vertices,
+           (SELECT COUNT(*)
+            FROM e e1 JOIN e e2 ON e2.u = e1.v
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+    tags=("E", "C6"),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the undirected trade graph — the
+    clustering-coefficient / community-detection primitive. Edges are
+    canonicalized u<v so each triangle a<b<c is produced exactly once
+    by the two-hop equi-join chain e(a,b)⋈e(b,c)⋈e(a,c); every join is
+    a hash join on vertex ids (no theta join), the textbook distributed
+    triangle enumeration. At scale the standard refinement — orient
+    edges by degree so high-degree hubs never fan out — drops straight
+    into this shape."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    e = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    n_vertices = (
+        e.select(F.col("u").alias("x"))
+        .union(e.select(F.col("v").alias("x")))
+        .distinct()
+        .agg(F.count("*").alias("n_vertices"))
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b2") == F.col("b"))
+        .join(e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c2")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return n_edges.crossJoin(n_vertices).crossJoin(tri)
