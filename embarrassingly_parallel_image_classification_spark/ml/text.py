@@ -400,3 +400,57 @@ def q_text_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fill_permille"),
         )
     )
+
+
+@register(
+    "q_text_redact",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or call ' || CAST(doc_id * 7919 AS VARCHAR)
+                   AS raw
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z]+\\.[a-z]+')) AS BIGINT)
+               AS n_emails,
+           md5(regexp_replace(regexp_replace(raw, '[a-z0-9.]+@[a-z]+\\.[a-z]+',
+                                             '<EMAIL>', 'g'),
+                              '[0-9]+', '<NUM>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+    tags=("K4", "H2"),
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training corpus runs
+    before the tokenizer: emails then digit runs replaced with typed
+    placeholders via chained regexp_replace (JVM-side, streaming-safe,
+    no Python). The fixture text is PII-free, so deterministic
+    email/phone tokens are synthesized per doc identically on both
+    engines, then scrubbed; the md5 of the redacted text pins that
+    every occurrence was caught. Patterns stay in the Java∩RE2 common
+    subset (character classes + quantifiers, no lookaround) so both
+    engines redact identically."""
+    d = t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call "),
+            (F.col("doc_id") * 7919).cast("string"),
+        ).alias("raw"),
+    )
+    email = r"[a-z0-9.]+@[a-z]+\.[a-z]+"
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(email), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("raw", email, "<EMAIL>"), r"[0-9]+", "<NUM>"
+            )
+        ).alias("redacted_md5"),
+    )

@@ -250,3 +250,46 @@ def q_scale_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zkey", "event_id")
         .limit(100)
     )
+
+
+@register(
+    "q_scale_compaction",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scale", "A6", "A1"),
+)
+def q_scale_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance job every
+    streaming/incremental lake needs: a fragmented table (64 tiny
+    files, simulating per-microbatch appends) is rewritten with
+    repartition(4) into executor-memory-sized files, and the compacted
+    copy must be byte-equivalent to the source (oracle aggregates the
+    ORIGINAL events table; a dropped/duplicated row during rewrite
+    fails the hash). At 100 TB the same job targets
+    spark.sql.files.maxPartitionBytes-sized outputs per partition-dir
+    and runs partition-by-partition; file-count collapse is asserted
+    in tests/test_plans_scale.py."""
+    import shutil
+
+    from ..sources.formats import scratch
+
+    frag = scratch("compact_frag", sf_dir)
+    compact = scratch("compact_out", sf_dir)
+    shutil.rmtree(frag, ignore_errors=True)
+    shutil.rmtree(compact, ignore_errors=True)
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    back = spark.read.parquet(compact)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum("cents")).cast("bigint").alias("cents"),
+    )

@@ -295,3 +295,126 @@ def q_sink_custom_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("priority").agg(
         F.count("*").alias("n"), F.sum("cents").alias("cents")
     )
+
+
+def _make_stream_writer_datasource():
+    """Streaming flavor of the custom sink (lazy-built): a
+    DataSourceStreamWriter whose commit(messages, batchId) writes one
+    manifest PER MICROBATCH — exactly-once visibility at batch
+    granularity: a batch's task files become readable only when its
+    manifest lands, and a replayed batch overwrites the same manifest
+    id instead of double-publishing (idempotent commit, the streaming
+    sink contract)."""
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class _Committed(WriterCommitMessage):
+        def __init__(self, filename, n):
+            self.filename = filename
+            self.n = n
+
+    class JsonlStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, rows):
+            os.makedirs(self.path, exist_ok=True)
+            name = f"part-{uuid.uuid4().hex}.jsonl"
+            n = 0
+            with open(os.path.join(self.path, name), "w") as f:
+                for row in rows:
+                    f.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _Committed(name, n)
+
+        def commit(self, messages, batchId):
+            manifest = {
+                "batch": batchId,
+                "files": sorted(m.filename for m in messages if m is not None),
+                "rows": sum(m.n for m in messages if m is not None),
+            }
+            with open(
+                os.path.join(self.path, f"_MANIFEST-{batchId}.json"), "w"
+            ) as f:
+                json.dump(manifest, f)
+
+        def abort(self, messages, batchId):
+            pass
+
+    class JsonlStreamSinkDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "epic_jsonl_stream_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return JsonlStreamWriter(self.options)
+
+    return JsonlStreamSinkDataSource
+
+
+@register(
+    "q_stream_custom_sink",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+    tags=("A10", "A9", "I8"),
+)
+def q_stream_custom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource STREAMING sink end-to-end: the purchase
+    stream written through epic_jsonl_stream_sink (per-batch task files
+    + per-batch manifest commit), then only manifest-listed files are
+    read back and aggregated; must equal aggregating the source
+    directly (oracle). Closes the connector matrix: batch read, stream
+    read, batch write, stream write — all four modes oracle-checked."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from ..streaming.core import events_stream
+    from .formats import scratch
+
+    spark.dataSource.register(_make_stream_writer_datasource())
+    path = scratch("custom_stream_jsonl", sf_dir)
+    ckpt = scratch("custom_stream_ckpt", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    out = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    q = (
+        out.writeStream.format("epic_jsonl_stream_sink")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    files = []
+    for mf in glob.glob(os.path.join(path, "_MANIFEST-*.json")):
+        with open(mf) as f:
+            files += [os.path.join(path, name) for name in json.load(f)["files"]]
+    back = spark.read.schema("event_id bigint, user_id bigint, cents bigint").json(
+        files
+    )
+    return back.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("cents")
+    )

@@ -65,3 +65,104 @@ def test_salted_join_row_count_matches_plain(spark):
     o = t(spark, SF_T2, "orders").withColumnRenamed("o_custkey", "join_key")
     c = t(spark, SF_T2, "customer").withColumnRenamed("c_custkey", "join_key")
     assert scale.salted_join(o, c, "join_key").count() == o.join(c, "join_key").count()
+
+
+def test_compaction_collapses_file_count(spark):
+    """q_scale_compaction must actually shrink the file inventory:
+    64 fragment files in, ≤4 compacted parquet files out."""
+    import glob
+    import os
+
+    from embarrassingly_parallel_image_classification_spark.sources.formats import (
+        scratch,
+    )
+
+    registry.queries()["q_scale_compaction"](spark, SF_T2).collect()
+    frag = glob.glob(os.path.join(scratch("compact_frag", SF_T2), "*.parquet"))
+    compact = glob.glob(os.path.join(scratch("compact_out", SF_T2), "*.parquet"))
+    assert len(frag) == 64, f"expected 64 fragment files, saw {len(frag)}"
+    assert 1 <= len(compact) <= 4, f"compaction left {len(compact)} files"
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's skew-join handling must engage on a pathologically skewed
+    key: one hot key holding ~90% of the fact side joined to an even
+    dimension. With thresholds tuned to fixture scale, the executed
+    plan's SortMergeJoin must be marked isSkew=true — the runtime
+    re-plan that, at 100 TB, turns one straggler task into many
+    balanced ones (complementing the static salting of
+    q_scale_salted_join)."""
+    import pyspark.sql.functions as SF
+
+    conf_keys = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        # Coalescing merges the small partitions first and can mask the
+        # skew split at fixture scale — the skew path is what's under test.
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf_keys}
+    try:
+        for k, v in conf_keys.items():
+            spark.conf.set(k, v)
+        # repartition(16) first: AQE splits a skewed reduce partition
+        # along MAP-task boundaries, so a single-mapper shuffle (the
+        # whole sf0.01 parquet is one input split) is indivisible and
+        # the rule silently never fires — on a real cluster the
+        # thousands of mappers make this a non-issue, but it's the
+        # kind of invariant worth pinning in a test.
+        li = t(spark, SF_T2, "lineitem").repartition(16)
+        # ~90% of rows land on key 0, the rest spread evenly.
+        fact = li.select(
+            SF.when(SF.rand(seed=7) < 0.9, SF.lit(0))
+            .otherwise(SF.col("l_orderkey") % 100)
+            .cast("bigint")
+            .alias("k"),
+            "l_quantity",
+        )
+        dim = spark.range(100).select(SF.col("id").alias("k"), (SF.col("id") * 2).alias("w"))
+        joined = fact.join(dim, "k")
+        joined.collect()
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in executed or "skew=true" in executed, (
+            f"AQE did not mark the skewed join:\n{executed[:2000]}"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark):
+    """A join against the year-partitioned parquet sink with a
+    selective dim filter must trigger dynamic partition pruning: the
+    partitioned scan's plan carries a dynamicpruning subquery on the
+    partition column, so at scale only the matching partition dirs are
+    read — the runtime analog of static partition pruning."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    from embarrassingly_parallel_image_classification_spark.sources.formats import (
+        scratch,
+    )
+
+    # q_sink_partitioned writes the year-partitioned orders copy.
+    registry.queries()["q_sink_partitioned"](spark, SF_T2).collect()
+    path = scratch("orders_by_year", SF_T2)
+    assert os.path.isdir(path)
+    part = spark.read.parquet(path)
+    years = (
+        part.select("oyear").distinct().limit(1).withColumnRenamed("oyear", "y")
+    )
+    joined = part.join(years.filter(SF.col("y") >= 0), part.oyear == SF.col("y"))
+    plan = explain_str(joined)
+    assert "dynamicpruning" in plan.lower(), (
+        f"no dynamic partition pruning in plan:\n{plan[:2000]}"
+    )
