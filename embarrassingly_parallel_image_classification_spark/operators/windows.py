@@ -335,3 +335,47 @@ def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("l_partkey").over(w).alias("last_pk"),
         F.coalesce(F.nth_value("l_partkey", 2).over(w), F.lit(-1)).alias("second_pk"),
     )
+
+
+@register(
+    "q_window_time_range",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events)
+    SELECT event_id, user_id, sec,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(cents) OVER w AS BIGINT) AS cents_last_hour
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("E3", "H3"),
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling TIME-window aggregate per row — "this user's activity in
+    the trailing hour, as of each event": a RANGE frame over epoch
+    seconds (value-based peers, unlike q_window_running's ROWS frame,
+    and over time, unlike q_window_range_frame's price ranges). The
+    sliding-window feature every fraud/abuse scorer computes, with no
+    self-join and no explode — one window pass per user partition;
+    sums in integer cents so frame totals are exact. Rows sharing a
+    second are peers and see the same frame on both engines (the
+    tiebreak-free semantics ROWS frames can't give)."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("sec"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "sec",
+        F.count("*").over(w).cast("bigint").alias("n_last_hour"),
+        F.sum("cents").over(w).cast("bigint").alias("cents_last_hour"),
+    )

@@ -76,3 +76,93 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_words").alias("total_tokens"),
     )
+
+
+@register(
+    "q_quality_expectations",
+    oracle="""
+    SELECT 'orders_price_positive' AS rule,
+           (SELECT COUNT(*) FROM orders) AS n_checked,
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS n_violations
+    UNION ALL
+    SELECT 'orders_customer_exists',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem_qty_in_range',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'customer_name_not_null',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer WHERE c_name IS NULL)
+    UNION ALL
+    SELECT 'documents_nonempty_text',
+           (SELECT COUNT(*) FROM documents),
+           (SELECT COUNT(*) FROM documents WHERE text IS NULL OR LENGTH(text) = 0)
+    """,
+    tags=("composite", "D3", "C5"),
+)
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (the dbt-test / expectations
+    pattern): each rule is a conditional aggregate or anti-join orphan
+    count, unioned into one violations report the pipeline can assert
+    on before publishing a table. Each COUNT is a map-side conditional
+    aggregate (one scan per table, no row materializes unless it
+    violates); the referential check is a left-anti broadcast join.
+    At 100 TB this exact report runs as the write-audit-publish gate."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    d = t(spark, sf_dir, "documents")
+
+    def rule(name, n_checked_df, n_viol_df):
+        return n_checked_df.crossJoin(n_viol_df).select(
+            F.lit(name).alias("rule"), "n_checked", "n_violations"
+        )
+
+    orphans = o.join(
+        F.broadcast(c.select("c_custkey")),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    reports = [
+        rule(
+            "orders_price_positive",
+            o.agg(F.count("*").alias("n_checked")),
+            o.agg(F.count_if(F.col("o_totalprice") <= 0).alias("n_violations")),
+        ),
+        rule(
+            "orders_customer_exists",
+            o.agg(F.count("*").alias("n_checked")),
+            orphans.agg(F.count("*").alias("n_violations")),
+        ),
+        rule(
+            "lineitem_qty_in_range",
+            li.agg(F.count("*").alias("n_checked")),
+            li.agg(
+                F.count_if(
+                    (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+                ).alias("n_violations")
+            ),
+        ),
+        rule(
+            "customer_name_not_null",
+            c.agg(F.count("*").alias("n_checked")),
+            c.agg(F.count_if(F.col("c_name").isNull()).alias("n_violations")),
+        ),
+        rule(
+            "documents_nonempty_text",
+            d.agg(F.count("*").alias("n_checked")),
+            d.agg(
+                F.count_if(
+                    F.col("text").isNull() | (F.length("text") == 0)
+                ).alias("n_violations")
+            ),
+        ),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -197,6 +197,7 @@ _CARTESIAN_OK = {
     "q_timeseries_gapfill",  # spine × types build is a deliberate cross
     "q_timeseries_ffill",    # same spine × types dense-grid build
     "q_graph_triangles",     # three 1-row aggregate scalars combined
+    "q_quality_expectations",  # 1-row rule scalars assembled into report
     "q_dedup_embedding_lsh", # hyperplane table broadcast-crossJoined to
                              # every vector (constant-size right side);
                              # the candidate join is hash on (band, sig)
