@@ -137,22 +137,67 @@ def score_embeddings_pbu(spark: SparkSession, sf_dir: str, batch_size: int = 102
     return emb.select("vec_id", "label", predict("embedding").alias("pred"))
 
 
-@register("q_infer_batch_pbu", oracle=None, tags=("J1", "rows-only"))
+# The whole model is SQL-expressible (fit = per-(label, dim) AVG;
+# score = argmin of expanded squared distance -2x·c + ||c||², ties to
+# the lowest label exactly as numpy argmin takes the first index), so
+# the flagship inference is EXACTLY oracle-checked, not rows-only:
+# predictions verified identical to DuckDB at sf0.01 AND sf0.1. The
+# near-tie risk (float summation order flipping an argmin) is real in
+# adversarial data but the class margins here are O(0.1) vs 1e-13
+# perturbations — and the driver's check runs on this fixture.
+_INFER_ORACLE = """
+WITH expl AS (
+    SELECT label, generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings),
+cent AS (SELECT label AS clab, pos, AVG(val) AS c FROM expl GROUP BY label, pos),
+c2 AS (SELECT clab, SUM(c*c) AS cc FROM cent GROUP BY clab),
+vex AS (
+    SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings),
+dist AS (
+    SELECT v.vec_id, ANY_VALUE(v.label) AS label, c.clab,
+           SUM(-2.0 * v.val * c.c) + ANY_VALUE(c2.cc) AS d
+    FROM vex v JOIN cent c ON c.pos = v.pos
+    JOIN c2 ON c2.clab = c.clab
+    GROUP BY v.vec_id, c.clab),
+ranked AS (SELECT vec_id, label, clab,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, clab) AS rn
+           FROM dist)
+SELECT vec_id, label, CAST(clab AS INT) AS pred FROM ranked WHERE rn = 1
+"""
+
+
+@register("q_infer_batch_pbu", oracle=_INFER_ORACLE, tags=("J1",))
 def q_infer_batch_pbu(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch inference through predict_batch_udf (the MMLSpark
-    CNTKModel-transformer analog [PK])."""
+    CNTKModel-transformer analog [PK]); same oracle as q_infer_batch —
+    the two J1 formulations must agree with each other AND with SQL."""
     return score_embeddings_pbu(spark, sf_dir).orderBy("vec_id")
 
 
-@register("q_infer_batch", oracle=None, tags=("J1", "rows-only"))
+@register("q_infer_batch", oracle=_INFER_ORACLE, tags=("J1",))
 def q_infer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch inference: one row per embedding with its predicted class."""
+    """Batch inference: one row per embedding with its predicted class
+    (see _INFER_ORACLE — the flagship is exactly oracle-checked)."""
     return score_embeddings(spark, sf_dir).orderBy("vec_id")
 
 
-@register("q_infer_eval", oracle=None, tags=("J1", "D2", "rows-only"))
+@register(
+    "q_infer_eval",
+    oracle=f"""
+    WITH preds AS ({_INFER_ORACLE})
+    SELECT ROUND(AVG(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+           COUNT(*) AS n
+    FROM preds
+    """,
+    tags=("J1", "D2"),
+)
 def q_infer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Evaluation: overall accuracy of the model (reference §3.3 analog)."""
+    """Evaluation: overall accuracy of the model (reference §3.3
+    analog). AVG over 0/1 indicators is an integer sum in double —
+    order-independent, so the float average is exact cross-engine."""
     scored = score_embeddings(spark, sf_dir)
     return scored.agg(
         F.round(F.avg(F.when(F.col("pred") == F.col("label"), 1.0).otherwise(0.0)), 6).alias(

@@ -149,7 +149,12 @@ _DRIVER_PRIORITY = (
     "q_udf_grouped_map",
     "q_udf_grouped_agg",
     "q_udtf_explode",
-    "q_udf_classic",
+    # (q_udf_classic yields its slot to q_infer_batch: the flagship J1
+    # inference gained an exact SQL oracle this round — per-(label,dim)
+    # AVG centroids + argmin distance is SQL-expressible — and the
+    # flagship belongs in the driver-verified window over a
+    # deliberately-trivial J8 API demo.)
+    "q_infer_batch",
     "q_knn_exact",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
