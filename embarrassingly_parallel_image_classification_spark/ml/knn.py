@@ -29,6 +29,24 @@ from ..sources.tables import t
 N_QUERIES = 5  # fixture query set: vec_id < 5
 TOP_K = 3
 
+_KNN_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+                  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 6) AS sim
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.qid
+         )
+    SELECT qid, vec_id, sim, rank FROM (
+        SELECT qid, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+
 
 def knn_exact(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
@@ -49,21 +67,7 @@ def knn_exact(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFram
 
 @register(
     "q_knn_exact",
-    oracle=f"""
-    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS q_emb
-               FROM embeddings WHERE vec_id < {N_QUERIES}),
-         scored AS (
-           SELECT q.qid, e.vec_id,
-                  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 6) AS sim
-           FROM embeddings e CROSS JOIN q
-           WHERE e.vec_id <> q.qid
-         )
-    SELECT qid, vec_id, sim, rank FROM (
-        SELECT qid, vec_id, sim,
-               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-        FROM scored
-    ) WHERE rank <= {TOP_K}
-    """,
+    oracle=_KNN_ORACLE,
     tags=("K3", "C7", "F3"),
 )
 def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,14 +125,25 @@ def knn_exact_pandas(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> D
     partials = corpus.select("vec_id", "embedding").mapInPandas(
         partial_topk, "qid long, vec_id long, sim double"
     )
+    # Round at the merge (JVM round, same as knn_exact) so the final
+    # ranking uses identical keys to the SQL formulation; partial
+    # selection inside numpy is unrounded, which can only disagree on
+    # round-6 ties straddling a partition's top-k cutoff (asserted
+    # absent on the fixture by the row-for-row equality test).
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return partials.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return (
+        partials.withColumn("sim", F.round("sim", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
-@register("q_knn_exact_pandas", oracle=None, tags=("K3", "J6", "rows-only"))
+@register("q_knn_exact_pandas", oracle=_KNN_ORACLE, tags=("K3", "J6"))
 def q_knn_exact_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tournament top-k kNN (partition partials → merge); equals
-    q_knn_exact row-for-row (tests/test_ml_self_oracles.py)."""
+    q_knn_exact row-for-row (tests/test_ml_self_oracles.py), so it
+    shares q_knn_exact's oracle — NumPy BLAS cosine and the DuckDB
+    list_cosine_similarity agree at round-6 on every pair."""
     emb = t(spark, sf_dir, "embeddings")
     return knn_exact_pandas(emb, emb.filter(F.col("vec_id") < N_QUERIES))
 

@@ -127,10 +127,37 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_features", oracle=None, tags=("K5", "J6", "rows-only"))
+@register(
+    "q_multimodal_features",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, SUM(unicode(c.x)) AS code_sum
+        FROM documents, UNNEST(regexp_extract_all(text, '.')) AS c(x)
+        GROUP BY doc_id),
+    hd AS (
+        SELECT doc_id, SUM(unicode(c.x)) AS head_sum
+        FROM documents, UNNEST(regexp_extract_all(LEFT(text, 64), '.')) AS c(x)
+        GROUP BY doc_id)
+    SELECT d.doc_id AS media_id,
+           CASE WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           CAST(STRLEN(d.text) AS INT) AS n_bytes,
+           CAST(ch.code_sum AS DOUBLE) / STRLEN(d.text) AS mean_byte,
+           CAST(hd.head_sum AS BIGINT) AS feat_hash
+    FROM documents d
+    JOIN ch ON ch.doc_id = d.doc_id
+    JOIN hd ON hd.doc_id = d.doc_id
+    """,
+    tags=("K5", "J6"),
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode-stub + feature extraction via mapInPandas (rows-only; the
-    features are asserted against a local NumPy loop in tests)."""
+    """Decode-stub + feature extraction via mapInPandas. The stub
+    'pixels' are the payload bytes and the payload is the doc's utf-8
+    text (pure ASCII), so SQL reproduces every feature exactly:
+    n_bytes = byte length, mean_byte = per-char code-point sum / length
+    (integer sum in float64 — order-independent, one division), and
+    feat_hash = code sum of the first 64 bytes. A Python fanout stage
+    whose output is pinned by a relational oracle — same pattern as
+    q_multimodal_frames."""
     return extract_features(media_table(spark, sf_dir))
 
 

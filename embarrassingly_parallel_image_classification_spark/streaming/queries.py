@@ -75,11 +75,39 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(out, "complete")
 
 
-@register("q_stream_session", oracle=None, tags=("I3", "rows-only"))
+@register(
+    "q_stream_session",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts,
+               CASE WHEN ts < LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             + INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events),
+    sess AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS sid
+        FROM seq)
+    SELECT CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS sess_start_sec,
+           CAST(epoch(date_trunc('second', MAX(ts))) AS BIGINT) + 1800 AS sess_end_sec,
+           user_id,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("I3", "I4"),
+)
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user session windows with a 30-minute inactivity gap —
-    session extents are engine-defined ⇒ rows-only; stream-batch
-    equivalence is asserted in tests/test_streaming.py."""
+    """Per-user session windows with a 30-minute inactivity gap.
+    session_window extents ARE deterministic for a drained bounded
+    stream: a session is a maximal event chain with gaps < 30 min
+    (half-open [start, last+gap) — an event landing exactly on a
+    session's end starts a new one), so the batch lag-flag-cumsum
+    sessionization with end = last event + gap reproduces them exactly
+    — the oracle is that reconstruction, upgrading this from rows-only
+    to exact (first event's LAG is NULL → the `<` comparison is false
+    → correctly flagged as a session start on both engines)."""
     ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
         F.count("*").alias("n_events")
