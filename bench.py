@@ -54,6 +54,11 @@ HEADLINE = [
     "q_graph_pagerank",
     "q_embed_centroids",
     "q_multimodal_frames",
+    # round-2 session-4 additions: LLM-corpus prep + time-series windows
+    "q_text_chunking",
+    "q_text_packing",
+    "q_window_time_range",
+    "q_lateral_topn",
 ]
 
 
