@@ -454,3 +454,56 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("redacted_md5"),
     )
+
+
+_FHASH_DIM = 32
+
+
+@register(
+    "q_text_feature_hash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5('d' || w), 1, 8) AS BIGINT)
+                % {_FHASH_DIM} AS BIGINT) AS dim,
+           CAST(SUM(CASE WHEN CAST('0x' || substr(md5('s' || w), 1, 8) AS BIGINT)
+                              % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS feat,
+           COUNT(*) AS n_tokens
+    FROM toks
+    GROUP BY 1, 2
+    """,
+    tags=("K4", "H9"),
+)
+def q_text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick — fixed-dimension featurization with no
+    vocabulary build: token → dimension via one hash, ± sign via a
+    second (the unbiased signed variant of HashingTF), summed per
+    (doc, dim). No driver-side dictionary, no second pass, output width
+    fixed at {dim} regardless of corpus size — THE featurizer shape
+    that works at 100 TB. Hash family is md5-hex→int (portable), so
+    unlike MLlib's murmur-based HashingTF this one is EXACTLY
+    oracle-checkable cross-engine."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+
+    def h(prefix: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), F.col("w"))), 1, 8), 16, 10
+        ).cast("bigint")
+
+    return (
+        toks.select(
+            "doc_id",
+            (h("d") % _FHASH_DIM).alias("dim"),
+            F.when(h("s") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sgn"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(
+            F.sum("sgn").cast("bigint").alias("feat"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
+q_text_feature_hash.__doc__ = q_text_feature_hash.__doc__.format(dim=_FHASH_DIM)
