@@ -41,13 +41,21 @@ def build_bloom(dim: DataFrame, key: str, m_bits: int = BLOOM_BITS, seeds=BLOOM_
     """Build a Bloom-filter bitmap (list of int64 words) from the dim
     keys — IN SPARK, so the probe side's xxhash64 agrees bit-for-bit.
 
-    One job: union of per-seed positions → groupBy word → bit_or of the
-    set bits; only m/64 words come back to the driver.
+    One job, ONE scan: all k per-key positions exploded from a single
+    projection (a k-way union of scans re-read the dim k times —
+    measured 2× slower even at sf0.1), then groupBy word → bit_or of
+    the set bits; only m/64 words come back to the driver.
     """
-    pos = None
-    for s in seeds:
-        p = dim.select(F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(m_bits)).alias("p"))
-        pos = p if pos is None else pos.unionAll(p)
+    pos = dim.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(m_bits))
+                    for s in seeds
+                ]
+            )
+        ).alias("p")
+    )
     rows = (
         pos.select(
             (F.col("p") / 64).cast("long").alias("w"),
@@ -83,13 +91,45 @@ def bloom_might_contain(
     return cond
 
 
+def bloom_probe_col(key: Column, m_bits: int = BLOOM_BITS, seeds=BLOOM_SEEDS) -> Column:
+    """Bloom membership test against a ``__bloom`` array<long> COLUMN
+    (attach it with a broadcast 1-row crossJoin). Same arithmetic as
+    bloom_might_contain, but the bitmap rides in as row data instead of
+    a 2048-element array literal — a literal that size bloats the
+    generated code past HotSpot's JIT inlining limits and the probe
+    runs interpreted (measured 2× slower end-to-end at sf0.1; the
+    probe alone 1.07 s literal vs 0.51 s column on 600 k rows)."""
+    arr = F.col("__bloom")
+    cond = F.lit(True)
+    for s in seeds:
+        p = F.pmod(F.xxhash64(key, F.lit(s)), F.lit(m_bits))
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftright", word, F.pmod(p, F.lit(64)).cast("int")
+        ).bitwiseAND(F.lit(1))
+        cond = cond & (bit == 1)
+    return cond
+
+
 def bloom_semi_join(fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str) -> DataFrame:
     """Semi join with a Bloom pre-prune: the fact side is filtered by the
     dim-key Bloom BEFORE the exact semi join, so at 100 TB the shuffle
     only carries probable matches (false positives removed by the
-    residual semi join — the result is exactly ``fact ⋉ dim``)."""
+    residual semi join — the result is exactly ``fact ⋉ dim``). The
+    bitmap is attached as a broadcast 1-row array column, not a giant
+    literal (see bloom_probe_col)."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
     words = build_bloom(dim, dim_key)
-    pruned = fact.filter(bloom_might_contain(words, F.col(fact_key)))
+    spark = fact.sparkSession
+    wdf = spark.createDataFrame(
+        [(words,)], StructType([StructField("__bloom", ArrayType(LongType()), False)])
+    )
+    pruned = (
+        fact.crossJoin(F.broadcast(wdf))
+        .filter(bloom_probe_col(F.col(fact_key)))
+        .drop("__bloom")
+    )
     d = dim.select(F.col(dim_key).alias("__dk")).distinct()
     return pruned.join(d, pruned[fact_key] == d["__dk"], "left_semi")
 
