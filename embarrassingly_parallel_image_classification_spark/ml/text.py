@@ -507,3 +507,152 @@ def q_text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_text_feature_hash.__doc__ = q_text_feature_hash.__doc__.format(dim=_FHASH_DIM)
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+        SELECT doc_id, 2 AS k,
+               UNNEST(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i + 1])) AS gram
+        FROM toks
+        UNION ALL
+        SELECT doc_id, 3 AS k,
+               UNNEST(list_transform(range(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS gram
+        FROM toks
+    ), c AS (
+        SELECT doc_id, k, gram, COUNT(*) AS n FROM g GROUP BY doc_id, k, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(n) FILTER (WHERE k = 2) AS BIGINT) AS n_bigrams,
+           CAST(MAX(n) FILTER (WHERE k = 2) AS BIGINT) AS top_bigram_n,
+           ROUND(MAX(n) FILTER (WHERE k = 2) * 1.0
+                 / SUM(n) FILTER (WHERE k = 2), 6) AS top_bigram_frac,
+           CAST(SUM(n) FILTER (WHERE k = 3) AS BIGINT) AS n_trigrams,
+           CAST(COALESCE(SUM(n) FILTER (WHERE k = 3 AND n > 1), 0) AS BIGINT)
+               AS dup_trigram_n,
+           ROUND(COALESCE(SUM(n) FILTER (WHERE k = 3 AND n > 1), 0) * 1.0
+                 / SUM(n) FILTER (WHERE k = 3), 6) AS dup_trigram_frac
+    FROM c GROUP BY doc_id
+    """,
+    tags=("K4",),
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    bigram occurrences taken by the single most frequent bigram, and the
+    fraction of trigram occurrences whose trigram appears more than once
+    (Rae et al. 2021's "duplicate n-gram fraction" family — the standard
+    repetitive-boilerplate filter for LLM corpora).
+
+    Scale: positional n-grams are generated JVM-side with
+    transform(sequence(...)) — no UDF — then ONE explode feeds a
+    two-phase (doc_id, k, gram) count whose shuffle rows are fixed-width
+    (id, tag, short gram); the per-doc reduce is a second map-side
+    partial agg on doc_id alone. Both signals ride the same exploded
+    frame, so the corpus is scanned once."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def grams(n: int):
+        return F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+
+    exploded = d.select(
+        "doc_id",
+        F.explode(
+            F.map_from_arrays(F.array(F.lit(2), F.lit(3)), F.array(grams(2), grams(3)))
+        ).alias("k", "gs"),
+    ).select("doc_id", "k", F.explode("gs").alias("gram"))
+    counts = exploded.groupBy("doc_id", "k", "gram").agg(F.count("*").alias("n"))
+    two = F.col("k") == 2
+    three = F.col("k") == 3
+    return counts.groupBy("doc_id").agg(
+        F.sum(F.when(two, F.col("n"))).cast("bigint").alias("n_bigrams"),
+        F.max(F.when(two, F.col("n"))).cast("bigint").alias("top_bigram_n"),
+        F.round(
+            F.max(F.when(two, F.col("n"))) / F.sum(F.when(two, F.col("n"))), 6
+        ).alias("top_bigram_frac"),
+        F.sum(F.when(three, F.col("n"))).cast("bigint").alias("n_trigrams"),
+        F.coalesce(
+            F.sum(F.when(three & (F.col("n") > 1), F.col("n"))), F.lit(0)
+        ).cast("bigint").alias("dup_trigram_n"),
+        F.round(
+            F.coalesce(F.sum(F.when(three & (F.col("n") > 1), F.col("n"))), F.lit(0))
+            / F.sum(F.when(three, F.col("n"))),
+            6,
+        ).alias("dup_trigram_frac"),
+    )
+
+
+@register(
+    "q_text_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(w) - 3),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                        || w[i+3] || ' ' || w[i+4])) AS gram
+        FROM toks
+    ), bg AS (
+        SELECT DISTINCT gram FROM g WHERE doc_id % 43 = 0
+    ), cg AS (
+        SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 43 <> 0
+    ), hits AS (
+        SELECT doc_id, COUNT(*) AS n FROM cg JOIN bg USING (gram) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_5grams,
+           COALESCE(h.n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 43 <> 0
+    """,
+    tags=("K4", "K2"),
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    contiguous word 5-gram with a held-out benchmark set (here the
+    deterministic doc_id % 43 == 0 slice standing in for an eval suite)
+    — the pre-training hygiene step every LLM corpus runs (GPT-3 /
+    PaLM-style n-gram collision decontamination).
+
+    Scale: the benchmark side is tiny by construction (eval suites are
+    MBs; the corpus is TBs), so its DISTINCT 5-gram set is BROADCAST —
+    the 100 TB side is never shuffled for the probe; only matched
+    (doc_id, gram) pairs reach the per-doc count. Swap the broadcast
+    for the Bloom build in plans/scale.py when the gram set outgrows
+    the broadcast threshold."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 5),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(5)]),
+    )
+    is_bench = F.col("doc_id") % 43 == 0
+    exploded = d.select("doc_id", F.explode(grams).alias("gram"))
+    bench_grams = exploded.filter(is_bench).select("gram").distinct()
+    corpus_grams = exploded.filter(~is_bench).distinct()
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        d.filter(~is_bench)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_shared_5grams"),
+            (F.coalesce("n", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -188,3 +188,68 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("1a")
     )
     return d.filter(F.md5(F.col("text").cast("binary")) < thr).select("doc_id", "lang")
+
+
+@register(
+    "q_sample_mixture",
+    oracle="""
+    WITH rates(bucket, thr) AS (
+        VALUES (0, 4294967296), (1, 2147483648), (2, 1073741824), (3, 536870912)
+    ), d AS (
+        SELECT doc_id, source,
+               CAST(substr(source, 4) AS INT) % 4 AS bucket,
+               CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE h < thr) AS BIGINT) AS n_kept,
+           ROUND(thr / 4294967296.0, 6) AS target_rate,
+           ROUND(COUNT(*) FILTER (WHERE h < thr) * 1.0 / COUNT(*), 6)
+               AS achieved_rate
+    FROM d JOIN rates USING (bucket)
+    GROUP BY source, thr
+    """,
+    tags=("B6", "K4"),
+)
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: each source gets a target
+    keep-rate from a tiny mixing-config dim (the data-mixture weights of
+    an LLM pre-training recipe — e.g. upweight curated sources, downweight
+    crawl), and a row survives iff its portable 32-bit md5 hash falls
+    under rate·2³². Reproducible across engines, runs, and partitionings
+    — re-running the pipeline yields the same sample, unlike rand().
+
+    Scale: the config joins broadcast; the keep decision is one
+    hash-compare per row (no shuffle, no state); the only shuffle is the
+    final per-source audit aggregation."""
+    rates = spark.createDataFrame(
+        [(0, 4294967296), (1, 2147483648), (2, 1073741824), (3, 536870912)],
+        "bucket int, thr long",
+    )
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.expr("CAST(substring(source, 4) AS INT)") % 4).alias("bucket"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    kept = F.when(F.col("h") < F.col("thr"), 1).otherwise(0)
+    return (
+        d.join(F.broadcast(rates), "bucket")
+        .groupBy("source", "thr")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.round(F.col("thr") / F.lit(4294967296.0), 6).alias("target_rate"),
+            F.round(F.sum(kept) / F.count("*"), 6).alias("achieved_rate"),
+        )
+        .drop("thr")
+        .select("source", "n_docs", "n_kept", "target_rate", "achieved_rate")
+    )

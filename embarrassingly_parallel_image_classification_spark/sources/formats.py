@@ -123,6 +123,38 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scan_xml",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           MIN(n_name) AS first_nation, MAX(n_name) AS last_nation
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("A2", "A7"),
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + scan round-trip (Spark 4's built-in XML data source —
+    the config/feed format of enterprise lakes): nation → XML rowTag
+    records → read back with explicit schema → aggregate. The oracle
+    recomputes from the parquet origin, so entity-escaping or schema
+    drift in the round-trip fails the hash."""
+    path = scratch("nation_xml", sf_dir)
+    t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.format("xml").option("rowTag", "nation").mode("overwrite").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .load(path)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+        F.max("n_name").alias("last_nation"),
+    )
+
+
+@register(
     "q_inmemory_source",
     oracle="""
     WITH taxonomy(code, coarse) AS (
