@@ -40,17 +40,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as a
-    long (legacy conf) and rebuild a µs timestamp via integer division —
-    never float division: ns epochs ≈ 1.7e18 exceed double's 53-bit
-    mantissa and would corrupt low-order digits.
+    """events.ts has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    generations and TIMESTAMP(MICROS) in others, so branch on what the
+    file actually contains instead of assuming either.
+
+    TIMESTAMP(NANOS) is rejected by Spark's vectorized reader
+    ([PARQUET_TYPE_ILLEGAL]); with the legacy nanosAsLong conf it reads
+    as a ns-epoch BIGINT, which we rebuild into a µs timestamp via
+    integer division — never float division: ns epochs ≈ 1.7e18 exceed
+    double's 53-bit mantissa and would corrupt low-order digits. The
+    conf is a no-op for µs/ms files, so it is safe to set up front.
+
+    TIMESTAMP(MICROS) (isAdjustedToUTC=false) loads natively as
+    TIMESTAMP_NTZ; cast to the session-TZ timestamp type — the session
+    TZ is pinned UTC (session.py), so the instants are unchanged and
+    match the naive µs values DuckDB reads for the oracles.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -6,9 +6,12 @@ events parquet, ``trigger(availableNow=True)`` so every run is finite,
 memory (or foreachBatch→parquet) sink so results come back as a
 DataFrame. No wall-clock sources anywhere.
 
-The events fixture is TIMESTAMP(NANOS) parquet — the streaming reader
-gets an explicit LONG-ts schema plus the nanosAsLong conf (same dance as
-the batch loader, sources/tables.py) and rebuilds a µs timestamp.
+The events fixture's ts physical type has drifted across fixture
+generations (TIMESTAMP(NANOS) vs TIMESTAMP(MICROS)); a file stream
+needs an explicit schema, so the loader infers it from a cheap batch
+read of the same file and applies the same ts normalization as the
+batch loader (sources/tables.py) — the two MUST agree or stream-batch
+equivalence silently breaks.
 """
 
 from __future__ import annotations
@@ -17,11 +20,7 @@ import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-EVENTS_RAW_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-    "value DOUBLE, props STRING"
-)
+from pyspark.sql.types import LongType
 
 _run_ids = itertools.count()
 
@@ -29,12 +28,19 @@ _run_ids = itertools.count()
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a bounded file stream with a proper ts."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Footer-only batch read: gives the stream its required schema and
+    # tells us which ts representation this fixture generation uses.
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(batch.schema["ts"].dataType, LongType):
+        # TIMESTAMP(NANOS) fixture read as ns-epoch longs.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # TIMESTAMP(MICROS) fixture: NTZ -> session-TZ (UTC) timestamp.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(result: DataFrame, mode: str) -> DataFrame:
