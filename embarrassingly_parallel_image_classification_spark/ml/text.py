@@ -558,12 +558,18 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
 
     def grams(n: int):
-        return F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        # Guard short docs: sequence(0, size-n) DESCENDS when size < n
+        # and element_at(toks, 0) then throws at runtime (same pitfall
+        # documented at the shingle builder above, text.py:231).
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                ),
             ),
-        )
+        ).otherwise(F.array().cast("array<string>"))
 
     exploded = d.select(
         "doc_id",
@@ -633,10 +639,17 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast threshold."""
     d = t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 5),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(5)]),
-    )
+    # Short-doc guard: sequence(0, size-5) descends when size < 5 and
+    # element_at(toks, 0) throws (cf. text.py:231).
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 5),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(5)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     is_bench = F.col("doc_id") % 43 == 0
     exploded = d.select("doc_id", F.explode(grams).alias("gram"))
     bench_grams = exploded.filter(is_bench).select("gram").distinct()

@@ -78,20 +78,22 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_stream_session",
     oracle="""
-    WITH seq AS (
+    WITH ev AS (
+        SELECT user_id, date_trunc('second', ts) AS ts FROM events),
+    seq AS (
         SELECT user_id, ts,
                CASE WHEN ts < LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                              + INTERVAL 30 MINUTE
                     THEN 0 ELSE 1 END AS new_sess
-        FROM events),
+        FROM ev),
     sess AS (
         SELECT user_id, ts,
                CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS sid
         FROM seq)
-    SELECT CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS sess_start_sec,
-           CAST(epoch(date_trunc('second', MAX(ts))) AS BIGINT) + 1800 AS sess_end_sec,
+    SELECT CAST(epoch(MIN(ts)) AS BIGINT) AS sess_start_sec,
+           CAST(epoch(MAX(ts)) AS BIGINT) + 1800 AS sess_end_sec,
            user_id,
            COUNT(*) AS n_events
     FROM sess GROUP BY user_id, sid
@@ -107,8 +109,16 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionization with end = last event + gap reproduces them exactly
     — the oracle is that reconstruction, upgrading this from rows-only
     to exact (first event's LAG is NULL → the `<` comparison is false
-    → correctly flagged as a session start on both engines)."""
-    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    → correctly flagged as a session start on both engines). Both
+    engines sessionize the SECOND-truncated timeline — the repo-wide
+    timestamp-exposure convention (cf. q_sessionize) — so no fixture
+    precision drift (ns vs µs parquet) can flip a gap comparison at a
+    sub-second boundary."""
+    ev = (
+        events_stream(spark, sf_dir)
+        .withColumn("ts", F.date_trunc("second", "ts"))
+        .withWatermark("ts", "10 minutes")
+    )
     agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
         F.count("*").alias("n_events")
     )

@@ -161,3 +161,52 @@ def test_multimodal_features_match_local(spark):
         px = np.frombuffer(payload.iloc[i], dtype=np.uint8)
         assert abs(got["mean_byte"].iloc[i] - px.mean()) < 1e-9
         assert got["feat_hash"].iloc[i] == int(px[:64].sum())
+
+
+def test_ngram_queries_survive_short_documents(spark, duck, tmp_path):
+    """Regression (ADVICE r2/r3): sequence(0, size-n) DESCENDS when a doc
+    has fewer than n tokens and element_at(toks, 0) threw at runtime,
+    while the DuckDB oracle returned empty grams. Run the positional-
+    n-gram queries over a fixture containing 0/1/2/4-token docs and
+    require exact oracle agreement (not just no-crash)."""
+    import pandas as pd
+
+    from embarrassingly_parallel_image_classification_spark import registry
+    from conftest import assert_matches_oracle
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 43, 86],
+            "text": [
+                "",
+                "one",
+                "two tokens",
+                "just four tokens here",
+                "bench doc with exactly seven little words",
+                "another bench document sharing no grams at all",
+            ],
+            "lang": ["en"] * 6,
+            "source": ["unit"] * 6,
+            "n_chars": pd.array([0, 3, 10, 21, 41, 46], dtype="int64"),
+        }
+    )
+    sf_dir = str(tmp_path)
+    docs.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+    # register_views wants all 10 tables; link the untouched ones in.
+    import os
+
+    from conftest import SF_SMOKE
+    from embarrassingly_parallel_image_classification_spark.sources.tables import (
+        TABLES,
+    )
+
+    for name in TABLES:
+        if name != "documents":
+            os.symlink(f"{SF_SMOKE}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+
+    specs = registry.specs()
+    qs = registry.queries()
+    for name in ("q_text_repetition", "q_text_decontaminate", "q_text_ngrams"):
+        assert_matches_oracle(
+            spark, duck, name, qs[name], specs[name].oracle, sf_dir
+        )

@@ -143,8 +143,13 @@ def test_dedup_lsh_join_is_bucketed_not_cartesian(spark):
     degenerated to all-pairs, the exact thing LSH exists to avoid."""
     plan = plan_of(spark, "q_dedup_embedding_lsh")
     assert "Cartesian" not in plan
-    tree = plan.split("== Physical Plan ==")[1]
-    assert "NestedLoop" not in tree.split("BroadcastExchange")[0] or True
+    tree = plan.split("== Physical Plan ==")[1].split("(1) ")[0]
+    # The ONLY nested loop allowed is the deliberate map-only broadcast
+    # of the tiny hyperplane table onto the corpus (bands*bits rows,
+    # Cross BuildRight). Anything else nested-loop here means the
+    # (band, sig) bucket join degenerated.
+    nested = [l for l in tree.splitlines() if "NestedLoop" in l]
+    assert all("Cross BuildRight" in l for l in nested), nested
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
