@@ -104,6 +104,67 @@ def jaccard_pairs(d: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     )
 
 
+def jaccard_pairs_at(d: DataFrame, tau: float, n: int = SHINGLE_N) -> DataFrame:
+    """Exact n-gram-Jaccard pairs with jaccard >= tau via PREFIX
+    FILTERING (AllPairs / PPJoin family; Bayardo et al. WWW'07,
+    Vernica et al. SIGMOD'10) — the scale path that replaces the raw
+    shingle self-join (``jaccard_pairs``, demoted to small-sf verifier).
+
+    Why not minhash candidates (round-2/3 verdict suggestion): banded
+    LSH recall at the threshold is < 1, silently dropping true pairs
+    and breaking the exact oracle. The prefix filter is LOSSLESS:
+    J(A,B) >= tau implies |A∩B| >= ceil(tau·|X|) for BOTH sets, so in
+    any single global shingle order the first |X| - ceil(tau·|X|) + 1
+    shingles of each doc must share an element (take x = the smallest
+    intersection element: if x were outside A's prefix, all of A∩B
+    would fit in A's ceil(tau·|A|)-1 suffix slots — too few).
+
+    Plan at 100 TB: one shuffle joins per-shingle document frequency;
+    prefixes are ordered RARE-FIRST, so hot boilerplate shingles land
+    outside every prefix and candidate buckets track rarity, not
+    |docs-containing-shingle|² — the quadratic hot-shingle blowup of
+    the naive join is structurally gone. The verify step ships only
+    each CANDIDATE pair's two sorted shingle-sets (array_intersect,
+    JVM-side); its cost tracks candidate count, which the length
+    filter (tau·|A| <= |B| <= |A|/tau) prunes further.
+    """
+    s = shingles(d, n)
+    sizes = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    df_rank = s.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    pref = (
+        s.join(df_rank, "shingle")
+        .select("doc_id", "shingle", F.row_number().over(w).alias("pos"))
+        .join(sizes, "doc_id")
+        .filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1)
+        .select("doc_id", "shingle", "sz")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.sz") * tau <= F.col("a.sz"))
+            & (F.col("a.sz") * tau <= F.col("b.sz")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = s.groupBy("doc_id").agg(F.collect_set("shingle").alias("shs"))
+    va = sets.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a"))
+    vb = sets.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    union = F.size("shs_a") + F.size("shs_b") - inter
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard_raw"))
+        .filter(F.col("jaccard_raw") >= tau)
+        .withColumn("jaccard", F.round("jaccard_raw", 6))
+    )
+
+
 @register(
     "q_dedup_ngram_jaccard",
     oracle=f"""
@@ -131,14 +192,12 @@ def jaccard_pairs(d: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     tags=("K2",),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with exact trigram Jaccard ≥ 0.5 (filtered on the
-    raw ratio to match the oracle's WHERE)."""
+    """Near-dup pairs with exact trigram Jaccard ≥ 0.5, computed by the
+    lossless prefix-filtered similarity join (jaccard_pairs_at) — same
+    answer as the naive shingle self-join (equivalence pinned in
+    tests/test_ml_self_oracles.py), scale-safe candidate generation."""
     d = t(spark, sf_dir, "documents")
-    return (
-        jaccard_pairs(d)
-        .filter(F.col("jaccard_raw") >= 0.5)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return jaccard_pairs_at(d, 0.5).select("id_a", "id_b", "jaccard")
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -226,12 +285,12 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: trigram-Jaccard pairs (≥ 0.5) → connected
     components → one survivor per cluster (min doc_id). The full dedup
-    pipeline ending: candidate pairs from LSH/minhash, transitive
-    closure so overlapping pairs delete correctly, survivor flag for
-    the keep-list. Oracle is a DuckDB recursive-CTE label propagation
-    over the same edge set."""
+    pipeline ending: candidate pairs from the prefix-filtered exact
+    similarity join, transitive closure so overlapping pairs delete
+    correctly, survivor flag for the keep-list. Oracle is a DuckDB
+    recursive-CTE label propagation over the same edge set."""
     d = t(spark, sf_dir, "documents")
-    edges = jaccard_pairs(d).filter(F.col("jaccard_raw") >= 0.5).select("id_a", "id_b")
+    edges = jaccard_pairs_at(d, 0.5).select("id_a", "id_b")
     cc = connected_components(edges)
     w = Window.partitionBy("cluster_id")
     return cc.select(
@@ -577,11 +636,11 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup: per near-dup cluster keep the HIGHEST-
     QUALITY member (longest doc, id tiebreak), not the arbitrary min id
     — the keep-policy real training-data pipelines apply after
-    clustering. Composition: jaccard pairs → connected components →
-    quality join → per-cluster argmax (one window over the tiny
-    clustered subset)."""
+    clustering. Composition: prefix-filtered jaccard pairs → connected
+    components → quality join → per-cluster argmax (one window over the
+    tiny clustered subset)."""
     d = t(spark, sf_dir, "documents")
-    edges = jaccard_pairs(d).filter(F.col("jaccard_raw") >= 0.5).select("id_a", "id_b")
+    edges = jaccard_pairs_at(d, 0.5).select("id_a", "id_b")
     cc = connected_components(edges)
     joined = cc.join(
         d.select(F.col("doc_id").alias("node"), "n_chars"), "node"

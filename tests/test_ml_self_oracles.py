@@ -210,3 +210,27 @@ def test_ngram_queries_survive_short_documents(spark, duck, tmp_path):
         assert_matches_oracle(
             spark, duck, name, qs[name], specs[name].oracle, sf_dir
         )
+
+
+def test_prefix_filter_is_lossless(spark):
+    """jaccard_pairs_at (prefix-filtered AllPairs join, the scale path)
+    must return EXACTLY the naive shingle-self-join pairs at the same
+    threshold — the prefix filter is a lossless pruning theorem, not an
+    approximation, and this pins it empirically."""
+    from conftest import SF_SMOKE
+    from embarrassingly_parallel_image_classification_spark.ml import dedup
+    from embarrassingly_parallel_image_classification_spark.sources.tables import t
+
+    d = t(spark, SF_SMOKE, "documents")
+    fast = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.jaccard_pairs_at(d, 0.5).collect()
+    }
+    naive = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.jaccard_pairs(d)
+        .filter(F.col("jaccard_raw") >= 0.5)
+        .collect()
+    }
+    assert fast == naive
+    assert len(fast) > 0  # vacuous equality would prove nothing
