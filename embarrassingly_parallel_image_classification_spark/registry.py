@@ -130,69 +130,62 @@ def _ensure_loaded() -> None:
 #   3. two round-1-green canaries guarding against cross-family drift.
 # Queries verified green in round 1 follow; rows-only queries go last.
 _DRIVER_PRIORITY = (
-    # 1. round-1 reds, fixed this round
+    # 1. round-3 reds (events fixture drift), fixed this round — prove it
     "q_join_asof",
     "q_sessionize",
-    "q_window_range_frame",
-    # 2. round-1-unverified oracle-backed families
-    # (q_fn_string_ext yields its slot to q_dedup_clusters: H1 is already
-    # represented by round-1-green q_fn_string.)
-    "q_fn_datetime",
-    "q_fn_math",
-    "q_fn_array_argmax",
-    "q_fn_dot_product",
-    "q_fn_array_set",
-    "q_fn_map",
     "q_json_extract",
-    "q_fn_hash",
     "q_udf_scalar",
-    "q_udf_grouped_map",
-    "q_udf_grouped_agg",
-    "q_udtf_explode",
-    # (q_udf_classic yields its slot to q_infer_batch: the flagship J1
-    # inference gained an exact SQL oracle this round — per-(label,dim)
-    # AVG centroids + argmin distance is SQL-expressible — and the
-    # flagship belongs in the driver-verified window over a
-    # deliberately-trivial J8 API demo.)
-    "q_infer_batch",
-    "q_knn_exact",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    # (q_dedup_embedding — the demoted all-pairs verifier — yields its
-    # slot to q_graph_pagerank: the LSH primary right below carries the
-    # K2-embedding row, and the iterative-graph family has no other
-    # representative in the window.)
-    "q_graph_pagerank",
-    "q_dedup_embedding_lsh",
-    "q_dedup_clusters",
-    "q_text_wordcount",
-    "q_text_lang_stats",
-    "q_text_quality",
-    "q_text_tokens",
-    "q_text_fingerprint",
-    "q_text_ngrams",
-    "q_text_tfidf",
-    "q_multimodal",
-    "q_scan_csv",
-    "q_scan_json",
-    "q_sink_partitioned",
-    "q_inmemory_source",
-    "q_scan_custom_source",
-    "q_tpch_q1",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q10",
-    "q_tpch_q14",
-    "q_tpch_q18",
-    "q_scale_bloom_prune",
-    "q_scale_salted_join",
-    "q_scale_bucketed_join",
     "q_stream_tumbling",
     "q_stream_sliding",
-    "q_stream_dedup",
-    "q_stream_enrich",
-    "q_stream_foreach_batch",
     "q_stream_stream_join",
+    # 2. queries whose code changed this round (prefix-filter dedup,
+    #    second-truncated session, short-doc n-gram guard)
+    "q_dedup_ngram_jaccard",
+    "q_dedup_clusters",
+    "q_dedup_keep_best",
+    "q_stream_session",
+    "q_text_repetition",
+    "q_text_decontaminate",
+    # 3. oracle-backed queries never yet driver-verified in any round
+    #    (round-3 verdict: 112-strong long tail; rotate them through the
+    #    50-slot window, breadth-first across families)
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_upsert_latest",
+    "q_window_firstlast",
+    "q_window_time_range",
+    "q_lateral_topn",
+    "q_timeseries_gapfill",
+    "q_timeseries_ffill",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_scd2_lookup",
+    "q_recursive_bfs",
+    "q_graph_triangles",
+    "q_intersect_all",
+    "q_except_all",
+    "q_fn_array_hof",
+    "q_fn_binary",
+    "q_variant_extract",
+    "q_fn_try_safe",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_fuzzy_join",
+    "q_profile_table",
+    "q_udf_map_arrow",
+    "q_text_chunking",
+    "q_scan_orc",
+    "q_pipeline_e2e",
 )
 # (round-1-green families act as their own canaries right behind the
 # window: non-priority oracle-backed queries keep registration order.)
