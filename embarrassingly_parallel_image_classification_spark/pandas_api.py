@@ -1,0 +1,100 @@
+"""pandas-on-Spark API coverage (SURVEY §7 later-rounds item).
+
+PySpark ships the pandas API (``pyspark.pandas``) as a first-class
+shim: a ps.DataFrame is a THIN WRAPPER over a Spark plan — groupby/
+agg/merge/sort compile to the same Catalyst operators the DataFrame
+API emits, so pandas-habituated users pay no execution penalty for
+the familiar surface. These queries prove that claim the strong way:
+each runs through the pandas API end to end and must hash-match the
+same ANSI-SQL DuckDB oracle as any native query.
+
+Scale notes: ``DataFrame.pandas_api()`` adds NO data movement (it
+reuses the underlying plan; the "distributed-sequence" default index
+is never materialized here because we only use to_spark() outputs
+without index). sort_values/head compiles to a global sort + limit —
+Spark plans that as TakeOrderedAndProject, the O(n) top-k physical
+operator, not a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources.tables import t
+
+
+@register(
+    "q_ps_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("API", "D1"),
+)
+def q_ps_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q1-style pricing summary written in pandas idiom
+    (groupby + named agg + reset_index) via pyspark.pandas. The plan
+    Catalyst sees is the same partial+final hash aggregate as the
+    native q_agg_basic."""
+    psdf = t(spark, sf_dir, "lineitem").pandas_api()
+    g = (
+        psdf.groupby(["l_returnflag", "l_linestatus"])
+        .agg(
+            sum_qty=("l_quantity", "sum"),
+            avg_price=("l_extendedprice", "mean"),
+            n=("l_orderkey", "count"),
+        )
+        .reset_index()
+    )
+    return g.to_spark().select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.round("avg_price", 6).alias("avg_price"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "q_ps_pipeline",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 4) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY c.c_mktsegment
+    ORDER BY revenue DESC, c_mktsegment
+    LIMIT 3
+    """,
+    tags=("API", "C1", "F2"),
+)
+def q_ps_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge + boolean-mask filter + groupby + sort_values + head —
+    the everyday pandas analysis loop — run distributed. head-after-
+    sort compiles to Spark's TakeOrderedAndProject (O(n) top-k), and
+    the merge is a plain equi-join Catalyst can broadcast; revenue is
+    rounded because float summation order differs per engine."""
+    orders = t(spark, sf_dir, "orders").pandas_api()
+    cust = t(spark, sf_dir, "customer").pandas_api()
+    m = orders[orders["o_orderstatus"] == "F"].merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    g = (
+        m.groupby("c_mktsegment")
+        .agg(n_orders=("o_orderkey", "count"), revenue=("o_totalprice", "sum"))
+        .reset_index()
+        .sort_values(["revenue", "c_mktsegment"], ascending=[False, True])
+        .head(3)
+    )
+    return g.to_spark().select(
+        "c_mktsegment",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round("revenue", 4).alias("revenue"),
+    )

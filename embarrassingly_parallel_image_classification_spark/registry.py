@@ -214,6 +214,7 @@ _QUERY_MODULES = (
         "plans.tpch2",
         "plans.scale",
         "plans.pipeline",
+        "pandas_api",
 )
 # NOTE: module-load errors propagate — a missing/broken module must fail
 # loudly, never silently shrink the registry (a swallowed import error

@@ -234,3 +234,36 @@ def test_prefix_filter_is_lossless(spark):
     }
     assert fast == naive
     assert len(fast) > 0  # vacuous equality would prove nothing
+
+
+def test_star_cc_equals_minlabel_on_fixture(spark):
+    """Both CC algorithms must produce identical (node, cluster_id)
+    labelings on the fixture near-dup edge set."""
+    from conftest import SF_SMOKE
+    from embarrassingly_parallel_image_classification_spark.ml import dedup
+    from embarrassingly_parallel_image_classification_spark.sources.tables import t
+
+    d = t(spark, SF_SMOKE, "documents")
+    edges = dedup.jaccard_pairs_at(d, 0.5).select("id_a", "id_b")
+    a = {(r.node, r.cluster_id) for r in dedup.connected_components(edges).collect()}
+    b = {
+        (r.node, r.cluster_id)
+        for r in dedup.connected_components_star(edges).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_star_cc_solves_deep_chain(spark):
+    """A 400-node path graph: min-label propagation needs ~400 rounds
+    (diameter-bound — its default 20-round budget CANNOT finish), while
+    large-star/small-star contracts it in O(log² n) rounds. This is the
+    scale scenario the star variant exists for."""
+    from embarrassingly_parallel_image_classification_spark.ml import dedup
+
+    n = 400
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    )
+    labs = dedup.connected_components_star(chain, max_iter=15).collect()
+    assert len(labs) == n
+    assert {r.cluster_id for r in labs} == {0}
