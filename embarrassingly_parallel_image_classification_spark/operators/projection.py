@@ -253,3 +253,52 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("thr")
         .select("source", "n_docs", "n_kept", "target_rate", "achieved_rate")
     )
+
+
+@register(
+    "q_sample_weighted",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id, n_chars,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS u
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars,
+           ROUND(u / (4294967296.0 * n_chars), 6) AS priority
+    FROM k
+    ORDER BY u / (4294967296.0 * n_chars), doc_id
+    LIMIT 100
+    """,
+    tags=("B6", "F2"),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement by SEQUENTIAL POISSON
+    sampling (Ohlsson 1998): priority_i = u_i / w_i with u_i a
+    portable md5-derived uniform and w_i = n_chars; the n smallest
+    priorities are the sample, so selection probability grows with
+    document length — the weighted analogue of q_sample_hash, closing
+    SURVEY §7's "weighted reservoir sampling" later-rounds item.
+
+    Cross-engine exactness is designed in: u_i is an integer both
+    engines derive from the same md5 hex, and the priority uses ONLY
+    IEEE-exact ops (int→double conversion below 2^53, one multiply,
+    one divide — no pow/log as in Efraimidis–Spirakis A-ES, whose
+    transcendentals are not bit-portable). Ties (impossible unless
+    hashes collide) break on doc_id in both engines.
+
+    Scale: per-row hash + divide, no shuffle until the global top-n —
+    which Spark plans as TakeOrderedAndProject (partition-local top-100
+    then a 100·partitions merge at the driver), the O(n) reservoir
+    shape; the full corpus is never sorted."""
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    prio = u / (F.lit(4294967296.0) * F.col("n_chars"))
+    return (
+        d.select("doc_id", "n_chars", prio.alias("p"))
+        .orderBy("p", "doc_id")
+        .limit(100)
+        .select("doc_id", "n_chars", F.round("p", 6).alias("priority"))
+    )

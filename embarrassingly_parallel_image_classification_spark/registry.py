@@ -175,17 +175,18 @@ _DRIVER_PRIORITY = (
     "q_intersect_all",
     "q_except_all",
     "q_fn_array_hof",
-    "q_fn_binary",
-    "q_variant_extract",
-    "q_fn_try_safe",
     "q_sample_hash",
     "q_sample_stratified",
     "q_fuzzy_join",
     "q_profile_table",
-    "q_udf_map_arrow",
     "q_text_chunking",
     "q_scan_orc",
     "q_pipeline_e2e",
+    # 4. new queries registered this round (never verified by anyone)
+    "q_dedup_clusters_star",
+    "q_ps_groupby",
+    "q_ps_pipeline",
+    "q_sample_weighted",
 )
 # (round-1-green families act as their own canaries right behind the
 # window: non-priority oracle-backed queries keep registration order.)
