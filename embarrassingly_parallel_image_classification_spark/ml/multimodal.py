@@ -10,11 +10,13 @@ and every relational operator accepts it opaquely — binary columns
 shuffle, join and write like any other column.
 
 Decode/feature-extraction runs as ``mapInPandas`` (Arrow batches, one
-Python worker init per task — the J6 shape). The actual image decode is
-STUBBED (no imaging libs in this container): ``decode_stub`` derives
-deterministic pseudo-pixels from the payload bytes, so the Spark-side
-plumbing — schema, batch iteration, partitioning — is fully real and
-testable, and swapping in PIL/libvips later changes one function.
+Python worker init per task — the J6 shape). Image decode is REAL for
+the dependency-free formats (binary PPM/PGM via ``decode_image``, pure
+numpy — exercised with genuine image bytes in tests); every other
+format falls back to ``decode_stub``'s deterministic pseudo-pixels (no
+PNG/JPEG codecs in this container), so the Spark-side plumbing —
+schema, batch iteration, partitioning — is fully real either way, and
+swapping in PIL/libvips later changes one function.
 """
 
 from __future__ import annotations
@@ -73,6 +75,45 @@ def decode_stub(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8)
 
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """REAL image decode for the dependency-free formats: binary PPM
+    (P6 → H×W×3 uint8) and PGM (P5 → H×W uint8), parsed with pure
+    numpy — no imaging libs needed, so this path is genuinely real in
+    this container; any other payload falls back to ``decode_stub``.
+
+    Strictness makes the fallback safe: the magic must be P6/P5,
+    maxval must be 255, AND the pixel data length must equal
+    width·height·channels exactly — an ASCII text payload that happens
+    to start with "P6" cannot satisfy the exact-length check, so the
+    fixture-derived payloads keep their stub semantics (and their
+    oracles) bit-for-bit."""
+    try:
+        if payload[:2] in (b"P6", b"P5"):
+            fields: list[int] = []
+            i = 2
+            while len(fields) < 3:
+                while i < len(payload) and payload[i : i + 1].isspace():
+                    i += 1
+                if payload[i : i + 1] == b"#":  # comment line
+                    while i < len(payload) and payload[i : i + 1] != b"\n":
+                        i += 1
+                    continue
+                j = i
+                while j < len(payload) and not payload[j : j + 1].isspace():
+                    j += 1
+                fields.append(int(payload[i:j]))
+                i = j
+            w, h, maxval = fields
+            i += 1  # exactly one whitespace byte after maxval
+            ch = 3 if payload[:2] == b"P6" else 1
+            if maxval == 255 and len(payload) - i == w * h * ch:
+                arr = np.frombuffer(payload, dtype=np.uint8, offset=i)
+                return arr.reshape((h, w, 3)) if ch == 3 else arr.reshape((h, w))
+    except (ValueError, IndexError):
+        pass
+    return decode_stub(payload)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over media rows (Arrow-batched).
 
@@ -87,7 +128,7 @@ def extract_features(df: DataFrame) -> DataFrame:
             for mid, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"], strict=True
             ):
-                px = decode_stub(payload)
+                px = decode_image(payload).ravel()
                 feats.append(
                     (
                         int(mid),
@@ -150,7 +191,8 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("K5", "J6"),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode-stub + feature extraction via mapInPandas. The stub
+    """Decode + feature extraction via mapInPandas (decode_image: real
+    PPM/PGM parsing, stub fallback for the fixture's text payloads). The stub
     'pixels' are the payload bytes and the payload is the doc's utf-8
     text (pure ASCII), so SQL reproduces every feature exactly:
     n_bytes = byte length, mean_byte = per-char code-point sum / length

@@ -267,3 +267,49 @@ def test_star_cc_solves_deep_chain(spark):
     labs = dedup.connected_components_star(chain, max_iter=15).collect()
     assert len(labs) == n
     assert {r.cluster_id for r in labs} == {0}
+
+
+def test_real_ppm_decode_through_feature_extraction(spark):
+    """decode_image must parse GENUINE binary PPM/PGM bytes (built here
+    pixel-by-pixel, no imaging libs) and the mapInPandas feature path
+    must report the true pixel statistics; malformed or text payloads
+    must fall back to stub semantics so fixture oracles are untouched."""
+    import numpy as np
+
+    from embarrassingly_parallel_image_classification_spark.ml import multimodal
+
+    rng = np.random.RandomState(3)
+    w, h = 17, 11
+    rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    ppm = b"P6\n# comment\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+    gray = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    pgm = b"P5\n%d %d\n255\n" % (w, h) + gray.tobytes()
+    text = b"P6 is a binary image format"  # looks magic, fails length check
+
+    # direct decode: shapes and values
+    assert multimodal.decode_image(ppm).shape == (h, w, 3)
+    assert np.array_equal(multimodal.decode_image(ppm), rgb)
+    assert multimodal.decode_image(pgm).shape == (h, w)
+    assert np.array_equal(multimodal.decode_image(pgm), gray)
+    assert np.array_equal(
+        multimodal.decode_image(text), np.frombuffer(text, dtype=np.uint8)
+    )
+
+    # end-to-end through the Spark mapInPandas feature extractor
+    rows = [
+        (1, bytearray(ppm), {"width": w, "height": h, "format": "ppm"}),
+        (2, bytearray(pgm), {"width": w, "height": h, "format": "pgm"}),
+        (3, bytearray(text), {"width": 0, "height": 0, "format": "txt"}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, "
+        "meta struct<width:int,height:int,format:string>",
+    )
+    got = {r.media_id: r for r in multimodal.extract_features(df).collect()}
+    assert got[1].n_bytes == w * h * 3
+    assert got[1].mean_byte == float(rgb.mean())
+    assert got[1].feat_hash == int(rgb.ravel()[:64].sum())
+    assert got[2].n_bytes == w * h
+    assert got[2].mean_byte == float(gray.mean())
+    assert got[3].n_bytes == len(text)  # stub fallback: raw bytes
