@@ -333,6 +333,77 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_text_cdc_chunks",
+    oracle="""
+    WITH split AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE text <> ''),
+    toks AS (
+        SELECT doc_id, UNNEST(ws) AS tok,
+               UNNEST(range(1, len(ws) + 1)) AS pos
+        FROM split),
+    flagged AS (
+        SELECT doc_id, tok, pos,
+               CASE WHEN ('0x' || substring(md5(tok), 1, 8))::UBIGINT % 16 = 0
+                    THEN 1 ELSE 0 END AS cut
+        FROM toks),
+    chunked AS (
+        SELECT doc_id, tok, pos,
+               CAST(COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS chunk_id
+        FROM flagged)
+    SELECT doc_id, chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+    FROM chunked
+    GROUP BY doc_id, chunk_id
+    """,
+    tags=("K4", "K2"),
+)
+def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED chunking (rsync/LBFS/FastCDC family, at token
+    granularity): a chunk ends after any token whose portable md5-32
+    hash ≡ 0 (mod 16) — expected chunk ≈ 16 tokens. Because boundaries
+    depend on CONTENT, not position, an edit only reshapes its own and
+    the adjacent chunk while every other chunk keeps its md5 — the
+    chunking that makes chunk-level dedup robust to insertions, which
+    fixed-stride q_text_chunking is not.
+
+    Scale: split + posexplode are narrow; the only shuffle is the
+    per-doc window/groupBy on doc_id (bounded by doc length). The
+    cut-flag hash is the same md5-prefix integer both engines compute,
+    so chunk ids and digests are bit-portable."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    cut = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % 16 == 0
+    ).cast("int")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toks.select(
+        "doc_id",
+        "tok",
+        "pos",
+        F.coalesce(F.sum(cut).over(w), F.lit(0)).cast("bigint").alias("chunk_id"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda x: x["tok"]
+    )
+    return chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", ordered)).alias("chunk_md5"),
+    )
+
+
 q_text_chunking.__doc__ = q_text_chunking.__doc__.format(
     win=_CHUNK_WIN, stride=_CHUNK_STRIDE
 )

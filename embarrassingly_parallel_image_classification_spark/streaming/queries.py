@@ -132,6 +132,65 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_session_dynamic",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, date_trunc('second', ts) AS ts,
+               date_trunc('second', ts)
+                 + to_seconds(CASE WHEN event_type = 'click'
+                              THEN 600 ELSE 1800 END) AS fin
+        FROM events),
+    seq AS (
+        SELECT user_id, ts, fin,
+               CASE WHEN ts < MAX(fin) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM ev),
+    sess AS (
+        SELECT user_id, ts, fin,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS sid
+        FROM seq)
+    SELECT CAST(epoch(MIN(ts)) AS BIGINT) AS sess_start_sec,
+           CAST(epoch(MAX(fin)) AS BIGINT) AS sess_end_sec,
+           user_id,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("I3", "I4"),
+)
+def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT dynamic inactivity gap (clicks
+    expire after 10 minutes, everything else after 30) — the
+    engagement-aware sessionization session_window's Column-typed gap
+    exists for. Semantics: each event claims [ts, ts+gap); overlapping
+    claims merge, so a session's end is the MAX of its members'
+    expiries, not last-event+constant. The oracle reconstructs exactly
+    that with a running-MAX-of-expiry new-session flag + cumsum (the
+    interval-merge algorithm); both engines work on the second-
+    truncated timeline per repo convention."""
+    gap = F.when(F.col("event_type") == "click", "10 minutes").otherwise(
+        "30 minutes"
+    )
+    ev = (
+        events_stream(spark, sf_dir)
+        .withColumn("ts", F.date_trunc("second", "ts"))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = ev.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    out = agg.select(
+        F.unix_timestamp(F.col("session_window.start")).alias("sess_start_sec"),
+        F.unix_timestamp(F.col("session_window.end")).alias("sess_end_sec"),
+        "user_id",
+        "n_events",
+    )
+    return run_to_memory(out, "complete")
+
+
+@register(
     "q_stream_dedup",
     oracle="""
     SELECT COUNT(DISTINCT event_id) AS n_unique FROM events

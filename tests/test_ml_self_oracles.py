@@ -313,3 +313,54 @@ def test_real_ppm_decode_through_feature_extraction(spark):
     assert got[2].n_bytes == w * h
     assert got[2].mean_byte == float(gray.mean())
     assert got[3].n_bytes == len(text)  # stub fallback: raw bytes
+
+
+def test_cdc_chunking_is_edit_robust(spark, duck, tmp_path):
+    """The motivating CDC property: inserting one token into a document
+    changes only the chunk digests at the edit point — every chunk
+    before AND after (re-aligned by content) keeps its md5, unlike
+    fixed-stride chunking where an insertion shifts all later chunks.
+    Also pins the Spark/DuckDB oracle agreement on this tiny corpus."""
+    import os
+
+    import pandas as pd
+
+    from conftest import SF_SMOKE, assert_matches_oracle
+    from embarrassingly_parallel_image_classification_spark import registry
+    from embarrassingly_parallel_image_classification_spark.sources.tables import (
+        TABLES,
+    )
+
+    words = [f"w{i}" for i in range(200)]
+    orig = " ".join(words)
+    edited = " ".join(words[:100] + ["INSERTED"] + words[100:])
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [orig, edited],
+            "lang": ["en", "en"],
+            "source": ["unit", "unit"],
+            "n_chars": pd.array([len(orig), len(edited)], dtype="int64"),
+        }
+    )
+    sf_dir = str(tmp_path)
+    docs.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+    for name in TABLES:
+        if name != "documents":
+            os.symlink(f"{SF_SMOKE}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+
+    specs = registry.specs()
+    qs = registry.queries()
+    assert_matches_oracle(
+        spark, duck, "q_text_cdc_chunks", qs["q_text_cdc_chunks"],
+        specs["q_text_cdc_chunks"].oracle, sf_dir,
+    )
+    rows = qs["q_text_cdc_chunks"](spark, sf_dir).collect()
+    digests = {0: set(), 1: set()}
+    for r in rows:
+        digests[r.doc_id].add(r.chunk_md5)
+    # all but ~2 chunks survive the edit with identical digests
+    shared = digests[0] & digests[1]
+    assert len(digests[0]) - len(shared) <= 2
+    assert len(digests[1]) - len(shared) <= 2
+    assert len(shared) >= len(digests[0]) - 2 > 0
