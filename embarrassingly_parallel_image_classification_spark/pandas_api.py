@@ -78,9 +78,15 @@ def q_ps_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ps_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """merge + boolean-mask filter + groupby + sort_values + head —
     the everyday pandas analysis loop — run distributed. head-after-
-    sort compiles to Spark's TakeOrderedAndProject (O(n) top-k), and
-    the merge is a plain equi-join Catalyst can broadcast; revenue is
-    rounded because float summation order differs per engine."""
+    sort compiles to Spark's TakeOrderedAndProject (O(n) top-k) and
+    the merge is a plain equi-join Catalyst can broadcast. One honest
+    caveat (pinned in tests/test_plans.py): the boolean mask keeps
+    pandas NaN semantics, which wraps the predicate in CASE WHEN
+    null-checks Catalyst cannot push into the parquet scan — the
+    filter still runs JVM-side right above the scan, but loses I/O
+    pruning; a pushdown-critical filter belongs in native DataFrame
+    code before .pandas_api(). Revenue is rounded because float
+    summation order differs per engine."""
     orders = t(spark, sf_dir, "orders").pandas_api()
     cust = t(spark, sf_dir, "customer").pandas_api()
     m = orders[orders["o_orderstatus"] == "F"].merge(

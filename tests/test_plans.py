@@ -224,3 +224,48 @@ def test_no_accidental_cartesian_anywhere(spark):
         plan = explain_str(fn(spark, SF_T2))
         assert "CartesianProduct" not in plan, f"{name} has a CartesianProduct"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} has a BNLJ"
+
+
+def test_weighted_sample_is_topk_not_full_sort(spark):
+    """q_sample_weighted's n-smallest-priorities must plan as
+    TakeOrderedAndProject (partition-local top-n + driver merge — the
+    distributed reservoir shape), never a global sort-then-limit."""
+    plan = plan_of(spark, "q_sample_weighted")
+    assert "TakeOrderedAndProject" in plan
+    tree = plan.split("== Physical Plan ==")[1].split("(1) ")[0]
+    assert "Sort " not in tree  # no full sort node
+
+
+def test_prefix_filter_join_has_no_cartesian(spark):
+    """The prefix-filtered similarity join must stay equi-joined on the
+    hashed shingle key — a Cartesian/NestedLoop means the lossless
+    pruning degenerated to all-pairs."""
+    plan = plan_of(spark, "q_dedup_ngram_jaccard")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_pandas_api_compiles_to_native_plans(spark):
+    """pyspark.pandas compiles to native operators: the groupby plans
+    as a hash aggregate, head-after-sort as TakeOrderedAndProject.
+    Known, documented exception (pandas_api.py docstring): boolean
+    masks carry pandas NaN semantics (CASE WHEN wrappers), so the
+    status predicate runs as a JVM Filter above the scan but is NOT
+    pushed into PushedFilters — pin exactly that so a Spark upgrade
+    that starts pushing it down gets noticed (and the docstring
+    caveat removed)."""
+    plan = plan_of(spark, "q_ps_groupby")
+    assert "HashAggregate" in plan
+    plan2 = plan_of(spark, "q_ps_pipeline")
+    assert "TakeOrderedAndProject" in plan2
+    assert "o_orderstatus" in plan2  # the mask survives as a Filter...
+    pushed = [l for l in plan2.splitlines() if "PushedFilters" in l]
+    assert pushed and all("o_orderstatus" not in l for l in pushed)
+
+
+def test_cdc_chunking_single_doc_shuffle(spark):
+    """q_text_cdc_chunks' only wide operations are the per-doc window
+    and the final per-(doc,chunk) aggregate — both key on doc_id, and
+    nothing may join or cartesian."""
+    plan = plan_of(spark, "q_text_cdc_chunks")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "Window" in plan
