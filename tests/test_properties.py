@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the algorithmic claims that a
+single fixture can't pin convincingly.
+
+Example counts are deliberately small (each example runs Spark jobs);
+derandomized so CI-like runs are stable. The properties:
+
+* prefix-filtered similarity join ≡ naive all-pairs join at the same
+  threshold, for ANY corpus (the losslessness theorem, adversarially
+  probed with short docs, repeated tokens, shared boilerplate);
+* star CC ≡ min-label CC on arbitrary random graphs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from embarrassingly_parallel_image_classification_spark.ml import dedup
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+_doc = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=10)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_corpus)
+def test_prefix_filter_lossless_on_random_corpora(spark, texts):
+    """jaccard_pairs_at == filtered jaccard_pairs for arbitrary corpora.
+    A tiny 8-word vocabulary forces heavy shingle collisions — the
+    regime where a broken prefix length or length filter would drop a
+    true pair."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fast = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.jaccard_pairs_at(d, 0.5).collect()
+    }
+    naive = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.jaccard_pairs(d)
+        .filter(F.col("jaccard_raw") >= 0.5)
+        .collect()
+    }
+    assert fast == naive
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_edges)
+def test_star_cc_equals_minlabel_on_random_graphs(spark, pairs):
+    """Alternating star contraction and min-label propagation must
+    agree on arbitrary graphs (self-loops and duplicate edges
+    included)."""
+    pairs = [(a, b) for a, b in pairs if a != b]
+    if not pairs:
+        return
+    e = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    lab_min = {
+        (r.node, r.cluster_id) for r in dedup.connected_components(e).collect()
+    }
+    lab_star = {
+        (r.node, r.cluster_id)
+        for r in dedup.connected_components_star(e).collect()
+    }
+    assert lab_min == lab_star
