@@ -59,6 +59,11 @@ HEADLINE = [
     "q_text_packing",
     "q_window_time_range",
     "q_lateral_topn",
+    # round-4 additions: CDC chunking + weighted sampling (both cheap;
+    # the heavy new dedup paths are profiled in BASELINE.md instead so
+    # the headline total stays comparable round-over-round)
+    "q_text_cdc_chunks",
+    "q_sample_weighted",
 ]
 
 
