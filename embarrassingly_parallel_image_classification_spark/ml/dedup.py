@@ -134,9 +134,13 @@ def jaccard_pairs_at(d: DataFrame, tau: float, n: int = SHINGLE_N) -> DataFrame:
     # sf0.1, and the gap widens with shingle length. Exact-Jaccard on
     # hashes equals Jaccard on strings barring 64-bit collisions
     # (negligible; same argument as q_dedup_exact's hash key). The
-    # hashed frame is scanned three times, so persist it (at cluster
-    # scale: MEMORY_AND_DISK, and the 16-byte rows make that cheap).
-    s = shingles(d, n).select("doc_id", F.xxhash64("shingle").alias("sh")).persist()
+    # hashed frame is scanned three times and deliberately NOT
+    # persisted: a persist() inside a library function returning a lazy
+    # DataFrame can never unpersist, and leaked cache entries churn
+    # executor memory across calls (a probe run slowed 6× from the
+    # accumulation; the persist bought only ~10%). Cache the INPUT
+    # documents frame at pipeline level instead if its scan is dear.
+    s = shingles(d, n).select("doc_id", F.xxhash64("shingle").alias("sh"))
     sizes = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
     df_rank = s.groupBy("sh").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "sh")

@@ -66,6 +66,7 @@ for mult, boiler in [(1, False), (1, True), (4, False), (4, True)]:
     d = corpus(mult, boiler).persist()
     n_docs = d.count()
     n_p, t_p = timed(prefix, d)
+    spark.catalog.clearCache(); d = corpus(mult, boiler).persist(); d.count()
     n_n, t_n = timed(naive, d)
     label = f"{n_docs} docs boiler={boiler}"
     print(f"{label:32s} prefix: {n_p} pairs {t_p}s | naive: {n_n} pairs {t_n}s", flush=True)
