@@ -550,6 +550,94 @@ def simhash(d: DataFrame, bits: int = 64) -> DataFrame:
     return agg.select("doc_id", fp.alias("simhash"))
 
 
+def _simhash_portable_oracle() -> str:
+    """64 conditional-sum vote columns + sign-bit fold, generated — the
+    exact SQL mirror of simhash_portable (bit 63 lands on the BIGINT
+    sign, same -(2^63) fold both engines)."""
+    votes = []
+    for j in range(64):
+        col = "lo" if j < 32 else "hi"
+        sh = j if j < 32 else j - 32
+        votes.append(
+            f"SUM(CASE WHEN (({col} >> {sh}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
+        )
+    terms = []
+    for j in range(64):
+        w = 2**j if j < 63 else -(2**63)
+        terms.append(f"CASE WHEN b{j} > 0 THEN CAST({w} AS BIGINT) ELSE 0 END")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(tok), 1, 8))::BIGINT AS hi,
+               ('0x' || substring(md5(tok), 9, 8))::BIGINT AS lo
+        FROM toks),
+    votes AS (
+        SELECT doc_id, {", ".join(votes)}
+        FROM h GROUP BY doc_id),
+    fp AS (
+        SELECT doc_id, {" + ".join(terms)} AS simhash FROM votes)
+    SELECT doc_id, simhash,
+           COUNT(*) OVER (PARTITION BY simhash) AS n_same_fp
+    FROM fp
+    """
+
+
+def simhash_portable(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — Charikar fingerprint whose token hash is the
+    64-bit md5 prefix (two portable 32-bit halves) instead of xxhash64,
+    making the whole fingerprint CROSS-ENGINE REPRODUCIBLE: DuckDB
+    computes the identical 64 vote sums and the identical sign fold, so
+    q_dedup_simhash_portable is verified EXACTLY — the only simhash
+    formulation a third party can audit without Spark. Keep the
+    xxhash64 variant (simhash) as the perf path at scale: one JVM hash
+    beats md5 string slicing; this one buys verifiability."""
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("bigint").alias("lo"),
+    )
+    votes = []
+    for j in range(64):
+        col = "lo" if j < 32 else "hi"
+        sh = j if j < 32 else j - 32
+        votes.append(
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(col), sh).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{j}")
+        )
+    agg = h.groupBy("doc_id").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for j in range(64):
+        fp = fp + F.when(
+            F.col(f"b{j}") > 0,
+            F.lit(1).cast("long") * (2**j if j < 63 else -(2**63)),
+        ).otherwise(0)
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+@register(
+    "q_dedup_simhash_portable",
+    oracle=_simhash_portable_oracle(),
+    tags=("K2",),
+)
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with the portable md5-derived token hash — identical
+    fingerprints on any engine, so this K2 family member graduates
+    from rows-only to an exact DuckDB oracle (the xxhash64 variant
+    q_dedup_simhash stays as the faster engine-specific path)."""
+    d = t(spark, sf_dir, "documents")
+    fp = simhash_portable(d)
+    w = Window.partitionBy("simhash")
+    return fp.select(
+        "doc_id", "simhash", F.count("*").over(w).alias("n_same_fp")
+    )
+
+
 @register("q_dedup_simhash", oracle=None, tags=("K2", "rows-only"))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint per document (group identical fingerprints
