@@ -5,15 +5,22 @@ Five tiers, exact → fuzzy:
 
 * exact        — hash-groupBy on content (xxhash64 for the shuffle key,
                  full text only for collision arbitration);
-* ngram-jaccard— exact set-similarity via shingle join (quadratic in
-                 candidates; the small-scale oracle for the next two);
+* ngram-jaccard— EXACT set-similarity at a threshold via the lossless
+                 prefix-filtered join (jaccard_pairs_at, AllPairs/
+                 PPJoin family); the naive shingle self-join
+                 (jaccard_pairs) survives only as the small-sf
+                 equivalence verifier;
 * minhash      — MinHash signatures + banded LSH: candidates only when
-                 a band collides, then exact-Jaccard verify. The
+                 a band collides, then estimated-Jaccard verify. The
                  standard web-scale near-dedup (Broder '97 shape);
-* simhash      — 64-bit Charikar fingerprint via per-token md5 bit
-                 votes; near-dups share the fingerprint (or differ in
-                 few bits);
-* embedding    — cosine-threshold near-dup over the embeddings table.
+* simhash      — 64-bit Charikar fingerprint from per-token bit votes,
+                 twice: xxhash64 (fast, engine-specific, rows-only)
+                 and the md5-derived portable hash (oracle-EXACT);
+* embedding    — cosine-threshold near-dup over the embeddings table
+                 (hyperplane-LSH scale path + all-pairs verifier).
+
+Clustering: near-dup pairs → connected components (min-label, plus the
+large-star/small-star variant for deep components) → survivor policy.
 
 Everything is deterministic (hash-seeded, no RNG), so rows-only queries
 are still reproducible run-to-run.
