@@ -247,13 +247,48 @@ def lang_profiles(d: DataFrame, top: int = 20) -> DataFrame:
     return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= top)
 
 
-@register("q_text_langid", oracle=None, tags=("K4", "rows-only"))
+@register(
+    "q_text_langid",
+    oracle="""
+    WITH bg_doc AS (
+        SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg
+        FROM documents, UNNEST(range(1, length(text))) AS r(i)
+        WHERE length(text) >= 2),
+    bg_lang AS (
+        SELECT lang, substr(text, CAST(i AS INT), 2) AS bg
+        FROM documents, UNNEST(range(1, length(text))) AS r(i)
+        WHERE length(text) >= 2),
+    counts AS (SELECT lang, bg, COUNT(*) AS n FROM bg_lang GROUP BY lang, bg),
+    prof AS (
+        SELECT * FROM (
+            SELECT lang AS p_lang, bg, n,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, bg) AS rk
+            FROM counts) WHERE rk <= 20),
+    scored AS (
+        SELECT b.doc_id, p.p_lang, SUM(p.n) AS score
+        FROM bg_doc b JOIN prof p USING (bg)
+        GROUP BY b.doc_id, p.p_lang),
+    pred AS (
+        SELECT doc_id, p_lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, p_lang) AS rk
+        FROM scored)
+    SELECT p.doc_id, p.p_lang AS pred_lang, d.lang
+    FROM pred p JOIN documents d USING (doc_id)
+    WHERE p.rk = 1
+    """,
+    tags=("K4",),
+)
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: score each doc's char-bigrams against
     per-language profiles learned from the labeled corpus (broadcast
-    dim), predict the argmax language. Deterministic; rows-only (the
-    fixture's langs share one vocabulary, so accuracy ≈ chance — the
-    operator's shape is what's exercised)."""
+    dim), predict the argmax language. Everything is integer counts
+    with deterministic (score DESC, lang) / (n DESC, bigram)
+    tiebreaks, so the whole train-and-predict loop is reproduced
+    exactly in SQL — upgraded round 4 from rows-only to an exact
+    oracle (the fixture's langs share one vocabulary, so accuracy ≈
+    chance; the operator's shape is what's exercised)."""
     d = t(spark, sf_dir, "documents")
     profiles = lang_profiles(d).select(
         F.col("lang").alias("p_lang"), "bg", F.col("n").alias("p_n")
