@@ -121,6 +121,17 @@ def test_loader_schema_pinned(spark, name):
     )
 
 
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_loader_schema_identical_across_scale_factors(spark, sf_dir):
+    """The driver regenerates each sf dir independently — guard against
+    PER-SF drift (e.g. only sf0.1 regenerated with a new type), which
+    would pass the sf0.001 canary yet break the bench or the t2 gate."""
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        assert got == EXPECTED[name], f"{name!r} drifted at {sf_dir}"
+
+
 def test_events_stream_schema_matches_batch(spark):
     """Batch and streaming event loaders MUST produce identical schemas
     (stream-batch equivalence is a contract, SURVEY §5.3)."""
