@@ -506,6 +506,109 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(d).filter(F.col("est_jaccard") >= 0.5)
 
 
+def _minhash_portable_oracle(perms: int = MINHASH_PERMS, bands: int = MINHASH_BANDS) -> str:
+    """Generated DuckDB mirror of q_dedup_minhash_portable: identical
+    md5-based permutation mins, identical banded buckets, identical
+    match-count estimate — the whole LSH candidate pipeline, exactly."""
+    r = perms // bands
+    mins = ", ".join(
+        f"MIN(('0x' || substring(md5('{i}:' || shingle), 1, 8))::BIGINT) AS m{i}"
+        for i in range(perms)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(concat_ws(',', {', '.join(f'm{b*r+j}' for j in range(r))})) AS bucket, "
+        f"{', '.join(f'm{i}' for i in range(perms))} FROM sig"
+        for b in range(bands)
+    )
+    matches = " + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(perms))
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(
+                   range(1, len(ws) - {SHINGLE_N - 2}),
+                   i -> array_to_string(ws[i : i + {SHINGLE_N - 1}], ' '))) AS shingle
+        FROM toks),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    banded AS ({band_rows}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               ({matches}) AS n_match
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, ROUND(n_match / {perms}.0, 6) AS est_jaccard
+    FROM cand WHERE n_match / {perms}.0 >= 0.5
+    """
+
+
+@register(
+    "q_dedup_minhash_portable",
+    oracle=_minhash_portable_oracle(),
+    tags=("K2",),
+)
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH with the PORTABLE md5 permutation family
+    (perm i of a shingle = 32-bit prefix of md5("i:" || shingle)):
+    signatures, band buckets, candidate pairs and the matching-
+    component Jaccard estimate are all bit-identical on any engine, so
+    the ENTIRE LSH pipeline — not just a recall property — is verified
+    against an exact DuckDB oracle. The xxhash64 formulation
+    (q_dedup_minhash) remains the perf path; this one is the audit
+    path. est threshold compared on the raw ratio (k/16 — exact IEEE
+    division both sides), rounded only for exposure."""
+    perms, bands = MINHASH_PERMS, MINHASH_BANDS
+    r = perms // bands
+    d = t(spark, sf_dir, "documents")
+    sh = shingles(d)
+    min_cols = [
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+        ).alias(f"m{i}")
+        for i in range(perms)
+    ]
+    sig = sh.groupBy("doc_id").agg(*min_cols)
+    banded = None
+    for b in range(bands):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"m{b * r + j}") for j in range(r)])
+            ).alias("bucket"),
+            *[F.col(f"m{i}") for i in range(perms)],
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a, bb = banded.alias("a"), banded.alias("b")
+    matches = sum(
+        F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+        for i in range(perms)
+    )
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            matches.alias("n_match"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.col("n_match") / float(perms)
+    return (
+        cand.filter(est >= 0.5)
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+    )
+
+
 @register("q_dedup_minhash_mllib", oracle=None, tags=("K2", "rows-only"))
 def q_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib variant of near-dedup: HashingTF token vectors →
