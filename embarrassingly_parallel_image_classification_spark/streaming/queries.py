@@ -314,12 +314,22 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, "append")
 
 
-@register("q_stream_stateful", oracle=None, tags=("I6", "rows-only"))
+@register(
+    "q_stream_stateful",
+    oracle="""
+    SELECT user_id, MAX(value) AS max_value, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    tags=("I6",),
+)
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful per-key processing (applyInPandasWithState):
     running max/count of `value` per user — the per-key model-score
-    state of an operational scorer. Final state per user must equal the
-    batch groupBy (asserted in tests/test_streaming.py)."""
+    state of an operational scorer. The STATE MECHANICS are what this
+    exercises; the drained final state is nonetheless deterministic
+    (max and count are order-independent, no float accumulation), so
+    it carries an exact batch-SQL oracle — upgraded round 4 from
+    rows-only (also equals-batch asserted in tests/test_streaming.py)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
