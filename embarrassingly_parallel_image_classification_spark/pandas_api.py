@@ -104,3 +104,31 @@ def q_ps_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.round("revenue", 4).alias("revenue"),
     )
+
+
+@register(
+    "q_ps_cumsum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS cum_spend
+    FROM orders
+    """,
+    tags=("API", "E3"),
+)
+def q_ps_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend in pandas idiom: sort_values +
+    groupby().cumsum() — the pandas spelling of a partitioned running-
+    sum window. Compiles to the same Window (rows unbounded-preceding)
+    plan the native E3 queries use, and because BOTH engines accumulate
+    in the same (o_custkey, o_orderkey) order, the float running sums
+    are bit-identical — rounded only for exposure."""
+    o = t(spark, sf_dir, "orders").pandas_api()
+    ps = o.sort_values(["o_custkey", "o_orderkey"])
+    ps["cum_spend"] = ps.groupby("o_custkey")["o_totalprice"].cumsum()
+    out = ps[["o_orderkey", "o_custkey", "cum_spend"]].to_spark()
+    return out.select(
+        "o_orderkey", "o_custkey", F.round("cum_spend", 4).alias("cum_spend")
+    )
