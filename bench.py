@@ -95,10 +95,46 @@ def warmup(spark, sf_dir: str) -> None:
     ensure_ivf_index(spark, sf_dir)
 
 
+def contention_canary(sf_dir: str) -> dict:
+    """Fixed-work probe making bench totals attributable on a shared box
+    (round-4 verdict item 3: r4 ran ~29% above r2 uniformly; without a
+    canary, contention and real regressions are indistinguishable).
+
+    Two signals, recorded alongside the Spark timings:
+      * loadavg at start (what else the box is doing);
+      * wall time of a FIXED single-threaded DuckDB aggregate over
+        lineitem — constant work, so its runtime moves with contention
+        only, never with changes to this repo's Spark code. Compare the
+        canary across rounds: if canary_r5/canary_r4 ≈ spark_r5/spark_r4,
+        the delta is the box, not the code.
+    """
+    import duckdb
+
+    la1, la5, la15 = os.getloadavg()
+    con = duckdb.connect()
+    con.execute("SET threads=1")
+    t0 = time.time()
+    con.execute(
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity), "
+        "SUM(l_extendedprice * (1 - l_discount)), COUNT(*) "
+        f"FROM read_parquet('{sf_dir}/lineitem.parquet') "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    duck_sec = round(time.time() - t0, 3)
+    con.close()
+    return {
+        "loadavg_1m": round(la1, 2),
+        "loadavg_5m": round(la5, 2),
+        "loadavg_15m": round(la15, 2),
+        "duckdb_fixed_agg_sec": duck_sec,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    canary_start = contention_canary(sf_dir)
     spark = get_spark("epic-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     warmup(spark, sf_dir)
@@ -118,6 +154,7 @@ def main() -> None:
             timings[name] = round(min(timings.get(name, float("inf")), dt), 3)
 
     total = round(sum(timings.values()), 3)
+    canary_end = contention_canary(sf_dir)
     print(
         json.dumps(
             {
@@ -126,6 +163,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "contention_canary": {
+                    "start": canary_start,
+                    "end": canary_end,
+                },
             }
         )
     )

@@ -126,6 +126,15 @@ def jaccard_pairs_at(d: DataFrame, tau: float, n: int = SHINGLE_N) -> DataFrame:
     intersection element: if x were outside A's prefix, all of A∩B
     would fit in A's ceil(tau·|A|)-1 suffix slots — too few).
 
+    All three bounds (prefix length, length filter, final threshold)
+    are computed in INTEGER arithmetic on tau's exact decimal rational
+    num/den — never float. A float ``ceil(tau*sz)`` silently breaks the
+    theorem for non-dyadic tau: 0.1*10 → 1.0000000000000002 → ceil = 2
+    instead of 1, shortening the prefix below the lossless bound and
+    dropping true pairs. ceil(tau·sz) = (num·sz + den − 1) div den is
+    exact for every tau (property-tested at non-dyadic tau=0.3 in
+    tests/test_properties.py).
+
     Plan at 100 TB: one shuffle joins per-shingle document frequency;
     prefixes are ordered RARE-FIRST, so hot boilerplate shingles land
     outside every prefix and candidate buckets track rarity, not
@@ -147,25 +156,34 @@ def jaccard_pairs_at(d: DataFrame, tau: float, n: int = SHINGLE_N) -> DataFrame:
     # executor memory across calls (a probe run slowed 6× from the
     # accumulation; the persist bought only ~10%). Cache the INPUT
     # documents frame at pipeline level instead if its scan is dear.
+    # tau as an exact decimal rational: Fraction("0.3") = 3/10, never
+    # the float 0.2999… — the bounds below are integer-exact in num/den.
+    from fractions import Fraction
+
+    frac = Fraction(str(tau)).limit_denominator(10**9)
+    num, den = frac.numerator, frac.denominator
     s = shingles(d, n).select("doc_id", F.xxhash64("shingle").alias("sh"))
     sizes = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
     df_rank = s.groupBy("sh").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    # ceil(tau·sz) = (num·sz + den − 1) div den — integer-exact.
+    ceil_tau_sz = F.expr(f"({num} * sz + {den - 1}) div {den}")
     pref = (
         s.join(df_rank, "sh")
         .select("doc_id", "sh", F.row_number().over(w).alias("pos"))
         .join(sizes, "doc_id")
-        .filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1)
+        .filter(F.col("pos") <= F.col("sz") - ceil_tau_sz + 1)
         .select("doc_id", "sh", "sz")
     )
     a, b = pref.alias("a"), pref.alias("b")
+    # Length filter tau·|B| <= |A| ⇔ num·|B| <= den·|A| — integer-exact.
     cands = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.sz") * tau <= F.col("a.sz"))
-            & (F.col("a.sz") * tau <= F.col("b.sz")),
+            & (F.col("b.sz") * num <= F.col("a.sz") * den)
+            & (F.col("a.sz") * num <= F.col("b.sz") * den),
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -175,11 +193,19 @@ def jaccard_pairs_at(d: DataFrame, tau: float, n: int = SHINGLE_N) -> DataFrame:
     vb = sets.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b"))
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
     union = F.size("shs_a") + F.size("shs_b") - inter
+    # Threshold inter/union >= tau ⇔ den·inter >= num·union (union > 0
+    # for every candidate: they share a prefix shingle) — integer-exact.
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", (inter / union).alias("jaccard_raw"))
-        .filter(F.col("jaccard_raw") >= tau)
+        .select(
+            "id_a",
+            "id_b",
+            (inter / union).alias("jaccard_raw"),
+            (inter * den >= union * num).alias("_keep"),
+        )
+        .filter(F.col("_keep"))
+        .drop("_keep")
         .withColumn("jaccard", F.round("jaccard_raw", 6))
     )
 
@@ -302,6 +328,7 @@ def connected_components_star(edges: DataFrame, max_iter: int = 30) -> DataFrame
         .localCheckpoint(eager=True)
     )
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         # large-star over symmetric neighborhoods
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -337,8 +364,19 @@ def connected_components_star(edges: DataFrame, max_iter: int = 30) -> DataFrame
             F.count("*").alias("n"), F.sum(F.xxhash64("u", "v")).alias("h")
         ).collect()[0]
         if (sig["n"], sig["h"]) == prev_sig:
+            converged = True
             break
         prev_sig = (sig["n"], sig["h"])
+    if not converged:
+        # A partially-contracted edge set is NOT the star set — returning
+        # it would silently hand back wrong cluster_ids (round-4 ADVICE
+        # item 2). O(log² n) rounds suffice in theory, so hitting the
+        # budget means a bug or an absurdly small max_iter: fail loudly.
+        raise RuntimeError(
+            f"connected_components_star: edge set did not stabilize in "
+            f"{max_iter} rounds; raise max_iter (components need "
+            f"O(log² n) rounds, so this usually indicates a bug)"
+        )
     # converged: e is the star set (root=u, node=v); roots label themselves
     labels = e.select(F.col("v").alias("node"), F.col("u").alias("cluster_id"))
     return nodes.join(labels, "node", "left").select(

@@ -85,8 +85,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python→JVM analysis; measured 4.5–5 s warm at sf0.1 even with lazy
     localCheckpoint lineage cuts), while the unrolled plan is analyzed
     once: 1.9–2.5 s — the engine, not the driver, owns the dataflow.
-    The derived edge set is persisted once so the 4-table join runs
-    once, not per-iteration, and coalesced to 1 partition because the
+    The derived edge set is localCheckpoint()ed once so the 4-table
+    join runs once, not per-iteration (checkpoint, not persist — cache
+    entries from library persist() calls leak: nothing can unpersist
+    them), and coalesced to 1 partition because the
     DISTINCT nation-pair graph is ≤|V|² rows; at real scale (edges ≫
     memory) keep natural partitioning and switch to the driver-loop +
     checkpoint-every-few-iterations pattern, which bounds plan depth
@@ -102,7 +104,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .distinct()
         .coalesce(1)
-        .persist()
+        # localCheckpoint, NOT persist: a persist() inside a library
+        # function that returns a lazy DataFrame can never be
+        # unpersisted, so cache-manager entries accumulate across calls
+        # (the exact leak class measured at 6× slowdown in ml/dedup.py
+        # 143–149). localCheckpoint blocks are owned by the RDD and
+        # reclaimed by the ContextCleaner once the plan is GC'd.
+        .localCheckpoint(eager=True)
     )
     nodes = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
     # |V| is a bounded dim-table scalar (25 rows) — a driver-side count
@@ -224,7 +232,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("c_nationkey", "s_nationkey").alias("v"),
         )
         .distinct()
-        .persist()
+        # localCheckpoint, not persist — see q_graph_pagerank: a persist
+        # here leaks a cache-manager entry per call.
+        .localCheckpoint(eager=True)
     )
     n_edges = e.agg(F.count("*").alias("n_edges"))
     n_vertices = (

@@ -30,7 +30,8 @@ from .sources.tables import t
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
-           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND((SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                  / 100.0) / COUNT(*), 6) AS avg_price,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -41,13 +42,18 @@ def q_ps_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-q1-style pricing summary written in pandas idiom
     (groupby + named agg + reset_index) via pyspark.pandas. The plan
     Catalyst sees is the same partial+final hash aggregate as the
-    native q_agg_basic."""
+    native q_agg_basic. avg_price runs on BIGINT cents (the repo's
+    _cents fixed-point trick): a double SUM's partial ordering differs
+    per engine and can land on opposite sides of the ROUND boundary
+    (round-4 ADVICE item 3); sum_qty is safe as-is because l_quantity
+    is integral."""
     psdf = t(spark, sf_dir, "lineitem").pandas_api()
+    psdf["price_c"] = (psdf["l_extendedprice"] * 100).round(0).astype("int64")
     g = (
         psdf.groupby(["l_returnflag", "l_linestatus"])
         .agg(
             sum_qty=("l_quantity", "sum"),
-            avg_price=("l_extendedprice", "mean"),
+            sum_price_c=("price_c", "sum"),
             n=("l_orderkey", "count"),
         )
         .reset_index()
@@ -56,7 +62,9 @@ def q_ps_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "l_linestatus",
         F.col("sum_qty").cast("double").alias("sum_qty"),
-        F.round("avg_price", 6).alias("avg_price"),
+        F.round((F.col("sum_price_c") / F.lit(100.0)) / F.col("n"), 6).alias(
+            "avg_price"
+        ),
         F.col("n").cast("bigint").alias("n"),
     )
 
@@ -66,7 +74,8 @@ def q_ps_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 4) AS revenue
+           SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) / 100.0
+               AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE o.o_orderstatus = 'F'
     GROUP BY c.c_mktsegment
@@ -85,24 +94,28 @@ def q_ps_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-checks Catalyst cannot push into the parquet scan — the
     filter still runs JVM-side right above the scan, but loses I/O
     pruning; a pushdown-critical filter belongs in native DataFrame
-    code before .pandas_api(). Revenue is rounded because float
-    summation order differs per engine."""
+    code before .pandas_api(). Revenue sums on BIGINT cents (_cents
+    fixed-point trick): ROUND(SUM(double), 4) can straddle a rounding
+    boundary across engines' partial-sum orders (round-4 ADVICE item
+    3); the integer sum is order-independent and cents/100.0 is the
+    same double everywhere."""
     orders = t(spark, sf_dir, "orders").pandas_api()
     cust = t(spark, sf_dir, "customer").pandas_api()
     m = orders[orders["o_orderstatus"] == "F"].merge(
         cust, left_on="o_custkey", right_on="c_custkey"
     )
+    m["price_c"] = (m["o_totalprice"] * 100).round(0).astype("int64")
     g = (
         m.groupby("c_mktsegment")
-        .agg(n_orders=("o_orderkey", "count"), revenue=("o_totalprice", "sum"))
+        .agg(n_orders=("o_orderkey", "count"), revenue_c=("price_c", "sum"))
         .reset_index()
-        .sort_values(["revenue", "c_mktsegment"], ascending=[False, True])
+        .sort_values(["revenue_c", "c_mktsegment"], ascending=[False, True])
         .head(3)
     )
     return g.to_spark().select(
         "c_mktsegment",
         F.col("n_orders").cast("bigint").alias("n_orders"),
-        F.round("revenue", 4).alias("revenue"),
+        (F.col("revenue_c") / F.lit(100.0)).alias("revenue"),
     )
 
 

@@ -123,70 +123,81 @@ def _ensure_loaded() -> None:
 
 
 # Names pinned to the FRONT of specs()/queries() order, i.e. inside the
-# driver's verified prefix (50 slots observed in round 1). Composition:
-#   1. the three round-1 hash-FAIL queries, now fixed — prove the fix;
-#   2. every oracle-backed query the round-1 driver window never reached
-#      (fn/udf/knn/dedup/text/multimodal/scan/stream/tpch/scale families);
-#   3. two round-1-green canaries guarding against cross-family drift.
-# Queries verified green in round 1 follow; rows-only queries go last.
+# driver's verified prefix (50 slots observed in rounds 1–4).
+# ROUND-5 WINDOW (per the round-4 verdict's top item): after four
+# rounds, 131 distinct queries have driver-verified green rows; exactly
+# 42 oracle-backed queries have NEVER had one (all local-green under
+# scripts/drive_contract.py + tests/test_oracle_parity.py). This window
+# pins all 42, closing the evidence gap to 173/173 oracle-backed
+# queries driver-verified at least once, plus 8 cross-family canaries
+# (each green in r1–r4) guarding against regression drift in the
+# families whose code changed this round (graph persist fix, dedup
+# rational bounds, pandas-api fixed-point sums).
 _DRIVER_PRIORITY = (
-    # 1. round-3 reds (events fixture drift), fixed this round — prove it
-    "q_join_asof",
-    "q_sessionize",
-    "q_json_extract",
-    "q_udf_scalar",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_stream_join",
-    # 2. queries whose code changed this round (prefix-filter dedup,
-    #    second-truncated session, short-doc n-gram guard)
-    "q_dedup_ngram_jaccard",
-    "q_dedup_clusters",
-    "q_dedup_keep_best",
-    "q_stream_session",
-    "q_text_repetition",
-    "q_text_decontaminate",
-    # 3. oracle-backed queries never yet driver-verified in any round
-    #    (round-3 verdict: 112-strong long tail; rotate them through the
-    #    50-slot window, breadth-first across families)
-    "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    "q_upsert_latest",
-    "q_window_firstlast",
-    "q_window_time_range",
-    "q_lateral_topn",
-    "q_timeseries_gapfill",
-    "q_timeseries_ffill",
-    "q_funnel",
-    "q_cohort_retention",
-    "q_scd2_lookup",
-    "q_recursive_bfs",
-    "q_graph_triangles",
-    "q_intersect_all",
-    "q_except_all",
-    "q_fn_array_hof",
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_fuzzy_join",
-    "q_profile_table",
-    "q_text_chunking",
-    "q_scan_orc",
-    "q_pipeline_e2e",
-    # 4. new queries registered this round (never verified by anyone)
-    "q_dedup_clusters_star",
-    "q_ps_groupby",
-    "q_ps_pipeline",
-    "q_sample_weighted",
+    # 1. The 42 never-driver-verified oracle-backed queries.
+    # TPC-H stragglers
+    "q_tpch_q11",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    # function-family tail
+    "q_fn_string_ext",
+    "q_fn_bitwise",
+    "q_fn_editdist",
+    "q_fn_binary",
+    "q_fn_try_safe",
+    "q_variant_extract",
+    "q_sql_portable",
+    # sampling / aggregates / quality
+    "q_sample_mixture",
+    "q_agg_histogram",
+    "q_agg_countmin",
+    "q_observe_metrics",
+    "q_quality_expectations",
+    "q_scale_zorder",
+    "q_scale_compaction",
+    # ML / inference / embeddings
+    "q_embed_centroids",
+    "q_infer_batch_pbu",
+    "q_infer_eval",
+    "q_udf_classic",
+    "q_udf_map_arrow",
+    "q_knn_exact_pandas",
+    # dedup portable tiers + embedding pairs
+    "q_dedup_minhash_portable",
+    "q_dedup_simhash_portable",
+    "q_dedup_embedding",
+    # text-pipeline tail
+    "q_text_langid",
+    "q_text_cdc_chunks",
+    "q_text_packing",
+    "q_text_redact",
+    "q_text_feature_hash",
+    # multimodal
+    "q_multimodal_features",
+    "q_multimodal_frames",
+    # sources / sinks
+    "q_scan_xml",
+    "q_stream_custom_source",
+    "q_sink_custom_writer",
+    "q_stream_custom_sink",
+    # streaming tail
+    "q_stream_session_dynamic",
+    "q_stream_stateful",
+    "q_stream_outer_join",
+    # pandas-API tail
+    "q_ps_cumsum",
+    # 2. Cross-family canaries, all driver-green in r1–r4, re-proving
+    #    this round's code changes (graph, dedup, pandas-api) and one
+    #    healthy representative per major family.
+    "q_graph_pagerank",       # persist→localCheckpoint fix (this round)
+    "q_dedup_ngram_jaccard",  # rational prefix bounds (this round)
+    "q_ps_groupby",           # fixed-point avg (this round)
+    "q_ps_pipeline",          # fixed-point revenue (this round)
+    "q_tpch_q9",              # TPC-H family canary
+    "q_stream_tumbling",      # streaming family canary
+    "q_window_firstlast",     # window family canary
+    "q_join_asof",            # join/events family canary
 )
 # (round-1-green families act as their own canaries right behind the
 # window: non-priority oracle-backed queries keep registration order.)

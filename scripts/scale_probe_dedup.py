@@ -62,12 +62,75 @@ def prefix(d):
     return dedup.jaccard_pairs_at(d, 0.5)
 
 
-for mult, boiler in [(1, False), (1, True), (4, False), (4, True)]:
-    d = corpus(mult, boiler).persist()
-    n_docs = d.count()
-    n_p, t_p = timed(prefix, d)
-    spark.catalog.clearCache(); d = corpus(mult, boiler).persist(); d.count()
-    n_n, t_n = timed(naive, d)
-    label = f"{n_docs} docs boiler={boiler}"
-    print(f"{label:32s} prefix: {n_p} pairs {t_p}s | naive: {n_n} pairs {t_n}s", flush=True)
-    d.unpersist()
+def probe_prefix_growth():
+    """Round-5 extension (verdict item 4): push to 50k/100k docs.
+    Naive is only run where it finishes in sane time (<=20k docs);
+    beyond that the point is the PREFIX join's growth curve alone —
+    near-linear in candidates is the scale claim."""
+    for mult, boiler, run_naive in [
+        (1, False, True),
+        (1, True, True),
+        (4, False, True),
+        (4, True, True),
+        (10, False, False),
+        (10, True, False),
+        (20, False, False),
+        (20, True, False),
+    ]:
+        d = corpus(mult, boiler).persist()
+        n_docs = d.count()
+        n_p, t_p = timed(prefix, d)
+        label = f"{n_docs} docs boiler={boiler}"
+        if run_naive:
+            spark.catalog.clearCache()
+            d = corpus(mult, boiler).persist()
+            d.count()
+            n_n, t_n = timed(naive, d)
+            print(
+                f"{label:32s} prefix: {n_p} pairs {t_p}s | naive: {n_n} pairs {t_n}s",
+                flush=True,
+            )
+        else:
+            print(f"{label:32s} prefix: {n_p} pairs {t_p}s | naive: skipped", flush=True)
+        d.unpersist()
+        spark.catalog.clearCache()
+
+
+def probe_cc_crossover():
+    """Min-label vs star-contraction crossover (verdict item 4): the
+    decision variable is component DIAMETER, not size. Min-label needs
+    O(diameter) shuffle rounds; star needs O(log² n) regardless. Probe
+    both on (a) near-clique unions (dup-cluster shape, diameter ~2) and
+    (b) path graphs (worst-case diameter) of growing length."""
+    import itertools
+
+    def run(edges_rows, label, minlabel_iters=60):
+        e = spark.createDataFrame(edges_rows, "id_a bigint, id_b bigint")
+        t0 = time.time()
+        n1 = dedup.connected_components(e, max_iter=minlabel_iters).count()
+        t_min = round(time.time() - t0, 2)
+        t0 = time.time()
+        n2 = dedup.connected_components_star(e).count()
+        t_star = round(time.time() - t0, 2)
+        assert n1 == n2, (label, n1, n2)
+        print(f"CC {label:28s} min-label: {t_min}s | star: {t_star}s", flush=True)
+
+    # (a) 500 cliques of 6 nodes each — diameter 1
+    cliq = []
+    for c in range(500):
+        base_id = c * 10
+        for a, b in itertools.combinations(range(6), 2):
+            cliq.append((base_id + a, base_id + b))
+    run(cliq, "3000n cliques(diam=1)")
+    # (b) single paths of growing diameter
+    for length in (20, 50, 200):
+        path = [(i, i + 1) for i in range(length)]
+        run(path, f"path len={length} (diam={length})", minlabel_iters=length + 5)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "prefix"):
+        probe_prefix_growth()
+    if which in ("all", "cc"):
+        probe_cc_crossover()

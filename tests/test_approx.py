@@ -54,3 +54,105 @@ def test_approx_percentile_close_to_exact(spark):
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
+
+
+# ---------------------------------------------------------------------------
+# ANN (IVF) evidence — round-4 verdict item 5: IVF/LSH kNN are rows-only
+# forever (seeded engine-specific buckets), so these self-oracles carry
+# all the correctness weight.
+
+
+def _ivf_recall(spark, nprobe: int) -> float:
+    """recall@k of IVF search vs the exact kNN at the given nprobe."""
+    from embarrassingly_parallel_image_classification_spark.ml import knn
+
+    emb = t(spark, SF_T2, "embeddings")
+    idx = knn.ensure_ivf_index(spark, SF_T2)
+    queries = emb.filter(F.col("vec_id") < knn.N_QUERIES)
+    got = {}
+    for r in idx.query(queries, k=knn.TOP_K, nprobe=nprobe).collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    want = {}
+    for r in knn.q_knn_exact(spark, SF_T2).collect():
+        want.setdefault(r["qid"], set()).add(r["vec_id"])
+    hits = sum(len(want[q] & got.get(q, set())) for q in want)
+    total = sum(len(v) for v in want.values())
+    return hits / total
+
+
+def test_ivf_recall_curve_monotone_in_nprobe(spark):
+    """recall@k must be non-decreasing in nprobe (probing more cells can
+    only add candidates), must clear 0.5 by nprobe=4 (the default), and
+    must be EXACTLY 1.0 at nprobe=n_clusters — probing every cell is
+    exhaustive search, so anything below 1.0 there means the index is
+    dropping corpus vectors."""
+    from embarrassingly_parallel_image_classification_spark.ml import knn
+
+    curve = {np_: _ivf_recall(spark, np_) for np_ in (1, 2, 4, 8, 16)}
+    vals = [curve[np_] for np_ in (1, 2, 4, 8, 16)]
+    assert vals == sorted(vals), f"recall curve not monotone: {curve}"
+    assert curve[4] >= 0.5, f"recall@nprobe=4 {curve[4]:.2f} below 0.5"
+    assert curve[16] == 1.0, (
+        f"nprobe == n_clusters must be exhaustive, got {curve[16]:.3f}"
+    )
+
+
+def _skewed_corpus(spark):
+    """Three well-separated Gaussian blobs of very unequal size
+    (500/50/10) — the regime where a bad quantizer collapses every
+    vector into the dominant cluster's cell."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    centers = np.array(
+        [[10.0] * dim, [-10.0] * dim, [10.0, -10.0] * (dim // 2)]
+    )
+    rows = []
+    vid = 0
+    for ci, size in enumerate((500, 50, 10)):
+        pts = centers[ci] + rng.normal(0, 0.5, size=(size, dim))
+        for p in pts:
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_ivf_quantizer_survives_skewed_clusters(spark):
+    """Quantizer-collapse regression: on a heavily skewed corpus the
+    KMeans quantizer must still produce multiple populated cells with no
+    single cell holding (nearly) everything, and minority-cluster
+    queries must recover their true neighbors."""
+    import numpy as np
+
+    from embarrassingly_parallel_image_classification_spark.ml.knn import IvfIndex
+
+    corpus = _skewed_corpus(spark)
+    idx = IvfIndex(corpus, n_clusters=6, seed=42)
+    cells = idx.assigned.groupBy("cell").count().collect()
+    n_total = sum(r["count"] for r in cells)
+    assert len(cells) >= 3, f"quantizer collapsed to {len(cells)} cells"
+    assert max(r["count"] for r in cells) / n_total < 0.95, (
+        f"one cell holds {max(r['count'] for r in cells)}/{n_total} vectors"
+    )
+    # Minority-blob queries (the 10-vector cluster, vec_ids 550..559):
+    # their true top-3 neighbors are the other blob members; nprobe=2
+    # must find them (the blob is tight, so it lives in one cell).
+    pdf = corpus.toPandas().sort_values("vec_id")
+    X = np.stack(pdf["embedding"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    minority = [i for i in range(550, 560)]
+    queries = corpus.filter(F.col("vec_id") >= 550)
+    got = {}
+    for r in idx.query(queries, k=3, nprobe=2).collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    hits = total = 0
+    for qid in minority:
+        qi = int(np.where(ids == qid)[0][0])
+        sims = Xn @ Xn[qi]
+        order = sorted((round(-s, 6), int(i)) for i, s in zip(ids, sims) if i != qid)
+        want = {i for _, i in order[:3]}
+        hits += len(want & got.get(qid, set()))
+        total += 3
+    assert hits / total >= 0.8, f"minority-cluster recall {hits}/{total}"

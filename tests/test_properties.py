@@ -51,6 +51,35 @@ def test_prefix_filter_lossless_on_random_corpora(spark, texts):
     assert fast == naive
 
 
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_corpus)
+def test_prefix_filter_lossless_at_non_dyadic_tau(spark, texts):
+    """Same losslessness property at tau=0.3 — NOT exactly representable
+    in binary. A float ceil(tau*sz) can round up past the true integer
+    (e.g. ceil(0.1*10) = ceil(1.0000000000000002) = 2, not 1),
+    shortening the prefix below the theorem's bound and
+    silently dropping true pairs; the integer (num·sz+den−1) div den
+    bound in jaccard_pairs_at must not (round-4 ADVICE item 1)."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fast = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.jaccard_pairs_at(d, 0.3).collect()
+    }
+    naive = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.jaccard_pairs(d)
+        .filter(F.col("jaccard_raw") >= 0.3)
+        .collect()
+    }
+    assert fast == naive
+
+
 _edges = st.lists(
     st.tuples(st.integers(0, 12), st.integers(0, 12)),
     min_size=1,

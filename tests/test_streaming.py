@@ -76,3 +76,82 @@ def test_dynamic_session_windows_partition_events(spark):
             # a session lasts at least its final event's minimum gap
             # (10 min) and the end strictly exceeds the start
             assert e - s >= 600
+
+
+def test_stateful_update_mode_emits_running_prefixes(spark, tmp_path):
+    """Update-mode emission SEQUENCE (round-4 verdict item 6): not just
+    the final drained state, but the intermediate per-microbatch
+    emissions. Three single-row-per-user files processed with
+    maxFilesPerTrigger=1 force three microbatches; update mode must
+    emit one row per key per batch, and each emission must be a running
+    prefix of the final state: n_events counts 1,2,3 and max_value
+    non-decreasing along that sequence."""
+    import os as _os
+    import time as _time
+
+    import pandas as _pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # user 1 values per batch: 5.0, 2.0, 9.0 ; user 2: 1.0, 7.0, 3.0
+    batches = [
+        {"user_id": [1, 2], "value": [5.0, 1.0]},
+        {"user_id": [1, 2], "value": [2.0, 7.0]},
+        {"user_id": [1, 2], "value": [9.0, 3.0]},
+    ]
+    now = _time.time()
+    for i, b in enumerate(batches):
+        p = str(src / f"b{i}.parquet")
+        _pq.write_table(_pa.Table.from_pandas(_pd.DataFrame(b)), p)
+        _os.utime(p, (now + i, now + i))  # pin file-source pick order
+
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+    def track(key, pdfs, state: GroupState):
+        mx, n = state.get if state.exists else (float("-inf"), 0)
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                n += int(len(pdf))
+        state.update((mx, n))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "max_value": [mx], "n_events": [n]}
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id BIGINT, max_value DOUBLE, n_events BIGINT",
+        stateStructType="mx DOUBLE, n BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("emission_seq_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("emission_seq_test").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["n_events"], r["max_value"])
+        )
+    assert set(by_user) == {1, 2}
+    want_final = {1: 9.0, 2: 7.0}
+    for uid, ems in by_user.items():
+        ems.sort()
+        # one emission per microbatch — three of them — with counts 1,2,3
+        assert [n for n, _ in ems] == [1, 2, 3], f"user {uid}: {ems}"
+        maxes = [m for _, m in ems]
+        assert maxes == sorted(maxes), f"user {uid}: max not monotone {maxes}"
+        assert maxes[-1] == want_final[uid]
