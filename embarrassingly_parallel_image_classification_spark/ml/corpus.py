@@ -1,0 +1,281 @@
+"""Corpus-scale retrieval / tokenizer-prep operators (SURVEY.md §2-K4
+extension, round 5): the remaining ops a 100-TB training-data pipeline
+runs between raw text and the trainer that were not yet first-class —
+an inverted index, BM25 retrieval over it, BPE merge-candidate
+counting (the distributed inner loop of tokenizer training), a
+deterministic portable corpus shuffle, and document-frequency
+boilerplate detection.
+
+All five are pure DataFrame/SQL (no Python in the hot path) and carry
+exact DuckDB oracles; float-bearing scores use the repo's fixed-point
+bigint pattern (plans/tpch.py `_cents`) so cross-engine summation
+order cannot flip a rounding boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import t
+
+
+@register(
+    "q_text_inverted_index",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT word, COUNT(*) AS df,
+           list_sort(list(doc_id)) AS postings
+    FROM tok CROSS JOIN n
+    GROUP BY word, n.n_docs
+    HAVING COUNT(*) * 5 >= n_docs * 2
+    """,
+    tags=("K4", "D8"),
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: term → sorted posting list of containing docs —
+    the retrieval structure behind corpus search and decontamination
+    at scale. One explode + one groupBy(word) shuffle; posting lists
+    are built with collect_list over pre-deduped (doc, word) pairs and
+    sorted for a deterministic array value. Output bounded to
+    high-df terms (df ≥ 40% of docs) purely to keep the compared
+    result small; the full index is the same plan without the HAVING.
+    At 100 TB the posting lists would be range-bucketed by term and
+    delta-encoded at write; the shuffle shape is identical."""
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()  # bounded scalar (count of the corpus table)
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    return (
+        tok.groupBy("word")
+        .agg(
+            F.count("*").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df") * 5 >= n_docs * 2)
+    )
+
+
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_QUERY = ("table", "join", "vector")
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"('{w}')" for w in _BM25_QUERY)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+    q(word) AS (VALUES {terms}),
+    tf AS (
+        SELECT tok.doc_id, tok.word, COUNT(*) AS tf
+        FROM tok JOIN q USING (word)
+        GROUP BY tok.doc_id, tok.word
+    ),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(
+                 LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * (tf.tf * ({_BM25_K1} + 1.0))
+                 / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * dl.dl * stats.n_docs / stats.total_len))
+                 * 1000000, 0) AS BIGINT) AS term_score_e6
+        FROM tf
+        JOIN df USING (word)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(SUM(term_score_e6) AS BIGINT) AS score_e6
+    FROM scored GROUP BY doc_id
+    ORDER BY score_e6 DESC, doc_id
+    LIMIT 20
+    """
+
+
+@register("q_text_bm25", oracle=_bm25_oracle(), tags=("K4", "D1", "F2"))
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75) for a fixed query over the
+    inverted-index dataflow: tf per (doc, query-term), df per term,
+    per-doc length norm. Each term's score is fixed-pointed to e6
+    BEFORE the per-doc sum, so the sum is an exact integer in any
+    partial order — the repo's standard float-determinism treatment.
+    Top-20 by (score, doc_id) plans as TakeOrderedAndProject. The
+    query-term filter is a broadcast semi-join; at 100 TB the tf
+    table shuffles once on word, same as q_text_tfidf."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    ).collect()[0]
+    n_docs, total_len = stats["n_docs"], stats["total_len"]
+    q = spark.createDataFrame([(w,) for w in _BM25_QUERY], "word string")
+    tf = (
+        tok.join(F.broadcast(q), "word")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") * float(n_docs) / float(total_len)
+    )
+    term_score = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / norm
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.round(term_score * 1_000_000, 0).cast("bigint").alias("term_score_e6"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_score_e6").alias("score_e6"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_text_bpe_pairs",
+    oracle="""
+    WITH wf AS (
+        SELECT w AS word, COUNT(*) AS freq
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    pairs AS (
+        SELECT UNNEST(list_transform(range(1, length(word)),
+                      i -> substring(word, CAST(i AS INT), 2))) AS pair,
+               freq
+        FROM wf WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair HAVING SUM(freq) >= 100
+    """,
+    tags=("K4",),
+)
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate counting — the distributed inner loop of
+    tokenizer training: adjacent symbol-pair frequencies over the word
+    frequency table (first merge iteration; later iterations re-run
+    the same plan over re-segmented words). Counting over DISTINCT
+    words weighted by corpus frequency is the standard optimization —
+    the pair explode touches |vocab| rows, not |corpus| tokens, which
+    at 100 TB is the difference between gigabytes and the full corpus.
+    All integer; HAVING bounds the compared output."""
+    d = t(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1),"
+                   " i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .filter(F.col("n") >= 100)
+    )
+
+
+@register(
+    "q_corpus_shuffle",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '-seed42'), doc_id)
+           AS BIGINT) AS pos,
+           doc_id
+    FROM documents
+    QUALIFY pos <= 100
+    """,
+    tags=("K4", "F1"),
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded corpus shuffle — the global reorder every
+    training run needs so examples arrive decorrelated from crawl
+    order, reproducible across engines and re-runs (md5 of doc_id +
+    seed is portable; change the seed string for a fresh permutation).
+    Exposed as the first 100 (pos, doc_id) assignments. At 100 TB the
+    same key feeds repartitionByRange(hash).sortWithinPartitions —
+    a single range shuffle writes the shuffled corpus; no driver-side
+    ordering is ever materialized (the global ROW_NUMBER here is only
+    for the bounded oracle compare; position within a range partition
+    is what the trainer actually consumes)."""
+    d = t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-seed42")))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(key, "doc_id")
+    return (
+        d.select("doc_id", key.alias("_k"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pos") <= 100)
+        .select("pos", "doc_id")
+    )
+
+
+@register(
+    "q_text_boilerplate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bg AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        FROM toks
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT bigram, COUNT(*) AS df,
+           ROUND(COUNT(*) / (1.0 * n.n_docs), 6) AS doc_share
+    FROM bg CROSS JOIN n
+    GROUP BY bigram, n.n_docs
+    HAVING COUNT(*) * 50 >= n_docs
+    """,
+    tags=("K4", "K2"),
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate n-gram detection by DOCUMENT frequency: bigrams
+    present in ≥2% of documents (distinct-per-doc, unlike
+    q_text_ngrams' occurrence counts). This is the hot-shingle census
+    that motivates the prefix-filtered similarity join (ml/dedup.py):
+    at crawl scale these are the license footers and nav bars that
+    blow up naive all-pairs dedup, and the list feeds stop-shingle
+    exclusion. The share division is a single int/int op — identical
+    doubles on both engines."""
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    bg = d.select("doc_id", F.explode(grams).alias("bigram")).distinct()
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") * 50 >= n_docs)
+        .select(
+            "bigram",
+            "df",
+            F.round(F.col("df") / (1.0 * n_docs), 6).alias("doc_share"),
+        )
+    )

@@ -257,12 +257,22 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     are near-cliques: 2–3 rounds in practice). The label total is
     monotone non-increasing and integer, so equal consecutive totals ⇔
     fixpoint. Lineage is truncated per round with localCheckpoint —
-    without it the iterated plan grows exponentially. At extreme scale
-    swap the inner step for large-star/small-star (Kiveris et al.,
-    same DataFrame ops, fewer rounds); the driver-side loop itself is
-    how iterative graph algorithms run on Spark (GraphFrames does the
-    same), not a collect() anti-pattern — per-round driver data is one
-    scalar."""
+    without it the iterated plan grows exponentially. The driver-side
+    loop itself is how iterative graph algorithms run on Spark
+    (GraphFrames does the same), not a collect() anti-pattern —
+    per-round driver data is one scalar.
+
+    DECISION RULE (measured, scripts/scale_probe_dedup.py `cc`,
+    BASELINE.md round-5 table): min-label costs one cheap shuffle
+    round per unit of component DIAMETER; star contraction costs a
+    ~2× heavier round but O(log² n) of them regardless of diameter.
+    Use THIS function when components are near-cliques (dedup clusters
+    from similarity pairs: diameter ≤ 2–3 — measured 3.3 s vs star's
+    7.0 s on 500 six-node cliques). Use ``connected_components_star``
+    when components can be chain-shaped or the diameter is unknown
+    (measured crossover ≈ diameter 5–10; at diameter 200 star wins
+    46.4 s vs 4.4 s, and min-label's round budget becomes the failure
+    mode)."""
     both = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

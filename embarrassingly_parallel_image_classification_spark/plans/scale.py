@@ -194,6 +194,19 @@ def q_scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 BUCKETS = 8
 
 
+def bucket_table_names(sf_dir: str) -> tuple[str, str]:
+    """(lineitem, orders) bucketed-table names for ``sf_dir``. The tag
+    includes the pid: two processes (e.g. pytest + a driver run)
+    sharing one warehouse dir must not overwrite each other's bucket
+    files mid-scan — observed as a flaky missing-file read when the
+    full test suite and drive_contract ran concurrently."""
+    tag = (
+        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+        + f"_{os.getpid()}"
+    )
+    return f"lineitem_b_{tag}", f"orders_b_{tag}"
+
+
 def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = BUCKETS) -> None:
     """Persist a table bucketed by the join key (sorted within buckets).
     At 100 TB this is done once at ingest; every subsequent equi-join or
@@ -226,8 +239,7 @@ def q_scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem⋈orders through a bucketed layout: both sides bucketed by
     orderkey at write time → the join itself plans with no Exchange
     (asserted in tests); values equal the plain join."""
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    lt, ot = f"lineitem_b_{tag}", f"orders_b_{tag}"
+    lt, ot = bucket_table_names(sf_dir)
     # Trust the per-bucket sortBy order at scan time (one file per
     # bucket, see write_bucketed) — this is what removes the Sort under
     # the SMJ, not just the Exchange.

@@ -218,6 +218,7 @@ _QUERY_MODULES = (
         "ml.knn",
         "ml.dedup",
         "ml.text",
+        "ml.corpus",
         "ml.multimodal",
         "sources.formats",
         "sources.custom",

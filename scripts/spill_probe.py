@@ -34,14 +34,25 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEAVY = ["q_dedup_minhash", "q_dedup_ngram_jaccard", "q_tpch_q21"]
 
 
+HEAP = os.environ.get("SPILL_PROBE_HEAP", "1g")
+FRACTION = os.environ.get("SPILL_PROBE_FRACTION", "0.05")
+PARTS = os.environ.get("SPILL_PROBE_PARTS", "2")
+
+
 def constrained_session() -> SparkSession:
     b = SparkSession.builder.appName("spill-probe").master("local[8]")
     confs = dict(ENGINE_CONFS)
     confs.update(
         {
-            "spark.driver.memory": "1g",
-            "spark.memory.fraction": "0.2",
-            "spark.sql.shuffle.partitions": "8",
+            "spark.driver.memory": HEAP,
+            "spark.memory.fraction": FRACTION,
+            # Few, fat partitions: per-task state grows 16× vs the
+            # 32-partition default — the shape a 100× data scale-up
+            # forces on a fixed partition count.
+            "spark.sql.shuffle.partitions": PARTS,
+            # AQE coalescing would re-split and relieve the pressure we
+            # are deliberately applying; keep it honest.
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
         }
     )
     for k, v in confs.items():

@@ -294,3 +294,32 @@ def test_no_persist_in_library_source():
         if ".cache(" in src and py.name != "knn.py":
             offenders.append(f"{py.name}: .cache(")
     assert not offenders, offenders
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """BM25's top-20 must plan as TakeOrderedAndProject (partition-local
+    top-k + driver merge), never a global sort; the query-term filter
+    must ride a broadcast join, not a shuffle."""
+    plan = plan_of(spark, "q_text_bm25")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_inverted_index_single_shuffle_two_phase(spark):
+    """The inverted index is one explode + distinct + groupBy(word):
+    partial+final aggregation with no join anywhere."""
+    plan = plan_of(spark, "q_text_inverted_index")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+
+
+def test_bpe_pairs_explode_is_vocab_sized(spark):
+    """BPE pair counting must aggregate words BEFORE exploding pairs
+    (|vocab| rows explode, not |corpus| tokens): the plan shows the
+    word-frequency aggregate below the pair generate."""
+    plan = plan_of(spark, "q_text_bpe_pairs")
+    tree = plan.split("== Physical Plan ==")[1]
+    gen = tree.index("Generate")  # the pair explode
+    # at least one completed aggregate must appear AFTER (deeper than)
+    # the Generate node in the printed tree — i.e. executed before it
+    assert "HashAggregate" in tree[gen:], "no word-freq agg below the explode"

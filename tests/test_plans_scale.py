@@ -16,11 +16,15 @@ from tests.test_plans import explain_str
 def test_bucketed_join_has_no_exchange_or_sort(spark):
     """Both sides pre-bucketed+sorted by the join key → SMJ with zero
     Exchange and zero Sort in the final plan."""
+    from embarrassingly_parallel_image_classification_spark.plans.scale import (
+        bucket_table_names,
+    )
+
     registry.queries()["q_scale_bucketed_join"](spark, SF_T2).collect()  # ensure tables
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    tag = "sf0_01"
-    li = spark.table(f"lineitem_b_{tag}")
-    o = spark.table(f"orders_b_{tag}")
+    lt, ot = bucket_table_names(SF_T2)
+    li = spark.table(lt)
+    o = spark.table(ot)
     joined = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
     plan = explain_str(joined)
     tree = plan.split("== Physical Plan ==")[1].split("(1) ")[0]

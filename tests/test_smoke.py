@@ -97,15 +97,20 @@ def test_registry_driver_window_ordering():
     last_oracle = max(i for i, n in enumerate(names) if specs[n].oracle is not None)
     assert first_rows_only > last_oracle
     must_be_inside = {
-        # round-3 reds fixed in round 4 (events fixture drift)
-        "q_join_asof", "q_sessionize", "q_json_extract", "q_udf_scalar",
-        "q_stream_tumbling", "q_stream_sliding", "q_stream_stream_join",
-        # round-4 code changes (prefix-filter dedup, session truncation)
-        "q_dedup_ngram_jaccard", "q_dedup_clusters", "q_dedup_keep_best",
-        "q_stream_session", "q_text_repetition", "q_text_decontaminate",
-        # representative never-driver-verified rotation picks
-        "q_tpch_q21", "q_funnel", "q_recursive_bfs", "q_scan_orc",
-        "q_pipeline_e2e",
+        # round-5 rotation: representative picks from the 42 queries
+        # that had no driver-verified row after rounds 1-4 (the whole
+        # set is pinned in registry._DRIVER_PRIORITY; spot-check one
+        # per family here)
+        "q_tpch_q11", "q_tpch_q15", "q_fn_bitwise", "q_variant_extract",
+        "q_stream_stateful", "q_stream_outer_join", "q_udf_map_arrow",
+        "q_dedup_minhash_portable", "q_text_langid", "q_multimodal_frames",
+        "q_scan_xml", "q_scale_zorder", "q_ps_cumsum", "q_udf_classic",
+        # round-5 code-change canaries (graph persist fix, dedup
+        # rational bounds, pandas-api fixed-point sums) + one green
+        # representative per major family
+        "q_graph_pagerank", "q_dedup_ngram_jaccard", "q_ps_groupby",
+        "q_ps_pipeline", "q_tpch_q9", "q_stream_tumbling",
+        "q_window_firstlast", "q_join_asof",
     }
     assert must_be_inside <= set(window), must_be_inside - set(window)
 
