@@ -64,6 +64,14 @@ HEADLINE = [
     # the headline total stays comparable round-over-round)
     "q_text_cdc_chunks",
     "q_sample_weighted",
+    # round-5 additions: corpus retrieval / tokenizer-prep pack (each
+    # ≤2.3 s warm at sf0.1; the 33-query subset above stays the
+    # round-over-round comparison basis — see BASELINE.md)
+    "q_text_inverted_index",
+    "q_text_bm25",
+    "q_text_bpe_pairs",
+    "q_corpus_shuffle",
+    "q_text_boilerplate",
 ]
 
 
