@@ -298,3 +298,158 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     idx = ensure_ivf_index(spark, sf_dir)
     return idx.query(emb.filter(F.col("vec_id") < N_QUERIES))
+
+
+class PqIndex:
+    """Product-quantization index (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI'11) — the MEMORY story of
+    100-TB ANN that IVF alone doesn't tell: each d-dim float vector is
+    compressed to M sub-codes (here M=8 subspaces × 16 centroids = 8×4
+    bits = 4 bytes/vector vs 512 bytes of float64 — 128×), and search
+    scores candidates from the codes alone via an ADC (asymmetric
+    distance computation) lookup table, never touching the raw
+    embeddings until an exact re-rank of the shortlist.
+
+    Build: one seeded KMeans per subspace over the corpus' subvectors
+    (at 100 TB: fit on a sample, encode the full corpus in one pass);
+    the encoded corpus is (vec_id, codes array<int>) — the only thing
+    search scans.
+
+    Search: the per-query distance table (M × ks partial L2² values,
+    computed driver-side from the tiny codebook) is broadcast and
+    joined against the posexploded codes; SUM over subspaces gives the
+    ADC distance. The top ``shortlist`` per query is then re-ranked
+    with EXACT cosine on the raw vectors — the standard two-stage
+    retrieve-then-rerank, so recall depends on shortlist size, not on
+    quantization alone.
+
+    Simplification vs FAISS IVFPQ: codes quantize raw vectors, not
+    IVF-cell residuals; composing with IvfIndex's cell pruning is the
+    documented production shape (probe cells → ADC-score only those
+    candidates).
+    """
+
+    def __init__(self, corpus: DataFrame, m: int = 8, ks: int = 16, seed: int = 42):
+        import numpy as np
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        self.m, self.ks = m, ks
+        dim = len(corpus.select("embedding").first()["embedding"])
+        assert dim % m == 0, (dim, m)
+        self.sub = dim // m
+        enc = corpus
+        self.codebooks = []  # list of (ks, sub) float arrays
+        for j in range(m):
+            sub_col = array_to_vector(
+                F.slice("embedding", j * self.sub + 1, self.sub)
+            )
+            km = KMeans(
+                k=ks, seed=seed + j, maxIter=10, featuresCol="__subv"
+            ).fit(enc.select(sub_col.alias("__subv")))
+            self.codebooks.append(
+                np.array([list(c) for c in km.clusterCenters()])
+            )
+            enc = (
+                km.transform(enc.withColumn("__subv", sub_col))
+                .withColumnRenamed("prediction", f"__c{j}")
+                .drop("__subv")
+            )
+        self.encoded = enc.select(
+            "vec_id",
+            F.array(*[F.col(f"__c{j}").cast("int") for j in range(m)]).alias("codes"),
+        ).localCheckpoint(eager=True)  # materialize; checkpoint, not persist
+
+    def query(
+        self, queries: DataFrame, k: int = TOP_K, shortlist: int = 50
+    ) -> DataFrame:
+        import numpy as np
+
+        spark = queries.sparkSession
+        qrows = queries.select("vec_id", "embedding").collect()  # query set is small
+        table = []
+        for r in qrows:
+            qv = np.asarray(r["embedding"], dtype=np.float64)
+            for j in range(self.m):
+                sub = qv[j * self.sub : (j + 1) * self.sub]
+                d2 = ((self.codebooks[j] - sub) ** 2).sum(axis=1)
+                for code, pd_ in enumerate(d2):
+                    table.append((int(r["vec_id"]), j, code, float(pd_)))
+        tdf = spark.createDataFrame(
+            table, "qid bigint, m int, code int, pdist double"
+        )
+        cand = self.encoded.select(
+            "vec_id", F.posexplode("codes").alias("m", "code")
+        )
+        adc = (
+            cand.join(F.broadcast(tdf), ["m", "code"])
+            .filter(F.col("vec_id") != F.col("qid"))
+            .groupBy("qid", "vec_id")
+            .agg(F.sum("pdist").alias("adc_dist"))
+        )
+        w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        return (
+            adc.withColumn("srank", F.row_number().over(w))
+            .filter(F.col("srank") <= shortlist)
+            .select("qid", "vec_id")
+        )
+
+
+_PQ_CACHE: dict[tuple[str, str], "PqIndex"] = {}
+
+
+def ensure_pq_index(spark: SparkSession, sf_dir: str) -> "PqIndex":
+    """Build (or fetch) the session's PQ index for ``sf_dir`` — same
+    build/search separation and cache policy as ensure_ivf_index (the
+    8 per-subspace KMeans fits are one-off index construction)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _PQ_CACHE.get(key)
+    if idx is None:
+        idx = _PQ_CACHE[key] = PqIndex(t(spark, sf_dir, "embeddings"))
+    return idx
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    shortlist: int = 50,
+    m: int = 8,
+    ks: int = 16,
+    seed: int = 42,
+    index: "PqIndex | None" = None,
+) -> DataFrame:
+    """PQ shortlist + exact cosine re-rank: retrieve `shortlist`
+    candidates per query from 4-byte codes (ADC), then rank only those
+    with the exact kernel — (qid, vec_id, sim, rank) like knn_exact."""
+    idx = index if index is not None else PqIndex(corpus, m=m, ks=ks, seed=seed)
+    short = idx.query(queries, k=k, shortlist=shortlist)
+    qv = queries.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    rer = (
+        short.join(corpus, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid", "vec_id", F.round(cosine("embedding", "q_emb"), 6).alias("sim")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return rer.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+@register("q_knn_pq", oracle=None, tags=("K3", "rows-only"))
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN (retrieve-then-rerank): candidates come from
+    4-byte PQ codes via an ADC table join — at 100 TB the scored scan
+    is 128× smaller than the raw embeddings — then the shortlist is
+    re-ranked exactly. Seeded KMeans codebooks ⇒ engine-specific
+    buckets ⇒ rows-only; recall vs knn_exact pinned in
+    tests/test_approx.py. Index build is cached per (session, sf_dir)
+    like the IVF index."""
+    emb = t(spark, sf_dir, "embeddings")
+    return knn_pq(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        index=ensure_pq_index(spark, sf_dir),
+    )

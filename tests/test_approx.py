@@ -156,3 +156,27 @@ def test_ivf_quantizer_survives_skewed_clusters(spark):
         hits += len(want & got.get(qid, set()))
         total += 3
     assert hits / total >= 0.8, f"minority-cluster recall {hits}/{total}"
+
+
+def test_pq_rerank_recall_and_compression(spark):
+    """PQ retrieve-then-rerank: with a 50-deep shortlist from 4-byte
+    codes, the exact re-rank must recover ≥80% of the true top-k; the
+    encoded corpus must really be M small ints per vector (the 128×
+    memory story), and every code must be a valid codebook index."""
+    from embarrassingly_parallel_image_classification_spark.ml import knn
+    from embarrassingly_parallel_image_classification_spark.ml.knn import PqIndex
+
+    emb = t(spark, SF_T2, "embeddings")
+    idx = PqIndex(emb, m=8, ks=16, seed=42)
+    row = idx.encoded.first()
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 16 for c in row["codes"])
+    got = {}
+    for r in knn.q_knn_pq(spark, SF_T2).collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    want = {}
+    for r in knn.q_knn_exact(spark, SF_T2).collect():
+        want.setdefault(r["qid"], set()).add(r["vec_id"])
+    hits = sum(len(want[q] & got.get(q, set())) for q in want)
+    total = sum(len(v) for v in want.values())
+    assert hits / total >= 0.8, f"pq recall {hits}/{total}"
