@@ -155,3 +155,77 @@ def test_stateful_update_mode_emits_running_prefixes(spark, tmp_path):
         maxes = [m for _, m in ems]
         assert maxes == sorted(maxes), f"user {uid}: max not monotone {maxes}"
         assert maxes[-1] == want_final[uid]
+
+
+def test_dedup_within_watermark_state_ttl(spark, tmp_path):
+    """dropDuplicatesWithinWatermark's BOUNDED-STATE semantics (what
+    distinguishes it from plain dropDuplicates at 100 TB): a duplicate
+    arriving within the watermark window is dropped, but once the
+    watermark passes the key's expiry (event time + delay) the state
+    is EVICTED and a later duplicate is emitted again. Measured
+    mechanics this test pins (probed on this Spark version): a batch
+    runs with the watermark derived from the PREVIOUS batch's max
+    event time, and the eviction sweep lands at the END of the batch
+    carrying the advanced watermark — so a re-emission needs TWO
+    post-jump batches before the duplicate: (A@t0, dup A@t0+1min →
+    dropped), (B@t0+3h → advances watermark), (B@t0+3h+1min → batch
+    runs with wm t0+2h50m and EVICTS A), (A@t0+3h+2min → RE-EMITTED)
+    ⇒ exactly 2 output rows for A; sentinel keys prove every batch
+    processed."""
+    import os as _os
+    import time as _time
+
+    import pandas as _pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    t0 = _pd.Timestamp("2026-01-01 00:00:00")
+    batches = [
+        {"event_id": ["A", "B1"], "ts": [t0, t0]},
+        {"event_id": ["A", "B2"], "ts": [t0 + _pd.Timedelta("1min"),
+                                         t0 + _pd.Timedelta("1min")]},
+        {"event_id": ["B3", "B3x"], "ts": [t0 + _pd.Timedelta("3h"),
+                                           t0 + _pd.Timedelta("3h")]},
+        {"event_id": ["B4", "B4x"], "ts": [t0 + _pd.Timedelta("3h 1min"),
+                                           t0 + _pd.Timedelta("3h 1min")]},
+        {"event_id": ["A", "B5"], "ts": [t0 + _pd.Timedelta("3h 2min"),
+                                         t0 + _pd.Timedelta("3h 2min")]},
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    schema = _pa.schema(
+        [("event_id", _pa.string()), ("ts", _pa.timestamp("us"))]
+    )
+    for i, b in enumerate(batches):
+        p = str(src / f"b{i}.parquet")
+        # cast to µs explicitly: pandas defaults to ns, which Spark
+        # reads as INT64, not timestamp
+        _pq.write_table(
+            _pa.Table.from_pandas(_pd.DataFrame(b)).cast(schema), p
+        )
+        _os.utime(p, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema("event_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_ttl_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("dedup_ttl_test").collect()
+    a_rows = [r for r in rows if r["event_id"] == "A"]
+    sentinels = {r["event_id"] for r in rows if r["event_id"].startswith("B")}
+    assert sentinels == {"B1", "B2", "B3", "B3x", "B4", "B4x", "B5"}
+    assert len(a_rows) == 2, (
+        f"expected drop-within-watermark then re-emit after eviction, got {a_rows}"
+    )
