@@ -170,3 +170,47 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark):
     assert "dynamicpruning" in plan.lower(), (
         f"no dynamic partition pruning in plan:\n{plan[:2000]}"
     )
+
+
+def test_runtime_bloom_filter_join_injects(spark):
+    """Spark's runtime row-level bloom filter (on by default,
+    spark.sql.optimizer.runtime.bloomFilter.enabled) must inject a
+    bloom_filter_agg on the selective build side of a shuffle join when
+    size thresholds allow — at 100 TB the probe-side scan always clears
+    the default 10 GB applicationSideScanSizeThreshold, so this fires
+    automatically; at fixture scale we lower the threshold to prove the
+    machinery. Complements the hand-rolled bloom_semi_join
+    (plans/scale.py), which exists for semantics the optimizer can't
+    infer."""
+    from pyspark.sql import functions as F
+
+    from embarrassingly_parallel_image_classification_spark.sources.tables import t
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    old_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = t(spark, SF_T2, "lineitem")
+        o = t(spark, SF_T2, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        plan = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            ._jdf.queryExecution()
+            .toString()
+        )
+        assert "bloom_filter_agg" in plan, "runtime bloom filter not injected"
+        assert "might_contain" in plan, "probe side lacks the bloom test"
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thresh,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
