@@ -229,3 +229,65 @@ def test_dedup_within_watermark_state_ttl(spark, tmp_path):
     assert len(a_rows) == 2, (
         f"expected drop-within-watermark then re-emit after eviction, got {a_rows}"
     )
+
+
+def test_checkpoint_restart_resumes_state_exactly_once(spark, tmp_path):
+    """Crash/restart recovery — the exactly-once story a 100-TB
+    streaming deployment rests on: run a stateful aggregation over two
+    files with a durable checkpoint, STOP the query, append two more
+    files, start a NEW query from the same checkpoint. The restarted
+    query must resume from the recorded offsets (process only the new
+    files) and rehydrate its state store — final per-key counts equal
+    a batch aggregate over all four files, with no double counting."""
+    import os as _os
+    import time as _time
+
+    import pandas as _pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = _pa.schema([("user_id", _pa.int64()), ("n", _pa.int64())])
+
+    def write(i, rows):
+        p = str(src / f"b{i}.parquet")
+        _pq.write_table(
+            _pa.Table.from_pandas(_pd.DataFrame(rows)).cast(schema), p
+        )
+        _os.utime(p, (_time.time() + i, _time.time() + i))
+
+    def run(name):
+        stream = (
+            spark.readStream.schema("user_id bigint, n bigint")
+            .parquet(str(src))
+        )
+        agg = stream.groupBy("user_id").agg(
+            F.sum("n").alias("total"), F.count("*").alias("rows")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["user_id"]: (r["total"], r["rows"])
+            for r in spark.table(name).collect()
+        }
+
+    write(0, {"user_id": [1, 2], "n": [10, 20]})
+    write(1, {"user_id": [1], "n": [5]})
+    first = run("ckpt_run1")
+    assert first == {1: (15, 2), 2: (20, 1)}
+
+    write(2, {"user_id": [2, 3], "n": [7, 1]})
+    write(3, {"user_id": [1], "n": [100]})
+    second = run("ckpt_run2")
+    # batch truth over ALL files — state rehydrated, new files processed
+    # exactly once each
+    assert second == {1: (115, 3), 2: (27, 2), 3: (1, 1)}
