@@ -426,3 +426,46 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     ).select("p_id", "c_id", "user_id", F.unix_timestamp("pts").alias("purchase_sec"))
     return run_to_memory(joined, "append")
+
+
+@register(
+    "q_stream_chained_agg",
+    oracle="""
+    WITH per_user AS (
+        SELECT date_trunc('hour', ts) AS win, user_id, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT CAST(epoch(win) AS BIGINT) AS win_start_sec,
+           COUNT(*) AS active_users,
+           CAST(SUM(n) AS BIGINT) AS total_events
+    FROM per_user, wm
+    WHERE win + INTERVAL 1 HOUR <= wm.w
+    GROUP BY win
+    """,
+    tags=("I1", "I4", "D1"),
+)
+def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful aggregations in one streaming query (Spark ≥3.4
+    multiple-stateful-operator support): per-(hour, user) counts feed a
+    second per-hour aggregation (active users + total events) — the
+    two-level rollup an operational dashboard computes, previously
+    impossible without an intermediate sink. Both stages run in append
+    mode, so a window only crosses each stage once the watermark passes
+    its end; the oracle encodes exactly that eviction gate — hours
+    whose end exceeds max(ts)−10min are withheld, and the driver check
+    pins the gating semantics, not just the arithmetic."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    per_user = ev.groupBy(F.window("ts", "1 hour"), "user_id").agg(
+        F.count("*").alias("n")
+    )
+    per_hour = per_user.groupBy("window").agg(
+        F.count("*").alias("active_users"),
+        F.sum("n").cast("bigint").alias("total_events"),
+    )
+    out = per_hour.select(
+        F.unix_timestamp(F.col("window.start")).alias("win_start_sec"),
+        "active_users",
+        "total_events",
+    )
+    return run_to_memory(out, "append")

@@ -291,3 +291,63 @@ def test_checkpoint_restart_resumes_state_exactly_once(spark, tmp_path):
     # batch truth over ALL files — state rehydrated, new files processed
     # exactly once each
     assert second == {1: (115, 3), 2: (27, 2), 3: (1, 1)}
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """RocksDB state store — the LARGE-STATE streaming story: the
+    default HDFS-backed store keeps every key in executor heap, so at
+    100-TB state (billions of dedup keys) only a spill-to-disk store
+    survives. Spark ships RocksDBStateStoreProvider in the box; this
+    pins that (a) a stateful aggregation under RocksDB returns the
+    same answer as the default store and (b) the provider actually
+    engaged (rocksdb metrics in the progress event)."""
+    import os as _os
+
+    import pandas as _pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _pq.write_table(
+        _pa.Table.from_pandas(
+            _pd.DataFrame({"user_id": [1, 2, 1, 3], "n": [1, 2, 3, 4]})
+        ),
+        str(src / "b0.parquet"),
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = spark.readStream.schema("user_id bigint, n bigint").parquet(
+            str(src)
+        )
+        agg = stream.groupBy("user_id").agg(F.sum("n").alias("s"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rocksdb_state_test")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r["user_id"]: r["s"]
+            for r in spark.table("rocksdb_state_test").collect()
+        }
+        assert got == {1: 4, 2: 2, 3: 4}
+        metrics = next(
+            p["stateOperators"][0]["customMetrics"]
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+        assert any("rocksdb" in k.lower() for k in metrics), metrics
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
