@@ -19,6 +19,7 @@ batching bug would corrupt values and fail the hash.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa  # module-level: arrow_udf resolves string type hints
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
@@ -193,3 +194,36 @@ def q_udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(
         stats, "doc_id bigint, n_chars bigint, n_bytes bigint, n_tokens bigint"
     )
+
+
+@register(
+    "q_udf_arrow_native",
+    oracle="""
+    SELECT event_id,
+           CAST(LENGTH(event_type) AS BIGINT) * 1000 + (event_id % 1000)
+               AS tagged
+    FROM events
+    """,
+    tags=("J2", "J6"),
+)
+def q_udf_arrow_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE scalar UDF (Spark 4.1 ``arrow_udf``): the batch
+    arrives as a ``pyarrow.Array`` and the result returns as one — no
+    pandas materialization at all, removing the Arrow→pandas→Arrow
+    round-trip a @pandas_udf pays (object boxing for strings, index
+    allocation). The computation is deliberately integer/string-exact
+    so the oracle hash checks the pyarrow compute path itself."""
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("bigint")
+    def tag(etype: pa.Array, eid: pa.Array) -> pa.Array:
+        ln = pc.cast(pc.utf8_length(etype), pa.int64())
+        k = pa.scalar(1000, pa.int64())
+        # eid % 1000 spelled as eid - (eid // 1000) * 1000: pyarrow.compute
+        # has no mod kernel; integer divide truncates (ids are ≥ 0).
+        rem = pc.subtract(eid, pc.multiply(pc.divide(eid, k), k))
+        return pc.add(pc.multiply(ln, k), rem)
+
+    ev = t(spark, sf_dir, "events")
+    return ev.select("event_id", tag("event_type", "event_id").alias("tagged"))
