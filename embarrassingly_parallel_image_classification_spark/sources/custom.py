@@ -418,3 +418,108 @@ def q_stream_custom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("user_id").agg(
         F.count("*").alias("n"), F.sum("cents").alias("cents")
     )
+
+
+def _make_arrow_writer_datasource():
+    """Arrow-NATIVE flavor of the custom batch sink (lazy-built):
+    DataSourceArrowWriter receives the partition as an iterator of
+    ``pyarrow.RecordBatch`` — zero per-row Python objects on the write
+    path (the row-based JsonlWriter above pays Row→dict→json per
+    record; this one hands columnar buffers straight to the parquet
+    encoder). Same two-phase commit: task parquet files + driver
+    manifest."""
+    import json
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceArrowWriter,
+        WriterCommitMessage,
+    )
+
+    class _Committed(WriterCommitMessage):
+        def __init__(self, filename, n):
+            self.filename = filename
+            self.n = n
+
+    class ArrowParquetWriter(DataSourceArrowWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            os.makedirs(self.path, exist_ok=True)
+            batches = [b for b in iterator if b.num_rows]
+            if not batches:
+                return _Committed(None, 0)
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            table = pa.Table.from_batches(batches)
+            pq.write_table(table, os.path.join(self.path, name))
+            return _Committed(name, table.num_rows)
+
+        def commit(self, messages):
+            manifest = {
+                "files": sorted(
+                    m.filename for m in messages if m.filename is not None
+                ),
+                "rows": sum(m.n for m in messages),
+            }
+            with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+                json.dump(manifest, f)
+
+        def abort(self, messages):
+            pass
+
+    class ArrowParquetSinkDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "epic_arrow_parquet_sink"
+
+        def writer(self, schema, overwrite):
+            return ArrowParquetWriter(self.options)
+
+    return ArrowParquetSinkDataSource
+
+
+@register(
+    "q_sink_arrow_writer",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("A10", "A6"),
+)
+def q_sink_arrow_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native custom-sink round-trip: orders → epic_arrow_parquet
+    _sink (RecordBatch write path, per-task parquet + driver manifest)
+    → read back only manifest-listed files → aggregate; must equal
+    aggregating the source (same oracle as the row-based sink, so the
+    two writer paths are provably equivalent end-to-end)."""
+    import json
+    import os
+    import shutil
+
+    from .formats import scratch
+
+    spark.dataSource.register(_make_arrow_writer_datasource())
+    path = scratch("custom_arrow_pq", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    src.write.format("epic_arrow_parquet_sink").option("path", path).mode(
+        "append"
+    ).save()
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        files = [os.path.join(path, name) for name in json.load(f)["files"]]
+    back = spark.read.parquet(*files)
+    return back.groupBy("priority").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("cents")
+    )
