@@ -227,6 +227,7 @@ _QUERY_MODULES = (
         "plans.tpch2",
         "plans.scale",
         "plans.pipeline",
+        "plans.lakehouse",
         "pandas_api",
 )
 # NOTE: module-load errors propagate — a missing/broken module must fail

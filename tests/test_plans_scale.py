@@ -214,3 +214,27 @@ def test_runtime_bloom_filter_join_injects(spark):
             old_thresh,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+
+
+def test_lakehouse_vacuum_preserves_retained_snapshots(spark, tmp_path):
+    """vacuum(retain=1) must delete every data file reachable ONLY from
+    expired snapshots and their manifests, while the retained snapshot
+    stays byte-identical readable — and time travel to the expired
+    version must now fail (by design)."""
+    import pytest
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df1 = spark.range(100).select(F.col("id").alias("o_orderkey"))
+    df2 = spark.range(100, 110).select(F.col("id").alias("o_orderkey"))
+    assert lakehouse.snapshot_write(df1, path, "append") == 1
+    assert lakehouse.snapshot_write(df2, path, "overwrite") == 2
+    # before vacuum: both versions readable
+    assert lakehouse.snapshot_read(spark, path, 1).count() == 100
+    assert lakehouse.snapshot_read(spark, path, 2).count() == 10
+    removed = lakehouse.vacuum(path, retain_versions=1)
+    assert removed, "vacuum removed nothing despite an expired snapshot"
+    assert lakehouse.snapshot_read(spark, path, 2).count() == 10  # intact
+    with pytest.raises(FileNotFoundError):
+        lakehouse.snapshot_read(spark, path, 1)  # expired manifest gone
