@@ -199,3 +199,138 @@ def q_lake_overwrite_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return frames[0].unionByName(frames[1]).orderBy("version")
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str,
+    update_cols: list[str],
+) -> int:
+    """MERGE INTO the snapshot table: matched target rows take the
+    source's update_cols (upsert), unmatched source rows insert,
+    unmatched target rows carry over — the batch CDC-apply every
+    lakehouse runs. Implemented as one full-outer join against the
+    current snapshot followed by an OVERWRITE snapshot publish
+    (copy-on-write, exactly how Delta/Iceberg MERGE rewrites files;
+    at 100 TB the join is pre-filtered to the files whose key ranges
+    intersect the source — manifest-level stats, the documented
+    upgrade path). Returns the new snapshot version."""
+    target = snapshot_read(spark, path)
+    src = source.select(
+        F.col(key).alias("__k"), *[F.col(c).alias(f"__s_{c}") for c in update_cols]
+    )
+    joined = target.join(src, target[key] == F.col("__k"), "full_outer")
+    merged_cols = []
+    for c in target.columns:
+        if c in update_cols:
+            merged_cols.append(
+                F.coalesce(F.col(f"__s_{c}"), F.col(c)).alias(c)
+            )
+        elif c == key:
+            merged_cols.append(F.coalesce(F.col(key), F.col("__k")).alias(key))
+        else:
+            merged_cols.append(F.col(c))
+    merged = joined.select(*merged_cols)
+    return snapshot_write(merged, path, "overwrite")
+
+
+@register(
+    "q_lake_merge",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    source AS (
+        SELECT o_orderkey, CAST(0 AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+        SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+               COALESCE(s.cents, t.cents) AS cents
+        FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN cents = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_updated_or_inserted
+    FROM merged
+    """,
+    tags=("lakehouse", "C3", "A6"),
+)
+def q_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert/CDC apply) on the snapshot table: target =
+    orders minus every 3rd key, source = even keys with cents zeroed.
+    Matched rows take the source value, unmatched source rows insert,
+    unmatched target rows survive. The oracle recomputes the merge
+    relationally; reading the POST-MERGE SNAPSHOT back (not the
+    in-memory frame) proves the copy-on-write publish round-trips."""
+    from ..sources.formats import scratch
+
+    path = scratch("lake_merge", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    snapshot_write(orders.filter(F.col("o_orderkey") % 3 != 0), path, "append")
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.lit(0).cast("bigint").alias("cents")
+    )
+    merge_into(spark, path, source, "o_orderkey", ["cents"])
+    back = snapshot_read(spark, path)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum((F.col("cents") == 0).cast("bigint"))
+        .cast("bigint")
+        .alias("n_updated_or_inserted"),
+    )
+
+
+@register(
+    "q_lake_changes",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
+         v2 AS (SELECT o_orderkey FROM orders
+                WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 <> 0
+                UNION ALL
+                SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT 'insert' AS change, COUNT(*) AS n
+    FROM (SELECT o_orderkey FROM v2 EXCEPT SELECT o_orderkey FROM v1)
+    UNION ALL
+    SELECT 'delete' AS change, COUNT(*) AS n
+    FROM (SELECT o_orderkey FROM v1 EXCEPT SELECT o_orderkey FROM v2)
+    ORDER BY change
+    """,
+    tags=("lakehouse", "G3"),
+)
+def q_lake_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between snapshots: v1 = even keys, v2 =
+    overwrite dropping multiples of 10 and adding odd keys. The diff
+    (EXCEPT both ways over the two AS-OF reads) yields the
+    insert/delete counts CDC consumers replay — computed purely from
+    time travel, no change log maintained."""
+    from ..sources.formats import scratch
+
+    path = scratch("lake_cdf", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").select("o_orderkey")
+    even = orders.filter(F.col("o_orderkey") % 2 == 0)
+    snapshot_write(even, path, "append")
+    v2 = even.filter(F.col("o_orderkey") % 5 != 0).unionByName(
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+    )
+    snapshot_write(v2, path, "overwrite")
+    r1 = snapshot_read(spark, path, 1).select("o_orderkey")
+    r2 = snapshot_read(spark, path, 2).select("o_orderkey")
+    ins = r2.exceptAll(r1).agg(
+        F.lit("insert").alias("change"), F.count("*").alias("n")
+    )
+    dele = r1.exceptAll(r2).agg(
+        F.lit("delete").alias("change"), F.count("*").alias("n")
+    )
+    return ins.unionByName(dele).orderBy("change")
