@@ -15,9 +15,17 @@ Semantics implemented (the lakehouse core):
   * vacuum     — delete files unreachable from any retained snapshot.
 
 At 100 TB the mechanics are identical (manifests hold file-level
-stats for pruning; commit is one atomic manifest rename) — what the
-real formats add is concurrent-writer conflict detection and
-file-level statistics, both documented here as the upgrade path.
+stats for pruning; commit is one atomic manifest publish). The two
+capabilities the real formats add on top are implemented here too:
+  * optimistic concurrency — snapshot_write(expected_version=...)
+    raises ConcurrentWriteError when another writer published first
+    (version claim is an atomic link(2), so two racing writers can
+    never both claim the same version);
+  * file-level statistics — snapshot_write(stats_col=...) records
+    per-file min/max in the manifest; snapshot_read(between=...)
+    prunes the file list against the predicate range before any scan
+    (manifest-level data skipping, the Iceberg/Delta file-pruning
+    path).
 """
 
 from __future__ import annotations
@@ -32,6 +40,12 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.tables import t
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer published a snapshot after this writer's base
+    version was read — retry the write against the new current state
+    (the optimistic-concurrency contract every table format exposes)."""
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -50,42 +64,126 @@ def current_version(path: str) -> int:
     return max(versions, default=0)
 
 
-def snapshot_write(df: DataFrame, path: str, mode: str = "append") -> int:
+def _file_stats(local_path: str, col: str):
+    """(min, max) of ``col`` across a parquet file's row groups, read
+    from footer metadata only — no data pages touched."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(local_path).metadata
+    idx = md.schema.to_arrow_schema().get_field_index(col)
+    mins, maxs = [], []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mins.append(st.min)
+        maxs.append(st.max)
+    return (min(mins), max(maxs)) if mins else None
+
+
+def snapshot_write(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    expected_version: int | None = None,
+    stats_col: str | None = None,
+) -> int:
     """Publish a new snapshot of ``df`` at ``path``; returns the new
     version number. Task files are written first (invisible to any
     reader), then one manifest JSON makes them visible atomically —
-    write-audit-publish, the commit protocol every table format uses."""
+    write-audit-publish, the commit protocol every table format uses.
+
+    ``expected_version``: optimistic concurrency — raise
+    ConcurrentWriteError if the table moved past that version (the
+    version claim itself is an atomic ``os.link``, so two racing
+    writers can never both publish the same version even if both pass
+    the pre-check). ``stats_col``: record per-file min/max of that
+    column in the manifest (footer-only read), enabling manifest-level
+    file pruning in snapshot_read."""
     assert mode in ("append", "overwrite")
     os.makedirs(path, exist_ok=True)
+    if expected_version is not None and current_version(path) != expected_version:
+        raise ConcurrentWriteError(
+            f"table at version {current_version(path)}, expected {expected_version}"
+        )
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
-    new_files = []
+    new_files, stats = [], {}
     for name in sorted(os.listdir(staging)):
         if name.endswith(".parquet"):
             final = f"data-{uuid.uuid4().hex}.parquet"
+            if stats_col is not None:
+                s = _file_stats(os.path.join(staging, name), stats_col)
+                if s is not None:
+                    stats[final] = list(s)
             os.rename(os.path.join(staging, name), os.path.join(path, final))
             new_files.append(final)
     shutil.rmtree(staging, ignore_errors=True)
-    prev = current_version(path)
-    visible = list(new_files)
-    if mode == "append" and prev > 0:
-        with open(_manifest_path(path, prev)) as f:
-            visible = json.load(f)["files"] + visible
-    version = prev + 1
-    tmp = _manifest_path(path, version) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"version": version, "mode": mode, "files": sorted(visible)}, f)
-    os.rename(tmp, _manifest_path(path, version))  # atomic publish
-    return version
+    while True:
+        prev = current_version(path)
+        if expected_version is not None and prev != expected_version:
+            raise ConcurrentWriteError(
+                f"table at version {prev}, expected {expected_version}"
+            )
+        visible, vis_stats = list(new_files), dict(stats)
+        if mode == "append" and prev > 0:
+            with open(_manifest_path(path, prev)) as f:
+                m = json.load(f)
+            visible = m["files"] + visible
+            vis_stats.update(m.get("stats", {}))
+        version = prev + 1
+        tmp = _manifest_path(path, version) + f".tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "mode": mode,
+                    "files": sorted(visible),
+                    "stats": {k: vis_stats[k] for k in sorted(vis_stats)},
+                },
+                f,
+            )
+        try:
+            os.link(tmp, _manifest_path(path, version))  # atomic claim
+            os.unlink(tmp)
+            return version
+        except FileExistsError:
+            os.unlink(tmp)  # lost the race: another writer took `version`
+            if expected_version is not None:
+                raise ConcurrentWriteError(
+                    f"version {version} was claimed concurrently"
+                )
+            # unconditional append: rebase on the new current version
 
 
-def snapshot_read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def snapshot_read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    between: tuple | None = None,
+) -> DataFrame:
     """Read the table AS OF ``version`` (latest when None). The file
     list is resolved from one immutable manifest — a writer publishing
-    v+1 concurrently cannot change what this reader sees."""
+    v+1 concurrently cannot change what this reader sees.
+
+    ``between=(lo, hi)``: manifest-level data skipping — keep only
+    files whose recorded [min, max] of the stats column intersects
+    [lo, hi] (files without stats are conservatively kept). The caller
+    still applies the row-level filter; pruning only shrinks the scan,
+    exactly like Iceberg/Delta file pruning."""
     v = version if version is not None else current_version(path)
     with open(_manifest_path(path, v)) as f:
-        files = json.load(f)["files"]
+        m = json.load(f)
+    files = m["files"]
+    if between is not None:
+        lo, hi = between
+        stats = m.get("stats", {})
+        files = [
+            name
+            for name in files
+            if name not in stats
+            or (stats[name][0] <= hi and stats[name][1] >= lo)
+        ]
     if not files:
         return spark.createDataFrame([], "o_orderkey bigint")
     return spark.read.parquet(*[os.path.join(path, name) for name in files])

@@ -238,3 +238,59 @@ def test_lakehouse_vacuum_preserves_retained_snapshots(spark, tmp_path):
     assert lakehouse.snapshot_read(spark, path, 2).count() == 10  # intact
     with pytest.raises(FileNotFoundError):
         lakehouse.snapshot_read(spark, path, 1)  # expired manifest gone
+
+
+def test_lakehouse_optimistic_concurrency(spark, tmp_path):
+    """snapshot_write(expected_version=...) must refuse to publish over
+    a table another writer moved (stale base ⇒ ConcurrentWriteError);
+    an unconditional append must instead rebase and succeed. The
+    version claim is an atomic link(2), so a raced version number can
+    never be double-published."""
+    import pytest
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(10).select(F.col("id").alias("o_orderkey"))
+    assert lakehouse.snapshot_write(df, path, "append", expected_version=0) == 1
+    # writer B publishes v2 while writer A still believes the table is at v1
+    assert lakehouse.snapshot_write(df, path, "append") == 2
+    with pytest.raises(lakehouse.ConcurrentWriteError):
+        lakehouse.snapshot_write(df, path, "overwrite", expected_version=1)
+    # unconditional append rebases onto v2 and lands as v3
+    assert lakehouse.snapshot_write(df, path, "append") == 3
+    assert lakehouse.snapshot_read(spark, path).count() == 30
+
+
+def test_lakehouse_stats_pruning_skips_files(spark, tmp_path):
+    """Manifest-level data skipping: a range-partitioned write records
+    per-file [min, max] key stats; a between=(lo, hi) read must prune
+    to strictly fewer files while returning exactly the rows a full
+    scan + filter would."""
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df = (
+        spark.range(1000)
+        .select(F.col("id").alias("o_orderkey"))
+        .repartitionByRange(8, "o_orderkey")
+    )
+    lakehouse.snapshot_write(df, path, "append", stats_col="o_orderkey")
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_manifest_v1.json")) as f:
+        m = _json.load(f)
+    assert len(m["files"]) == 8 and len(m["stats"]) == 8
+    pruned = lakehouse.snapshot_read(spark, path, between=(100, 150))
+    kept = [
+        name
+        for name in m["files"]
+        if m["stats"][name][0] <= 150 and m["stats"][name][1] >= 100
+    ]
+    assert len(kept) < 8, "range write produced no prunable layout"
+    got = sorted(
+        r["o_orderkey"]
+        for r in pruned.filter(F.col("o_orderkey").between(100, 150)).collect()
+    )
+    assert got == list(range(100, 151))
