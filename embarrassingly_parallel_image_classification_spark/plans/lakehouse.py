@@ -432,3 +432,89 @@ def q_lake_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("delete").alias("change"), F.count("*").alias("n")
     )
     return ins.unionByName(dele).orderBy("change")
+
+
+def stream_ingest(stream_df: DataFrame, path: str) -> None:
+    """Stream → snapshot table via foreachBatch, IDEMPOTENT per batch:
+    the manifest records which microbatch ids were ingested, and a
+    replayed batch (foreachBatch's at-least-once contract after a
+    restart) is skipped instead of double-published — exactly-once
+    table contents on top of an at-least-once callback, the pattern
+    every streaming lakehouse writer (Delta idempotent writes,
+    Iceberg commit-dedup) implements with txnAppId/txnVersion."""
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        v = current_version(path)
+        if v > 0:
+            with open(_manifest_path(path, v)) as f:
+                if batch_id in json.load(f).get("batch_ids", []):
+                    return  # replayed batch: already published
+        new_v = snapshot_write(batch_df, path, "append")
+        m_path = _manifest_path(path, new_v)
+        with open(m_path) as f:
+            m = json.load(f)
+        prev_ids = []
+        if new_v > 1:
+            with open(_manifest_path(path, new_v - 1)) as f:
+                prev_ids = json.load(f).get("batch_ids", [])
+        m["batch_ids"] = sorted(prev_ids + [batch_id])
+        tmp = m_path + f".tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, m_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(path, "_checkpoint"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register(
+    "q_lake_stream_ingest",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("lakehouse", "I8", "A9"),
+)
+def q_lake_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion into the snapshot table: the events stream
+    lands batch-by-batch through the idempotent foreachBatch writer
+    (manifest tracks ingested batch ids; the SAME stream re-run
+    against the table republishes nothing), then the table is read
+    back and aggregated — must equal aggregating the source. The
+    second pass inside the query re-runs the ingest from a FRESH
+    checkpoint, so every batch replays — count equality proves the
+    idempotence gate, not just the happy path."""
+    from ..sources.formats import scratch
+    from ..streaming.core import events_stream
+
+    path = scratch("lake_ingest", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    ev = events_stream(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    stream_ingest(ev, path)
+    # replay: fresh checkpoint ⇒ the same batches arrive again with the
+    # same ids; the manifest's batch_ids gate must drop every one
+    shutil.rmtree(os.path.join(path, "_checkpoint"), ignore_errors=True)
+    ev2 = events_stream(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    stream_ingest(ev2, path)
+    back = snapshot_read(spark, path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("cents")
+    )
