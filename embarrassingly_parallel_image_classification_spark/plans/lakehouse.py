@@ -518,3 +518,4 @@ def q_lake_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("cents")
     )
+

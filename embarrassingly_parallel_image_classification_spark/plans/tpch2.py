@@ -779,3 +779,50 @@ def q_sql_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("orders", "lineitem"):
         t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_PORTABLE_SQL)
+
+
+@register(
+    "q_sql_scripting",
+    oracle="""
+    WITH p AS (SELECT CAST(power(10, g) AS BIGINT) AS t
+               FROM generate_series(0, 12) s(g)),
+         c AS (SELECT t, (SELECT COUNT(*) FROM orders WHERE o_totalprice > t)
+                      AS n_above
+               FROM p)
+    SELECT t AS threshold, CAST(n_above AS BIGINT) AS n_above
+    FROM c WHERE n_above < 100 ORDER BY t LIMIT 1
+    """,
+    tags=("SQL", "scripting"),
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4 `BEGIN…END` compound statements,
+    SQL/PSM): a DECLARE + WHILE loop that searches for the smallest
+    power-of-10 price threshold with fewer than 100 orders above it —
+    procedural, DATA-DEPENDENT control flow executed entirely by the
+    SQL engine (each loop condition is a real query over the table; no
+    Python between iterations). The oracle enumerates the same
+    thresholds declaratively, so both engines must land on the exact
+    same (threshold, count). Registered here rather than per-statement
+    because scripting is the one surface where the engine, not the
+    caller, owns multi-statement state."""
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        t(spark, sf_dir, "orders").createOrReplaceTempView("__script_orders")
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE t BIGINT DEFAULT 1;
+              WHILE (SELECT COUNT(*) FROM __script_orders
+                     WHERE o_totalprice > t) >= 100 DO
+                SET t = t * 10;
+              END WHILE;
+              SELECT t AS threshold,
+                     (SELECT COUNT(*) FROM __script_orders
+                      WHERE o_totalprice > t) AS n_above;
+            END
+            """
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
