@@ -283,3 +283,118 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill({"max_confused_n": 0})
         .orderBy("label")
     )
+
+
+@register(
+    "q_eval_auc",
+    oracle="""
+    WITH s AS (
+        SELECT value AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    r AS (
+        SELECT y,
+               RANK() OVER (ORDER BY score) AS rk,
+               COUNT(*) OVER (PARTITION BY score) AS cnt
+        FROM s
+    ),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN y = 1 THEN 2 * rk + cnt - 1 ELSE 0 END)
+                    AS BIGINT) AS two_rpos,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - y) AS BIGINT) AS n_neg
+        FROM r
+    )
+    SELECT two_rpos - n_pos * (n_pos + 1) AS u2,
+           n_pos, n_neg,
+           ROUND((two_rpos - n_pos * (n_pos + 1))
+                 / (2.0 * n_pos * n_neg), 6) AS auc
+    FROM agg
+    """,
+    tags=("J1", "E1", "eval"),
+)
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC via the Mann-Whitney rank statistic with mid-rank
+    tie handling: AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻) where R⁺ sums the
+    positives' mid-ranks. Everything stays integer until one final
+    division (2·midrank = 2·rank + tiecount − 1 is an integer), so the
+    statistic is bit-exact cross-engine — no trapezoid approximation,
+    no threshold sweep. At 100 TB this is one sort-based window over
+    score (the same shuffle a global rank pays) + one aggregate;
+    labels here are the purchase indicator scored by `value`."""
+    ev = t(spark, sf_dir, "events").select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy("score")
+    w_tie = Window.partitionBy("score")
+    r = ev.select(
+        "y",
+        F.rank().over(w_rank).alias("rk"),
+        F.count("*").over(w_tie).alias("cnt"),
+    )
+    agg = r.agg(
+        F.sum(F.when(F.col("y") == 1, 2 * F.col("rk") + F.col("cnt") - 1).otherwise(0))
+        .cast("bigint")
+        .alias("two_rpos"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+    )
+    return agg.select(
+        (F.col("two_rpos") - F.col("n_pos") * (F.col("n_pos") + 1)).alias("u2"),
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("two_rpos") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "q_eval_calibration",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    rng AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM s)
+    SELECT ((cents - lo) * 10) // (hi - lo + 1) AS bin,
+           COUNT(*) AS n,
+           ROUND(SUM(cents) / (100.0 * COUNT(*)), 6) AS mean_score,
+           ROUND(SUM(y) / (1.0 * COUNT(*)), 6) AS frac_pos
+    FROM s CROSS JOIN rng
+    GROUP BY 1
+    """,
+    tags=("J1", "D3", "eval"),
+)
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) table: scores fixed-pointed to integer
+    cents, binned into 10 equal-width buckets with pure integer
+    arithmetic ((c−lo)·10 div (hi−lo+1) — no float boundary can
+    disagree between engines), then per-bin mean score vs empirical
+    positive rate. A well-calibrated scorer has mean_score ≈ frac_pos
+    per bin; the query is the standard reliability-diagram input
+    computed as two scans (global min/max, then one aggregate)."""
+    ev = t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    rng = ev.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        F.expr("((cents - lo) * 10) div (hi - lo + 1)").alias("bin"),
+        "cents",
+        "y",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("cents") / (100.0 * F.count("*")), 6).alias("mean_score"),
+        F.round(F.sum("y") / (1.0 * F.count("*")), 6).alias("frac_pos"),
+    )
