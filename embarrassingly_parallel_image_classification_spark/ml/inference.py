@@ -320,28 +320,37 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives' mid-ranks. Everything stays integer until one final
     division (2·midrank = 2·rank + tiecount − 1 is an integer), so the
     statistic is bit-exact cross-engine — no trapezoid approximation,
-    no threshold sweep. At 100 TB this is one sort-based window over
-    score (the same shuffle a global rank pays) + one aggregate;
-    labels here are the purchase indicator scored by `value`."""
+    no threshold sweep. At 100 TB this is one hash aggregate to
+    distinct scores + one tiny ordered window over those — never a
+    full-table global sort (see the in-body comment); labels here are
+    the purchase indicator scored by `value`."""
     ev = t(spark, sf_dir, "events").select(
         F.col("value").alias("score"),
         (F.col("event_type") == "purchase").cast("int").alias("y"),
     )
     from pyspark.sql import Window
 
-    w_rank = Window.orderBy("score")
-    w_tie = Window.partitionBy("score")
-    r = ev.select(
-        "y",
-        F.rank().over(w_rank).alias("rk"),
-        F.count("*").over(w_tie).alias("cnt"),
+    # Scale shape: a naive rank() over all rows is a single-partition
+    # sort of the FULL table. Instead aggregate per DISTINCT score
+    # first (one hash shuffle, massive reduction), then run the tiny
+    # ordered window over distinct scores only: every element of a tie
+    # group has 2·midrank = 2·cum_before + cnt + 1, so the per-group
+    # positive contribution is pos·(2·cum_before + cnt + 1) — same
+    # integers as the row-level formula (the oracle keeps the
+    # row-level spelling; both must match exactly).
+    per_score = ev.groupBy("score").agg(
+        F.sum("y").alias("pos"), F.count("*").alias("cnt")
     )
-    agg = r.agg(
-        F.sum(F.when(F.col("y") == 1, 2 * F.col("rk") + F.col("cnt") - 1).otherwise(0))
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    agg = ranked.agg(
+        F.sum(F.col("pos") * (2 * F.col("cum_before") + F.col("cnt") + 1))
         .cast("bigint")
         .alias("two_rpos"),
-        F.sum("y").cast("bigint").alias("n_pos"),
-        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("bigint").alias("n_neg"),
     )
     return agg.select(
         (F.col("two_rpos") - F.col("n_pos") * (F.col("n_pos") + 1)).alias("u2"),
