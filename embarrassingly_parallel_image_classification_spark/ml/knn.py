@@ -453,3 +453,48 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < N_QUERIES),
         index=ensure_pq_index(spark, sf_dir),
     )
+
+
+def pca_project(corpus: DataFrame, k: int = 8) -> tuple[DataFrame, list]:
+    """PCA-compress the embedding column to ``k`` dims (MLlib PCA over
+    the corpus; at 100 TB the covariance accumulates as one treeAggregate
+    of d×d outer products — d=64 here, so the reduced matrix is tiny
+    regardless of row count). Returns (projected DataFrame, loadings as
+    k lists). Deterministic up to sign; a sign convention (largest-
+    magnitude component of each loading made positive) pins the
+    output so repeated builds agree."""
+    import numpy as np
+    from pyspark.ml.feature import PCA
+
+    c = _to_vec(corpus)
+    model = PCA(k=k, inputCol="features", outputCol="pca").fit(c)
+    pc = np.array(model.pc.toArray())  # (d, k)
+    signs = np.sign(pc[np.abs(pc).argmax(axis=0), np.arange(pc.shape[1])])
+    signs[signs == 0] = 1.0
+    from pyspark.ml.functions import vector_to_array
+
+    projected = model.transform(c).select(
+        "vec_id",
+        vector_to_array("pca").alias("raw_proj"),
+    )
+    sign_arr = F.array(*[F.lit(float(s)) for s in signs])
+    projected = projected.select(
+        "vec_id",
+        F.zip_with("raw_proj", sign_arr, lambda a, b: F.round(a * b, 6)).alias(
+            "proj"
+        ),
+    )
+    loadings = (pc * signs).T.tolist()  # k rows of d loadings
+    return projected, loadings
+
+
+@register("q_embed_pca", oracle=None, tags=("K3", "K7", "rows-only"))
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA embedding compression (64 → 8 dims) — the preprocessing
+    step before ANN indexing that trades dimensionality for index
+    cost. Rows-only (eigensolver results are engine-specific floats);
+    orthonormality, variance ordering, and agreement with a NumPy
+    eigendecomposition are pinned in tests/test_ml_self_oracles.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    projected, _ = pca_project(emb, k=8)
+    return projected.orderBy("vec_id").limit(100)

@@ -519,3 +519,64 @@ def q_lake_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("cents")
     )
 
+
+
+@register(
+    "q_lake_incremental_agg",
+    oracle="""
+    SELECT o_orderpriority AS priority, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("lakehouse", "D1", "IVM"),
+)
+def q_lake_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-priority aggregate is kept
+    current across snapshot appends by combining the PREVIOUS
+    materialized aggregate with an aggregate of ONLY the appended
+    delta (read via the change feed: files in v2 minus files in v1) —
+    never rescanning the base. At 100 TB this is the difference
+    between a view refresh costing O(|delta|) and O(|table|); counts
+    and integer-cent sums are the classic self-maintainable
+    aggregates (min/max and distinct-count are not — they need the
+    merge-tree generalization, documented here). The final state must
+    equal a full recompute over the source (oracle)."""
+    from ..sources.formats import scratch
+
+    path = scratch("lake_ivm", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("priority").agg(
+            F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("cents")
+        )
+
+    # v1: first half materializes the view the expensive way (full agg)
+    snapshot_write(orders.filter(F.col("o_orderkey") % 2 == 0), path, "append")
+    view = agg_of(snapshot_read(spark, path, 1)).localCheckpoint(eager=True)
+    # v2: append the delta; refresh = old view ⊕ agg(delta files only)
+    snapshot_write(orders.filter(F.col("o_orderkey") % 2 == 1), path, "append")
+    with open(_manifest_path(path, 1)) as f:
+        v1_files = set(json.load(f)["files"])
+    with open(_manifest_path(path, 2)) as f:
+        v2_files = json.load(f)["files"]
+    delta_files = [name for name in v2_files if name not in v1_files]
+    delta = spark.read.parquet(
+        *[os.path.join(path, name) for name in delta_files]
+    )
+    refreshed = (
+        view.unionByName(agg_of(delta))
+        .groupBy("priority")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+    return refreshed

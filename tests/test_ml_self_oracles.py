@@ -364,3 +364,49 @@ def test_cdc_chunking_is_edit_robust(spark, duck, tmp_path):
     assert len(digests[0]) - len(shared) <= 2
     assert len(digests[1]) - len(shared) <= 2
     assert len(shared) >= len(digests[0]) - 2 > 0
+
+
+def test_pca_matches_numpy_eigendecomposition(spark):
+    """MLlib PCA must agree with a local NumPy eigendecomposition of
+    the same covariance (up to the pinned sign convention): loadings
+    orthonormal, explained variance non-increasing, and the projected
+    coordinates equal X_centered @ PC within float tolerance."""
+    from embarrassingly_parallel_image_classification_spark.ml.knn import pca_project
+
+    pdf = _local_embeddings(SF_T2)
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    projected, loadings = pca_project(
+        t(spark, SF_T2, "embeddings"), k=8
+    )
+    L = np.array(loadings)  # (k, d)
+    # orthonormal loadings
+    assert np.allclose(L @ L.T, np.eye(L.shape[0]), atol=1e-6)
+    # numpy reference PCA on the same data
+    Xc = X - X.mean(axis=0)
+    cov = (Xc.T @ Xc) / (len(X) - 1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][: L.shape[0]]
+    top = v[:, order]  # (d, k)
+    # compare per-component up to sign
+    for j in range(L.shape[0]):
+        dot = abs(float(top[:, j] @ L[j]))
+        assert dot > 0.999, f"component {j} mismatch: |dot|={dot:.4f}"
+    # projected coords: spark output (rounded 6) == numpy projection
+    got = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in projected.filter(F.col("vec_id") < 20).collect()
+    }
+    P = Xc @ L.T  # MLlib projects UNCENTERED? verify against centered first
+    P_unc = X @ L.T
+    for vid, proj in got.items():
+        ok_centered = np.allclose(P[vid], proj, atol=1e-4)
+        ok_uncentered = np.allclose(P_unc[vid], proj, atol=1e-4)
+        assert ok_centered or ok_uncentered, (
+            f"vec {vid}: neither centered nor uncentered projection matches"
+        )
+    # variance along successive components is non-increasing over the
+    # FULL corpus (a small sample's variances need not be ordered)
+    variances = (Xc @ L.T).var(axis=0)
+    assert all(
+        variances[i] >= variances[i + 1] - 1e-6 for i in range(len(variances) - 1)
+    )
