@@ -319,3 +319,66 @@ def q_timeseries_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
         )
     )
+
+
+@register(
+    "q_timeseries_ohlc",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS bar,
+               ts, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    ordered AS (
+        SELECT event_type, bar, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bar
+                                  ORDER BY ts, event_id) AS rn_open,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bar
+                                  ORDER BY ts DESC, event_id DESC) AS rn_close
+        FROM pts
+    )
+    SELECT event_type,
+           CAST(epoch(bar) AS BIGINT) AS bar_sec,
+           CAST(MAX(CASE WHEN rn_open = 1 THEN cents END) AS BIGINT) AS open,
+           CAST(MAX(cents) AS BIGINT) AS high,
+           CAST(MIN(cents) AS BIGINT) AS low,
+           CAST(MAX(CASE WHEN rn_close = 1 THEN cents END) AS BIGINT) AS close,
+           COUNT(*) AS n_ticks
+    FROM ordered
+    GROUP BY event_type, bar
+    """,
+    tags=("E3", "D1", "timeseries"),
+)
+def q_timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the telemetry/market resample): per
+    (event_type, hour bar) the first value (open), max (high), min
+    (low), last value (close) and tick count — expressed with
+    min_by/max_by on a composite (ts, event_id) order key, so open and
+    close are deterministic even with duplicate timestamps; values in
+    integer cents. One hash aggregate at scale — no window over the
+    raw ticks (min_by/max_by carry the ordering inside the aggregate;
+    the oracle spells the same thing with ROW_NUMBER because DuckDB's
+    arg_min on a composite key needs the struct workaround)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar"),
+        F.struct(F.col("ts"), F.col("event_id")).alias("ord"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return ev.groupBy("event_type", "bar").agg(
+        F.min_by("cents", "ord").cast("bigint").alias("open"),
+        F.max("cents").cast("bigint").alias("high"),
+        F.min("cents").cast("bigint").alias("low"),
+        F.max_by("cents", "ord").cast("bigint").alias("close"),
+        F.count("*").alias("n_ticks"),
+    ).select(
+        "event_type",
+        F.unix_timestamp("bar").alias("bar_sec"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_ticks",
+    )
