@@ -210,6 +210,8 @@ _CARTESIAN_OK = {
                              # cross for cell selection; corpus join is
                              # hash on cell
     "q_knn_lsh",             # MLlib approxSimilarityJoin internals
+    "q_eval_calibration",    # 1-row (min,max) scalar broadcast onto the
+                             # scan for integer binning
 }
 
 
