@@ -580,3 +580,99 @@ def q_lake_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return refreshed
+
+
+def delete_where(
+    spark: SparkSession, path: str, key: str, keys_df: DataFrame
+) -> int:
+    """MERGE-ON-READ delete (deletion-vector style): instead of
+    rewriting data files (copy-on-write, what merge_into does), publish
+    a snapshot whose manifest carries a DELETE FILE — a tiny parquet of
+    deleted keys. Readers anti-join it at scan time; a later
+    compaction (rewrite without deleted rows, then a snapshot dropping
+    the delete file) amortizes the read cost. This is the
+    Delta-deletion-vector / Iceberg-merge-on-read trade: O(|deletes|)
+    write now, small per-read overhead until compaction."""
+    os.makedirs(path, exist_ok=True)
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+    keys_df.select(F.col(key)).write.mode("overwrite").parquet(staging)
+    del_file = f"delete-{uuid.uuid4().hex}.parquet"
+    parts = [
+        n for n in sorted(os.listdir(staging)) if n.endswith(".parquet")
+    ]
+    # single tiny delete file: coalesce the staged parts driver-side
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    tables = [pq.read_table(os.path.join(staging, n)) for n in parts]
+    pq.write_table(pa.concat_tables(tables), os.path.join(path, del_file))
+    shutil.rmtree(staging, ignore_errors=True)
+    prev = current_version(path)
+    with open(_manifest_path(path, prev)) as f:
+        m = json.load(f)
+    version = prev + 1
+    manifest = {
+        "version": version,
+        "mode": "delete",
+        "files": m["files"],
+        "stats": m.get("stats", {}),
+        "delete_files": m.get("delete_files", []) + [[del_file, key]],
+    }
+    tmp = _manifest_path(path, version) + f".tmp{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.link(tmp, _manifest_path(path, version))
+    os.unlink(tmp)
+    return version
+
+
+def snapshot_read_mor(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """snapshot_read that APPLIES the manifest's delete files: data
+    files scanned, then one left-anti join per delete key column —
+    merge-on-read."""
+    v = version if version is not None else current_version(path)
+    df = snapshot_read(spark, path, v)
+    with open(_manifest_path(path, v)) as f:
+        m = json.load(f)
+    for del_file, key in m.get("delete_files", []):
+        dk = spark.read.parquet(os.path.join(path, del_file)).select(
+            F.col(key).alias("__delk")
+        )
+        df = df.join(
+            F.broadcast(dk), df[key] == F.col("__delk"), "left_anti"
+        )
+    return df
+
+
+@register(
+    "q_lake_delete_mor",
+    oracle="""
+    SELECT o_orderpriority AS priority, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+    GROUP BY o_orderpriority
+    """,
+    tags=("lakehouse", "C5", "A6"),
+)
+def q_lake_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE: write orders as a snapshot, publish a
+    deletion-vector snapshot removing every 7th key (no data file
+    rewritten — the delete is a tiny key parquet in the manifest), and
+    read through snapshot_read_mor, which anti-joins the delete file
+    at scan time. Must equal filtering the source (oracle). Completes
+    lakehouse DML: insert (append), update (merge copy-on-write),
+    delete (merge-on-read)."""
+    from ..sources.formats import scratch
+
+    path = scratch("lake_mor", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority")
+    )
+    snapshot_write(orders, path, "append")
+    doomed = orders.filter(F.col("o_orderkey") % 7 == 0)
+    delete_where(spark, path, "o_orderkey", doomed)
+    back = snapshot_read_mor(spark, path)
+    return back.groupBy("priority").agg(F.count("*").alias("n"))

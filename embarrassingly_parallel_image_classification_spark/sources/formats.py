@@ -193,3 +193,57 @@ def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length"),
         F.xxhash64(F.substring("content", 1, 64)).alias("head_hash"),
     )
+
+
+@register(
+    "q_scan_provenance",
+    # The oracle reads the SAME scratch sink the Spark query writes;
+    # the oracle-compare contract always runs at sf0.01, so the
+    # per-(kind, sf) scratch path is static here. The Spark query runs
+    # first in the harness, (re)writing the sink before DuckDB reads it.
+    oracle=f"""
+    WITH src AS (
+        SELECT oyear, filename
+        FROM read_parquet(
+            '{os.path.join(tempfile.gettempdir(), "epic_spark_scratch", "orders_by_year_sf0.01")}/**/*.parquet',
+            filename = true, hive_partitioning = true)
+    )
+    SELECT CAST(oyear AS BIGINT) AS oyear,
+           COUNT(DISTINCT regexp_extract(filename, '([^/]+)$', 1)) AS n_files,
+           COUNT(*) AS n_rows
+    FROM src
+    GROUP BY oyear
+    """,
+    tags=("A1", "A6", "metadata"),
+)
+def q_scan_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row provenance via the hidden `_metadata` struct (Spark ≥3.4
+    metadata columns): every row of the year-partitioned sink is
+    attributed to its physical file, then files and rows are counted
+    per partition — the audit query a lineage system runs (which files
+    feed which partition, are any partitions over-fragmented). The
+    DuckDB oracle reads the SAME directory with `filename = true`;
+    both engines normalize to the basename so URI-scheme differences
+    (file:// vs plain path) can't leak into the hash."""
+    import os as _os
+
+    # ensure the partitioned sink exists (same helper the A6 query uses)
+    from ..registry import _REGISTRY
+
+    _REGISTRY["q_sink_partitioned"].fn(spark, sf_dir).collect()
+    path = scratch("orders_by_year", sf_dir)
+    part = spark.read.parquet(path)
+    return (
+        part.select(
+            "oyear",
+            F.regexp_extract(F.col("_metadata.file_path"), "([^/]+)$", 1).alias(
+                "fname"
+            ),
+        )
+        .groupBy("oyear")
+        .agg(
+            F.countDistinct("fname").alias("n_files"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(F.col("oyear").cast("bigint").alias("oyear"), "n_files", "n_rows")
+    )
