@@ -676,3 +676,67 @@ def q_lake_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete_where(spark, path, "o_orderkey", doomed)
     back = snapshot_read_mor(spark, path)
     return back.groupBy("priority").agg(F.count("*").alias("n"))
+
+
+def compact_mor(spark: SparkSession, path: str) -> int:
+    """Apply the manifest's delete files: rewrite the surviving rows as
+    fresh data files and publish a snapshot with NO delete files — the
+    maintenance job that turns merge-on-read back into plain scans
+    (Iceberg rewrite_data_files / Delta PURGE). Readers before the
+    compaction snapshot still see the DV view; vacuum later reclaims
+    the replaced files."""
+    survivors = snapshot_read_mor(spark, path)
+    return snapshot_write(survivors, path, "overwrite")
+
+
+@register(
+    "q_lake_schema_evolution",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
+         v2 AS (SELECT o_orderkey,
+                       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+                FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(cents) AS BIGINT) AS n_with_cents,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM (SELECT o_orderkey, NULL AS cents FROM v1
+          UNION ALL SELECT o_orderkey, cents FROM v2)
+    """,
+    tags=("lakehouse", "A6", "schema"),
+)
+def q_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the snapshot table: v1 files carry
+    (o_orderkey), the v2 append adds a `cents` column; reading the
+    merged snapshot schema-widens old files with NULLs (parquet
+    mergeSchema — additive evolution, the only kind the real formats
+    allow without rewrite). The oracle recomputes the widened union:
+    row count, non-null count and sum must match exactly."""
+    from ..sources.formats import scratch
+
+    path = scratch("lake_schema", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders")
+    snapshot_write(
+        orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey"),
+        path,
+        "append",
+    )
+    snapshot_write(
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        ),
+        path,
+        "append",
+    )
+    v = current_version(path)
+    with open(_manifest_path(path, v)) as f:
+        files = json.load(f)["files"]
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, name) for name in files]
+    )
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.count("cents").cast("bigint").alias("n_with_cents"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )

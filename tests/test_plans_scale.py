@@ -294,3 +294,30 @@ def test_lakehouse_stats_pruning_skips_files(spark, tmp_path):
         for r in pruned.filter(F.col("o_orderkey").between(100, 150)).collect()
     )
     assert got == list(range(100, 151))
+
+
+def test_lakehouse_mor_compaction_roundtrip(spark, tmp_path):
+    """compact_mor must fold the deletion vectors into rewritten data
+    files: post-compaction reads need NO delete files, row counts are
+    unchanged, and the new manifest carries no delete entries."""
+    import json as _json
+    import os as _os
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(100).select(F.col("id").alias("k"))
+    lakehouse.snapshot_write(df, path, "append")
+    doomed = spark.range(0, 100, 10).select(F.col("id").alias("k"))
+    lakehouse.delete_where(spark, path, "k", doomed)
+    assert lakehouse.snapshot_read_mor(spark, path).count() == 90
+    v = lakehouse.compact_mor(spark, path)
+    with open(_os.path.join(path, f"_manifest_v{v}.json")) as f:
+        m = _json.load(f)
+    assert not m.get("delete_files"), "compaction left delete files"
+    # plain read (no MoR) now returns the surviving rows directly
+    assert lakehouse.snapshot_read(spark, path).count() == 90
+    got = sorted(
+        r["k"] for r in lakehouse.snapshot_read(spark, path).collect()
+    )
+    assert got == [k for k in range(100) if k % 10 != 0]
