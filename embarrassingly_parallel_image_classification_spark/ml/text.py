@@ -166,16 +166,20 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("K4",),
 )
 def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-bigram counts (freq ≥ 20) — n-gram extraction via sliced
-    token arrays, no Python."""
+    """Word-bigram counts (freq ≥ 20) — n-gram extraction with O(1)
+    element_at over a once-projected token array (see ml/dedup.py
+    shingles() for why the slice-inside-transform idiom is ~2.4×
+    slower), no Python."""
     d = t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    grams = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    ws = d.select(F.split("text", " ").alias("__ws"))
+    grams = F.expr(
+        "CASE WHEN size(__ws) >= 2 THEN "
+        "transform(sequence(1, size(__ws) - 1), "
+        " i -> concat(element_at(__ws, i), ' ', element_at(__ws, i + 1))) "
+        "ELSE array() END"
     )
     return (
-        d.select(F.explode(grams).alias("bigram"))
+        ws.select(F.explode(grams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 20)
