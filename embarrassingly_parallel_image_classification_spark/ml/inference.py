@@ -407,3 +407,71 @@ def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("cents") / (100.0 * F.count("*")), 6).alias("mean_score"),
         F.round(F.sum("y") / (1.0 * F.count("*")), 6).alias("frac_pos"),
     )
+
+
+_MANY_MODELS_ORACLE = """
+WITH e AS (SELECT vec_id, vec_id % 3 AS tenant, label, embedding FROM embeddings),
+expl AS (
+    SELECT tenant, label, generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM e),
+cent AS (SELECT tenant, label AS clab, pos, AVG(val) AS c
+         FROM expl GROUP BY tenant, label, pos),
+c2 AS (SELECT tenant, clab, SUM(c*c) AS cc FROM cent GROUP BY tenant, clab),
+vex AS (
+    SELECT vec_id, tenant, label, generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM e),
+dist AS (
+    SELECT v.vec_id, ANY_VALUE(v.tenant) AS tenant,
+           ANY_VALUE(v.label) AS label, c.clab,
+           SUM(-2.0 * v.val * c.c) + ANY_VALUE(c2.cc) AS d
+    FROM vex v
+    JOIN cent c ON c.pos = v.pos AND c.tenant = v.tenant
+    JOIN c2 ON c2.clab = c.clab AND c2.tenant = v.tenant
+    GROUP BY v.vec_id, c.clab),
+ranked AS (SELECT vec_id, tenant, label, clab,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, clab) AS rn
+           FROM dist)
+SELECT vec_id, CAST(tenant AS BIGINT) AS tenant, label,
+       CAST(clab AS INT) AS pred
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("q_infer_many_models", oracle=_MANY_MODELS_ORACLE, tags=("J4", "J1"))
+def q_infer_many_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANY-MODELS inference (the per-tenant/per-region pattern): the
+    corpus is partitioned into tenants (vec_id % 3) and a SEPARATE
+    nearest-centroid model is fit and applied per tenant, entirely
+    inside one applyInPandas — each group's fit+predict runs where its
+    data lives, no driver round-trip, and 10k tenants would
+    parallelize exactly like 3 (the applyInPandas contract). Tenant
+    models genuinely differ (different training rows), and the oracle
+    recomputes every per-tenant fit + argmin in SQL, so model
+    leakage ACROSS groups would flip predictions and fail the hash."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("vec_id") % 3).alias("tenant"),
+        "label",
+        "embedding",
+    )
+
+    def fit_predict(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        y = pdf["label"].to_numpy()
+        labels = np.array(sorted(set(int(v) for v in y)), dtype=np.int32)
+        cents = np.stack([X[y == lab].mean(axis=0) for lab in labels])
+        pred = nearest_centroid_predict(X, cents, labels)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "tenant": pdf["tenant"],
+                "label": pdf["label"],
+                "pred": pred,
+            }
+        )
+
+    return emb.groupBy("tenant").applyInPandas(
+        fit_predict, "vec_id bigint, tenant bigint, label int, pred int"
+    )
