@@ -740,3 +740,132 @@ def q_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("cents").cast("bigint").alias("n_with_cents"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+def _make_lake_stream_datasource():
+    """Streaming SOURCE over the snapshot table (lazy-built): offsets
+    are manifest VERSIONS, each microbatch delivers the data files a
+    version ADDED relative to the previous one — subscribing to a
+    table's appends as a change stream, exactly what Delta/Iceberg
+    streaming sources do. Append-only by contract (like Delta's
+    default): an overwrite/delete version raises instead of silently
+    replaying the table, so consumers can trust at-most-once delivery
+    per row."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _FilePart(InputPartition):
+        def __init__(self, path):
+            self.path = path
+
+    class LakeStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.table = options["path"]
+            self.cols = [c.strip() for c in options["columns"].split(",")]
+
+        def initialOffset(self):
+            return {"version": 0}
+
+        def latestOffset(self):
+            return {"version": current_version(self.table)}
+
+        def _manifest(self, v):
+            with open(_manifest_path(self.table, v)) as f:
+                return _json.load(f)
+
+        def partitions(self, start, end):
+            lo, hi = start["version"], end["version"]
+            parts = []
+            prev_files: set = set()
+            if lo > 0:
+                prev_files = set(self._manifest(lo)["files"])
+            for v in range(lo + 1, hi + 1):
+                m = self._manifest(v)
+                if m.get("mode") != "append" or m.get("delete_files"):
+                    raise ValueError(
+                        f"lake stream is append-only; version {v} is "
+                        f"{m.get('mode')!r}"
+                    )
+                new = [n for n in m["files"] if n not in prev_files]
+                parts.extend(
+                    _FilePart(_os.path.join(self.table, n)) for n in new
+                )
+                prev_files = set(m["files"])
+            return parts or [None]
+
+        def read(self, partition):
+            if partition is None:
+                return
+            table = _pq.read_table(partition.path, columns=self.cols)
+            for batch in table.to_batches():
+                cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+                yield from zip(*cols)
+
+        def commit(self, end):
+            pass
+
+    class LakeStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "epic_lake_stream"
+
+        def schema(self):
+            return self.options["schema"]
+
+        def streamReader(self, schema):
+            return LakeStreamReader(self.options)
+
+    return LakeStreamSource
+
+
+@register(
+    "q_lake_stream_source",
+    oracle="""
+    SELECT o_orderpriority AS priority, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("lakehouse", "A10", "I8"),
+)
+def q_lake_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM FROM the snapshot table: two appends build the table,
+    then a custom DataSourceStreamReader replays each version's added
+    files as microbatches (manifest versions ARE the offsets) into a
+    streaming aggregation — the table-as-change-stream capability that
+    closes the lakehouse loop (write side: q_lake_stream_ingest; read
+    side: this). Must aggregate to exactly the full source (oracle):
+    a file delivered twice (offset bug) or dropped (manifest-diff bug)
+    fails the hash."""
+    from ..sources.formats import scratch
+    from ..streaming.core import run_to_memory
+
+    path = scratch("lake_streamsrc", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    snapshot_write(orders.filter(F.col("o_orderkey") % 2 == 0), path, "append")
+    snapshot_write(orders.filter(F.col("o_orderkey") % 2 == 1), path, "append")
+    spark.dataSource.register(_make_lake_stream_datasource())
+    stream = (
+        spark.readStream.format("epic_lake_stream")
+        .option("path", path)
+        .option("schema", "o_orderkey bigint, priority string, cents bigint")
+        .option("columns", "o_orderkey, priority, cents")
+        .load()
+    )
+    agg = stream.groupBy("priority").agg(
+        F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("cents")
+    )
+    return run_to_memory(agg, "complete")
