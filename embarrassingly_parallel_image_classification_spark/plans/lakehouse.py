@@ -869,3 +869,84 @@ def q_lake_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("cents")
     )
     return run_to_memory(agg, "complete")
+
+
+_BLOOM_BITS = 1 << 13  # 8 Ki bits / file ≈ 1 KiB of manifest per file
+_BLOOM_K = 5
+
+
+def _bloom_add(words: list, value) -> None:
+    import hashlib
+
+    for s in range(_BLOOM_K):
+        h = int.from_bytes(
+            hashlib.md5(f"{s}:{value}".encode()).digest()[:8], "big"
+        ) % _BLOOM_BITS
+        words[h // 64] |= 1 << (h % 64)
+
+
+def _bloom_might_contain(words: list, value) -> bool:
+    import hashlib
+
+    for s in range(_BLOOM_K):
+        h = int.from_bytes(
+            hashlib.md5(f"{s}:{value}".encode()).digest()[:8], "big"
+        ) % _BLOOM_BITS
+        if not (words[h // 64] >> (h % 64)) & 1:
+            return False
+    return True
+
+
+def add_bloom_index(path: str, col: str) -> int:
+    """Attach a PER-FILE Bloom filter over ``col`` to the current
+    snapshot (published as a new manifest version): the point-lookup
+    complement to the min/max range stats — min/max can't skip files
+    for an equality predicate on an UNSORTED column, a Bloom can
+    (Delta bloom-filter indexes / Iceberg bloom row-group filters).
+    Bitmaps are built from the parquet files footer-to-data driver-side
+    here (fixture-sized files); at scale the build is one Spark
+    aggregate per file, same as plans/scale.build_bloom."""
+    import pyarrow.parquet as pq
+
+    v = current_version(path)
+    with open(_manifest_path(path, v)) as f:
+        m = json.load(f)
+    blooms = {}
+    for name in m["files"]:
+        words = [0] * (_BLOOM_BITS // 64)
+        tbl = pq.read_table(os.path.join(path, name), columns=[col])
+        for value in tbl.column(0).to_pylist():
+            _bloom_add(words, value)
+        blooms[name] = words
+    m["version"] = v + 1
+    m["bloom_col"] = col
+    m["blooms"] = blooms
+    tmp = _manifest_path(path, v + 1) + f".tmp{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.link(tmp, _manifest_path(path, v + 1))
+    os.unlink(tmp)
+    return v + 1
+
+
+def snapshot_read_point(
+    spark: SparkSession, path: str, col: str, value
+) -> DataFrame:
+    """Point-lookup read: prune the file list through the per-file
+    Bloom index before scanning, then apply the exact row filter.
+    False positives only cost an extra file scan; false negatives are
+    impossible (Bloom guarantee), so the result always equals a full
+    scan + filter."""
+    v = current_version(path)
+    with open(_manifest_path(path, v)) as f:
+        m = json.load(f)
+    assert m.get("bloom_col") == col, "no bloom index on this column"
+    files = [
+        name
+        for name in m["files"]
+        if _bloom_might_contain(m["blooms"][name], value)
+    ]
+    if not files:
+        return spark.createDataFrame([], f"{col} bigint")
+    df = spark.read.parquet(*[os.path.join(path, name) for name in files])
+    return df.filter(F.col(col) == value)

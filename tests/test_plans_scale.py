@@ -321,3 +321,41 @@ def test_lakehouse_mor_compaction_roundtrip(spark, tmp_path):
         r["k"] for r in lakehouse.snapshot_read(spark, path).collect()
     )
     assert got == [k for k in range(100) if k % 10 != 0]
+
+
+def test_lakehouse_bloom_index_point_lookup(spark, tmp_path):
+    """Per-file Bloom point-lookup: on a hash-partitioned layout (keys
+    scattered, min/max stats useless) the Bloom index must prune to
+    strictly fewer files for an equality probe while returning exactly
+    the full-scan answer, and must never produce a false negative for
+    ANY present key."""
+    import json as _json
+    import os as _os
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df = (
+        spark.range(2000)
+        .select(F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("v"))
+        .repartition(8, "k")  # hash layout: every file spans the key range
+    )
+    lakehouse.snapshot_write(df, path, "append")
+    lakehouse.add_bloom_index(path, "k")
+    with open(_os.path.join(path, f"_manifest_v2.json")) as f:
+        m = _json.load(f)
+    assert len(m["blooms"]) == 8
+    # a probe for one key must hit few files (8-KiB bloom over ~250
+    # bigints per file → fp rate well under 10%)
+    hit_files = [
+        n
+        for n in m["files"]
+        if lakehouse._bloom_might_contain(m["blooms"][n], 1234)
+    ]
+    assert 1 <= len(hit_files) < 8, f"bloom pruned nothing: {len(hit_files)}"
+    got = lakehouse.snapshot_read_point(spark, path, "k", 1234).collect()
+    assert len(got) == 1 and got[0]["v"] == 1234 * 7 % 1000
+    # no false negatives across a sample of present keys
+    for key in range(0, 2000, 97):
+        rows = lakehouse.snapshot_read_point(spark, path, "k", key).collect()
+        assert len(rows) == 1, f"bloom false negative for key {key}"
