@@ -359,3 +359,38 @@ def test_lakehouse_bloom_index_point_lookup(spark, tmp_path):
     for key in range(0, 2000, 97):
         rows = lakehouse.snapshot_read_point(spark, path, "k", key).collect()
         assert len(rows) == 1, f"bloom false negative for key {key}"
+
+
+def test_ivm_distinct_sketch_merge_tracks_full(spark):
+    """Mergeable-sketch IVM: union(sketch(half A), sketch(half B)) must
+    track one sketch over everything. NOT bit-exact — DataSketches HLL
+    union promotes through a different internal mode than direct
+    aggregation, so estimates differ by a fraction of a percent
+    (measured ~0.5%); both must sit within HLL error of the true
+    distinct count, which is what an approximate view contracts."""
+    from embarrassingly_parallel_image_classification_spark import registry
+
+    inc = {
+        r["priority"]: r["approx_customers"]
+        for r in registry.queries()["q_lake_ivm_distinct"](spark, SF_T2).collect()
+    }
+    orders = t(spark, SF_T2, "orders").select(
+        F.col("o_orderpriority").alias("priority"), "o_custkey"
+    )
+    full = {
+        r["priority"]: r["est"]
+        for r in orders.groupBy("priority")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").cast("bigint").alias("est"))
+        .collect()
+    }
+    for p in full:
+        assert abs(inc[p] - full[p]) / full[p] < 0.02, (p, inc[p], full[p])
+    true = {
+        r["priority"]: r["n"]
+        for r in orders.groupBy("priority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for p, est in inc.items():
+        assert abs(est - true[p]) / true[p] < 0.05, (p, est, true[p])
+        assert abs(full[p] - true[p]) / true[p] < 0.05, (p, full[p], true[p])
