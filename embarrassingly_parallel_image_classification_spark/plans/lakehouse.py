@@ -126,11 +126,17 @@ def snapshot_write(
                 f"table at version {prev}, expected {expected_version}"
             )
         visible, vis_stats = list(new_files), dict(stats)
+        carried_deletes: list = []
         if mode == "append" and prev > 0:
             with open(_manifest_path(path, prev)) as f:
                 m = json.load(f)
             visible = m["files"] + visible
             vis_stats.update(m.get("stats", {}))
+            # deletes carry FORWARD across appends (they're scoped to
+            # the data files that existed when the delete was
+            # published, so re-inserted keys in new files are safe);
+            # an overwrite replaces all data, clearing them.
+            carried_deletes = m.get("delete_files", [])
         version = prev + 1
         tmp = _manifest_path(path, version) + f".tmp{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -140,6 +146,7 @@ def snapshot_write(
                     "mode": mode,
                     "files": sorted(visible),
                     "stats": {k: vis_stats[k] for k in sorted(vis_stats)},
+                    "delete_files": carried_deletes,
                 },
                 f,
             )
@@ -616,7 +623,11 @@ def delete_where(
         "mode": "delete",
         "files": m["files"],
         "stats": m.get("stats", {}),
-        "delete_files": m.get("delete_files", []) + [[del_file, key]],
+        # each delete is SCOPED to the data files visible when it was
+        # published — rows for the same key appended LATER must survive
+        # (Iceberg sequence-number semantics)
+        "delete_files": m.get("delete_files", [])
+        + [[del_file, key, sorted(m["files"])]],
     }
     tmp = _manifest_path(path, version) + f".tmp{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -629,21 +640,41 @@ def delete_where(
 def snapshot_read_mor(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
-    """snapshot_read that APPLIES the manifest's delete files: data
-    files scanned, then one left-anti join per delete key column —
-    merge-on-read."""
+    """snapshot_read that APPLIES the manifest's delete files, each
+    scoped to the data files visible when its delete was published:
+    data files are grouped by the set of deletes covering them, each
+    group anti-joined with its applicable keys, groups unioned —
+    merge-on-read with Iceberg-style sequence scoping, so a key
+    re-inserted AFTER a delete survives while the old rows stay
+    deleted."""
     v = version if version is not None else current_version(path)
-    df = snapshot_read(spark, path, v)
     with open(_manifest_path(path, v)) as f:
         m = json.load(f)
-    for del_file, key in m.get("delete_files", []):
-        dk = spark.read.parquet(os.path.join(path, del_file)).select(
-            F.col(key).alias("__delk")
+    deletes = m.get("delete_files", [])
+    if not deletes:
+        return snapshot_read(spark, path, v)
+    covering: dict[str, tuple] = {}
+    for name in m["files"]:
+        idxs = tuple(
+            i for i, (df_, _k, scope) in enumerate(deletes) if name in scope
         )
-        df = df.join(
-            F.broadcast(dk), df[key] == F.col("__delk"), "left_anti"
-        )
-    return df
+        covering[name] = idxs
+    groups: dict[tuple, list] = {}
+    for name, idxs in covering.items():
+        groups.setdefault(idxs, []).append(name)
+    out = None
+    for idxs, names in groups.items():
+        df = spark.read.parquet(*[os.path.join(path, n) for n in names])
+        for i in idxs:
+            del_file, key, _scope = deletes[i]
+            dk = spark.read.parquet(os.path.join(path, del_file)).select(
+                F.col(key).alias("__delk")
+            )
+            df = df.join(
+                F.broadcast(dk), df[key] == F.col("__delk"), "left_anti"
+            )
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 @register(

@@ -394,3 +394,27 @@ def test_ivm_distinct_sketch_merge_tracks_full(spark):
     for p, est in inc.items():
         assert abs(est - true[p]) / true[p] < 0.05, (p, est, true[p])
         assert abs(full[p] - true[p]) / true[p] < 0.05, (p, full[p], true[p])
+
+
+def test_lakehouse_delete_scoping_survives_reinsert(spark, tmp_path):
+    """Found by review of the MoR composition: deletes must be SCOPED
+    to the data files visible when published (Iceberg sequence-number
+    semantics). Sequence: append {1,2,3} → delete {2} → append {2,4}.
+    The re-inserted 2 must SURVIVE (the delete predates its file) while
+    the original 2 stays deleted; and the delete must also carry
+    forward across the append (before the fix, an append dropped
+    delete_files entirely, resurrecting the original 2)."""
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    mk = lambda keys: spark.createDataFrame([(k,) for k in keys], "k bigint")
+    lakehouse.snapshot_write(mk([1, 2, 3]), path, "append")
+    lakehouse.delete_where(spark, path, "k", mk([2]))
+    assert sorted(
+        r["k"] for r in lakehouse.snapshot_read_mor(spark, path).collect()
+    ) == [1, 3]
+    lakehouse.snapshot_write(mk([2, 4]), path, "append")
+    got = sorted(r["k"] for r in lakehouse.snapshot_read_mor(spark, path).collect())
+    assert got == [1, 2, 3, 4], (
+        f"expected re-inserted 2 to survive and original 2 to stay deleted, got {got}"
+    )

@@ -110,3 +110,66 @@ def test_star_cc_equals_minlabel_on_random_graphs(spark, pairs):
         for r in dedup.connected_components_star(e).collect()
     }
     assert lab_min == lab_star
+
+
+_lake_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(st.integers(0, 30), min_size=1, max_size=6)),
+        st.tuples(st.just("overwrite"), st.lists(st.integers(0, 30), min_size=1, max_size=6)),
+        st.tuples(st.just("delete"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_lake_ops)
+def test_lakehouse_model_equivalence_on_random_op_sequences(spark, ops):
+    """Model-based check of the snapshot layer: an arbitrary sequence
+    of append/overwrite/delete ops must leave every HISTORICAL version
+    readable (through the MoR reader) with exactly the contents a
+    trivial in-memory model predicts — multiset semantics for
+    appends, logical replace for overwrite, key-erasure for delete.
+    One counterexample here means snapshot isolation, the manifest
+    chain, or delete-file application is broken."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = _tempfile.mkdtemp(prefix="lake_prop_") + "/tbl"
+    try:
+        model_versions: list[list[int]] = []
+        cur: list[int] = []
+        for kind, keys in ops:
+            if kind == "append":
+                df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+                lakehouse.snapshot_write(df, path, "append")
+                cur = cur + keys
+            elif kind == "overwrite":
+                df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+                lakehouse.snapshot_write(df, path, "overwrite")
+                cur = list(keys)
+            else:
+                if lakehouse.current_version(path) == 0:
+                    continue  # deleting from a non-existent table: skip
+                df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+                lakehouse.delete_where(spark, path, "k", df)
+                doomed = set(keys)
+                cur = [k for k in cur if k not in doomed]
+            model_versions.append(list(cur))
+        for v, want in enumerate(model_versions, start=1):
+            got = sorted(
+                r["k"] for r in lakehouse.snapshot_read_mor(spark, path, v).collect()
+            )
+            assert got == sorted(want), (
+                f"version {v}: got {got}, model says {sorted(want)} (ops={ops})"
+            )
+    finally:
+        _shutil.rmtree(path, ignore_errors=True)
