@@ -469,3 +469,55 @@ def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_events",
     )
     return run_to_memory(out, "append")
+
+
+@register(
+    "q_stream_infer",
+    oracle="""
+    WITH expl AS (
+        SELECT label, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings),
+    cent AS (SELECT label AS clab, pos, AVG(val) AS c FROM expl GROUP BY label, pos),
+    c2 AS (SELECT clab, SUM(c*c) AS cc FROM cent GROUP BY clab),
+    vex AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings),
+    dist AS (
+        SELECT v.vec_id, ANY_VALUE(v.label) AS label, c.clab,
+               SUM(-2.0 * v.val * c.c) + ANY_VALUE(c2.cc) AS d
+        FROM vex v JOIN cent c ON c.pos = v.pos
+        JOIN c2 ON c2.clab = c.clab
+        GROUP BY v.vec_id, c.clab),
+    ranked AS (SELECT vec_id, label, clab,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, clab) AS rn
+               FROM dist)
+    SELECT vec_id, label, CAST(clab AS INT) AS pred FROM ranked WHERE rn = 1
+    """,
+    tags=("I8", "J1"),
+)
+def q_stream_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPERATIONAL STREAMING INFERENCE — the reference's end-state
+    [PK]: newly-arriving batches scored as they land. The embeddings
+    table becomes a bounded file stream; the nearest-centroid model
+    (fit in batch — train offline, serve online) is applied per
+    microbatch through the same Iterator pandas UDF as q_infer_batch,
+    so model init amortizes per worker across every batch the worker
+    sees. availableNow drains the stream and the full prediction set
+    must hash-match the BATCH inference oracle exactly — the
+    stream-batch equivalence that makes an online scorer trustworthy:
+    same model, same rows, same answers, regardless of arrival
+    batching."""
+    from ..ml.inference import fit_centroids, make_predict_udf
+
+    batch = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, labels = fit_centroids(batch)
+    predict = make_predict_udf(cents, labels)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    scored = stream.select("vec_id", "label", predict("embedding").alias("pred"))
+    return run_to_memory(scored, "append")
