@@ -322,7 +322,12 @@ def merge_into(
     at 100 TB the join is pre-filtered to the files whose key ranges
     intersect the source — manifest-level stats, the documented
     upgrade path). Returns the new snapshot version."""
-    target = snapshot_read(spark, path)
+    # MoR-aware read: merging against the RAW reader would resurrect
+    # rows covered by deletion vectors (compositional bug class caught
+    # by review; pinned in tests/test_plans_scale.py). The overwrite
+    # publish below then clears the applied deletes — copy-on-write
+    # folds them in, like compact_mor.
+    target = snapshot_read_mor(spark, path)
     src = source.select(
         F.col(key).alias("__k"), *[F.col(c).alias(f"__s_{c}") for c in update_cols]
     )

@@ -418,3 +418,25 @@ def test_lakehouse_delete_scoping_survives_reinsert(spark, tmp_path):
     assert got == [1, 2, 3, 4], (
         f"expected re-inserted 2 to survive and original 2 to stay deleted, got {got}"
     )
+
+
+def test_lakehouse_merge_respects_prior_deletes(spark, tmp_path):
+    """Compositional check: MERGE INTO a table carrying deletion
+    vectors must not resurrect the deleted rows — the merge reads
+    through the MoR reader and its copy-on-write publish folds the
+    deletes in. Sequence: append {1..5}, delete {2}, merge source
+    {3 -> updated}: final table is {1, 3', 4, 5} (no 2)."""
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(k, k * 10) for k in range(1, 6)], "k bigint, v bigint")
+    lakehouse.snapshot_write(df, path, "append")
+    lakehouse.delete_where(
+        spark, path, "k", spark.createDataFrame([(2,)], "k bigint")
+    )
+    src = spark.createDataFrame([(3, 999)], "k bigint, v bigint")
+    lakehouse.merge_into(spark, path, src, "k", ["v"])
+    got = {
+        r["k"]: r["v"] for r in lakehouse.snapshot_read(spark, path).collect()
+    }
+    assert got == {1: 10, 3: 999, 4: 40, 5: 50}, got
