@@ -294,6 +294,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         "node", F.col("node").alias("lab")
     )
     prev_total = None
+    converged = False
     for _ in range(max_iter):
         prop = both.join(labels, both.src == labels.node).select(
             F.col("dst").alias("node"), "lab"
@@ -303,8 +304,22 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         ).localCheckpoint(eager=True)
         total = labels.agg(F.sum("lab")).collect()[0][0]
         if total == prev_total:
+            converged = True
             break
         prev_total = total
+    if not converged:
+        # Same guard as connected_components_star (round-4 ADVICE item
+        # 2 applied symmetrically): partially propagated labels are
+        # WRONG cluster ids, not approximations — a diameter-d
+        # component needs d rounds, so either raise max_iter or switch
+        # to connected_components_star (O(log² n) rounds; see the
+        # decision rule above).
+        raise RuntimeError(
+            f"connected_components: min-label propagation did not reach "
+            f"a fixpoint in {max_iter} rounds — component diameter "
+            f"exceeds the budget; raise max_iter or use "
+            f"connected_components_star"
+        )
     return labels.select("node", F.col("lab").alias("cluster_id"))
 
 
