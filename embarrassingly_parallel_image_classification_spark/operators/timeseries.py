@@ -382,3 +382,89 @@ def q_timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         "n_ticks",
     )
+
+
+@register(
+    "q_timeseries_trend",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    base AS (SELECT event_type, MIN(sec) AS sec0 FROM pts GROUP BY event_type),
+    xy AS (
+        SELECT p.event_type, p.sec - b.sec0 AS x, p.cents AS y
+        FROM pts p JOIN base b ON b.event_type = p.event_type
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DECIMAL(38, 0)) AS n,
+               CAST(SUM(x) AS DECIMAL(38, 0)) AS sx,
+               CAST(SUM(y) AS DECIMAL(38, 0)) AS sy,
+               CAST(SUM(x * y) AS DECIMAL(38, 0)) AS sxy,
+               CAST(SUM(x * x) AS DECIMAL(38, 0)) AS sxx
+        FROM xy GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) * 3600.0, 6)
+               AS slope_cents_per_hour,
+           ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / CAST(n * (n * sxx - sx * sx) AS DOUBLE) / 100.0, 6)
+               AS intercept_value
+    FROM sums
+    """,
+    tags=("D10", "timeseries"),
+)
+def q_timeseries_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear trend (the forecasting baseline): least-squares
+    slope/intercept of value over time per event_type, computed EXACTLY
+    — x is integer seconds from the group's first event, y integer
+    cents, and all five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    are integer sums widened to DECIMAL(38,0) before the closed-form
+    combination, so no float enters until two final divisions on
+    identical exact operands. The built-in regr_slope/regr_intercept
+    compute the same formula in floats whose partial-sum order differs
+    per engine — this is the repo's fixed-point discipline applied to
+    a second-moment statistic. One hash aggregate per group + a
+    broadcast-joined per-group epoch offset (without the offset, Σx²
+    on raw epochs overflows even 128-bit at corpus scale)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    base = ev.groupBy("event_type").agg(F.min("sec").alias("sec0"))
+    xy = ev.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        (F.col("sec") - F.col("sec0")).alias("x"),
+        F.col("cents").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    sums = xy.groupBy("event_type").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+    )
+    # intercept via the closed form (Σy·Σx² − Σx·Σxy) / (n·(nΣx² − Σx²)):
+    # every operand stays an EXACT decimal and each output pays exactly
+    # ONE double division — re-deriving intercept from the already-
+    # divided slope doubled the float ops and landed a value on a
+    # round-6 boundary that the two engines split (first-cut failure).
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    inum = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+    iden = (
+        F.col("n") * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    ).cast("double")
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(num / den * 3600.0, 6).alias("slope_cents_per_hour"),
+        F.round(inum / iden / 100.0, 6).alias("intercept_value"),
+    )
