@@ -166,3 +166,139 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "q_pipeline_pretrain",
+    oracle=f"""
+    WITH RECURSIVE
+    q AS (
+        SELECT doc_id, lang, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {_MIN_WORDS}),
+    ex AS (SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+           FROM q GROUP BY md5(text)),
+    kept AS (SELECT q.* FROM q JOIN ex ON q.doc_id = ex.keep_id),
+    ktoks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(range(1, len(ws) - 1),
+                      i -> array_to_string(ws[i : i + 2], ' '))) AS shingle
+        FROM ktoks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+    e2 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, lab) AS (
+        SELECT src, src FROM e2
+        UNION
+        SELECT b.dst, r.lab FROM reach r JOIN e2 b ON b.src = r.node),
+    near_drop AS (
+        SELECT node AS doc_id FROM reach GROUP BY node
+        HAVING node <> MIN(lab)),
+    surv AS (
+        SELECT kept.* FROM kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
+    atoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g5 AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(w) - 3),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                        || w[i+3] || ' ' || w[i+4])) AS gram
+        FROM atoks),
+    bench AS (SELECT DISTINCT gram FROM g5 WHERE doc_id % 43 = 0),
+    contaminated AS (
+        SELECT DISTINCT g5.doc_id FROM g5 JOIN bench USING (gram)
+        WHERE g5.doc_id % 43 <> 0),
+    final AS (
+        SELECT surv.* FROM surv
+        WHERE doc_id % 43 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens
+    FROM final GROUP BY lang
+    """,
+    tags=("composite", "K1", "K2", "K4", "lakehouse"),
+)
+def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL pretraining-data pipeline in one query, every stage the
+    proven standalone operator: quality filter (≥{_MIN_WORDS} words) →
+    exact dedup (md5 content-hash survivor) → NEAR dedup (lossless
+    prefix-filtered trigram-Jaccard pairs at 0.5 → connected
+    components → min-id survivor per cluster) → benchmark
+    decontamination (drop the doc_id%43 eval slice AND any doc sharing
+    a 5-gram with it) → publish the surviving corpus as a lakehouse
+    snapshot → read the SNAPSHOT back and account tokens per language.
+    The oracle replays all five stages in one SQL statement (recursive
+    CTE for the transitive closure), so a row lost or resurrected at
+    ANY stage boundary — including the table write — fails the hash.
+    This is the audit property a 100 TB corpus rebuild needs: the
+    whole pipeline, not just each stage, is provably deterministic."""
+    import shutil
+
+    from ..ml.dedup import connected_components, jaccard_pairs_at
+    from ..plans.lakehouse import snapshot_read, snapshot_write
+    from ..sources.formats import scratch
+
+    docs = t(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+    ).filter(F.col("n_words") >= _MIN_WORDS)
+    ex = q.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    kept = q.join(ex, q.doc_id == ex.keep_id).select(q["*"])
+    edges = jaccard_pairs_at(kept.select("doc_id", "text"), 0.5).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(edges)
+    near_drop = cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    surv = kept.join(near_drop, "doc_id", "left_anti")
+    # decontamination grams over the ORIGINAL corpus (benchmark slice
+    # included), exactly as q_text_decontaminate
+    toks = F.split("text", " ")
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 5),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(5)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select("doc_id", F.explode(grams).alias("gram"))
+    is_bench = F.col("doc_id") % 43 == 0
+    bench = exploded.filter(is_bench).select("gram").distinct()
+    contaminated = (
+        exploded.filter(~is_bench)
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    final = (
+        surv.filter(F.col("doc_id") % 43 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_words")
+    )
+    path = scratch("pretrain_corpus", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    snapshot_write(final, path, "append")
+    back = snapshot_read(spark, path)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_tokens"),
+    )
