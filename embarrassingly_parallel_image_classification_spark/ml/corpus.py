@@ -113,18 +113,24 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the per-doc sum, so the sum is an exact integer in any
     partial order — the repo's standard float-determinism treatment.
     Top-20 by (score, doc_id) plans as TakeOrderedAndProject. The
-    query-term filter is a broadcast semi-join; at 100 TB the tf
-    table shuffles once on word, same as q_text_tfidf."""
+    query-term filter is applied map-side right after the explode; at
+    100 TB the tf table shuffles once on word, same as q_text_tfidf.
+
+    Plan shape: per-doc length is size(split(text)) — computed
+    map-side, NOT via a full-corpus explode+groupBy (that re-shuffles
+    every token just to count them; removing it cut one of the two
+    full-corpus shuffles), and the query-term filter is an isin
+    predicate in the same map stage, so only matching tokens ever
+    shuffle."""
     d = t(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
     ).collect()[0]
     n_docs, total_len = stats["n_docs"], stats["total_len"]
-    q = spark.createDataFrame([(w,) for w in _BM25_QUERY], "word string")
     tf = (
-        tok.join(F.broadcast(q), "word")
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").isin(*_BM25_QUERY))
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("tf"))
     )
