@@ -351,3 +351,54 @@ def test_rocksdb_state_store_provider(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_lake_stream_source_resumes_from_checkpoint(spark, tmp_path):
+    """Custom-source offset durability: a stream over the snapshot
+    table run with a checkpoint, stopped, then restarted after a new
+    snapshot lands must process ONLY the new version's files (manifest
+    versions are the offsets the checkpoint persists). Counts prove
+    it: run 1 sees versions 1-2 (30 rows), run 2 appends version 3 and
+    the restarted stream delivers exactly its 12 rows — no replay, no
+    loss."""
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+    from embarrassingly_parallel_image_classification_spark.plans.lakehouse import (
+        _make_lake_stream_datasource,
+    )
+
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    mk = lambda lo, hi: spark.range(lo, hi).select(F.col("id").alias("k"))
+    lakehouse.snapshot_write(mk(0, 10), table, "append")
+    lakehouse.snapshot_write(mk(10, 30), table, "append")
+    spark.dataSource.register(_make_lake_stream_datasource())
+
+    def run():
+        # parquet sink: the memory sink refuses checkpoint recovery,
+        # and recovery is exactly what's under test
+        stream = (
+            spark.readStream.format("epic_lake_stream")
+            .option("path", table)
+            .option("schema", "k bigint")
+            .option("columns", "k")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r["k"] for r in spark.read.parquet(out).collect())
+
+    first = run()
+    assert first == list(range(30))
+    lakehouse.snapshot_write(mk(30, 42), table, "append")
+    second = run()
+    # the sink dir accumulates; exactly-once means the union is each
+    # row once — a replay of versions 1-2 would duplicate 0..29
+    assert second == list(range(42)), second
