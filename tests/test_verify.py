@@ -67,3 +67,28 @@ def test_normalize_sorts_rows_stringly_but_deterministically():
     pdf = pd.DataFrame({"v": [10, 2, 1]})
     out = normalize_exact(pdf)
     assert list(out["v"]) == sorted(["10", "2", "1"])
+
+
+def test_diff_exact_catches_dropped_and_duplicated_rows():
+    base = pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]})
+    dropped = base.iloc[:2]
+    assert diff_exact(dropped, base) is not None
+    duplicated = pd.concat([base, base.iloc[[0]]], ignore_index=True)
+    assert diff_exact(duplicated, base) is not None
+
+
+def test_diff_exact_catches_cross_column_value_swap():
+    """Order-insensitive comparison must still be COLUMN-sensitive: the
+    same multiset of values distributed differently across columns is a
+    different answer (the failure a bad join key produces)."""
+    got = pd.DataFrame({"a": [1, 4], "b": [3, 2]})
+    want = pd.DataFrame({"a": [1, 2], "b": [3, 4]})
+    assert diff_exact(got, want) is not None
+
+
+def test_diff_exact_catches_cross_row_pairing_change():
+    """Values re-paired across rows (right totals, wrong grouping) must
+    fail: row identity is the whole tuple, not per-column multisets."""
+    got = pd.DataFrame({"k": ["a", "b"], "v": [2, 1]})
+    want = pd.DataFrame({"k": ["a", "b"], "v": [1, 2]})
+    assert diff_exact(got, want) is not None
