@@ -468,3 +468,75 @@ def q_timeseries_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / den * 3600.0, 6).alias("slope_cents_per_hour"),
         F.round(inum / iden / 100.0, 6).alias("intercept_value"),
     )
+
+
+@register(
+    "q_anomaly_3sigma",
+    oracle="""
+    WITH pts AS (
+        SELECT event_id, event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DECIMAL(38, 0)) AS n,
+               CAST(SUM(c) AS DECIMAL(38, 0)) AS sc,
+               CAST(SUM(c * c) AS DECIMAL(38, 0)) AS scc
+        FROM pts GROUP BY event_type
+    ),
+    flagged AS (
+        SELECT p.event_type, p.event_id, p.c,
+               (p.n_dev > p.n_bound) AS is_outlier
+        FROM (
+            SELECT pts.*,
+                   (s.n * pts.c - s.sc) * (s.n * pts.c - s.sc) AS n_dev,
+                   9 * (s.n * s.scc - s.sc * s.sc) AS n_bound
+            FROM pts JOIN stats s USING (event_type)
+        ) p
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           CAST(MIN(CASE WHEN is_outlier THEN event_id END) AS BIGINT)
+               AS first_outlier_id
+    FROM flagged GROUP BY event_type
+    """,
+    tags=("D10", "B2", "eval"),
+)
+def q_anomaly_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3σ anomaly detection: an event is an outlier iff
+    (c − μ)² > 9σ², which multiplied through by n² becomes
+    (n·c − Σc)² > 9·(n·Σc² − (Σc)²) — every operand an exact
+    DECIMAL(38,0), no sqrt, no float, no epsilon. The standard z-score
+    flag computed with zero cross-engine rounding surface (a float σ
+    puts borderline events on different sides per engine). Two passes:
+    per-type moments (one aggregate), then a broadcast join back over
+    the scan — the same shape at 100 TB."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    d38 = "decimal(38,0)"
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("c").cast(d38).alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast(d38).alias("scc"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    n_dev = (F.col("n") * F.col("c") - F.col("sc")) * (
+        F.col("n") * F.col("c") - F.col("sc")
+    )
+    n_bound = 9 * (F.col("n") * F.col("scc") - F.col("sc") * F.col("sc"))
+    flagged = joined.select(
+        "event_type", "event_id", (n_dev > n_bound).alias("is_outlier")
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("is_outlier").cast("int")).cast("bigint").alias("n_outliers"),
+        F.min(F.when(F.col("is_outlier"), F.col("event_id")))
+        .cast("bigint")
+        .alias("first_outlier_id"),
+    )
