@@ -27,8 +27,15 @@ _SCRATCH = os.path.join(tempfile.gettempdir(), "epic_spark_scratch")
 
 
 def scratch(kind: str, sf_dir: str) -> str:
+    """Per-(kind, sf, PID) scratch dir. The pid isolates concurrent
+    processes (e.g. pytest and drive_contract running together): the
+    sink queries rewrite their scratch idempotently, and two processes
+    overwriting one path race a reader into missing-file errors — the
+    same flake class fixed for bucketed tables (plans/scale.py). Any
+    oracle that reads a scratch path back builds its SQL through this
+    helper at import time, so query and oracle stay in the same pid."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(_SCRATCH, f"{kind}_{tag}")
+    return os.path.join(_SCRATCH, f"{kind}_{tag}_{os.getpid()}")
 
 
 ORDERS_CSV_SCHEMA = (
@@ -198,14 +205,16 @@ def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_scan_provenance",
     # The oracle reads the SAME scratch sink the Spark query writes;
-    # the oracle-compare contract always runs at sf0.01, so the
-    # per-(kind, sf) scratch path is static here. The Spark query runs
-    # first in the harness, (re)writing the sink before DuckDB reads it.
+    # the oracle-compare contract always runs at sf0.01, and both the
+    # query and this SQL (built at import time) resolve the path
+    # through scratch(), so they agree on the pid-suffixed dir. The
+    # Spark query runs first in the harness, (re)writing the sink
+    # before DuckDB reads it.
     oracle=f"""
     WITH src AS (
         SELECT oyear, filename
         FROM read_parquet(
-            '{os.path.join(tempfile.gettempdir(), "epic_spark_scratch", "orders_by_year_sf0.01")}/**/*.parquet',
+            '{scratch("orders_by_year", "sf0.01")}/**/*.parquet',
             filename = true, hive_partitioning = true)
     )
     SELECT CAST(oyear AS BIGINT) AS oyear,
