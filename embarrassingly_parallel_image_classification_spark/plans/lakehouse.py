@@ -87,11 +87,15 @@ def snapshot_write(
     mode: str = "append",
     expected_version: int | None = None,
     stats_col: str | None = None,
+    batch_id: int | None = None,
 ) -> int:
     """Publish a new snapshot of ``df`` at ``path``; returns the new
     version number. Task files are written first (invisible to any
     reader), then one manifest JSON makes them visible atomically —
     write-audit-publish, the commit protocol every table format uses.
+    The manifest records the table SCHEMA at write time (Spark
+    StructType JSON), so empty/pruned reads reconstruct the real
+    schema instead of guessing.
 
     ``expected_version``: optimistic concurrency — raise
     ConcurrentWriteError if the table moved past that version (the
@@ -99,7 +103,13 @@ def snapshot_write(
     writers can never both publish the same version even if both pass
     the pre-check). ``stats_col``: record per-file min/max of that
     column in the manifest (footer-only read), enabling manifest-level
-    file pruning in snapshot_read."""
+    file pruning in snapshot_read. ``batch_id``: streaming-ingest
+    idempotence token (Delta txnAppId/txnVersion analog) — recorded
+    INSIDE the atomically-linked manifest, so a crash can never
+    publish data without its id (the replay gate and the data commit
+    are one atomic action); ids accumulate across every subsequent
+    snapshot (appends AND overwrites — compaction must not amnesia the
+    ingest history), so interleaved non-stream writers preserve them."""
     assert mode in ("append", "overwrite")
     os.makedirs(path, exist_ok=True)
     if expected_version is not None and current_version(path) != expected_version:
@@ -127,16 +137,24 @@ def snapshot_write(
             )
         visible, vis_stats = list(new_files), dict(stats)
         carried_deletes: list = []
-        if mode == "append" and prev > 0:
+        carried_batch_ids: list = []
+        if prev > 0:
             with open(_manifest_path(path, prev)) as f:
                 m = json.load(f)
-            visible = m["files"] + visible
-            vis_stats.update(m.get("stats", {}))
-            # deletes carry FORWARD across appends (they're scoped to
-            # the data files that existed when the delete was
-            # published, so re-inserted keys in new files are safe);
-            # an overwrite replaces all data, clearing them.
-            carried_deletes = m.get("delete_files", [])
+            # ingest-idempotence ids survive EVERY snapshot, including
+            # overwrite/compaction — dropping them would let a stream
+            # restart replay an already-ingested batch.
+            carried_batch_ids = m.get("batch_ids", [])
+            if mode == "append":
+                visible = m["files"] + visible
+                vis_stats.update(m.get("stats", {}))
+                # deletes carry FORWARD across appends (they're scoped
+                # to the data files that existed when the delete was
+                # published, so re-inserted keys in new files are
+                # safe); an overwrite replaces all data, clearing them.
+                carried_deletes = m.get("delete_files", [])
+        if batch_id is not None and batch_id not in carried_batch_ids:
+            carried_batch_ids = carried_batch_ids + [batch_id]
         version = prev + 1
         tmp = _manifest_path(path, version) + f".tmp{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -147,6 +165,8 @@ def snapshot_write(
                     "files": sorted(visible),
                     "stats": {k: vis_stats[k] for k in sorted(vis_stats)},
                     "delete_files": carried_deletes,
+                    "batch_ids": sorted(carried_batch_ids),
+                    "schema": df.schema.jsonValue(),
                 },
                 f,
             )
@@ -192,7 +212,18 @@ def snapshot_read(
             or (stats[name][0] <= hi and stats[name][1] >= lo)
         ]
     if not files:
-        return spark.createDataFrame([], "o_orderkey bigint")
+        # reconstruct the table's real schema from the manifest (recorded
+        # at write time) — an empty result must still carry the right
+        # columns for downstream code (a hardcoded guess here was the
+        # round-5 ADVICE bug: wrong schema for any non-orders table)
+        from pyspark.sql.types import StructType
+
+        if "schema" not in m:
+            raise ValueError(
+                f"manifest v{v} at {path} predates schema recording; "
+                f"cannot type an empty read"
+            )
+        return spark.createDataFrame([], StructType.fromJson(m["schema"]))
     return spark.read.parquet(*[os.path.join(path, name) for name in files])
 
 
@@ -461,19 +492,13 @@ def stream_ingest(stream_df: DataFrame, path: str) -> None:
             with open(_manifest_path(path, v)) as f:
                 if batch_id in json.load(f).get("batch_ids", []):
                     return  # replayed batch: already published
-        new_v = snapshot_write(batch_df, path, "append")
-        m_path = _manifest_path(path, new_v)
-        with open(m_path) as f:
-            m = json.load(f)
-        prev_ids = []
-        if new_v > 1:
-            with open(_manifest_path(path, new_v - 1)) as f:
-                prev_ids = json.load(f).get("batch_ids", [])
-        m["batch_ids"] = sorted(prev_ids + [batch_id])
-        tmp = m_path + f".tmp{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(m, f)
-        os.replace(tmp, m_path)
+        # the id is committed INSIDE snapshot_write's atomically-linked
+        # manifest — data and replay gate publish as ONE action, so a
+        # crash between them (the restart scenario the gate exists for)
+        # is impossible by construction; the earlier two-step spelling
+        # (publish, then rewrite the manifest with the id) could replay
+        # a batch and also mutated a published manifest (round-5 ADVICE)
+        snapshot_write(batch_df, path, "append", batch_id=batch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(ingest)
@@ -633,6 +658,10 @@ def delete_where(
         # (Iceberg sequence-number semantics)
         "delete_files": m.get("delete_files", [])
         + [[del_file, key, sorted(m["files"])]],
+        # carry forward table schema + ingest-idempotence ids — a
+        # delete snapshot changes neither
+        "batch_ids": m.get("batch_ids", []),
+        **({"schema": m["schema"]} if "schema" in m else {}),
     }
     tmp = _manifest_path(path, version) + f".tmp{uuid.uuid4().hex}"
     with open(tmp, "w") as f:

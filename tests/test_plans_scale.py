@@ -440,3 +440,56 @@ def test_lakehouse_merge_respects_prior_deletes(spark, tmp_path):
         r["k"]: r["v"] for r in lakehouse.snapshot_read(spark, path).collect()
     }
     assert got == {1: 10, 3: 999, 4: 40, 5: 50}, got
+
+
+def test_lakehouse_empty_pruned_read_keeps_table_schema(spark, tmp_path):
+    """snapshot_read of a fully-pruned snapshot must return an EMPTY
+    frame with the table's REAL schema (recorded in the manifest at
+    write time) — the round-5 ADVICE bug returned a hardcoded
+    orders-shaped schema for every table."""
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "doc_id bigint, lang string, score double"
+    )
+    lakehouse.snapshot_write(df, path, "append", stats_col="doc_id")
+    pruned = lakehouse.snapshot_read(spark, path, between=(100, 200))
+    assert pruned.count() == 0
+    assert pruned.schema == df.schema, pruned.schema
+
+
+def test_lakehouse_batch_id_commits_atomically_with_data(spark, tmp_path):
+    """The ingest-idempotence id must live in the SAME atomically-linked
+    manifest as the data files it gates (one commit — no window where
+    data is published but the replay gate is missing), and must
+    accumulate across later snapshots, including interleaved non-stream
+    appends and overwrite/compaction (round-5 ADVICE medium: the old
+    two-step rewrite lost ids on both paths)."""
+    import json as _json
+    import os as _os
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1,), (2,)], "k bigint")
+    v1 = lakehouse.snapshot_write(df, path, "append", batch_id=7)
+    with open(_os.path.join(path, f"_manifest_v{v1}.json")) as f:
+        m1 = _json.load(f)
+    assert m1["batch_ids"] == [7] and m1["files"], m1
+    # interleaved plain append (no batch_id) must PRESERVE the history
+    lakehouse.snapshot_write(df, path, "append")
+    # a second stream batch lands after the interleaved writer
+    lakehouse.snapshot_write(df, path, "append", batch_id=8)
+    # overwrite (compaction) must also carry the ids forward
+    v4 = lakehouse.snapshot_write(df, path, "overwrite")
+    with open(_os.path.join(path, f"_manifest_v{v4}.json")) as f:
+        m4 = _json.load(f)
+    assert m4["batch_ids"] == [7, 8], m4["batch_ids"]
+    # and a MoR delete snapshot carries them too
+    lakehouse.delete_where(
+        spark, path, "k", spark.createDataFrame([(1,)], "k bigint")
+    )
+    with open(_os.path.join(path, f"_manifest_v{v4 + 1}.json")) as f:
+        m5 = _json.load(f)
+    assert m5["batch_ids"] == [7, 8], m5["batch_ids"]
