@@ -824,5 +824,11 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         )
     finally:
+        # restore EXACTLY the prior state: when the conf was unset,
+        # unset it again — leaving scripting enabled would change SQL
+        # parsing for every later query in the shared session
+        # (round-5 ADVICE low)
         if prev is not None:
             spark.conf.set("spark.sql.scripting.enabled", prev)
+        else:
+            spark.conf.unset("spark.sql.scripting.enabled")

@@ -32,7 +32,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class QuerySpec:
     name: str
     fn: QueryFn
-    oracle: Optional[str]  # ANSI SQL for DuckDB, or None => rows-only check
+    # ANSI SQL for DuckDB, a zero-arg callable returning it (resolved
+    # when oracle_sql() is called — for oracles that embed runtime
+    # state like a pid-scoped scratch path), or None => rows-only check
+    oracle: Optional[str | Callable[[], str]]
     tags: tuple = field(default_factory=tuple)
     doc: str = ""
 
@@ -103,7 +106,13 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracles() -> dict[str, str]:
-    return {n: s.oracle for n, s in specs().items() if s.oracle is not None}
+    """Oracle SQL per query; callable oracles resolve NOW (i.e. in the
+    process and at the time the driver asks, not at import)."""
+    return {
+        n: (s.oracle() if callable(s.oracle) else s.oracle)
+        for n, s in specs().items()
+        if s.oracle is not None
+    }
 
 
 _LOADED = False

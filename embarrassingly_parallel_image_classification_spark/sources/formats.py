@@ -204,13 +204,15 @@ def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_scan_provenance",
-    # The oracle reads the SAME scratch sink the Spark query writes;
-    # the oracle-compare contract always runs at sf0.01, and both the
-    # query and this SQL (built at import time) resolve the path
-    # through scratch(), so they agree on the pid-suffixed dir. The
-    # Spark query runs first in the harness, (re)writing the sink
-    # before DuckDB reads it.
-    oracle=f"""
+    # The oracle reads the SAME scratch sink the Spark query writes.
+    # It is a CALLABLE resolved when oracle_sql() is asked for it (not
+    # at import), so the pid-suffixed scratch path is the asking
+    # process's — a harness that serializes oracle specs across
+    # processes still reads the right dir (round-5 ADVICE low). The
+    # sf tag stays pinned to sf0.01 because the driver's oracle-compare
+    # contract runs exactly there; the Spark query runs first in the
+    # harness, (re)writing the sink before DuckDB reads it.
+    oracle=lambda: f"""
     WITH src AS (
         SELECT oyear, filename
         FROM read_parquet(

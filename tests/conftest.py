@@ -57,6 +57,8 @@ def assert_matches_oracle(spark, con, name: str, fn, sql: str, sf_dir: str) -> N
 
     from pyspark.sql.types import ArrayType, MapType, StructType
 
+    if callable(sql):  # lazily-built oracle (pid-scoped scratch paths)
+        sql = sql()
     register_views(con, sf_dir)
     df = fn(spark, sf_dir)
     complex_cols = [
