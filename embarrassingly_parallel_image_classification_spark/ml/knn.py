@@ -455,6 +455,167 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class IvfPqIndex:
+    """IVFPQ: the IVF coarse quantizer composed with PQ codes — the
+    production ANN shape PqIndex's docstring names (FAISS IVFPQ;
+    Jégou'11 §IV). Search touches three successively smaller sets:
+    probe nprobe cells (prunes the corpus ~n_clusters/nprobe), ADC-score
+    ONLY the coded rows in those cells (4-byte codes, never the raw
+    vectors), exact-rerank the shortlist. At 100 TB the coded corpus is
+    written bucketed by cell, so the probe is a partition-pruned scan of
+    compressed codes — the raw embeddings are read only for shortlist ×
+    |queries| rows.
+
+    Honest simplification kept from PqIndex: codes quantize RAW vectors,
+    not per-cell residuals, so the two quantizers compose by a plain
+    join on vec_id at build; residual encoding would add one subtract
+    against the cell centroid before encode/ADC-table build, same
+    dataflow."""
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        n_clusters: int = 16,
+        m: int = 8,
+        ks: int = 16,
+        seed: int = 42,
+        ivf: "IvfIndex | None" = None,
+        pq: "PqIndex | None" = None,
+    ):
+        self.ivf = ivf if ivf is not None else IvfIndex(corpus, n_clusters, seed)
+        self.pq = pq if pq is not None else PqIndex(corpus, m=m, ks=ks, seed=seed)
+        # build-phase join: attach each vector's cell to its codes once
+        # (at scale this is the bucketed-by-cell write of the code table)
+        self.coded = (
+            self.ivf.assigned.select("vec_id", "cell")
+            .join(self.pq.encoded, "vec_id")
+            .localCheckpoint(eager=True)
+        )
+
+    def candidates(self, queries: DataFrame, nprobe: int = 4) -> DataFrame:
+        """Cell-pruned coded candidates per query — the frame the ADC
+        join scores. Exposed separately so tests can assert the pruning
+        ratio and plan shape."""
+        q = queries.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+        )
+        q_cells = (
+            q.crossJoin(F.broadcast(self.ivf.cent_df))
+            .withColumn("cdist", l2_dist_sq("q_emb", "centroid"))
+            .withColumn(
+                "crank",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(F.asc("cdist"), F.asc("cell"))
+                ),
+            )
+            .filter(F.col("crank") <= nprobe)
+            .select("qid", "cell")
+        )
+        # cell pruning FIRST: only coded rows in a probed cell ever
+        # reach the ADC scoring join
+        return self.coded.join(F.broadcast(q_cells), "cell").filter(
+            F.col("vec_id") != F.col("qid")
+        )
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int = TOP_K,
+        nprobe: int = 4,
+        shortlist: int = 50,
+    ) -> DataFrame:
+        import numpy as np
+
+        spark = queries.sparkSession
+        qrows = queries.select("vec_id", "embedding").collect()  # small by contract
+        table = []
+        for r in qrows:
+            qv = np.asarray(r["embedding"], dtype=np.float64)
+            for j in range(self.pq.m):
+                sub = qv[j * self.pq.sub : (j + 1) * self.pq.sub]
+                d2 = ((self.pq.codebooks[j] - sub) ** 2).sum(axis=1)
+                for code, pd_ in enumerate(d2):
+                    table.append((int(r["vec_id"]), j, code, float(pd_)))
+        tdf = spark.createDataFrame(
+            table, "qid bigint, m int, code int, pdist double"
+        )
+        pos = self.candidates(queries, nprobe).select(
+            "qid", "vec_id", F.posexplode("codes").alias("m", "code")
+        )
+        adc = (
+            pos.join(F.broadcast(tdf), ["qid", "m", "code"])
+            .groupBy("qid", "vec_id")
+            .agg(F.sum("pdist").alias("adc_dist"))
+        )
+        w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        return (
+            adc.withColumn("srank", F.row_number().over(w))
+            .filter(F.col("srank") <= shortlist)
+            .select("qid", "vec_id")
+        )
+
+
+_IVFPQ_CACHE: dict[tuple[str, str], "IvfPqIndex"] = {}
+
+
+def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> "IvfPqIndex":
+    """Build (or fetch) the session's IVFPQ index — composes the CACHED
+    IVF and PQ indexes (both one-off builds) with one join."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _IVFPQ_CACHE.get(key)
+    if idx is None:
+        corpus = t(spark, sf_dir, "embeddings")
+        idx = _IVFPQ_CACHE[key] = IvfPqIndex(
+            corpus,
+            ivf=ensure_ivf_index(spark, sf_dir),
+            pq=ensure_pq_index(spark, sf_dir),
+        )
+    return idx
+
+
+def knn_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    index: "IvfPqIndex | None" = None,
+) -> DataFrame:
+    """IVFPQ search: probe cells → ADC-score only those candidates →
+    exact cosine re-rank of the shortlist. Same output contract as
+    knn_exact: (qid, vec_id, sim, rank)."""
+    idx = index if index is not None else IvfPqIndex(corpus)
+    short = idx.query(queries, k=k, nprobe=nprobe, shortlist=shortlist)
+    qv = queries.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    rer = (
+        short.join(corpus, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid", "vec_id", F.round(cosine("embedding", "q_emb"), 6).alias("sim")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return rer.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+@register("q_knn_ivfpq", oracle=None, tags=("K3", "K7", "rows-only"))
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ approximate kNN — cell pruning AND 128× code compression
+    composed (the FAISS-IVFPQ production shape): the ADC join scores
+    only coded rows inside probed cells, then the shortlist re-ranks
+    exactly. Seeded KMeans quantizers ⇒ rows-only; recall vs exact and
+    vs IVF-alone at equal candidate budget is pinned in
+    tests/test_approx.py, the cell-pruned plan in tests/test_plans.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    return knn_ivfpq(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        index=ensure_ivfpq_index(spark, sf_dir),
+    )
+
+
 def pca_project(corpus: DataFrame, k: int = 8) -> tuple[DataFrame, list]:
     """PCA-compress the embedding column to ``k`` dims (MLlib PCA over
     the corpus; at 100 TB the covariance accumulates as one treeAggregate

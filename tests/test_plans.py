@@ -325,3 +325,26 @@ def test_bpe_pairs_explode_is_vocab_sized(spark):
     # at least one completed aggregate must appear AFTER (deeper than)
     # the Generate node in the printed tree — i.e. executed before it
     assert "HashAggregate" in tree[gen:], "no word-freq agg below the explode"
+
+
+def test_ivfpq_cell_prune_precedes_adc_join(spark):
+    """IVFPQ's candidate frame must be cell-pruned BEFORE the codes
+    posexplode feeds the ADC join: in the printed physical plan of the
+    candidate stage, the Generate (posexplode of codes) must sit ABOVE
+    a broadcast join on cell — i.e. the cell join executes first, so
+    only probed-cell rows ever explode into (m, code) pairs."""
+    from embarrassingly_parallel_image_classification_spark.ml import knn
+    from embarrassingly_parallel_image_classification_spark.sources.tables import t
+
+    emb = t(spark, SF_T2, "embeddings")
+    queries = emb.filter(F.col("vec_id") < knn.N_QUERIES)
+    idx = knn.ensure_ivfpq_index(spark, SF_T2)
+    pos = idx.candidates(queries, nprobe=4).select(
+        "qid", "vec_id", F.posexplode("codes").alias("m", "code")
+    )
+    plan = explain_str(pos)
+    tree = plan.split("== Physical Plan ==")[1]
+    gen = tree.index("Generate")
+    assert "BroadcastHashJoin [cell" in tree[gen:], (
+        "no broadcast cell join below the codes explode — pruning too late"
+    )
