@@ -345,6 +345,11 @@ def test_ivfpq_cell_prune_precedes_adc_join(spark):
     plan = explain_str(pos)
     tree = plan.split("== Physical Plan ==")[1]
     gen = tree.index("Generate")
-    assert "BroadcastHashJoin [cell" in tree[gen:], (
-        "no broadcast cell join below the codes explode — pruning too late"
+    # formatted explain: the tree shows node order, the numbered detail
+    # section carries the join keys
+    assert "BroadcastHashJoin" in tree[gen:], (
+        "no broadcast join below the codes explode — pruning too late"
+    )
+    assert "Left keys [1]: [cell#" in plan, (
+        "the pre-explode broadcast join is not keyed on cell"
     )
