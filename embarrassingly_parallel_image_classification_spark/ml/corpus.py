@@ -233,22 +233,56 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     training run needs so examples arrive decorrelated from crawl
     order, reproducible across engines and re-runs (md5 of doc_id +
     seed is portable; change the seed string for a fresh permutation).
-    Exposed as the first 100 (pos, doc_id) assignments. At 100 TB the
-    same key feeds repartitionByRange(hash).sortWithinPartitions —
-    a single range shuffle writes the shuffled corpus; no driver-side
-    ordering is ever materialized (the global ROW_NUMBER here is only
-    for the bounded oracle compare; position within a range partition
-    is what the trainer actually consumes)."""
+    Exposed as the first 100 (pos, doc_id) assignments.
+
+    Scale spelling (replaces round-5's full-corpus single-partition
+    ROW_NUMBER window): the top-100 by shuffle key plans as
+    TakeOrderedAndProject — each partition emits its local top-100 and
+    the driver merges — then positions are numbered over only those
+    100 survivors (the one remaining window runs on a 100-row frame).
+    The FULL shuffled corpus is written by shuffled_corpus() below via
+    repartitionByRange(key) + sortWithinPartitions — one range
+    shuffle, no global ordering ever materialized."""
     d = t(spark, sf_dir, "documents")
-    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-seed42")))
+    key = _shuffle_key("doc_id", 42)
     from pyspark.sql import Window
 
-    w = Window.orderBy(key, "doc_id")
-    return (
+    head = (
         d.select("doc_id", key.alias("_k"))
-        .withColumn("pos", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("pos") <= 100)
+        .orderBy("_k", "doc_id")
+        .limit(100)
+    )
+    w = Window.orderBy("_k", "doc_id")  # 100 rows — bounded by the limit
+    return (
+        head.withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select("pos", "doc_id")
+    )
+
+
+def _shuffle_key(doc_id_col: str, seed: int):
+    """Portable deterministic permutation key: md5(doc_id || '-seed<n>')."""
+    return F.md5(
+        F.concat(F.col(doc_id_col).cast("string"), F.lit(f"-seed{seed}"))
+    )
+
+
+def shuffled_corpus(df: DataFrame, seed: int = 42, partitions: int = 32) -> DataFrame:
+    """The 100-TB corpus-shuffle path: assign every row its portable
+    md5 permutation key, RANGE-partition on it (one shuffle; range
+    bounds from Spark's reservoir sample of the key space), and sort
+    only WITHIN partitions — reading partition files in partition order
+    yields the exact global permutation without any single-partition
+    window or driver-side ordering. The trainer consumes partitions
+    independently (each is a contiguous slice of the permutation), so
+    this is also the shape that feeds per-worker data loaders.
+    Returns the frame with the key attached (callers write it
+    partition-ordered; q_corpus_shuffle's bounded head is the
+    oracle-checked view of the same ordering)."""
+    key = _shuffle_key("doc_id", seed)
+    return (
+        df.withColumn("_shuffle_key", key)
+        .repartitionByRange(partitions, "_shuffle_key", "doc_id")
+        .sortWithinPartitions("_shuffle_key", "doc_id")
     )
 
 

@@ -353,3 +353,43 @@ def test_ivfpq_cell_prune_precedes_adc_join(spark):
     assert "Left keys [1]: [cell#" in plan, (
         "the pre-explode broadcast join is not keyed on cell"
     )
+
+
+def test_corpus_shuffle_scale_paths(spark):
+    """Round-6 promotion of q_corpus_shuffle: the bounded head must plan
+    as TakeOrderedAndProject (no full-corpus single-partition window),
+    and the full-permutation writer shuffled_corpus() must plan as ONE
+    RangePartitioning exchange + within-partition sort — never a global
+    Sort or a window."""
+    from embarrassingly_parallel_image_classification_spark.ml.corpus import (
+        shuffled_corpus,
+    )
+    from embarrassingly_parallel_image_classification_spark.sources.tables import t
+
+    head_plan = plan_of(spark, "q_corpus_shuffle")
+    assert "TakeOrderedAndProject" in head_plan, head_plan
+
+    full = shuffled_corpus(t(spark, SF_T2, "documents"))
+    plan = explain_str(full)
+    assert "rangepartitioning(_shuffle_key" in plan.lower(), plan
+    tree = plan.split("== Physical Plan ==")[1].split("(1) ")[0]
+    assert tree.count("Exchange") == 1, "more than one shuffle in the writer"
+    assert "Window" not in tree
+    # the sort must be partition-local: the formatted Sort detail's
+    # Arguments end "..., false, 0" (global=false)
+    sort_detail = plan.split(") Sort")[1].split("\n\n")[0]
+    assert "], false, 0" in sort_detail, sort_detail
+    # round-trip sanity: concatenating partitions in order IS the
+    # global permutation the bounded head exposes
+    rows = full.select("doc_id").limit(0)  # plan-only test; values pinned below
+    got_head = [
+        r["doc_id"]
+        for r in registry.queries()["q_corpus_shuffle"](spark, SF_T2).collect()
+    ]
+    import itertools
+
+    first_ids = [
+        r["doc_id"]
+        for r in itertools.islice(full.select("doc_id").toLocalIterator(), 100)
+    ]
+    assert first_ids == got_head, "range-partitioned order != global permutation"
