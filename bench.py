@@ -72,6 +72,15 @@ HEADLINE = [
     "q_text_bpe_pairs",
     "q_corpus_shuffle",
     "q_text_boilerplate",
+    # round-6 additions (r5 verdict item 5): one line per round-5
+    # family — lakehouse DML, exact eval metrics, per-tenant inference,
+    # PQ-compressed ANN (search timed; PQ/IVF builds are untimed warmup
+    # like the IVF index)
+    "q_lake_merge",
+    "q_eval_auc",
+    "q_infer_many_models",
+    "q_knn_pq",
+    "q_knn_ivfpq",
 ]
 
 
@@ -96,11 +105,18 @@ def warmup(spark, sf_dir: str) -> None:
     for name in TABLES:
         t(spark, sf_dir, name).write.format("noop").mode("overwrite").save()
 
-    # ANN index BUILD is a one-off phase (KMeans fit + corpus assignment),
-    # not per-query work: build it untimed so q_knn_ivf times search.
-    from embarrassingly_parallel_image_classification_spark.ml.knn import ensure_ivf_index
+    # ANN index BUILD is a one-off phase (KMeans fits + corpus encode),
+    # not per-query work: build untimed so q_knn_{ivf,pq,ivfpq} time
+    # SEARCH (ensure_ivfpq_index composes the two cached builds).
+    from embarrassingly_parallel_image_classification_spark.ml.knn import (
+        ensure_ivf_index,
+        ensure_ivfpq_index,
+        ensure_pq_index,
+    )
 
     ensure_ivf_index(spark, sf_dir)
+    ensure_pq_index(spark, sf_dir)
+    ensure_ivfpq_index(spark, sf_dir)
 
 
 def contention_canary(sf_dir: str) -> dict:

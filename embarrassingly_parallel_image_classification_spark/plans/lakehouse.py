@@ -749,7 +749,14 @@ def compact_mor(spark: SparkSession, path: str) -> int:
     maintenance job that turns merge-on-read back into plain scans
     (Iceberg rewrite_data_files / Delta PURGE). Readers before the
     compaction snapshot still see the DV view; vacuum later reclaims
-    the replaced files."""
+    the replaced files.
+
+    When to run (measured, scripts/mor_probe.py → BASELINE.md): each
+    delete file stacks one broadcast anti-join on every read — 2.0×
+    read overhead at 1 file, 3.5× at 16 — while compaction amortizes
+    after ~5–8 reads at any file count. Rule: compact at ≥4 delete
+    files, or earlier when >~6 reads are expected before the next
+    delete burst; at scale apply the same rule partition-locally."""
     survivors = snapshot_read_mor(spark, path)
     return snapshot_write(survivors, path, "overwrite")
 
