@@ -209,6 +209,9 @@ _CARTESIAN_OK = {
     "q_knn_ivf",             # query-set × centroid table (k×nprobe rows)
                              # cross for cell selection; corpus join is
                              # hash on cell
+    "q_knn_ivfpq",           # same tiny query×centroid cross for cell
+                             # probing; ADC join is hash on (qid,m,code),
+                             # corpus prune is hash on cell (plan-pinned)
     "q_knn_lsh",             # MLlib approxSimilarityJoin internals
     "q_eval_calibration",    # 1-row (min,max) scalar broadcast onto the
                              # scan for integer binning
