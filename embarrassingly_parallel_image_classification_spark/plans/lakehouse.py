@@ -86,7 +86,7 @@ def snapshot_write(
     path: str,
     mode: str = "append",
     expected_version: int | None = None,
-    stats_col: str | None = None,
+    stats_col: str | list[str] | None = None,
     batch_id: int | None = None,
 ) -> int:
     """Publish a new snapshot of ``df`` at ``path``; returns the new
@@ -103,7 +103,10 @@ def snapshot_write(
     writers can never both publish the same version even if both pass
     the pre-check). ``stats_col``: record per-file min/max of that
     column in the manifest (footer-only read), enabling manifest-level
-    file pruning in snapshot_read. ``batch_id``: streaming-ingest
+    file pruning in snapshot_read; a LIST records every named column
+    (Delta's dataSkippingNumIndexedCols / Iceberg column metrics) —
+    the first drives the legacy ``between=`` path, all of them the
+    ``predicates=`` path. ``batch_id``: streaming-ingest
     idempotence token (Delta txnAppId/txnVersion analog) — recorded
     INSIDE the atomically-linked manifest, so a crash can never
     publish data without its id (the replay gate and the data commit
@@ -116,16 +119,24 @@ def snapshot_write(
         raise ConcurrentWriteError(
             f"table at version {current_version(path)}, expected {expected_version}"
         )
+    stat_cols = (
+        [stats_col] if isinstance(stats_col, str) else list(stats_col or [])
+    )
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
-    new_files, stats = [], {}
+    new_files, stats, col_stats = [], {}, {}
     for name in sorted(os.listdir(staging)):
         if name.endswith(".parquet"):
             final = f"data-{uuid.uuid4().hex}.parquet"
-            if stats_col is not None:
-                s = _file_stats(os.path.join(staging, name), stats_col)
+            per_col = {}
+            for c in stat_cols:
+                s = _file_stats(os.path.join(staging, name), c)
                 if s is not None:
-                    stats[final] = list(s)
+                    per_col[c] = list(s)
+            if stat_cols and stat_cols[0] in per_col:
+                stats[final] = per_col[stat_cols[0]]  # legacy between= path
+            if per_col:
+                col_stats[final] = per_col
             os.rename(os.path.join(staging, name), os.path.join(path, final))
             new_files.append(final)
     shutil.rmtree(staging, ignore_errors=True)
@@ -136,6 +147,7 @@ def snapshot_write(
                 f"table at version {prev}, expected {expected_version}"
             )
         visible, vis_stats = list(new_files), dict(stats)
+        vis_col_stats = dict(col_stats)
         carried_deletes: list = []
         carried_batch_ids: list = []
         if prev > 0:
@@ -148,6 +160,7 @@ def snapshot_write(
             if mode == "append":
                 visible = m["files"] + visible
                 vis_stats.update(m.get("stats", {}))
+                vis_col_stats.update(m.get("col_stats", {}))
                 # deletes carry FORWARD across appends (they're scoped
                 # to the data files that existed when the delete was
                 # published, so re-inserted keys in new files are
@@ -164,6 +177,9 @@ def snapshot_write(
                     "mode": mode,
                     "files": sorted(visible),
                     "stats": {k: vis_stats[k] for k in sorted(vis_stats)},
+                    "col_stats": {
+                        k: vis_col_stats[k] for k in sorted(vis_col_stats)
+                    },
                     "delete_files": carried_deletes,
                     "batch_ids": sorted(carried_batch_ids),
                     "schema": df.schema.jsonValue(),
@@ -188,6 +204,7 @@ def snapshot_read(
     path: str,
     version: int | None = None,
     between: tuple | None = None,
+    predicates: dict | None = None,
 ) -> DataFrame:
     """Read the table AS OF ``version`` (latest when None). The file
     list is resolved from one immutable manifest — a writer publishing
@@ -197,7 +214,13 @@ def snapshot_read(
     files whose recorded [min, max] of the stats column intersects
     [lo, hi] (files without stats are conservatively kept). The caller
     still applies the row-level filter; pruning only shrinks the scan,
-    exactly like Iceberg/Delta file pruning."""
+    exactly like Iceberg/Delta file pruning.
+
+    ``predicates={col: (lo, hi), ...}``: multi-column skipping against
+    the manifest's per-column stats (``stats_col=[...]`` at write
+    time) — a file survives only if EVERY predicated column's [min,
+    max] intersects its range (conjunctive semantics, same
+    conservatism: unstated columns/files are kept)."""
     v = version if version is not None else current_version(path)
     with open(_manifest_path(path, v)) as f:
         m = json.load(f)
@@ -211,6 +234,17 @@ def snapshot_read(
             if name not in stats
             or (stats[name][0] <= hi and stats[name][1] >= lo)
         ]
+    if predicates:
+        col_stats = m.get("col_stats", {})
+
+        def survives(name: str) -> bool:
+            per_col = col_stats.get(name, {})
+            for c, (lo, hi) in predicates.items():
+                if c in per_col and not (per_col[c][0] <= hi and per_col[c][1] >= lo):
+                    return False
+            return True
+
+        files = [name for name in files if survives(name)]
     if not files:
         # reconstruct the table's real schema from the manifest (recorded
         # at write time) — an empty result must still carry the right
@@ -653,6 +687,7 @@ def delete_where(
         "mode": "delete",
         "files": m["files"],
         "stats": m.get("stats", {}),
+        "col_stats": m.get("col_stats", {}),
         # each delete is SCOPED to the data files visible when it was
         # published — rows for the same key appended LATER must survive
         # (Iceberg sequence-number semantics)
@@ -759,6 +794,188 @@ def compact_mor(spark: SparkSession, path: str) -> int:
     delete burst; at scale apply the same rule partition-locally."""
     survivors = snapshot_read_mor(spark, path)
     return snapshot_write(survivors, path, "overwrite")
+
+
+COMPACT_DELETE_FILE_THRESHOLD = 4  # measured: scripts/mor_probe.py → BASELINE.md
+
+
+def maybe_compact(
+    spark: SparkSession,
+    path: str,
+    max_delete_files: int = COMPACT_DELETE_FILE_THRESHOLD,
+) -> int | None:
+    """The auto-compaction POLICY the MoR probe's numbers imply: fold
+    deletion vectors into rewritten files once the current snapshot
+    carries ``max_delete_files`` or more of them (default 4 — read
+    overhead is 2.4× there and climbing, while compaction pays for
+    itself after ~5–8 reads at every measured count). Returns the new
+    version when compaction ran, None when below threshold — callers
+    drop it after any delete_where / merge cadence point, the same
+    hook Delta's auto-compaction and Iceberg's maintenance actions
+    occupy."""
+    v = current_version(path)
+    with open(_manifest_path(path, v)) as f:
+        n_deletes = len(json.load(f).get("delete_files", []))
+    if n_deletes < max_delete_files:
+        return None
+    return compact_mor(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Multi-table transactions: the catalog pointer IS the commit.
+# ---------------------------------------------------------------------------
+
+
+def _catalog_path(root: str, version: int) -> str:
+    return os.path.join(root, f"_catalog_v{version}.json")
+
+
+def catalog_version(root: str) -> int:
+    """Highest published catalog version (0 = empty catalog)."""
+    if not os.path.isdir(root):
+        return 0
+    versions = [
+        int(name[len("_catalog_v"):-len(".json")])
+        for name in os.listdir(root)
+        if name.startswith("_catalog_v") and name.endswith(".json")
+    ]
+    return max(versions, default=0)
+
+
+def multi_table_commit(
+    spark: SparkSession,
+    root: str,
+    writes: dict[str, DataFrame],
+    mode: str = "append",
+) -> int:
+    """Commit writes to SEVERAL tables atomically — the capability the
+    single-table manifest can't give (Iceberg REST-catalog multi-table
+    transactions / Delta's absent cross-table story). Two phases:
+
+      1. publish each table's snapshot normally (durable, but a
+         catalog READER cannot see it yet — catalog reads resolve
+         table versions through the catalog file, never through the
+         tables' own latest manifests);
+      2. one atomic link(2) of a catalog version file recording every
+         table's new manifest version — the all-or-nothing point.
+
+    A crash between the phases leaves orphan table versions referenced
+    by no catalog version: catalog readers still see the OLD state of
+    every table (pinned in tests/test_plans_scale.py), and the orphans
+    are reclaimable garbage, exactly like Iceberg's unreferenced
+    snapshots. Tables default to version 0 (empty) until their first
+    committed appearance."""
+    os.makedirs(root, exist_ok=True)
+    prev_cv = catalog_version(root)
+    prev_tables: dict[str, int] = {}
+    if prev_cv > 0:
+        with open(_catalog_path(root, prev_cv)) as f:
+            prev_tables = json.load(f)["tables"]
+    new_tables = dict(prev_tables)
+    for name, df in writes.items():  # phase 1: durable, catalog-invisible
+        new_tables[name] = snapshot_write(df, os.path.join(root, name), mode)
+    cv = prev_cv + 1
+    tmp = _catalog_path(root, cv) + f".tmp{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"version": cv, "tables": new_tables}, f)
+    try:
+        os.link(tmp, _catalog_path(root, cv))  # phase 2: atomic commit
+        os.unlink(tmp)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise ConcurrentWriteError(f"catalog version {cv} claimed concurrently")
+    return cv
+
+
+def catalog_read(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    at_catalog_version: int | None = None,
+) -> DataFrame:
+    """Read a table AS OF a catalog version (latest when None): the
+    table's manifest version comes from the catalog file, so a reader
+    holding one catalog version sees every member table at the SAME
+    transaction boundary — cross-table snapshot isolation."""
+    cv = at_catalog_version if at_catalog_version is not None else catalog_version(root)
+    with open(_catalog_path(root, cv)) as f:
+        tables = json.load(f)["tables"]
+    if table not in tables:
+        raise KeyError(f"table {table!r} not in catalog v{cv}")
+    return snapshot_read(spark, os.path.join(root, table), tables[table])
+
+
+@register(
+    "q_lake_multi_table_txn",
+    oracle="""
+    WITH ord AS (SELECT o_orderkey,
+                        CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                        o_orderkey % 2 AS half
+                 FROM orders),
+         li AS (SELECT l_orderkey,
+                       CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+                       l_orderkey % 2 AS half
+                FROM lineitem)
+    SELECT cv,
+           (SELECT COUNT(*) FROM ord WHERE half < cv) AS n_orders,
+           (SELECT CAST(SUM(cents) AS BIGINT) FROM ord WHERE half < cv)
+               AS order_cents,
+           (SELECT COUNT(*) FROM li WHERE half < cv) AS n_items,
+           (SELECT CAST(SUM(cents) AS BIGINT) FROM li WHERE half < cv)
+               AS item_cents
+    FROM (VALUES (1), (2)) AS v(cv)
+    ORDER BY cv
+    """,
+    tags=("lakehouse", "A6", "txn"),
+)
+def q_lake_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table atomic commit: orders' and lineitem's even halves
+    land in ONE catalog transaction (cv=1), the odd halves in a second
+    (cv=2). Reading BOTH tables through each catalog version must show
+    the consistent pair of states — table A at cv=2 with table B still
+    at cv=1 (the torn read the catalog exists to prevent) fails the
+    oracle, as does any file leak between the underlying snapshots."""
+    from ..sources.formats import scratch
+
+    root = scratch("lake_catalog", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    ord_ = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    for half in (0, 1):
+        multi_table_commit(
+            spark,
+            root,
+            {
+                "ord": ord_.filter(F.col("o_orderkey") % 2 == half),
+                "li": li.filter(F.col("l_orderkey") % 2 == half),
+            },
+        )
+    frames = []
+    for cv in (1, 2):
+        o = catalog_read(spark, root, "ord", cv).agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("order_cents"),
+        )
+        l_ = catalog_read(spark, root, "li", cv).agg(
+            F.count("*").alias("n_items"),
+            F.sum("cents").cast("bigint").alias("item_cents"),
+        )
+        frames.append(
+            o.crossJoin(l_).select(
+                F.lit(cv).cast("int").alias("cv"),
+                "n_orders",
+                "order_cents",
+                "n_items",
+                "item_cents",
+            )
+        )
+    return frames[0].unionByName(frames[1]).orderBy("cv")
 
 
 @register(

@@ -493,3 +493,102 @@ def test_lakehouse_batch_id_commits_atomically_with_data(spark, tmp_path):
     with open(_os.path.join(path, f"_manifest_v{v4 + 1}.json")) as f:
         m5 = _json.load(f)
     assert m5["batch_ids"] == [7, 8], m5["batch_ids"]
+
+
+def test_lakehouse_multicol_stats_prune_conjunctive(spark, tmp_path):
+    """Multi-column data skipping (round 6): stats_col=[a, b] records
+    per-file min/max for BOTH columns; predicates={a: r1, b: r2} keeps
+    only files intersecting EVERY range, and the pruned read still
+    returns exactly what a full scan + filter would."""
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df = (
+        spark.range(1000)
+        .select(
+            F.col("id").alias("k"),
+            (999 - F.col("id")).alias("rev"),
+        )
+        .repartitionByRange(8, "k")
+    )
+    lakehouse.snapshot_write(df, path, "append", stats_col=["k", "rev"])
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_manifest_v1.json")) as f:
+        m = _json.load(f)
+    assert len(m["col_stats"]) == 8
+    assert all(set(v) == {"k", "rev"} for v in m["col_stats"].values())
+    # k in [100, 150] alone keeps ~1-2 files; adding rev in [0, 99]
+    # (i.e. k in [900, 999]) is conjunctively UNSATISFIABLE → 0 files
+    one = lakehouse.snapshot_read(spark, path, predicates={"k": (100, 150)})
+    both = lakehouse.snapshot_read(
+        spark, path, predicates={"k": (100, 150), "rev": (0, 99)}
+    )
+    got = sorted(
+        r["k"] for r in one.filter(F.col("k").between(100, 150)).collect()
+    )
+    assert got == list(range(100, 151))
+    assert both.count() == 0
+    assert [f.name for f in both.schema.fields] == ["k", "rev"]  # manifest schema
+
+
+def test_lakehouse_maybe_compact_policy(spark, tmp_path):
+    """maybe_compact fires at the measured ≥4-delete-file threshold
+    (BASELINE.md MoR probe) and not below, and the compacted table
+    equals the MoR view it replaced."""
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(k,) for k in range(100)], "k bigint")
+    lakehouse.snapshot_write(df, path, "append")
+    for i in range(3):
+        lakehouse.delete_where(
+            spark, path, "k", spark.createDataFrame([(i,)], "k bigint")
+        )
+        assert lakehouse.maybe_compact(spark, path) is None  # below threshold
+    lakehouse.delete_where(
+        spark, path, "k", spark.createDataFrame([(3,)], "k bigint")
+    )
+    v = lakehouse.maybe_compact(spark, path)
+    assert v is not None
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, f"_manifest_v{v}.json")) as f:
+        assert _json.load(f)["delete_files"] == []
+    got = sorted(r["k"] for r in lakehouse.snapshot_read(spark, path).collect())
+    assert got == list(range(4, 100))
+
+
+def test_catalog_crash_between_phases_keeps_old_state(spark, tmp_path):
+    """Multi-table atomicity: a table snapshot published WITHOUT its
+    catalog link (the crash window between commit phases) must stay
+    invisible to catalog readers — both tables keep their old state
+    until the single atomic catalog publish lands."""
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    root = str(tmp_path / "cat")
+    a1 = spark.createDataFrame([(1,), (2,)], "k bigint")
+    b1 = spark.createDataFrame([(10,)], "k bigint")
+    lakehouse.multi_table_commit(spark, root, {"a": a1, "b": b1})
+    # simulated crash: table 'a' gets a phase-1 snapshot, no catalog file
+    import os as _os
+
+    lakehouse.snapshot_write(
+        spark.createDataFrame([(3,)], "k bigint"), _os.path.join(root, "a")
+    )
+    assert lakehouse.catalog_version(root) == 1
+    got_a = sorted(r["k"] for r in lakehouse.catalog_read(spark, root, "a").collect())
+    got_b = sorted(r["k"] for r in lakehouse.catalog_read(spark, root, "b").collect())
+    assert got_a == [1, 2], "catalog reader saw an uncommitted table version"
+    assert got_b == [10]
+    # the next commit REBASES on the orphan's successor version cleanly
+    lakehouse.multi_table_commit(
+        spark, root, {"b": spark.createDataFrame([(20,)], "k bigint")}
+    )
+    got_a2 = sorted(
+        r["k"] for r in lakehouse.catalog_read(spark, root, "a").collect()
+    )
+    # 'a' was not part of commit 2: catalog still pins its v1 manifest
+    assert got_a2 == [1, 2]
