@@ -540,3 +540,56 @@ def q_anomaly_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("first_outlier_id"),
     )
+
+
+@register(
+    "q_timeseries_ewma",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(cents * CAST(POWER(2, 16 - rn) AS BIGINT)) AS BIGINT)
+               AS ewma_num_x2e16,
+           COUNT(*) AS n_ticks
+    FROM pts WHERE rn <= 16
+    GROUP BY event_type
+    """,
+    tags=("D10", "E1", "timeseries"),
+)
+def q_timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT exponentially weighted moving average (the smoothing
+    baseline next to q_timeseries_trend): per event_type, the EWMA of
+    the last 16 ticks with the DYADIC decay alpha = 1/2 — s =
+    Σ_{k=0..15} 2^-(k+1)·x_{t-k}. Scaling by 2^16 turns every weight
+    into an exact integer power of two, so the whole statistic is one
+    BIGINT sum (ewma = ewma_num_x2e16 / 2^16): no float enters in
+    either engine and summation order is irrelevant — the same
+    fixed-point discipline as the trend/anomaly queries, available
+    here because the decay is dyadic (an 0.9-style alpha has no exact
+    finite-precision spelling; the truncation at 16 lags costs < 2^-16
+    of the mass). Scale shape: the recency rank plans as
+    WindowGroupLimit (per-partition top-16 per type BEFORE the
+    shuffle), then one hash aggregate — the streaming twin is the
+    recursive s_t = (x_t + s_{t-1})/2 update in a stateful operator."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    recent = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 16)
+    weight = F.pow(F.lit(2.0), 16 - F.col("rn")).cast("bigint")
+    return recent.groupBy("event_type").agg(
+        F.sum(F.col("cents") * weight).cast("bigint").alias("ewma_num_x2e16"),
+        F.count("*").alias("n_ticks"),
+    )

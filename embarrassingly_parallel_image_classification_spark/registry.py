@@ -151,6 +151,7 @@ _DRIVER_PRIORITY = (
     "q_embed_centroids",      # round-5 red: reshaped to long form (r6)
     "q_timeseries_ohlc",
     "q_timeseries_trend",
+    "q_timeseries_ewma",      # new in r6 (exact dyadic EWMA)
     "q_anomaly_3sigma",
     "q_eval_auc",
     "q_eval_calibration",

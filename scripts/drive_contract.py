@@ -41,6 +41,13 @@ for name, fn in qs.items():  # registry order == the driver's check order
         print(f"FAIL {name}: query raised {ex}"); fails += 1; continue
     if name in oracles:
         try:
+            # the driver's canonicalizer sorts the RAW frame by all
+            # columns before hashing — an array/map/struct cell crashes
+            # it even when values are right (round-5 red)
+            got.head(50).sort_values(by=list(got.columns))
+        except Exception as ex:
+            print(f"FAIL {name}: not driver-sortable ({ex})"); fails += 1; continue
+        try:
             want = con.execute(oracles[name]).fetchdf()
         except Exception as ex:
             print(f"FAIL {name}: oracle raised {ex}"); fails += 1; continue
