@@ -542,9 +542,9 @@ def q_anomaly_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_timeseries_ewma",
-    oracle="""
+# shared with the streaming twin (streaming/queries.py q_stream_ewma):
+# both spellings must land on the identical exact integer statistic
+EWMA_ORACLE = """
     WITH pts AS (
         SELECT event_type,
                CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
@@ -558,7 +558,12 @@ def q_anomaly_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_ticks
     FROM pts WHERE rn <= 16
     GROUP BY event_type
-    """,
+    """
+
+
+@register(
+    "q_timeseries_ewma",
+    oracle=EWMA_ORACLE,
     tags=("D10", "E1", "timeseries"),
 )
 def q_timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -168,6 +168,7 @@ _DRIVER_PRIORITY = (
     "q_scan_provenance",
     "q_sink_arrow_writer",
     "q_stream_chained_agg",
+    "q_stream_ewma",          # new in r6 (stateful exact-EWMA twin)
     "q_stream_infer",
     "q_sql_scripting",
     "q_pipeline_pretrain",

@@ -521,3 +521,85 @@ def q_stream_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = stream.select("vec_id", "label", predict("embedding").alias("pred"))
     return run_to_memory(scored, "append")
+
+
+from ..operators.timeseries import EWMA_ORACLE  # noqa: E402
+
+
+@register(
+    "q_stream_ewma",
+    oracle=EWMA_ORACLE,
+    tags=("I6", "D10", "timeseries"),
+)
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of q_timeseries_ewma (the recursive-update shape
+    its docstring promises): per event_type the state holds only the
+    16 most-recent (ts, event_id, cents) ticks — bounded regardless of
+    stream length — and every microbatch emits the current exact
+    dyadic EWMA numerator (Σ cents·2^(15-k), alpha=1/2, ×2^16 scale).
+    Because the state is the top-16 by a total order, the final value
+    is independent of how the source splits into microbatches; a
+    monotone seen-count picks the last emission per key (update mode
+    re-emits prefixes), and the drained result must hash-equal the
+    batch spelling's oracle — streaming/batch parity on an exact
+    integer statistic."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+
+    def track(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            ts_l, id_l, c_l, total = state.get
+            ts_l, id_l, c_l = list(ts_l), list(id_l), list(c_l)
+        else:
+            ts_l, id_l, c_l, total = [], [], [], 0
+        for pdf in pdfs:
+            if len(pdf):
+                ts_l += pdf["ts"].astype("int64").tolist()
+                id_l += pdf["event_id"].tolist()
+                c_l += pdf["cents"].tolist()
+                total += int(len(pdf))
+        keep = sorted(
+            range(len(ts_l)), key=lambda i: (ts_l[i], id_l[i]), reverse=True
+        )[:16]
+        ts_l = [int(ts_l[i]) for i in keep]
+        id_l = [int(id_l[i]) for i in keep]
+        c_l = [int(c_l[i]) for i in keep]
+        state.update((ts_l, id_l, c_l, total))
+        ewma = sum(c * (1 << (15 - k)) for k, c in enumerate(c_l))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "ewma_num_x2e16": [ewma],
+                "n_ticks": [len(c_l)],
+                "n_total": [total],
+            }
+        )
+
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        track,
+        outputStructType=(
+            "event_type STRING, ewma_num_x2e16 BIGINT, "
+            "n_ticks BIGINT, n_total BIGINT"
+        ),
+        stateStructType=(
+            "ts ARRAY<BIGINT>, ids ARRAY<BIGINT>, "
+            "cents ARRAY<BIGINT>, total BIGINT"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_memory(out, "update")
+    return sink.groupBy("event_type").agg(
+        F.max_by("ewma_num_x2e16", "n_total").alias("ewma_num_x2e16"),
+        F.max("n_ticks").cast("bigint").alias("n_ticks"),
+    )
