@@ -1066,3 +1066,148 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").alias("best_chars"),
         )
     )
+
+
+def jaccard_cross_at(
+    existing: DataFrame, incoming: DataFrame, tau: float, n: int = SHINGLE_N
+) -> DataFrame:
+    """Incremental near-dedup: exact n-gram-Jaccard >= tau pairs
+    BETWEEN two corpora — the production crawl-ingest shape (a new
+    batch screened against the standing corpus without re-pairing the
+    corpus with itself). Same lossless prefix-filter lemma and
+    integer-rational bounds as jaccard_pairs_at (one fixed global
+    shingle order shared by BOTH sides — here rare-first by combined
+    document frequency — keeps the prefix bound valid across frames);
+    candidates only pair existing×incoming, so cost tracks
+    |batch|·selectivity, never |corpus|². At 100 TB the existing
+    side's (sh, pos, sz) prefix index is computed once and STORED
+    (bucketed by sh), so each ingest builds shingles only for the new
+    batch and joins the index — this function is that join's logical
+    plan. Returns (id_exist, id_new, jaccard_raw, jaccard)."""
+    from fractions import Fraction
+
+    frac = Fraction(str(tau)).limit_denominator(10**9)
+    num, den = frac.numerator, frac.denominator
+    se = shingles(existing, n).select(
+        F.col("doc_id").alias("id_exist"), F.xxhash64("shingle").alias("sh")
+    )
+    si = shingles(incoming, n).select(
+        F.col("doc_id").alias("id_new"), F.xxhash64("shingle").alias("sh")
+    )
+    sz_e = se.groupBy("id_exist").agg(F.count("*").alias("sz_e"))
+    sz_i = si.groupBy("id_new").agg(F.count("*").alias("sz_i"))
+    df_rank = (
+        se.select("sh")
+        .unionAll(si.select("sh"))
+        .groupBy("sh")
+        .agg(F.count("*").alias("df"))
+    )
+    ceil_e = F.expr(f"({num} * sz_e + {den - 1}) div {den}")
+    pref_e = (
+        se.join(df_rank, "sh")
+        .select(
+            "id_exist",
+            "sh",
+            F.row_number()
+            .over(Window.partitionBy("id_exist").orderBy("df", "sh"))
+            .alias("pos"),
+        )
+        .join(sz_e, "id_exist")
+        .filter(F.col("pos") <= F.col("sz_e") - ceil_e + 1)
+        .select("id_exist", "sh", "sz_e")
+    )
+    ceil_i = F.expr(f"({num} * sz_i + {den - 1}) div {den}")
+    pref_i = (
+        si.join(df_rank, "sh")
+        .select(
+            "id_new",
+            "sh",
+            F.row_number()
+            .over(Window.partitionBy("id_new").orderBy("df", "sh"))
+            .alias("pos"),
+        )
+        .join(sz_i, "id_new")
+        .filter(F.col("pos") <= F.col("sz_i") - ceil_i + 1)
+        .select("id_new", "sh", "sz_i")
+    )
+    cands = (
+        pref_e.join(
+            pref_i,
+            (pref_e["sh"] == pref_i["sh"])
+            & (F.col("sz_i") * num <= F.col("sz_e") * den)
+            & (F.col("sz_e") * num <= F.col("sz_i") * den),
+        )
+        .select("id_exist", "id_new")
+        .dropDuplicates(["id_exist", "id_new"])
+    )
+    sets_e = se.groupBy("id_exist").agg(F.collect_set("sh").alias("shs_e"))
+    sets_i = si.groupBy("id_new").agg(F.collect_set("sh").alias("shs_i"))
+    inter = F.size(F.array_intersect("shs_e", "shs_i"))
+    union = F.size("shs_e") + F.size("shs_i") - inter
+    return (
+        cands.join(sets_e, "id_exist")
+        .join(sets_i, "id_new")
+        .select(
+            "id_exist",
+            "id_new",
+            (inter / union).alias("jaccard_raw"),
+            (inter * den >= union * num).alias("_keep"),
+        )
+        .filter(F.col("_keep"))
+        .drop("_keep")
+        .withColumn("jaccard", F.round("jaccard_raw", 6))
+    )
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+                  UNNEST(list_transform(
+                      range(1, len(ws) - {SHINGLE_N - 2}),
+                      i -> array_to_string(ws[i : i + {SHINGLE_N - 1}], ' '))) AS shingle
+           FROM toks
+         ),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT e.doc_id AS id_exist, i.doc_id AS id_new, COUNT(*) AS inter
+           FROM sh e JOIN sh i ON e.shingle = i.shingle
+           WHERE e.doc_id % 7 <> 0 AND i.doc_id % 7 = 0
+           GROUP BY 1, 2
+         ),
+         hits AS (
+           SELECT id_new, id_exist,
+                  inter / (se.sz + si.sz - inter) AS j
+           FROM inter
+           JOIN sizes se ON se.doc_id = id_exist
+           JOIN sizes si ON si.doc_id = id_new
+           WHERE inter / (se.sz + si.sz - inter) >= 0.5
+         )
+    SELECT id_new, COUNT(*) AS n_dups,
+           MIN(id_exist) AS min_dup_id,
+           ROUND(MAX(j), 6) AS max_jaccard
+    FROM hits GROUP BY id_new
+    """,
+    tags=("K2", "incremental"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the batch of documents with doc_id %
+    7 = 0 arrives against the standing corpus (the other six
+    sevenths); each incoming doc that near-duplicates (trigram Jaccard
+    >= 0.5) ANY existing doc is flagged with its duplicate count, a
+    deterministic witness (min matching id) and its best similarity.
+    This is the screen every rolling crawl runs before admitting new
+    data — computed by the two-corpus prefix-filtered join
+    (jaccard_cross_at), which never pairs the existing corpus with
+    itself. The oracle recomputes the full cross similarity naively."""
+    d = t(spark, sf_dir, "documents")
+    existing = d.filter(F.col("doc_id") % 7 != 0)
+    incoming = d.filter(F.col("doc_id") % 7 == 0)
+    hits = jaccard_cross_at(existing, incoming, 0.5)
+    return hits.groupBy("id_new").agg(
+        F.count("*").alias("n_dups"),
+        F.min("id_exist").alias("min_dup_id"),
+        F.round(F.max("jaccard_raw"), 6).alias("max_jaccard"),
+    )

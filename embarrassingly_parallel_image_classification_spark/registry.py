@@ -183,6 +183,7 @@ _DRIVER_PRIORITY = (
     "q_lake_schema_evolution",
     "q_lake_stream_source",
     "q_lake_multi_table_txn",  # new in r6 (atomic catalog commit)
+    "q_dedup_incremental",     # new in r6 (batch-vs-corpus screen)
     # 2. Cross-family canaries, all driver-green in r1–r5, re-proving
     #    this round's code changes and one healthy representative per
     #    major family.

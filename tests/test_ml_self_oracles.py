@@ -410,3 +410,28 @@ def test_pca_matches_numpy_eigendecomposition(spark):
     assert all(
         variances[i] >= variances[i + 1] - 1e-6 for i in range(len(variances) - 1)
     )
+
+
+def test_incremental_dedup_equals_self_join_cross_pairs(spark):
+    """jaccard_cross_at (the two-corpus incremental screen) must find
+    EXACTLY the pairs of the full-corpus lossless self-join that
+    straddle the existing/incoming split — no pair lost to the shared
+    rare-first prefix order spanning two frames, none invented."""
+    d = t(spark, SF_T2, "documents")
+    existing = d.filter(F.col("doc_id") % 7 != 0)
+    incoming = d.filter(F.col("doc_id") % 7 == 0)
+    got = {
+        (r["id_exist"], r["id_new"], r["jaccard"])
+        for r in dedup.jaccard_cross_at(existing, incoming, 0.5).collect()
+    }
+    want = set()
+    for r in dedup.jaccard_pairs_at(d, 0.5).collect():
+        a_in, b_in = r["id_a"] % 7 == 0, r["id_b"] % 7 == 0
+        if a_in != b_in:  # pair straddles the split
+            exist_id, new_id = (
+                (r["id_b"], r["id_a"]) if a_in else (r["id_a"], r["id_b"])
+            )
+            want.add((exist_id, new_id, r["jaccard"]))
+    assert got == want, (
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )
