@@ -81,6 +81,10 @@ HEADLINE = [
     "q_infer_many_models",
     "q_knn_pq",
     "q_knn_ivfpq",
+    # round-6 new operators (exact EWMA 0.74 s, incremental two-corpus
+    # dedup screen 2.1 s warm at sf0.1)
+    "q_timeseries_ewma",
+    "q_dedup_incremental",
 ]
 
 
