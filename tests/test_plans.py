@@ -212,6 +212,8 @@ _CARTESIAN_OK = {
     "q_knn_ivfpq",           # same tiny query×centroid cross for cell
                              # probing; ADC join is hash on (qid,m,code),
                              # corpus prune is hash on cell (plan-pinned)
+    "q_lake_multi_table_txn",  # two 1-row per-table aggregates combined
+                               # into one report row (scalar crossJoin)
     "q_knn_lsh",             # MLlib approxSimilarityJoin internals
     "q_eval_calibration",    # 1-row (min,max) scalar broadcast onto the
                              # scan for integer binning
