@@ -128,9 +128,35 @@ def probe_cc_crossover():
         run(path, f"path len={length} (diam={length})", minlabel_iters=length + 5)
 
 
+def probe_incremental(mult: int = 4):
+    """Round-6: incremental screen vs full recompute. Corpus = mult
+    copies of the fixture; the 'incoming batch' is 10% of it. Compare
+    (a) jaccard_cross_at(existing, incoming) — what a rolling crawl
+    pays per ingest — against (b) jaccard_pairs_at over the whole
+    corpus — what recomputing from scratch pays. Run with
+    PROBE=incremental python scripts/scale_probe_dedup.py"""
+    d = corpus(mult, boilerplate=False)
+    existing = d.filter(F.col("doc_id") % 10 != 0)
+    incoming = d.filter(F.col("doc_id") % 10 == 0)
+    t0 = time.time()
+    n_inc = dedup.jaccard_cross_at(existing, incoming, 0.5).count()
+    t_inc = round(time.time() - t0, 2)
+    t0 = time.time()
+    n_full = dedup.jaccard_pairs_at(d, 0.5).count()
+    t_full = round(time.time() - t0, 2)
+    print(
+        f"mult={mult} docs={d.count()}: incremental {n_inc} cross-pairs "
+        f"in {t_inc}s vs full recompute {n_full} pairs in {t_full}s "
+        f"({round(t_full / t_inc, 1)}x)"
+    )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "prefix"):
         probe_prefix_growth()
     if which in ("all", "cc"):
         probe_cc_crossover()
+    if which == "incremental":
+        for m in (2, 4, 8):
+            probe_incremental(m)

@@ -592,3 +592,44 @@ def test_catalog_crash_between_phases_keeps_old_state(spark, tmp_path):
     )
     # 'a' was not part of commit 2: catalog still pins its v1 manifest
     assert got_a2 == [1, 2]
+
+
+def test_catalog_concurrent_commit_single_winner(spark, tmp_path):
+    """Two catalog commits racing for the same version: the link(2)
+    claim lets exactly one publish; the loser surfaces
+    ConcurrentWriteError instead of silently overwriting (same
+    optimistic-concurrency contract as the single-table layer)."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    root = str(tmp_path / "cat")
+    df = spark.createDataFrame([(1,)], "k bigint")
+    lakehouse.multi_table_commit(spark, root, {"a": df})
+    # simulate the race: claim catalog v2 out from under the committer
+    with open(lakehouse._catalog_path(root, 1)) as f:
+        stale = _json.load(f)
+    with open(lakehouse._catalog_path(root, 2), "w") as f:
+        _json.dump({"version": 2, "tables": stale["tables"]}, f)
+    # a commit that read v1 as its base now collides on v2... but
+    # multi_table_commit re-reads the current version, so make the
+    # interloper appear AFTER the read by racing at v3 via monkeypatch
+    real_cv = lakehouse.catalog_version
+
+    def stale_cv(r):
+        return 1  # committer believes the catalog is still at v1
+
+    lakehouse.catalog_version = stale_cv
+    try:
+        with _pytest.raises(lakehouse.ConcurrentWriteError):
+            lakehouse.multi_table_commit(spark, root, {"a": df})
+    finally:
+        lakehouse.catalog_version = real_cv
+    # catalog is still the interloper's v2; table 'a' unharmed at its v1
+    assert lakehouse.catalog_version(root) == 2
+    assert sorted(
+        r["k"] for r in lakehouse.catalog_read(spark, root, "a").collect()
+    ) == [1]
