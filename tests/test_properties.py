@@ -173,3 +173,36 @@ def test_lakehouse_model_equivalence_on_random_op_sequences(spark, ops):
             )
     finally:
         _shutil.rmtree(path, ignore_errors=True)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_corpus)
+def test_incremental_cross_join_lossless_on_random_corpora(spark, texts):
+    """jaccard_cross_at (round-6 incremental screen) == the naive
+    all-pairs join restricted to cross pairs, for ANY corpus and a
+    non-dyadic tau=0.3 — probing that the SHARED rare-first shingle
+    order across two frames preserves the prefix theorem (a per-frame
+    order would break it: a shingle rare in one frame but hot in the
+    union could fall outside the other side's prefix)."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    existing = d.filter(F.col("doc_id") % 2 == 0)
+    incoming = d.filter(F.col("doc_id") % 2 == 1)
+    fast = {
+        (r.id_exist, r.id_new, r.jaccard)
+        for r in dedup.jaccard_cross_at(existing, incoming, 0.3).collect()
+    }
+    naive = set()
+    for r in (
+        dedup.jaccard_pairs(d).filter(F.col("jaccard_raw") >= 0.3).collect()
+    ):
+        a_new, b_new = r.id_a % 2 == 1, r.id_b % 2 == 1
+        if a_new != b_new:
+            exist_id, new_id = (r.id_b, r.id_a) if a_new else (r.id_a, r.id_b)
+            naive.add((exist_id, new_id, r.jaccard))
+    assert fast == naive
