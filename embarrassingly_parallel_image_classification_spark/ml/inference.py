@@ -475,3 +475,114 @@ def q_infer_many_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("tenant").applyInPandas(
         fit_predict, "vec_id bigint, tenant bigint, label int, pred int"
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-subspace ensemble: three nearest-centroid models, each seeing a
+# disjoint slice of the embedding, majority-voted.
+# ---------------------------------------------------------------------------
+
+_SUBSPACES = ((0, 21), (21, 42), (42, 64))  # [lo, hi) over the 64 dims
+
+
+def _ensemble_oracle() -> str:
+    parts = []
+    unions = []
+    for i, (lo, hi) in enumerate(_SUBSPACES):
+        # oracle pos is 1-based (generate_subscripts) → (lo, hi] window
+        parts.append(f"""
+c2_{i} AS (SELECT clab, SUM(c*c) AS cc FROM cent
+           WHERE pos > {lo} AND pos <= {hi} GROUP BY clab),
+dist_{i} AS (
+    SELECT v.vec_id, ANY_VALUE(v.label) AS label, c.clab,
+           SUM(-2.0 * v.val * c.c) + ANY_VALUE(c2_{i}.cc) AS d
+    FROM vex v
+    JOIN cent c ON c.pos = v.pos AND v.pos > {lo} AND v.pos <= {hi}
+    JOIN c2_{i} ON c2_{i}.clab = c.clab
+    GROUP BY v.vec_id, c.clab),
+p_{i} AS (
+    SELECT vec_id, label, clab AS pred FROM (
+        SELECT vec_id, label, clab,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, clab) AS rn
+        FROM dist_{i}) WHERE rn = 1)""")
+        unions.append(f"SELECT vec_id, label, pred FROM p_{i}")
+    return f"""
+WITH expl AS (
+    SELECT label, generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings),
+cent AS (SELECT label AS clab, pos, AVG(val) AS c FROM expl GROUP BY label, pos),
+vex AS (
+    SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings),{",".join(parts)},
+votes AS ({" UNION ALL ".join(unions)}),
+tally AS (
+    SELECT vec_id, ANY_VALUE(label) AS label, pred, COUNT(*) AS n_votes
+    FROM votes GROUP BY vec_id, pred)
+SELECT vec_id, label, CAST(pred AS INT) AS pred_vote,
+       CAST(n_votes AS BIGINT) AS n_votes
+FROM (SELECT vec_id, label, pred, n_votes,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY n_votes DESC, pred) AS rn
+      FROM tally)
+WHERE rn = 1
+"""
+
+
+@register("q_infer_ensemble", oracle=_ensemble_oracle(), tags=("J1", "J3", "D1"))
+def q_infer_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-subspace ENSEMBLE inference (the classic variance-
+    reduction bagging variant): three nearest-centroid models, each
+    restricted to a disjoint third of the embedding dims, majority-
+    voted with the deterministic tiebreak (most votes, then lowest
+    class id). Because the mean commutes with coordinate projection,
+    each subspace model's centroids are SLICES of the one distributed
+    centroid fit — no extra fit jobs; all three models score inside
+    ONE Iterator pandas UDF pass (one Arrow crossing for the whole
+    ensemble, the shape a 3-model DNN ensemble would use). The vote is
+    relational (explode → count → ranked pick), so the entire ensemble
+    is exactly oracle-checked end to end."""
+    from pyspark.sql.types import ArrayType, IntegerType as _Int
+
+    from pyspark.sql.functions import pandas_udf
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents, labels = fit_centroids(emb)
+
+    @pandas_udf(ArrayType(_Int()))
+    def predict3(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        C = np.ascontiguousarray(cents)
+        L = labels
+        for s in batches:
+            X = np.stack(s.to_numpy())
+            preds = [
+                nearest_centroid_predict(
+                    X[:, lo:hi], np.ascontiguousarray(C[:, lo:hi]), L
+                )
+                for lo, hi in _SUBSPACES
+            ]
+            yield pd.Series(np.stack(preds, axis=1).astype(np.int32).tolist())
+
+    scored = emb.select(
+        "vec_id", "label", predict3("embedding").alias("preds")
+    )
+    votes = scored.select(
+        "vec_id", "label", F.explode("preds").alias("pred")
+    )
+    tally = votes.groupBy("vec_id", "pred").agg(
+        F.any_value("label").alias("label"), F.count("*").alias("n_votes")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("n_votes"), F.asc("pred"))
+    return (
+        tally.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("pred").cast("int").alias("pred_vote"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+        )
+    )

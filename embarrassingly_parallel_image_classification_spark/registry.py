@@ -157,6 +157,7 @@ _DRIVER_PRIORITY = (
     "q_eval_calibration",
     # inference tail
     "q_infer_many_models",
+    "q_infer_ensemble",       # new in r6 (subspace ensemble + vote)
     "q_udf_arrow_native",
     # corpus retrieval pack
     "q_text_inverted_index",  # postings now array_join'd (r6)
