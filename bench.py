@@ -82,9 +82,10 @@ HEADLINE = [
     "q_knn_pq",
     "q_knn_ivfpq",
     # round-6 new operators (exact EWMA 0.74 s, incremental two-corpus
-    # dedup screen 2.1 s warm at sf0.1)
+    # dedup screen 2.1 s, subspace-ensemble vote — all warm at sf0.1)
     "q_timeseries_ewma",
     "q_dedup_incremental",
+    "q_infer_ensemble",
 ]
 
 
