@@ -355,37 +355,74 @@ class PqIndex:
                 .withColumnRenamed("prediction", f"__c{j}")
                 .drop("__subv")
             )
+        # codes kept BOTH ways: the `codes` array is the compressed
+        # representation (the 4-byte story; what a table write would
+        # pack), the __c0..__c{m-1} int columns are the SCAN layout —
+        # per-column Arrow transfer into the ADC kernel is vectorized,
+        # where stacking 25M tiny python lists measured ~25 s of pure
+        # object-conversion overhead at the 200k probe
         self.encoded = enc.select(
             "vec_id",
             F.array(*[F.col(f"__c{j}").cast("int") for j in range(m)]).alias("codes"),
+            *[F.col(f"__c{j}").cast("int").alias(f"c{j}") for j in range(m)],
         ).localCheckpoint(eager=True)  # materialize; checkpoint, not persist
+
+    def _query_tables(self, queries: DataFrame):
+        """Per-query flat ADC table {qid: (m·ks,) float64} where
+        tbl[j·ks + c] = ‖q_subⱼ − codebookⱼ[c]‖² (Jégou'11). 128
+        doubles per query here — the whole query set's tables are a
+        closure-shipped dict (|Q|·1 KB), never a per-row join payload."""
+        import numpy as np
+
+        tables = {}
+        for r in queries.select("vec_id", "embedding").collect():  # small by contract
+            qv = np.asarray(r["embedding"], dtype=np.float64)
+            flat = np.empty(self.m * self.ks, dtype=np.float64)
+            for j in range(self.m):
+                sub = qv[j * self.sub : (j + 1) * self.sub]
+                flat[j * self.ks : (j + 1) * self.ks] = (
+                    (self.codebooks[j] - sub) ** 2
+                ).sum(axis=1)
+            tables[int(r["vec_id"])] = flat
+        return tables
+
+    def _adc_table_df(self, queries: DataFrame) -> DataFrame:
+        """The per-query tables as a broadcastable (qid, tbl) frame."""
+        tables = self._query_tables(queries)
+        spark = queries.sparkSession
+        return spark.createDataFrame(
+            [(q, tables[q].tolist()) for q in sorted(tables)],
+            "qid bigint, tbl array<double>",
+        )
+
+    def adc_expr(self):
+        """Σⱼ tbl[j·ks + cⱼ] over the WIDE int code columns — m
+        ElementAt lookups chained with Add, every node whole-stage-
+        codegen-supported, so the broadcast-joined tbl array is read in
+        place inside the join's codegen stage and only three scalars
+        leave it. Spellings measured at the 200k-vector/500-query probe
+        (scripts/ann_probe.py, IVFPQ search): posexplode×m + per-
+        subcode broadcast join + groupBy = 33 s (the explode multiplies
+        the candidate stream ×m AND shuffles the aggregate); zip_with/
+        aggregate HOFs over a joined tbl = 41 s (HOFs fall out of
+        codegen — every row materializes a 1 KB table copy); Arrow →
+        NumPy take_along_axis = 44 s (the 25M-row Python boundary
+        costs more than the 8-lookup compute); this = 6 s."""
+        ks = self.ks
+        expr = None
+        for j in range(self.m):
+            term = F.element_at("tbl", F.col(f"c{j}") + (j * ks + 1))
+            expr = term if expr is None else expr + term
+        return expr
 
     def query(
         self, queries: DataFrame, k: int = TOP_K, shortlist: int = 50
     ) -> DataFrame:
-        import numpy as np
-
-        spark = queries.sparkSession
-        qrows = queries.select("vec_id", "embedding").collect()  # query set is small
-        table = []
-        for r in qrows:
-            qv = np.asarray(r["embedding"], dtype=np.float64)
-            for j in range(self.m):
-                sub = qv[j * self.sub : (j + 1) * self.sub]
-                d2 = ((self.codebooks[j] - sub) ** 2).sum(axis=1)
-                for code, pd_ in enumerate(d2):
-                    table.append((int(r["vec_id"]), j, code, float(pd_)))
-        tdf = spark.createDataFrame(
-            table, "qid bigint, m int, code int, pdist double"
-        )
-        cand = self.encoded.select(
-            "vec_id", F.posexplode("codes").alias("m", "code")
-        )
+        tdf = self._adc_table_df(queries)
         adc = (
-            cand.join(F.broadcast(tdf), ["m", "code"])
+            self.encoded.crossJoin(F.broadcast(tdf))
             .filter(F.col("vec_id") != F.col("qid"))
-            .groupBy("qid", "vec_id")
-            .agg(F.sum("pdist").alias("adc_dist"))
+            .select("qid", "vec_id", self.adc_expr().alias("adc_dist"))
         )
         w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         return (
@@ -485,10 +522,19 @@ class IvfPqIndex:
         self.ivf = ivf if ivf is not None else IvfIndex(corpus, n_clusters, seed)
         self.pq = pq if pq is not None else PqIndex(corpus, m=m, ks=ks, seed=seed)
         # build-phase join: attach each vector's cell to its codes once
-        # (at scale this is the bucketed-by-cell write of the code table)
+        # (at scale this is the bucketed-by-cell write of the code table).
+        # REPIN parallelism before checkpointing: the code table is tiny
+        # in bytes, so AQE coalesces the join's shuffle output (measured:
+        # 2 partitions for 200k rows at the ann_probe scale) — but the
+        # downstream cell join amplifies ×|queries probing each cell|,
+        # and the search would inherit the 2-partition layout and sort
+        # 12M-row partitions on 2 cores (search was 24 s vs IVF's 23 s
+        # until this line; 6 s after). AQE sizes by pre-amplification
+        # bytes — any amplifying consumer must re-spread its input.
         self.coded = (
             self.ivf.assigned.select("vec_id", "cell")
             .join(self.pq.encoded, "vec_id")
+            .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
             .localCheckpoint(eager=True)
         )
 
@@ -524,28 +570,11 @@ class IvfPqIndex:
         nprobe: int = 4,
         shortlist: int = 50,
     ) -> DataFrame:
-        import numpy as np
-
-        spark = queries.sparkSession
-        qrows = queries.select("vec_id", "embedding").collect()  # small by contract
-        table = []
-        for r in qrows:
-            qv = np.asarray(r["embedding"], dtype=np.float64)
-            for j in range(self.pq.m):
-                sub = qv[j * self.pq.sub : (j + 1) * self.pq.sub]
-                d2 = ((self.pq.codebooks[j] - sub) ** 2).sum(axis=1)
-                for code, pd_ in enumerate(d2):
-                    table.append((int(r["vec_id"]), j, code, float(pd_)))
-        tdf = spark.createDataFrame(
-            table, "qid bigint, m int, code int, pdist double"
-        )
-        pos = self.candidates(queries, nprobe).select(
-            "qid", "vec_id", F.posexplode("codes").alias("m", "code")
-        )
+        tdf = self.pq._adc_table_df(queries)
         adc = (
-            pos.join(F.broadcast(tdf), ["qid", "m", "code"])
-            .groupBy("qid", "vec_id")
-            .agg(F.sum("pdist").alias("adc_dist"))
+            self.candidates(queries, nprobe)
+            .join(F.broadcast(tdf), "qid")
+            .select("qid", "vec_id", self.pq.adc_expr().alias("adc_dist"))
         )
         w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         return (
