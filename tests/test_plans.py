@@ -209,9 +209,13 @@ _CARTESIAN_OK = {
     "q_knn_ivf",             # query-set × centroid table (k×nprobe rows)
                              # cross for cell selection; corpus join is
                              # hash on cell
-    "q_knn_ivfpq",           # same tiny query×centroid cross for cell
-                             # probing; ADC join is hash on (qid,m,code),
-                             # corpus prune is hash on cell (plan-pinned)
+    "q_knn_ivfpq",           # tiny query×centroid cross for cell
+                             # probing; corpus prune is hash on cell
+                             # (plan-pinned), ADC is an in-stage
+                             # element_at expression
+    "q_knn_pq",              # full-scan ADC: codes × broadcast per-query
+                             # table cross IS the algorithm (every code
+                             # row scored against every query table)
     "q_lake_multi_table_txn",  # two 1-row per-table aggregates combined
                                # into one report row (scalar crossJoin)
     "q_knn_lsh",             # MLlib approxSimilarityJoin internals
