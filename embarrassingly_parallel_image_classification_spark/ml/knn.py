@@ -312,16 +312,19 @@ class PqIndex:
 
     Build: one seeded KMeans per subspace over the corpus' subvectors
     (at 100 TB: fit on a sample, encode the full corpus in one pass);
-    the encoded corpus is (vec_id, codes array<int>) — the only thing
-    search scans.
+    the encoded corpus carries the packed codes array plus WIDE int
+    code columns (the scan layout) — the only thing search scans.
 
     Search: the per-query distance table (M × ks partial L2² values,
-    computed driver-side from the tiny codebook) is broadcast and
-    joined against the posexploded codes; SUM over subspaces gives the
-    ADC distance. The top ``shortlist`` per query is then re-ranked
-    with EXACT cosine on the raw vectors — the standard two-stage
-    retrieve-then-rerank, so recall depends on shortlist size, not on
-    quantization alone.
+    computed driver-side from the tiny codebook) is broadcast as one
+    (qid, tbl) row and the ADC distance is M chained ``element_at``
+    lookups over the wide code columns — a whole-stage-codegen
+    expression reading the table in place inside the join stage
+    (see adc_expr for the three slower spellings this replaced,
+    measured at scripts/ann_probe.py). The top ``shortlist`` per
+    query is then re-ranked with EXACT cosine on the raw vectors —
+    the standard two-stage retrieve-then-rerank, so recall depends on
+    shortlist size, not on quantization alone.
 
     Simplification vs FAISS IVFPQ: codes quantize raw vectors, not
     IVF-cell residuals; composing with IvfIndex's cell pruning is the
