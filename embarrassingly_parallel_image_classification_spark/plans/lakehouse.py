@@ -1186,27 +1186,70 @@ def _bloom_might_contain(words: list, value) -> bool:
     return True
 
 
-def add_bloom_index(path: str, col: str) -> int:
+def add_bloom_index(path: str, col: str, spark: SparkSession | None = None) -> int:
     """Attach a PER-FILE Bloom filter over ``col`` to the current
     snapshot (published as a new manifest version): the point-lookup
     complement to the min/max range stats — min/max can't skip files
     for an equality predicate on an UNSORTED column, a Bloom can
     (Delta bloom-filter indexes / Iceberg bloom row-group filters).
-    Bitmaps are built from the parquet files footer-to-data driver-side
-    here (fixture-sized files); at scale the build is one Spark
-    aggregate per file, same as plans/scale.build_bloom."""
-    import pyarrow.parquet as pq
 
+    The bitmaps are built IN SPARK as one distributed job (the same
+    build shape as plans/scale.build_bloom): every (file, value) row
+    expands to its k hash positions map-side, then
+    groupBy(file, word) → bit_or — only n_files × m/64 bitmap words
+    ever reach the driver, never the data. The md5 scheme of
+    ``_bloom_add`` is reproduced bit-for-bit in Catalyst
+    (``conv(substring(md5_hex, 1, 16), 16, 10)`` ==
+    ``int.from_bytes(digest[:8], 'big')``), so the driver-side
+    file-pruning probe in ``snapshot_read_point`` agrees exactly —
+    pinned by a bitwise build-equality test in
+    tests/test_plans_scale.py. Values hash via their Python ``str``
+    image (bigint/string columns — the point-lookup contract)."""
+    spark = spark or SparkSession.getActiveSession()
     v = current_version(path)
     with open(_manifest_path(path, v)) as f:
         m = json.load(f)
-    blooms = {}
-    for name in m["files"]:
-        words = [0] * (_BLOOM_BITS // 64)
-        tbl = pq.read_table(os.path.join(path, name), columns=[col])
-        for value in tbl.column(0).to_pylist():
-            _bloom_add(words, value)
-        blooms[name] = words
+    src = spark.read.parquet(*[os.path.join(path, n) for n in m["files"]])
+    val = F.coalesce(F.col(col).cast("string"), F.lit("None"))
+    pos = src.select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{s}:"), val)), 1, 16
+                            ),
+                            16,
+                            10,
+                        ).cast("decimal(20,0)"),
+                        F.lit(_BLOOM_BITS),
+                    ).cast("int")
+                    for s in range(_BLOOM_K)
+                ]
+            )
+        ).alias("p"),
+    )
+    rows = (
+        pos.select(
+            "file",
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(F.col("p"), F.lit(64)).cast("int"),
+            ).alias("bit"),
+        )
+        .groupBy("file", "w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()  # bounded: ≤ n_files × _BLOOM_BITS/64 words
+    )
+    blooms = {name: [0] * (_BLOOM_BITS // 64) for name in m["files"]}
+    for r in rows:
+        # JVM longs are two's-complement; the Python probe shifts
+        # unsigned ints — same bits, normalize the representation
+        blooms[r["file"]][r["w"]] = r["bits"] & ((1 << 64) - 1)
     m["version"] = v + 1
     m["bloom_col"] = col
     m["blooms"] = blooms

@@ -359,6 +359,18 @@ def test_lakehouse_bloom_index_point_lookup(spark, tmp_path):
     for key in range(0, 2000, 97):
         rows = lakehouse.snapshot_read_point(spark, path, "k", key).collect()
         assert len(rows) == 1, f"bloom false negative for key {key}"
+    # the distributed (Catalyst md5/conv) build must equal the Python
+    # reference hasher BIT FOR BIT — this is what licenses the
+    # driver-side probe to prune against Spark-built bitmaps
+    name = m["files"][0]
+    vals = [
+        r["k"]
+        for r in spark.read.parquet(_os.path.join(path, name)).collect()
+    ]
+    ref = [0] * (lakehouse._BLOOM_BITS // 64)
+    for value in vals:
+        lakehouse._bloom_add(ref, value)
+    assert m["blooms"][name] == ref, "spark-built bitmap != python reference"
 
 
 def test_ivm_distinct_sketch_merge_tracks_full(spark):
