@@ -347,3 +347,83 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("df") / (1.0 * n_docs), 6).alias("doc_share"),
         )
     )
+
+
+@register("q_text_bpe_train", oracle=None, tags=("K6", "iterative", "rows-only"))
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer training (Sennrich et al. 2016 [PK]) — the
+    iterative loop whose single inner step q_text_bpe_pairs exposes:
+    N greedy merges, each picking the most frequent adjacent symbol
+    pair over the corpus and fusing it everywhere before recounting.
+
+    Distributed shape (the standard one): training runs over the WORD
+    FREQUENCY table, never the corpus — one full-data pass builds
+    (word, freq), then every iteration is an explode+aggregate over
+    |vocab| rows weighted by freq, and the merge itself is a pure
+    Catalyst array fold (no regex, so symbols containing regex
+    metacharacters are safe; greedy left-to-right like the reference
+    algorithm). Only the 1-row argmax is collected per iteration
+    (bounded, the graph-loop pattern); lineage is truncated with
+    localCheckpoint every few merges exactly like
+    operators/graph.q_graph_pagerank. Ties break on
+    (count desc, left asc, right asc) — total, so the learned merge
+    table is deterministic and pinned EXACTLY against a pure-Python
+    reference implementation in
+    tests/test_ml_self_oracles.py::test_bpe_train_matches_reference
+    (iterative argmax is not one SQL query ⇒ rows-only here)."""
+    n_merges = 12
+    d = t(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.expr("array_append(split(word, ''), '</w>')").alias("seq"), "freq"
+        )
+        .localCheckpoint(eager=True)  # one bounded vocab table; frees the scan
+    )
+    merges = []
+    for step in range(n_merges):
+        pairs = wf.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(seq) - 1), "
+                    "i -> struct(element_at(seq, i) AS l, "
+                    "element_at(seq, i + 1) AS r))"
+                )
+            ).alias("p"),
+            "freq",
+        ).select("p.l", "p.r", "freq")
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()  # bounded: exactly one row per iteration
+        )
+        if not best or best[0]["n"] < 2:
+            break
+        left, right, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merges.append((step, left, right, n))
+        fused = F.lit(left + right)
+        wf = wf.withColumn(
+            "seq",
+            F.aggregate(
+                "seq",
+                F.expr("CAST(array() AS ARRAY<STRING>)"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (s == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(fused)
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ),
+        )
+        if (step + 1) % 3 == 0:
+            wf = wf.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count bigint"
+    )

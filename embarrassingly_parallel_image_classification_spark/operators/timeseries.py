@@ -598,3 +598,66 @@ def q_timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cents") * weight).cast("bigint").alias("ewma_num_x2e16"),
         F.count("*").alias("n_ticks"),
     )
+
+
+@register(
+    "q_timeseries_twap",
+    oracle="""
+    WITH x AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS h,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+               epoch_us(COALESCE(
+                   lead(ts) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id),
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR)) - epoch_us(ts)
+                   AS wt_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(epoch(h) AS BIGINT) AS hour_sec,
+           CAST(SUM(cents * wt_us) AS BIGINT) AS twap_num,
+           CAST(SUM(wt_us) AS BIGINT) AS twap_den
+    FROM x
+    GROUP BY event_type, h
+    """,
+    tags=("timeseries", "E2", "D1"),
+)
+def q_timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price (TWAP) per (type, hour bar) — the
+    finance/telemetry aggregate where each tick's value counts for how
+    LONG it held, not how often it printed: weight = microseconds until
+    the next tick in the bar (the bar's last tick holds to the bar
+    end). Exposed as the exact rational (Σ cents·µs, Σ µs) — bigint
+    numerator/denominator, no float division to disagree over; per-bar
+    sums are bounded (Σwt ≤ 3.6e9 µs, num ≤ max_cents·3.6e9), far
+    inside int64. One window + one aggregate, both keyed on
+    (event_type, hour), so the window's sort reuses the aggregation
+    shuffle partitioning; duplicate timestamps get zero weight except
+    the last by event_id — deterministic in both engines."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "h").orderBy("ts", "event_id")
+    x = ev.withColumn(
+        "wt_us",
+        F.unix_micros(
+            F.coalesce(F.lead("ts").over(w), F.col("h") + F.expr("INTERVAL 1 HOUR"))
+        )
+        - F.unix_micros("ts"),
+    )
+    return x.groupBy("event_type", "h").agg(
+        F.sum(F.col("cents") * F.col("wt_us")).cast("bigint").alias("twap_num"),
+        F.sum("wt_us").cast("bigint").alias("twap_den"),
+    ).select(
+        "event_type",
+        F.unix_timestamp("h").alias("hour_sec"),
+        "twap_num",
+        "twap_den",
+    )

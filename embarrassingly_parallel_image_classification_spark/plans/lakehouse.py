@@ -1334,3 +1334,81 @@ def q_lake_ivm_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return refreshed.orderBy("priority")
+
+
+def optimize_zorder(
+    spark: SparkSession, path: str, cols: tuple[str, ...], files: int = 8
+) -> int:
+    """OPTIMIZE ZORDER BY — Delta/Iceberg's multi-dimensional
+    clustering maintenance job: rewrite the current snapshot ordered
+    by the Morton interleave of ``cols`` (low 8 bits each, the
+    portable bit-spread of plans/scale._spread_sql) and republish it
+    with per-file min/max stats on EVERY z-dimension. Because
+    repartitionByRange(zkey) + sortWithinPartitions(zkey) gives each
+    output file a disjoint zkey range, the recorded [min, max] of each
+    individual dimension is tight, and ``snapshot_read(predicates=...)``
+    prunes files for predicates on ANY of the columns — a linear sort
+    only ever serves its leading column. At 100 TB this is the same
+    job per partition-dir; the rewrite is a full shuffle by design
+    (it IS the clustering)."""
+    from .scale import _spread_sql
+
+    df = snapshot_read(spark, path)
+    zkey = " | ".join(
+        f"({_spread_sql(f'({c} % 256)')} << {i})" for i, c in enumerate(cols)
+    )
+    clustered = (
+        df.withColumn("__z", F.expr(zkey))
+        .repartitionByRange(files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    return snapshot_write(clustered, path, "overwrite", stats_col=list(cols))
+
+
+@register(
+    "q_lake_zorder",
+    oracle="""
+    WITH e AS (
+        SELECT user_id % 256 AS u,
+               CAST(FLOOR(ABS(value)) AS BIGINT) % 256 AS v,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT v, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+    FROM e
+    WHERE v BETWEEN 32 AND 47
+    GROUP BY v
+    """,
+    tags=("lakehouse", "S", "H11"),
+)
+def q_lake_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order table maintenance end to end: events land UNCLUSTERED
+    (hash-partitioned by event_id — every file spans both dimensions,
+    so stats prune nothing), then ``optimize_zorder`` rewrites the
+    snapshot Morton-clustered on (u, v) and the read path prunes files
+    through the manifest's per-column stats for a predicate on v — the
+    SECOND z-dimension, the one a linear sort can't serve. The oracle
+    recomputes the aggregate from the raw source, so a row lost or
+    duplicated by the rewrite, or a file wrongly pruned by the stats,
+    fails the exact hash; the file-count pruning evidence (v-predicates
+    prune nothing at v1, prune at v2) is pinned in
+    tests/test_plans_scale.py."""
+    from ..sources.formats import scratch
+
+    path = scratch("lake_zorder", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 256).alias("u"),
+        F.expr("CAST(FLOOR(ABS(value)) AS BIGINT) % 256").alias("v"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+        "event_id",
+    )
+    snapshot_write(ev.repartition(8, "event_id"), path, "append", stats_col=["u", "v"])
+    optimize_zorder(spark, path, ("u", "v"), files=8)
+    pruned = snapshot_read(spark, path, predicates={"v": (32, 47)})
+    return (
+        pruned.filter(F.col("v").between(32, 47))
+        .groupBy("v")
+        .agg(F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("cents"))
+    )

@@ -185,6 +185,12 @@ _DRIVER_PRIORITY = (
     "q_lake_stream_source",
     "q_lake_multi_table_txn",  # new in r6 (atomic catalog commit)
     "q_dedup_incremental",     # new in r6 (batch-vs-corpus screen)
+    # round-6 additions (no driver row yet, all oracle-backed)
+    "q_skyline",               # Pareto frontier (two-phase distributed)
+    "q_seq_pattern",           # MATCH_RECOGNIZE-style journey regex
+    "q_alloc_prorata",         # largest-remainder allocation
+    "q_timeseries_twap",       # time-weighted average (exact rational)
+    "q_lake_zorder",           # OPTIMIZE ZORDER + multi-col pruning
     # 2. Cross-family canaries, all driver-green in r1–r5, re-proving
     #    this round's code changes and one healthy representative per
     #    major family.
@@ -207,6 +213,7 @@ _QUERY_MODULES = (
         "operators.windows",
         "operators.sort_limit",
         "operators.timeseries",
+        "operators.analytics",
         "operators.graph",
         "operators.setops",
         "functions.scalar",

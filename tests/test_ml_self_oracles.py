@@ -435,3 +435,56 @@ def test_incremental_dedup_equals_self_join_cross_pairs(spark):
     assert got == want, (
         f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
     )
+
+
+def test_bpe_train_matches_reference(spark):
+    """q_text_bpe_train's learned merge table must equal, row for row,
+    a pure-Python Sennrich-style reference run on the same corpus:
+    same greedy left-to-right fusing, same (count desc, left asc,
+    right asc) tie-break — any divergence in pair counting, merge
+    application, or argmax ordering shifts a merge and fails here."""
+    import duckdb
+
+    from embarrassingly_parallel_image_classification_spark import registry
+
+    con = duckdb.connect()
+    wf = con.execute(
+        f"""
+        SELECT w, COUNT(*) c FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS w
+            FROM read_parquet('{SF_T2}/documents.parquet'))
+        WHERE length(w) >= 1 GROUP BY w
+        """
+    ).fetchall()
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in wf}
+    want = []
+    for step in range(12):
+        counts: dict = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] = (
+                    counts.get((sym[i], sym[i + 1]), 0) + c
+                )
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < 2:
+            break
+        want.append((step, left, right, n))
+        new_vocab: dict = {}
+        for sym, c in vocab.items():
+            out: list = []
+            for s in sym:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in registry.queries()["q_text_bpe_train"](spark, SF_T2).collect()
+    ]
+    assert got == want

@@ -645,3 +645,62 @@ def test_catalog_concurrent_commit_single_winner(spark, tmp_path):
     assert sorted(
         r["k"] for r in lakehouse.catalog_read(spark, root, "a").collect()
     ) == [1]
+
+
+def test_lakehouse_zorder_prunes_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER: on the unclustered (hash) layout, per-file
+    min/max stats span both dimensions and prune NOTHING; after the
+    z-order rewrite a range predicate on EITHER dimension must prune
+    files, and pruned reads must stay row-identical to full scans."""
+    import json as _json
+    import os as _os
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "ztbl")
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("a"),
+        ((F.col("id") / 64).cast("long") % 64).alias("b"),
+        F.col("id").alias("k"),
+    )
+    lakehouse.snapshot_write(
+        df.repartition(8, "k"), path, "append", stats_col=["a", "b"]
+    )
+
+    def survivors(version, predicates):
+        with open(_os.path.join(path, f"_manifest_v{version}.json")) as f:
+            m = _json.load(f)
+        col_stats = m.get("col_stats", {})
+        keep = []
+        for name in m["files"]:
+            per_col = col_stats.get(name, {})
+            ok = all(
+                c not in per_col
+                or (per_col[c][0] <= hi and per_col[c][1] >= lo)
+                for c, (lo, hi) in predicates.items()
+            )
+            if ok:
+                keep.append(name)
+        return keep
+
+    assert len(survivors(1, {"a": (8, 15)})) == 8, "hash layout should not prune"
+    assert len(survivors(1, {"b": (8, 15)})) == 8, "hash layout should not prune"
+
+    lakehouse.optimize_zorder(spark, path, ("a", "b"), files=8)
+    pruned_a = survivors(2, {"a": (8, 15)})
+    pruned_b = survivors(2, {"b": (8, 15)})
+    assert len(pruned_a) < 8, "zorder must prune on the first dimension"
+    assert len(pruned_b) < 8, "zorder must prune on the SECOND dimension"
+
+    # pruned reads stay exact: every (a, b, k) row of the source
+    for col, rng in (("a", (8, 15)), ("b", (8, 15))):
+        got = sorted(
+            r["k"]
+            for r in lakehouse.snapshot_read(spark, path, predicates={col: rng})
+            .filter(F.col(col).between(*rng))
+            .collect()
+        )
+        want = sorted(
+            r["k"] for r in df.filter(F.col(col).between(*rng)).collect()
+        )
+        assert got == want, f"pruned read on {col} lost/duplicated rows"

@@ -206,3 +206,88 @@ def test_incremental_cross_join_lossless_on_random_corpora(spark, texts):
             exist_id, new_id = (r.id_b, r.id_a) if a_new else (r.id_a, r.id_b)
             naive.add((exist_id, new_id, r.jaccard))
     assert fast == naive
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_two_phase_skyline_equals_bruteforce(spark, pts):
+    """The distributed skyline plan (distinct pairs → local skyline per
+    partition → global skyline of the union) must return EXACTLY the
+    brute-force O(n²) dominance frontier on arbitrary point sets —
+    including duplicate points (all non-dominated duplicates kept) and
+    total-order degenerate cases (all on one line)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, p, s) for i, (p, s) in enumerate(pts)],
+        "p_partkey int, price_c int, p_size int",
+    ).repartition(4)
+    pairs = df.select("price_c", "p_size").distinct()
+
+    def undominated(d, col):
+        w = (
+            Window.partitionBy(col)
+            .orderBy(F.asc("price_c"), F.desc("p_size"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            d.withColumn("__m", F.max("p_size").over(w))
+            .filter(F.col("__m").isNull() | (F.col("__m") < F.col("p_size")))
+            .drop("__m")
+        )
+
+    local = undominated(
+        pairs.withColumn("__pid", F.spark_partition_id()), "__pid"
+    ).drop("__pid")
+    frontier = undominated(local.withColumn("__g", F.lit(0)), "__g").drop("__g")
+    got = sorted(
+        (r["p_partkey"])
+        for r in df.join(frontier, ["price_c", "p_size"]).collect()
+    )
+    want = sorted(
+        i
+        for i, (p, s) in enumerate(pts)
+        if not any(
+            op <= p and os_ >= s and (op < p or os_ > s) for (op, os_) in pts
+        )
+    )
+    assert got == want
+
+
+def test_prorata_allocation_sums_back_exactly(spark):
+    """Largest-remainder invariant: per order, the integer allocations
+    must sum EXACTLY to the order's total cents — the property the
+    operator exists for (floor-only allocation under-distributes;
+    rounding over-distributes)."""
+    from embarrassingly_parallel_image_classification_spark import registry
+    from tests.conftest import SF_T2
+
+    alloc = registry.queries()["q_alloc_prorata"](spark, SF_T2)
+    per_order = alloc.groupBy("l_orderkey").agg(
+        F.sum("alloc_c").alias("allocated")
+    )
+    o = (
+        spark.read.parquet(f"{SF_T2}/orders.parquet")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("total_c"),
+        )
+    )
+    bad = (
+        per_order.join(o, "l_orderkey")
+        .filter(F.col("allocated") != F.col("total_c"))
+        .count()
+    )
+    assert bad == 0, f"{bad} orders where allocations do not sum to the total"
