@@ -86,6 +86,13 @@ HEADLINE = [
     "q_timeseries_ewma",
     "q_dedup_incremental",
     "q_infer_ensemble",
+    # round-6 analytics additions: dominance / sequence / allocation /
+    # time-weighted bars + the z-ordered lakehouse rewrite
+    "q_skyline",
+    "q_seq_pattern",
+    "q_alloc_prorata",
+    "q_timeseries_twap",
+    "q_lake_zorder",
 ]
 
 

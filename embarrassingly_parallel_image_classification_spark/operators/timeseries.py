@@ -600,9 +600,9 @@ def q_timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_timeseries_twap",
-    oracle="""
+# shared with the streaming twin (streaming/queries.q_stream_twap),
+# exactly like EWMA_ORACLE above — stream-batch parity on the same SQL
+TWAP_ORACLE = """
     WITH x AS (
         SELECT event_type,
                date_trunc('hour', ts) AS h,
@@ -620,7 +620,12 @@ def q_timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(wt_us) AS BIGINT) AS twap_den
     FROM x
     GROUP BY event_type, h
-    """,
+    """
+
+
+@register(
+    "q_timeseries_twap",
+    oracle=TWAP_ORACLE,
     tags=("timeseries", "E2", "D1"),
 )
 def q_timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:

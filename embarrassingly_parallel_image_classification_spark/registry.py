@@ -190,6 +190,7 @@ _DRIVER_PRIORITY = (
     "q_seq_pattern",           # MATCH_RECOGNIZE-style journey regex
     "q_alloc_prorata",         # largest-remainder allocation
     "q_timeseries_twap",       # time-weighted average (exact rational)
+    "q_stream_twap",           # stateful streaming twin, same oracle
     "q_lake_zorder",           # OPTIMIZE ZORDER + multi-col pruning
     # 2. Cross-family canaries, all driver-green in r1–r5, re-proving
     #    this round's code changes and one healthy representative per

