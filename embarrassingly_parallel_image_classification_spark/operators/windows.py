@@ -379,3 +379,65 @@ def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("n_last_hour"),
         F.sum("cents").over(w).cast("bigint").alias("cents_last_hour"),
     )
+
+
+@register(
+    "q_window_rolling_median",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           CAST(quantile_disc(CAST(ROUND(value * 100, 0) AS BIGINT), 0.5)
+                OVER w5 AS BIGINT) AS med5_c,
+           CAST(quantile_disc(CAST(ROUND(value * 100, 0) AS BIGINT), 0.9)
+                OVER w21 AS BIGINT) AS p90_21_c
+    FROM events
+    WINDOW
+      w5  AS (PARTITION BY event_type ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+      w21 AS (PARTITION BY event_type ORDER BY ts, event_id
+              ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("E3", "D9", "timeseries"),
+)
+def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT order statistics — the robust-smoothing windows a
+    monitoring pipeline puts where a rolling mean would chase outliers:
+    per event_type, the discrete median of the last 5 ticks and the
+    discrete P90 of the last 21. Spark has no exact quantile window
+    aggregate, so the operator is the composition that stays entirely
+    in the JVM: sort_array(collect_list(cents)) over the ROWS frame,
+    then element_at at the discrete-quantile index ceil(n·q) (integer
+    form (n·num + den − 1) div den) — bit-identical to DuckDB's
+    quantile_disc for every partial window at the partition head
+    (n = rows so far). The frame is hard-bounded
+    (≤21 elements per row), so state stays O(frame), never O(partition)
+    — the scale guard that makes collect_list-over-window safe; both
+    windows share one (event_type) shuffle and one sort. Values in
+    integer cents; ties ordered by event_id — deterministic in both
+    engines."""
+    cents = F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", cents.alias("cents")
+    )
+    w5 = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    w21 = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, Window.currentRow)
+    )
+
+    def disc_quantile(w, num: int, den: int):
+        arr = F.sort_array(F.collect_list("cents").over(w))
+        idx = (F.size(arr) * num + (den - 1)) / den
+        return F.element_at(arr, F.floor(idx).cast("int"))
+
+    return ev.select(
+        "event_id",
+        "event_type",
+        disc_quantile(w5, 1, 2).alias("med5_c"),
+        disc_quantile(w21, 9, 10).alias("p90_21_c"),
+    )

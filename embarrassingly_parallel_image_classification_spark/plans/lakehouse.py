@@ -1412,3 +1412,164 @@ def q_lake_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("cents"))
     )
+
+
+def erase_rows(spark: SparkSession, path: str, col: str, value) -> int:
+    """Right-to-be-forgotten erasure ACROSS HISTORY (GDPR Article 17):
+    physically remove every row where ``col = value`` from EVERY
+    retained snapshot — unlike DELETE (which only affects the next
+    snapshot and leaves the data readable via time travel), erasure
+    rewrites the affected data files in place in the version graph and
+    destroys the originals, so no retained version can resurrect the
+    rows. This is the documented Delta/Iceberg compliance procedure:
+    rewrite + expire, here in one primitive [PK].
+
+    Shape: ONE distributed job finds the affected files and rewrites
+    them filtered (read tagged with input_file_name, write partitioned
+    by source file — no shuffle, map-only), then every manifest
+    v1..latest is atomically republished with old→new name mappings
+    (per-file stats recomputed from the new footers) and the original
+    files are unlinked. Unaffected files and the version COUNT are
+    untouched — readers keep their snapshot semantics, minus the
+    erased rows. Returns the number of files rewritten. Tables
+    carrying MoR delete files must compact first (scoped delete lists
+    name data files; remapping them is compaction's job)."""
+    latest = current_version(path)
+    assert latest >= 1, "no table at path"
+    all_files: set[str] = set()
+    manifests = {}
+    for v in range(1, latest + 1):
+        with open(_manifest_path(path, v)) as f:
+            manifests[v] = json.load(f)
+        assert not manifests[v].get("delete_files"), (
+            "erase_rows requires a compacted table (MoR delete lists "
+            "reference data files by name)"
+        )
+        all_files.update(manifests[v]["files"])
+    src = spark.read.parquet(*[os.path.join(path, n) for n in sorted(all_files)])
+    affected = {
+        r["f"]
+        for r in src.filter(F.col(col).eqNullSafe(F.lit(value)))
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("f")
+        )
+        .distinct()
+        .collect()  # bounded: ≤ file count, never row count
+    }
+    if not affected:
+        return 0
+    staging = os.path.join(path, f"_erase_{uuid.uuid4().hex}")
+    (
+        spark.read.parquet(*[os.path.join(path, n) for n in sorted(affected)])
+        .withColumn(
+            "__src", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        .filter(~F.col(col).eqNullSafe(F.lit(value)))
+        .write.partitionBy("__src")
+        .parquet(staging)
+    )
+    # map each old file to its rewritten replacement(s)
+    mapping: dict[str, list[str]] = {}
+    for old in sorted(affected):
+        out_dir = os.path.join(staging, f"__src={old}")
+        news = []
+        if os.path.isdir(out_dir):
+            for name in sorted(os.listdir(out_dir)):
+                if name.endswith(".parquet"):
+                    final = f"data-{uuid.uuid4().hex}.parquet"
+                    os.rename(os.path.join(out_dir, name), os.path.join(path, final))
+                    news.append(final)
+        mapping[old] = news  # empty list = every row erased
+    shutil.rmtree(staging, ignore_errors=True)
+    for v in range(1, latest + 1):
+        m = manifests[v]
+        if not (set(m["files"]) & affected):
+            continue
+        new_files, stats, col_stats = [], m.get("stats", {}), m.get("col_stats", {})
+        for name in m["files"]:
+            if name not in mapping:
+                new_files.append(name)
+                continue
+            stat_cols = list(col_stats.pop(name, {}).keys())
+            legacy = stats.pop(name, None)
+            for new in mapping[name]:
+                new_files.append(new)
+                per_col = {}
+                for c in stat_cols:
+                    s = _file_stats(os.path.join(path, new), c)
+                    if s is not None:
+                        per_col[c] = list(s)
+                if per_col:
+                    col_stats[new] = per_col
+                if legacy is not None and stat_cols and stat_cols[0] in per_col:
+                    stats[new] = per_col[stat_cols[0]]
+        m["files"], m["stats"], m["col_stats"] = new_files, stats, col_stats
+        tmp = _manifest_path(path, v) + f".tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, _manifest_path(path, v))  # erasure rewrites history by design
+    for old in sorted(affected):
+        os.remove(os.path.join(path, old))
+    return len(affected)
+
+
+@register(
+    "q_lake_erase",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey, o_custkey, o_orderpriority,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               o_orderkey % 2 AS half
+        FROM orders
+    ),
+    erased AS (SELECT * FROM src
+               WHERE o_custkey <> (SELECT MIN(o_custkey) FROM src)),
+    v1 AS (
+        SELECT 1 AS version, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM erased WHERE half = 0 GROUP BY o_orderpriority
+    ),
+    v2 AS (
+        SELECT 2 AS version, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM erased GROUP BY o_orderpriority
+    )
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    """,
+    tags=("lakehouse", "L4", "composite"),
+)
+def q_lake_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-history erasure end to end: two snapshots of orders (even
+    half, then the rest appended), then one customer (the MINIMUM
+    custkey — deterministic) is erased from ALL history
+    with ``erase_rows``; reading BOTH versions afterwards must equal
+    the source minus that customer (v1 = even half sans customer, v2 =
+    everything sans customer). A row surviving in any retained
+    snapshot, a neighbor row lost during the rewrite, or a stats entry
+    gone stale (the pruned read would drop files) fails the exact
+    hash. The erased-customer row count is asserted nonzero in
+    tests/test_plans_scale.py so the oracle can never pass vacuously."""
+    from ..sources.formats import scratch
+
+    path = scratch("lake_erase", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    snapshot_write(o.filter(F.col("o_orderkey") % 2 == 0), path, "append")
+    snapshot_write(o.filter(F.col("o_orderkey") % 2 == 1), path, "append")
+    victim = o.agg(F.min("o_custkey")).collect()[0][0]  # bounded: 1 row
+    erase_rows(spark, path, "o_custkey", victim)
+
+    def agg_of(version: int) -> DataFrame:
+        return (
+            snapshot_read(spark, path, version)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("cents"))
+            .select(F.lit(version).alias("version"), "o_orderpriority", "n", "cents")
+        )
+
+    return agg_of(1).unionAll(agg_of(2))

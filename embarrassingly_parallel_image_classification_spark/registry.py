@@ -192,6 +192,8 @@ _DRIVER_PRIORITY = (
     "q_timeseries_twap",       # time-weighted average (exact rational)
     "q_stream_twap",           # stateful streaming twin, same oracle
     "q_lake_zorder",           # OPTIMIZE ZORDER + multi-col pruning
+    "q_lake_erase",            # GDPR cross-history erasure
+    "q_window_rolling_median", # exact rolling order statistics
     # 2. Cross-family canaries, all driver-green in r1–r5, re-proving
     #    this round's code changes and one healthy representative per
     #    major family.

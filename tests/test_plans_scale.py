@@ -704,3 +704,47 @@ def test_lakehouse_zorder_prunes_both_dimensions(spark, tmp_path):
             r["k"] for r in df.filter(F.col(col).between(*rng)).collect()
         )
         assert got == want, f"pruned read on {col} lost/duplicated rows"
+
+
+def test_lakehouse_erase_rows_destroys_history(spark, tmp_path):
+    """erase_rows must (a) remove the key from EVERY retained version,
+    (b) physically delete the original affected files, (c) leave
+    unaffected files byte-identical (same names in the manifests), and
+    (d) actually erase something (non-vacuous)."""
+    import json as _json
+    import os as _os
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "etbl")
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("cust"), F.col("id").alias("k")
+    )
+    # range layout on cust: the victim's rows concentrate in one file
+    # per snapshot, so the others must survive the erasure untouched
+    lakehouse.snapshot_write(
+        df.filter(F.col("k") < 500).repartitionByRange(4, "cust"), path
+    )
+    lakehouse.snapshot_write(
+        df.filter(F.col("k") >= 500).repartitionByRange(4, "cust"), path
+    )
+    with open(_os.path.join(path, "_manifest_v2.json")) as f:
+        before = _json.load(f)["files"]
+    n = lakehouse.erase_rows(spark, path, "cust", 7)
+    assert n > 0, "vacuous erasure"
+    with open(_os.path.join(path, "_manifest_v2.json")) as f:
+        after = _json.load(f)["files"]
+    # every version is clean, and row counts drop by exactly the victim's rows
+    for v, lo, hi in ((1, 0, 500), (2, 0, 1000)):
+        rows = lakehouse.snapshot_read(spark, path, v).collect()
+        assert all(r["cust"] != 7 for r in rows), f"v{v} still has the key"
+        want = [k for k in range(lo, hi) if k % 10 != 7]
+        assert sorted(r["k"] for r in rows) == want, f"v{v} lost neighbors"
+    # original affected files are gone from disk; unaffected unchanged
+    rewritten = set(before) - set(after)
+    assert rewritten, "no files were rewritten"
+    for name in rewritten:
+        assert not _os.path.exists(_os.path.join(path, name)), (
+            f"erased file {name} still on disk"
+        )
+    assert set(before) & set(after), "unaffected files should be reused"
