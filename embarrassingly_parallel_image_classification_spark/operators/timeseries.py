@@ -666,3 +666,67 @@ def q_timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "twap_num",
         "twap_den",
     )
+
+
+@register(
+    "q_anomaly_mad",
+    oracle="""
+    WITH x AS (
+        SELECT event_id, event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med_c
+        FROM x GROUP BY event_type
+    ),
+    d AS (
+        SELECT x.event_id, x.event_type, x.cents, m.med_c,
+               ABS(x.cents - m.med_c) AS adev
+        FROM x JOIN m USING (event_type)
+    ),
+    s AS (
+        SELECT event_type, CAST(quantile_disc(adev, 0.5) AS BIGINT) AS mad_c
+        FROM d GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.cents, d.med_c, s.mad_c
+    FROM d JOIN s USING (event_type)
+    WHERE ABS(d.cents - d.med_c) > 8 * s.mad_c
+    """,
+    tags=("D9", "D10", "timeseries"),
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly detection — the outlier screen that
+    q_anomaly_3sigma's docstring family needs when the data itself is
+    outlier-contaminated: mean/stddev get dragged by the anomalies
+    they're meant to find (breakdown point 0), the median absolute
+    deviation does not (breakdown 0.5). Flags events more than 8 MADs
+    from their type's median (≈5.4σ under normality). Both statistics
+    are DISCRETE order statistics in integer cents via
+    ``percentile_disc`` — a true distributed aggregate (no
+    collect_list, no driver), bit-identical to DuckDB's quantile_disc
+    — so the whole screen is exact and the tiny (type, med, mad)
+    tables broadcast back onto the fact scan."""
+    x = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    med = x.groupBy("event_type").agg(
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)"
+        ).alias("med_c")
+    )
+    d = x.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med_c"))
+    )
+    mad = d.groupBy("event_type").agg(
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS BIGINT)"
+        ).alias("mad_c")
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 8 * F.col("mad_c"))
+        .select("event_id", "event_type", "cents", "med_c", "mad_c")
+    )

@@ -345,3 +345,83 @@ def q_scale_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         (F.sum("cents")).cast("bigint").alias("cents"),
     )
+
+
+def route_rollup(
+    mv: DataFrame, group_cols: list[str], measures: dict[str, str]
+) -> DataFrame:
+    """Aggregate-navigator rewrite [PK]: answer a COARSER group-by from
+    a finer materialized aggregate instead of the base table. Valid
+    because the re-aggregable measures (SUM of partial sums, SUM of
+    partial counts, MIN of MINs, MAX of MAXs) form the classic
+    distributive-aggregate algebra; ``measures`` maps MV column →
+    combining function name. Raises if the requested grouping isn't a
+    subset of the MV's columns (then the MV can't answer it and the
+    caller must fall back to base)."""
+    missing = [c for c in group_cols if c not in mv.columns]
+    if missing:
+        raise ValueError(f"MV cannot answer grouping: missing {missing}")
+    aggs = [
+        getattr(F, fn)(c).alias(c) for c, fn in measures.items()
+    ]
+    return mv.groupBy(*group_cols).agg(*aggs)
+
+
+@register(
+    "q_mv_routing",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents,
+           MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS max_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("S", "D1", "composite"),
+)
+def q_mv_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view ROUTING: the per-priority report is answered
+    from a (priority, month) pre-aggregate — SUM of partial counts,
+    SUM of partial sums, MAX of partial MAXes — never rescanning
+    orders, while the oracle computes the same report straight from
+    the base table; any measure that doesn't re-aggregate losslessly
+    through the MV fails the exact hash. This is the rewrite that
+    makes a 100 TB fact table interactively queryable: the MV is
+    |priorities|×|months| rows, and tests/test_plans.py pins that the
+    routed plan's only scan reads the MV path, not orders. The MV is
+    maintained incrementally by the lakehouse layer's IVM
+    (q_lake_incremental_agg) — this query is the READ side of that
+    contract."""
+    import shutil
+
+    from ..sources.formats import scratch
+
+    path = scratch("mv_priority_month", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    (
+        o.groupBy("o_orderpriority", "month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    mv = spark.read.parquet(path)
+    return route_rollup(
+        mv,
+        ["o_orderpriority"],
+        {"n_orders": "sum", "cents": "sum", "max_cents": "max"},
+    ).select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("cents").cast("bigint").alias("cents"),
+        "max_cents",
+    )

@@ -194,6 +194,8 @@ _DRIVER_PRIORITY = (
     "q_lake_zorder",           # OPTIMIZE ZORDER + multi-col pruning
     "q_lake_erase",            # GDPR cross-history erasure
     "q_window_rolling_median", # exact rolling order statistics
+    "q_anomaly_mad",           # robust median/MAD outlier screen
+    "q_mv_routing",            # aggregate-navigator MV rewrite
     # 2. Cross-family canaries, all driver-green in r1–r5, re-proving
     #    this round's code changes and one healthy representative per
     #    major family.

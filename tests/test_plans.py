@@ -448,3 +448,32 @@ def test_skyline_joins_frontier_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mv_routing_never_scans_base_table(spark):
+    """q_mv_routing's answer plan must read ONLY the materialized
+    aggregate — an orders.parquet scan in the routed plan means the
+    rewrite silently fell back to base and the MV is decorative. Also
+    pins the navigator's refusal path: a grouping the MV can't answer
+    must raise, not silently aggregate wrong."""
+    import pytest as _pytest
+
+    from embarrassingly_parallel_image_classification_spark.plans.scale import (
+        route_rollup,
+    )
+
+    df = registry.queries()["q_mv_routing"](spark, SF_T2)
+    df.collect()  # materialize the MV, then re-plan the read side
+    plan = explain_str(df)
+    scans = [ln for ln in plan.splitlines() if "Location" in ln]
+    assert scans, "no file scan in routed plan"
+    assert all("mv_priority_month" in ln for ln in scans), (
+        f"routed plan scans the base table:\n{plan[:1500]}"
+    )
+    mv = spark.read.parquet(
+        [ln for ln in scans if "mv_priority_month" in ln][0]
+        .split("[")[-1]
+        .split("]")[0]
+    )
+    with _pytest.raises(ValueError, match="missing"):
+        route_rollup(mv, ["o_orderdate"], {"cents": "sum"})
