@@ -227,3 +227,85 @@ def q_udf_arrow_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = t(spark, sf_dir, "events")
     return ev.select("event_id", tag("event_type", "event_id").alias("tagged"))
+
+
+@register(
+    "q_udtf_table_arg",
+    oracle="""
+    WITH x AS (
+        SELECT event_type, ts, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    b AS (
+        SELECT event_type, ts, event_id,
+               CASE WHEN cents > lag(cents) OVER
+                        (PARTITION BY event_type ORDER BY ts, event_id)
+                    THEN 0 ELSE 1 END AS brk
+        FROM x
+    ),
+    g AS (
+        SELECT event_type,
+               SUM(brk) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM b
+    ),
+    runs AS (
+        SELECT event_type, grp, COUNT(*) AS run_len
+        FROM g GROUP BY event_type, grp
+    )
+    SELECT event_type, CAST(MAX(run_len) AS BIGINT) AS longest_run
+    FROM runs GROUP BY event_type
+    """,
+    tags=("J7", "composite"),
+)
+def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF with a TABLE argument (the Spark 4 TVF
+    surface beyond q_udtf_explode's scalar-lateral form): the engine
+    partitions the input by event_type and ORDERS each partition by
+    (ts, event_id) BEFORE feeding rows to a per-partition UDTF
+    instance, whose terminate() emits one summary row — here the
+    longest strictly-increasing price run, the sequential-state
+    computation (one pass, O(1) state) that showcases why ordered
+    TABLE input exists. The oracle is the gaps-and-islands SQL
+    spelling of the same statistic, so the engine's partition/order
+    delivery contract itself is what gets verified. Scale: one
+    shuffle on event_type (the PARTITION BY), Python touched once per
+    row with constant state — the UDTF analog of
+    applyInPandasWithState's batch twin."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_type STRING, longest_run BIGINT")
+    class LongestRun:
+        def __init__(self):
+            self.best = 0
+            self.cur = 0
+            self.prev = None
+            self.key = None
+
+        def eval(self, row):
+            c = row["cents"]
+            self.key = row["event_type"]
+            if self.prev is not None and c > self.prev:
+                self.cur += 1
+            else:
+                self.cur = 1
+            self.best = max(self.best, self.cur)
+            self.prev = c
+
+        def terminate(self):
+            if self.key is not None:
+                yield self.key, self.best
+
+    spark.udtf.register("longest_run_udtf", LongestRun)
+    t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    ).createOrReplaceTempView("events_runs_in")
+    return spark.sql(
+        "SELECT f.* FROM longest_run_udtf("
+        "TABLE(SELECT * FROM events_runs_in) "
+        "PARTITION BY event_type ORDER BY (ts, event_id)) f"
+    )

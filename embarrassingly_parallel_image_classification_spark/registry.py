@@ -196,6 +196,7 @@ _DRIVER_PRIORITY = (
     "q_window_rolling_median", # exact rolling order statistics
     "q_anomaly_mad",           # robust median/MAD outlier screen
     "q_mv_routing",            # aggregate-navigator MV rewrite
+    "q_udtf_table_arg",        # TABLE-arg UDTF (partitioned+ordered)
     # 2. Cross-family canaries, all driver-green in r1–r5, re-proving
     #    this round's code changes and one healthy representative per
     #    major family.
