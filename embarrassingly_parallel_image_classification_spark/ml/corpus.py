@@ -427,3 +427,66 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count bigint"
     )
+
+
+@register(
+    "q_sample_negatives",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    draws AS (
+        SELECT d.doc_id, i.neg_ix,
+               CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '-'
+                    || CAST(i.neg_ix AS VARCHAR) || '-negseed42'), 1, 8)
+                    AS BIGINT) % (n.n_docs - 1) AS raw
+        FROM documents d
+        CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS neg_ix) i
+        CROSS JOIN n
+    )
+    SELECT doc_id, neg_ix,
+           raw + CASE WHEN raw >= doc_id THEN 1 ELSE 0 END AS neg_id
+    FROM draws
+    """,
+    tags=("K4", "B6", "composite"),
+)
+def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling — the contrastive/ranking
+    training-prep step that pairs every anchor document with k
+    pseudo-random negatives, reproducible across engines and re-runs
+    (md5 of doc_id·draw-index·seed, the q_corpus_shuffle recipe): draw
+    uniformly over n−1 slots and shift past the anchor, the classic
+    bijection [0, n−2] onto the non-anchor ids, so self-pairs are impossible
+    BY CONSTRUCTION, not by rejection-resampling (which would need a
+    data-dependent loop). Relies on the fixture's dense 0..n−1 doc_id
+    space (true at every sf; at 100 TB the dense id is the row_number
+    the corpus shuffle already assigns). Map-side only — the two
+    crosses are a 3-row literal and a 1-row count, nothing shuffles
+    but the count."""
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()  # bounded: one scalar
+    draws = d.select("doc_id").crossJoin(
+        F.broadcast(
+            d.sparkSession.range(1, 4).select(F.col("id").alias("neg_ix"))
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("-"),
+                    F.col("neg_ix").cast("string"),
+                    F.lit("-negseed42"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    raw = h % F.lit(n_docs - 1)
+    return draws.select(
+        "doc_id",
+        "neg_ix",
+        (raw + F.when(raw >= F.col("doc_id"), 1).otherwise(0)).alias("neg_id"),
+    )

@@ -691,3 +691,67 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     projected, _ = pca_project(emb, k=8)
     return projected.orderBy("vec_id").limit(100)
+
+
+_HARD_NEG_QUERIES = 20
+
+
+@register(
+    "q_mine_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, label AS q_label,
+               CAST(embedding AS DOUBLE[]) AS q_emb
+        FROM embeddings WHERE vec_id < {_HARD_NEG_QUERIES}
+    ),
+    scored AS (
+        SELECT q.qid, e.vec_id, e.label,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            q.q_emb), 6) AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label <> q.q_label
+    )
+    SELECT qid, vec_id, label, sim, rank FROM (
+        SELECT qid, vec_id, label, sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("K3", "J1", "composite"),
+)
+def q_mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data-prep step
+    that turns a similarity index into better training batches: for
+    each anchor, the top-k most-similar vectors with a DIFFERENT
+    label (near the anchor in embedding space but semantically wrong —
+    exactly the negatives that produce gradient signal; random
+    negatives are trivially separable). Same plan family as
+    q_knn_exact: anchors broadcast against the corpus scan, e6-rounded
+    cosine, per-anchor top-k as a WindowGroupLimit — the label
+    inequality rides the broadcast join condition, so the only change
+    vs plain kNN is one predicate. At 100 TB the anchor set shards and
+    the corpus side reuses the IVF/PQ tiers (mine negatives from
+    probed cells only — the standard recipe)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _HARD_NEG_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(cosine("embedding", "q_emb"), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vec_id", "label", "sim", "rank")
+    )

@@ -197,6 +197,8 @@ _DRIVER_PRIORITY = (
     "q_anomaly_mad",           # robust median/MAD outlier screen
     "q_mv_routing",            # aggregate-navigator MV rewrite
     "q_udtf_table_arg",        # TABLE-arg UDTF (partitioned+ordered)
+    "q_mine_hard_negatives",   # contrastive hard-negative mining
+    "q_sample_negatives",      # deterministic negative sampling
     # 2. Cross-family canaries, all driver-green in r1–r5, re-proving
     #    this round's code changes and one healthy representative per
     #    major family.

@@ -219,6 +219,11 @@ _CARTESIAN_OK = {
     "q_lake_multi_table_txn",  # two 1-row per-table aggregates combined
                                # into one report row (scalar crossJoin)
     "q_knn_lsh",             # MLlib approxSimilarityJoin internals
+    "q_mine_hard_negatives", # anchors broadcast-crossJoined to the
+                             # corpus scan (q_knn_exact's shape; the
+                             # label predicate rides the join)
+    "q_sample_negatives",    # 3-row draw-index literal broadcast onto
+                             # the doc scan (map-side fanout)
     "q_eval_calibration",    # 1-row (min,max) scalar broadcast onto the
                              # scan for integer binning
 }
