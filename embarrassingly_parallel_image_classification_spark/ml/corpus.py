@@ -349,29 +349,34 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_text_bpe_train", oracle=None, tags=("K6", "iterative", "rows-only"))
-def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL BPE tokenizer training (Sennrich et al. 2016 [PK]) — the
-    iterative loop whose single inner step q_text_bpe_pairs exposes:
-    N greedy merges, each picking the most frequent adjacent symbol
-    pair over the corpus and fusing it everywhere before recounting.
+def _merge_pair(col, left: str, right: str):
+    """Greedy left-to-right fuse of one (left, right) symbol pair in an
+    array<string> column — a pure Catalyst fold (no regex, so symbols
+    containing regex metacharacters are safe), identical in semantics
+    to the reference algorithm's sequential scan."""
+    fused = F.lit(left + right)
+    return F.aggregate(
+        col,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(fused)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
 
-    Distributed shape (the standard one): training runs over the WORD
-    FREQUENCY table, never the corpus — one full-data pass builds
-    (word, freq), then every iteration is an explode+aggregate over
-    |vocab| rows weighted by freq, and the merge itself is a pure
-    Catalyst array fold (no regex, so symbols containing regex
-    metacharacters are safe; greedy left-to-right like the reference
-    algorithm). Only the 1-row argmax is collected per iteration
-    (bounded, the graph-loop pattern); lineage is truncated with
-    localCheckpoint every few merges exactly like
-    operators/graph.q_graph_pagerank. Ties break on
-    (count desc, left asc, right asc) — total, so the learned merge
-    table is deterministic and pinned EXACTLY against a pure-Python
-    reference implementation in
-    tests/test_ml_self_oracles.py::test_bpe_train_matches_reference
-    (iterative argmax is not one SQL query ⇒ rows-only here)."""
-    n_merges = 12
+
+def train_bpe(
+    spark: SparkSession, sf_dir: str, n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The BPE training loop shared by q_text_bpe_train (which exposes
+    the merge table) and q_text_bpe_encode (which applies it): runs
+    over the WORD FREQUENCY table, never the corpus; each iteration is
+    an explode+aggregate over |vocab| rows weighted by freq plus a
+    1-row argmax collect; lineage truncated by localCheckpoint every 3
+    merges (the graph-loop pattern). Ties break on (count desc, left
+    asc, right asc) — total order, deterministic merge table."""
     d = t(spark, sf_dir, "documents")
     wf = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -383,7 +388,7 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # one bounded vocab table; frees the scan
     )
-    merges = []
+    merges: list[tuple[int, str, str, int]] = []
     for step in range(n_merges):
         pairs = wf.select(
             F.explode(
@@ -406,26 +411,67 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         left, right, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
         merges.append((step, left, right, n))
-        fused = F.lit(left + right)
-        wf = wf.withColumn(
-            "seq",
-            F.aggregate(
-                "seq",
-                F.expr("CAST(array() AS ARRAY<STRING>)"),
-                lambda acc, s: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(left))
-                    & (s == F.lit(right)),
-                    F.concat(
-                        F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(fused)
-                    ),
-                ).otherwise(F.concat(acc, F.array(s))),
-            ),
-        )
+        wf = wf.withColumn("seq", _merge_pair(F.col("seq"), left, right))
         if (step + 1) % 3 == 0:
             wf = wf.localCheckpoint(eager=True)
+    return merges
+
+
+@register("q_text_bpe_train", oracle=None, tags=("K6", "iterative", "rows-only"))
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer training (Sennrich et al. 2016 [PK]) — the
+    iterative loop whose single inner step q_text_bpe_pairs exposes:
+    N greedy merges, each picking the most frequent adjacent symbol
+    pair over the corpus and fusing it everywhere before recounting.
+    See train_bpe for the distributed shape (vocab-weighted counting,
+    Catalyst-fold merges, bounded 1-row collects). The learned merge
+    table is pinned EXACTLY against a pure-Python reference in
+    tests/test_ml_self_oracles.py::test_bpe_train_matches_reference
+    (iterative argmax is not one SQL query => rows-only here)."""
+    merges = train_bpe(spark, sf_dir, n_merges=12)
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count bigint"
+    )
+
+
+@register("q_text_bpe_encode", oracle=None, tags=("K6", "iterative", "rows-only"))
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the apply side that completes the tokenizer
+    loop (train → encode → pack): tokenize the corpus with the first 8
+    learned merges and account tokens per document. The encode reuses
+    training's central economy: merges apply once per DISTINCT word
+    (|vocab| folds), then a broadcast join maps every corpus word to
+    its token count — at 100 TB the corpus pass is one map-side join
+    against a vocab-sized dictionary, which is exactly how production
+    tokenizers amortize (encode the vocab, stream the corpus). Output:
+    per-doc word count and BPE token count (token = symbol after
+    merging, including the </w> marker). Pinned EXACTLY against a
+    pure-Python reference encoder in tests/test_ml_self_oracles.py::
+    test_bpe_encode_matches_reference (rows-only: iterative)."""
+    merges = train_bpe(spark, sf_dir, n_merges=8)
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") >= 1)
+    vocab = (
+        words.select("word")
+        .distinct()
+        .select(
+            "word", F.expr("array_append(split(word, ''), '</w>')").alias("seq")
+        )
+    )
+    for i, (_, left, right, _) in enumerate(merges):
+        vocab = vocab.withColumn("seq", _merge_pair(F.col("seq"), left, right))
+        if (i + 1) % 3 == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    sizes = vocab.select("word", F.size("seq").cast("bigint").alias("n_tok"))
+    return (
+        words.join(F.broadcast(sizes), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
     )
 
 

@@ -730,3 +730,77 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("adev") > 8 * F.col("mad_c"))
         .select("event_id", "event_type", "cents", "med_c", "mad_c")
     )
+
+
+@register(
+    "q_concurrency_peak",
+    oracle="""
+    WITH iv AS (
+        SELECT event_type, event_id, ts AS s,
+               ts + INTERVAL 5 MINUTE AS e
+        FROM events
+    ),
+    pts AS (
+        SELECT event_type, s AS t, 1 AS d FROM iv
+        UNION ALL
+        SELECT event_type, e AS t, -1 AS d FROM iv
+    ),
+    run AS (
+        SELECT event_type, t, d,
+               SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                            ROWS UNBOUNDED PRECEDING) AS cur
+        FROM pts
+    ),
+    peak AS (
+        SELECT event_type, CAST(MAX(cur) AS BIGINT) AS peak
+        FROM run GROUP BY event_type
+    )
+    SELECT r.event_type, p.peak,
+           CAST(MIN(epoch_us(r.t)) AS BIGINT) AS first_peak_us
+    FROM run r JOIN peak p
+      ON p.event_type = r.event_type AND r.cur = p.peak
+    GROUP BY r.event_type, p.peak
+    """,
+    tags=("timeseries", "E3", "G1"),
+)
+def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency — the occupancy/capacity question
+    (max simultaneous sessions, peak open orders, room occupancy)
+    answered without materializing any pairwise overlap join: each
+    5-minute activity interval contributes a +1 at its start and a −1
+    at its end, a running sum over the merged endpoint stream is the
+    live concurrency, and its max per type is the peak (plus the first
+    instant it is reached). Half-open-interval convention: at equal
+    timestamps the −1 sorts first (ORDER BY t, d), so back-to-back
+    intervals never double-count; equal-(t, d) endpoint order doesn't
+    affect any partial sum, so the result is deterministic without an
+    id tie-break. The per-type running sum is a prefix scan — at 100 TB
+    with few types it distributes via the same two-phase
+    partition-scan + offset-broadcast used by q_skyline's local/global
+    frontier (documented there); the fixture spelling keeps the plain
+    window."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("e"),
+    )
+    pts = iv.select("event_type", F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.withColumn("cur", F.sum("d").over(w))
+    peak = run.groupBy("event_type").agg(F.max("cur").cast("bigint").alias("peak"))
+    return (
+        run.join(F.broadcast(peak), "event_type")
+        .filter(F.col("cur") == F.col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(F.min(F.unix_micros("t")).cast("bigint").alias("first_peak_us"))
+        .select("event_type", "peak", "first_peak_us")
+    )

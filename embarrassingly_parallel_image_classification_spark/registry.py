@@ -199,6 +199,7 @@ _DRIVER_PRIORITY = (
     "q_udtf_table_arg",        # TABLE-arg UDTF (partitioned+ordered)
     "q_mine_hard_negatives",   # contrastive hard-negative mining
     "q_sample_negatives",      # deterministic negative sampling
+    "q_concurrency_peak",      # sweep-line peak occupancy
     # 2. Cross-family canaries, all driver-green in r1–r5, re-proving
     #    this round's code changes and one healthy representative per
     #    major family.

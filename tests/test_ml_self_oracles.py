@@ -488,3 +488,61 @@ def test_bpe_train_matches_reference(spark):
         for r in registry.queries()["q_text_bpe_train"](spark, SF_T2).collect()
     ]
     assert got == want
+
+
+def test_bpe_encode_matches_reference(spark):
+    """q_text_bpe_encode's per-doc (word count, BPE token count) must
+    equal a pure-Python encode with the same 8 reference-trained
+    merges — any divergence in merge application order, greedy scan
+    direction, or the vocab→corpus join fails here."""
+    import duckdb
+
+    from embarrassingly_parallel_image_classification_spark import registry
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT doc_id, w FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+            FROM read_parquet('{SF_T2}/documents.parquet'))
+        WHERE length(w) >= 1
+        """
+    ).fetchall()
+    freq: dict = {}
+    for _, w in rows:
+        freq[w] = freq.get(w, 0) + 1
+    vocab = {w: tuple(list(w) + ["</w>"]) for w in freq}
+
+    def merge(sym, left, right):
+        out: list = []
+        for s in sym:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        return tuple(out)
+
+    for _ in range(8):
+        counts: dict = {}
+        for w, sym in vocab.items():
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] = (
+                    counts.get((sym[i], sym[i + 1]), 0) + freq[w]
+                )
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < 2:
+            break
+        vocab = {w: merge(sym, left, right) for w, sym in vocab.items()}
+    want: dict = {}
+    for doc_id, w in rows:
+        nw, nt = want.get(doc_id, (0, 0))
+        want[doc_id] = (nw + 1, nt + len(vocab[w]))
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in registry.queries()["q_text_bpe_encode"](spark, SF_T2).collect()
+    }
+    assert got == want
