@@ -133,18 +133,18 @@ def _ensure_loaded() -> None:
 
 # Names pinned to the FRONT of specs()/queries() order, i.e. inside the
 # driver's verified prefix (50 slots observed in rounds 1–5).
-# ROUND-6 WINDOW (per the round-5 verdict's item 2, computed by
-# scripts/next_window.py): after five rounds, 172 distinct queries have
-# driver-verified green rows; exactly 28 oracle-backed queries have
-# NEVER had one — the round-5 additions (lakehouse L1–L4, corpus pack,
+# ROUND-6 WINDOW (r5 verdict item 2 + this round's additions): first
+# the 28 oracle-backed queries that had NEVER had a driver row after
+# five rounds (the round-5 additions: lakehouse L1–L4, corpus pack,
 # eval metrics, many-models/streaming inference, OHLC/trend/anomaly,
 # arrow writer/UDF, scripting, provenance, chained agg, pretrain
-# pipeline). This window pins all 28, closing the evidence gap to
-# 200/200 oracle-backed queries driver-verified at least once, plus 8
-# cross-family canaries (each green in r1–r5) guarding the families
-# whose code changed this round (centroid/inverted-index reshape,
-# lakehouse manifest schema + atomic batch ids, corpus-shuffle scale
-# spelling).
+# pipeline), then every round-6 oracle-backed addition (EWMA pair,
+# ensemble, incremental dedup, multi-table txn, skyline/seq-pattern/
+# allocation/TWAP pair/zorder/erase/rolling-median/MAD/MV-routing/
+# TABLE-arg UDTF/negative mining+sampling/peak concurrency), then the
+# cross-family canaries — new-coverage slots outrank re-verification
+# when the 50-slot window is tight; canaries past slot 50 simply wait
+# for round 7's rotation.
 _DRIVER_PRIORITY = (
     # 1. The 28 never-driver-verified oracle-backed queries.
     # embeddings / timeseries / eval
@@ -200,9 +200,9 @@ _DRIVER_PRIORITY = (
     "q_mine_hard_negatives",   # contrastive hard-negative mining
     "q_sample_negatives",      # deterministic negative sampling
     "q_concurrency_peak",      # sweep-line peak occupancy
-    # 2. Cross-family canaries, all driver-green in r1–r5, re-proving
-    #    this round's code changes and one healthy representative per
-    #    major family.
+    # 2. Cross-family canaries, all driver-green in r1–r5 — behind the
+    #    never-verified additions: new-coverage slots outrank
+    #    re-verification when the 50-slot window is tight.
     "q_tpch_q9",              # TPC-H family canary
     "q_stream_tumbling",      # streaming family canary
     "q_dedup_ngram_jaccard",  # dedup family canary
