@@ -93,6 +93,14 @@ HEADLINE = [
     "q_alloc_prorata",
     "q_timeseries_twap",
     "q_lake_zorder",
+    # round-6 continuation: robust stats, occupancy, concentration,
+    # contrastive prep, MV routing (all sub-second at sf0.1)
+    "q_window_rolling_median",
+    "q_anomaly_mad",
+    "q_concurrency_peak",
+    "q_pareto_8020",
+    "q_mine_hard_negatives",
+    "q_mv_routing",
 ]
 
 

@@ -1,6 +1,7 @@
-"""Dominance, sequence and allocation analytics — three operator
-families a warehouse-grade engine ships that are not reducible to the
-join/agg/window queries elsewhere in the registry [PK]:
+"""Dominance, sequence, allocation and concentration analytics —
+operator families a warehouse-grade engine ships that are not
+reducible to the join/agg/window queries elsewhere in the registry
+[PK]:
 
   * q_skyline       — Pareto frontier (skyline) of parts on
                       (price min, size max), via the canonical
@@ -10,9 +11,11 @@ join/agg/window queries elsewhere in the registry [PK]:
                       patterns);
   * q_alloc_prorata — largest-remainder proportional allocation
                       (billing/settlement: spread an order total across
-                      its lines so cents sum back exactly).
+                      its lines so cents sum back exactly);
+  * q_pareto_8020   — revenue-concentration cut (how many top
+                      customers cover 80% of each segment).
 
-All three are pure-SQL/JVM plans with exact DuckDB oracles.
+All are pure-SQL/JVM plans with exact DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -245,4 +248,80 @@ def q_alloc_prorata(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("base") + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)).alias(
             "alloc_c"
         ),
+    )
+
+
+@register(
+    "q_pareto_8020",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment, o.o_custkey
+    ),
+    ranked AS (
+        SELECT segment, cents,
+               SUM(cents) OVER (PARTITION BY segment
+                                ORDER BY cents DESC, o_custkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_cents,
+               SUM(cents) OVER (PARTITION BY segment) AS total_cents,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                                  ORDER BY cents DESC, o_custkey) AS rk,
+               COUNT(*) OVER (PARTITION BY segment) AS n_cust
+        FROM per_cust
+    )
+    SELECT segment,
+           CAST(MIN(rk) AS BIGINT) AS cust_to_80pct,
+           CAST(MIN(n_cust) AS BIGINT) AS n_customers
+    FROM ranked
+    WHERE cum_cents * 5 >= total_cents * 4
+    GROUP BY segment
+    """,
+    tags=("composite", "E1", "D1"),
+)
+def q_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration cut (the 80/20 question): per market
+    segment, how many top customers it takes to cover 80% of revenue —
+    rank customers by revenue desc, running share over the ranked
+    order, first rank whose cumulative share reaches 4/5. The
+    threshold compares in pure integers (cum·5 ≥ total·4 — no float
+    share to disagree over at the boundary); ties in revenue break on
+    custkey so the rank is total. Plan: one orderkey-keyed aggregate,
+    then ALL four windows share a single (segment) partitioning — one
+    customer-level shuffle regardless of how many statistics ride
+    along."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    by_rev = Window.partitionBy("segment").orderBy(
+        F.desc("cents"), F.asc("o_custkey")
+    )
+    whole = Window.partitionBy("segment")
+    ranked = per_cust.select(
+        "segment",
+        "cents",
+        F.sum("cents")
+        .over(by_rev.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_cents"),
+        F.sum("cents").over(whole).alias("total_cents"),
+        F.row_number().over(by_rev).alias("rk"),
+        F.count("*").over(whole).alias("n_cust"),
+    )
+    return (
+        ranked.filter(F.col("cum_cents") * 5 >= F.col("total_cents") * 4)
+        .groupBy("segment")
+        .agg(
+            F.min("rk").cast("bigint").alias("cust_to_80pct"),
+            F.min("n_cust").cast("bigint").alias("n_customers"),
+        )
     )

@@ -200,6 +200,7 @@ _DRIVER_PRIORITY = (
     "q_mine_hard_negatives",   # contrastive hard-negative mining
     "q_sample_negatives",      # deterministic negative sampling
     "q_concurrency_peak",      # sweep-line peak occupancy
+    "q_pareto_8020",           # revenue-concentration cut
     # 2. Cross-family canaries, all driver-green in r1–r5 — behind the
     #    never-verified additions: new-coverage slots outrank
     #    re-verification when the 50-slot window is tight.
