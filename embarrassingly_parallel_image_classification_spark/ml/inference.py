@@ -586,3 +586,128 @@ def q_infer_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_votes").cast("bigint").alias("n_votes"),
         )
     )
+
+
+@register(
+    "q_eval_lift",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, value AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    d AS (
+        SELECT y, NTILE(10) OVER (ORDER BY score DESC, event_id) AS decile
+        FROM s
+    ),
+    g AS (
+        SELECT decile, COUNT(*) AS n_rows, SUM(y) AS n_pos
+        FROM d GROUP BY decile
+    ),
+    c AS (
+        SELECT decile, n_rows, n_pos,
+               SUM(n_rows) OVER (ORDER BY decile) AS cum_n,
+               SUM(n_pos) OVER (ORDER BY decile) AS cum_pos,
+               SUM(n_rows) OVER () AS n_tot,
+               SUM(n_pos) OVER () AS pos_tot
+        FROM g
+    )
+    SELECT decile, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(cum_pos * n_tot * 1000000 // (cum_n * pos_tot) AS BIGINT)
+               AS lift_e6,
+           CAST(cum_pos * 1000000 // pos_tot AS BIGINT) AS capture_e6
+    FROM c
+    """,
+    tags=("J1", "E4", "eval"),
+)
+def q_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile GAINS/LIFT table — the model-evaluation report next to
+    q_eval_auc/q_eval_calibration: rank rows by score descending, cut
+    into 10 equal deciles, and report per-decile positives plus
+    cumulative lift (capture rate over the base rate) and cumulative
+    capture, both as exact integer e6 ratios (DIV // parity — no float
+    share at a bucket boundary). The oracle spells deciles as one
+    NTILE; the Spark plan computes the SAME total order with the
+    distributed-rank pattern instead of a single-partition window:
+
+    1. bucket every row by a DETERMINISTIC coarse key aligned with the
+       sort order (floor(score) — a prefix of the sort key, so a higher
+       bucket means strictly earlier ranks; unlike a repartitionByRange
+       partition id, the bucket cannot move between re-evaluations of
+       the plan, so the offsets frame and the rank frame can never
+       disagree — range sampling is nondeterministic across jobs);
+    2. per-bucket local row_number (window PARTITIONED by bucket —
+       parallel, no global sort node);
+    3. bucket rank offsets from a |buckets|-row count frame, broadcast
+       back;
+    4. global rank = offset + local rank, decile from rank and n by
+       NTILE's closed-form bucket rule (first n mod 10 buckets get
+       ⌈n/10⌉ rows) — bit-identical to the oracle's NTILE.
+
+    The only full-data exchanges are the bucket shuffle and the decile
+    hash aggregate; the cumulative window runs on 10 rows. At 100 TB
+    the same plan stands with a finer bucket key (score quantized to
+    whatever precision bounds bucket skew) — the two-phase rank
+    replaces the impossible global window."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("y"),
+    )
+    from pyspark.sql import Window
+
+    b = ev.withColumn("__bkt", F.floor("score").cast("bigint"))
+    wloc = Window.partitionBy("__bkt").orderBy(F.desc("score"), F.asc("event_id"))
+    local = b.withColumn("lrk", F.row_number().over(wloc))
+    # |buckets|-row frame: ranks strictly before each bucket (buckets
+    # descend with score, so higher buckets precede)
+    sizes = local.groupBy("__bkt").agg(F.count("*").alias("cnt"))
+    woff = Window.orderBy(F.desc("__bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "__bkt", F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off")
+    )
+    n_tot_frame = sizes.agg(
+        F.sum("cnt").alias("n_tot")
+    )  # 1-row scalar, joined broadcast below
+    ranked = (
+        local.join(F.broadcast(offs), "__bkt")
+        .crossJoin(F.broadcast(n_tot_frame))
+        .withColumn("rk", F.col("off") + F.col("lrk"))
+    )
+    # NTILE(10) closed form: q = n div 10, m = n mod 10; the first m
+    # buckets hold q+1 rows.
+    decile = F.expr(
+        """CASE WHEN rk <= (n_tot % 10) * (n_tot DIV 10 + 1)
+                THEN (rk - 1) DIV (n_tot DIV 10 + 1) + 1
+                ELSE (n_tot % 10)
+                     + (rk - 1 - (n_tot % 10) * (n_tot DIV 10 + 1))
+                       DIV (n_tot DIV 10) + 1 END"""
+    )
+    g = (
+        ranked.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_rows"), F.sum("y").alias("n_pos"))
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    whole = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.sum("n_rows").over(wcum).alias("cum_n"),
+        F.sum("n_pos").over(wcum).alias("cum_pos"),
+        F.sum("n_rows").over(whole).alias("n_tot"),
+        F.sum("n_pos").over(whole).alias("pos_tot"),
+    )
+    return c.select(
+        "decile",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.expr(
+            "CAST(cum_pos * n_tot * 1000000 DIV (cum_n * pos_tot) AS BIGINT)"
+        ).alias("lift_e6"),
+        F.expr("CAST(cum_pos * 1000000 DIV pos_tot AS BIGINT)").alias("capture_e6"),
+    )

@@ -13,7 +13,16 @@ reducible to the join/agg/window queries elsewhere in the registry
                       (billing/settlement: spread an order total across
                       its lines so cents sum back exactly);
   * q_pareto_8020   — revenue-concentration cut (how many top
-                      customers cover 80% of each segment).
+                      customers cover 80% of each segment);
+  * q_markov_transitions — first-order event-journey transition
+                      matrix (the behavioral model behind next-action
+                      prediction and journey simulation);
+  * q_rfm_segments  — recency/frequency/monetary quartile
+                      segmentation (the classic CRM operator);
+  * q_ab_test       — EXACT two-sample mean-difference test decided
+                      entirely in integer/decimal arithmetic;
+  * q_bitmap_audience — audience-overlap via 64-bit bitmap words
+                      (the roaring-bitmap set-intersection shape).
 
 All are pure-SQL/JVM plans with exact DuckDB oracles.
 """
@@ -323,5 +332,304 @@ def q_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("rk").cast("bigint").alias("cust_to_80pct"),
             F.min("n_cust").cast("bigint").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    tr AS (
+        SELECT from_type, to_type, COUNT(*) AS n_trans
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_trans,
+           CAST(n_trans * 1000000
+                // SUM(n_trans) OVER (PARTITION BY from_type)
+                AS BIGINT) AS p_e6
+    FROM tr
+    """,
+    tags=("E2", "D1", "composite"),
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    journeys — the behavioral model behind next-action prediction,
+    journey simulation and anomalous-flow detection: for every ordered
+    pair of consecutive events of one user, count (from_type →
+    to_type) and its exact row probability p_e6 = n·10⁶ div Σ_from n
+    (integer division of positive integers — Spark's DIV and DuckDB's
+    // agree, no float probability to disagree over). Order ties break
+    on event_id so each user's journey is deterministic. Plan: ONE
+    user-keyed shuffle for the lead window, then a transition-pair hash
+    aggregate whose output is |types|² rows — the row-probability
+    window runs on that tiny matrix, never on the fact table. At
+    100 TB the journey shuffle is the only fact-sized exchange and
+    partitions by user exactly like sessionization."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    tr = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n_trans"))
+    return tr.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.expr(
+            "CAST(n_trans * 1000000 DIV SUM(n_trans)"
+            " OVER (PARTITION BY from_type) AS BIGINT)"
+        ).alias("p_e6"),
+    )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+    WITH anchor AS (
+        SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders
+    ),
+    cust AS (
+        SELECT o_custkey,
+               datediff('day', MAX(CAST(o_orderdate AS DATE)),
+                        (SELECT maxd FROM anchor)) AS rec_days,
+               COUNT(*) AS freq,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, cents,
+               NTILE(4) OVER (ORDER BY rec_days ASC, o_custkey) AS r_score,
+               NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+               NTILE(4) OVER (ORDER BY cents DESC, o_custkey) AS m_score
+        FROM cust
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS cents_total
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+    tags=("E4", "D1", "composite"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM/marketing operator: each
+    customer scored 1–4 on Recency (days since last order, vs the
+    corpus max date), Frequency (order count) and Monetary (lifetime
+    cents), quartiles via NTILE over a TOTAL order (custkey breaks
+    every tie, and NTILE's bucket-size rule — first n mod 4 buckets
+    one larger — is SQL-standard and identical in both engines); the
+    compared output is the 4×4×4 segment census. Plan: one
+    custkey-keyed aggregate over orders (fact-sized), a 1-row anchor
+    scalar broadcast, then three NTILEs sharing the customer-level
+    frame — at 100 TB the quartile boundaries would come from an
+    approx-quantile pass instead of a global NTILE window; the
+    segment rule itself is unchanged (docstring'd trade-off: NTILE
+    keeps the oracle exact, the boundary spelling is the scale path)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    anchor = o.agg(F.max("d").alias("maxd"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("d").alias("lastd"),
+            F.count("*").alias("freq"),
+            F.sum("cents").alias("cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "lastd").alias("rec_days"),
+            "freq",
+            "cents",
+        )
+    )
+    scored = cust.select(
+        "o_custkey",
+        "cents",
+        F.ntile(4).over(Window.orderBy(F.asc("rec_days"), F.asc("o_custkey"))).alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("freq"), F.asc("o_custkey"))).alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("cents"), F.asc("o_custkey"))).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("cents_total"),
+    )
+
+
+@register(
+    "q_ab_test",
+    oracle="""
+    WITH x AS (
+        SELECT event_type,
+               user_id % 2 = 0 AS treat,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(COUNT(*) FILTER (WHERE treat) AS DECIMAL(38,0)) AS n1,
+               CAST(COUNT(*) FILTER (WHERE NOT treat) AS DECIMAL(38,0)) AS n2,
+               CAST(COALESCE(SUM(cents) FILTER (WHERE treat), 0)
+                    AS DECIMAL(38,0)) AS s1,
+               CAST(COALESCE(SUM(cents) FILTER (WHERE NOT treat), 0)
+                    AS DECIMAL(38,0)) AS s2,
+               CAST(COALESCE(SUM(cents * cents) FILTER (WHERE treat), 0)
+                    AS DECIMAL(38,0)) AS q1,
+               CAST(COALESCE(SUM(cents * cents) FILTER (WHERE NOT treat), 0)
+                    AS DECIMAL(38,0)) AS q2
+        FROM x GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_treat,
+           CAST(n2 AS BIGINT) AS n_control,
+           ROUND(CAST(s1 * n2 - s2 * n1 AS DOUBLE)
+                 / CAST(n1 * n2 AS DOUBLE) / 100.0, 6) AS mean_diff,
+           (s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1) * (n1 + n2 - 2)
+             > 4 * (n2 * (n1 * q1 - s1 * s1) + n1 * (n2 * q2 - s2 * s2))
+                 * (n1 + n2) AS significant
+    FROM g
+    """,
+    tags=("D10", "D3", "eval"),
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample A/B test (pooled-variance t², threshold
+    |t| > 2): treatment = even user_id, metric = event value in
+    cents, one test per event_type. The decision is made entirely in
+    DECIMAL(38,0) integer algebra — with D = S₁n₂ − S₂n₁ (the
+    cross-multiplied mean difference) and Bᵢ = nᵢQᵢ − Sᵢ² (n²·variance
+    numerators), t² > 4 is EXACTLY D²(n₁+n₂−2) > 4(n₂B₁ + n₁B₂)(n₁+n₂)
+    — no sqrt, no float, no boundary an engine pair can split
+    (q_anomaly_3sigma's multiply-through discipline applied to the
+    two-sample statistic). The reported mean_diff pays the single
+    ROUND(6) double division on identical exact operands (the
+    q_timeseries_trend pattern). Plan: ONE conditional hash aggregate
+    over events — treatment and control are FILTER branches of the
+    same pass, so the whole test is one fact-sized shuffle producing
+    |event_type| rows; no join anywhere."""
+    x = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    d38 = "decimal(38,0)"
+    g = x.groupBy("event_type").agg(
+        F.count(F.when(F.col("treat"), 1)).cast(d38).alias("n1"),
+        F.count(F.when(~F.col("treat"), 1)).cast(d38).alias("n2"),
+        F.coalesce(F.sum(F.when(F.col("treat"), F.col("cents"))), F.lit(0)).cast(d38).alias("s1"),
+        F.coalesce(F.sum(F.when(~F.col("treat"), F.col("cents"))), F.lit(0)).cast(d38).alias("s2"),
+        F.coalesce(
+            F.sum(F.when(F.col("treat"), F.col("cents") * F.col("cents"))), F.lit(0)
+        ).cast(d38).alias("q1"),
+        F.coalesce(
+            F.sum(F.when(~F.col("treat"), F.col("cents") * F.col("cents"))), F.lit(0)
+        ).cast(d38).alias("q2"),
+    )
+    d = F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1")
+    b1 = F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1")
+    b2 = F.col("n2") * F.col("q2") - F.col("s2") * F.col("s2")
+    return g.select(
+        "event_type",
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("n2").cast("bigint").alias("n_control"),
+        F.round(
+            d.cast("double") / (F.col("n1") * F.col("n2")).cast("double") / 100.0, 6
+        ).alias("mean_diff"),
+        (
+            d * d * (F.col("n1") + F.col("n2") - 2)
+            > 4 * (F.col("n2") * b1 + F.col("n1") * b2) * (F.col("n1") + F.col("n2"))
+        ).alias("significant"),
+    )
+
+
+@register(
+    "q_bitmap_audience",
+    oracle="""
+    WITH tu AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+        SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type
+    ),
+    ov AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS overlap_users
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT o.type_a, o.type_b, o.overlap_users,
+           sa.n + sb.n - o.overlap_users AS union_users,
+           CAST(o.overlap_users * 1000000
+                // (sa.n + sb.n - o.overlap_users) AS BIGINT) AS jaccard_e6
+    FROM ov o
+    JOIN sizes sa ON sa.event_type = o.type_a
+    JOIN sizes sb ON sb.event_type = o.type_b
+    """,
+    tags=("H11", "D1", "composite"),
+)
+def q_bitmap_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between every pair of event types via 64-bit
+    BITMAP WORDS — the roaring-bitmap/Druid set-intersection shape
+    that answers "how many users do segments A and B share" without
+    ever shuffling a (user,user) join: each segment's audience becomes
+    ⌈|users|/64⌉ words (word w = OR of 1<<(id mod 64) over ids with
+    id div 64 = w — OR is idempotent, so no per-user DISTINCT pass is
+    needed), pairwise overlap = Σ popcount(wordA AND wordB) over an
+    equi-join on word index, and sizes = Σ popcount per segment. The
+    oracle computes the same counts the naive way (distinct pairs +
+    self-join on user). Jaccard is exact integer e6 (DIV // parity).
+    Plan: one (type, word-index)-keyed aggregate over events (the only
+    fact-sized shuffle — 64× smaller than the distinct-user set on
+    output), then joins on word index over frames |types|·|users|/64
+    rows long. At 100 TB this is exactly how audience engines scale:
+    words partition by index, every pairwise AND is co-located."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") / 64).cast("bigint").alias("widx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").alias("bit"),
+    )
+    words = ev.groupBy("event_type", "widx").agg(
+        F.expr("bit_or(bit)").alias("word")
+    )
+    sizes = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).alias("n")
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"), "widx", F.col("word").alias("wa")
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"), "widx", F.col("word").alias("wb")
+    )
+    ov = (
+        a.join(b, ["widx"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb")))).alias("overlap_users"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        ov.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "overlap_users",
+            (F.col("na") + F.col("nb") - F.col("overlap_users")).alias("union_users"),
+            F.expr(
+                "CAST(overlap_users * 1000000 DIV (na + nb - overlap_users) AS BIGINT)"
+            ).alias("jaccard_e6"),
         )
     )

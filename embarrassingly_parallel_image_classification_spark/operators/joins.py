@@ -310,3 +310,92 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
         .filter(F.col("dist") <= 2)
     )
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+        SELECT event_id, event_type, epoch_us(ts) AS s,
+               epoch_us(ts) + (1 + event_id % 30) * 60000000 AS e
+        FROM events
+    ),
+    a AS (SELECT * FROM iv WHERE event_id % 2 = 0),
+    b AS (SELECT * FROM iv WHERE event_id % 2 = 1)
+    SELECT a.event_id AS a_id, b.event_id AS b_id, a.event_type,
+           LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_us
+    FROM a JOIN b
+      ON a.event_type = b.event_type AND a.s < b.e AND b.s < a.e
+    """,
+    tags=("C8", "composite", "timeseries"),
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP JOIN — the temporal-join workhorse (maintenance
+    windows × incidents, sessions × campaigns): every pair of
+    overlapping intervals across two sets, with the exact overlap in
+    microseconds. The oracle is the naive range join; the Spark plan is
+    the scale formulation — bin-and-equi-join:
+
+    1. each interval [s, e) explodes into the HOUR buckets it touches
+       (sequence on integer hours — bounded fanout: duration ≤ 30 min
+       means ≤ 2 buckets per interval);
+    2. candidates come from an EQUI-join on (event_type, hour bucket) —
+       hash-partitioned, co-located, never a BNLJ over the cross
+       product (the q_join_range theta shape made scalable);
+    3. the overlap predicate verifies candidates, and each surviving
+       pair is emitted ONLY in the bucket containing its overlap start
+       (hr = greatest(a.s, b.s) div 1h) — the canonical-bucket trick
+       that replaces a pair-distinct shuffle with a free filter;
+    4. overlap_us = least(e) − greatest(s), pure integer micros.
+
+    At 100 TB the bucket width tunes to the duration distribution
+    (buckets ≈ median duration keep fanout ≈ 2 and candidates tight);
+    skewed hot hours split by (bucket, salt) exactly like the salted
+    join."""
+    hour_us = 3_600_000_000
+    iv = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + (1 + F.col("event_id") % 30) * 60_000_000).alias("e"),
+    )
+    binned = iv.withColumn(
+        "hr",
+        F.explode(
+            F.sequence(
+                (F.col("s") / hour_us).cast("bigint"),
+                ((F.col("e") - 1) / hour_us).cast("bigint"),
+            )
+        ),
+    )
+    a = binned.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("a_id"),
+        "event_type",
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+        "hr",
+    )
+    b = binned.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("b_id"),
+        F.col("event_type").alias("b_type"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+        F.col("hr").alias("b_hr"),
+    )
+    pairs = (
+        a.join(b, (a.event_type == b.b_type) & (a.hr == b.b_hr))
+        .filter(
+            (F.col("a_s") < F.col("b_e"))
+            & (F.col("b_s") < F.col("a_e"))
+            # canonical bucket: count the pair only where its overlap starts
+            & (
+                (F.greatest("a_s", "b_s") / hour_us).cast("bigint") == F.col("hr")
+            )
+        )
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        "event_type",
+        (F.least("a_e", "b_e") - F.greatest("a_s", "b_s")).alias("overlap_us"),
+    )

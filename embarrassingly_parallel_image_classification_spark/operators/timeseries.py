@@ -10,7 +10,7 @@ the per-(hour, type) count of the fact table itself.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -803,4 +803,97 @@ def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "peak")
         .agg(F.min(F.unix_micros("t")).cast("bigint").alias("first_peak_us"))
         .select("event_type", "peak", "first_peak_us")
+    )
+
+
+@register(
+    "q_changepoint_cusum",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type, ts, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    run AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS k,
+               SUM(cents) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS pk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n,
+               SUM(cents) OVER (PARTITION BY event_type) AS s
+        FROM pts
+    ),
+    g AS (
+        SELECT event_type, k, n, pk, s,
+               ABS(n * pk - k * s) AS g_abs,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(n * pk - k * s) DESC, k) AS rk
+        FROM run WHERE k < n
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS split_k,
+           ROUND(CAST(pk AS DOUBLE) / CAST(k AS DOUBLE) / 100.0, 6)
+               AS mean_before,
+           ROUND(CAST(s - pk AS DOUBLE) / CAST(n - k AS DOUBLE) / 100.0, 6)
+               AS mean_after
+    FROM g WHERE rk = 1
+    """,
+    tags=("D10", "E3", "timeseries"),
+)
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT CUSUM changepoint detection: per event_type, the split
+    position k* maximizing |CUSUM_k| — with the mean multiplied
+    through (G_k = n·P_k − k·S, P_k the prefix cents sum, S the
+    total), the statistic is pure BIGINT and the argmax is decided on
+    integers; ties break toward the earliest k, so the answer is
+    total. This is the offline single-changepoint estimator (the
+    two-means L2 split at fixed k reduces to maximizing |G_k| — Page's
+    CUSUM shape [PK]); only the two reported segment means pay the one
+    ROUND(6) double division on identical exact operands. Plan: one
+    event_type-keyed shuffle feeds all four windows (prefix sum, row
+    number, and the two whole-partition totals share the partitioning)
+    plus the argmax rank — per-series state, the inherent shape of
+    full-history changepoint detection; at 100 TB series are
+    themselves partitioned (per type×week segments) and G recombines
+    from per-segment partials (P_k offsets add), while BIGINT widens
+    to DECIMAL(38,0) once n·P_k approaches 2^63 (the
+    q_timeseries_trend discipline)."""
+    pts = t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    by = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    whole = Window.partitionBy("event_type")
+    run = pts.select(
+        "event_type",
+        F.row_number().over(by).alias("k"),
+        F.sum("cents")
+        .over(by.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("pk"),
+        F.count("*").over(whole).alias("n"),
+        F.sum("cents").over(whole).alias("s"),
+    ).filter(F.col("k") < F.col("n"))
+    g_abs = F.abs(F.col("n") * F.col("pk") - F.col("k") * F.col("s"))
+    g = run.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(g_abs.desc(), F.asc("k"))
+        ),
+    ).filter(F.col("rk") == 1)
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("split_k"),
+        F.round(F.col("pk").cast("double") / F.col("k").cast("double") / 100.0, 6).alias(
+            "mean_before"
+        ),
+        F.round(
+            (F.col("s") - F.col("pk")).cast("double")
+            / (F.col("n") - F.col("k")).cast("double")
+            / 100.0,
+            6,
+        ).alias("mean_after"),
     )

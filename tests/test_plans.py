@@ -226,6 +226,10 @@ _CARTESIAN_OK = {
                              # the doc scan (map-side fanout)
     "q_eval_calibration",    # 1-row (min,max) scalar broadcast onto the
                              # scan for integer binning
+    "q_rfm_segments",        # 1-row max-order-date anchor scalar
+                             # broadcast onto the customer aggregate
+    "q_eval_lift",           # 1-row total-count scalar broadcast onto
+                             # the ranked frame for the NTILE closed form
 }
 
 
