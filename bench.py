@@ -101,6 +101,18 @@ HEADLINE = [
     "q_pareto_8020",
     "q_mine_hard_negatives",
     "q_mv_routing",
+    # round-6 session-2 additions: behavioral/statistical analytics,
+    # distributed-rank, interval join, containment dedup, SSSP
+    "q_markov_transitions",
+    "q_ab_test",
+    "q_bitmap_audience",
+    "q_eval_lift",
+    "q_join_interval_overlap",
+    "q_dedup_containment",
+    "q_changepoint_cusum",
+    "q_agg_equidepth",
+    "q_streaks",
+    "q_graph_shortest_path",
 ]
 
 

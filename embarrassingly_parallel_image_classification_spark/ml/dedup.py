@@ -1211,3 +1211,120 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id_exist").alias("min_dup_id"),
         F.round(F.max("jaccard_raw"), 6).alias("max_jaccard"),
     )
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id,
+                  UNNEST(list_transform(
+                      range(1, len(ws) - {SHINGLE_N - 2}),
+                      i -> array_to_string(ws[i : i + {SHINGLE_N - 1}], ' '))) AS shingle
+           FROM toks
+         ),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+                  COUNT(*) AS inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+                             AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2
+         )
+    SELECT i.contained_id, i.container_id, i.inter,
+           sa.sz AS sz_contained,
+           CAST(i.inter * 1000000 // sa.sz AS BIGINT) AS cont_e6
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.contained_id
+    WHERE i.inter * 5 >= 4 * sa.sz
+    """,
+    tags=("K2",),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup detection (asymmetric Jaccard,
+    c(A→B) = |A∩B| / |A| ≥ 0.8) — the screen Jaccard misses: a short
+    doc pasted inside a long one has tiny Jaccard but containment ≈ 1
+    (quote inclusion, boilerplate wrapping, sub-document dup [PK —
+    Broder's containment]). The oracle is the naive shingle self-join;
+    the Spark plan is the lossless PROBE-prefix + set-verify
+    architecture:
+
+    1. distinct trigram shingles per doc (shingles() — O(1) gram
+       assembly), per-doc sizes;
+    2. probe prefix: each doc's shingles ordered by GLOBAL document
+       frequency ascending (rarest first), keep the first
+       ⌊(1−τ)·|A|⌋+1 — if A is τ-contained in ANY B, at most
+       (1−τ)·|A| of A's shingles miss B, so at least one probe shingle
+       hits: candidate generation is lossless, and probing with the
+       RAREST shingles minimizes candidate fanout;
+    3. candidates = probe ⋈ full shingle table on shingle (equi-join,
+       never all-pairs), distinct ordered pairs;
+    4. verify on materialized sets: join each candidate to the two
+       docs' sorted shingle arrays, exact inter = size(
+       array_intersect) — per-pair work bounded by doc length, no
+       second fact-sized shuffle;
+    5. integer threshold 5·inter ≥ 4·|A| and exact e6 containment
+       (DIV // parity).
+
+    At 100 TB step 3 is the only quadratic risk and the df-ascending
+    prefix is the standard mitigation (stop-shingle cut applies the
+    q_text_boilerplate census when corpora carry heavy templates)."""
+    d = t(spark, sf_dir, "documents")
+    tau_num, tau_den = 4, 5  # tau = 0.8
+    sh = shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(df, "shingle")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.asc("df"), F.asc("shingle")
+                )
+            ),
+        )
+        .join(sizes, "doc_id")
+        # keep floor((1 - tau) * sz) + 1 probes: (den-num)*sz DIV den + 1
+        .filter(
+            F.col("rk")
+            <= F.expr(f"CAST(({tau_den - tau_num} * sz) DIV {tau_den} AS INT) + 1")
+        )
+        .select(F.col("doc_id").alias("contained_id"), "shingle")
+    )
+    cand = (
+        ranked.join(
+            sh.select(F.col("doc_id").alias("container_id"), "shingle"), "shingle"
+        )
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("shingle")).alias("set"), F.count("*").alias("sz")
+    )
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("contained_id"),
+                F.col("set").alias("set_a"),
+                F.col("sz").alias("sz_contained"),
+            ),
+            "contained_id",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("container_id"), F.col("set").alias("set_b")
+            ),
+            "container_id",
+        )
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")).cast("bigint"))
+        .filter(F.col("inter") * tau_den >= tau_num * F.col("sz_contained"))
+    )
+    return verified.select(
+        "contained_id",
+        "container_id",
+        "inter",
+        "sz_contained",
+        F.expr("CAST(inter * 1000000 DIV sz_contained AS BIGINT)").alias("cont_e6"),
+    )

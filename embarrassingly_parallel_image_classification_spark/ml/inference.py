@@ -657,24 +657,18 @@ def q_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    b = ev.withColumn("__bkt", F.floor("score").cast("bigint"))
-    wloc = Window.partitionBy("__bkt").orderBy(F.desc("score"), F.asc("event_id"))
-    local = b.withColumn("lrk", F.row_number().over(wloc))
-    # |buckets|-row frame: ranks strictly before each bucket (buckets
-    # descend with score, so higher buckets precede)
-    sizes = local.groupBy("__bkt").agg(F.count("*").alias("cnt"))
-    woff = Window.orderBy(F.desc("__bkt")).rowsBetween(Window.unboundedPreceding, -1)
-    offs = sizes.select(
-        "__bkt", F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off")
+    from ..operators.sort_limit import two_phase_rank
+
+    ranked_only = two_phase_rank(
+        ev,
+        F.floor("score").cast("bigint"),
+        [F.desc("score"), F.asc("event_id")],
+        ascending=False,
     )
-    n_tot_frame = sizes.agg(
-        F.sum("cnt").alias("n_tot")
+    n_tot_frame = ranked_only.agg(
+        F.count("*").alias("n_tot")
     )  # 1-row scalar, joined broadcast below
-    ranked = (
-        local.join(F.broadcast(offs), "__bkt")
-        .crossJoin(F.broadcast(n_tot_frame))
-        .withColumn("rk", F.col("off") + F.col("lrk"))
-    )
+    ranked = ranked_only.crossJoin(F.broadcast(n_tot_frame))
     # NTILE(10) closed form: q = n div 10, m = n mod 10; the first m
     # buckets hold q+1 rows.
     decile = F.expr(

@@ -633,3 +633,88 @@ def q_bitmap_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_e6"),
         )
     )
+
+
+@register(
+    "q_grid_hotspots",
+    oracle="""
+    WITH cells AS (
+        SELECT (user_id % 16) AS u,
+               CAST(FLOOR(ABS(value)) AS BIGINT) % 16 AS v,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    ),
+    sm AS (
+        SELECT c.u + du.x AS u, c.v + dv.x AS v,
+               CAST(SUM(c.n) AS BIGINT) AS smoothed
+        FROM cells c
+        CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS x) du
+        CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS x) dv
+        WHERE c.u + du.x BETWEEN 0 AND 15
+          AND c.v + dv.x BETWEEN 0 AND 15
+        GROUP BY 1, 2
+    )
+    SELECT s.u, s.v, CAST(COALESCE(c.n, 0) AS BIGINT) AS n, s.smoothed
+    FROM sm s LEFT JOIN cells c ON c.u = s.u AND c.v = s.v
+    ORDER BY s.smoothed DESC, s.u, s.v
+    LIMIT 10
+    """,
+    tags=("D1", "composite", "spatial"),
+)
+def q_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial GRID HOTSPOTS with 3×3 STENCIL smoothing — the
+    density-surface operator behind heatmaps and anomaly hotspot
+    detection: events bin into a 16×16 grid (the q_lake_zorder (u,v)
+    derivation, coarsened), each cell's count is box-smoothed over its
+    Moore neighborhood (edge cells simply sum fewer neighbors — no
+    wraparound), and the top-10 smoothed cells come back with their
+    raw counts. The stencil runs on the AGGREGATED cell frame, never
+    the fact table: each cell scatters its count to its ≤9 neighbor
+    positions (explode of a 9-element literal offset array — map-side
+    fanout on a |cells|-row frame) and a second tiny hash aggregate
+    gathers. One fact-sized shuffle total (the cell binning); top-10
+    is TakeOrderedAndProject. At 100 TB the identical plan stands at
+    any grid resolution — the stencil cost scales with |cells|, not
+    rows, exactly how raster aggregation pyramids are built."""
+    cells = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            (F.col("user_id") % 16).alias("u"),
+            (F.expr("CAST(FLOOR(ABS(value)) AS BIGINT)") % 16).alias("v"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    scattered = (
+        cells.select(
+            "u",
+            "v",
+            "n",
+            F.explode(
+                F.expr(
+                    "flatten(transform(array(-1, 0, 1), dx -> "
+                    "transform(array(-1, 0, 1), dy -> struct(dx, dy))))"
+                )
+            ).alias("d"),
+        )
+        .select(
+            (F.col("u") + F.col("d.dx")).alias("nu"),
+            (F.col("v") + F.col("d.dy")).alias("nv"),
+            "n",
+        )
+        .filter(
+            (F.col("nu") >= 0) & (F.col("nu") <= 15)
+            & (F.col("nv") >= 0) & (F.col("nv") <= 15)
+        )
+    )
+    sm = scattered.groupBy(
+        F.col("nu").alias("u"), F.col("nv").alias("v")
+    ).agg(F.sum("n").cast("bigint").alias("smoothed"))
+    return (
+        sm.join(cells, ["u", "v"], "left")
+        .select(
+            "u", "v", F.coalesce("n", F.lit(0)).cast("bigint").alias("n"), "smoothed"
+        )
+        .orderBy(F.desc("smoothed"), "u", "v")
+        .limit(10)
+    )

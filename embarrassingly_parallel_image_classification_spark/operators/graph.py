@@ -252,3 +252,124 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_triangles"))
     )
     return n_edges.crossJoin(n_vertices).crossJoin(tri)
+
+
+_SSSP_ROUNDS = 8
+_SSSP_INF = 10**15
+
+_WEDGES_SQL = """
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           MIN(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) AS w
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY c.c_nationkey, s.s_nationkey
+"""
+
+
+def _sssp_round_sql(k: int, edges: str) -> str:
+    """One Bellman-Ford relaxation as SQL over an edge set that
+    INCLUDES a zero-weight self-loop per node: d_{k+1}(n) = min over
+    incoming edges of d_k(src) + w — the self-loop carries d_k(n)
+    itself, so "keep the old distance" needs no second reference to
+    d{k}. That single reference is the load-bearing property: Spark
+    INLINES every CTE reference (verified: the two-reference spelling
+    expanded 2^rounds ≈ 510 duplicate scans, 19k plan nodes, ~9 s for
+    a 25-node graph), so one-ref-per-round is what keeps the unrolled
+    plan LINEAR in the round count. The INF sentinel keeps the
+    arithmetic NULL-free (engines disagree on NULL propagation through
+    LEAST/aggregates); the CASE guard stops INF + w creep."""
+    return f"""d{k + 1} AS (
+        SELECT e.dst AS node,
+               MIN(CASE WHEN p.dist >= {_SSSP_INF} THEN {_SSSP_INF}
+                        ELSE p.dist + e.w END) AS dist
+        FROM {edges} e JOIN d{k} p ON p.node = e.src
+        GROUP BY e.dst)"""
+
+
+def _sssp_oracle() -> str:
+    ctes = [
+        f"base_edges AS ({_WEDGES_SQL})",
+        "nodes AS (SELECT n_nationkey AS node FROM nation)",
+        # zero-weight self-loops make "keep the old distance" an edge
+        # contribution, so each round references d{k} exactly once
+        "edges AS (SELECT src, dst, w FROM base_edges UNION ALL "
+        "SELECT node, node, CAST(0 AS BIGINT) FROM nodes)",
+        f"d0 AS (SELECT node, CAST(CASE WHEN node = 0 THEN 0 ELSE {_SSSP_INF} END AS BIGINT) AS dist FROM nodes)",
+    ]
+    for k in range(_SSSP_ROUNDS):
+        ctes.append(_sssp_round_sql(k, "edges"))
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node,
+           CAST(CASE WHEN dist >= {_SSSP_INF} THEN NULL ELSE dist END AS BIGINT)
+               AS dist
+    FROM d{_SSSP_ROUNDS}"""
+    )
+
+
+@register("q_graph_shortest_path", oracle=_sssp_oracle(), tags=("graph", "composite"))
+def q_graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source SHORTEST PATH (Bellman-Ford, 8 relaxation rounds)
+    over the weighted nation trade graph — edge weight = minimum
+    shipped quantity between the nation pair, source = nation 0. Both
+    engines run the IDENTICAL fixed number of relaxations as one
+    unrolled chained-CTE plan (q_graph_pagerank's iteration
+    discipline: analyzed once, engine-owned dataflow — 8 rounds cover
+    any diameter this 25-node graph can have, and equal unrolling
+    keeps parity exact even pre-convergence on an adversarial graph).
+    All arithmetic is BIGINT with an INF sentinel instead of NULLs
+    (LEAST/aggregate NULL semantics differ across engines; the
+    sentinel keeps every operand defined), unreachable nodes surface
+    as NULL only in the final projection. The relaxation edge set
+    carries a zero-weight SELF-LOOP per node so each round references
+    the previous distance frame exactly ONCE — see _sssp_round_sql for
+    why single-reference is what keeps Spark's CTE-inlined unrolled
+    plan linear rather than exponential in the round count. The
+    weighted edge list (plus self-loops) is localCheckpoint()ed once.
+    At 100 TB the relaxation join is edge-partitioned by src — the
+    same shuffle key every round, like the pagerank contribution join
+    — and the driver-loop + periodic-checkpoint spelling takes over
+    when the round count is data-dependent (negative-cycle detection
+    adds the standard n-th round check)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    nodes = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
+    edges = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.expr("MIN(CAST(ROUND(l_quantity, 0) AS BIGINT))").alias("w"))
+        .unionByName(
+            nodes.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(0).cast("bigint").alias("w"),
+            )
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    ctes = [
+        f"d0 AS (SELECT node, CAST(CASE WHEN node = 0 THEN 0 ELSE {_SSSP_INF} END AS BIGINT) AS dist FROM {{nodes}})"
+    ]
+    for k in range(_SSSP_ROUNDS):
+        ctes.append(_sssp_round_sql(k, "{edges}"))
+    sql = (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node,
+           CAST(CASE WHEN dist >= {_SSSP_INF} THEN NULL ELSE dist END AS BIGINT)
+               AS dist
+    FROM d{_SSSP_ROUNDS}"""
+    )
+    return spark.sql(sql, edges=edges, nodes=nodes)

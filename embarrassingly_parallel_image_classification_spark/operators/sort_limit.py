@@ -153,3 +153,98 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return nat.lateralJoin(sub).select("n_name", "c_custkey", "acctbal_cents")
+
+
+def two_phase_rank(
+    df: DataFrame, bucket, order_cols: list, ascending: bool = True
+) -> DataFrame:
+    """DETERMINISTIC distributed global rank — the scale replacement
+    for a single-partition ROW_NUMBER() OVER (ORDER BY ...) window:
+
+    1. ``bucket`` must be a DETERMINISTIC coarse key that is a PREFIX
+       of the total order (every row in a lower bucket precedes every
+       row in a higher one, for ``ascending``; reversed otherwise) —
+       e.g. floor(score) for an (score, id) order. Unlike a
+       repartitionByRange partition id, it cannot move between plan
+       re-evaluations, so the offsets frame and the rank frame can
+       never disagree (range sampling is nondeterministic across
+       jobs).
+    2. per-bucket local row_number — a window PARTITIONED by bucket,
+       fully parallel;
+    3. rank offsets from a |buckets|-row count frame, broadcast back;
+       global rank = offset + local rank, in column ``rk``.
+
+    The only full-data exchange is the bucket shuffle. Bucket
+    granularity tunes skew exactly like any hash key — quantize finer
+    when one bucket would dominate."""
+    b = df.withColumn("__bkt", bucket)
+    ords = [c if ascending else F.desc(c) if isinstance(c, str) else c for c in order_cols]
+    wloc = Window.partitionBy("__bkt").orderBy(*ords)
+    local = b.withColumn("__lrk", F.row_number().over(wloc))
+    sizes = local.groupBy("__bkt").agg(F.count("*").alias("__cnt"))
+    woff = Window.orderBy(
+        F.asc("__bkt") if ascending else F.desc("__bkt")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "__bkt", F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offs), "__bkt")
+        .withColumn("rk", F.col("__off") + F.col("__lrk"))
+        .drop("__bkt", "__lrk", "__off")
+    )
+
+
+@register(
+    "q_agg_equidepth",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    d AS (
+        SELECT cents,
+               NTILE(8) OVER (ORDER BY cents, o_orderkey) AS bucket
+        FROM c
+    )
+    SELECT bucket, COUNT(*) AS n,
+           MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+    FROM d GROUP BY bucket
+    """,
+    tags=("D9", "E4", "scale"),
+)
+def q_agg_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram (quantile binning) of order value: 8
+    buckets of equal row count with their exact [lo, hi] cent
+    boundaries — what optimizers store as statistics and risk systems
+    use as empirical quantile bands; the complement of
+    q_agg_histogram's equal-WIDTH bins. The oracle spells it NTILE;
+    the Spark plan uses two_phase_rank (deterministic bucket = cents
+    DIV 100000, a prefix of the (cents, o_orderkey) total order) and
+    NTILE's closed-form bucket rule — no single-partition window over
+    the fact table, same exact answer. One bucket shuffle + one tiny
+    aggregate."""
+    c = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    ranked = two_phase_rank(
+        c, (F.col("cents") / 100000).cast("bigint"), ["cents", "o_orderkey"]
+    )
+    n_tot_frame = ranked.agg(F.count("*").alias("n_tot"))
+    d = ranked.crossJoin(F.broadcast(n_tot_frame)).withColumn(
+        "bucket",
+        F.expr(
+            """CASE WHEN rk <= (n_tot % 8) * (n_tot DIV 8 + 1)
+                    THEN (rk - 1) DIV (n_tot DIV 8 + 1) + 1
+                    ELSE (n_tot % 8)
+                         + (rk - 1 - (n_tot % 8) * (n_tot DIV 8 + 1))
+                           DIV (n_tot DIV 8) + 1 END"""
+        ),
+    )
+    return d.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )

@@ -897,3 +897,299 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_after"),
     )
+
+
+@register(
+    "q_funnel_window",
+    oracle="""
+    WITH su AS (
+        SELECT user_id,
+               MIN(epoch_us(ts)) AS t_signup
+        FROM events WHERE event_type = 'signup'
+        GROUP BY user_id
+    ),
+    conv AS (
+        SELECT s.user_id, s.t_signup,
+               MIN(epoch_us(e.ts)) AS t_conv
+        FROM su s JOIN events e
+          ON e.user_id = s.user_id
+         AND e.event_type = 'purchase'
+         AND epoch_us(e.ts) > s.t_signup
+         AND epoch_us(e.ts) <= s.t_signup + 86400000000
+        GROUP BY s.user_id, s.t_signup
+    )
+    SELECT (SELECT COUNT(*) FROM su) AS n_signup,
+           COUNT(*) AS n_converted_24h,
+           ROUND(CAST(SUM(t_conv - t_signup) AS DOUBLE)
+                 / COUNT(*) / 3600000000.0, 6) AS avg_hours_to_convert
+    FROM conv
+    """,
+    tags=("composite", "D3", "timeseries"),
+)
+def q_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-CONSTRAINED conversion funnel — q_funnel with the
+    attribution window every real funnel carries: a signup converts
+    only if a purchase lands STRICTLY after it and within 24 hours,
+    and time-to-convert is measured to the FIRST such purchase.
+    Everything is integer microseconds (epoch_us both engines); the
+    one reported average pays one ROUND(6) double division on
+    identical exact operands. Plan: per-user first-signup aggregate
+    (fact-sized shuffle #1), then a user-keyed join back to purchases
+    with the window predicate riding the join — at 100 TB both sides
+    hash on user_id and the join is co-partitioned; no per-event
+    window function, no self-join on the raw table. The scalar signup
+    count is a 1-row broadcast."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_signup"))
+    )
+    conv = (
+        su.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("us").alias("t_p")
+            ),
+            "user_id",
+        )
+        .filter(
+            (F.col("t_p") > F.col("t_signup"))
+            & (F.col("t_p") <= F.col("t_signup") + 86_400_000_000)
+        )
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("t_p").alias("t_conv"))
+    )
+    n_signup = su.agg(F.count("*").alias("n_signup"))
+    return (
+        conv.agg(
+            F.count("*").alias("n_converted_24h"),
+            F.round(
+                F.sum(F.col("t_conv") - F.col("t_signup")).cast("double")
+                / F.count("*")
+                / 3_600_000_000.0,
+                6,
+            ).alias("avg_hours_to_convert"),
+        )
+        .crossJoin(F.broadcast(n_signup))
+        .select("n_signup", "n_converted_24h", "avg_hours_to_convert")
+    )
+
+
+@register(
+    "q_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, d,
+               d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                   AS island
+        FROM days
+    ),
+    runs AS (
+        SELECT user_id, island, COUNT(*) AS len
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id
+    """,
+    tags=("E1", "D1", "composite"),
+)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS — consecutive-day activity streaks per user
+    (the engagement metric behind "7-day streak" features and churn
+    models): distinct active days, then the classic island key
+    d − row_number(d) (constant exactly along a consecutive run),
+    then per-island lengths → per-user longest streak / streak count.
+    Days are integer day-numbers from a fixed epoch (datediff both
+    engines — no week/timezone convention enters). Plan: the distinct
+    (user, day) set is the only fact-sized shuffle; both windows and
+    both aggregates share the user_id partitioning, so the whole
+    operator re-uses ONE exchange — at 100 TB this is sessionization's
+    exact shuffle profile with day granularity."""
+    days = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("d"),
+        )
+        .distinct()
+    )
+    isl = days.withColumn(
+        "island",
+        F.col("d")
+        - F.row_number().over(Window.partitionBy("user_id").orderBy("d")),
+    )
+    runs = isl.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+    )
+
+
+@register(
+    "q_period_over_period",
+    oracle="""
+    WITH wk AS (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                   AS week_idx,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT event_type, week_idx, cents,
+           LAG(cents) OVER (PARTITION BY event_type ORDER BY week_idx)
+               AS prev_cents,
+           cents - LAG(cents) OVER (PARTITION BY event_type
+                                    ORDER BY week_idx) AS delta_cents,
+           ROUND(CAST(cents - LAG(cents) OVER (PARTITION BY event_type
+                                               ORDER BY week_idx) AS DOUBLE)
+                 / CAST(LAG(cents) OVER (PARTITION BY event_type
+                                         ORDER BY week_idx) AS DOUBLE), 6)
+               AS pct_change
+    FROM wk
+    """,
+    tags=("E2", "D1", "timeseries"),
+)
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIOD-OVER-PERIOD report — the week-over-week delta every BI
+    dashboard leads with: weekly cents per event_type, the previous
+    week alongside (LAG), the exact integer delta, and the one
+    ROUND(6) relative change (double division of identical exact
+    operands; first weeks carry NULLs). Weeks are epoch-day DIV 7 —
+    an engine-neutral bucketing immune to ISO-week/locale/week-start
+    conventions (the classic cross-engine report bug). Plan: one
+    fact-sized hash aggregate to (type, week), then the LAG window
+    rides the |types|·|weeks| frame — at 100 TB the report frame is
+    tiny regardless of fact volume."""
+    wk = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_idx"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("week_idx")
+    prev = F.lag("cents").over(w)
+    return wk.select(
+        "event_type",
+        "week_idx",
+        "cents",
+        prev.alias("prev_cents"),
+        (F.col("cents") - prev).alias("delta_cents"),
+        F.round((F.col("cents") - prev).cast("double") / prev.cast("double"), 6).alias(
+            "pct_change"
+        ),
+    )
+
+
+@register(
+    "q_timeseries_xcorr",
+    oracle="""
+    WITH bars AS (
+        SELECT date_trunc('hour', ts) AS hr, event_type,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1, 2
+    ),
+    xy AS (
+        SELECT a.cents AS x, b.cents AS y
+        FROM bars a JOIN bars b ON a.hr = b.hr
+        WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+        FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_bars,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+    FROM s
+    """,
+    tags=("D10", "timeseries", "eval"),
+)
+def q_timeseries_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SERIES Pearson correlation — does click volume track
+    purchase volume hour by hour (the co-movement statistic behind
+    leading-indicator and root-cause analysis): hourly cent sums of
+    the two series align on the hour bar, and all six sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², Σy²) are integer sums widened to
+    DECIMAL(38,0) — the q_timeseries_trend discipline extended to a
+    cross-moment; floats enter only in the single final expression
+    (one correctly-rounded double conversion per operand, one SQRT,
+    one division — identical operand bits in both engines). Plan: one
+    fact aggregate to (hour, type), a co-keyed self-join on the hour
+    (both sides from the same tiny bar frame), one global aggregate.
+    Never a row-level join of the two raw series."""
+    bars = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"), "event_type")
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    xy = (
+        bars.filter(F.col("event_type") == "click")
+        .select("hr", F.col("cents").alias("x"))
+        .join(
+            bars.filter(F.col("event_type") == "purchase").select(
+                "hr", F.col("cents").alias("y")
+            ),
+            "hr",
+        )
+    )
+    d38 = "decimal(38,0)"
+    s = xy.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(d38).alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_bars"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("corr"),
+    )

@@ -1573,3 +1573,228 @@ def q_lake_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return agg_of(1).unionAll(agg_of(2))
+
+
+def snapshot_clone(src: str, dst: str, version: int | None = None) -> int:
+    """ZERO-COPY shallow clone (Delta `CLONE`, Iceberg snapshot-ref
+    analog): materialize table ``src`` AS OF ``version`` at a new,
+    independently-evolving path ``dst`` without rewriting a byte of
+    data — every data file (and scoped delete file) is hard-linked
+    (link(2), the same primitive the commit protocol already trusts),
+    so the clone is O(files) metadata work regardless of table size,
+    and immutability keeps the share safe: neither table ever mutates
+    a published data file in place, appends create NEW files visible
+    only to the writing table's manifest, and vacuum on either side
+    merely drops ITS link (the inode survives until the last table
+    releases it — the exact semantics real formats get from object-
+    store ref-counting). Stats, per-column stats, delete scoping and
+    the schema carry over verbatim; ``batch_ids`` deliberately do NOT
+    (the clone is a new ingest domain — Delta shallow clones likewise
+    do not inherit txnAppId history). Returns the clone's version (1)."""
+    v = version if version is not None else current_version(src)
+    with open(_manifest_path(src, v)) as f:
+        m = json.load(f)
+    os.makedirs(dst, exist_ok=True)
+    for name in m["files"]:
+        os.link(os.path.join(src, name), os.path.join(dst, name))
+    for d in m.get("delete_files", []):
+        os.link(os.path.join(src, d["file"]), os.path.join(dst, d["file"]))
+    manifest = {
+        "version": 1,
+        "mode": "clone",
+        "files": m["files"],
+        "stats": m.get("stats", {}),
+        "col_stats": m.get("col_stats", {}),
+        "delete_files": m.get("delete_files", []),
+        "batch_ids": [],
+        "schema": m["schema"],
+        "cloned_from": {"path": src, "version": v},
+    }
+    tmp = _manifest_path(dst, 1) + f".tmp{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.link(tmp, _manifest_path(dst, 1))
+    os.unlink(tmp)
+    return 1
+
+
+@register(
+    "q_lake_clone",
+    oracle="""
+    WITH ev AS (SELECT COUNT(*) AS n,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM orders WHERE o_orderkey % 2 = 0),
+         dv AS (SELECT COUNT(*) AS n,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM orders
+                WHERE o_orderkey % 2 = 0 OR o_orderkey % 5 = 0),
+         al AS (SELECT COUNT(*) AS n,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM orders)
+    SELECT 'source' AS side, al.n AS n, al.cents AS cents FROM al
+    UNION ALL
+    SELECT 'clone_v1' AS side, ev.n AS n, ev.cents AS cents FROM ev
+    UNION ALL
+    SELECT 'clone_v2' AS side, dv.n AS n, dv.cents AS cents FROM dv
+    ORDER BY side
+    """,
+    tags=("lakehouse", "A6", "scale"),
+)
+def q_lake_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone + divergent evolution end to end: the source
+    table gets the even half (v1) then the odd half (v2 = all
+    orders); the clone forks from source v1 — a TIME-TRAVEL clone, so
+    it starts at the even half only — and then appends its own delta
+    (odd multiples of 5). Reading afterwards must show: source latest
+    = ALL orders (the clone's append is invisible to it), clone v1 =
+    exactly the even half (zero-copy share of the fork point), clone
+    latest = even half + its own delta. Any file leak between the two
+    tables (the classic shallow-clone hazard) shifts a count or cents
+    sum and fails the exact hash."""
+    from ..sources.formats import scratch
+
+    src = scratch("lake_clone_src", sf_dir)
+    dst = scratch("lake_clone_dst", sf_dir)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    snapshot_write(orders.filter(F.col("o_orderkey") % 2 == 0), src, "append")
+    snapshot_write(orders.filter(F.col("o_orderkey") % 2 == 1), src, "append")
+    snapshot_clone(src, dst, version=1)
+    snapshot_write(
+        orders.filter((F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 5 == 0)),
+        dst,
+        "append",
+    )
+
+    def report(side: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(side).alias("side"),
+            F.count("*").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+
+    return (
+        report("source", snapshot_read(spark, src))
+        .unionByName(report("clone_v1", snapshot_read(spark, dst, 1)))
+        .unionByName(report("clone_v2", snapshot_read(spark, dst)))
+        .orderBy("side")
+    )
+
+
+def merge_into_latest(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str,
+    ord_cols: list[str],
+    update_cols: list[str],
+) -> int:
+    """VERSIONED merge (out-of-order-safe CDC apply): like merge_into,
+    but a matched target row takes the source's values ONLY when the
+    source is strictly newer on the ``ord_cols`` composite (a total
+    order — ties impossible by construction). This is the Delta
+    `whenMatchedUpdate(condition=...)` / Flink upsert-materialize
+    semantics: batches may arrive in ANY order and the table still
+    converges to the per-key maximum-version row, because "apply if
+    newer" is idempotent and commutative across batches."""
+    target = snapshot_read_mor(spark, path)
+    cols = [key] + ord_cols + update_cols
+    src = source.select([F.col(c).alias(f"__s_{c}") for c in cols])
+    joined = target.join(src, target[key] == F.col(f"__s_{key}"), "full_outer")
+    tgt_ord = F.struct(*[F.col(c) for c in ord_cols])
+    src_ord = F.struct(*[F.col(f"__s_{c}") for c in ord_cols])
+    take_src = F.col(key).isNull() | (
+        F.col(f"__s_{key}").isNotNull() & (src_ord > tgt_ord)
+    )
+    merged_cols = []
+    for c in target.columns:
+        if c == key:
+            merged_cols.append(F.coalesce(F.col(key), F.col(f"__s_{key}")).alias(key))
+        elif c in update_cols or c in ord_cols:
+            merged_cols.append(
+                F.when(take_src, F.col(f"__s_{c}")).otherwise(F.col(c)).alias(c)
+            )
+        else:
+            merged_cols.append(F.col(c))
+    return snapshot_write(joined.select(*merged_cols), path, "overwrite")
+
+
+@register(
+    "q_lake_stream_merge",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC,
+                                           event_id DESC) AS rk
+        FROM events
+    )
+    SELECT user_id, us, event_id, cents
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("lakehouse", "I8", "C3"),
+)
+def q_lake_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC APPLY into the lakehouse — the upsert-materialize
+    pipeline (Kafka topic → Delta table) that closes the loop between
+    the streaming and lakehouse layers: each microbatch of the events
+    stream reduces to its per-user latest record (max_by on the total
+    (ts, event_id) order) and merges into the snapshot table through
+    merge_into_latest, which applies a source row ONLY when strictly
+    newer — so the final table is the global per-user argmax
+    regardless of how the source splits into microbatches OR what
+    order they commit in (apply-if-newer is idempotent and
+    commutative; a plain last-write-wins merge would silently depend
+    on batch arrival order). The oracle computes the same per-user
+    latest row relationally. At 100 TB each merge pre-prunes target
+    files by the batch's key range (manifest stats — documented
+    merge_into path) and the per-batch reduction keeps the join side
+    |keys-in-batch|-sized."""
+    from ..sources.formats import scratch
+    from ..streaming.core import events_stream
+
+    path = scratch("lake_stream_merge", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    # seed an EMPTY table so the first merge has a target schema
+    ev_schema_seed = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .limit(0)
+    )
+    snapshot_write(ev_schema_seed, path, "append")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = batch_df.groupBy("user_id").agg(
+            F.max(F.struct("us", "event_id", "cents")).alias("m")
+        ).select("user_id", "m.us", "m.event_id", "m.cents")
+        merge_into_latest(
+            spark, path, latest, "user_id", ["us", "event_id"], ["cents"]
+        )
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(path, "_checkpoint"))
+        .start()
+    )
+    q.awaitTermination()
+    return snapshot_read(spark, path).select("user_id", "us", "event_id", "cents")

@@ -201,6 +201,24 @@ _DRIVER_PRIORITY = (
     "q_sample_negatives",      # deterministic negative sampling
     "q_concurrency_peak",      # sweep-line peak occupancy
     "q_pareto_8020",           # revenue-concentration cut
+    "q_markov_transitions",    # event-journey transition matrix
+    "q_rfm_segments",          # RFM quartile segmentation
+    "q_ab_test",               # exact integer two-sample test
+    "q_bitmap_audience",       # bitmap-word audience overlap
+    "q_changepoint_cusum",     # exact CUSUM split point
+    "q_eval_lift",             # decile gains/lift table
+    "q_join_interval_overlap", # bin-joined interval overlap
+    "q_dedup_containment",     # probe-prefix containment screen
+    "q_stream_topk",           # stateful streaming leaderboard
+    "q_lake_clone",            # zero-copy shallow clone fork
+    "q_grid_hotspots",         # 3x3 stencil density hotspots
+    "q_funnel_window",         # 24h-attribution conversion funnel
+    "q_graph_shortest_path",   # Bellman-Ford weighted SSSP
+    "q_lake_stream_merge",     # streaming versioned CDC apply
+    "q_agg_equidepth",         # two-phase-rank quantile binning
+    "q_streaks",               # gaps-and-islands day streaks
+    "q_period_over_period",    # WoW delta report
+    "q_timeseries_xcorr",      # cross-series Pearson (exact stats)
     # 2. Cross-family canaries, all driver-green in r1–r5 — behind the
     #    never-verified additions: new-coverage slots outrank
     #    re-verification when the 50-slot window is tight.

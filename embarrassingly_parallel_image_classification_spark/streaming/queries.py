@@ -691,3 +691,91 @@ def q_stream_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("twap_num", "n_total").alias("twap_num"),
         F.max_by("twap_den", "n_total").alias("twap_den"),
     )
+
+
+@register(
+    "q_stream_topk",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(ROUND(value * 100, 0) AS BIGINT) DESC,
+                            event_id) AS rank
+        FROM events
+    )
+    SELECT event_type, rank, event_id, cents FROM r WHERE rank <= 5
+    """,
+    tags=("I6", "F2"),
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING TOP-K maintenance — the live-leaderboard operator: per
+    event_type the state holds ONLY the current top-5 events by
+    (cents desc, event_id asc) — O(k) state per key, bounded for any
+    stream length — and every microbatch re-emits the current
+    leaderboard. Top-k by a total order is a semilattice merge
+    (merge(old, batch) = top-k of the union), so the final leaderboard
+    is independent of how the source splits into microbatches, and the
+    drained result must hash-equal the batch ROW_NUMBER spelling — the
+    same exact streaming/batch-parity contract as q_stream_ewma. A
+    monotone seen-count picks each key's LAST emission (update mode
+    re-emits prefixes)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+
+    def track(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            id_l, c_l, total = state.get
+            id_l, c_l = list(id_l), list(c_l)
+        else:
+            id_l, c_l, total = [], [], 0
+        for pdf in pdfs:
+            if len(pdf):
+                id_l += pdf["event_id"].tolist()
+                c_l += pdf["cents"].tolist()
+                total += int(len(pdf))
+        keep = sorted(range(len(c_l)), key=lambda i: (-c_l[i], id_l[i]))[:5]
+        id_l = [int(id_l[i]) for i in keep]
+        c_l = [int(c_l[i]) for i in keep]
+        state.update((id_l, c_l, total))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(id_l),
+                "rank": [r + 1 for r in range(len(id_l))],
+                "event_id": id_l,
+                "cents": c_l,
+                "n_total": [total] * len(id_l),
+            }
+        )
+
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        track,
+        outputStructType=(
+            "event_type STRING, rank BIGINT, event_id BIGINT, "
+            "cents BIGINT, n_total BIGINT"
+        ),
+        stateStructType="ids ARRAY<BIGINT>, cents ARRAY<BIGINT>, total BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_memory(out, "update")
+    # last emission per (type, rank): leaderboard size is monotone
+    # non-decreasing, so every final rank row carries the max n_total
+    return (
+        sink.groupBy("event_type", "rank")
+        .agg(
+            F.max_by("event_id", "n_total").alias("event_id"),
+            F.max_by("cents", "n_total").alias("cents"),
+        )
+        .select("event_type", "rank", "event_id", "cents")
+    )

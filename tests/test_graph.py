@@ -32,3 +32,28 @@ def test_custom_source_plans_requested_partitions(spark):
     assert df.rdd.getNumPartitions() == 8
     ids = sorted(r["id"] for r in df.select("id").collect())
     assert ids == list(range(1000))
+
+
+def test_sssp_unrolled_plan_is_linear_in_rounds(spark):
+    """The Bellman-Ford unrolled CTE must reference each round's frame
+    exactly once (the zero-weight self-loop spelling): Spark inlines
+    every CTE reference, so a two-reference round would expand the
+    plan 2^rounds-fold (measured: 510 duplicate checkpoint scans and
+    ~9 s for a 25-node graph before the fix). Linear plan ⇔ the number
+    of checkpoint scans stays ≈ rounds, far under the doubling
+    threshold."""
+    from embarrassingly_parallel_image_classification_spark import registry
+    from embarrassingly_parallel_image_classification_spark.operators.graph import (
+        _SSSP_ROUNDS,
+    )
+    from tests.conftest import SF_T2
+
+    df = registry.queries()["q_graph_shortest_path"](spark, SF_T2)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    n_scans = plan.count("Scan ExistingRDD")
+    assert n_scans <= 2 * _SSSP_ROUNDS + 2, (
+        f"{n_scans} checkpoint scans — the unrolled SSSP plan is no "
+        f"longer linear in the round count (CTE re-inlining regression)"
+    )

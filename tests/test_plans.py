@@ -230,6 +230,10 @@ _CARTESIAN_OK = {
                              # broadcast onto the customer aggregate
     "q_eval_lift",           # 1-row total-count scalar broadcast onto
                              # the ranked frame for the NTILE closed form
+    "q_funnel_window",       # 1-row signup-count scalar crossed into
+                             # the single-row funnel report
+    "q_agg_equidepth",       # 1-row total-count scalar broadcast for
+                             # the NTILE closed-form bucket rule
 }
 
 

@@ -748,3 +748,77 @@ def test_lakehouse_erase_rows_destroys_history(spark, tmp_path):
             f"erased file {name} still on disk"
         )
     assert set(before) & set(after), "unaffected files should be reused"
+
+
+def test_lakehouse_clone_is_zero_copy_and_independent(spark, tmp_path):
+    """snapshot_clone must share data file INODES with the source (no
+    byte copy), evolve independently (appends invisible across the
+    fork), and survive the source being vacuumed/overwritten — the
+    link(2) refcount keeps shared files alive until the LAST table
+    releases them."""
+    import os
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df1 = spark.range(100).select(F.col("id").alias("k"))
+    assert lakehouse.snapshot_write(df1, src, "append") == 1
+    assert lakehouse.snapshot_clone(src, dst) == 1
+    # zero copy: every clone data file is the SAME inode as the source's
+    import json
+
+    with open(lakehouse._manifest_path(dst, 1)) as f:
+        files = json.load(f)["files"]
+    assert files
+    for name in files:
+        assert (
+            os.stat(os.path.join(src, name)).st_ino
+            == os.stat(os.path.join(dst, name)).st_ino
+        )
+    # independent evolution: clone append invisible to source
+    df2 = spark.range(100, 120).select(F.col("id").alias("k"))
+    lakehouse.snapshot_write(df2, dst, "append")
+    assert lakehouse.snapshot_read(spark, src).count() == 100
+    assert lakehouse.snapshot_read(spark, dst).count() == 120
+    # source overwrite + vacuum releases ITS links; the clone's survive
+    lakehouse.snapshot_write(df2, src, "overwrite")
+    lakehouse.vacuum(src, retain_versions=1)
+    assert lakehouse.snapshot_read(spark, dst).count() == 120
+    assert lakehouse.snapshot_read(spark, dst, 1).count() == 100
+
+
+def test_lakehouse_versioned_merge_is_order_independent(spark, tmp_path):
+    """merge_into_latest's apply-if-newer rule must make batch order
+    irrelevant: applying {old, new} as new-then-old must equal
+    old-then-new (commutativity), and re-applying a batch must change
+    nothing (idempotence) — the properties that let an at-least-once,
+    out-of-order stream converge to the per-key argmax."""
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    def fresh(name):
+        path = str(tmp_path / name)
+        seed = spark.createDataFrame(
+            [], "k BIGINT, v BIGINT, ver BIGINT"
+        )
+        lakehouse.snapshot_write(seed, path, "append")
+        return path
+
+    old = spark.createDataFrame([(1, 10, 1), (2, 20, 1)], "k BIGINT, v BIGINT, ver BIGINT")
+    new = spark.createDataFrame([(1, 11, 2), (3, 30, 2)], "k BIGINT, v BIGINT, ver BIGINT")
+
+    def apply(path, batches):
+        for b in batches:
+            lakehouse.merge_into_latest(spark, path, b, "k", ["ver"], ["v"])
+        return {
+            tuple(r)
+            for r in lakehouse.snapshot_read(spark, path)
+            .select("k", "v", "ver")
+            .collect()
+        }
+
+    fwd = apply(fresh("fwd"), [old, new])
+    rev = apply(fresh("rev"), [new, old])
+    dup = apply(fresh("dup"), [new, old, new])
+    expect = {(1, 11, 2), (2, 20, 1), (3, 30, 2)}
+    assert fwd == expect and rev == expect and dup == expect
