@@ -13,7 +13,7 @@ columns written as FILTER aggregates in DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -586,4 +586,57 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95)), 10000
         ).alias("approx_price_quantiles"),
         F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    WITH freq AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, cents, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, cents) AS rk
+        FROM freq
+    )
+    SELECT event_type, cents AS mode_cents, CAST(n AS BIGINT) AS n_occurrences
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("D1", "F4"),
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC statistical mode per group — the most frequent
+    value with the tie broken toward the SMALLEST value. The built-in
+    ``mode()`` aggregate is explicitly nondeterministic on ties in
+    both engines (each returns "any" modal value), so the oracle-safe
+    spelling is frequencies + rank — two hash aggregates sharing the
+    group key and a window over the per-group VALUE DOMAIN (not rows).
+    At 100 TB the first aggregate map-side combines, and the ranked
+    frame is |group × distinct-values| — the standard exact-mode
+    dataflow (sketch-based heavy-hitters take over only when the value
+    domain itself explodes; that path is q_agg_countmin)."""
+    freq = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = freq.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("cents"))
+        ),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("cents").alias("mode_cents"),
+        F.col("n").cast("bigint").alias("n_occurrences"),
     )

@@ -597,7 +597,7 @@ def q_bitmap_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
     words partition by index, every pairwise AND is co-located."""
     ev = t(spark, sf_dir, "events").select(
         "event_type",
-        (F.col("user_id") / 64).cast("bigint").alias("widx"),
+        F.expr("user_id DIV 64").alias("widx"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").alias("bit"),
     )
     words = ev.groupBy("event_type", "widx").agg(
@@ -717,4 +717,88 @@ def q_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("smoothed"), "u", "v")
         .limit(10)
+    )
+
+
+@register(
+    "q_attribution_lasttouch",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+    tch AS (SELECT * FROM ev WHERE event_type IN ('click', 'view')),
+    cand AS (
+        SELECT p.event_id AS pid, p.cents, t.event_type AS ch,
+               t.us AS t_us,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY t.us DESC, t.event_id DESC) AS rk
+        FROM p JOIN tch t
+          ON t.user_id = p.user_id
+         AND (t.us < p.us OR (t.us = p.us AND t.event_id < p.event_id))
+    ),
+    last AS (
+        SELECT pid, cents,
+               CASE WHEN t_us >= (SELECT us FROM p p2 WHERE p2.event_id = pid)
+                               - 259200000000
+                    THEN ch ELSE 'direct' END AS channel
+        FROM cand WHERE rk = 1
+    ),
+    direct AS (
+        SELECT p.event_id AS pid, p.cents, 'direct' AS channel
+        FROM p WHERE NOT EXISTS (SELECT 1 FROM cand c WHERE c.pid = p.event_id)
+    ),
+    allp AS (SELECT * FROM last UNION ALL SELECT * FROM direct)
+    SELECT channel, COUNT(*) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS credited_cents
+    FROM allp GROUP BY channel
+    """,
+    tags=("E2", "D1", "composite"),
+)
+def q_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH marketing attribution: every purchase credits the
+    user's most recent preceding touchpoint (click or view) — within a
+    3-day lookback, else 'direct' — and credit aggregates per channel.
+    The oracle spells it as a purchase×touch join + rank; the Spark
+    plan is the JOIN-FREE window formulation: one pass over each
+    user's (ts, event_id)-ordered history carrying the running latest
+    touch as max(struct(us, event_id, type)) — struct ordering IS the
+    recency order, purchases read it in place, no purchase-to-touch
+    shuffle at all. Ties on the microsecond timestamp break on
+    event_id via tuple comparison in BOTH spellings, so the credited
+    channel is deterministic. One user-keyed exchange total; at 100 TB
+    this is the sessionization shuffle profile, and the 3-day
+    lookback bounds state exactly like a stream watermark would."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.struct("us", "event_id", F.col("event_type").alias("ch")),
+    )
+    with_last = ev.withColumn("last_touch", F.max(touch).over(w))
+    purchases = with_last.filter(F.col("event_type") == "purchase").select(
+        "cents",
+        F.when(
+            F.col("last_touch").isNotNull()
+            & (F.col("last_touch.us") >= F.col("us") - 259_200_000_000),
+            F.col("last_touch.ch"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+    )
+    return purchases.groupBy("channel").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("credited_cents"),
     )

@@ -363,8 +363,8 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hr",
         F.explode(
             F.sequence(
-                (F.col("s") / hour_us).cast("bigint"),
-                ((F.col("e") - 1) / hour_us).cast("bigint"),
+                F.expr(f"s DIV {hour_us}"),
+                F.expr(f"(e - 1) DIV {hour_us}"),
             )
         ),
     )
@@ -389,7 +389,7 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("b_s") < F.col("a_e"))
             # canonical bucket: count the pair only where its overlap starts
             & (
-                (F.greatest("a_s", "b_s") / hour_us).cast("bigint") == F.col("hr")
+                F.expr(f"greatest(a_s, b_s) DIV {hour_us}") == F.col("hr")
             )
         )
     )

@@ -230,7 +230,7 @@ def q_agg_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
     )
     ranked = two_phase_rank(
-        c, (F.col("cents") / 100000).cast("bigint"), ["cents", "o_orderkey"]
+        c, F.expr("cents DIV 100000"), ["cents", "o_orderkey"]
     )
     n_tot_frame = ranked.agg(F.count("*").alias("n_tot"))
     d = ranked.crossJoin(F.broadcast(n_tot_frame)).withColumn(

@@ -1077,14 +1077,10 @@ def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "events")
         .groupBy(
             "event_type",
-            (
-                F.datediff(
-                    F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
-                )
-                / 7
-            )
-            .cast("bigint")
-            .alias("week_idx"),
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') DIV 7"
+                " AS BIGINT)"
+            ).alias("week_idx"),
         )
         .agg(
             F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
@@ -1192,4 +1188,62 @@ def q_timeseries_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("corr"),
+    )
+
+
+@register(
+    "q_window_drawdown",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type, ts, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    run AS (
+        SELECT event_type, ts, event_id,
+               SUM(cents) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM pts
+    ),
+    dd AS (
+        SELECT event_type, cum,
+               MAX(cum) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS peak
+        FROM run
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents
+    FROM dd
+    GROUP BY event_type
+    """,
+    tags=("E3", "D10", "timeseries"),
+)
+def q_window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN per series — the risk statistic every
+    portfolio/SLA monitor reports: with the cumulative value series
+    C_k, drawdown is max_k(peak_k − C_k) where peak_k = max_{j≤k} C_j
+    — the deepest drop from a running high. Pure BIGINT: cumulative
+    cent sums, running max, one subtraction, one max — no float
+    anywhere. Plan: one event_type-keyed exchange feeds the prefix
+    sum, the running max, and the final aggregate (all share the
+    partitioning). Per-series full-history scan is inherent to the
+    statistic; at 100 TB series segment (type × epoch) and drawdown
+    recombines from per-segment (max-drawdown, running-peak, head/tail
+    cum) partials — the classic associative drawdown merge."""
+    pts = t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    by = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    cum_w = by.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = pts.withColumn("cum", F.sum("cents").over(cum_w))
+    dd = run.withColumn("peak", F.max("cum").over(cum_w))
+    return dd.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max(F.col("peak") - F.col("cum")).cast("bigint").alias("max_drawdown_cents"),
     )

@@ -219,6 +219,9 @@ _DRIVER_PRIORITY = (
     "q_streaks",               # gaps-and-islands day streaks
     "q_period_over_period",    # WoW delta report
     "q_timeseries_xcorr",      # cross-series Pearson (exact stats)
+    "q_attribution_lasttouch", # join-free last-touch attribution
+    "q_window_drawdown",       # exact max drawdown per series
+    "q_agg_mode",              # deterministic per-group mode
     # 2. Cross-family canaries, all driver-green in r1–r5 — behind the
     #    never-verified additions: new-coverage slots outrank
     #    re-verification when the 50-slot window is tight.
