@@ -1271,7 +1271,12 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_text_boilerplate census when corpora carry heavy templates)."""
     d = t(spark, sf_dir, "documents")
     tau_num, tau_den = 4, 5  # tau = 0.8
-    sh = shingles(d)
+    # the shingle frame feeds FOUR consumers (df census, probe ranking,
+    # candidate join, set materialization) — materialize it once
+    # (localCheckpoint, not persist: the round-4 leak rule) instead of
+    # re-exploding the corpus per consumer; measured 2.5 → 1.8 s warm
+    # at sf0.1, and at scale this is the standard "tokenize once" stage
+    sh = shingles(d).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = (
