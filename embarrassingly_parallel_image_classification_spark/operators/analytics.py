@@ -553,9 +553,9 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_bitmap_audience",
-    oracle="""
+# shared with the streaming twin (q_stream_bitmap_audience): the
+# drained stream must hash-equal the same naive-recount oracle
+BITMAP_AUDIENCE_ORACLE = """
     WITH tu AS (
         SELECT DISTINCT event_type, user_id FROM events
     ),
@@ -576,7 +576,12 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ov o
     JOIN sizes sa ON sa.event_type = o.type_a
     JOIN sizes sb ON sb.event_type = o.type_b
-    """,
+    """
+
+
+@register(
+    "q_bitmap_audience",
+    oracle=BITMAP_AUDIENCE_ORACLE,
     tags=("H11", "D1", "composite"),
 )
 def q_bitmap_audience(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -779,3 +779,75 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "rank", "event_id", "cents")
     )
+
+
+from ..operators.analytics import BITMAP_AUDIENCE_ORACLE  # noqa: E402
+
+
+@register(
+    "q_stream_bitmap_audience",
+    oracle=BITMAP_AUDIENCE_ORACLE,
+    tags=("I1", "H11", "D1"),
+)
+def q_stream_bitmap_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of q_bitmap_audience — audience bitmaps
+    maintained over the live stream: the per-(type, word-index)
+    bitmap word is a bit_or aggregate, and OR is the perfect
+    streaming statistic (idempotent + commutative + associative — a
+    semilattice merge), so the drained words are EXACTLY the batch
+    words no matter how the source splits into microbatches or how
+    often a row is replayed (at-least-once delivery cannot corrupt an
+    OR). Complete-mode streaming aggregation builds the words; the
+    pairwise AND/popcount overlap then runs as the identical batch
+    tail on the drained sink, and the result must hash-equal the
+    batch query's oracle."""
+    ev = events_stream(spark, sf_dir).select(
+        "event_type",
+        F.expr("user_id DIV 64").alias("widx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").alias(
+            "bit"
+        ),
+    )
+    words_stream = ev.groupBy("event_type", "widx").agg(
+        F.expr("bit_or(bit)").alias("word")
+    )
+    # localCheckpoint re-materializes the drained sink with FRESH
+    # attribute ids: self-joining a memory-sink view directly trips a
+    # Spark resolver internal error ("conflicting attributes" — the
+    # same bug q_stream_topk works around with max_by); the checkpoint
+    # also snapshots the words so both join sides read one immutable
+    # frame
+    words = run_to_memory(words_stream, "complete").localCheckpoint(eager=True)
+    sizes = words.groupBy("event_type").agg(F.sum(F.bit_count("word")).alias("n"))
+    a = words.select(
+        F.col("event_type").alias("type_a"), "widx", F.col("word").alias("wa")
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"), "widx", F.col("word").alias("wb")
+    )
+    ov = (
+        a.join(b, ["widx"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb")))).alias(
+                "overlap_users"
+            )
+        )
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        ov.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "overlap_users",
+            (F.col("na") + F.col("nb") - F.col("overlap_users")).alias("union_users"),
+            F.expr(
+                "CAST(overlap_users * 1000000 DIV (na + nb - overlap_users)"
+                " AS BIGINT)"
+            ).alias("jaccard_e6"),
+        )
+    )

@@ -291,3 +291,107 @@ def test_prorata_allocation_sums_back_exactly(spark):
         .count()
     )
     assert bad == 0, f"{bad} orders where allocations do not sum to the total"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 1_000_000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_two_phase_rank_equals_global_row_number(spark, rows):
+    """two_phase_rank == a global ROW_NUMBER window for ANY frame and
+    ANY coarse bucket that prefixes the sort order — including heavy
+    bucket collisions (values 0..50 over up to 40 rows) and duplicate
+    full keys (id tiebreak). The property that makes the distributed
+    rank a drop-in for NTILE/ranking without a single-partition
+    window."""
+    from pyspark.sql import Window
+
+    from embarrassingly_parallel_image_classification_spark.operators.sort_limit import (
+        two_phase_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(v, i) for i, (v, _) in enumerate(rows)], "v bigint, id bigint"
+    )
+    got = {
+        (r.v, r.id, r.rk)
+        for r in two_phase_rank(
+            df, F.expr("v DIV 7"), ["v", "id"]
+        ).collect()
+    }
+    want = {
+        (r.v, r.id, r.rk)
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_corpus)
+def test_containment_probe_prefix_lossless(spark, texts):
+    """The rarest-first probe prefix of q_dedup_containment is
+    LOSSLESS: every tau-contained pair survives candidate generation,
+    so the full pipeline equals the naive all-pairs containment join —
+    probed on tiny-vocabulary corpora where shingle collisions and
+    short docs stress the ⌊(1−tau)·|A|⌋+1 prefix bound."""
+    from embarrassingly_parallel_image_classification_spark.registry import (
+        _REGISTRY,
+    )
+    from embarrassingly_parallel_image_classification_spark.ml.dedup import (
+        shingles,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # naive: full shingle self-join containment at tau = 0.8
+    sh = shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("contained_id"),
+            F.col("b.doc_id").alias("container_id"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    naive = {
+        (r.contained_id, r.container_id, r.inter)
+        for r in inter.join(
+            sizes.withColumnRenamed("doc_id", "contained_id"), "contained_id"
+        )
+        .filter(F.col("inter") * 5 >= 4 * F.col("sz"))
+        .collect()
+    }
+    # the pipeline, on the same in-memory frame: re-use the registered
+    # query's logic by monkey-free invocation through a temp parquet
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        fast = {
+            (r.contained_id, r.container_id, r.inter)
+            for r in _REGISTRY["q_dedup_containment"].fn(spark, tmp).collect()
+        }
+    assert fast == naive
