@@ -1277,7 +1277,14 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-exploding the corpus per consumer; measured 2.5 → 1.8 s warm
     # at sf0.1, and at scale this is the standard "tokenize once" stage
     sh = shingles(d).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # one aggregate yields both the verify sets and the sizes (sz =
+    # size of the distinct-shingle set — ONE definition, review
+    # finding: two parallel count aggregates could silently diverge)
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("shingle")).alias("set"),
+        F.count("*").alias("sz"),
+    )
+    sizes = sets.select("doc_id", "sz")
     df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = (
         sh.join(df, "shingle")
@@ -1304,9 +1311,6 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("contained_id") != F.col("container_id"))
         .select("contained_id", "container_id")
         .distinct()
-    )
-    sets = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("shingle")).alias("set"), F.count("*").alias("sz")
     )
     verified = (
         cand.join(

@@ -669,15 +669,9 @@ def q_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tot")
     )  # 1-row scalar, joined broadcast below
     ranked = ranked_only.crossJoin(F.broadcast(n_tot_frame))
-    # NTILE(10) closed form: q = n div 10, m = n mod 10; the first m
-    # buckets hold q+1 rows.
-    decile = F.expr(
-        """CASE WHEN rk <= (n_tot % 10) * (n_tot DIV 10 + 1)
-                THEN (rk - 1) DIV (n_tot DIV 10 + 1) + 1
-                ELSE (n_tot % 10)
-                     + (rk - 1 - (n_tot % 10) * (n_tot DIV 10 + 1))
-                       DIV (n_tot DIV 10) + 1 END"""
-    )
+    from ..operators.sort_limit import ntile_from_rank
+
+    decile = F.expr(ntile_from_rank(10))
     g = (
         ranked.withColumn("decile", decile)
         .groupBy("decile")

@@ -608,6 +608,17 @@ def q_bitmap_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = ev.groupBy("event_type", "widx").agg(
         F.expr("bit_or(bit)").alias("word")
     )
+    return bitmap_overlap(words)
+
+
+def bitmap_overlap(words: DataFrame) -> DataFrame:
+    """Pairwise audience overlap from a (event_type, widx, word) bitmap
+    frame — the shared tail of q_bitmap_audience and its streaming twin
+    (one implementation, one zero-filter, one oracle). Pairs whose
+    shared word blocks carry NO common bit are DROPPED (overlap 0) —
+    two audiences can collide in a 64-user block without sharing a
+    user, and the naive recount oracle's inner join never emits such a
+    pair."""
     sizes = words.groupBy("event_type").agg(
         F.sum(F.bit_count("word")).alias("n")
     )
@@ -622,6 +633,7 @@ def q_bitmap_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("type_a") < F.col("type_b"))
         .groupBy("type_a", "type_b")
         .agg(F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb")))).alias("overlap_users"))
+        .filter(F.col("overlap_users") > 0)
     )
     sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))

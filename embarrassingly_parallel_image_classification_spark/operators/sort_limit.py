@@ -176,7 +176,16 @@ def two_phase_rank(
 
     The only full-data exchange is the bucket shuffle. Bucket
     granularity tunes skew exactly like any hash key — quantize finer
-    when one bucket would dominate."""
+    when one bucket would dominate.
+
+    NULL handling: a NULL bucket (from a NULL sort key) is a real
+    bucket — the offsets join is NULL-SAFE, so such rows are ranked,
+    not dropped, and they land where Spark's window ordering puts
+    NULLs (asc ⇒ first, desc ⇒ last; groupBy and the offsets window
+    treat NULL as one key on both paths). Callers matching a DuckDB
+    NTILE oracle should still filter or coalesce NULL keys — the
+    ENGINES disagree on NULL placement (DuckDB defaults NULLS LAST
+    for asc), not this helper with itself."""
     b = df.withColumn("__bkt", bucket)
     ords = [c if ascending else F.desc(c) if isinstance(c, str) else c for c in order_cols]
     wloc = Window.partitionBy("__bkt").orderBy(*ords)
@@ -186,13 +195,32 @@ def two_phase_rank(
         F.asc("__bkt") if ascending else F.desc("__bkt")
     ).rowsBetween(Window.unboundedPreceding, -1)
     offs = sizes.select(
-        "__bkt", F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off")
+        F.col("__bkt").alias("__bkt_o"),
+        F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off"),
     )
     return (
-        local.join(F.broadcast(offs), "__bkt")
+        local.join(
+            F.broadcast(offs), F.col("__bkt").eqNullSafe(F.col("__bkt_o"))
+        )
         .withColumn("rk", F.col("__off") + F.col("__lrk"))
-        .drop("__bkt", "__lrk", "__off")
+        .drop("__bkt", "__bkt_o", "__lrk", "__off")
     )
+
+
+def ntile_from_rank(n_buckets: int) -> str:
+    """NTILE's closed-form bucket rule as a SQL expression over a
+    global rank column ``rk`` and total count ``n_tot``: the first
+    n_tot mod k buckets hold ⌈n_tot/k⌉ rows, the rest ⌊n_tot/k⌋ —
+    bit-identical to NTILE(k) over the same total order. One
+    definition shared by q_eval_lift (k=10) and q_agg_equidepth (k=8)
+    so the remainder-boundary arithmetic can never diverge between
+    them."""
+    k = int(n_buckets)
+    return f"""CASE WHEN rk <= (n_tot % {k}) * (n_tot DIV {k} + 1)
+                THEN (rk - 1) DIV (n_tot DIV {k} + 1) + 1
+                ELSE (n_tot % {k})
+                     + (rk - 1 - (n_tot % {k}) * (n_tot DIV {k} + 1))
+                       DIV (n_tot DIV {k}) + 1 END"""
 
 
 @register(
@@ -234,14 +262,7 @@ def q_agg_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_tot_frame = ranked.agg(F.count("*").alias("n_tot"))
     d = ranked.crossJoin(F.broadcast(n_tot_frame)).withColumn(
-        "bucket",
-        F.expr(
-            """CASE WHEN rk <= (n_tot % 8) * (n_tot DIV 8 + 1)
-                    THEN (rk - 1) DIV (n_tot DIV 8 + 1) + 1
-                    ELSE (n_tot % 8)
-                         + (rk - 1 - (n_tot % 8) * (n_tot DIV 8 + 1))
-                           DIV (n_tot DIV 8) + 1 END"""
-        ),
+        "bucket", F.expr(ntile_from_rank(8))
     )
     return d.groupBy("bucket").agg(
         F.count("*").alias("n"),

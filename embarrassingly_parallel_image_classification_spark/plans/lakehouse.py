@@ -1703,10 +1703,22 @@ def merge_into_latest(
     `whenMatchedUpdate(condition=...)` / Flink upsert-materialize
     semantics: batches may arrive in ANY order and the table still
     converges to the per-key maximum-version row, because "apply if
-    newer" is idempotent and commutative across batches."""
+    newer" is idempotent and commutative across batches.
+
+    The source is pre-reduced to its per-key newest row FIRST — a
+    duplicate-key source would otherwise fan a matched target row out
+    once per duplicate through the full-outer join (review finding:
+    the snapshot would hold >1 row per key and later merges compound
+    it), and the reduction keeps the join side |keys|-sized however
+    many rows the batch carries."""
     target = snapshot_read_mor(spark, path)
     cols = [key] + ord_cols + update_cols
-    src = source.select([F.col(c).alias(f"__s_{c}") for c in cols])
+    reduced = (
+        source.groupBy(key)
+        .agg(F.max(F.struct(*ord_cols, *update_cols)).alias("__m"))
+        .select(key, *[F.col(f"__m.{c}").alias(c) for c in ord_cols + update_cols])
+    )
+    src = reduced.select([F.col(c).alias(f"__s_{c}") for c in cols])
     joined = target.join(src, target[key] == F.col(f"__s_{key}"), "full_outer")
     tgt_ord = F.struct(*[F.col(c) for c in ord_cols])
     src_ord = F.struct(*[F.col(f"__s_{c}") for c in ord_cols])
@@ -1777,11 +1789,9 @@ def q_lake_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot_write(ev_schema_seed, path, "append")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        latest = batch_df.groupBy("user_id").agg(
-            F.max(F.struct("us", "event_id", "cents")).alias("m")
-        ).select("user_id", "m.us", "m.event_id", "m.cents")
+        # merge_into_latest pre-reduces to the per-key newest row itself
         merge_into_latest(
-            spark, path, latest, "user_id", ["us", "event_id"], ["cents"]
+            spark, path, batch_df, "user_id", ["us", "event_id"], ["cents"]
         )
 
     ev = events_stream(spark, sf_dir).select(

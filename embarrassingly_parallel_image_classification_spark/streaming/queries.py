@@ -818,36 +818,6 @@ def q_stream_bitmap_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
     # also snapshots the words so both join sides read one immutable
     # frame
     words = run_to_memory(words_stream, "complete").localCheckpoint(eager=True)
-    sizes = words.groupBy("event_type").agg(F.sum(F.bit_count("word")).alias("n"))
-    a = words.select(
-        F.col("event_type").alias("type_a"), "widx", F.col("word").alias("wa")
-    )
-    b = words.select(
-        F.col("event_type").alias("type_b"), "widx", F.col("word").alias("wb")
-    )
-    ov = (
-        a.join(b, ["widx"])
-        .filter(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(
-            F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb")))).alias(
-                "overlap_users"
-            )
-        )
-    )
-    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
-    return (
-        ov.join(F.broadcast(sa), "type_a")
-        .join(F.broadcast(sb), "type_b")
-        .select(
-            "type_a",
-            "type_b",
-            "overlap_users",
-            (F.col("na") + F.col("nb") - F.col("overlap_users")).alias("union_users"),
-            F.expr(
-                "CAST(overlap_users * 1000000 DIV (na + nb - overlap_users)"
-                " AS BIGINT)"
-            ).alias("jaccard_e6"),
-        )
-    )
+    from ..operators.analytics import bitmap_overlap
+
+    return bitmap_overlap(words)

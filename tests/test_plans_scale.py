@@ -822,3 +822,25 @@ def test_lakehouse_versioned_merge_is_order_independent(spark, tmp_path):
     dup = apply(fresh("dup"), [new, old, new])
     expect = {(1, 11, 2), (2, 20, 1), (3, 30, 2)}
     assert fwd == expect and rev == expect and dup == expect
+
+
+def test_lakehouse_versioned_merge_reduces_duplicate_key_sources(spark, tmp_path):
+    """A source batch carrying several rows for one key must merge as
+    its per-key NEWEST row only — the full-outer join must never fan a
+    matched target row out per duplicate (review finding: the snapshot
+    would hold >1 row per key)."""
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    seed = spark.createDataFrame([(1, 5, 0)], "k BIGINT, v BIGINT, ver BIGINT")
+    lakehouse.snapshot_write(seed, path, "append")
+    dup = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 9, 3), (2, 20, 1)],
+        "k BIGINT, v BIGINT, ver BIGINT",
+    )
+    lakehouse.merge_into_latest(spark, path, dup, "k", ["ver"], ["v"])
+    rows = {
+        tuple(r)
+        for r in lakehouse.snapshot_read(spark, path).select("k", "v", "ver").collect()
+    }
+    assert rows == {(1, 9, 3), (2, 20, 1)}

@@ -395,3 +395,50 @@ def test_containment_probe_prefix_lossless(spark, texts):
             for r in _REGISTRY["q_dedup_containment"].fn(spark, tmp).collect()
         }
     assert fast == naive
+
+
+def test_bitmap_overlap_drops_zero_overlap_word_collisions(spark):
+    """Two audiences that collide in a 64-user word block WITHOUT
+    sharing a user must produce NO pair row — the naive recount
+    oracle's inner join never emits such a pair, so an overlap_users=0
+    row would break exact parity on disjoint-audience data (review
+    finding; the fixture happens to never exercise it)."""
+    from embarrassingly_parallel_image_classification_spark.operators.analytics import (
+        bitmap_overlap,
+    )
+
+    words = spark.createDataFrame(
+        [("a", 0, 1), ("b", 0, 2), ("c", 0, 3)],
+        "event_type string, widx bigint, word bigint",
+    )  # a={u0}, b={u1} (disjoint, same block), c={u0,u1}
+    got = {
+        (r.type_a, r.type_b, r.overlap_users, r.union_users, r.jaccard_e6)
+        for r in bitmap_overlap(words).collect()
+    }
+    assert got == {("a", "c", 1, 2, 500000), ("b", "c", 1, 2, 500000)}
+
+
+def test_two_phase_rank_keeps_null_bucket_rows(spark):
+    """Rows whose bucket key is NULL must be RANKED, not silently
+    dropped (review finding: a plain equi-join on the bucket loses
+    them); they land where Spark's window ordering puts NULLs."""
+    from pyspark.sql import Window
+
+    from embarrassingly_parallel_image_classification_spark.operators.sort_limit import (
+        two_phase_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 0), (5, 1), (None, 2), (70, 3)], "v bigint, id bigint"
+    )
+    got = {
+        (r.v, r.id, r.rk)
+        for r in two_phase_rank(df, F.expr("v DIV 7"), ["v", "id"]).collect()
+    }
+    want = {
+        (r.v, r.id, r.rk)
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
