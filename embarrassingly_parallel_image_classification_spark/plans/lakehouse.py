@@ -1808,3 +1808,155 @@ def q_lake_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return snapshot_read(spark, path).select("user_id", "us", "event_id", "cents")
+
+
+def table_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY analog: one dict per snapshot version —
+    (version, mode, n_files, n_delete_files, n_batch_ids, cloned_from)
+    — read straight from the immutable manifests; the audit surface
+    every table format exposes (Delta DESCRIBE HISTORY, Iceberg
+    snapshots metadata table). Pure manifest metadata: no data file is
+    opened."""
+    out = []
+    for v in range(1, current_version(path) + 1):
+        try:
+            with open(_manifest_path(path, v)) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            continue  # vacuumed-away version
+        out.append(
+            {
+                "version": m["version"],
+                "mode": m.get("mode", "append"),
+                "n_files": len(m.get("files", [])),
+                "n_delete_files": len(m.get("delete_files", [])),
+                "n_batch_ids": len(m.get("batch_ids", [])),
+                "cloned_from": m.get("cloned_from"),
+            }
+        )
+    return out
+
+
+def restore_table(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE TABLE to an earlier snapshot (Delta `RESTORE`): publish
+    a NEW version whose content is the old version's — a roll-FORWARD
+    commit, so the bad intermediate history stays auditable (and
+    time-travelable until vacuum), exactly the real formats'
+    semantics. Returns the new version."""
+    old = snapshot_read(spark, path, version)
+    return snapshot_write(old, path, "overwrite")
+
+
+@register(
+    "q_lake_restore",
+    oracle="""
+    WITH ev AS (SELECT COUNT(*) AS n,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM orders WHERE o_orderkey % 2 = 0),
+         al AS (SELECT COUNT(*) AS n,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM orders)
+    SELECT 1 AS version, ev.n AS n, ev.cents AS cents FROM ev
+    UNION ALL
+    SELECT 2 AS version, al.n AS n, al.cents AS cents FROM al
+    UNION ALL
+    SELECT 3 AS version, ev.n AS n, ev.cents AS cents FROM ev
+    ORDER BY version
+    """,
+    tags=("lakehouse", "A6"),
+)
+def q_lake_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE end to end: v1 = even half, v2 = a bad overwrite (full
+    table — the "oops" commit), v3 = RESTORE to v1 as a NEW commit.
+    Reading all three versions must show the restore reproduced v1's
+    content EXACTLY while v2 stays time-travelable (audit trail — a
+    restore is a roll-forward, never a history rewrite)."""
+    from ..sources.formats import scratch
+
+    path = scratch("lake_restore", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    snapshot_write(orders.filter(F.col("o_orderkey") % 2 == 0), path, "append")
+    snapshot_write(orders, path, "overwrite")
+    restore_table(spark, path, 1)
+    frames = []
+    for v in (1, 2, 3):
+        frames.append(
+            snapshot_read(spark, path, v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count("*").alias("n"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("version")
+
+
+@register(
+    "q_lake_write_quarantine",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               o_orderpriority
+        FROM orders
+    ),
+    clean AS (SELECT * FROM src WHERE cents > 0 AND o_orderkey % 97 <> 0),
+    bad AS (SELECT * FROM src WHERE NOT (cents > 0 AND o_orderkey % 97 <> 0))
+    SELECT 'clean' AS side, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM clean
+    UNION ALL
+    SELECT 'quarantine' AS side, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM bad
+    ORDER BY side
+    """,
+    tags=("lakehouse", "quality", "A6"),
+)
+def q_lake_write_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-TIME constraint enforcement with a DEAD-LETTER table —
+    the ingest-quality pattern quality_expectations (read-side audit)
+    doesn't cover: rows violating the table's CHECK predicate
+    (cents > 0 AND key not ≡ 0 mod 97 — a stand-in schema rule) are
+    diverted to a QUARANTINE snapshot table instead of poisoning the
+    main table or failing the whole batch; both tables publish
+    atomically via the normal snapshot commit and both are read BACK
+    for the report (round-trip proof, not in-memory echo). One source
+    scan feeds both splits — the filter and its negation — and at
+    100 TB each side is an independent append-only table with the
+    usual stats/pruning."""
+    from ..sources.formats import scratch
+
+    main = scratch("lake_quarantine_main", sf_dir)
+    dead = scratch("lake_quarantine_dead", sf_dir)
+    shutil.rmtree(main, ignore_errors=True)
+    shutil.rmtree(dead, ignore_errors=True)
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+        "o_orderpriority",
+    )
+    rule = (F.col("cents") > 0) & (F.col("o_orderkey") % 97 != 0)
+    snapshot_write(src.filter(rule), main, "append")
+    snapshot_write(src.filter(~rule), dead, "append")
+
+    def report(side: str, path: str) -> DataFrame:
+        return snapshot_read(spark, path).agg(
+            F.lit(side).alias("side"),
+            F.count("*").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+
+    return (
+        report("clean", main)
+        .unionByName(report("quarantine", dead))
+        .orderBy("side")
+    )

@@ -223,6 +223,8 @@ _DRIVER_PRIORITY = (
     "q_window_drawdown",       # exact max drawdown per series
     "q_agg_mode",              # deterministic per-group mode
     "q_stream_bitmap_audience",  # semilattice bit_or streaming twin
+    "q_lake_restore",          # roll-forward RESTORE commit
+    "q_lake_write_quarantine", # dead-letter write enforcement
     # 2. Cross-family canaries, all driver-green in r1–r5 — behind the
     #    never-verified additions: new-coverage slots outrank
     #    re-verification when the 50-slot window is tight.

@@ -844,3 +844,26 @@ def test_lakehouse_versioned_merge_reduces_duplicate_key_sources(spark, tmp_path
         for r in lakehouse.snapshot_read(spark, path).select("k", "v", "ver").collect()
     }
     assert rows == {(1, 9, 3), (2, 20, 1)}
+
+
+def test_lakehouse_table_history_reports_commit_metadata(spark, tmp_path):
+    """table_history must reflect every manifest's mode/file counts —
+    including clones and MoR deletes — without opening a data file,
+    and skip vacuumed versions instead of raising."""
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df1 = spark.range(100).select(F.col("id").alias("k"))
+    lakehouse.snapshot_write(df1, src, "append")
+    lakehouse.snapshot_write(
+        spark.range(100, 120).select(F.col("id").alias("k")), src, "append"
+    )
+    lakehouse.snapshot_clone(src, dst)
+    hist = lakehouse.table_history(src)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[0]["mode"] == "append" and hist[1]["n_files"] > hist[0]["n_files"]
+    ch = lakehouse.table_history(dst)
+    assert ch[0]["mode"] == "clone" and ch[0]["cloned_from"]["path"] == src
+    lakehouse.vacuum(src, retain_versions=1)
+    assert [h["version"] for h in lakehouse.table_history(src)] == [2]
