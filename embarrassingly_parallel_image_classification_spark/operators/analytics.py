@@ -819,3 +819,81 @@ def q_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_purchases"),
         F.sum("cents").cast("bigint").alias("credited_cents"),
     )
+
+
+@register(
+    "q_market_basket",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey % 200 AS item
+        FROM lineitem
+    ),
+    n_ord AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+    sup AS (
+        SELECT item, COUNT(*) AS c FROM items GROUP BY item
+    ),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS c_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+        GROUP BY a.item, b.item
+    )
+    SELECT p.item_a, p.item_b, p.c_ab,
+           CAST(p.c_ab * 1000000 // sa.c AS BIGINT) AS conf_a_to_b_e6,
+           CAST(p.c_ab * n.n * 1000000 // (sa.c * sb.c) AS BIGINT)
+               AS lift_e6
+    FROM pairs p
+    JOIN sup sa ON sa.item = p.item_a
+    JOIN sup sb ON sb.item = p.item_b
+    CROSS JOIN n_ord n
+    WHERE p.c_ab >= 20
+    """,
+    tags=("C6", "D1", "composite"),
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET association mining (pairwise frequent itemsets):
+    items co-purchased in one order, with exact integer support,
+    confidence (c_ab·10⁶ div c_a) and lift (c_ab·N·10⁶ div c_a·c_b) —
+    the retail/recommendation operator (Agrawal's association rules
+    [PK], pair level). Items are the part key folded to 200 SKUs so
+    pair supports clear the min-support floor at fixture scale. Plan:
+    distinct (order, item) → self-join ON THE ORDER KEY (co-located;
+    per-order pair fanout is bounded by basket size², the Apriori
+    candidate shape — never an item×item cross), pair hash aggregate,
+    then two broadcast joins against the item-support frame and the
+    1-row order count. The min-support filter (c_ab ≥ 20) is the
+    standard pruning; at 100 TB it moves map-side via a first-pass
+    frequent-item broadcast semi-filter (the classic two-scan
+    Apriori)."""
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", (F.col("l_partkey") % 200).alias("item"))
+        .distinct()
+    )
+    n_ord = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    sup = items.groupBy("item").agg(F.count("*").alias("c"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("item").alias("item_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 20)
+    )
+    sa = sup.select(F.col("item").alias("item_a"), F.col("c").alias("ca"))
+    sb = sup.select(F.col("item").alias("item_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "item_a",
+            "item_b",
+            "c_ab",
+            F.expr("CAST(c_ab * 1000000 DIV ca AS BIGINT)").alias("conf_a_to_b_e6"),
+            F.expr("CAST(c_ab * n * 1000000 DIV (ca * cb) AS BIGINT)").alias(
+                "lift_e6"
+            ),
+        )
+    )

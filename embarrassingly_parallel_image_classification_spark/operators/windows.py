@@ -441,3 +441,86 @@ def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         disc_quantile(w5, 1, 2).alias("med5_c"),
         disc_quantile(w21, 9, 10).alias("p90_21_c"),
     )
+
+
+@register(
+    "q_window_normalize",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type, ts, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    w AS (
+        SELECT event_type, ts, event_id, cents,
+               CAST(COUNT(*) OVER tw AS BIGINT) AS n,
+               CAST(SUM(cents) OVER tw AS BIGINT) AS s,
+               CAST(SUM(cents * cents) OVER tw AS BIGINT) AS q,
+               CAST(MIN(cents) OVER tw AS BIGINT) AS lo,
+               CAST(MAX(cents) OVER tw AS BIGINT) AS hi
+        FROM pts
+        WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, cents,
+           CASE WHEN n * q - s * s > 0
+                THEN ROUND((n * cents - s)
+                           / SQRT(CAST(n AS DOUBLE) * (n * q - s * s)), 6)
+           END AS zscore,
+           CASE WHEN hi > lo
+                THEN CAST((cents - lo) * 1000000 // (hi - lo) AS BIGINT)
+           END AS minmax_e6
+    FROM w
+    """,
+    tags=("E3", "D10", "timeseries"),
+)
+def q_window_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING NORMALIZATION — the feature-engineering window every ML
+    pipeline applies before training: per event, the z-score and the
+    min-max scaling against its series' trailing 20 ticks. The
+    z-score multiplies the mean through (z = (n·x − S)/√(n·(nQ − S²)),
+    all-integer numerator and radicand, ONE sqrt + ONE division of
+    exact operands per row — no running float mean whose partial-sum
+    order could differ); min-max is pure integer e6 (positive DIV //
+    parity). Degenerate windows (zero variance / constant range)
+    yield NULL on both sides rather than a 0/0. Plan: ONE
+    event_type-keyed exchange feeds all five frame aggregates (they
+    share the identical window spec) — the multi-statistic rolling
+    pass costs exactly one shuffle at any scale."""
+    pts = t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    w = pts.select(
+        "event_id",
+        "cents",
+        F.count("*").over(tw).alias("n"),
+        F.sum("cents").over(tw).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(tw).alias("q"),
+        F.min("cents").over(tw).alias("lo"),
+        F.max("cents").over(tw).alias("hi"),
+    )
+    var_num = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return w.select(
+        "event_id",
+        "cents",
+        F.when(
+            var_num > 0,
+            F.round(
+                (F.col("n") * F.col("cents") - F.col("s"))
+                / F.sqrt(F.col("n").cast("double") * var_num.cast("double")),
+                6,
+            ),
+        ).alias("zscore"),
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.expr("CAST((cents - lo) * 1000000 DIV (hi - lo) AS BIGINT)"),
+        ).alias("minmax_e6"),
+    )

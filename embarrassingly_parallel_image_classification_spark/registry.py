@@ -225,6 +225,8 @@ _DRIVER_PRIORITY = (
     "q_stream_bitmap_audience",  # semilattice bit_or streaming twin
     "q_lake_restore",          # roll-forward RESTORE commit
     "q_lake_write_quarantine", # dead-letter write enforcement
+    "q_window_normalize",      # rolling z-score + minmax features
+    "q_market_basket",         # association rules (conf/lift exact)
     # 2. Cross-family canaries, all driver-green in r1–r5 — behind the
     #    never-verified additions: new-coverage slots outrank
     #    re-verification when the 50-slot window is tight.

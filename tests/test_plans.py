@@ -234,6 +234,8 @@ _CARTESIAN_OK = {
                              # the single-row funnel report
     "q_agg_equidepth",       # 1-row total-count scalar broadcast for
                              # the NTILE closed-form bucket rule
+    "q_market_basket",       # 1-row order-count scalar crossed into
+                             # the lift denominator
 }
 
 
