@@ -113,6 +113,8 @@ HEADLINE = [
     "q_agg_equidepth",
     "q_streaks",
     "q_graph_shortest_path",
+    "q_window_normalize",
+    "q_market_basket",
 ]
 
 

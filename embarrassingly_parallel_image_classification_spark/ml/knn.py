@@ -449,6 +449,28 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> "PqIndex":
     return idx
 
 
+def _exact_rerank(
+    short: DataFrame, corpus: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """Shared retrieve-then-rerank tail of knn_pq and knn_ivfpq: join
+    the shortlist back to the raw vectors, score with the exact cosine
+    kernel, rank per query (ties on vec_id) and cut to k — ONE
+    definition so the rounding/tie-break/output contract cannot
+    diverge between the PQ tiers (review finding)."""
+    qv = queries.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    rer = (
+        short.join(corpus, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid", "vec_id", F.round(cosine("embedding", "q_emb"), 6).alias("sim")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return rer.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def knn_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -464,18 +486,7 @@ def knn_pq(
     with the exact kernel — (qid, vec_id, sim, rank) like knn_exact."""
     idx = index if index is not None else PqIndex(corpus, m=m, ks=ks, seed=seed)
     short = idx.query(queries, k=k, shortlist=shortlist)
-    qv = queries.select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
-    )
-    rer = (
-        short.join(corpus, "vec_id")
-        .join(F.broadcast(qv), "qid")
-        .select(
-            "qid", "vec_id", F.round(cosine("embedding", "q_emb"), 6).alias("sim")
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return rer.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _exact_rerank(short, corpus, queries, k)
 
 
 @register("q_knn_pq", oracle=None, tags=("K3", "rows-only"))
@@ -618,18 +629,7 @@ def knn_ivfpq(
     knn_exact: (qid, vec_id, sim, rank)."""
     idx = index if index is not None else IvfPqIndex(corpus)
     short = idx.query(queries, k=k, nprobe=nprobe, shortlist=shortlist)
-    qv = queries.select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
-    )
-    rer = (
-        short.join(corpus, "vec_id")
-        .join(F.broadcast(qv), "qid")
-        .select(
-            "qid", "vec_id", F.round(cosine("embedding", "q_emb"), 6).alias("sim")
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return rer.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _exact_rerank(short, corpus, queries, k)
 
 
 @register("q_knn_ivfpq", oracle=None, tags=("K3", "K7", "rows-only"))

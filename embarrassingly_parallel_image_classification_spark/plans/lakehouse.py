@@ -88,6 +88,7 @@ def snapshot_write(
     expected_version: int | None = None,
     stats_col: str | list[str] | None = None,
     batch_id: int | None = None,
+    base_version: int | None = None,
 ) -> int:
     """Publish a new snapshot of ``df`` at ``path``; returns the new
     version number. Task files are written first (invisible to any
@@ -112,7 +113,14 @@ def snapshot_write(
     publish data without its id (the replay gate and the data commit
     are one atomic action); ids accumulate across every subsequent
     snapshot (appends AND overwrites — compaction must not amnesia the
-    ingest history), so interleaved non-stream writers preserve them."""
+    ingest history), so interleaved non-stream writers preserve them.
+    ``base_version``: carry files/stats/deletes/batch_ids from THAT
+    manifest instead of the latest — how multi_table_commit appends
+    relative to the catalog-pinned version so the durable-but-
+    uncommitted snapshot of a crashed transaction (an orphan the
+    catalog never references) can never leak into a later commit's
+    file list (review finding). 0 = base on empty. The published
+    version number is still latest+1."""
     assert mode in ("append", "overwrite")
     os.makedirs(path, exist_ok=True)
     if expected_version is not None and current_version(path) != expected_version:
@@ -150,8 +158,9 @@ def snapshot_write(
         vis_col_stats = dict(col_stats)
         carried_deletes: list = []
         carried_batch_ids: list = []
-        if prev > 0:
-            with open(_manifest_path(path, prev)) as f:
+        base = base_version if base_version is not None else prev
+        if base > 0:
+            with open(_manifest_path(path, base)) as f:
                 m = json.load(f)
             # ingest-idempotence ids survive EVERY snapshot, including
             # overwrite/compaction — dropping them would let a stream
@@ -873,7 +882,17 @@ def multi_table_commit(
             prev_tables = json.load(f)["tables"]
     new_tables = dict(prev_tables)
     for name, df in writes.items():  # phase 1: durable, catalog-invisible
-        new_tables[name] = snapshot_write(df, os.path.join(root, name), mode)
+        # append relative to the CATALOG-pinned version, never the
+        # table's own latest manifest: a crashed transaction's phase-1
+        # snapshot is durable but uncommitted, and basing on latest
+        # would carry its files into this commit (review finding —
+        # uncommitted rows becoming catalog-visible)
+        new_tables[name] = snapshot_write(
+            df,
+            os.path.join(root, name),
+            mode,
+            base_version=prev_tables.get(name, 0),
+        )
     cv = prev_cv + 1
     tmp = _catalog_path(root, cv) + f".tmp{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -1353,6 +1372,12 @@ def optimize_zorder(
     (it IS the clustering)."""
     from .scale import _spread_sql
 
+    if len(cols) != 2:
+        # _spread_sql leaves 1-bit gaps: shifting a third dimension by
+        # 2 collides with dimension 0's bit positions and the
+        # "clustered" layout interleaves garbage (review finding). A
+        # k-dim Morton needs a (k-1)-bit-gap spread — not implemented.
+        raise ValueError("optimize_zorder supports exactly 2 z-columns")
     df = snapshot_read(spark, path)
     zkey = " | ".join(
         f"({_spread_sql(f'({c} % 256)')} << {i})" for i, c in enumerate(cols)
@@ -1431,9 +1456,20 @@ def erase_rows(spark: SparkSession, path: str, col: str, value) -> int:
     (per-file stats recomputed from the new footers) and the original
     files are unlinked. Unaffected files and the version COUNT are
     untouched — readers keep their snapshot semantics, minus the
-    erased rows. Returns the number of files rewritten. Tables
-    carrying MoR delete files must compact first (scoped delete lists
-    name data files; remapping them is compaction's job)."""
+    erased rows. Returns the number of files rewritten.
+
+    MoR deletes in history are handled: each delete entry's data-file
+    SCOPE list is remapped through the same old→new name mapping, so
+    sequence-number scoping survives the rewrite (the first-cut
+    rejected ANY historical delete file, which made erasure
+    permanently impossible on a table that ever saw a MoR delete —
+    compact_mor only cleans the NEWEST manifest, review finding). The
+    one genuinely un-erasable shape still raises: a delete file KEYED
+    ON the erased column — its key list is itself the data being
+    erased and lives outside the data files (compact + vacuum purges
+    it). Other delete files keep only join keys of already-deleted
+    rows (tombstones); the normal compact+vacuum cycle removes that
+    pseudonymous residue."""
     latest = current_version(path)
     assert latest >= 1, "no table at path"
     all_files: set[str] = set()
@@ -1441,10 +1477,13 @@ def erase_rows(spark: SparkSession, path: str, col: str, value) -> int:
     for v in range(1, latest + 1):
         with open(_manifest_path(path, v)) as f:
             manifests[v] = json.load(f)
-        assert not manifests[v].get("delete_files"), (
-            "erase_rows requires a compacted table (MoR delete lists "
-            "reference data files by name)"
-        )
+        for _dfile, dkey, _scope in manifests[v].get("delete_files", []):
+            if dkey == col:
+                raise ValueError(
+                    f"delete file keyed on erased column {col!r}: its key "
+                    f"list is itself data to erase — run compact_mor + "
+                    f"vacuum first"
+                )
         all_files.update(manifests[v]["files"])
     src = spark.read.parquet(*[os.path.join(path, n) for n in sorted(all_files)])
     affected = {
@@ -1481,6 +1520,17 @@ def erase_rows(spark: SparkSession, path: str, col: str, value) -> int:
                     news.append(final)
         mapping[old] = news  # empty list = every row erased
     shutil.rmtree(staging, ignore_errors=True)
+    # footer reads are cached per (new file, column): a file carried
+    # across V appended snapshots would otherwise be re-read once per
+    # manifest that references it (review finding — O(versions·files·
+    # cols) redundant I/O where O(files·cols) suffices)
+    _stats_cache: dict = {}
+
+    def cached_stats(new: str, c: str):
+        if (new, c) not in _stats_cache:
+            _stats_cache[(new, c)] = _file_stats(os.path.join(path, new), c)
+        return _stats_cache[(new, c)]
+
     for v in range(1, latest + 1):
         m = manifests[v]
         if not (set(m["files"]) & affected):
@@ -1496,7 +1546,7 @@ def erase_rows(spark: SparkSession, path: str, col: str, value) -> int:
                 new_files.append(new)
                 per_col = {}
                 for c in stat_cols:
-                    s = _file_stats(os.path.join(path, new), c)
+                    s = cached_stats(new, c)
                     if s is not None:
                         per_col[c] = list(s)
                 if per_col:
@@ -1504,6 +1554,19 @@ def erase_rows(spark: SparkSession, path: str, col: str, value) -> int:
                 if legacy is not None and stat_cols and stat_cols[0] in per_col:
                     stats[new] = per_col[stat_cols[0]]
         m["files"], m["stats"], m["col_stats"] = new_files, stats, col_stats
+        # remap MoR delete SCOPES through the same old→new mapping so
+        # sequence-number scoping survives the rewrite; the rewritten
+        # replacement holds the same rows minus the erased ones, so
+        # "visible when the delete was published" is preserved
+        if m.get("delete_files"):
+            m["delete_files"] = [
+                [
+                    dfile,
+                    dkey,
+                    sorted({nn for s in scope for nn in mapping.get(s, [s])}),
+                ]
+                for dfile, dkey, scope in m["delete_files"]
+            ]
         tmp = _manifest_path(path, v) + f".tmp{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(m, f)

@@ -1,5 +1,5 @@
 """ANN scale probe (round 6): search latency and recall@k of the four
-kNN tiers — exact, IVF, PQ, IVFPQ — on a corpus 10× the sf0.1 fixture
+kNN tiers — exact, IVF, PQ, IVFPQ — on a corpus 100× the sf0.1 fixture
 (200k vectors), synthesized by replicating the embeddings table with a
 deterministic per-copy perturbation (so copies are near but not
 identical, and exact top-k stays well-defined).
@@ -8,7 +8,7 @@ Build time (KMeans fits, encode passes) is reported separately from
 search time — the build/search separation every ANN system makes.
 Results land in BASELINE.md's ANN table.
 
-    python scripts/ann_probe.py           # MULT=10 by default
+    python scripts/ann_probe.py           # MULT=100 by default (200k vectors)
 """
 
 from __future__ import annotations

@@ -134,7 +134,7 @@ def probe_incremental(mult: int = 4):
     (a) jaccard_cross_at(existing, incoming) — what a rolling crawl
     pays per ingest — against (b) jaccard_pairs_at over the whole
     corpus — what recomputing from scratch pays. Run with
-    PROBE=incremental python scripts/scale_probe_dedup.py"""
+    python scripts/scale_probe_dedup.py incremental"""
     d = corpus(mult, boilerplate=False)
     existing = d.filter(F.col("doc_id") % 10 != 0)
     incoming = d.filter(F.col("doc_id") % 10 == 0)

@@ -405,7 +405,6 @@ def test_corpus_shuffle_scale_paths(spark):
     assert "], false, 0" in sort_detail, sort_detail
     # round-trip sanity: concatenating partitions in order IS the
     # global permutation the bounded head exposes
-    rows = full.select("doc_id").limit(0)  # plan-only test; values pinned below
     got_head = [
         r["doc_id"]
         for r in registry.queries()["q_corpus_shuffle"](spark, SF_T2).collect()

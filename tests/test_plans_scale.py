@@ -4,6 +4,8 @@ it claims, not just return correct values."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from embarrassingly_parallel_image_classification_spark import registry
@@ -867,3 +869,56 @@ def test_lakehouse_table_history_reports_commit_metadata(spark, tmp_path):
     assert ch[0]["mode"] == "clone" and ch[0]["cloned_from"]["path"] == src
     lakehouse.vacuum(src, retain_versions=1)
     assert [h["version"] for h in lakehouse.table_history(src)] == [2]
+
+
+def test_lakehouse_erase_works_with_mor_deletes_in_history(spark, tmp_path):
+    """Erasure on a table whose history carries MoR delete files must
+    (a) run (the first cut rejected it forever — review finding),
+    (b) remap each delete's data-file scope through the rewrite so
+    sequence scoping survives, and (c) still raise for the one
+    genuinely un-erasable shape: a delete file keyed on the erased
+    column."""
+    import pytest
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(k, k % 5, 100 + k) for k in range(50)], "k BIGINT, cust BIGINT, v BIGINT"
+    )
+    lakehouse.snapshot_write(df, path, "append")
+    doomed = spark.createDataFrame([(7,), (8,)], "k BIGINT")
+    lakehouse.delete_where(spark, path, "k", doomed)
+    # erase customer 3 across history, deletes present
+    n = lakehouse.erase_rows(spark, path, "cust", 3)
+    assert n > 0
+    rows = {r.k for r in lakehouse.snapshot_read_mor(spark, path).collect()}
+    assert rows == {k for k in range(50) if k % 5 != 3 and k not in (7, 8)}
+    # v1 (pre-delete snapshot) also erased
+    v1 = {r.k for r in lakehouse.snapshot_read(spark, path, 1).collect()}
+    assert v1 == {k for k in range(50) if k % 5 != 3}
+    # erasing the delete-key column itself must refuse
+    with pytest.raises(ValueError):
+        lakehouse.erase_rows(spark, path, "k", 9)
+
+
+def test_lakehouse_multi_table_commit_ignores_orphan_snapshots(spark, tmp_path):
+    """A durable-but-uncommitted phase-1 snapshot (crashed transaction)
+    must NOT leak into the next successful commit to the SAME table:
+    appends base on the catalog-pinned version, not the table's latest
+    manifest (review finding)."""
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    root = str(tmp_path / "cat")
+    t1 = spark.createDataFrame([(1,), (2,)], "k BIGINT")
+    lakehouse.multi_table_commit(spark, root, {"a": t1})
+    # simulate a crash AFTER phase 1: a snapshot published with no
+    # catalog link
+    orphan = spark.createDataFrame([(3,)], "k BIGINT")
+    lakehouse.snapshot_write(orphan, os.path.join(root, "a"), "append")
+    # next successful commit to table 'a'
+    lakehouse.multi_table_commit(
+        spark, root, {"a": spark.createDataFrame([(4,)], "k BIGINT")}
+    )
+    rows = {r.k for r in lakehouse.catalog_read(spark, root, "a").collect()}
+    assert rows == {1, 2, 4}, f"orphan leaked: {rows}"

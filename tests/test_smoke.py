@@ -120,8 +120,20 @@ def test_registry_driver_window_ordering():
         "q_window_firstlast", "q_join_asof", "q_text_chunking",
         "q_agg_basic", "q_knn_exact",
     }
-    n_never_verified = len([n for n in window if n not in canaries])
-    assert n_never_verified + len(canaries & set(window)) == 50
+    # a canary may occupy a window slot ONLY when every non-canary
+    # priority entry (the never-verified rotation picks) already fits
+    # inside the window — the first-cut assertion here was a tautology
+    # that could never fail (review finding)
+    from embarrassingly_parallel_image_classification_spark.registry import (
+        _DRIVER_PRIORITY,
+    )
+
+    non_canary_priority = [n for n in _DRIVER_PRIORITY if n not in canaries]
+    if canaries & set(window):
+        assert set(non_canary_priority) <= set(window), (
+            "canaries crowd never-verified queries out of the window: "
+            f"{sorted(set(non_canary_priority) - set(window))}"
+        )
 
 
 def test_observation_metrics_match_independent_agg(spark):
