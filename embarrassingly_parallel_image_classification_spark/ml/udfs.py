@@ -309,3 +309,62 @@ def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "TABLE(SELECT * FROM events_runs_in) "
         "PARTITION BY event_type ORDER BY (ts, event_id)) f"
     )
+
+
+@register(
+    "q_udtf_dynamic_schema",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS tok0,
+           string_split(text, ' ')[2] AS tok1,
+           string_split(text, ' ')[3] AS tok2,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+    tags=("J7", "K4"),
+)
+def q_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF with a STATIC ``analyze()`` — the
+    Spark 4 surface where the OUTPUT SCHEMA is computed from the
+    call's literal arguments at plan time (spark:pyspark/sql/udtf.py
+    AnalyzeArgument/AnalyzeResult): ``lead_tokens(text, n)`` returns n
+    typed token columns tok0..tok{n-1} plus a count — called with
+    n=3 here, so the analyzer derives (tok0, tok1, tok2, n_tokens)
+    without any registration-time schema string. This is the schema-
+    on-call capability DESCRIBE/compiler tooling needs (a fixed-schema
+    UDTF per arity would explode combinatorially). The oracle is the
+    equivalent split_part projection. Evaluation is one lateral pass —
+    embarrassingly parallel, no shuffle."""
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class LeadTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            assert n.value is not None, "n must be a literal"
+            fields = [
+                StructField(f"tok{i}", StringType()) for i in range(int(n.value))
+            ]
+            fields.append(StructField("n_tokens", LongType()))
+            return AnalyzeResult(schema=StructType(fields))
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").split(" ")
+            head = [toks[i] if i < len(toks) else None for i in range(n)]
+            yield (*head, len(toks))
+
+    fn = udtf(LeadTokens)
+    spark.udtf.register("epic_lead_tokens", fn)
+    d = t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("epic_docs_for_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, f.tok0, f.tok1, f.tok2, f.n_tokens "
+        "FROM epic_docs_for_udtf d, "
+        "LATERAL epic_lead_tokens(d.text, 3) f"
+    )

@@ -2023,3 +2023,34 @@ def q_lake_write_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(report("quarantine", dead))
         .orderBy("side")
     )
+
+
+def create_tag(path: str, name: str, version: int | None = None) -> int:
+    """Named REF (Iceberg tag / Delta named commit): pin a human name
+    to a snapshot version in one atomically-linked ref file. Tags are
+    immutable — re-tagging an existing name raises (delete the ref
+    file to move it deliberately); vacuum keeps tagged versions alive
+    only if retention covers them (same contract as the real formats:
+    expire_snapshots wins over tags unless told otherwise — documented
+    sharp edge)."""
+    v = version if version is not None else current_version(path)
+    if not os.path.exists(_manifest_path(path, v)):
+        raise FileNotFoundError(f"no snapshot v{v} to tag")
+    ref = os.path.join(path, f"_ref_{name}.json")
+    tmp = ref + f".tmp{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"name": name, "version": v}, f)
+    try:
+        os.link(tmp, ref)
+        os.unlink(tmp)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise ValueError(f"tag {name!r} already exists")
+    return v
+
+
+def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """snapshot_read AS OF the version a tag pins."""
+    with open(os.path.join(path, f"_ref_{name}.json")) as f:
+        v = json.load(f)["version"]
+    return snapshot_read(spark, path, v)

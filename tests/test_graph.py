@@ -57,3 +57,29 @@ def test_sssp_unrolled_plan_is_linear_in_rounds(spark):
         f"{n_scans} checkpoint scans — the unrolled SSSP plan is no "
         f"longer linear in the round count (CTE re-inlining regression)"
     )
+
+
+def test_pushdown_source_prunes_planned_partitions(spark):
+    """The pushFilters contract end to end: an id-range predicate on
+    the pushdown source must shrink the PLANNED partition count (only
+    partitions intersecting the narrowed interval are generated), and
+    unsupported predicates must still be applied by Spark post-scan."""
+    from embarrassingly_parallel_image_classification_spark.sources.custom import (
+        pushdown_table,
+    )
+    from pyspark.sql import functions as F
+
+    full = pushdown_table(spark, n=10_000, parts=8)
+    assert full.rdd.getNumPartitions() == 8
+    pruned = pushdown_table(spark, n=10_000, parts=8).filter(F.col("id") >= 7500)
+    # 1250-wide partitions: [7500, 8750) and [8750, 10000) remain
+    assert pruned.rdd.getNumPartitions() == 2
+    assert pruned.count() == 2500
+    # mixed predicate: range consumed by the source, bucket evaluated
+    # by Spark — values must still be exact
+    mixed = (
+        pushdown_table(spark, n=10_000, parts=8)
+        .filter((F.col("id") >= 9000) & (F.col("bucket") == 3))
+        .count()
+    )
+    assert mixed == 100

@@ -922,3 +922,27 @@ def test_lakehouse_multi_table_commit_ignores_orphan_snapshots(spark, tmp_path):
     )
     rows = {r.k for r in lakehouse.catalog_read(spark, root, "a").collect()}
     assert rows == {1, 2, 4}, f"orphan leaked: {rows}"
+
+
+def test_lakehouse_tags_pin_versions(spark, tmp_path):
+    """Named refs: a tag reads the pinned version forever (later
+    appends invisible through it), re-tagging raises, and tagging a
+    nonexistent version raises."""
+    import pytest
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    lakehouse.snapshot_write(
+        spark.range(100).select(F.col("id").alias("k")), path, "append"
+    )
+    assert lakehouse.create_tag(path, "audit-2026q3") == 1
+    lakehouse.snapshot_write(
+        spark.range(100, 150).select(F.col("id").alias("k")), path, "append"
+    )
+    assert lakehouse.read_tag(spark, path, "audit-2026q3").count() == 100
+    assert lakehouse.snapshot_read(spark, path).count() == 150
+    with pytest.raises(ValueError):
+        lakehouse.create_tag(path, "audit-2026q3", 2)
+    with pytest.raises(FileNotFoundError):
+        lakehouse.create_tag(path, "nope", 9)
