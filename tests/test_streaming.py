@@ -402,3 +402,103 @@ def test_lake_stream_source_resumes_from_checkpoint(spark, tmp_path):
     # the sink dir accumulates; exactly-once means the union is each
     # row once — a replay of versions 1-2 would duplicate 0..29
     assert second == list(range(42)), second
+
+
+def test_stateful_topk_survives_checkpoint_restart(spark, tmp_path):
+    """applyInPandasWithState top-k across a STOP/RESTART: the rebuilt
+    query must rehydrate its per-key leaderboard from the state store
+    and process only the new files — the drained leaderboard equals
+    the batch top-3 over ALL files (the semilattice merge argument of
+    q_stream_topk, now proven across a process-level restart, not just
+    microbatch splits)."""
+    import os as _os
+    import time as _time
+
+    import pandas as _pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = _pa.schema([("k", _pa.string()), ("item", _pa.int64()), ("score", _pa.int64())])
+
+    def write(i, rows):
+        p = str(src / f"b{i}.parquet")
+        _pq.write_table(_pa.Table.from_pandas(_pd.DataFrame(rows)).cast(schema), p)
+        _os.utime(p, (_time.time() + i, _time.time() + i))
+
+    def track(key, pdfs, state):
+        if state.exists:
+            ids, sc, total = state.get
+            ids, sc = list(ids), list(sc)
+        else:
+            ids, sc, total = [], [], 0
+        for pdf in pdfs:
+            if len(pdf):
+                ids += pdf["item"].tolist()
+                sc += pdf["score"].tolist()
+                total += int(len(pdf))
+        keep = sorted(range(len(sc)), key=lambda i: (-sc[i], ids[i]))[:3]
+        ids = [int(ids[i]) for i in keep]
+        sc = [int(sc[i]) for i in keep]
+        state.update((ids, sc, total))
+        yield _pd.DataFrame(
+            {
+                "k": [key[0]] * len(ids),
+                "rank": list(range(1, len(ids) + 1)),
+                "item": ids,
+                "score": sc,
+                "n_total": [total] * len(ids),
+            }
+        )
+
+    def run():
+        stream = spark.readStream.schema("k string, item bigint, score bigint").parquet(
+            str(src)
+        )
+        out = stream.groupBy("k").applyInPandasWithState(
+            track,
+            outputStructType="k STRING, rank BIGINT, item BIGINT, score BIGINT, n_total BIGINT",
+            stateStructType="ids ARRAY<BIGINT>, sc ARRAY<BIGINT>, total BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write(0, {"k": ["a", "a", "b"], "item": [1, 2, 3], "score": [10, 30, 5]})
+    write(1, {"k": ["a"], "item": [4], "score": [20]})
+    run()
+    write(2, {"k": ["a", "b"], "item": [5, 6], "score": [40, 50]})
+    write(3, {"k": ["a"], "item": [7], "score": [1]})
+    run()  # restart from the same checkpoint
+    drained = spark.read.parquet(sink)
+    import pyspark.sql.functions as F
+
+    final = (
+        drained.groupBy("k", "rank")
+        .agg(
+            F.max_by("item", "n_total").alias("item"),
+            F.max_by("score", "n_total").alias("score"),
+        )
+        .collect()
+    )
+    got = {(r.k, r.rank): (r.item, r.score) for r in final}
+    # batch truth over all four files
+    assert got == {
+        ("a", 1): (5, 40),
+        ("a", 2): (2, 30),
+        ("a", 3): (4, 20),
+        ("b", 1): (6, 50),
+        ("b", 2): (3, 5),
+    }, got
