@@ -335,7 +335,7 @@ def q_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDTF per arity would explode combinatorially). The oracle is the
     equivalent split_part projection. Evaluation is one lateral pass —
     embarrassingly parallel, no shuffle."""
-    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.functions import udtf
     from pyspark.sql.types import (
         LongType,
         StringType,

@@ -865,10 +865,15 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard pruning; at 100 TB it moves map-side via a first-pass
     frequent-item broadcast semi-filter (the classic two-scan
     Apriori)."""
+    # the distinct (order, item) frame feeds FOUR consumers (order
+    # count, supports, both self-join sides) — materialize it once
+    # (localCheckpoint, the tokenize-once rule) instead of re-scanning
+    # lineitem and re-running the distinct per consumer
     items = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", (F.col("l_partkey") % 200).alias("item"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_ord = items.agg(F.countDistinct("l_orderkey").alias("n"))
     sup = items.groupBy("item").agg(F.count("*").alias("c"))

@@ -271,19 +271,29 @@ def snapshot_read(
 
 
 def vacuum(path: str, retain_versions: int = 2) -> list[str]:
-    """Delete data files unreachable from the ``retain_versions`` most
-    recent snapshots, and the expired manifests; returns removed
-    files. The real-format analog (VACUUM / expire_snapshots) — time
-    travel older than the retention horizon stops working, by design."""
+    """Delete data files AND delete files unreachable from the
+    ``retain_versions`` most recent snapshots, plus the expired
+    manifests; returns removed files. The real-format analog (VACUUM /
+    expire_snapshots) — time travel older than the retention horizon
+    stops working, by design. Delete-*.parquet tombstones are removed
+    once no retained manifest references them (review finding: the
+    first cut only matched data-* names, so a delete file's key list —
+    GDPR-relevant residue — survived every maintenance cycle)."""
     latest = current_version(path)
     keep_versions = [v for v in range(latest - retain_versions + 1, latest + 1) if v >= 1]
     reachable: set[str] = set()
     for v in keep_versions:
         with open(_manifest_path(path, v)) as f:
-            reachable.update(json.load(f)["files"])
+            m = json.load(f)
+        reachable.update(m["files"])
+        reachable.update(d[0] for d in m.get("delete_files", []))
     removed = []
     for name in sorted(os.listdir(path)):
-        if name.startswith("data-") and name.endswith(".parquet") and name not in reachable:
+        if (
+            (name.startswith("data-") or name.startswith("delete-"))
+            and name.endswith(".parquet")
+            and name not in reachable
+        ):
             os.remove(os.path.join(path, name))
             removed.append(name)
         if name.startswith("_manifest_v"):
@@ -856,6 +866,7 @@ def multi_table_commit(
     root: str,
     writes: dict[str, DataFrame],
     mode: str = "append",
+    on_orphans: str = "raise",
 ) -> int:
     """Commit writes to SEVERAL tables atomically — the capability the
     single-table manifest can't give (Iceberg REST-catalog multi-table
@@ -886,12 +897,28 @@ def multi_table_commit(
         # table's own latest manifest: a crashed transaction's phase-1
         # snapshot is durable but uncommitted, and basing on latest
         # would carry its files into this commit (review finding —
-        # uncommitted rows becoming catalog-visible)
+        # uncommitted rows becoming catalog-visible). Because a
+        # divergence could ALSO be a legitimate direct-to-table writer
+        # (whose files, batch ids and deletes would then be silently
+        # discarded — second review finding), divergence is an ERROR by
+        # default: catalog tables must be written through the catalog,
+        # and discarding leftovers of a crashed transaction is an
+        # explicit operator decision (on_orphans="ignore").
+        pinned = prev_tables.get(name, 0)
+        cur = current_version(os.path.join(root, name))
+        if cur > pinned and on_orphans != "ignore":
+            raise ConcurrentWriteError(
+                f"table {name!r} is at v{cur} but the catalog pins v{pinned}: "
+                f"either a crashed transaction left orphan snapshots (rerun "
+                f"with on_orphans='ignore' to discard them) or something "
+                f"wrote to the table directly — route writes through "
+                f"multi_table_commit"
+            )
         new_tables[name] = snapshot_write(
             df,
             os.path.join(root, name),
             mode,
-            base_version=prev_tables.get(name, 0),
+            base_version=pinned,
         )
     cv = prev_cv + 1
     tmp = _catalog_path(root, cv) + f".tmp{uuid.uuid4().hex}"
@@ -1475,8 +1502,11 @@ def erase_rows(spark: SparkSession, path: str, col: str, value) -> int:
     all_files: set[str] = set()
     manifests = {}
     for v in range(1, latest + 1):
-        with open(_manifest_path(path, v)) as f:
-            manifests[v] = json.load(f)
+        try:
+            with open(_manifest_path(path, v)) as f:
+                manifests[v] = json.load(f)
+        except FileNotFoundError:
+            continue  # vacuumed-away version: nothing left to erase there
         for _dfile, dkey, _scope in manifests[v].get("delete_files", []):
             if dkey == col:
                 raise ValueError(
@@ -1531,8 +1561,7 @@ def erase_rows(spark: SparkSession, path: str, col: str, value) -> int:
             _stats_cache[(new, c)] = _file_stats(os.path.join(path, new), c)
         return _stats_cache[(new, c)]
 
-    for v in range(1, latest + 1):
-        m = manifests[v]
+    for v, m in sorted(manifests.items()):  # vacuumed versions absent
         if not (set(m["files"]) & affected):
             continue
         new_files, stats, col_stats = [], m.get("stats", {}), m.get("col_stats", {})
@@ -1905,8 +1934,13 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
     a NEW version whose content is the old version's — a roll-FORWARD
     commit, so the bad intermediate history stays auditable (and
     time-travelable until vacuum), exactly the real formats'
-    semantics. Returns the new version."""
-    old = snapshot_read(spark, path, version)
+    semantics. The read goes through snapshot_read_mor: restoring a
+    version whose manifest carries MoR delete files must restore the
+    LOGICAL content — the raw reader would resurrect the deleted rows
+    into the new committed snapshot (review finding; real-format
+    RESTORE preserves deletion vectors the same way). Returns the new
+    version."""
+    old = snapshot_read_mor(spark, path, version)
     return snapshot_write(old, path, "overwrite")
 
 

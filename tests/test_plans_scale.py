@@ -916,9 +916,21 @@ def test_lakehouse_multi_table_commit_ignores_orphan_snapshots(spark, tmp_path):
     # catalog link
     orphan = spark.createDataFrame([(3,)], "k BIGINT")
     lakehouse.snapshot_write(orphan, os.path.join(root, "a"), "append")
-    # next successful commit to table 'a'
+    # a diverged table is an ERROR by default (could be a legitimate
+    # direct writer whose data would be silently discarded)...
+    import pytest
+
+    with pytest.raises(lakehouse.ConcurrentWriteError):
+        lakehouse.multi_table_commit(
+            spark, root, {"a": spark.createDataFrame([(4,)], "k BIGINT")}
+        )
+    # ...and discarding crashed-transaction leftovers is an explicit
+    # operator decision; the committed state then excludes the orphan
     lakehouse.multi_table_commit(
-        spark, root, {"a": spark.createDataFrame([(4,)], "k BIGINT")}
+        spark,
+        root,
+        {"a": spark.createDataFrame([(4,)], "k BIGINT")},
+        on_orphans="ignore",
     )
     rows = {r.k for r in lakehouse.catalog_read(spark, root, "a").collect()}
     assert rows == {1, 2, 4}, f"orphan leaked: {rows}"
@@ -946,3 +958,82 @@ def test_lakehouse_tags_pin_versions(spark, tmp_path):
         lakehouse.create_tag(path, "audit-2026q3", 2)
     with pytest.raises(FileNotFoundError):
         lakehouse.create_tag(path, "nope", 9)
+
+
+def test_lakehouse_restore_preserves_mor_deletes(spark, tmp_path):
+    """RESTORE of a delete-carrying version must restore the LOGICAL
+    content: the raw reader would resurrect MoR-deleted rows into the
+    new committed snapshot (review finding)."""
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    lakehouse.snapshot_write(
+        spark.range(20).select(F.col("id").alias("k")), path, "append"
+    )
+    lakehouse.delete_where(
+        spark, path, "k", spark.createDataFrame([(3,), (4,)], "k BIGINT")
+    )  # v2
+    lakehouse.snapshot_write(
+        spark.range(100, 105).select(F.col("id").alias("k")), path, "overwrite"
+    )  # v3: the "oops"
+    lakehouse.restore_table(spark, path, 2)  # back to the deleted view
+    rows = {r.k for r in lakehouse.snapshot_read(spark, path).collect()}
+    assert rows == set(range(20)) - {3, 4}, rows
+
+
+def test_lakehouse_vacuum_reclaims_unreferenced_delete_files(spark, tmp_path):
+    """Once compaction folds a MoR delete in and retention expires the
+    delete-carrying manifests, vacuum must physically remove the
+    delete-*.parquet tombstone (its key list is GDPR-relevant residue;
+    review finding: the first cut never matched delete-* names) —
+    while a delete file still referenced by a retained manifest
+    survives."""
+    import os as _os
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    lakehouse.snapshot_write(
+        spark.range(20).select(F.col("id").alias("k")), path, "append"
+    )
+    lakehouse.delete_where(
+        spark, path, "k", spark.createDataFrame([(5,)], "k BIGINT")
+    )  # v2 references delete file
+    def delete_files_on_disk():
+        return [n for n in _os.listdir(path) if n.startswith("delete-")]
+
+    assert delete_files_on_disk()
+    # retained manifest still references it: vacuum must keep it
+    lakehouse.vacuum(path, retain_versions=1)
+    assert delete_files_on_disk()
+    lakehouse.compact_mor(spark, path)  # v3: clean manifest
+    lakehouse.vacuum(path, retain_versions=1)  # expires v2
+    assert not delete_files_on_disk()
+    assert {r.k for r in lakehouse.snapshot_read(spark, path).collect()} == (
+        set(range(20)) - {5}
+    )
+
+
+def test_lakehouse_erase_tolerates_vacuumed_history(spark, tmp_path):
+    """erase_rows on a table whose old manifests were vacuumed away
+    must skip the missing versions instead of crashing — including the
+    compact_mor + vacuum sequence its own delete-key error message
+    prescribes (review finding)."""
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(k, k % 5) for k in range(50)], "k BIGINT, cust BIGINT"
+    )
+    lakehouse.snapshot_write(df, path, "append")
+    # a delete KEYED ON the column we later erase
+    lakehouse.delete_where(
+        spark, path, "cust", spark.createDataFrame([(1,)], "cust BIGINT")
+    )
+    # the prescribed remediation: compact, then expire the old manifests
+    lakehouse.compact_mor(spark, path)
+    lakehouse.vacuum(path, retain_versions=1)
+    n = lakehouse.erase_rows(spark, path, "cust", 3)
+    assert n > 0
+    rows = {r.k for r in lakehouse.snapshot_read(spark, path).collect()}
+    assert rows == {k for k in range(50) if k % 5 not in (1, 3)}
