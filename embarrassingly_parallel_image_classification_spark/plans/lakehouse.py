@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -192,6 +193,7 @@ def snapshot_write(
                     "delete_files": carried_deletes,
                     "batch_ids": sorted(carried_batch_ids),
                     "schema": df.schema.jsonValue(),
+                    "committed_at": time.time(),
                 },
                 f,
             )
@@ -715,6 +717,7 @@ def delete_where(
         # carry forward table schema + ingest-idempotence ids — a
         # delete snapshot changes neither
         "batch_ids": m.get("batch_ids", []),
+        "committed_at": time.time(),
         **({"schema": m["schema"]} if "schema" in m else {}),
     }
     tmp = _manifest_path(path, version) + f".tmp{uuid.uuid4().hex}"
@@ -1700,6 +1703,7 @@ def snapshot_clone(src: str, dst: str, version: int | None = None) -> int:
         "delete_files": m.get("delete_files", []),
         "batch_ids": [],
         "schema": m["schema"],
+        "committed_at": time.time(),
         "cloned_from": {"path": src, "version": v},
     }
     tmp = _manifest_path(dst, 1) + f".tmp{uuid.uuid4().hex}"
@@ -2088,3 +2092,29 @@ def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
     with open(os.path.join(path, f"_ref_{name}.json")) as f:
         v = json.load(f)["version"]
     return snapshot_read(spark, path, v)
+
+
+def snapshot_read_asof(
+    spark: SparkSession, path: str, ts: float
+) -> DataFrame:
+    """TIMESTAMP AS OF read (Delta `TIMESTAMP AS OF` / Iceberg
+    as-of-timestamp): resolve the newest snapshot whose commit time is
+    ≤ ``ts`` (epoch seconds) and snapshot_read it. Commit times are
+    recorded in each manifest at publish (``committed_at``, written by
+    snapshot_write since this revision; older manifests without the
+    field are treated as time 0 — resolvable but never newer than a
+    stamped one). Raises if every retained snapshot is newer than
+    ``ts`` (same contract as the real formats)."""
+    latest = current_version(path)
+    best = None
+    for v in range(1, latest + 1):
+        try:
+            with open(_manifest_path(path, v)) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            continue
+        if m.get("committed_at", 0.0) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(f"no snapshot at or before ts={ts}")
+    return snapshot_read(spark, path, best)

@@ -1037,3 +1037,29 @@ def test_lakehouse_erase_tolerates_vacuumed_history(spark, tmp_path):
     assert n > 0
     rows = {r.k for r in lakehouse.snapshot_read(spark, path).collect()}
     assert rows == {k for k in range(50) if k % 5 not in (1, 3)}
+
+
+def test_lakehouse_timestamp_as_of_read(spark, tmp_path):
+    """TIMESTAMP AS OF: reads resolve to the newest snapshot committed
+    at or before the given time; times before the first commit raise."""
+    import time as _time
+
+    import pytest
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    t0 = _time.time()
+    lakehouse.snapshot_write(
+        spark.range(10).select(F.col("id").alias("k")), path, "append"
+    )
+    t1 = _time.time()
+    _time.sleep(0.05)
+    lakehouse.snapshot_write(
+        spark.range(10, 30).select(F.col("id").alias("k")), path, "append"
+    )
+    t2 = _time.time()
+    assert lakehouse.snapshot_read_asof(spark, path, t1).count() == 10
+    assert lakehouse.snapshot_read_asof(spark, path, t2).count() == 30
+    with pytest.raises(ValueError):
+        lakehouse.snapshot_read_asof(spark, path, t0 - 10)
