@@ -2118,3 +2118,95 @@ def snapshot_read_asof(
     if best is None:
         raise ValueError(f"no snapshot at or before ts={ts}")
     return snapshot_read(spark, path, best)
+
+
+@register(
+    "q_lake_incremental_join",
+    oracle="""
+    WITH ord AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    cust AS (SELECT c_custkey, c_mktsegment FROM customer)
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n,
+           CAST(SUM(o.cents) AS BIGINT) AS cents
+    FROM ord o JOIN cust c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("lakehouse", "IVM", "C1", "D1"),
+)
+def q_lake_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the delta-join algebra
+    q_lake_incremental_agg's aggregate-only refresh can't express:
+    the materialized view is per-segment order revenue (orders ⋈
+    customer, then aggregate), BOTH base tables take an append, and
+    the refresh computes ONLY the delta join terms
+
+        ΔV = ΔO ⋈ C_old  ∪  O_old ⋈ ΔC  ∪  ΔO ⋈ ΔC
+
+    (the product rule of join differentiation [PK — Blakeley's
+    counting algorithm]) — never re-joining the full bases. Each term
+    reads its delta side from the lakehouse CHANGE FEED (files in v2
+    minus files in v1) and its old side AS OF v1 (time travel gives
+    IVM its consistent pre-state for free — the part that's hard
+    without snapshots). The aggregated ΔV then folds into the old
+    view exactly like the self-maintainable aggregate refresh. The
+    final state must equal a full recompute over the source (oracle).
+    At 100 TB each delta term is |Δ|-sized on one side, and the big
+    sides prune to the files the manifest diff names."""
+    from ..sources.formats import scratch
+
+    opath = scratch("lake_ivmj_orders", sf_dir)
+    cpath = scratch("lake_ivmj_cust", sf_dir)
+    shutil.rmtree(opath, ignore_errors=True)
+    shutil.rmtree(cpath, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def agg_of(joined: DataFrame) -> DataFrame:
+        return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+            F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("cents")
+        )
+
+    def delta_of(path: str, v_old: int, v_new: int) -> DataFrame:
+        with open(_manifest_path(path, v_old)) as f:
+            old_files = set(json.load(f)["files"])
+        with open(_manifest_path(path, v_new)) as f:
+            new_files = json.load(f)["files"]
+        return spark.read.parquet(
+            *[os.path.join(path, n) for n in new_files if n not in old_files]
+        )
+
+    # v1 of both tables: half of orders, 2/3 of customers
+    snapshot_write(orders.filter(F.col("o_orderkey") % 2 == 0), opath, "append")
+    snapshot_write(cust.filter(F.col("c_custkey") % 3 != 0), cpath, "append")
+    o1 = snapshot_read(spark, opath, 1)
+    c1 = snapshot_read(spark, cpath, 1)
+    view = agg_of(o1.join(c1, o1.o_custkey == c1.c_custkey)).localCheckpoint(
+        eager=True
+    )
+    # v2 of both: the remaining halves append
+    snapshot_write(orders.filter(F.col("o_orderkey") % 2 == 1), opath, "append")
+    snapshot_write(cust.filter(F.col("c_custkey") % 3 == 0), cpath, "append")
+    d_o = delta_of(opath, 1, 2)
+    d_c = delta_of(cpath, 1, 2)
+    # the three delta-join terms: old sides read AS OF v1 (time travel)
+    terms = (
+        d_o.join(c1, d_o.o_custkey == c1.c_custkey)
+        .unionByName(o1.join(d_c, o1.o_custkey == d_c.c_custkey))
+        .unionByName(d_o.join(d_c, d_o.o_custkey == d_c.c_custkey))
+    )
+    refreshed = (
+        view.unionByName(agg_of(terms))
+        .groupBy("segment")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+    return refreshed

@@ -229,6 +229,7 @@ _DRIVER_PRIORITY = (
     "q_market_basket",         # association rules (conf/lift exact)
     "q_udtf_dynamic_schema",   # analyze()-typed polymorphic UDTF
     "q_scan_pushdown_source",  # Python DS pushFilters end to end
+    "q_lake_incremental_join", # delta-join IVM over two tables
     # 2. Cross-family canaries, all driver-green in r1–r5 — behind the
     #    never-verified additions: new-coverage slots outrank
     #    re-verification when the 50-slot window is tight.
