@@ -117,6 +117,7 @@ _lake_ops = st.lists(
         st.tuples(st.just("append"), st.lists(st.integers(0, 30), min_size=1, max_size=6)),
         st.tuples(st.just("overwrite"), st.lists(st.integers(0, 30), min_size=1, max_size=6)),
         st.tuples(st.just("delete"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
+        st.tuples(st.just("restore"), st.lists(st.integers(1, 5), min_size=1, max_size=1)),
     ),
     min_size=1,
     max_size=5,
@@ -132,7 +133,7 @@ _lake_ops = st.lists(
 @given(_lake_ops)
 def test_lakehouse_model_equivalence_on_random_op_sequences(spark, ops):
     """Model-based check of the snapshot layer: an arbitrary sequence
-    of append/overwrite/delete ops must leave every HISTORICAL version
+    of append/overwrite/delete/restore ops must leave every HISTORICAL version
     readable (through the MoR reader) with exactly the contents a
     trivial in-memory model predicts — multiset semantics for
     appends, logical replace for overwrite, key-erasure for delete.
@@ -156,6 +157,14 @@ def test_lakehouse_model_equivalence_on_random_op_sequences(spark, ops):
                 df = spark.createDataFrame([(k,) for k in keys], "k bigint")
                 lakehouse.snapshot_write(df, path, "overwrite")
                 cur = list(keys)
+            elif kind == "restore":
+                target = keys[0]
+                if target > len(model_versions):
+                    continue  # restoring a version that doesn't exist: skip
+                lakehouse.restore_table(spark, path, target)
+                # RESTORE reproduces the target's LOGICAL (MoR-applied)
+                # content as a fresh overwrite commit
+                cur = list(model_versions[target - 1])
             else:
                 if lakehouse.current_version(path) == 0:
                     continue  # deleting from a non-existent table: skip
