@@ -115,6 +115,14 @@ HEADLINE = [
     "q_graph_shortest_path",
     "q_window_normalize",
     "q_market_basket",
+    # round-6 session-3 additions: exact-substring dedup spans (the
+    # heaviest new line — gram inversion over the whole corpus),
+    # drift audit, PMI collocations, winsorize, rarity (all cheap)
+    "q_dedup_substring",
+    "q_quality_drift",
+    "q_text_collocations",
+    "q_clean_winsorize",
+    "q_text_rarity",
 ]
 
 

@@ -230,6 +230,14 @@ _DRIVER_PRIORITY = (
     "q_udtf_dynamic_schema",   # analyze()-typed polymorphic UDTF
     "q_scan_pushdown_source",  # Python DS pushFilters end to end
     "q_lake_incremental_join", # delta-join IVM over two tables
+    "q_dedup_substring",       # exact duplicated-substring spans
+    "q_quality_drift",         # integer TVD drift audit
+    "q_text_collocations",     # integer-lift PMI collocations
+    "q_clean_winsorize",       # exact rank-based p05/p95 clipping
+    "q_split_kfold",           # portable md5 K-fold + strat audit
+    "q_quality_ref_integrity", # FK orphan audit over the star schema
+    "q_text_rarity",           # mean inverse-df rarity scoring
+    "q_lake_partition_evolution",  # month→day spec evolution + pruning
     # 2. Cross-family canaries, all driver-green in r1–r5 — behind the
     #    never-verified additions: new-coverage slots outrank
     #    re-verification when the 50-slot window is tight.
@@ -263,6 +271,7 @@ _QUERY_MODULES = (
         "ml.dedup",
         "ml.text",
         "ml.corpus",
+        "ml.cleaning",
         "ml.multimodal",
         "sources.formats",
         "sources.custom",
