@@ -2210,3 +2210,113 @@ def q_lake_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return refreshed
+
+
+def write_partition_aligned(
+    df: DataFrame,
+    path: str,
+    part_expr: str,
+    stats_col: str | list[str],
+) -> list[int]:
+    """Partition-aligned appends: one snapshot commit per distinct
+    value of ``part_expr`` (a SQL expression over df's columns), each
+    holding exactly that partition's rows — so every data file's
+    recorded [min, max] of ``stats_col`` is TIGHT to one partition.
+    This is Iceberg's *hidden partitioning* reduced to this layer's
+    primitives: partitioning is a write-LAYOUT + file-STATS concern
+    recorded in the manifest, never a query-surface concern — readers
+    keep issuing plain column predicates and ``snapshot_read``'s
+    stats pruning does the partition elimination. Because the spec
+    lives per-file (its stats), a later writer can use a FINER
+    ``part_expr`` (month → day) on new data with zero read-path or
+    metadata migration: partition evolution. Returns the committed
+    version numbers.
+
+    The distinct partition values are one bounded collect (partitions
+    per ingest batch are inherently few — a real writer streams them
+    from `partitionBy` task metadata instead; the manifest contract is
+    identical)."""
+    vals = [
+        r[0]
+        for r in df.select(F.expr(part_expr).alias("_p")).distinct().collect()
+    ]
+    versions = []
+    for v in sorted(vals):
+        part = df.filter(F.expr(part_expr) == F.lit(v)).coalesce(1)
+        versions.append(
+            snapshot_write(part, path, "append", stats_col=stats_col)
+        )
+    return versions
+
+
+@register(
+    "q_lake_partition_evolution",
+    oracle="""
+    WITH o AS (
+        SELECT date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS d,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-04'
+    )
+    SELECT CAST(d // 7 AS BIGINT) AS week,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM o
+    WHERE d BETWEEN 764 AND 822
+    GROUP BY 1
+    """,
+    tags=("lakehouse", "S"),
+)
+def q_lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution end to end: Q1-1997 orders land
+    MONTH-partitioned (three aligned commits — one file per month,
+    tight day-key stats), then the table EVOLVES to DAY partitioning
+    and the first three April days land day-partitioned — finer spec,
+    same table, no rewrite of the month-era files and no read-path
+    change (Iceberg's headline metadata feature [PK]; Hive-style
+    tables require a full-table migration here). One stats-predicate
+    read then spans BOTH layouts — pruning eliminates January
+    entirely and April 3rd, keeps Feb/Mar month files and the two
+    surviving day files — and the weekly rollup must match the oracle
+    recomputed from the raw source, so a row lost at the layout
+    boundary or a file wrongly pruned fails the exact hash.
+    File-level pruning-count evidence is pinned in
+    tests/test_plans_scale.py. The partition key is the DERIVED epoch
+    day d (hidden partitioning: queries predicate the column, never
+    the partition value)."""
+    from ..sources.formats import scratch
+
+    path = scratch("lake_partevo", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    o = t(spark, sf_dir, "orders").select(
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+        F.expr("month(o_orderdate)").alias("m"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        "o_orderdate",
+    )
+    q1 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    ).select("d", "m", "cents")
+    # spec v1: month granularity (3 commits: Jan, Feb, Mar 1997)
+    write_partition_aligned(q1, path, "m", stats_col="d")
+    # spec v2: DAY granularity for new data — no migration of v1 files
+    apr = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-04-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-04"))
+    ).select("d", "m", "cents")
+    write_partition_aligned(apr, path, "d", stats_col="d")
+    # one predicate read across both layouts: Feb 3 1997 .. Apr 2 1997
+    # (epoch-day 764..822 from the 1995-01-01 origin)
+    pruned = snapshot_read(spark, path, between=(764, 822))
+    return (
+        pruned.filter(F.col("d").between(764, 822))
+        .groupBy(F.expr("d DIV 7").alias("week"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )

@@ -1063,3 +1063,52 @@ def test_lakehouse_timestamp_as_of_read(spark, tmp_path):
     assert lakehouse.snapshot_read_asof(spark, path, t2).count() == 30
     with pytest.raises(ValueError):
         lakehouse.snapshot_read_asof(spark, path, t0 - 10)
+
+
+def test_lakehouse_partition_evolution_prunes_across_mixed_layouts(
+    spark, tmp_path
+):
+    """Hidden partitioning + spec evolution: coarse-aligned commits
+    (d DIV 100) then fine-aligned commits (d DIV 10) on NEW data only.
+    A day-key predicate must (a) prune whole coarse partitions outside
+    its range, (b) prune fine partitions individually inside the fine
+    era, and (c) read pruned == read full on rows — no migration of
+    the coarse-era files ever happens."""
+    import json as _json
+    import os as _os
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "ptbl")
+    old = spark.range(300).select(F.col("id").alias("d"))  # d in 0..299
+    new = spark.range(300, 400).select(F.col("id").alias("d"))  # 300..399
+    lakehouse.write_partition_aligned(old, path, "d DIV 100", stats_col="d")
+    v_coarse = lakehouse.current_version(path)
+    assert v_coarse == 3  # one commit per coarse partition
+    lakehouse.write_partition_aligned(new, path, "d DIV 10", stats_col="d")
+    assert lakehouse.current_version(path) == v_coarse + 10
+
+    with open(_os.path.join(path, f"_manifest_v{v_coarse + 10}.json")) as f:
+        m = _json.load(f)
+    assert len(m["files"]) == 13  # 3 coarse + 10 fine, none rewritten
+
+    def survivors(lo, hi):
+        return [
+            n
+            for n in m["files"]
+            if m["stats"][n][0] <= hi and m["stats"][n][1] >= lo
+        ]
+
+    # range spanning the spec boundary: one coarse file + two fine files
+    assert len(survivors(250, 315)) == 3
+    # fine-era range: day files prune individually (coarse spec would
+    # have kept a whole 100-wide partition)
+    assert len(survivors(330, 349)) == 2
+    # pruned read == full read on rows, across both layouts
+    got = sorted(
+        r["d"]
+        for r in lakehouse.snapshot_read(spark, path, between=(250, 315))
+        .filter(F.col("d").between(250, 315))
+        .collect()
+    )
+    assert got == list(range(250, 316))
