@@ -238,6 +238,7 @@ _DRIVER_PRIORITY = (
     "q_quality_ref_integrity", # FK orphan audit over the star schema
     "q_text_rarity",           # mean inverse-df rarity scoring
     "q_lake_partition_evolution",  # month→day spec evolution + pruning
+    "q_stream_drift",          # streaming twin of the drift monitor
     # 2. Cross-family canaries, all driver-green in r1–r5 — behind the
     #    never-verified additions: new-coverage slots outrank
     #    re-verification when the 50-slot window is tight.

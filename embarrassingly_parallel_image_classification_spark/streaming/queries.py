@@ -12,7 +12,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -821,3 +821,71 @@ def q_stream_bitmap_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.analytics import bitmap_overlap
 
     return bitmap_overlap(words)
+
+
+@register(
+    "q_stream_drift",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) // 5000 AS bucket,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+                   AS is_ref
+        FROM events
+    ),
+    agg AS (
+        SELECT bucket,
+               CAST(SUM(is_ref) AS BIGINT) AS ref_n,
+               CAST(SUM(1 - is_ref) AS BIGINT) AS cur_n
+        FROM b GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(SUM(ref_n) AS BIGINT) AS rt,
+               CAST(SUM(cur_n) AS BIGINT) AS ct
+        FROM agg
+    )
+    SELECT bucket, ref_n, cur_n,
+           CAST(cur_n * rt - ref_n * ct AS BIGINT) AS dxr,
+           CAST(ABS(cur_n * rt - ref_n * ct) * 1000000 // (rt * ct)
+                AS BIGINT) AS tvd_e6
+    FROM agg CROSS JOIN tot
+    """,
+    tags=("I1", "D3"),
+)
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ml/cleaning.py's q_quality_drift — a live
+    data-drift monitor: per-(bucket, slice) COUNTS are maintained by a
+    complete-mode streaming aggregation (counts over disjoint
+    microbatches are additive, so the drained totals are
+    microbatch-split independent — the module's twin criterion), and
+    the drift algebra (exact cross-difference dxr, TVD contribution in
+    fixed-point e6) runs as the identical batch tail on the drained
+    sink. In production the reference histogram is a static broadcast
+    and the tumbling-window variant emits one drift row per window;
+    the final-state form here is what an exact oracle can pin."""
+    ev = events_stream(spark, sf_dir).select(
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT) DIV 5000").alias("bucket"),
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    counts_stream = ev.groupBy("bucket").agg(
+        F.sum("is_ref").cast("bigint").alias("ref_n"),
+        F.sum(1 - F.col("is_ref")).cast("bigint").alias("cur_n"),
+    )
+    agg = run_to_memory(counts_stream, "complete").localCheckpoint(eager=True)
+    w = Window.partitionBy()  # over the ≤10-row drained frame only
+    return (
+        agg.withColumn("rt", F.sum("ref_n").over(w))
+        .withColumn("ct", F.sum("cur_n").over(w))
+        .select(
+            "bucket",
+            "ref_n",
+            "cur_n",
+            (F.col("cur_n") * F.col("rt") - F.col("ref_n") * F.col("ct")).alias(
+                "dxr"
+            ),
+            F.expr("abs(cur_n * rt - ref_n * ct) * 1000000 DIV (rt * ct)").alias(
+                "tvd_e6"
+            ),
+        )
+    )
