@@ -123,6 +123,11 @@ HEADLINE = [
     "q_text_collocations",
     "q_clean_winsorize",
     "q_text_rarity",
+    # session-3 continuation: spatial radius join (grid-bucketed —
+    # verifies ~400k true pairs at sf0.1), weighted median, cume/nth
+    "q_join_spatial_radius",
+    "q_agg_weighted_median",
+    "q_window_cume_nth",
 ]
 
 

@@ -261,3 +261,50 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle at all; each task fans its own Arrow batches out and the
     wide payload column never returns to the JVM."""
     return sample_frames(media_table(spark, sf_dir))
+
+
+@register(
+    "q_multimodal_dup_frames",
+    oracle="""
+    WITH idx AS (
+        SELECT doc_id, text,
+               unnest(range(0, CAST((strlen(text) - 32) // 16 AS BIGINT) + 1, 4))
+               AS i
+        FROM documents WHERE strlen(text) >= 32),
+    fr AS (
+        SELECT doc_id AS media_id,
+               md5(substr(text, CAST(i * 16 + 1 AS INT), 32)) AS frame_md5
+        FROM idx)
+    SELECT frame_md5,
+           CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(media_id) AS BIGINT) AS canonical_media
+    FROM fr
+    GROUP BY frame_md5
+    HAVING COUNT(DISTINCT media_id) >= 2
+    """,
+    tags=("K5", "K1", "J6"),
+)
+def q_multimodal_dup_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-media duplicate-frame detection — the multimodal analog of
+    exact text dedup: frames sampled from every payload (the same
+    mapInPandas fanout as q_multimodal_frames), hashed, and grouped so
+    any frame appearing in ≥2 distinct media surfaces with its
+    occurrence census and a deterministic canonical owner (min
+    media_id) — the dedup decision a video/audio training pipeline
+    applies before storage and training (shared intros, stock footage,
+    silence frames). The Python stage stays shuffle-free (per-task
+    Arrow fanout, payload never returns to the JVM); the only exchange
+    is the fixed-width (hash, media_id) groupBy — at 100 TB this is
+    the same shape as exact text dedup: shuffle bytes ∝ frames, never
+    payloads."""
+    fr = sample_frames(media_table(spark, sf_dir))
+    return (
+        fr.groupBy("frame_md5")
+        .agg(
+            F.countDistinct("media_id").cast("bigint").alias("n_media"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.min("media_id").cast("bigint").alias("canonical_media"),
+        )
+        .filter(F.col("n_media") >= 2)
+    )

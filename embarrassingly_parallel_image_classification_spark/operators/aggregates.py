@@ -640,3 +640,65 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").alias("mode_cents"),
         F.col("n").cast("bigint").alias("n_occurrences"),
     )
+
+
+@register(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH li AS (
+        SELECT l_returnflag AS grp,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    c AS (
+        SELECT grp, cents, w,
+               SUM(w) OVER (PARTITION BY grp ORDER BY cents) AS cw,
+               SUM(w) OVER (PARTITION BY grp) AS tw
+        FROM li
+    )
+    SELECT grp,
+           CAST(MIN(tw) AS BIGINT) AS total_w,
+           CAST(MIN(cents) AS BIGINT) AS wmedian_cents
+    FROM c
+    WHERE 2 * cw >= tw
+    GROUP BY grp
+    """,
+    tags=("D9", "E3"),
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per group (lower weighted median: the
+    smallest value v where the cumulative weight of all rows with
+    value ≤ v reaches half the total, 2·cw ≥ W in pure integers) —
+    the aggregate behind quantity-weighted price statistics that
+    plain percentile() cannot express. Determinism under ties comes
+    free from RANGE window semantics: both engines' default
+    cumulative frame with ORDER BY cents includes ALL peers of the
+    current value, so equal prices share one cw regardless of their
+    physical order — no tiebreak column needed.
+
+    Plan: one per-group sort window for the running weight + the
+    group-total window on the same exchange (same partition key →
+    ONE shuffle), then a filter and a tiny final aggregate. At scale
+    the same two-pass trick as exact percentiles applies: a coarse
+    weighted histogram first, then a windowed pass over only the
+    bucket containing the median."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    c = li.select(
+        "grp",
+        "cents",
+        F.sum("w").over(Window.partitionBy("grp").orderBy("cents")).alias("cw"),
+        F.sum("w").over(Window.partitionBy("grp")).alias("tw"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("grp")
+        .agg(
+            F.min("tw").cast("bigint").alias("total_w"),
+            F.min("cents").cast("bigint").alias("wmedian_cents"),
+        )
+    )

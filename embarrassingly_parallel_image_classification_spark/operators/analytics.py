@@ -902,3 +902,81 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_join_spatial_radius",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS id,
+               user_id % 1000 AS x,
+               CAST(ROUND(value * 100) AS BIGINT) % 1000 AS y
+        FROM events
+    ),
+    l AS (
+        SELECT id, x, y, x // 5 + dx.d AS cx, y // 5 + dy.d AS cy
+        FROM p,
+             (SELECT UNNEST(range(-1, 2)) AS d) dx,
+             (SELECT UNNEST(range(-1, 2)) AS d) dy
+    ),
+    r AS (SELECT id, x, y, x // 5 AS cx, y // 5 AS cy FROM p),
+    pairs AS (
+        SELECT l.id AS a, l.x AS ax
+        FROM l JOIN r ON l.cx = r.cx AND l.cy = r.cy AND l.id < r.id
+        WHERE (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) <= 25
+    )
+    SELECT CAST(ax // 100 AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+    tags=("C8", "M4"),
+)
+def q_join_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join (distance-threshold pairing): all point
+    pairs within Euclidean distance r, banded into a compact census.
+    The grid-bucket spelling that makes an O(n²) theta join linear in
+    the true pair count: each point lands in one r-sized home cell;
+    the LEFT side explodes to its 3×3 neighbor cells (map-side, 9×);
+    ONE equi-join on the cell key yields candidates, and an exact
+    INTEGER squared-distance test verifies — no trig, no floats (the
+    haversine variant swaps only the verify expression). Each
+    unordered pair matches exactly once: the right side keeps only its
+    home cell, neighborhood symmetry plus the a<b filter pick one
+    orientation, and the (cx,cy) key is unique per match. Coordinates
+    are integers derived from the fixture (user_id / value-cents mod
+    1000 — the events table carries no geo columns; the operator shape
+    is coordinate-source agnostic). At 100 TB this is the standard
+    spatial-join pattern: cell key = geohash prefix, skew handled by
+    AQE (dense cells split), and the 9× explode stays map-side."""
+    p = t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        (F.col("user_id") % 1000).alias("x"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT) % 1000").alias("y"),
+    )
+    offs = F.expr("explode(flatten(transform(sequence(-1, 1), "
+                  "dx -> transform(sequence(-1, 1), dy -> struct(dx, dy)))))")
+    left = p.select("id", "x", "y", offs.alias("o")).select(
+        F.col("id").alias("a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        (F.expr("x DIV 5") + F.col("o.dx")).alias("cx"),
+        (F.expr("y DIV 5") + F.col("o.dy")).alias("cy"),
+    )
+    right = p.select(
+        F.col("id").alias("b"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.expr("x DIV 5").alias("cx"),
+        F.expr("y DIV 5").alias("cy"),
+    )
+    pairs = left.join(right, ["cx", "cy"]).filter(
+        (F.col("a") < F.col("b"))
+        & (
+            (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+            + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+            <= 25
+        )
+    )
+    return pairs.groupBy(F.expr("ax DIV 100").alias("band")).agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )

@@ -524,3 +524,71 @@ def q_window_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((cents - lo) * 1000000 DIV (hi - lo) AS BIGINT)"),
         ).alias("minmax_e6"),
     )
+
+
+@register(
+    "q_window_cume_nth",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderpriority AS grp, o_orderkey AS id,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    w AS (
+        SELECT grp, id, cents,
+               COUNT(*) OVER (PARTITION BY grp ORDER BY cents) AS n_le,
+               COUNT(*) OVER (PARTITION BY grp) AS n,
+               NTH_VALUE(cents, 3) OVER (
+                   PARTITION BY grp ORDER BY cents, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS third_lowest
+        FROM o
+    )
+    SELECT grp, id, cents,
+           CAST(n_le * 1000000 // n AS BIGINT) AS cume_e6,
+           third_lowest
+    FROM w
+    WHERE cents < 500000
+    """,
+    tags=("E4", "E3"),
+)
+def q_window_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUME_DIST + NTH_VALUE coverage in engine-portable integer form:
+    cume_e6 = n_le·1e6 DIV n, where n_le is a RANGE-framed COUNT (the
+    default cumulative frame with ORDER BY counts all peers of the
+    current value — exactly CUME_DIST's numerator, with no float
+    division), and the group's third-lowest price via NTH_VALUE over
+    the full-partition ROWS frame with an (cents, id) total order so
+    ties can't flip the picked row across engines. Completes the
+    ranking-window family (row_number/rank/dense_rank/ntile/
+    percent_rank are covered by q_window_rank / q_window_ntile).
+
+    Plan: both counts and the nth-value share the per-group sort
+    exchange — one shuffle, three window specs over it."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderkey").alias("id"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    full = (
+        Window.partitionBy("grp")
+        .orderBy("cents", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w = o.select(
+        "grp",
+        "id",
+        "cents",
+        F.count("*")
+        .over(Window.partitionBy("grp").orderBy("cents"))
+        .alias("n_le"),
+        F.count("*").over(Window.partitionBy("grp")).alias("n"),
+        F.nth_value("cents", 3).over(full).alias("third_lowest"),
+    )
+    return w.filter(F.col("cents") < 500000).select(
+        "grp",
+        "id",
+        "cents",
+        F.expr("n_le * 1000000 DIV n").alias("cume_e6"),
+        "third_lowest",
+    )

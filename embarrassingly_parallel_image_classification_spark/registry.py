@@ -239,6 +239,10 @@ _DRIVER_PRIORITY = (
     "q_text_rarity",           # mean inverse-df rarity scoring
     "q_lake_partition_evolution",  # month→day spec evolution + pruning
     "q_stream_drift",          # streaming twin of the drift monitor
+    "q_join_spatial_radius",   # grid-bucketed radius self-join
+    "q_agg_weighted_median",   # exact cumulative-weight median
+    "q_window_cume_nth",       # integer cume_dist + nth_value
+    "q_multimodal_dup_frames", # cross-media duplicate-frame dedup
     # 2. Cross-family canaries, all driver-green in r1–r5 — behind the
     #    never-verified additions: new-coverage slots outrank
     #    re-verification when the 50-slot window is tight.
