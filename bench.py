@@ -128,6 +128,7 @@ HEADLINE = [
     "q_join_spatial_radius",
     "q_agg_weighted_median",
     "q_window_cume_nth",
+    "q_knn_ivfpq_residual",
 ]
 
 
@@ -158,12 +159,14 @@ def warmup(spark, sf_dir: str) -> None:
     from embarrassingly_parallel_image_classification_spark.ml.knn import (
         ensure_ivf_index,
         ensure_ivfpq_index,
+        ensure_ivfpq_residual_index,
         ensure_pq_index,
     )
 
     ensure_ivf_index(spark, sf_dir)
     ensure_pq_index(spark, sf_dir)
     ensure_ivfpq_index(spark, sf_dir)
+    ensure_ivfpq_residual_index(spark, sf_dir)
 
 
 def contention_canary(sf_dir: str) -> dict:

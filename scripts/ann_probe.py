@@ -119,6 +119,17 @@ def main():
     print(f"ivfpq(nprobe=8, shortlist=100): compose {t_ipq_build}s, "
           f"search {t_ipq}s, recall {recall(rows, want)}")
 
+    t0 = time.time()
+    ivfadc = knn.IvfPqResidualIndex(corpus, ivf=ivf)
+    t_res_build = round(time.time() - t0, 1)
+    rows, t_res = timed(
+        lambda: knn.knn_ivfpq_residual(
+            corpus, queries, nprobe=8, shortlist=100, index=ivfadc
+        )
+    )
+    print(f"ivfadc(residual, nprobe=8, shortlist=100): build {t_res_build}s, "
+          f"search {t_res}s, recall {recall(rows, want)}")
+
 
 if __name__ == "__main__":
     main()
