@@ -1247,3 +1247,68 @@ def q_window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.max(F.col("peak") - F.col("cum")).cast("bigint").alias("max_drawdown_cents"),
     )
+
+
+@register(
+    "q_timeseries_seasonal",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    hh AS (
+        SELECT event_type, CAST(hod AS BIGINT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM e GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(SUM(n) AS BIGINT) AS tn,
+               CAST(SUM(cents) AS BIGINT) AS tc
+        FROM hh GROUP BY 1
+    )
+    SELECT hh.event_type AS event_type, hod, n, cents,
+           CAST(cents * tn * 1000000 // (tc * n) AS BIGINT) AS seasonal_e6
+    FROM hh JOIN tot ON hh.event_type = tot.event_type
+    """,
+    tags=("D1", "H3"),
+)
+def q_timeseries_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal profile (hour-of-day index) per series: each
+    (event_type, hour) cell's mean value relative to the series'
+    overall mean, in fixed point — seasonal_e6 =
+    (cents·tn)·1e6 DIV (tc·n), i.e. (cell mean / series mean)·1e6
+    computed entirely on exact integer sums (the ratio-of-ratios
+    rewritten as one cross-multiplied DIV, so neither mean is ever a
+    float). 1e6 = flat; >1e6 = the hour runs hot — the
+    classical-decomposition seasonal component a capacity planner or
+    anomaly screen consumes, with n and cents kept so the consumer can
+    re-weight.
+
+    Plan: one groupBy(type, hour) shuffle to ≤ 24·|types| rows, series
+    totals as a second tiny aggregate joined back (broadcast — the
+    aggregated frame is bucket-count sized at any corpus scale).
+    Integer headroom: cents·tn ≤ 2^63 up to ~10^9 rows per series at
+    the fixture's value range; beyond that drop the e6 scale."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hod"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    hh = e.groupBy("event_type", "hod").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    tot = hh.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("cents").cast("bigint").alias("tc"),
+    )
+    return hh.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hod",
+        "n",
+        "cents",
+        F.expr("cents * tn * 1000000 DIV (tc * n)").alias("seasonal_e6"),
+    )

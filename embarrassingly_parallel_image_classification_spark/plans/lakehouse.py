@@ -1693,7 +1693,10 @@ def snapshot_clone(src: str, dst: str, version: int | None = None) -> int:
     for name in m["files"]:
         os.link(os.path.join(src, name), os.path.join(dst, name))
     for d in m.get("delete_files", []):
-        os.link(os.path.join(src, d["file"]), os.path.join(dst, d["file"]))
+        # entries are [del_file, key, scoped_files] lists (delete_where's
+        # format — d["file"] here was a latent TypeError: cloning any
+        # table carrying MoR deletes crashed; pinned by pytest now)
+        os.link(os.path.join(src, d[0]), os.path.join(dst, d[0]))
     manifest = {
         "version": 1,
         "mode": "clone",
@@ -2320,3 +2323,151 @@ def q_lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("cents"),
         )
     )
+
+
+def branch_path(path: str, branch: str) -> str:
+    """Deterministic sibling directory of a table's branch."""
+    return f"{path}__branch_{branch}"
+
+
+def create_branch(path: str, branch: str, version: int | None = None) -> str:
+    """CREATE BRANCH (Iceberg branch / Nessie ref analog): a writable
+    fork of the table at ``version`` — a zero-copy clone at a
+    deterministic sibling path whose v1 manifest records the fork
+    point (``cloned_from``). Writers on the branch use every normal
+    table op (append, MERGE, MoR delete); MAIN's readers never see
+    branch commits until a merge — write-audit-publish at whole-
+    pipeline granularity instead of single-commit WAP. Returns the
+    branch path."""
+    bpath = branch_path(path, branch)
+    if current_version(bpath) != 0:
+        raise ConcurrentWriteError(f"branch {branch} already exists at {bpath}")
+    snapshot_clone(path, bpath, version)
+    return bpath
+
+
+def merge_branch_ff(path: str, branch: str) -> int:
+    """FAST-FORWARD merge of ``branch`` into main: replay every
+    post-fork branch commit onto main, linking branch-created data and
+    delete files (link(2) — zero copy, same primitive as clone) and
+    republishing each manifest under main's next version with a fresh
+    commit time (history stays time-monotone for AS-OF reads). Only
+    legal when main has NOT advanced past the fork point — a diverged
+    merge needs 3-way semantics this layer deliberately refuses
+    (Nessie/Iceberg fast-forward rule): raises ConcurrentWriteError,
+    and the atomic os.link version claim makes the whole replay safe
+    against a racing main writer (the first contested version loses
+    the race and the merge aborts with main unchanged — committed
+    prefix manifests reference only reachable files, so a partial
+    merge is a valid table state, not corruption). Returns main's new
+    version."""
+    bpath = branch_path(path, branch)
+    with open(_manifest_path(bpath, 1)) as f:
+        fork = json.load(f)["cloned_from"]
+    if os.path.normpath(fork["path"]) != os.path.normpath(path):
+        raise ValueError(f"{bpath} is not a branch of {path}")
+    if current_version(path) != fork["version"]:
+        raise ConcurrentWriteError(
+            f"main advanced to v{current_version(path)} past the fork "
+            f"point v{fork['version']}: fast-forward is impossible"
+        )
+    main_v = fork["version"]
+    for bv in range(2, current_version(bpath) + 1):
+        with open(_manifest_path(bpath, bv)) as f:
+            m = json.load(f)
+        for name in m["files"]:
+            dst = os.path.join(path, name)
+            if not os.path.exists(dst):
+                os.link(os.path.join(bpath, name), dst)
+        for d in m.get("delete_files", []):
+            dst = os.path.join(path, d[0])
+            if not os.path.exists(dst):
+                os.link(os.path.join(bpath, d[0]), dst)
+        main_v += 1
+        m = dict(m)
+        m["version"] = main_v
+        m["committed_at"] = time.time()
+        m["merged_from"] = {"branch": branch, "branch_version": bv}
+        tmp = _manifest_path(path, main_v) + f".tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        try:
+            os.link(tmp, _manifest_path(path, main_v))
+            os.unlink(tmp)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ConcurrentWriteError(
+                f"version {main_v} claimed concurrently during merge"
+            )
+    return main_v
+
+
+@register(
+    "q_lake_branch_merge",
+    oracle="""
+    WITH evens AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    odds AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    merged AS (
+        SELECT * FROM evens WHERE k % 10 != 6
+        UNION ALL
+        SELECT * FROM odds
+    )
+    SELECT 'main_pre' AS side, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents FROM evens
+    UNION ALL
+    SELECT 'main_merged' AS side, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents FROM merged
+    """,
+    tags=("lakehouse", "S"),
+)
+def q_lake_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch + fast-forward merge end to end (Iceberg branches /
+    Nessie refs — pipeline-granularity WAP): main holds the even
+    orders; an 'etl' BRANCH then takes one append (the odds) AND one
+    MoR delete (even keys ending in 6) while main's readers still see
+    the untouched pre-branch snapshot (the 'main_pre' row is read
+    FROM MAIN after both branch commits — isolation is part of the
+    compared result); the fast-forward merge replays both branch
+    commits onto main via hard links (zero copy), and main's
+    MoR-applied latest state must match the oracle's recompute. The
+    delete file crossing the merge also regression-pins the clone
+    delete-entry format fix (d[0], not d['file'])."""
+    from ..sources.formats import scratch
+
+    path = scratch("lake_branch", sf_dir)
+    bpath = branch_path(path, "etl")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(bpath, ignore_errors=True)
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    snapshot_write(o.filter(F.col("k") % 2 == 0), path, "append")
+    create_branch(path, "etl")
+    snapshot_write(o.filter(F.col("k") % 2 == 1), bpath, "append")
+    delete_where(
+        spark,
+        bpath,
+        "k",
+        o.filter((F.col("k") % 2 == 0) & (F.col("k") % 10 == 6)).select("k"),
+    )
+    # isolation: main still serves the pre-branch snapshot
+    pre = snapshot_read_mor(spark, path).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    ).select(F.lit("main_pre").alias("side"), "n", "cents")
+    pre = pre.localCheckpoint(eager=True)  # pin BEFORE the merge mutates main
+    merge_branch_ff(path, "etl")
+    post = snapshot_read_mor(spark, path).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    ).select(F.lit("main_merged").alias("side"), "n", "cents")
+    return pre.unionAll(post)

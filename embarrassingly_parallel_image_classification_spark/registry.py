@@ -243,6 +243,8 @@ _DRIVER_PRIORITY = (
     "q_agg_weighted_median",   # exact cumulative-weight median
     "q_window_cume_nth",       # integer cume_dist + nth_value
     "q_multimodal_dup_frames", # cross-media duplicate-frame dedup
+    "q_lake_branch_merge",     # branch + fast-forward merge
+    "q_timeseries_seasonal",   # exact hour-of-day seasonal index
     # 2. Cross-family canaries, all driver-green in r1–r5 — behind the
     #    never-verified additions: new-coverage slots outrank
     #    re-verification when the 50-slot window is tight.

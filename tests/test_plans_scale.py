@@ -1112,3 +1112,51 @@ def test_lakehouse_partition_evolution_prunes_across_mixed_layouts(
         .collect()
     )
     assert got == list(range(250, 316))
+
+
+def test_branch_merge_semantics_and_clone_with_deletes(spark, tmp_path):
+    """Branch/FF-merge edge semantics the oracle query can't pin:
+    (a) cloning/branching a table that already CARRIES a MoR delete
+    file links the delete and applies it on the branch (the d[0]
+    format fix — d['file'] crashed here); (b) a diverged main refuses
+    the fast-forward with ConcurrentWriteError and is left unchanged;
+    (c) an empty branch merges as a no-op."""
+    import pytest as _pytest
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(20).select(F.col("id").alias("k"))
+    lakehouse.snapshot_write(df, path, "append")
+    # a MoR delete on MAIN before branching: k in {0, 1}
+    lakehouse.delete_where(
+        spark, path, "k", spark.range(2).select(F.col("id").alias("k"))
+    )
+    bpath = lakehouse.create_branch(path, "dev")  # clone WITH deletes
+    got = sorted(
+        r["k"] for r in lakehouse.snapshot_read_mor(spark, bpath).collect()
+    )
+    assert got == list(range(2, 20)), "branch must inherit the MoR delete"
+
+    # (c) merging a branch with no new commits is a version no-op
+    v_before = lakehouse.current_version(path)
+    assert lakehouse.merge_branch_ff(path, "dev") == v_before
+
+    # (b) diverge main, then branch writes; FF must refuse
+    lakehouse.snapshot_write(
+        spark.range(20, 25).select(F.col("id").alias("k")), path, "append"
+    )
+    lakehouse.snapshot_write(
+        spark.range(30, 35).select(F.col("id").alias("k")), bpath, "append"
+    )
+    with _pytest.raises(lakehouse.ConcurrentWriteError):
+        lakehouse.merge_branch_ff(path, "dev")
+    # main unchanged by the refused merge: its rows are 2..24 minus {}
+    got_main = sorted(
+        r["k"] for r in lakehouse.snapshot_read_mor(spark, path).collect()
+    )
+    assert got_main == list(range(2, 25))
+
+    # duplicate branch name refused
+    with _pytest.raises(lakehouse.ConcurrentWriteError):
+        lakehouse.create_branch(path, "dev")
