@@ -529,3 +529,40 @@ def q_fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("TRY_CAST(o_orderstatus AS BIGINT)").alias("bad_cast"),
         F.expr("TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT)").alias("prio_num"),
     )
+
+
+@register(
+    "q_fn_interval",
+    oracle="""
+    SELECT o_orderkey,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+               AS plus3m,
+           CAST(isodow(o_orderdate) - 1 AS BIGINT) AS wd
+    FROM orders
+    WHERE o_orderkey % 37 = 0
+    """,
+    tags=("H3",),
+)
+def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic coverage (the H3 functions round 1
+    left out): LAST_DAY, month-level DATE_TRUNC, ADD_MONTHS (which
+    clamps Jan 31 + 1 → Feb 28 — semantics verified identical to
+    DuckDB's date + INTERVAL addition), and WEEKDAY in the portable
+    0=Monday convention (Spark weekday() ≡ DuckDB isodow − 1; the
+    1=Sunday dayofweek() spellings DIFFER between engines and are
+    deliberately avoided — same class of trap as ISO weeks, cf. the
+    epoch-day DIV 7 rule in q_fn_datetime). Pure map-side projection;
+    the modulo filter only bounds the compared rows."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 37 == 0)
+        .select(
+            "o_orderkey",
+            F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+            F.add_months(F.col("o_orderdate").cast("date"), 3).alias("plus3m"),
+            F.weekday(F.col("o_orderdate")).cast("bigint").alias("wd"),
+        )
+    )

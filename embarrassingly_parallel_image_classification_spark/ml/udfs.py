@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa  # module-level: arrow_udf resolves string type hints
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -367,4 +367,54 @@ def q_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, f.tok0, f.tok1, f.tok2, f.n_tokens "
         "FROM epic_docs_for_udtf d, "
         "LATERAL epic_lead_tokens(d.text, 3) f"
+    )
+
+
+@register(
+    "q_udf_window_agg",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS roll3_cents
+    FROM events
+    WHERE user_id % 101 = 0
+    """,
+    tags=("J5", "E3"),
+)
+def q_udf_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF over a WINDOW frame — the J-family surface distinct
+    from groupBy().agg(UDAF): Spark evaluates the grouped-agg pandas
+    UDF once per row over its bounded ROWS frame, shipping each frame
+    to Python as a pandas Series. The rolling 3-event spend is
+    int64-exact in pandas (cents sum, no float path), so the DuckDB
+    window-SUM oracle hash-matches the Python kernel bit for bit —
+    an oracle-pinned custom rolling metric (in production this kernel
+    would be a rolling robust statistic SQL can't express; SUM keeps
+    it exactly checkable). Frame must be BOUNDED (Spark requirement
+    for window pandas UDAFs); per-row frame shipping is why built-in
+    window functions stay the default and this is the escape hatch."""
+
+    @pandas_udf("long")
+    def roll_sum(cents: pd.Series) -> int:
+        return int(cents.sum())
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 101 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", roll_sum("cents").over(w).alias("roll3_cents")
     )

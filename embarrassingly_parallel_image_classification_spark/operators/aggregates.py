@@ -702,3 +702,73 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cents").cast("bigint").alias("wmedian_cents"),
         )
     )
+
+
+@register(
+    "q_agg_listagg",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           string_agg(n_name, ',' ORDER BY n_name) AS members
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("D8",),
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / STRING_AGG (SQL:2016, native in Spark 4.0+): ordered
+    string concatenation per group — the report-friendly sibling of
+    collect_list that needs no array post-processing, with a WITHIN
+    GROUP order making the value deterministic (an unordered listagg
+    is concurrency-dependent and could never hash-match). Emitted as
+    a string, so it is driver-sortable by construction.
+
+    Plan: one groupBy shuffle; the ordered aggregation buffers only
+    each group's members. At scale the same caveat as collect_list
+    applies — the group's concatenation must fit in memory, so this
+    is a dimension-table / post-aggregation operator, never a
+    fact-table one (the docstring contract the repo's other
+    collect-style ops carry)."""
+    return (
+        t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("members"),
+        )
+    )
+
+
+@register(
+    "q_agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(bool_and(o_totalprice > 1000) AS BIGINT) AS all_over_1k,
+           CAST(bool_or(o_totalprice > 400000) AS BIGINT) AS any_over_400k,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_final
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("D3",),
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (BOOL_AND/BOOL_OR, a.k.a. EVERY/ANY): the
+    constraint-check aggregation shape behind data-quality assertions
+    ("every order in the tier is priced", "any order breached the
+    cap") — emitted as BIGINT 0/1 so the cross-engine dtype is pinned
+    (pandas bool columns hash differently from int across engines'
+    drivers). One partial+final hash aggregate; AND/OR combine
+    map-side like any semilattice."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.bool_and(F.col("o_totalprice") > 1000).cast("bigint").alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).cast("bigint").alias("any_over_400k"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_final"),
+    )

@@ -245,6 +245,10 @@ _DRIVER_PRIORITY = (
     "q_multimodal_dup_frames", # cross-media duplicate-frame dedup
     "q_lake_branch_merge",     # branch + fast-forward merge
     "q_timeseries_seasonal",   # exact hour-of-day seasonal index
+    "q_agg_listagg",           # ordered LISTAGG / STRING_AGG
+    "q_fn_interval",           # calendar-interval arithmetic
+    "q_agg_bool",              # BOOL_AND/BOOL_OR constraint aggs
+    "q_udf_window_agg",        # pandas UDAF over a bounded window
     # 2. Cross-family canaries, all driver-green in r1–r5 — behind the
     #    never-verified additions: new-coverage slots outrank
     #    re-verification when the 50-slot window is tight.
