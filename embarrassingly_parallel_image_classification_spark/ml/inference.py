@@ -699,3 +699,99 @@ def q_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lift_e6"),
         F.expr("CAST(cum_pos * 1000000 DIV pos_tot AS BIGINT)").alias("capture_e6"),
     )
+
+
+_QSHIFT, _QSTEP = 1_000_000, 16_384  # e6 shift to nonneg; ~int8 step
+
+
+_QUANT_ORACLE = f"""
+    WITH xe AS (
+        SELECT vec_id, label,
+               UNNEST(range(1, len(embedding) + 1)) AS pos,
+               UNNEST(list_transform(CAST(embedding AS DOUBLE[]),
+                   v -> CAST(ROUND(v * 1000000) AS BIGINT) + {_QSHIFT}))
+                   AS xs
+        FROM embeddings
+    ),
+    xq AS (SELECT vec_id, label, pos, xs // {_QSTEP} AS xq FROM xe),
+    cent AS (
+        SELECT label AS cl, pos,
+               (CAST(SUM(xs) AS BIGINT) // COUNT(*)) // {_QSTEP} AS cq
+        FROM xe GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT vec_id, label, cl,
+               SUM((xq - cq) * (xq - cq)) AS dist
+        FROM xq JOIN cent USING (pos)
+        GROUP BY 1, 2, 3
+    ),
+    p AS (
+        SELECT vec_id, label, cl AS pred,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cl) AS rn
+        FROM d
+    )
+    SELECT vec_id, label, CAST(pred AS BIGINT) AS pred
+    FROM p WHERE rn = 1
+"""
+
+
+@register("q_infer_quantized", oracle=_QUANT_ORACLE, tags=("J1", "J3"))
+def q_infer_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8-quantized inference — the serving optimization every
+    production deployment makes (weights + activations quantized,
+    integer kernel), in a form an exact oracle can pin: embeddings
+    are shifted to non-negative e6 fixed point JVM-side (SQL ROUND —
+    numpy's banker's rounding never touches a boundary) and divided
+    down to ~int8 range [29, 89] (positive DIV throughout — the
+    negative-operand DIV/FLOOR-divide engine mismatch is designed
+    out by the shift, cf. the oracle-parity rules), centroids are
+    quantized from exact integer means with the same ladder, and the
+    Arrow-batched kernel scores pure-integer squared distances with
+    argmin tie → smallest label. Bit-exact against the relational
+    replay, so the quantization ladder itself is verified — the
+    property a float stand-in could never give. Same plan shape as
+    the J1 flagship: tiny centroid collect, one Iterator-pandas-UDF
+    scan, no shuffle."""
+    emb = t(spark, sf_dir, "embeddings")
+    xs_expr = (
+        f"transform(embedding, v -> "
+        f"CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT) + {_QSHIFT})"
+    )
+    # exact-integer quantized centroids: (SUM(xs) DIV n) DIV step
+    rows = (
+        emb.select("label", F.posexplode(F.expr(xs_expr)).alias("pos", "xs"))
+        .groupBy("label", "pos")
+        .agg(F.expr(f"(SUM(xs) DIV COUNT(*)) DIV {_QSTEP}").alias("cq"))
+        .collect()
+    )  # bounded: n_classes × dim rows
+    labels = sorted({r["label"] for r in rows})
+    dim = max(r["pos"] for r in rows) + 1
+    cents = np.zeros((len(labels), dim), dtype=np.int64)
+    lidx = {lab: i for i, lab in enumerate(labels)}
+    for r in rows:
+        cents[lidx[r["label"]], r["pos"]] = r["cq"]
+    labs = np.asarray(labels, dtype=np.int64)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def predict_q(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        C = np.ascontiguousarray(cents)  # (k, d) int64
+        for s in batches:
+            X = np.stack(s.to_numpy()).astype(np.int64)  # (n, d)
+            # integer squared distance; argmin first-occurrence = the
+            # smallest label on ties (labels sorted)
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            yield pd.Series(labs[np.argmin(d, axis=1)])
+
+    xq = emb.select(
+        "vec_id",
+        "label",
+        F.expr(f"transform({xs_expr}, x -> x DIV {_QSTEP})").alias("xq"),
+    )
+    return xq.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        predict_q("xq").alias("pred"),
+    ).select("vec_id", "label", "pred")

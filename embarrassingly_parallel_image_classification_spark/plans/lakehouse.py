@@ -2471,3 +2471,126 @@ def q_lake_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("cents"),
     ).select(F.lit("main_merged").alias("side"), "n", "cents")
     return pre.unionAll(post)
+
+
+def merge_into_when(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str,
+    update_cols: list[str],
+    matched_delete: str | None = None,
+    insert_cond: str | None = None,
+) -> int:
+    """Full WHEN-clause MERGE (the Delta/Iceberg MERGE surface
+    merge_into's plain upsert doesn't cover):
+
+        WHEN MATCHED AND <matched_delete>     THEN DELETE
+        WHEN MATCHED                          THEN UPDATE SET update_cols
+        WHEN NOT MATCHED [AND <insert_cond>]  THEN INSERT
+        (unmatched target rows always carry over)
+
+    Clause order is the standard: a matched row satisfying
+    ``matched_delete`` is deleted BEFORE the update applies, and the
+    condition sees PRE-update target values (SQL strings evaluated on
+    the joined frame — target columns under their own names, source
+    columns as ``__s_<col>``). Same copy-on-write shape as
+    merge_into: one MoR-aware full-outer join, one OVERWRITE publish;
+    at 100 TB the join pre-filters to key-range-intersecting files
+    via manifest stats."""
+    target = snapshot_read_mor(spark, path)
+    src = source.select(
+        F.col(key).alias("__k"), *[F.col(c).alias(f"__s_{c}") for c in update_cols]
+    )
+    joined = target.join(src, target[key] == F.col("__k"), "full_outer")
+    is_matched = target[key].isNotNull() & F.col("__k").isNotNull()
+    keep = F.lit(True)
+    if matched_delete is not None:
+        keep = ~(is_matched & F.expr(matched_delete))
+    if insert_cond is not None:
+        src_only = target[key].isNull()
+        keep = keep & (~src_only | F.expr(insert_cond))
+    merged_cols = []
+    for c in target.columns:
+        if c in update_cols:
+            merged_cols.append(F.coalesce(F.col(f"__s_{c}"), F.col(c)).alias(c))
+        elif c == key:
+            merged_cols.append(F.coalesce(target[key], F.col("__k")).alias(key))
+        else:
+            merged_cols.append(F.col(c))
+    merged = joined.filter(keep).select(*merged_cols)
+    return snapshot_write(merged, path, "overwrite")
+
+
+@register(
+    "q_lake_merge_when",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    s AS (
+        SELECT o_orderkey AS k, CAST(0 AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000 AS k, CAST(777 AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 1000 = 0
+    ),
+    m AS (
+        SELECT t.k AS tk, t.cents AS tc, s.k AS sk, s.cents AS sc
+        FROM t FULL OUTER JOIN s ON t.k = s.k
+    ),
+    f AS (
+        SELECT COALESCE(tk, sk) AS k, COALESCE(sc, tc) AS cents
+        FROM m
+        WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL AND tc > 30000000)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN cents = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_updated,
+           CAST(SUM(CASE WHEN cents = 777 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inserted
+    FROM f
+    """,
+    tags=("lakehouse", "C3"),
+)
+def q_lake_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-clause MERGE end to end: the CDC batch zeroes
+    matched even keys (UPDATE), PURGES matched rows whose pre-update
+    price exceeded $300k (WHEN MATCHED AND ... DELETE — evaluated on
+    the pre-update value, before the update clause), and INSERTS
+    genuinely new keys — one statement, three clause outcomes, which
+    is the shape real CDC feeds take (tombstone + amend + create in
+    one batch). The oracle replays all three clauses relationally;
+    row counts, updated/inserted tallies and the exact cents total
+    must match."""
+    from ..sources.formats import scratch
+
+    path = scratch("lake_merge_when", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    snapshot_write(o, path, "append")
+    source = o.filter(F.col("k") % 2 == 0).select("k", F.lit(0).cast("bigint").alias("cents")).unionAll(
+        o.filter(F.col("k") % 1000 == 0).select(
+            (F.col("k") + 100000000).alias("k"),
+            F.lit(777).cast("bigint").alias("cents"),
+        )
+    )
+    merge_into_when(
+        spark, path, source, "k", ["cents"], matched_delete="cents > 30000000"
+    )
+    return snapshot_read(spark, path).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.when(F.col("cents") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_updated"),
+        F.sum(F.when(F.col("cents") == 777, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_inserted"),
+    )

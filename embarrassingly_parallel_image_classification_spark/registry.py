@@ -249,6 +249,9 @@ _DRIVER_PRIORITY = (
     "q_fn_interval",           # calendar-interval arithmetic
     "q_agg_bool",              # BOOL_AND/BOOL_OR constraint aggs
     "q_udf_window_agg",        # pandas UDAF over a bounded window
+    "q_lake_merge_when",       # WHEN-clause MERGE (update/delete/insert)
+    "q_scan_merge_schema",     # mergeSchema drift-at-the-scan read
+    "q_infer_quantized",       # int8-quantized integer-kernel serving
     # 2. Cross-family canaries, all driver-green in r1–r5 — behind the
     #    never-verified additions: new-coverage slots outrank
     #    re-verification when the 50-slot window is tight.

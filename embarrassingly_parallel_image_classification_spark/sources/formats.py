@@ -258,3 +258,57 @@ def q_scan_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("oyear").cast("bigint").alias("oyear"), "n_files", "n_rows")
     )
+
+
+@register(
+    "q_scan_merge_schema",
+    # callable oracle: the scratch path resolves in the asking process
+    # (same contract as q_scan_provenance); the Spark query runs first
+    # and (re)writes both generations before DuckDB reads them
+    oracle=lambda: f"""
+    WITH src AS (
+        SELECT * FROM read_parquet(
+            ['{scratch("schema_gen1", "sf0.01")}/*.parquet',
+             '{scratch("schema_gen2", "sf0.01")}/*.parquet'],
+            union_by_name = true)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(cents) AS BIGINT) AS n_with_cents,
+           CAST(COUNT(priority) AS BIGINT) AS n_with_priority,
+           CAST(SUM(COALESCE(cents, 0)) AS BIGINT) AS total_cents
+    FROM src
+    """,
+    tags=("A1", "A4", "metadata"),
+)
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-merging parquet scan (`mergeSchema=true` ≡ DuckDB's
+    union_by_name): two file generations of one dataset — gen1 wrote
+    (k, cents), gen2 added a `priority` column and dropped nothing —
+    read as ONE frame whose schema is the union, with NULLs where a
+    generation lacks a column. This is schema DRIFT AT THE SCAN, the
+    raw-files sibling of the lakehouse layer's manifest-mediated
+    schema evolution (plans/lakehouse.py L4): no manifest exists, so
+    the reader pays per-file footer reconciliation instead — which is
+    why mergeSchema is off by default in Spark and the lakehouse path
+    is the scale answer; both belong in the inventory. NULL-counting
+    aggregates pin the widening exactly."""
+    g1 = scratch("schema_gen1", sf_dir)
+    g2 = scratch("schema_gen2", sf_dir)
+    o = t(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    ).coalesce(2).write.mode("overwrite").parquet(g1)
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("priority"),
+    ).coalesce(2).write.mode("overwrite").parquet(g2)
+    merged = spark.read.option("mergeSchema", "true").parquet(g1, g2)
+    return merged.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("cents").cast("bigint").alias("n_with_cents"),
+        F.count("priority").cast("bigint").alias("n_with_priority"),
+        F.sum(F.coalesce(F.col("cents"), F.lit(0)))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
