@@ -129,6 +129,9 @@ HEADLINE = [
     "q_agg_weighted_median",
     "q_window_cume_nth",
     "q_knn_ivfpq_residual",
+    # session-3 tail: exact seasonal index, int8-quantized serving
+    "q_timeseries_seasonal",
+    "q_infer_quantized",
 ]
 
 

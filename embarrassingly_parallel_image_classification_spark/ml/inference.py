@@ -795,3 +795,75 @@ def q_infer_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("label"),
         predict_q("xq").alias("pred"),
     ).select("vec_id", "label", "pred")
+
+
+@register(
+    "q_eval_pr_curve",
+    oracle="""
+    WITH s AS (
+        SELECT value AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    ps AS (SELECT score, SUM(y) AS pos, COUNT(*) AS cnt FROM s GROUP BY score),
+    c AS (
+        SELECT score,
+               SUM(pos) OVER w AS tp,
+               SUM(cnt) OVER w AS cum,
+               ROW_NUMBER() OVER (ORDER BY score DESC) AS rn
+        FROM ps
+        WINDOW w AS (ORDER BY score DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (SELECT CAST(SUM(y) AS BIGINT) AS np FROM s)
+    SELECT CAST(rn AS BIGINT) AS rn, score,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(cum - tp AS BIGINT) AS fp,
+           CAST(tp * 1000000 // cum AS BIGINT) AS precision_e6,
+           CAST(tp * 1000000 // np AS BIGINT) AS recall_e6
+    FROM c CROSS JOIN tot
+    WHERE rn % 500 = 1
+    """,
+    tags=("J1", "E1", "eval"),
+)
+def q_eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT precision-recall curve (completes the eval suite next to
+    ROC-AUC / calibration / lift): at each distinct score threshold t
+    (predict positive iff score ≥ t), cumulative TP/FP from a
+    descending window over DISTINCT scores, precision and recall in
+    fixed-point e6 (positive integer DIV only). The curve is sampled
+    at every 500th threshold rank — a deterministic thinning that
+    keeps the compared result bounded while spanning the full range
+    (real dashboards thin the same way).
+
+    Scale shape is q_eval_auc's: aggregate per distinct score FIRST
+    (one hash shuffle, massive reduction), then the tiny ordered
+    window runs over distinct scores only — never a full-table global
+    sort. The positives total is a third tiny aggregate joined on."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    ps = ev.groupBy("score").agg(
+        F.sum("y").alias("pos"), F.count("*").alias("cnt")
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = ps.select(
+        "score",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("cnt").over(w).alias("cum"),
+        F.row_number().over(Window.orderBy(F.desc("score"))).alias("rn"),
+    ).filter(F.col("rn") % 500 == 1)
+    np_total = ev.agg(F.sum("y").cast("bigint").alias("np"))
+    return c.join(F.broadcast(np_total)).select(
+        F.col("rn").cast("bigint").alias("rn"),
+        "score",
+        F.col("tp").cast("bigint").alias("tp"),
+        (F.col("cum") - F.col("tp")).cast("bigint").alias("fp"),
+        F.expr("tp * 1000000 DIV cum").alias("precision_e6"),
+        F.expr("tp * 1000000 DIV np").alias("recall_e6"),
+    )

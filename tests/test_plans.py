@@ -236,6 +236,8 @@ _CARTESIAN_OK = {
                              # the NTILE closed-form bucket rule
     "q_market_basket",       # 1-row order-count scalar crossed into
                              # the lift denominator
+    "q_eval_pr_curve",       # 1-row positives-total scalar broadcast
+                             # onto the thinned threshold frame
 }
 
 
