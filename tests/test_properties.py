@@ -451,3 +451,66 @@ def test_two_phase_rank_keeps_null_bucket_rows(spark):
         ).collect()
     }
     assert got == want
+
+
+_merge_target = st.dictionaries(
+    st.integers(0, 15), st.integers(0, 100), min_size=1, max_size=8
+)
+_merge_source = st.dictionaries(
+    st.integers(0, 15), st.integers(0, 100), min_size=1, max_size=8
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_merge_target, _merge_source, st.integers(0, 100))
+def test_merge_when_matches_dict_model(spark, target, source, thresh):
+    """WHEN-clause MERGE vs a trivial dict model, for arbitrary
+    unique-key tables and an arbitrary matched-delete threshold:
+
+        matched & target.v > thresh  -> row deleted
+        matched otherwise            -> v := source.v
+        source-only                  -> inserted
+        target-only                  -> unchanged
+
+    One counterexample means clause precedence, the pre-update
+    condition semantics, or the outer-join classification is wrong."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = _tempfile.mkdtemp(prefix="merge_prop_") + "/tbl"
+    try:
+        tdf = spark.createDataFrame(
+            [(k, v) for k, v in target.items()], "k bigint, v bigint"
+        )
+        lakehouse.snapshot_write(tdf, path, "append")
+        sdf = spark.createDataFrame(
+            [(k, v) for k, v in source.items()], "k bigint, v bigint"
+        )
+        lakehouse.merge_into_when(
+            spark, path, sdf, "k", ["v"], matched_delete=f"v > {thresh}"
+        )
+        model = {}
+        for k, v in target.items():
+            if k in source:
+                if v > thresh:
+                    continue  # matched-delete wins, pre-update value
+                model[k] = source[k]
+            else:
+                model[k] = v
+        for k, v in source.items():
+            if k not in target:
+                model[k] = v
+        got = {
+            r["k"]: r["v"]
+            for r in lakehouse.snapshot_read(spark, path).collect()
+        }
+        assert got == model, (target, source, thresh, got, model)
+    finally:
+        _shutil.rmtree(path, ignore_errors=True)
