@@ -566,3 +566,45 @@ def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.weekday(F.col("o_orderdate")).cast("bigint").alias("wd"),
         )
     )
+
+
+@register(
+    "q_fn_format",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%s-%06d', o_orderpriority, o_orderkey) AS order_tag,
+           strftime(o_orderdate, '%Y-%m') AS order_month,
+           printf('%d cents', CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               AS price_label
+    FROM orders
+    WHERE o_orderkey % 53 = 0
+    """,
+    tags=("H1", "H3"),
+)
+def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting coverage (printf-style FORMAT_STRING +
+    DATE_FORMAT): zero-padded composite business keys, month
+    roll-up labels, unit-suffixed amounts — the report-surface
+    functions. Engine-portable subset only: %s/%06d/%d printf
+    conversions behave identically (Spark format_string ≡ DuckDB
+    printf — both java.util.Formatter/C semantics for these), and the
+    date pattern is written natively per engine (Spark 'yyyy-MM' ≡
+    DuckDB strftime '%Y-%m') since pattern SYNTAX differs while the
+    rendered text is identical. Floating %f is deliberately excluded
+    (rounding-render rules differ) — amounts go through exact cents.
+    Pure map-side projection."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 53 == 0)
+        .select(
+            "o_orderkey",
+            F.format_string(
+                "%s-%06d", F.col("o_orderpriority"), F.col("o_orderkey")
+            ).alias("order_tag"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            F.format_string(
+                "%d cents",
+                F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"),
+            ).alias("price_label"),
+        )
+    )

@@ -399,3 +399,45 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.least("a_e", "b_e") - F.greatest("a_s", "b_s")).alias("overlap_us"),
     )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    WITH a AS (
+        SELECT NULLIF(user_id % 5, 4) AS grp_key,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    b AS (
+        SELECT NULLIF(o_custkey % 5, 4) AS grp_key,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT a.grp_key AS grp_key, n_events, n_orders
+    FROM a JOIN b ON a.grp_key IS NOT DISTINCT FROM b.grp_key
+    """,
+    tags=("C1", "B4"),
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (`<=>` ≡ IS NOT DISTINCT FROM): the
+    join a plain equi-join silently drops — NULL keys match NULL keys
+    (here the sentinel bucket NULLIF(x % 5, 4) on both sides), which
+    is what correct dimension joins over nullable business keys
+    need. Spark plans `<=>` as a HASH join (the null-safe comparator
+    is hashable), NOT a nested loop — the plan lint's no-BNLJ rule
+    still holds, which is itself the point: null-safe does not cost
+    the equi-join plan."""
+    a = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.nullif(F.col("user_id") % 5, F.lit(4)).alias("grp_key"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    b = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.nullif(F.col("o_custkey") % 5, F.lit(4)).alias("grp_key"))
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+    return a.join(b, a["grp_key"].eqNullSafe(b["grp_key"])).select(
+        a["grp_key"].alias("grp_key"), "n_events", "n_orders"
+    )

@@ -253,6 +253,8 @@ _DRIVER_PRIORITY = (
     "q_scan_merge_schema",     # mergeSchema drift-at-the-scan read
     "q_infer_quantized",       # int8-quantized integer-kernel serving
     "q_eval_pr_curve",         # exact thinned precision-recall curve
+    "q_join_null_safe",        # <=> null-safe equality hash join
+    "q_fn_format",             # printf/date_format report surface
     # 2. Cross-family canaries, all driver-green in r1–r5 — behind the
     #    never-verified additions: new-coverage slots outrank
     #    re-verification when the 50-slot window is tight.
