@@ -608,3 +608,116 @@ def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("price_label"),
         )
     )
+
+
+@register(
+    "q_fn_url",
+    oracle="""
+    WITH u AS (
+        SELECT c_custkey,
+               lower(c_mktsegment) || '.shop.example' AS host,
+               '/u/' || CAST(c_custkey AS VARCHAR) AS path,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL
+                    ELSE c_nationkey END AS n
+        FROM customer
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+           CAST(SUM(n) AS BIGINT) AS sum_n,
+           CAST(SUM(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing_param
+    FROM u GROUP BY host ORDER BY host
+    """,
+    tags=("H1", "H2"),
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (`parse_url` — the log-analytics workhorse Spark
+    ships natively): construct one URL per customer (host from the
+    market segment, some with an explicit :8443 port, every 5th
+    missing its `n` query param), then extract HOST (port-stripped),
+    PATH, and the `n` QUERY parameter, and aggregate a per-host
+    census including how many URLs lacked the parameter (parse_url
+    returns NULL, not an error). The oracle reconstructs the expected
+    census from the base columns — independent of any URL-parsing
+    code, so a Spark parsing quirk (port leakage into HOST, bad
+    param grab) diffs immediately. Pure map-side projection + one
+    groupBy shuffle on host."""
+    c = t(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://"),
+        F.lower("c_mktsegment"),
+        F.lit(".shop.example"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(":8443")).otherwise(
+            F.lit("")
+        ),
+        F.lit("/u/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?seg="),
+        F.col("c_mktsegment"),
+        F.when(F.col("c_custkey") % 5 != 0,
+               F.concat(F.lit("&n="), F.col("c_nationkey").cast("string")))
+        .otherwise(F.lit("")),
+    )
+    parsed = c.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("n"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    return (
+        parsed.groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("path").alias("n_paths"),
+            F.sum("n").cast("bigint").alias("sum_n"),
+            F.sum(F.when(F.col("n").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing_param"),
+        )
+        .orderBy("host")
+    )
+
+
+@register(
+    "q_fn_collation",
+    oracle="""
+    SELECT lower(CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                      ELSE c_mktsegment END) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(c_custkey) AS BIGINT) AS first_key
+    FROM customer
+    GROUP BY 1 ORDER BY segment
+    """,
+    tags=("H1",),
+)
+def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 `collate(..., 'UTF8_LCASE')`):
+    the segment labels arrive in mixed case (half lowercased at the
+    source — the classic multi-upstream ingestion mess) and the
+    group-by key is declared case-insensitive via COLLATION instead of
+    a lower() rewrite, so the ENGINE owns the equivalence: comparisons,
+    hashes and sorts all honor it, and any expression derived from the
+    key inherits it — the declarative fix for case-drift, new in
+    Spark 4. The exposed key is normalized through lower() because a
+    collated group's representative casing is engine-specific (the
+    values, not the label, are the contract — same convention as the
+    collect_list sort rule). One hash-agg shuffle; collation support
+    is metadata on the string type, so the plan is the same
+    WholeStageCodegen hash aggregate as any groupBy."""
+    styled = F.when(
+        F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment")
+    ).otherwise(F.col("c_mktsegment"))
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.collate(styled, "UTF8_LCASE").alias("seg_ci"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_custkey").cast("bigint").alias("first_key"),
+        )
+        .select(
+            F.lower("seg_ci").alias("segment"), "n", "first_key"
+        )
+        .orderBy("segment")
+    )

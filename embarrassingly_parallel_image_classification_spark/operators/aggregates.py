@@ -772,3 +772,73 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_final"),
     )
+
+
+@register(
+    "q_reshape_transpose",
+    oracle="""
+    WITH base AS (
+        SELECT r_name,
+               (SELECT COUNT(*) FROM nation n
+                WHERE n.n_regionkey = r.r_regionkey) AS n_nations,
+               (SELECT COUNT(*) FROM customer c JOIN nation n
+                   ON c.c_nationkey = n.n_nationkey
+                WHERE n.n_regionkey = r.r_regionkey) AS n_cust,
+               (SELECT COUNT(*) FROM supplier s JOIN nation n
+                   ON s.s_nationkey = n.n_nationkey
+                WHERE n.n_regionkey = r.r_regionkey) AS n_supp
+        FROM region r
+    )
+    SELECT k AS key,
+           CAST(MAX(CASE WHEN r_name = 'AFRICA' THEN v END) AS BIGINT)
+               AS "AFRICA",
+           CAST(MAX(CASE WHEN r_name = 'AMERICA' THEN v END) AS BIGINT)
+               AS "AMERICA",
+           CAST(MAX(CASE WHEN r_name = 'ASIA' THEN v END) AS BIGINT)
+               AS "ASIA",
+           CAST(MAX(CASE WHEN r_name = 'EUROPE' THEN v END) AS BIGINT)
+               AS "EUROPE",
+           CAST(MAX(CASE WHEN r_name = 'MIDDLE EAST' THEN v END) AS BIGINT)
+               AS "MIDDLE EAST"
+    FROM base
+    UNPIVOT (v FOR k IN (n_nations, n_cust, n_supp))
+    GROUP BY k ORDER BY k
+    """,
+    tags=("D12",),
+)
+def q_reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix transpose of a summary frame (Spark 4
+    ``DataFrame.transpose()``): the per-region entity census flips so
+    METRICS become rows and regions become columns — the
+    presentation-layer reshape every BI hand-off wants, expressed as
+    one API call instead of an unpivot + pivot pair. Transpose is
+    driver-bounded by construction (the input is a 5-row aggregate;
+    the result's column count = input row count, and Spark collects
+    the index column to name them) — the 100-TB shape is agg-first,
+    transpose-last, never transpose of a fact table. The oracle is
+    the equivalent UNPIVOT + conditional-aggregation pivot."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    nr = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "r_name")
+    nations = nr.groupBy("r_name").agg(F.count("*").alias("n_nations"))
+    cust = (
+        c.join(F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        s.join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_supp"))
+    )
+    base = (
+        nations.join(cust, "r_name")
+        .join(supp, "r_name")
+        .orderBy("r_name")  # row order becomes column order
+        .select("r_name", "n_nations", "n_cust", "n_supp")
+    )
+    return base.transpose()

@@ -107,3 +107,56 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     return c.subtract(o)
+
+
+@register(
+    "q_union_by_name",
+    oracle="""
+    SELECT side, key, cents, region_key
+    FROM (
+        SELECT 'cust' AS side, c_custkey AS key,
+               CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents,
+               CAST(NULL AS BIGINT) AS region_key
+        FROM customer WHERE c_custkey % 101 = 0
+        UNION ALL
+        SELECT 'supp' AS side, s_suppkey AS key,
+               CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS cents,
+               CAST(n_regionkey AS BIGINT) AS region_key
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey % 11 = 0
+    )
+    """,
+    tags=("G1",),
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligning union (`unionByName(allowMissingColumns=True)`):
+    the two branches present their columns in DIFFERENT physical order
+    and one carries an extra `region_key` the other lacks — the
+    position-based UNION would silently pair wrong columns (or fail on
+    arity), while by-name alignment matches columns by identifier and
+    NULL-fills the gap, exactly DuckDB's `UNION ALL BY NAME`. This is
+    the everyday shape of unioning two upstream feeds that drifted:
+    column order is NOT part of either feed's contract. Map-side only —
+    a union adds no shuffle or barrier; each branch keeps its own
+    pushdown and partitioning."""
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    cust = c.filter(F.col("c_custkey") % 101 == 0).select(
+        F.lit("cust").alias("side"),
+        F.col("c_custkey").alias("key"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
+    )
+    supp = (
+        s.filter(F.col("s_suppkey") % 11 == 0)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_regionkey").cast("bigint").alias("region_key"),
+            F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("cents"),
+            F.col("s_suppkey").alias("key"),
+            F.lit("supp").alias("side"),
+        )
+    )
+    return cust.unionByName(supp, allowMissingColumns=True).select(
+        "side", "key", "cents", "region_key"
+    )

@@ -131,6 +131,26 @@ def snapshot_write(
     stat_cols = (
         [stats_col] if isinstance(stats_col, str) else list(stats_col or [])
     )
+    # Column-mapping translation (rename_column): data files keep their
+    # PHYSICAL column names forever; a renamed table's manifest maps
+    # physical → logical. The incoming frame uses LOGICAL names, so an
+    # append translates them back to physical before writing (keeping
+    # every data file's layout uniform — one read + one rename per
+    # column serves the whole table), records the LOGICAL schema, and
+    # carries the mapping forward. An overwrite replaces all data, so
+    # the new files' physical names ARE the logical names and the
+    # mapping resets — same lifecycle as the carried delete files.
+    logical_schema = df.schema.jsonValue()
+    _map_base = base_version if base_version is not None else current_version(path)
+    renames: dict = {}
+    if mode == "append" and _map_base > 0:
+        with open(_manifest_path(path, _map_base)) as f:
+            renames = json.load(f).get("renames", {})
+        for phys, logical in renames.items():
+            if logical in df.columns:
+                df = df.withColumnRenamed(logical, phys)
+        _to_phys = {l: p for p, l in renames.items()}
+        stat_cols = [_to_phys.get(c, c) for c in stat_cols]
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     new_files, stats, col_stats = [], {}, {}
@@ -159,6 +179,7 @@ def snapshot_write(
         vis_col_stats = dict(col_stats)
         carried_deletes: list = []
         carried_batch_ids: list = []
+        carried_renames: dict = {}
         base = base_version if base_version is not None else prev
         if base > 0:
             with open(_manifest_path(path, base)) as f:
@@ -176,6 +197,15 @@ def snapshot_write(
                 # published, so re-inserted keys in new files are
                 # safe); an overwrite replaces all data, clearing them.
                 carried_deletes = m.get("delete_files", [])
+                carried_renames = m.get("renames", {})
+                if carried_renames != renames:
+                    # a rename_column raced this append: the staged
+                    # files were written under a mapping that is no
+                    # longer the table's — publishing them would mix
+                    # physical layouts. Callers retry the whole write.
+                    raise ConcurrentWriteError(
+                        "column mapping changed during append; retry"
+                    )
         if batch_id is not None and batch_id not in carried_batch_ids:
             carried_batch_ids = carried_batch_ids + [batch_id]
         version = prev + 1
@@ -192,7 +222,8 @@ def snapshot_write(
                     },
                     "delete_files": carried_deletes,
                     "batch_ids": sorted(carried_batch_ids),
-                    "schema": df.schema.jsonValue(),
+                    "renames": carried_renames,
+                    "schema": logical_schema,
                     "committed_at": time.time(),
                 },
                 f,
@@ -236,6 +267,12 @@ def snapshot_read(
     with open(_manifest_path(path, v)) as f:
         m = json.load(f)
     files = m["files"]
+    renames: dict = m.get("renames", {})
+    if predicates and renames:
+        # callers predicate on LOGICAL names; manifest stats are keyed
+        # by the files' physical names
+        _to_phys = {l: p for p, l in renames.items()}
+        predicates = {_to_phys.get(c, c): rng for c, rng in predicates.items()}
     if between is not None:
         lo, hi = between
         stats = m.get("stats", {})
@@ -269,7 +306,12 @@ def snapshot_read(
                 f"cannot type an empty read"
             )
         return spark.createDataFrame([], StructType.fromJson(m["schema"]))
-    return spark.read.parquet(*[os.path.join(path, name) for name in files])
+    out = spark.read.parquet(*[os.path.join(path, name) for name in files])
+    # column-mapping: surface every physical column under its logical
+    # name (rename_column is metadata-only; no data file was rewritten)
+    for phys, logical in renames.items():
+        out = out.withColumnRenamed(phys, logical)
+    return out
 
 
 def vacuum(path: str, retain_versions: int = 2) -> list[str]:
@@ -1077,6 +1119,113 @@ def q_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.count("cents").cast("bigint").alias("n_with_cents"),
         F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """Logical column RENAME without rewriting a single data file
+    (Delta column mapping / Iceberg rename semantics): publish a
+    metadata-only commit whose manifest carries the same files, stats
+    and ingest ids, a rewritten logical schema, and a physical→logical
+    name mapping. Data files keep their PHYSICAL names forever;
+    snapshot_read remaps after the scan, snapshot_write translates
+    appended frames back to physical, and reads AS OF a pre-rename
+    version still show the old name (the mapping lives in each
+    manifest, so history is self-describing). Renaming twice composes:
+    the mapping always points from the ORIGINAL physical name to the
+    current logical one. Raises if the table carries un-compacted MoR
+    delete files (their key columns reference physical names — real
+    engines gate the same way via REORG/compaction). Returns the new
+    version."""
+    while True:
+        v = current_version(path)
+        if v == 0:
+            raise ValueError("cannot rename a column of an empty table")
+        with open(_manifest_path(path, v)) as f:
+            m = json.load(f)
+        if m.get("delete_files"):
+            raise ValueError(
+                "rename with pending MoR delete files is unsupported; "
+                "compact_mor first"
+            )
+        fields = m["schema"]["fields"]
+        names = [fl["name"] for fl in fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old}")
+        if new in names:
+            raise ValueError(f"column already exists: {new}")
+        renames = dict(m.get("renames", {}))
+        phys = next((p for p, l in renames.items() if l == old), old)
+        renames.pop(phys, None)
+        if phys != new:
+            renames[phys] = new
+        for fl in fields:
+            if fl["name"] == old:
+                fl["name"] = new
+        payload = {
+            **m,
+            "version": v + 1,
+            "mode": "rename",
+            "renames": renames,
+            "schema": m["schema"],
+            "committed_at": time.time(),
+        }
+        tmp = _manifest_path(path, v + 1) + f".tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        try:
+            os.link(tmp, _manifest_path(path, v + 1))  # atomic claim
+            os.unlink(tmp)
+            return v + 1
+        except FileExistsError:
+            os.unlink(tmp)  # lost the race: rebase on the new version
+
+
+@register(
+    "q_lake_column_rename",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           'o_orderkey,price_cents' AS now_cols,
+           'o_orderkey,o_cents' AS v1_cols
+    FROM orders
+    """,
+    tags=("lakehouse", "schema", "A6"),
+)
+def q_lake_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping rename end to end: v1 = even orders under
+    physical name `o_cents`, v2 = RENAME o_cents → price_cents
+    (metadata-only — zero files rewritten), v3 = append the odd half
+    under the NEW logical name (physically translated back, so the
+    table keeps one uniform file layout). The final read must sum
+    across both file generations under `price_cents`, while AS OF v1
+    still shows `o_cents` — proving the mapping is per-manifest, not
+    global mutable state."""
+    from ..sources.formats import scratch
+
+    path = scratch("lake_rename", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("o_cents"),
+    )
+    snapshot_write(orders.filter(F.col("o_orderkey") % 2 == 0), path, "append")
+    rename_column(path, "o_cents", "price_cents")
+    snapshot_write(
+        orders.filter(F.col("o_orderkey") % 2 == 1).withColumnRenamed(
+            "o_cents", "price_cents"
+        ),
+        path,
+        "append",
+    )
+    final = snapshot_read(spark, path)
+    v1_cols = ",".join(snapshot_read(spark, path, 1).columns)
+    return final.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("price_cents").cast("bigint").alias("total_cents"),
+        F.concat_ws(",", *[F.lit(c) for c in final.columns]).alias("now_cols"),
+        F.lit(v1_cols).alias("v1_cols"),
     )
 
 

@@ -832,3 +832,46 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.scripting.enabled", prev)
         else:
             spark.conf.unset("spark.sql.scripting.enabled")
+
+
+@register(
+    "q_sql_pipe",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS gross_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS disc_c
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("SQL", "pipe"),
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4 `|>` operators, the GoogleSQL
+    pipe-query surface): the TPC-H-Q1 pricing summary written as a
+    linear dataflow — FROM |> WHERE |> EXTEND (computed exact-cents
+    columns) |> AGGREGATE … GROUP BY |> ORDER BY — instead of the
+    inside-out nested SELECT. Same Catalyst logical plan as the
+    classic spelling (pipe is pure parser surface), so the physical
+    plan keeps pushdown + partial aggregation; the oracle is the
+    traditional-SQL spelling of the identical query, proving the two
+    front ends agree to the cent."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("__pipe_lineitem")
+    return spark.sql(
+        """
+        FROM __pipe_lineitem
+        |> WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-01'
+        |> EXTEND CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+                  CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                       AS BIGINT) AS dcents
+        |> AGGREGATE COUNT(*) AS n_items,
+                     CAST(SUM(cents) AS BIGINT) AS gross_c,
+                     CAST(SUM(dcents) AS BIGINT) AS disc_c
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )

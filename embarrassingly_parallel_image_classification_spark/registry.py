@@ -255,6 +255,12 @@ _DRIVER_PRIORITY = (
     "q_eval_pr_curve",         # exact thinned precision-recall curve
     "q_join_null_safe",        # <=> null-safe equality hash join
     "q_fn_format",             # printf/date_format report surface
+    "q_lake_column_rename",    # column-mapping rename, zero rewrite
+    "q_fn_url",                # parse_url host/path/query census
+    "q_fn_collation",          # Spark 4 case-insensitive collation
+    "q_sql_pipe",              # SQL |> pipe-syntax front end
+    "q_union_by_name",         # schema-aligning union w/ missing cols
+    "q_reshape_transpose",     # DataFrame.transpose presentation flip
     # 2. Cross-family canaries, all driver-green in r1–r5 — behind the
     #    never-verified additions: new-coverage slots outrank
     #    re-verification when the 50-slot window is tight.

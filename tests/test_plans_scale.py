@@ -1160,3 +1160,63 @@ def test_branch_merge_semantics_and_clone_with_deletes(spark, tmp_path):
     # duplicate branch name refused
     with _pytest.raises(lakehouse.ConcurrentWriteError):
         lakehouse.create_branch(path, "dev")
+
+
+def test_lakehouse_column_rename_is_metadata_only_and_versioned(
+    spark, tmp_path
+):
+    """rename_column must (a) rewrite ZERO data files, (b) compose
+    across two renames (mapping stays original-physical → current-
+    logical), (c) keep pre-rename versions showing the old name,
+    (d) translate appended frames back to the physical layout, and
+    (e) keep manifest-level predicate pruning working when the caller
+    predicates on the LOGICAL name."""
+    import glob
+    import os
+
+    import pytest
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df1 = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    lakehouse.snapshot_write(df1, path, "append", stats_col=["v"])
+    files_before = sorted(glob.glob(os.path.join(path, "data-*.parquet")))
+    lakehouse.rename_column(path, "v", "v2")
+    lakehouse.rename_column(path, "v2", "cents")  # compose
+    assert (
+        sorted(glob.glob(os.path.join(path, "data-*.parquet")))
+        == files_before
+    ), "rename rewrote data files"
+    # (b) mapping composed: physical 'v' → logical 'cents'
+    assert lakehouse.snapshot_read(spark, path).columns == ["k", "cents"]
+    # (c) time travel shows the historical name
+    assert lakehouse.snapshot_read(spark, path, 1).columns == ["k", "v"]
+    # (d) append under the logical name; sum spans both generations
+    df2 = spark.range(100, 110).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("cents")
+    )
+    lakehouse.snapshot_write(df2, path, "append", stats_col=["cents"])
+    got = lakehouse.snapshot_read(spark, path)
+    assert got.columns == ["k", "cents"]
+    assert got.agg(F.sum("cents")).collect()[0][0] == sum(
+        2 * i for i in range(110)
+    )
+    # (e) logical-name predicate pruning: range matching only the new
+    # file must prune the old generation's files
+    pruned = lakehouse.snapshot_read(
+        spark, path, predicates={"cents": (200, 218)}
+    )
+    assert pruned.count() == 10
+    assert pruned.inputFiles() and all(
+        os.path.basename(f) not in [os.path.basename(x) for x in files_before]
+        for f in pruned.inputFiles()
+    ), "logical predicate did not prune pre-rename files"
+    # guard: rename with pending MoR deletes must refuse
+    lakehouse.delete_where(
+        spark, path, "k", spark.range(5, 6).select(F.col("id").alias("k"))
+    )
+    with pytest.raises(ValueError, match="compact_mor"):
+        lakehouse.rename_column(path, "cents", "pennies")
