@@ -779,3 +779,72 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+@register(
+    "q_text_perplexity",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    lm AS (
+        SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word
+    ),
+    stats AS (SELECT SUM(cnt) AS total FROM lm),
+    surprisal AS (
+        SELECT word,
+               CAST(ROUND(LN(CAST(stats.total AS DOUBLE) / cnt) * 1000000,
+                          0) AS BIGINT) AS surprise_e6
+        FROM lm CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(surprise_e6) // COUNT(*) AS BIGINT) AS xent_e6
+    FROM tok JOIN surprisal USING (word)
+    GROUP BY doc_id
+    ORDER BY xent_e6 DESC, doc_id LIMIT 20
+    """,
+    tags=("K4",),
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy scoring — the perplexity-filter stage
+    of every LLM pretraining pipeline (CCNet/Gopher-style: score each
+    document by a language model trained on the corpus itself, flag
+    the high-surprisal tail as junk). Per-token self-information
+    −ln p(w) = ln(T / cnt(w)) is fixed-pointed to e6 at the VOCAB
+    level (one double op per distinct word, the same determinism
+    treatment as BM25's idf in ml/corpus.py), so each document's
+    cross-entropy sum is an exact integer in any partial-aggregation
+    order, and the final per-token mean is an integer DIV.
+    Distinct from q_text_rarity: rarity weights by DOCUMENT frequency
+    (df), this by collection TERM frequency — the two tails disagree
+    exactly on tokens concentrated in few but long documents.
+
+    Plan: one explode feeds both the LM build (groupBy word) and the
+    scoring join; the LM is broadcast back (vocab ≪ corpus — the BM25
+    contract); total token count is one bounded 1-row collect. Top-20
+    by (xent, doc_id) plans as TakeOrderedAndProject — no global
+    sort."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    lm = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = lm.agg(F.sum("cnt")).collect()[0][0]  # bounded scalar
+    surprisal = lm.select(
+        "word",
+        F.round(F.log(F.lit(float(total)) / F.col("cnt")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("surprise_e6"),
+    )
+    return (
+        tok.join(F.broadcast(surprisal), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.expr("CAST(SUM(surprise_e6) DIV COUNT(*) AS BIGINT)").alias(
+                "xent_e6"
+            ),
+        )
+        .orderBy(F.desc("xent_e6"), "doc_id")
+        .limit(20)
+    )

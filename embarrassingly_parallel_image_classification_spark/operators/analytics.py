@@ -980,3 +980,79 @@ def q_join_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.expr("ax DIV 100").alias("band")).agg(
         F.count("*").cast("bigint").alias("n_pairs")
     )
+
+
+def _gh_spread15(x: str) -> str:
+    """15-bit → even-bit-positions Morton spread, portable SQL integer
+    ops (the 16-bit magic-number ladder; same text runs on Spark SQL
+    and DuckDB — the q_scale_zorder convention)."""
+    s = x
+    s = f"(({s} | ({s} << 8)) & 16711935)"    # 0x00FF00FF
+    s = f"(({s} | ({s} << 4)) & 252645135)"   # 0x0F0F0F0F
+    s = f"(({s} | ({s} << 2)) & 858993459)"   # 0x33333333
+    s = f"(({s} | ({s} << 1)) & 1431655765)"  # 0x55555555
+    return s
+
+
+_GH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+# 30-bit geohash cell code: lon bits occupy the even positions from
+# the MSB (geohash bit order), lat the odd — Morton interleave of two
+# 15-bit quantized coordinates.
+_GH_CODE = (
+    f"(({_gh_spread15('(event_id % 32768)')} << 1)"
+    f" | {_gh_spread15('(user_id % 32768)')})"
+)
+
+# base32 digit extraction, 6 chars of 5 bits from the MSB down
+_GH_SQL = " || ".join(
+    f"substr('{_GH_BASE32}', (({_GH_CODE} >> {25 - 5 * c}) & 31) + 1, 1)"
+    for c in range(6)
+)
+
+
+@register(
+    "q_geo_geohash",
+    oracle=f"""
+    WITH g AS (
+        SELECT {_GH_SQL} AS gh, user_id FROM events
+    )
+    SELECT substr(gh, 1, 2) AS cell2,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(gh) AS first_gh6,
+           MAX(gh) AS last_gh6
+    FROM g GROUP BY 1 ORDER BY cell2
+    """,
+    tags=("M4", "H11"),
+)
+def q_geo_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash spatial indexing: encode each event's position as a
+    6-character base-32 geohash — the Morton interleave of two 15-bit
+    quantized coordinates rendered in the standard geohash alphabet —
+    then census density per 2-character prefix (prefix truncation IS
+    geohash's zoom-out, each dropped char = 5 bits coarser). Pure
+    integer bit ladder + substr lookups, the IDENTICAL SQL text on
+    both engines (q_scale_zorder convention), so the oracle pins every
+    one of the 30 bits end to end (min/max of the full hash per cell
+    cover the low bits the prefix discards). Coordinates are synthetic
+    15-bit grid indices from the fixture (events carry no geo
+    columns); a real deployment maps lat_bits = floor((lat+90)/180 ·
+    2^15), lon_bits = floor((lon+180)/360 · 2^15) — exact in integer
+    microdegrees — and the rest of the expression is unchanged.
+    At 100 TB: geohash prefix is the standard spatial shuffle/layout
+    key (bucket by prefix, zorder within), which is exactly what the
+    one groupBy here demonstrates; the encode itself is map-side
+    WholeStageCodegen."""
+    return (
+        t(spark, sf_dir, "events")
+        .select(F.expr(_GH_SQL).alias("gh"), "user_id")
+        .groupBy(F.substring("gh", 1, 2).alias("cell2"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("gh").alias("first_gh6"),
+            F.max("gh").alias("last_gh6"),
+        )
+        .orderBy("cell2")
+    )
