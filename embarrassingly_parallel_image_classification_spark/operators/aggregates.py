@@ -842,3 +842,38 @@ def q_reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r_name", "n_nations", "n_cust", "n_supp")
     )
     return base.transpose()
+
+
+@register(
+    "q_agg_approx_topk",
+    oracle="""
+    SELECT w AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w ORDER BY cnt DESC, item LIMIT 8
+    """,
+    tags=("D5", "F4"),
+)
+def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters via the `approx_top_k` sketch (Spark 4): the
+    mergeable frequent-items summary that replaces a full
+    groupBy+orderBy when only the top of the distribution matters —
+    each partition keeps a bounded item→count table, partials merge
+    associatively, and the driver never sees more than maxItemsTracked
+    entries. EXACT here by capacity: the fixture vocabulary (31 words)
+    is far under the 10,000-item budget, so no eviction ever happens
+    and every count is the true count — which is what lets this be
+    oracle-checked instead of rows-only (the same argument real
+    pipelines use to validate a sketch config on a bounded key
+    domain). k=8 is chosen tie-free at both fixture SFs (the 8th and
+    9th true counts differ), so the returned SET is deterministic even
+    though the sketch breaks ties arbitrarily. At 100 TB: sketch
+    merging ships O(capacity) per partition instead of the full NDV
+    shuffle of q_topk_freq — the standard trade when NDV explodes."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .agg(F.expr("approx_top_k(w, 8, 10000)").alias("tk"))
+        .select(F.inline("tk"))
+        .select(F.col("item"), F.col("count").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "item")
+    )

@@ -1056,3 +1056,124 @@ def q_geo_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell2")
     )
+
+
+@register(
+    "q_attribution_linear",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+    tch AS (SELECT * FROM ev WHERE event_type IN ('click', 'view')),
+    cand AS (
+        SELECT p.event_id AS pid, p.cents, t.event_type AS ch,
+               t.us AS t_us, t.event_id AS tid
+        FROM p JOIN tch t
+          ON t.user_id = p.user_id
+         AND (t.us < p.us OR (t.us = p.us AND t.event_id < p.event_id))
+         AND t.us >= p.us - 259200000000
+    ),
+    rk AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY pid
+                                  ORDER BY t_us DESC, tid DESC) AS rk,
+               COUNT(*) OVER (PARTITION BY pid) AS k
+        FROM cand
+    ),
+    credit AS (
+        SELECT ch AS channel,
+               cents // k
+               + CASE WHEN rk <= cents % k THEN 1 ELSE 0 END AS c
+        FROM rk
+    ),
+    direct AS (
+        SELECT 'direct' AS channel, p.cents AS c
+        FROM p WHERE NOT EXISTS (SELECT 1 FROM cand WHERE pid = p.event_id)
+    ),
+    allc AS (SELECT * FROM credit UNION ALL SELECT * FROM direct)
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(c) AS BIGINT) AS credited_cents
+    FROM allc GROUP BY channel
+    """,
+    tags=("E2", "D1", "composite"),
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — each purchase's cents split
+    EQUALLY across every click/view touch in its 3-day lookback (the
+    fair-share dual of q_attribution_lasttouch's winner-take-all), with
+    the largest-remainder rule from q_alloc_prorata so integer cents
+    reconcile exactly: base = cents DIV k to all k touches, the
+    cents % k leftover pennies to the MOST RECENT touches (recency is
+    the deterministic tiebreak, (t_us, event_id) descending). Per
+    purchase the credited sum equals the purchase cents bit-for-bit —
+    the settlement-grade invariant float weights can't give you.
+    Purchases with zero in-window touches fall to 'direct' at full
+    value via an anti-join.
+
+    Plan: one time-bounded self-join on user_id (the asof-join family
+    shape), two window functions over the SAME (pid, recency)
+    partitioning — one sort serves both rank and count — then a
+    channel rollup. At 100 TB the join shuffles on user_id and the
+    window on pid; both keys are high-cardinality, no skew beyond
+    AQE's reach."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("pid"),
+        F.col("us").alias("p_us"),
+        "cents",
+    )
+    tch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("ch"),
+        F.col("us").alias("t_us"),
+    )
+    cand = p.join(
+        tch,
+        (F.col("t_user") == F.col("p_user"))
+        & (
+            (F.col("t_us") < F.col("p_us"))
+            | ((F.col("t_us") == F.col("p_us")) & (F.col("tid") < F.col("pid")))
+        )
+        & (F.col("t_us") >= F.col("p_us") - 259_200_000_000),
+    )
+    w = Window.partitionBy("pid").orderBy(F.desc("t_us"), F.desc("tid"))
+    ranked = cand.select(
+        "pid",
+        "cents",
+        "ch",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("pid")).alias("k"),
+    )
+    credit = ranked.select(
+        F.col("ch").alias("channel"),
+        (
+            F.expr("cents DIV k")
+            + F.when(F.col("rk") <= F.col("cents") % F.col("k"), 1).otherwise(0)
+        ).alias("c"),
+    )
+    direct = p.join(
+        cand.select("pid").distinct(),
+        "pid",
+        "left_anti",
+    ).select(F.lit("direct").alias("channel"), F.col("cents").alias("c"))
+    return (
+        credit.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_credits"),
+            F.sum("c").cast("bigint").alias("credited_cents"),
+        )
+    )

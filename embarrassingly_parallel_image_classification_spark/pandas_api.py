@@ -145,3 +145,55 @@ def q_ps_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", "o_custkey", F.round("cum_spend", 4).alias("cum_spend")
     )
+
+
+@register(
+    "q_ps_rolling",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_type, event_id,
+           CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY event_id) >= 3
+                THEN SUM(cents) OVER (PARTITION BY event_type
+                                      ORDER BY event_id
+                                      ROWS BETWEEN 2 PRECEDING
+                                            AND CURRENT ROW)
+           END AS roll_cents
+    FROM e
+    """,
+    tags=("API", "E3"),
+)
+def q_ps_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window aggregation in pandas idiom:
+    ``groupby('event_type')['cents'].rolling(3).sum()`` — the pandas
+    spelling of a partitioned ROWS-frame window, with pandas'
+    min_periods semantics (the first window-1 rows of each group are
+    NULL, where SQL's frame would emit a partial sum — the oracle
+    reproduces pandas' convention with a row_number guard, pinning the
+    semantic difference explicitly). Integer cents keep the rolling
+    sums exact in any order. Compiles to the same single-sort Window
+    plan as the native E3 queries — the pandas surface is free at any
+    scale as long as the frame is ROWS-bounded (state O(window), the
+    q_window_rolling_median argument)."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    ps = e.pandas_api(index_col="event_id").sort_index()
+    out = (
+        ps.groupby("event_type")["cents"]
+        .rolling(3)
+        .sum()
+        .reset_index()
+        .to_spark()
+    )
+    return out.select(
+        "event_type",
+        "event_id",
+        F.col("cents").cast("bigint").alias("roll_cents"),
+    )

@@ -145,12 +145,24 @@ def snapshot_write(
     renames: dict = {}
     if mode == "append" and _map_base > 0:
         with open(_manifest_path(path, _map_base)) as f:
-            renames = json.load(f).get("renames", {})
+            _m0 = json.load(f)
+        renames = _m0.get("renames", {})
         for phys, logical in renames.items():
             if logical in df.columns:
                 df = df.withColumnRenamed(logical, phys)
         _to_phys = {l: p for p, l in renames.items()}
         stat_cols = [_to_phys.get(c, c) for c in stat_cols]
+        _missing_dft = [
+            c for c in _m0.get("defaults", {}) if c not in df.columns
+        ]
+        if _missing_dft:
+            # the manifest schema is the last writer's frame; a write
+            # omitting a defaulted column would silently drop it from
+            # the table's logical schema — require writers to carry it
+            # (real engines instead fill write-time defaults here)
+            raise ValueError(
+                f"append must include defaulted column(s) {_missing_dft}"
+            )
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     new_files, stats, col_stats = [], {}, {}
@@ -180,6 +192,7 @@ def snapshot_write(
         carried_deletes: list = []
         carried_batch_ids: list = []
         carried_renames: dict = {}
+        carried_defaults: dict = {}
         base = base_version if base_version is not None else prev
         if base > 0:
             with open(_manifest_path(path, base)) as f:
@@ -198,6 +211,7 @@ def snapshot_write(
                 # safe); an overwrite replaces all data, clearing them.
                 carried_deletes = m.get("delete_files", [])
                 carried_renames = m.get("renames", {})
+                carried_defaults = m.get("defaults", {})
                 if carried_renames != renames:
                     # a rename_column raced this append: the staged
                     # files were written under a mapping that is no
@@ -223,6 +237,7 @@ def snapshot_write(
                     "delete_files": carried_deletes,
                     "batch_ids": sorted(carried_batch_ids),
                     "renames": carried_renames,
+                    "defaults": carried_defaults,
                     "schema": logical_schema,
                     "committed_at": time.time(),
                 },
@@ -306,6 +321,43 @@ def snapshot_read(
                 f"cannot type an empty read"
             )
         return spark.createDataFrame([], StructType.fromJson(m["schema"]))
+    defaults = m.get("defaults", {})
+    if defaults:
+        # Initial-default column evolution (Iceberg initial-default /
+        # Delta ALTER ADD COLUMN DEFAULT): rows in files that predate
+        # the ADD read back the recorded default; rows written after
+        # keep whatever they stored — including explicit NULLs, which
+        # is why the default is SCOPED to the pre-add file list and
+        # cannot be a blanket coalesce. Files are grouped by which
+        # defaults apply (same grouping trick as snapshot_read_mor),
+        # each group aligned to the manifest schema, then unioned.
+        from pyspark.sql.types import StructType
+
+        target = StructType.fromJson(m["schema"])
+        groups: dict[tuple, list] = {}
+        for name in files:
+            key = tuple(
+                sorted(c for c, d in defaults.items() if name in d["scope"])
+            )
+            groups.setdefault(key, []).append(name)
+        parts = []
+        for key, names in groups.items():
+            g = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(path, n) for n in names]
+            )
+            for fld in target.fields:
+                if fld.name not in g.columns:
+                    fill = (
+                        F.lit(defaults[fld.name]["value"])
+                        if fld.name in key
+                        else F.lit(None)
+                    )
+                    g = g.withColumn(fld.name, fill.cast(fld.dataType))
+            parts.append(g.select([fld.name for fld in target.fields]))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     out = spark.read.parquet(*[os.path.join(path, name) for name in files])
     # column-mapping: surface every physical column under its logical
     # name (rename_column is metadata-only; no data file was rewritten)
@@ -1148,6 +1200,12 @@ def rename_column(path: str, old: str, new: str) -> int:
                 "rename with pending MoR delete files is unsupported; "
                 "compact_mor first"
             )
+        if m.get("defaults"):
+            raise ValueError(
+                "rename on a table with initial-default columns is "
+                "unsupported (defaults are keyed by logical name); "
+                "rewrite via overwrite first"
+            )
         fields = m["schema"]["fields"]
         names = [fl["name"] for fl in fields]
         if old not in names:
@@ -1179,6 +1237,124 @@ def rename_column(path: str, old: str, new: str) -> int:
             return v + 1
         except FileExistsError:
             os.unlink(tmp)  # lost the race: rebase on the new version
+
+
+def add_column_default(path: str, name: str, sql_type: str, default) -> int:
+    """ADD COLUMN ... DEFAULT as a metadata-only commit (Iceberg
+    initial-default / Delta ALTER TABLE ADD COLUMN DEFAULT): no data
+    file is rewritten — the manifest gains the column in its logical
+    schema plus a default entry SCOPED to the files that exist now, so
+    pre-add rows read back the default while post-add rows keep what
+    they stored (including explicit NULLs — a blanket read-side
+    coalesce would destroy those; scoping is what makes the semantics
+    exact). Subsequent appends must include the column (enforced in
+    snapshot_write). Returns the new version."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    dtype = _parse_datatype_string(sql_type)
+    while True:
+        v = current_version(path)
+        if v == 0:
+            raise ValueError("cannot add a column to an empty table")
+        with open(_manifest_path(path, v)) as f:
+            m = json.load(f)
+        if m.get("renames"):
+            raise ValueError(
+                "initial-default on a renamed table is unsupported "
+                "(defaults are keyed by logical name)"
+            )
+        fields = m["schema"]["fields"]
+        if name in [fl["name"] for fl in fields]:
+            raise ValueError(f"column already exists: {name}")
+        fields.append(
+            {
+                "name": name,
+                "type": dtype.jsonValue(),
+                "nullable": True,
+                "metadata": {},
+            }
+        )
+        defaults = dict(m.get("defaults", {}))
+        defaults[name] = {"value": default, "scope": sorted(m["files"])}
+        payload = {
+            **m,
+            "version": v + 1,
+            "mode": "add_column",
+            "defaults": defaults,
+            "schema": m["schema"],
+            "committed_at": time.time(),
+        }
+        tmp = _manifest_path(path, v + 1) + f".tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        try:
+            os.link(tmp, _manifest_path(path, v + 1))  # atomic claim
+            os.unlink(tmp)
+            return v + 1
+        except FileExistsError:
+            os.unlink(tmp)  # lost the race: rebase on the new version
+
+
+@register(
+    "q_lake_default_column",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               'web' AS channel
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v3 AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE 'store' END
+                   AS channel
+        FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v3)
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM u GROUP BY channel ORDER BY channel NULLS FIRST
+    """,
+    tags=("lakehouse", "schema", "A6"),
+)
+def q_lake_default_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default-valued column evolution end to end: v1 = even orders
+    without any channel column, v2 = ADD COLUMN channel DEFAULT 'web'
+    (metadata-only), v3 = append the odd half writing channel
+    explicitly — every third row an EXPLICIT NULL. The final read must
+    show pre-add rows as 'web' (scoped default) while the explicit
+    NULLs stay NULL — the distinction a read-side coalesce gets wrong
+    and file-scoping gets right."""
+    from ..sources.formats import scratch
+
+    path = scratch("lake_default", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    snapshot_write(orders.filter(F.col("o_orderkey") % 2 == 0), path, "append")
+    add_column_default(path, "channel", "string", "web")
+    snapshot_write(
+        orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "channel",
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+                F.lit("store")
+            ),
+        ),
+        path,
+        "append",
+    )
+    return (
+        snapshot_read(spark, path)
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy(F.col("channel").asc_nulls_first())
+    )
 
 
 @register(

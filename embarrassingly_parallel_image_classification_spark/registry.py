@@ -261,6 +261,12 @@ _DRIVER_PRIORITY = (
     "q_sql_pipe",              # SQL |> pipe-syntax front end
     "q_union_by_name",         # schema-aligning union w/ missing cols
     "q_reshape_transpose",     # DataFrame.transpose presentation flip
+    "q_text_perplexity",       # unigram-LM cross-entropy junk filter
+    "q_geo_geohash",           # base32 Morton geohash density census
+    "q_agg_approx_topk",       # mergeable heavy-hitters sketch (exact)
+    "q_attribution_linear",    # largest-remainder multi-touch credit
+    "q_ps_rolling",            # pandas-API rolling window (min_periods)
+    "q_lake_default_column",   # scoped initial-default column add
     # 2. Cross-family canaries, all driver-green in r1–r5 — behind the
     #    never-verified additions: new-coverage slots outrank
     #    re-verification when the 50-slot window is tight.

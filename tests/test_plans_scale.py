@@ -1220,3 +1220,46 @@ def test_lakehouse_column_rename_is_metadata_only_and_versioned(
     )
     with pytest.raises(ValueError, match="compact_mor"):
         lakehouse.rename_column(path, "cents", "pennies")
+
+
+def test_lakehouse_default_column_scoping_and_guards(spark, tmp_path):
+    """Initial-default semantics: pre-add files read back the default,
+    post-add explicit NULLs survive, time travel to the pre-add
+    version has no such column, a narrow append is refused, and
+    rename×default composition is refused both ways."""
+    import pytest
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    lakehouse.snapshot_write(
+        spark.range(10).select(F.col("id").alias("k")), path, "append"
+    )
+    lakehouse.add_column_default(path, "src", "string", "legacy")
+    lakehouse.snapshot_write(
+        spark.range(10, 13).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") == 11, F.lit(None)).otherwise(F.lit("new"))
+            .alias("src"),
+        ),
+        path,
+        "append",
+    )
+    rows = {
+        r["k"]: r["src"] for r in lakehouse.snapshot_read(spark, path).collect()
+    }
+    assert rows[0] == "legacy" and rows[10] == "new" and rows[11] is None
+    assert lakehouse.snapshot_read(spark, path, 1).columns == ["k"]
+    with pytest.raises(ValueError, match="defaulted column"):
+        lakehouse.snapshot_write(
+            spark.range(20, 21).select(F.col("id").alias("k")), path, "append"
+        )
+    with pytest.raises(ValueError, match="initial-default"):
+        lakehouse.rename_column(path, "src", "origin")
+    path2 = str(tmp_path / "tbl2")
+    lakehouse.snapshot_write(
+        spark.range(3).select(F.col("id").alias("k")), path2, "append"
+    )
+    lakehouse.rename_column(path2, "k", "key")
+    with pytest.raises(ValueError, match="renamed table"):
+        lakehouse.add_column_default(path2, "src", "string", "x")
