@@ -721,3 +721,59 @@ def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "q_fn_timezone",
+    oracle="""
+    WITH z AS (
+        SELECT 'America/New_York' AS zone UNION ALL
+        SELECT 'Asia/Tokyo' UNION ALL SELECT 'UTC'
+    ),
+    local_ts AS (
+        SELECT z.zone,
+               CAST(timezone(z.zone, timezone('UTC', e.ts)) AS DATE)
+                   AS local_date,
+               e.user_id
+        FROM events e CROSS JOIN z
+    )
+    SELECT zone, local_date,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM local_ts GROUP BY zone, local_date ORDER BY zone, local_date
+    """,
+    tags=("H3",),
+)
+def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-zone conversion (`convert_timezone`, Spark 4's explicit
+    three-arg form): the fixture's naive-UTC event timestamps roll up
+    to LOCAL calendar days in three zones — the daily-active-users
+    report whose counts genuinely differ per zone because local
+    midnight cuts the stream at different instants (UTC evening events
+    belong to Tokyo's next day and New York's same day). Explicit
+    source/target zones, never the session default, so the result is
+    independent of any engine/session timezone setting; the DuckDB
+    spelling is the two-hop timezone(zone, timezone('UTC', ts)) which
+    equally never consults the session zone. IANA zone names on both
+    engines share the tz database, DST rules included. Map-side
+    conversion (3× explode via the zone dimension) + one groupBy."""
+    zones = ["America/New_York", "Asia/Tokyo", "UTC"]
+    e = t(spark, sf_dir, "events")
+    out = None
+    for z in zones:
+        branch = e.select(
+            F.lit(z).alias("zone"),
+            F.convert_timezone(F.lit("UTC"), F.lit(z), F.col("ts"))
+            .cast("date")
+            .alias("local_date"),
+            "user_id",
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return (
+        out.groupBy("zone", "local_date")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("zone", "local_date")
+    )

@@ -875,3 +875,54 @@ def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "q_sql_udf",
+    oracle="""
+    WITH big AS (
+        SELECT o_custkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+        WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) > 15000000
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_big,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM big GROUP BY o_custkey
+    HAVING COUNT(*) >= 3 ORDER BY o_custkey
+    """,
+    tags=("SQL", "udf"),
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDFs (Spark 4 `CREATE FUNCTION … RETURN expr` —
+    SQL/PSM functions, zero Python): a scalar function `cents(x)`
+    encapsulating the repo's exact-money idiom, and a TABLE function
+    `big_orders(min_cents)` whose body is a parameterized SELECT —
+    both defined in the catalog, both inlined by the analyzer into the
+    calling query, so the optimized plan is identical to writing the
+    expressions by hand (fully pushdown-able, codegen'd — the opposite
+    of a Python UDF's black box; this is what makes SQL UDFs the
+    preferred extension mechanism at scale). The report: customers
+    with ≥3 orders above 150,000.00, with exact-cent totals."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__udf_orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(ROUND(x * 100, 0) AS BIGINT)"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION big_orders(min_cents BIGINT)
+        RETURNS TABLE(o_custkey BIGINT, cents BIGINT)
+        RETURN SELECT o_custkey, cents(o_totalprice)
+               FROM __udf_orders WHERE cents(o_totalprice) > min_cents
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_custkey, COUNT(*) AS n_big,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM big_orders(15000000)
+        GROUP BY o_custkey HAVING COUNT(*) >= 3 ORDER BY o_custkey
+        """
+    )

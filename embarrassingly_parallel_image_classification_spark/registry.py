@@ -267,6 +267,9 @@ _DRIVER_PRIORITY = (
     "q_attribution_linear",    # largest-remainder multi-touch credit
     "q_ps_rolling",            # pandas-API rolling window (min_periods)
     "q_lake_default_column",   # scoped initial-default column add
+    "q_fn_timezone",           # explicit-zone local-day rollup
+    "q_sql_udf",               # SQL scalar + table UDFs (inlined)
+    "q_scan_csv_corrupt",      # PERMISSIVE corrupt-record audit
     # 2. Cross-family canaries, all driver-green in r1–r5 — behind the
     #    never-verified additions: new-coverage slots outrank
     #    re-verification when the 50-slot window is tight.

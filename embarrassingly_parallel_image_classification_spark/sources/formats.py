@@ -312,3 +312,89 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_cents"),
     )
+
+
+@register(
+    "q_scan_csv_corrupt",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               o_orderpriority,
+               o_orderkey % 7 = 0 AS corrupt
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corrupt,
+           CAST(SUM(CASE WHEN NOT corrupt THEN cents END) AS BIGINT)
+               AS good_cents,
+           CAST(COUNT(DISTINCT CASE WHEN NOT corrupt
+                                    THEN o_orderpriority END) AS BIGINT)
+               AS n_good_prios
+    FROM src
+    """,
+    tags=("A2", "quality"),
+)
+def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling at the CSV scan (PERMISSIVE mode +
+    `columnNameOfCorruptRecord`) — the ingestion-robustness surface
+    every file-drop pipeline needs: a deterministic CSV is staged with
+    every 7th row's numeric field poisoned ('X'-prefixed), then read
+    back under a strict schema. PERMISSIVE parses what it can, NULLs
+    the unparsable row's typed fields, and preserves the RAW LINE in
+    the corrupt-record column — so bad rows are countable, auditable
+    and quarantine-able instead of killing the job (FAILFAST) or
+    vanishing silently (DROPMALFORMED; both are one option away, and
+    the quarantine split itself is q_lake_write_quarantine's shape).
+    The summary pins both populations: corrupt count and the exact
+    cents sum over clean rows. Scale: the scan stays splittable —
+    malformedness is decided per row inside each partition; nothing
+    serializes."""
+    import shutil
+
+    path = scratch("csv_corrupt", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    o = t(spark, sf_dir, "orders")
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.concat(
+                F.lit("X"),
+                F.round(F.col("o_totalprice") * 100, 0)
+                .cast("bigint")
+                .cast("string"),
+            ),
+        ).otherwise(
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .cast("string")
+        ),
+        F.col("o_orderpriority"),
+    )
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema(
+            "o_orderkey BIGINT, cents BIGINT, prio STRING, "
+            "_corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return parsed.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("cents")))
+        .cast("bigint")
+        .alias("good_cents"),
+        F.countDistinct(
+            F.when(F.col("_corrupt_record").isNull(), F.col("prio"))
+        )
+        .cast("bigint")
+        .alias("n_good_prios"),
+    )
