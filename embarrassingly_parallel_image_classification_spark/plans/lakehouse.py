@@ -964,6 +964,7 @@ def multi_table_commit(
     writes: dict[str, DataFrame],
     mode: str = "append",
     on_orphans: str = "raise",
+    batch_id: int | None = None,
 ) -> int:
     """Commit writes to SEVERAL tables atomically — the capability the
     single-table manifest can't give (Iceberg REST-catalog multi-table
@@ -985,9 +986,19 @@ def multi_table_commit(
     os.makedirs(root, exist_ok=True)
     prev_cv = catalog_version(root)
     prev_tables: dict[str, int] = {}
+    cat_batch_ids: list = []
     if prev_cv > 0:
         with open(_catalog_path(root, prev_cv)) as f:
-            prev_tables = json.load(f)["tables"]
+            _prev_cat = json.load(f)
+        prev_tables = _prev_cat["tables"]
+        # streaming-ingest idempotence ids live in the CATALOG file for
+        # multi-table transactions (the gate must cover the whole
+        # transaction, not one member table) and accumulate across
+        # every commit, streaming or not — same carry rule as the
+        # per-table manifest batch_ids
+        cat_batch_ids = _prev_cat.get("batch_ids", [])
+    if batch_id is not None and batch_id not in cat_batch_ids:
+        cat_batch_ids = cat_batch_ids + [batch_id]
     new_tables = dict(prev_tables)
     for name, df in writes.items():  # phase 1: durable, catalog-invisible
         # append relative to the CATALOG-pinned version, never the
@@ -1020,7 +1031,14 @@ def multi_table_commit(
     cv = prev_cv + 1
     tmp = _catalog_path(root, cv) + f".tmp{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
-        json.dump({"version": cv, "tables": new_tables}, f)
+        json.dump(
+            {
+                "version": cv,
+                "tables": new_tables,
+                "batch_ids": sorted(cat_batch_ids),
+            },
+            f,
+        )
     try:
         os.link(tmp, _catalog_path(root, cv))  # phase 2: atomic commit
         os.unlink(tmp)
@@ -1237,6 +1255,114 @@ def rename_column(path: str, old: str, new: str) -> int:
             return v + 1
         except FileExistsError:
             os.unlink(tmp)  # lost the race: rebase on the new version
+
+
+def stream_ingest_fanout(
+    stream_df: DataFrame,
+    root: str,
+    splitter,
+) -> None:
+    """Stream → SEVERAL snapshot tables with one ATOMIC cross-table
+    commit per microbatch, idempotent per batch id: ``splitter``
+    maps each microbatch frame to {table: frame}; every table's
+    snapshot publishes in phase 1 and the single catalog link(2) in
+    phase 2 makes them all visible at once, with the batch id recorded
+    IN the catalog file — so a replayed batch (foreachBatch is
+    at-least-once) is skipped whole, and a crash between the phases
+    leaves only catalog-invisible orphans that the replay discards
+    (on_orphans='ignore' is correct HERE because the catalog gate
+    makes any divergence this writer's own crashed phase 1; tables fed
+    by a fanout writer must not take direct writes — the same
+    exclusivity contract as Delta's txnAppId). This is the streaming
+    dual of multi_table_commit: exactly-once fan-out, e.g. a CDC
+    stream splitting into typed tables that must never be mutually
+    torn."""
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        cv = catalog_version(root)
+        if cv > 0:
+            with open(_catalog_path(root, cv)) as f:
+                if batch_id in json.load(f).get("batch_ids", []):
+                    return  # replayed batch: the whole txn already landed
+        writes = splitter(batch_df)
+        spark = batch_df.sparkSession
+        multi_table_commit(
+            spark,
+            root,
+            writes,
+            on_orphans="ignore",
+            batch_id=batch_id,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(root, "_checkpoint"))
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register(
+    "q_lake_stream_fanout",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT 'purchases' AS tbl, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM e WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'activity', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM e WHERE event_type <> 'purchase'
+    ORDER BY tbl
+    """,
+    tags=("lakehouse", "I8", "A9", "txn"),
+)
+def q_lake_stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming fan-out into TWO catalog tables: each
+    events microbatch splits into purchases vs activity and both land
+    in ONE atomic cross-table commit (no reader can ever see the
+    purchase half of a batch without its activity half). The stream
+    then re-runs from a FRESH checkpoint, replaying every batch with
+    the same ids — the catalog-level gate must drop all of them, for
+    both tables at once. Final per-table aggregates must equal
+    splitting the source directly."""
+    from ..sources.formats import scratch
+    from ..streaming.core import events_stream
+
+    root = scratch("lake_fanout", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+
+    def split(batch_df: DataFrame) -> dict[str, DataFrame]:
+        typed = batch_df.select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+        return {
+            "purchases": typed.filter(F.col("event_type") == "purchase"),
+            "activity": typed.filter(F.col("event_type") != "purchase"),
+        }
+
+    stream_ingest_fanout(events_stream(spark, sf_dir), root, split)
+    # replay with a fresh checkpoint: same batches, same ids — the
+    # catalog batch_ids gate must republish nothing
+    shutil.rmtree(os.path.join(root, "_checkpoint"), ignore_errors=True)
+    stream_ingest_fanout(events_stream(spark, sf_dir), root, split)
+    frames = []
+    for name in ("activity", "purchases"):
+        frames.append(
+            catalog_read(spark, root, name).agg(
+                F.lit(name).alias("tbl"),
+                F.count("*").alias("n"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+        )
+    return frames[0].unionByName(frames[1]).orderBy("tbl")
 
 
 def add_column_default(path: str, name: str, sql_type: str, default) -> int:

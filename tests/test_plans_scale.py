@@ -1263,3 +1263,28 @@ def test_lakehouse_default_column_scoping_and_guards(spark, tmp_path):
     lakehouse.rename_column(path2, "k", "key")
     with pytest.raises(ValueError, match="renamed table"):
         lakehouse.add_column_default(path2, "src", "string", "x")
+
+
+def test_lakehouse_catalog_batch_ids_survive_interleaved_commits(
+    spark, tmp_path
+):
+    """The catalog-level streaming-idempotence gate must survive an
+    interleaved NON-stream multi-table commit: batch ids accumulate
+    across every catalog version, so a stream restart after someone
+    else committed still skips its already-ingested batches."""
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    root = str(tmp_path / "cat")
+    df = spark.range(5).select(F.col("id").alias("k"))
+    lakehouse.multi_table_commit(spark, root, {"a": df}, batch_id=0)
+    # interleaved non-stream commit (no batch_id)
+    lakehouse.multi_table_commit(spark, root, {"a": df})
+    cv = lakehouse.catalog_version(root)
+    import json as _json
+    import os as _os
+
+    with open(lakehouse._catalog_path(root, cv)) as f:
+        assert _json.load(f)["batch_ids"] == [0], (
+            "interleaved commit dropped the catalog batch-id history"
+        )
+    assert lakehouse.catalog_read(spark, root, "a").count() == 10
