@@ -592,3 +592,90 @@ def q_window_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_le * 1000000 DIV n").alias("cume_e6"),
         "third_lowest",
     )
+
+
+@register(
+    "q_window_rolling_slope",
+    oracle="""
+    WITH seq AS (
+        SELECT event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS x,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_id, event_type,
+               CAST(COUNT(*) OVER w AS DECIMAL(38, 0)) AS n,
+               CAST(SUM(x) OVER w AS DECIMAL(38, 0)) AS sx,
+               CAST(SUM(y) OVER w AS DECIMAL(38, 0)) AS sy,
+               CAST(SUM(x * y) OVER w AS DECIMAL(38, 0)) AS sxy,
+               CAST(SUM(x * x) OVER w AS DECIMAL(38, 0)) AS sxx
+        FROM seq
+        WINDOW w AS (PARTITION BY event_type ORDER BY x
+                     ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type,
+           CASE WHEN n = 21 THEN
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+           END AS slope_c_per_tick
+    FROM s
+    """,
+    tags=("E3", "D10", "timeseries"),
+)
+def q_window_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING least-squares slope — the local-trend detector behind
+    momentum signals and degradation alarms: per event_type, the OLS
+    slope of cents over the last 21 ticks, recomputed at every row.
+    Exact by the q_timeseries_trend discipline applied to a moving
+    frame: x is the ROW INDEX in the partition (OLS slope is invariant
+    to shifting x, so the absolute index gives the same slope as a
+    frame-local 1..21 — what makes plain windowed SUMs work where a
+    frame-relative weight could not be expressed), all five sufficient
+    statistics are integer window sums widened to DECIMAL(38,0), and
+    floats appear only in the final division of two exact operands —
+    identical doubles on both engines. Partial frames emit NULL (a
+    21-point statistic from 3 points is noise, and the n=21 guard
+    makes that explicit). Both the row_number pass and the five frame
+    sums share ONE (event_type, ts) sort; state is O(frame).
+    At extreme partition lengths (≥10⁹ rows) Σx² would need x rebased
+    per bucket — shift-invariance makes that a free refinement."""
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.row_number().over(w_ord).cast("bigint").alias("x"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+    )
+    # frame ordered by the SAME keys as the row_number pass — x is a
+    # bijection of (ts, event_id) within the partition, and matching
+    # sort keys let both Window operators share one physical sort
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, Window.currentRow)
+    )
+    d38 = "decimal(38,0)"
+    s = seq.select(
+        "event_id",
+        "event_type",
+        F.count("*").over(w).cast(d38).alias("n"),
+        F.sum("x").over(w).cast(d38).alias("sx"),
+        F.sum("y").over(w).cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast(d38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast(d38).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("n") == 21,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("slope_c_per_tick"),
+    )
