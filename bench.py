@@ -132,6 +132,16 @@ HEADLINE = [
     # session-3 tail: exact seasonal index, int8-quantized serving
     "q_timeseries_seasonal",
     "q_infer_quantized",
+    # session-4 additions: perplexity filter (full-corpus LM), geohash
+    # census, rolling OLS slope, linear attribution, timezone rollup,
+    # corrupt-CSV audit, one metadata-evolution lakehouse line
+    "q_text_perplexity",
+    "q_geo_geohash",
+    "q_window_rolling_slope",
+    "q_attribution_linear",
+    "q_fn_timezone",
+    "q_scan_csv_corrupt",
+    "q_lake_column_rename",
 ]
 
 

@@ -780,6 +780,21 @@ def delete_where(
     Delta-deletion-vector / Iceberg-merge-on-read trade: O(|deletes|)
     write now, small per-read overhead until compaction."""
     os.makedirs(path, exist_ok=True)
+    _cur = current_version(path)
+    if _cur > 0:
+        with open(_manifest_path(path, _cur)) as f:
+            _m = json.load(f)
+        if _m.get("renames") or _m.get("defaults"):
+            # the delete file stores LOGICAL key values but the MoR
+            # reader anti-joins against the files' PHYSICAL columns,
+            # and this manifest writer doesn't carry the mapping —
+            # either would silently corrupt a mapped table. Same
+            # one-at-a-time rule as rename_column's delete guard.
+            raise ValueError(
+                "MoR delete on a table with column mapping or "
+                "initial-default columns is unsupported; rewrite via "
+                "overwrite/merge_into first"
+            )
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
     keys_df.select(F.col(key)).write.mode("overwrite").parquet(staging)
     del_file = f"delete-{uuid.uuid4().hex}.parquet"
@@ -2156,6 +2171,10 @@ def snapshot_clone(src: str, dst: str, version: int | None = None) -> int:
         "col_stats": m.get("col_stats", {}),
         "delete_files": m.get("delete_files", []),
         "batch_ids": [],
+        # column mapping and initial defaults are part of the table's
+        # logical identity — a clone must read back identically
+        "renames": m.get("renames", {}),
+        "defaults": m.get("defaults", {}),
         "schema": m["schema"],
         "committed_at": time.time(),
         "cloned_from": {"path": src, "version": v},

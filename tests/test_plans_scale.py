@@ -1214,12 +1214,22 @@ def test_lakehouse_column_rename_is_metadata_only_and_versioned(
         os.path.basename(f) not in [os.path.basename(x) for x in files_before]
         for f in pruned.inputFiles()
     ), "logical predicate did not prune pre-rename files"
-    # guard: rename with pending MoR deletes must refuse
+    # guard: MoR delete on a MAPPED table must refuse (the delete file
+    # would store logical keys against physical columns)
+    with pytest.raises(ValueError, match="column mapping"):
+        lakehouse.delete_where(
+            spark, path, "k", spark.range(5, 6).select(F.col("id").alias("k"))
+        )
+    # guard the other way: rename with pending MoR deletes must refuse
+    path_b = str(tmp_path / "tbl_b")
+    lakehouse.snapshot_write(
+        spark.range(10).select(F.col("id").alias("k")), path_b, "append"
+    )
     lakehouse.delete_where(
-        spark, path, "k", spark.range(5, 6).select(F.col("id").alias("k"))
+        spark, path_b, "k", spark.range(5, 6).select(F.col("id").alias("k"))
     )
     with pytest.raises(ValueError, match="compact_mor"):
-        lakehouse.rename_column(path, "cents", "pennies")
+        lakehouse.rename_column(path_b, "k", "key")
 
 
 def test_lakehouse_default_column_scoping_and_guards(spark, tmp_path):
@@ -1263,6 +1273,15 @@ def test_lakehouse_default_column_scoping_and_guards(spark, tmp_path):
     lakehouse.rename_column(path2, "k", "key")
     with pytest.raises(ValueError, match="renamed table"):
         lakehouse.add_column_default(path2, "src", "string", "x")
+    # clone must preserve the logical identity: defaults AND mapping
+    c1 = str(tmp_path / "clone_dft")
+    lakehouse.snapshot_clone(path, c1)
+    assert {
+        r["k"]: r["src"] for r in lakehouse.snapshot_read(spark, c1).collect()
+    } == rows
+    c2 = str(tmp_path / "clone_ren")
+    lakehouse.snapshot_clone(path2, c2)
+    assert lakehouse.snapshot_read(spark, c2).columns == ["key"]
 
 
 def test_lakehouse_catalog_batch_ids_survive_interleaved_commits(
