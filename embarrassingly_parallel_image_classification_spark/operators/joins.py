@@ -441,3 +441,60 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["grp_key"].eqNullSafe(b["grp_key"])).select(
         a["grp_key"].alias("grp_key"), "n_events", "n_orders"
     )
+
+
+@register(
+    "q_join_not_in_nulls",
+    oracle="""
+    WITH ok AS (SELECT o_custkey FROM orders),
+         okn AS (SELECT o_custkey FROM orders
+                 UNION ALL SELECT NULL),
+         t1 AS (SELECT COUNT(*) AS n FROM customer
+                WHERE c_custkey NOT IN (SELECT o_custkey FROM okn)),
+         t2 AS (SELECT COUNT(*) AS n FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM okn o
+                                  WHERE o.o_custkey = c.c_custkey)),
+         t3 AS (SELECT COUNT(*) AS n FROM customer
+                WHERE c_custkey NOT IN (SELECT o_custkey FROM ok))
+    SELECT CAST(t1.n AS BIGINT) AS n_not_in_with_null,
+           CAST(t2.n AS BIGINT) AS n_not_exists,
+           CAST(t3.n AS BIGINT) AS n_not_in_clean
+    FROM t1, t2, t3
+    """,
+    tags=("C5", "SQL"),
+)
+def q_join_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN / NOT EXISTS three-valued-logic trap, pinned as a
+    correctness contract: against a subquery containing one NULL,
+    `NOT IN` returns ZERO rows (x <> NULL is UNKNOWN, so no row ever
+    satisfies the predicate — ANSI semantics both engines implement),
+    while `NOT EXISTS` with an equality correlate ignores the NULL and
+    returns the true anti-join count; the clean-list NOT IN agrees
+    with NOT EXISTS. Every data team hits this once — here the engine
+    pair is proven to agree on all three counts. Scale note: a
+    nullable NOT IN compiles to a NULL-AWARE anti join, which Spark
+    can only execute broadcast (BroadcastNestedLoop for the general
+    case) — at 100 TB rewrite to NOT EXISTS / left_anti, which plans
+    as a shuffled hash anti join; this query documents WHY the rewrite
+    is semantics-preserving exactly when the subquery column is
+    non-null."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("__nin_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__nin_orders")
+    return spark.sql(
+        """
+        WITH ok AS (SELECT o_custkey FROM __nin_orders),
+             okn AS (SELECT o_custkey FROM __nin_orders
+                     UNION ALL SELECT CAST(NULL AS BIGINT)),
+             t1 AS (SELECT COUNT(*) AS n FROM __nin_customer
+                    WHERE c_custkey NOT IN (SELECT o_custkey FROM okn)),
+             t2 AS (SELECT COUNT(*) AS n FROM __nin_customer c
+                    WHERE NOT EXISTS (SELECT 1 FROM okn o
+                                      WHERE o.o_custkey = c.c_custkey)),
+             t3 AS (SELECT COUNT(*) AS n FROM __nin_customer
+                    WHERE c_custkey NOT IN (SELECT o_custkey FROM ok))
+        SELECT t1.n AS n_not_in_with_null,
+               t2.n AS n_not_exists,
+               t3.n AS n_not_in_clean
+        FROM t1, t2, t3
+        """
+    )

@@ -272,6 +272,7 @@ _DRIVER_PRIORITY = (
     "q_scan_csv_corrupt",      # PERMISSIVE corrupt-record audit
     "q_lake_stream_fanout",    # exactly-once 2-table atomic fan-out
     "q_window_rolling_slope",  # exact rolling OLS slope, one sort
+    "q_join_not_in_nulls",     # NOT IN vs NOT EXISTS 3VL contract
     # 2. Cross-family canaries, all driver-green in r1–r5 — behind the
     #    never-verified additions: new-coverage slots outrank
     #    re-verification when the 50-slot window is tight.
