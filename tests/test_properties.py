@@ -118,6 +118,8 @@ _lake_ops = st.lists(
         st.tuples(st.just("overwrite"), st.lists(st.integers(0, 30), min_size=1, max_size=6)),
         st.tuples(st.just("delete"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
         st.tuples(st.just("restore"), st.lists(st.integers(1, 5), min_size=1, max_size=1)),
+        st.tuples(st.just("rename"), st.lists(st.integers(0, 0), min_size=1, max_size=1)),
+        st.tuples(st.just("add_column"), st.lists(st.integers(0, 0), min_size=1, max_size=1)),
     ),
     min_size=1,
     max_size=5,
@@ -136,47 +138,104 @@ def test_lakehouse_model_equivalence_on_random_op_sequences(spark, ops):
     of append/overwrite/delete/restore ops must leave every HISTORICAL version
     readable (through the MoR reader) with exactly the contents a
     trivial in-memory model predicts — multiset semantics for
-    appends, logical replace for overwrite, key-erasure for delete.
-    One counterexample here means snapshot isolation, the manifest
-    chain, or delete-file application is broken."""
+    appends, logical replace for overwrite, key-erasure for delete,
+    name-only change for RENAME (round-6 session 4: historical
+    versions must read back under their HISTORICAL column name), and
+    content-invisibility for ADD COLUMN DEFAULT on the key column.
+    The model also tracks the guard matrix: delete×mapping,
+    rename×delete, rename×defaults are refusals, and a refusal must
+    not create a version. One counterexample here means snapshot
+    isolation, the manifest chain, delete-file application, or the
+    metadata-commit layer is broken."""
     import shutil as _shutil
     import tempfile as _tempfile
+
+    import pytest as _pytest
 
     from embarrassingly_parallel_image_classification_spark.plans import lakehouse
 
     path = _tempfile.mkdtemp(prefix="lake_prop_") + "/tbl"
     try:
         model_versions: list[list[int]] = []
+        model_colnames: list[str] = []
         cur: list[int] = []
+        col = "k"
+        n_renames = n_adds = 0
+        has_mapping = has_defaults = has_deletes = False
         for kind, keys in ops:
             if kind == "append":
-                df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+                df = spark.createDataFrame([(k,) for k in keys], f"{col} bigint")
+                if has_defaults:
+                    # appends must carry every defaulted column
+                    from pyspark.sql import functions as _F
+
+                    for i in range(1, n_adds + 1):
+                        df = df.withColumn(f"c{i}", _F.lit(7))
                 lakehouse.snapshot_write(df, path, "append")
                 cur = cur + keys
             elif kind == "overwrite":
-                df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+                df = spark.createDataFrame([(k,) for k in keys], f"{col} bigint")
                 lakehouse.snapshot_write(df, path, "overwrite")
                 cur = list(keys)
+                has_mapping = has_defaults = has_deletes = False
             elif kind == "restore":
                 target = keys[0]
                 if target > len(model_versions):
                     continue  # restoring a version that doesn't exist: skip
                 lakehouse.restore_table(spark, path, target)
                 # RESTORE reproduces the target's LOGICAL (MoR-applied)
-                # content as a fresh overwrite commit
+                # content as a fresh overwrite commit, under the
+                # target's logical column name, mapping/defaults cleared
                 cur = list(model_versions[target - 1])
+                col = model_colnames[target - 1]
+                has_mapping = has_defaults = has_deletes = False
+            elif kind == "rename":
+                if lakehouse.current_version(path) == 0:
+                    continue
+                if has_deletes or has_defaults:
+                    with _pytest.raises(ValueError):
+                        lakehouse.rename_column(path, col, f"k_r{n_renames + 1}")
+                    continue  # refusal must not create a version
+                n_renames += 1
+                new = f"k_r{n_renames}"
+                lakehouse.rename_column(path, col, new)
+                col = new
+                has_mapping = True
+            elif kind == "add_column":
+                if lakehouse.current_version(path) == 0:
+                    continue
+                if has_mapping:
+                    with _pytest.raises(ValueError):
+                        lakehouse.add_column_default(
+                            path, f"c{n_adds + 1}", "bigint", 7
+                        )
+                    continue
+                n_adds += 1
+                lakehouse.add_column_default(path, f"c{n_adds}", "bigint", 7)
+                has_defaults = True
             else:
                 if lakehouse.current_version(path) == 0:
                     continue  # deleting from a non-existent table: skip
-                df = spark.createDataFrame([(k,) for k in keys], "k bigint")
-                lakehouse.delete_where(spark, path, "k", df)
+                df = spark.createDataFrame([(k,) for k in keys], f"{col} bigint")
+                if has_mapping or has_defaults:
+                    with _pytest.raises(ValueError):
+                        lakehouse.delete_where(spark, path, col, df)
+                    continue
+                lakehouse.delete_where(spark, path, col, df)
+                has_deletes = True
                 doomed = set(keys)
                 cur = [k for k in cur if k not in doomed]
             model_versions.append(list(cur))
-        for v, want in enumerate(model_versions, start=1):
-            got = sorted(
-                r["k"] for r in lakehouse.snapshot_read_mor(spark, path, v).collect()
+            model_colnames.append(col)
+        for v, (want, name) in enumerate(
+            zip(model_versions, model_colnames), start=1
+        ):
+            frame = lakehouse.snapshot_read_mor(spark, path, v)
+            assert name in frame.columns, (
+                f"version {v}: column {name!r} missing, got {frame.columns} "
+                f"(ops={ops})"
             )
+            got = sorted(r[name] for r in frame.collect())
             assert got == sorted(want), (
                 f"version {v}: got {got}, model says {sorted(want)} (ops={ops})"
             )
