@@ -82,6 +82,24 @@ def _file_stats(local_path: str, col: str):
     return (min(mins), max(maxs)) if mins else None
 
 
+def _file_null_count(local_path: str, col: str):
+    """(null_count, row_count) of ``col`` from footer metadata only —
+    None when any row group lacks the statistic. An all-NULL column
+    has no min/max, so this is the stat that keeps such files
+    skippable (IS NOT NULL pruning) where _file_stats must give up."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(local_path).metadata
+    idx = md.schema.to_arrow_schema().get_field_index(col)
+    nulls = 0
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or st.null_count is None:
+            return None
+        nulls += st.null_count
+    return (nulls, md.num_rows)
+
+
 def snapshot_write(
     df: DataFrame,
     path: str,
@@ -165,19 +183,24 @@ def snapshot_write(
             )
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
-    new_files, stats, col_stats = [], {}, {}
+    new_files, stats, col_stats, null_stats = [], {}, {}, {}
     for name in sorted(os.listdir(staging)):
         if name.endswith(".parquet"):
             final = f"data-{uuid.uuid4().hex}.parquet"
-            per_col = {}
+            per_col, per_null = {}, {}
             for c in stat_cols:
                 s = _file_stats(os.path.join(staging, name), c)
                 if s is not None:
                     per_col[c] = list(s)
+                nc = _file_null_count(os.path.join(staging, name), c)
+                if nc is not None:
+                    per_null[c] = list(nc)
             if stat_cols and stat_cols[0] in per_col:
                 stats[final] = per_col[stat_cols[0]]  # legacy between= path
             if per_col:
                 col_stats[final] = per_col
+            if per_null:
+                null_stats[final] = per_null
             os.rename(os.path.join(staging, name), os.path.join(path, final))
             new_files.append(final)
     shutil.rmtree(staging, ignore_errors=True)
@@ -189,6 +212,7 @@ def snapshot_write(
             )
         visible, vis_stats = list(new_files), dict(stats)
         vis_col_stats = dict(col_stats)
+        vis_null_stats = dict(null_stats)
         carried_deletes: list = []
         carried_batch_ids: list = []
         carried_renames: dict = {}
@@ -205,6 +229,7 @@ def snapshot_write(
                 visible = m["files"] + visible
                 vis_stats.update(m.get("stats", {}))
                 vis_col_stats.update(m.get("col_stats", {}))
+                vis_null_stats.update(m.get("null_stats", {}))
                 # deletes carry FORWARD across appends (they're scoped
                 # to the data files that existed when the delete was
                 # published, so re-inserted keys in new files are
@@ -233,6 +258,9 @@ def snapshot_write(
                     "stats": {k: vis_stats[k] for k in sorted(vis_stats)},
                     "col_stats": {
                         k: vis_col_stats[k] for k in sorted(vis_col_stats)
+                    },
+                    "null_stats": {
+                        k: vis_null_stats[k] for k in sorted(vis_null_stats)
                     },
                     "delete_files": carried_deletes,
                     "batch_ids": sorted(carried_batch_ids),
@@ -299,10 +327,22 @@ def snapshot_read(
         ]
     if predicates:
         col_stats = m.get("col_stats", {})
+        null_stats = m.get("null_stats", {})
 
         def survives(name: str) -> bool:
             per_col = col_stats.get(name, {})
-            for c, (lo, hi) in predicates.items():
+            per_null = null_stats.get(name, {})
+            for c, pred in predicates.items():
+                if pred == "notnull":
+                    # IS NOT NULL skipping: drop files whose recorded
+                    # null count equals their row count (all-NULL files
+                    # have NO min/max, so range stats alone can never
+                    # prune them — this is why real formats carry
+                    # nullCount next to min/max)
+                    if c in per_null and per_null[c][0] == per_null[c][1]:
+                        return False
+                    continue
+                lo, hi = pred
                 if c in per_col and not (per_col[c][0] <= hi and per_col[c][1] >= lo):
                     return False
             return True
@@ -818,6 +858,7 @@ def delete_where(
         "files": m["files"],
         "stats": m.get("stats", {}),
         "col_stats": m.get("col_stats", {}),
+        "null_stats": m.get("null_stats", {}),
         # each delete is SCOPED to the data files visible when it was
         # published — rows for the same key appended LATER must survive
         # (Iceberg sequence-number semantics)
@@ -1204,6 +1245,57 @@ def q_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.count("cents").cast("bigint").alias("n_with_cents"),
         F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+
+
+@register(
+    "q_lake_null_pruning",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                    ELSE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+               END AS cents
+        FROM orders
+    )
+    SELECT CAST(COUNT(cents) AS BIGINT) AS n_not_null,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM src WHERE cents IS NOT NULL
+    """,
+    tags=("lakehouse", "A6", "scale"),
+)
+def q_lake_null_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-count file skipping — the stat min/max can't give you: an
+    all-NULL column has no min/max at all, so range pruning must keep
+    the file; the per-file (nullCount, rowCount) pair recorded at
+    write time is what lets an IS NOT NULL reader drop it (the reason
+    Delta/Iceberg carry nullCount beside min/max). Four snapshot
+    appends land quarter-sliced orders where one slice's cents column
+    is entirely NULL; reading with predicates={'cents': 'notnull'}
+    must skip that slice's files at the MANIFEST level (pinned by a
+    file-count pytest) while the row-level filter keeps the answer
+    exact — pruning shrinks the scan, never the semantics."""
+    from ..sources.formats import scratch
+
+    path = scratch("lake_nulls", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(None))
+        .otherwise(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .alias("cents"),
+    )
+    for q in range(4):
+        snapshot_write(
+            src.filter(F.col("o_orderkey") % 4 == q),
+            path,
+            "append",
+            stats_col=["cents"],
+        )
+    pruned = snapshot_read(spark, path, predicates={"cents": "notnull"})
+    return pruned.filter(F.col("cents").isNotNull()).agg(
+        F.count("cents").cast("bigint").alias("n_not_null"),
+        F.sum("cents").cast("bigint").alias("cents"),
     )
 
 
@@ -2171,6 +2263,7 @@ def snapshot_clone(src: str, dst: str, version: int | None = None) -> int:
         "col_stats": m.get("col_stats", {}),
         "delete_files": m.get("delete_files", []),
         "batch_ids": [],
+        "null_stats": m.get("null_stats", {}),
         # column mapping and initial defaults are part of the table's
         # logical identity — a clone must read back identically
         "renames": m.get("renames", {}),

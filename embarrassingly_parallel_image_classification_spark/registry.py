@@ -273,6 +273,8 @@ _DRIVER_PRIORITY = (
     "q_lake_stream_fanout",    # exactly-once 2-table atomic fan-out
     "q_window_rolling_slope",  # exact rolling OLS slope, one sort
     "q_join_not_in_nulls",     # NOT IN vs NOT EXISTS 3VL contract
+    "q_sink_dynamic_overwrite",  # partition-scoped idempotent reload
+    "q_lake_null_pruning",     # nullCount file skipping (IS NOT NULL)
     # 2. Cross-family canaries, all driver-green in r1–r5 — behind the
     #    never-verified additions: new-coverage slots outrank
     #    re-verification when the 50-slot window is tight.

@@ -398,3 +398,75 @@ def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_good_prios"),
     )
+
+
+@register(
+    "q_sink_dynamic_overwrite",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey, o_orderpriority AS prio,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    final AS (
+        SELECT * FROM src
+        WHERE prio NOT IN ('1-URGENT', '2-HIGH') AND o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, prio, cents + 1 FROM src
+        WHERE prio IN ('1-URGENT', '2-HIGH')
+    )
+    SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM final GROUP BY prio ORDER BY prio
+    """,
+    tags=("A6",),
+)
+def q_sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite (`partitionOverwriteMode=dynamic`) —
+    the idempotent daily-reload primitive: the second write's mode is
+    `overwrite`, but only the partitions PRESENT in the incoming frame
+    are replaced; every untouched partition survives byte-for-byte
+    (STATIC mode — the default — would truncate the whole table
+    first, the classic full-reload footgun this conf exists to fix).
+    Staged here: an initial load of even keys across all five
+    priority partitions, then a corrected full reload of just the two
+    urgent partitions (cents+1 marks the new generation). The final
+    census must show untouched partitions with the v1 rows and
+    replaced partitions with ONLY v2 rows. At 100 TB this is how
+    late-arriving upstream corrections republish day partitions
+    without rewriting the year. The conf is set around the one write
+    and restored exactly (unset if previously unset — the
+    q_sql_scripting convention)."""
+    import shutil
+
+    path = scratch("dyn_overwrite", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    src.filter(F.col("o_orderkey") % 2 == 0).write.partitionBy(
+        "prio"
+    ).mode("overwrite").parquet(path)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        src.filter(F.col("prio").isin("1-URGENT", "2-HIGH")).withColumn(
+            "cents", F.col("cents") + 1
+        ).write.partitionBy("prio").mode("overwrite").parquet(path)
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+    return (
+        spark.read.parquet(path)
+        .groupBy("prio")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("prio")
+    )

@@ -1307,3 +1307,32 @@ def test_lakehouse_catalog_batch_ids_survive_interleaved_commits(
             "interleaved commit dropped the catalog batch-id history"
         )
     assert lakehouse.catalog_read(spark, root, "a").count() == 10
+
+
+def test_lakehouse_null_count_pruning_skips_all_null_files(spark, tmp_path):
+    """predicates={col: 'notnull'} must drop files whose recorded null
+    count equals their row count at the MANIFEST level, keep every
+    mixed file, and compose with range predicates."""
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    all_null = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(None).cast("bigint").alias("v")
+    )
+    mixed = spark.range(10, 20).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 12, F.lit(None)).otherwise(F.col("id"))
+        .cast("bigint")
+        .alias("v"),
+    )
+    lakehouse.snapshot_write(all_null.coalesce(1), path, "append", stats_col=["v"])
+    lakehouse.snapshot_write(mixed.coalesce(1), path, "append", stats_col=["v"])
+    full = lakehouse.snapshot_read(spark, path)
+    assert len(full.inputFiles()) == 2
+    pruned = lakehouse.snapshot_read(spark, path, predicates={"v": "notnull"})
+    assert len(pruned.inputFiles()) == 1, "all-NULL file not skipped"
+    assert pruned.filter(F.col("v").isNotNull()).count() == 9
+    both = lakehouse.snapshot_read(
+        spark, path, predicates={"v": "notnull", "k": (10, 20)}
+    )
+    assert len(both.inputFiles()) == 1
