@@ -65,39 +65,56 @@ def current_version(path: str) -> int:
     return max(versions, default=0)
 
 
+def _footer_stats(local_path: str, cols) -> tuple[dict, dict]:
+    """One footer parse per file for ALL stat columns: returns
+    ``({col: [min, max]}, {col: [null_count, row_count]})``, omitting
+    a column from either dict when any row group lacks that statistic.
+    The null-count entry is what keeps an all-NULL file skippable
+    (IS NOT NULL pruning) — such a column has no min/max, so range
+    stats alone can never prune it. Opening the ParquetFile ONCE and
+    pulling both stats from the same metadata object halves the
+    write path's metadata I/O vs per-stat parses (review finding:
+    2·F·C footer opens where F suffices)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(local_path).metadata
+    arrow_schema = md.schema.to_arrow_schema()
+    if cols is None:
+        cols = arrow_schema.names
+    per_col: dict = {}
+    per_null: dict = {}
+    for col in cols:
+        idx = arrow_schema.get_field_index(col)
+        if idx < 0:
+            continue
+        mins, maxs, nulls = [], [], 0
+        have_range, have_nulls = True, True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None:
+                have_range = have_nulls = False
+                break
+            if have_range and st.has_min_max:
+                mins.append(st.min)
+                maxs.append(st.max)
+            else:
+                have_range = False
+            if have_nulls and st.null_count is not None:
+                nulls += st.null_count
+            else:
+                have_nulls = False
+        if have_range and mins:
+            per_col[col] = [min(mins), max(maxs)]
+        if have_nulls:
+            per_null[col] = [nulls, md.num_rows]
+    return per_col, per_null
+
+
 def _file_stats(local_path: str, col: str):
-    """(min, max) of ``col`` across a parquet file's row groups, read
-    from footer metadata only — no data pages touched."""
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(local_path).metadata
-    idx = md.schema.to_arrow_schema().get_field_index(col)
-    mins, maxs = [], []
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        if st is None or not st.has_min_max:
-            return None
-        mins.append(st.min)
-        maxs.append(st.max)
-    return (min(mins), max(maxs)) if mins else None
-
-
-def _file_null_count(local_path: str, col: str):
-    """(null_count, row_count) of ``col`` from footer metadata only —
-    None when any row group lacks the statistic. An all-NULL column
-    has no min/max, so this is the stat that keeps such files
-    skippable (IS NOT NULL pruning) where _file_stats must give up."""
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(local_path).metadata
-    idx = md.schema.to_arrow_schema().get_field_index(col)
-    nulls = 0
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        if st is None or st.null_count is None:
-            return None
-        nulls += st.null_count
-    return (nulls, md.num_rows)
+    """(min, max) of ``col`` from footer metadata only (single-column
+    convenience over _footer_stats)."""
+    per_col, _ = _footer_stats(local_path, [col])
+    return tuple(per_col[col]) if col in per_col else None
 
 
 def snapshot_write(
@@ -161,6 +178,7 @@ def snapshot_write(
     logical_schema = df.schema.jsonValue()
     _map_base = base_version if base_version is not None else current_version(path)
     renames: dict = {}
+    defaults0: dict = {}
     if mode == "append" and _map_base > 0:
         with open(_manifest_path(path, _map_base)) as f:
             _m0 = json.load(f)
@@ -170,9 +188,8 @@ def snapshot_write(
                 df = df.withColumnRenamed(logical, phys)
         _to_phys = {l: p for p, l in renames.items()}
         stat_cols = [_to_phys.get(c, c) for c in stat_cols]
-        _missing_dft = [
-            c for c in _m0.get("defaults", {}) if c not in df.columns
-        ]
+        defaults0 = _m0.get("defaults", {})
+        _missing_dft = [c for c in defaults0 if c not in df.columns]
         if _missing_dft:
             # the manifest schema is the last writer's frame; a write
             # omitting a defaulted column would silently drop it from
@@ -187,14 +204,11 @@ def snapshot_write(
     for name in sorted(os.listdir(staging)):
         if name.endswith(".parquet"):
             final = f"data-{uuid.uuid4().hex}.parquet"
-            per_col, per_null = {}, {}
-            for c in stat_cols:
-                s = _file_stats(os.path.join(staging, name), c)
-                if s is not None:
-                    per_col[c] = list(s)
-                nc = _file_null_count(os.path.join(staging, name), c)
-                if nc is not None:
-                    per_null[c] = list(nc)
+            per_col, per_null = (
+                _footer_stats(os.path.join(staging, name), stat_cols)
+                if stat_cols
+                else ({}, {})
+            )
             if stat_cols and stat_cols[0] in per_col:
                 stats[final] = per_col[stat_cols[0]]  # legacy between= path
             if per_col:
@@ -244,6 +258,15 @@ def snapshot_write(
                     # physical layouts. Callers retry the whole write.
                     raise ConcurrentWriteError(
                         "column mapping changed during append; retry"
+                    )
+                if carried_defaults != defaults0:
+                    # an add_column_default raced this append: the
+                    # frame was validated against the OLD defaults, so
+                    # publishing its schema would silently drop the new
+                    # defaulted column from every subsequent read
+                    # (review finding). Callers retry the whole write.
+                    raise ConcurrentWriteError(
+                        "defaulted columns changed during append; retry"
                     )
         if batch_id is not None and batch_id not in carried_batch_ids:
             carried_batch_ids = carried_batch_ids + [batch_id]
@@ -393,6 +416,22 @@ def snapshot_read(
                         else F.lit(None)
                     )
                     g = g.withColumn(fld.name, fill.cast(fld.dataType))
+                elif fld.name in key:
+                    # a scoped file can physically CONTAIN the column as
+                    # an all-NULL artifact of an erase/compaction rewrite
+                    # (the rewrite unions schemas); pre-add rows still
+                    # owe the default, and a scoped file by definition
+                    # never stored explicit values, so coalescing is
+                    # exact (review finding)
+                    g = g.withColumn(
+                        fld.name,
+                        F.coalesce(
+                            F.col(fld.name),
+                            F.lit(defaults[fld.name]["value"]).cast(
+                                fld.dataType
+                            ),
+                        ),
+                    )
             parts.append(g.select([fld.name for fld in target.fields]))
         out = parts[0]
         for p in parts[1:]:
@@ -403,6 +442,14 @@ def snapshot_read(
     # name (rename_column is metadata-only; no data file was rewritten)
     for phys, logical in renames.items():
         out = out.withColumnRenamed(phys, logical)
+    # project to the version's recorded schema: an erase-rewritten
+    # replacement file can physically carry LATER versions' columns
+    # (the rewrite unions schemas across history) — without the
+    # projection those would leak into time-travel reads
+    if "schema" in m:
+        want = [fl["name"] for fl in m["schema"]["fields"]]
+        if set(want) <= set(out.columns):
+            out = out.select(want)
     return out
 
 
@@ -848,34 +895,49 @@ def delete_where(
     tables = [pq.read_table(os.path.join(staging, n)) for n in parts]
     pq.write_table(pa.concat_tables(tables), os.path.join(path, del_file))
     shutil.rmtree(staging, ignore_errors=True)
-    prev = current_version(path)
-    with open(_manifest_path(path, prev)) as f:
-        m = json.load(f)
-    version = prev + 1
-    manifest = {
-        "version": version,
-        "mode": "delete",
-        "files": m["files"],
-        "stats": m.get("stats", {}),
-        "col_stats": m.get("col_stats", {}),
-        "null_stats": m.get("null_stats", {}),
-        # each delete is SCOPED to the data files visible when it was
-        # published — rows for the same key appended LATER must survive
-        # (Iceberg sequence-number semantics)
-        "delete_files": m.get("delete_files", [])
-        + [[del_file, key, sorted(m["files"])]],
-        # carry forward table schema + ingest-idempotence ids — a
-        # delete snapshot changes neither
-        "batch_ids": m.get("batch_ids", []),
-        "committed_at": time.time(),
-        **({"schema": m["schema"]} if "schema" in m else {}),
-    }
-    tmp = _manifest_path(path, version) + f".tmp{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.link(tmp, _manifest_path(path, version))
-    os.unlink(tmp)
-    return version
+    while True:
+        prev = current_version(path)
+        with open(_manifest_path(path, prev)) as f:
+            m = json.load(f)
+        if m.get("renames") or m.get("defaults"):
+            # re-check on the manifest the commit actually builds from:
+            # a rename/add-default racing between the pre-check and
+            # here would otherwise be silently stripped (this payload
+            # would omit the mapping) AND the delete keys would
+            # anti-join logical values against physical columns
+            # (review finding — the append path handles the same race)
+            raise ConcurrentWriteError(
+                "column mapping / defaults changed during delete; "
+                "compact and retry"
+            )
+        version = prev + 1
+        manifest = {
+            "version": version,
+            "mode": "delete",
+            "files": m["files"],
+            "stats": m.get("stats", {}),
+            "col_stats": m.get("col_stats", {}),
+            "null_stats": m.get("null_stats", {}),
+            # each delete is SCOPED to the data files visible when it
+            # was published — rows for the same key appended LATER must
+            # survive (Iceberg sequence-number semantics)
+            "delete_files": m.get("delete_files", [])
+            + [[del_file, key, sorted(m["files"])]],
+            # carry forward table schema + ingest-idempotence ids — a
+            # delete snapshot changes neither
+            "batch_ids": m.get("batch_ids", []),
+            "committed_at": time.time(),
+            **({"schema": m["schema"]} if "schema" in m else {}),
+        }
+        tmp = _manifest_path(path, version) + f".tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, _manifest_path(path, version))  # atomic claim
+            os.unlink(tmp)
+            return version
+        except FileExistsError:
+            os.unlink(tmp)  # lost the race: rebase on the new version
 
 
 def snapshot_read_mor(
@@ -1496,6 +1558,16 @@ def add_column_default(path: str, name: str, sql_type: str, default) -> int:
                 "initial-default on a renamed table is unsupported "
                 "(defaults are keyed by logical name)"
             )
+        if m.get("delete_files"):
+            # snapshot_read_mor's raw-parquet group reads know nothing
+            # about defaults, so a defaulted table with live delete
+            # files would silently omit (then fail to resolve) the new
+            # column — same one-at-a-time rule as rename_column
+            # (review finding)
+            raise ValueError(
+                "initial-default with pending MoR delete files is "
+                "unsupported; compact_mor first"
+            )
         fields = m["schema"]["fields"]
         if name in [fl["name"] for fl in fields]:
             raise ValueError(f"column already exists: {name}")
@@ -2075,8 +2147,30 @@ def erase_rows(spark: SparkSession, path: str, col: str, value) -> int:
                     f"list is itself data to erase — run compact_mor + "
                     f"vacuum first"
                 )
+        if manifests[v].get("renames"):
+            # the erase predicate names the LOGICAL column but the data
+            # files store PHYSICAL names — filtering raw files on a
+            # mapped table would silently miss every renamed match
+            # (review finding). Rewrite via overwrite first.
+            raise ValueError(
+                "erase on a table with column mapping is unsupported; "
+                "rewrite via overwrite first"
+            )
+        if col in manifests[v].get("defaults", {}):
+            # pre-add rows carry the default LOGICALLY but store nothing
+            # physically — a raw-file filter on the defaulted column
+            # would silently miss every one of them
+            raise ValueError(
+                f"erase on initial-default column {col!r} is "
+                f"unsupported; rewrite via overwrite first"
+            )
         all_files.update(manifests[v]["files"])
-    src = spark.read.parquet(*[os.path.join(path, n) for n in sorted(all_files)])
+    # mergeSchema: history can span schema evolution (overwrites,
+    # initial-default adds) — the union schema keeps every version's
+    # columns resolvable in the one shared scan
+    src = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, n) for n in sorted(all_files)]
+    )
     affected = {
         r["f"]
         for r in src.filter(F.col(col).eqNullSafe(F.lit(value)))
@@ -2090,7 +2184,8 @@ def erase_rows(spark: SparkSession, path: str, col: str, value) -> int:
         return 0
     staging = os.path.join(path, f"_erase_{uuid.uuid4().hex}")
     (
-        spark.read.parquet(*[os.path.join(path, n) for n in sorted(affected)])
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(path, n) for n in sorted(affected)])
         .withColumn(
             "__src", F.element_at(F.split(F.input_file_name(), "/"), -1)
         )
@@ -2111,39 +2206,55 @@ def erase_rows(spark: SparkSession, path: str, col: str, value) -> int:
                     news.append(final)
         mapping[old] = news  # empty list = every row erased
     shutil.rmtree(staging, ignore_errors=True)
-    # footer reads are cached per (new file, column): a file carried
-    # across V appended snapshots would otherwise be re-read once per
-    # manifest that references it (review finding — O(versions·files·
-    # cols) redundant I/O where O(files·cols) suffices)
+    # footer reads are cached per new file — ONE parse yields min/max +
+    # null counts for every column: a file carried across V appended
+    # snapshots would otherwise be re-read once per manifest that
+    # references it (review finding — O(versions·files·cols) redundant
+    # I/O where O(files) suffices)
     _stats_cache: dict = {}
 
-    def cached_stats(new: str, c: str):
-        if (new, c) not in _stats_cache:
-            _stats_cache[(new, c)] = _file_stats(os.path.join(path, new), c)
-        return _stats_cache[(new, c)]
+    def cached_stats(new: str) -> tuple[dict, dict]:
+        if new not in _stats_cache:
+            _stats_cache[new] = _footer_stats(os.path.join(path, new), None)
+        return _stats_cache[new]
 
     for v, m in sorted(manifests.items()):  # vacuumed versions absent
         if not (set(m["files"]) & affected):
             continue
-        new_files, stats, col_stats = [], m.get("stats", {}), m.get("col_stats", {})
+        new_files = []
+        stats = m.get("stats", {})
+        col_stats = m.get("col_stats", {})
+        null_stats = m.get("null_stats", {})
         for name in m["files"]:
             if name not in mapping:
                 new_files.append(name)
                 continue
             stat_cols = list(col_stats.pop(name, {}).keys())
+            null_cols = list(null_stats.pop(name, {}).keys())
             legacy = stats.pop(name, None)
             for new in mapping[name]:
                 new_files.append(new)
-                per_col = {}
-                for c in stat_cols:
-                    s = cached_stats(new, c)
-                    if s is not None:
-                        per_col[c] = list(s)
+                fresh_col, fresh_null = cached_stats(new)
+                per_col = {c: fresh_col[c] for c in stat_cols if c in fresh_col}
+                per_null = {
+                    c: fresh_null[c] for c in null_cols if c in fresh_null
+                }
                 if per_col:
                     col_stats[new] = per_col
+                if per_null:
+                    null_stats[new] = per_null
                 if legacy is not None and stat_cols and stat_cols[0] in per_col:
                     stats[new] = per_col[stat_cols[0]]
         m["files"], m["stats"], m["col_stats"] = new_files, stats, col_stats
+        m["null_stats"] = null_stats
+        # initial-default SCOPES are file-name lists too: remap them so
+        # surviving pre-add rows keep reading back their default (the
+        # un-remapped scope silently nulled them — review finding)
+        if m.get("defaults"):
+            for _c, d in m["defaults"].items():
+                d["scope"] = sorted(
+                    {nn for s in d["scope"] for nn in mapping.get(s, [s])}
+                )
         # remap MoR delete SCOPES through the same old→new mapping so
         # sequence-number scoping survives the rewrite; the rewritten
         # replacement holds the same rows minus the erased ones, so

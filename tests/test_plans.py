@@ -238,6 +238,12 @@ _CARTESIAN_OK = {
                              # the lift denominator
     "q_eval_pr_curve",       # 1-row positives-total scalar broadcast
                              # onto the thinned threshold frame
+    "q_join_not_in_nulls",   # the POINT of the query: nullable NOT IN
+                             # compiles to a null-aware anti join that
+                             # Spark can only run broadcast (BNLJ) —
+                             # the docstring documents the NOT EXISTS
+                             # rewrite as the 100-TB path; the other
+                             # BNLJs are 1-row×1-row count scalars
 }
 
 

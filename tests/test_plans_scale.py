@@ -1336,3 +1336,223 @@ def test_lakehouse_null_count_pruning_skips_all_null_files(spark, tmp_path):
         spark, path, predicates={"v": "notnull", "k": (10, 20)}
     )
     assert len(both.inputFiles()) == 1
+
+
+def test_lakehouse_default_guards_pending_mor_deletes(spark, tmp_path):
+    """add_column_default on a table carrying live MoR delete files must
+    refuse (snapshot_read_mor's raw group reads know nothing about
+    defaults — review finding), exactly as rename_column does; after
+    compact_mor the add succeeds and the MoR read resolves the column."""
+    import pytest
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    lakehouse.snapshot_write(
+        spark.range(10).select(F.col("id").alias("k")), path, "append"
+    )
+    lakehouse.delete_where(
+        spark, path, "k", spark.range(5, 6).select(F.col("id").alias("k"))
+    )
+    with pytest.raises(ValueError, match="pending MoR delete"):
+        lakehouse.add_column_default(path, "c1", "bigint", 7)
+    lakehouse.compact_mor(spark, path)
+    lakehouse.add_column_default(path, "c1", "bigint", 7)
+    rows = {
+        r["k"]: r["c1"]
+        for r in lakehouse.snapshot_read_mor(spark, path).collect()
+    }
+    assert 5 not in rows and rows[0] == 7 and len(rows) == 9
+
+
+def test_lakehouse_erase_preserves_default_scope_and_old_schemas(
+    spark, tmp_path
+):
+    """erase_rows on a defaults-carrying table must remap the default's
+    file-name SCOPE through the rewrite (un-remapped, every surviving
+    pre-add row silently read back NULL instead of the default — review
+    finding), keep post-add explicit NULLs explicit, refresh null_stats
+    under the new file names, and NOT leak later-version columns into
+    time-travel reads of pre-add versions."""
+    import json as _json
+    import os as _os
+
+    import pytest
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    lakehouse.snapshot_write(
+        spark.range(10).select(F.col("id").alias("k")).coalesce(1),
+        path,
+        "append",
+        stats_col=["k"],
+    )
+    lakehouse.add_column_default(path, "channel", "string", "web")
+    lakehouse.snapshot_write(
+        spark.range(10, 13).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") == 11, F.lit(None)).otherwise(F.lit("store"))
+            .alias("channel"),
+        ).coalesce(1),
+        path,
+        "append",
+        stats_col=["k"],
+    )
+    # erasing BY the defaulted column is refused (pre-add rows carry the
+    # default logically but store nothing physically)
+    with pytest.raises(ValueError, match="initial-default column"):
+        lakehouse.erase_rows(spark, path, "channel", "web")
+    n = lakehouse.erase_rows(spark, path, "k", 3)
+    assert n > 0
+    rows = {
+        r["k"]: r["channel"]
+        for r in lakehouse.snapshot_read(spark, path).collect()
+    }
+    assert 3 not in rows
+    assert all(rows[k] == "web" for k in range(10) if k != 3), (
+        "surviving pre-add rows lost their default"
+    )
+    assert rows[10] == "store" and rows[11] is None and rows[12] == "store"
+    # time travel to the pre-add version: replacement files physically
+    # carry the later 'channel' column; the manifest-schema projection
+    # must keep it out
+    v1 = lakehouse.snapshot_read(spark, path, 1)
+    assert v1.columns == ["k"]
+    assert sorted(r["k"] for r in v1.collect()) == [
+        k for k in range(10) if k != 3
+    ]
+    # manifest hygiene: no stats/null_stats keyed by vanished files, and
+    # the default scope references only live files
+    latest = lakehouse.current_version(path)
+    with open(_os.path.join(path, f"_manifest_v{latest}.json")) as f:
+        m = _json.load(f)
+    live = set(m["files"])
+    assert set(m.get("null_stats", {})) <= live
+    assert set(m.get("col_stats", {})) <= live
+    assert set(m["defaults"]["channel"]["scope"]) <= live
+
+
+def test_lakehouse_append_racing_add_default_is_refused(spark, tmp_path):
+    """An append planned before an add_column_default lands must raise
+    ConcurrentWriteError at commit instead of publishing a schema that
+    silently drops the new defaulted column (review finding). Injected
+    by adding the column between the planning read and the commit-loop
+    read of current_version."""
+    import pytest
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    lakehouse.snapshot_write(
+        spark.range(5).select(F.col("id").alias("k")), path, "append"
+    )
+    orig_cv = lakehouse.current_version
+    state = {"calls": 0, "injected": False}
+
+    def racing_cv(p):
+        state["calls"] += 1
+        # call 1 = snapshot_write's planning read; call 2 = the commit
+        # loop's read — inject the competing DDL exactly between them
+        if state["calls"] == 2 and not state["injected"]:
+            state["injected"] = True
+            lakehouse.add_column_default(path, "channel", "string", "web")
+        return orig_cv(p)
+
+    lakehouse.current_version = racing_cv
+    try:
+        with pytest.raises(
+            lakehouse.ConcurrentWriteError, match="defaulted columns changed"
+        ):
+            lakehouse.snapshot_write(
+                spark.range(5, 8).select(F.col("id").alias("k")),
+                path,
+                "append",
+            )
+    finally:
+        lakehouse.current_version = orig_cv
+    # the table still carries the defaulted column for every read
+    assert "channel" in lakehouse.snapshot_read(spark, path).columns
+
+
+def test_lakehouse_delete_commit_absorbs_interleaved_append(spark, tmp_path):
+    """delete_where's commit loop must rebuild from the manifest that is
+    current AT COMMIT (review finding: it used to publish from a fresh
+    manifest read without re-running its guards, and could strip keys).
+    An append landing between the delete's pre-check and its commit is
+    absorbed: the published delete scopes over the appended file too."""
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    lakehouse.snapshot_write(
+        spark.range(10).select(F.col("id").alias("k")), path, "append"
+    )
+    orig_cv = lakehouse.current_version
+    state = {"calls": 0, "injected": False}
+
+    def racing_cv(p):
+        state["calls"] += 1
+        # call 1 = delete_where's pre-check; call 2 = its commit loop —
+        # inject a competing append exactly between them
+        if state["calls"] == 2 and not state["injected"]:
+            state["injected"] = True
+            lakehouse.current_version = orig_cv
+            try:
+                lakehouse.snapshot_write(
+                    spark.range(10, 15).select(F.col("id").alias("k")),
+                    path,
+                    "append",
+                )
+            finally:
+                lakehouse.current_version = racing_cv
+        return orig_cv(p)
+
+    lakehouse.current_version = racing_cv
+    try:
+        lakehouse.delete_where(
+            spark,
+            path,
+            "k",
+            spark.createDataFrame([(4,), (12,)], "k bigint"),
+        )
+    finally:
+        lakehouse.current_version = orig_cv
+    got = sorted(
+        r["k"] for r in lakehouse.snapshot_read_mor(spark, path).collect()
+    )
+    assert got == [k for k in range(15) if k not in (4, 12)], (
+        "interleaved append was lost or its keys escaped the delete"
+    )
+
+
+def test_lakehouse_footer_stats_single_parse(tmp_path):
+    """_footer_stats returns min/max AND null counts for every column
+    from one footer parse, including an all-NULL column (null counts
+    present, no min/max) — the write path's per-file metadata read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from embarrassingly_parallel_image_classification_spark.plans.lakehouse import (
+        _footer_stats,
+    )
+
+    p = str(tmp_path / "f.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array([3, 1, 2], pa.int64()),
+                "b": pa.array([None, None, None], pa.int64()),
+                "c": pa.array([1.5, None, 2.5], pa.float64()),
+            }
+        ),
+        p,
+    )
+    per_col, per_null = _footer_stats(p, ["a", "b", "c", "missing"])
+    assert per_col["a"] == [1, 3] and "b" not in per_col
+    assert per_null["a"] == [0, 3]
+    assert per_null["b"] == [3, 3], "all-NULL column must stay skippable"
+    assert per_null["c"] == [1, 3] and per_col["c"] == [1.5, 2.5]
+    assert "missing" not in per_col and "missing" not in per_null
+    # cols=None scans the whole schema
+    all_col, all_null = _footer_stats(p, None)
+    assert set(all_null) == {"a", "b", "c"}
