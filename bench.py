@@ -142,6 +142,14 @@ HEADLINE = [
     "q_fn_timezone",
     "q_scan_csv_corrupt",
     "q_lake_column_rename",
+    # session-5 additions: exact integer KMeans (2 Lloyd iterations —
+    # the per-iteration broadcast+shuffle kernel is the timed object),
+    # temperature mixture rates, Heaps-law vocab curve, deterministic
+    # label propagation over the strong-tie graph
+    "q_cluster_kmeans",
+    "q_mix_temperature",
+    "q_text_vocab_growth",
+    "q_graph_label_prop",
 ]
 
 

@@ -536,3 +536,184 @@ def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_ix",
         (raw + F.when(raw >= F.col("doc_id"), 1).otherwise(0)).alias("neg_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted corpus mixing — the "data mixture" step every
+# multi-domain pretraining run applies (sample domain d with
+# probability ∝ n_d^α, α<1 flattening the head so low-resource domains
+# are over-represented relative to their raw share; the Pile / LLaMA /
+# mT5 recipe). α = 0.5 here.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mix_temperature",
+    oracle="""
+    WITH per AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, n,
+                 CAST(FLOOR(SQRT(n) * 1000000 + 0.5) AS BIGINT) AS w_e6
+          FROM per),
+    thr AS (SELECT lang, n,
+                   LEAST(1000000,
+                         (200 * w_e6 * 1000000)
+                             // ((SELECT SUM(w_e6) FROM w) * n)) AS rate_e6
+            FROM w),
+    u AS (SELECT doc_id, lang,
+                 ('0x' || substring(
+                      md5(CAST(doc_id AS VARCHAR) || '-mix42'), 1, 8)
+                 )::BIGINT % 1000000 AS u
+          FROM documents)
+    SELECT u.lang,
+           CAST(t.n AS BIGINT) AS n_docs,
+           CAST(t.rate_e6 AS BIGINT) AS rate_e6,
+           CAST(COUNT(CASE WHEN u.u < t.rate_e6 THEN 1 END) AS BIGINT)
+               AS n_selected
+    FROM u JOIN thr t ON u.lang = t.lang
+    GROUP BY u.lang, t.n, t.rate_e6
+    """,
+    tags=("K4", "B6"),
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (α=0.5) mixture sampling across languages:
+    each domain's sampling rate is N_target·n^α / (Σ n^α · n), capped
+    at 1 — raw-share-heavy domains (en) are DOWN-sampled and tail
+    domains (fr/de) kept nearly whole, the standard multi-domain
+    pretraining mixture. Everything is engine-exact: weights are
+    half-up fixed-point of IEEE sqrt (correctly rounded in both
+    engines), the rate is a truncating division of non-negative
+    bigints, and membership is the portable 32-bit md5-prefix uniform
+    (same family as q_split_kfold) against that rate — so the SELECTED
+    SET, not just its size, is reproducible from doc_id alone in any
+    engine, which is what makes a mixture re-runnable after a pipeline
+    rewrite. Plan: one tiny groupBy(lang) pass for the rate table
+    (window-summed over ≤|domains| rows), broadcast back onto the
+    scan, one conditional re-aggregation — two shuffles of fixed-width
+    rows; the per-doc decision is map-side and embarrassingly
+    parallel at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    w = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "w_e6",
+            F.expr(
+                "CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000 + 0.5)"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    # Σw over the ≤|domains|-row frame: the unpartitioned window is a
+    # deliberate single-partition op on a tiny aggregate, not the scan
+    thr = w.withColumn(
+        "rate_e6",
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.expr(
+                "(200 * w_e6 * 1000000)"
+                " DIV ((SUM(w_e6) OVER ()) * n)"
+            ),
+        ),
+    ).select("lang", "n", "rate_e6")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-mix42"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint") % 1000000
+    return (
+        d.select("doc_id", "lang", u.alias("u"))
+        .join(F.broadcast(thr), "lang")
+        .groupBy("lang", "n", "rate_e6")
+        .agg(
+            F.count(F.when(F.col("u") < F.col("rate_e6"), 1))
+            .cast("bigint")
+            .alias("n_selected")
+        )
+        .select(
+            "lang",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.col("rate_e6").cast("bigint").alias("rate_e6"),
+            "n_selected",
+        )
+    )
+
+
+@register(
+    "q_text_vocab_growth",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+        FROM documents),
+    firsts AS (SELECT word, MIN(doc_id) AS fd FROM tok GROUP BY word),
+    nv AS (SELECT (fd * 10) // (SELECT MAX(doc_id) + 1 FROM documents)
+                      AS bucket,
+                  COUNT(*) AS new_words
+           FROM firsts GROUP BY 1),
+    tk AS (SELECT (doc_id * 10) // (SELECT MAX(doc_id) + 1 FROM documents)
+                      AS bucket,
+                  COUNT(*) AS tokens
+           FROM tok GROUP BY 1)
+    SELECT CAST(tk.bucket AS BIGINT) AS bucket,
+           CAST(tk.tokens AS BIGINT) AS tokens,
+           CAST(COALESCE(nv.new_words, 0) AS BIGINT) AS new_words,
+           CAST(SUM(tk.tokens) OVER (ORDER BY tk.bucket) AS BIGINT)
+               AS cum_tokens,
+           CAST(SUM(COALESCE(nv.new_words, 0)) OVER (ORDER BY tk.bucket)
+               AS BIGINT) AS cum_vocab
+    FROM tk LEFT JOIN nv USING (bucket)
+    """,
+    tags=("K4", "E3"),
+)
+def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: cumulative distinct
+    vocabulary vs cumulative tokens across ten corpus prefixes in
+    doc_id order — the diagnostic that tells a data curator whether
+    more crawl still buys new vocabulary or only repetition (and the
+    sanity check behind tokenizer-budget choices). The distributed
+    trick: "is word w new in bucket b" needs no per-prefix distinct —
+    each word's FIRST occurrence doc (one groupBy(word) MIN) fully
+    determines the curve, so the whole thing is two shuffles (token
+    census by bucket, first-occurrence census by bucket) joined on a
+    10-row frame, where the naive per-prefix COUNT(DISTINCT) would
+    rescan the corpus 10 times. Cumulative sums run on the 10-row
+    result — the unpartitioned window never touches the scan."""
+    d = t(spark, sf_dir, "documents")
+    # bounded scalar: one MAX over the corpus keys, used as the bucket
+    # denominator literal in both branches (the oracle inlines the
+    # same scalar subquery)
+    nd = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    # integer DIV (not double /): exact at any doc_id magnitude, and
+    # identical to the oracle's // on non-negative operands
+    nv = (
+        tok.groupBy("word")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy(
+            F.expr(f"CAST((fd * 10) DIV {nd} AS BIGINT)").alias("bucket")
+        )
+        .agg(F.count("*").alias("new_words"))
+    )
+    tk = tok.groupBy(
+        F.expr(f"CAST((doc_id * 10) DIV {nd} AS BIGINT)").alias("bucket")
+    ).agg(F.count("*").alias("tokens"))
+    from pyspark.sql import Window as _W
+
+    ten = tk.join(nv, "bucket", "left").select(
+        "bucket",
+        F.col("tokens").cast("bigint").alias("tokens"),
+        F.coalesce("new_words", F.lit(0)).cast("bigint").alias("new_words"),
+    )
+    w = _W.orderBy("bucket")  # 10-row frame
+    return ten.select(
+        "bucket",
+        "tokens",
+        "new_words",
+        F.sum("tokens").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum("new_words").over(w).cast("bigint").alias("cum_vocab"),
+    )

@@ -373,3 +373,152 @@ def q_graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM d{_SSSP_ROUNDS}"""
     )
     return spark.sql(sql, edges=edges, nodes=nodes)
+
+
+# ---------------------------------------------------------------------------
+# Synchronous label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+_LPA_TOP = 50
+
+_LPA_PAIRS_SQL = """
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, src, dst) AS rn
+        FROM (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   COUNT(*) AS cnt
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            WHERE c.c_nationkey <> s.s_nationkey
+            GROUP BY 1, 2))
+    WHERE rn <= {top}
+"""
+
+
+def _lpa_ctes(edges_ref: str, nodes_ref: str) -> list[str]:
+    """Shared iteration text: l0 = own id; each round every node takes
+    the MOST FREQUENT label among its neighbors (ties to the smallest
+    label — the deterministic variant of Raghavan et al.'s LPA),
+    isolated nodes keeping their own. Identical string in both engines
+    modulo table references."""
+    ctes = [
+        f"l0 AS (SELECT node, node AS label FROM {nodes_ref})",
+    ]
+    for k in range(_LPA_ITERS):
+        ctes.append(
+            f"""nbr{k} AS (
+        SELECT e.dst AS node, l.label
+        FROM {edges_ref} e JOIN l{k} l ON l.node = e.src)"""
+        )
+        ctes.append(
+            f"""pick{k} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY node
+                       ORDER BY COUNT(*) DESC, label) AS rn
+            FROM nbr{k} GROUP BY node, label)
+        WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""l{k + 1} AS (
+        SELECT l.node, COALESCE(p.label, l.label) AS label
+        FROM l{k} l LEFT JOIN pick{k} p ON p.node = l.node)"""
+        )
+    return ctes
+
+
+def _lpa_oracle() -> str:
+    ctes = [
+        f"top_pairs AS ({_LPA_PAIRS_SQL.format(top=_LPA_TOP)})",
+        "edges AS (SELECT src, dst FROM top_pairs "
+        "UNION SELECT dst, src FROM top_pairs)",
+        "nodes AS (SELECT n_nationkey AS node FROM nation)",
+        *_lpa_ctes("edges", "nodes"),
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS size,
+           array_to_string(list_sort(list(node)), ',') AS members
+    FROM l{_LPA_ITERS} GROUP BY label"""
+    )
+
+
+@register("q_graph_label_prop", oracle=_lpa_oracle(), tags=("graph", "iterative"))
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    STRONG-TIE trade graph (the 50 highest-volume nation→nation lanes,
+    undirected): 3 rounds of "adopt your neighbors' most common label,
+    ties to the smallest" — the deterministic spelling of LPA, whose
+    usual run-to-run nondeterminism (random update order) is exactly
+    what makes vanilla implementations uncheckable. Thinning to top-K
+    lanes first is what gives LPA real structure to find: on the dense
+    full graph every node sees every label once and the tie-break
+    collapses to component-min (i.e. CC, already covered by
+    ml/dedup.py's cluster ops).
+
+    Per round: one hash join edges⋈labels (labels is |V| rows — at
+    scale THIS side broadcasts), one groupBy(node, label) count with
+    map-side partials, one per-node argmax window partitioned by node
+    (never global), one left join back. Labels-frame lineage is cut
+    per round at scale via the q_graph_pagerank localCheckpoint rule;
+    here the 3-round plan is unrolled whole so Catalyst sees one
+    dataflow. Members emitted sorted + comma-joined (driver-sortable
+    array convention)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    nodes = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    pairs = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window as _W
+
+    # |pairs| ≤ |V|² (625): the unpartitioned top-K window runs on the
+    # aggregated lane table, never the fact scan
+    top = (
+        pairs.withColumn(
+            "rn",
+            F.row_number().over(_W.orderBy(F.desc("cnt"), "src", "dst")),
+        )
+        .filter(F.col("rn") <= _LPA_TOP)
+        .select("src", "dst")
+    )
+    edges = (
+        top.unionByName(
+            top.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .coalesce(1)
+        # one checkpoint so the 4-table lane build runs once, not once
+        # per unrolled round (same rule as q_graph_pagerank)
+        .localCheckpoint(eager=True)
+    )
+    sql = (
+        "WITH "
+        + ",\n".join(_lpa_ctes("{edges}", "{nodes}"))
+        + f"""
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS size,
+           array_join(sort_array(collect_list(node)), ',') AS members
+    FROM l{_LPA_ITERS} GROUP BY label"""
+    )
+    return spark.sql(sql, edges=edges, nodes=nodes)

@@ -306,6 +306,7 @@ _QUERY_MODULES = (
         "ml.udfs",
         "ml.knn",
         "ml.dedup",
+        "ml.cluster",
         "ml.text",
         "ml.corpus",
         "ml.cleaning",

@@ -238,6 +238,10 @@ _CARTESIAN_OK = {
                              # the lift denominator
     "q_eval_pr_curve",       # 1-row positives-total scalar broadcast
                              # onto the thinned threshold frame
+    "q_cluster_kmeans",      # K·dim centroid cells broadcast-crossJoined
+                             # onto every vector — the dense-distance
+                             # kernel (q_knn_pq's shape); the K-row
+                             # init limit rides the same plan
     "q_join_not_in_nulls",   # the POINT of the query: nullable NOT IN
                              # compiles to a null-aware anti join that
                              # Spark can only run broadcast (BNLJ) —
