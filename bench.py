@@ -150,6 +150,7 @@ HEADLINE = [
     "q_mix_temperature",
     "q_text_vocab_growth",
     "q_graph_label_prop",
+    "q_embed_covariance",
 ]
 
 

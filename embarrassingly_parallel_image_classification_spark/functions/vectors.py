@@ -127,3 +127,69 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.groupBy("label", "pos").agg(
         F.sum("q").alias("sum_e6"), F.count("*").alias("n_vectors")
     )
+
+
+@register(
+    "q_embed_covariance",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                          + 0.5) AS BIGINT) AS x
+        FROM embeddings)
+    SELECT a.i, b.i AS j,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(a.x * b.x) AS BIGINT) AS sxy_e12,
+           CAST(SUM(a.x) AS BIGINT) AS si_e6,
+           CAST(SUM(b.x) AS BIGINT) AS sj_e6
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+    tags=("K", "H6", "D1"),
+)
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed covariance/Gram sufficient statistics of the
+    embedding table — the d(d+1)/2 upper-triangle second moments plus
+    first moments, from which cov(i,j) = (n·sxy − si·sj)/n² falls out
+    in one driver-side pass over 2,080 rows. This is the distributed
+    HALF of PCA/whitening: q_embed_pca's eigensolver is rows-only
+    (engine-specific floats), but the statistic it consumes is
+    integer-exact here, so the heavy data pass gets the full
+    cross-engine check and only the tiny d×d eigensolve stays
+    unverifiable. Components quantize to 1e-6 ints (half-up), so
+    products are exact bigints (|x|≤6e5 ⇒ per-pair ≤3.6e11; at 1e9+
+    rows promote the sums to DECIMAL(38,0), the q_window_rolling_slope
+    convention). Spark spelling is JOIN-FREE: each vector emits its own
+    upper triangle map-side (posexplode, then posexplode of the array
+    SUFFIX so j ≥ i), one (i,j) shuffle with map-side partials — the
+    classic one-pass Gram accumulation; the oracle's long-form
+    self-join must agree because integer sums are order-free."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("q")
+    )
+    a = q.select(F.posexplode("q").alias("i", "xi"), "q")
+    b = a.select(
+        "i",
+        "xi",
+        F.expr("posexplode(slice(q, i + 1, size(q))) AS (dj, xj)"),
+    )
+    return (
+        b.groupBy("i", (F.col("i") + F.col("dj")).cast("int").alias("j"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("xi") * F.col("xj")).cast("bigint").alias("sxy_e12"),
+            F.sum("xi").cast("bigint").alias("si_e6"),
+            F.sum("xj").cast("bigint").alias("sj_e6"),
+        )
+        .select(
+            F.col("i").cast("int").alias("i"),
+            "j", "n", "sxy_e12", "si_e6", "sj_e6",
+        )
+    )
