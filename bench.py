@@ -151,6 +151,7 @@ HEADLINE = [
     "q_text_vocab_growth",
     "q_graph_label_prop",
     "q_embed_covariance",
+    "q_scale_skew_audit",
 ]
 
 

@@ -425,3 +425,80 @@ def q_mv_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").cast("bigint").alias("cents"),
         "max_cents",
     )
+
+
+@register(
+    "q_scale_skew_audit",
+    oracle="""
+    WITH k AS (
+        SELECT o_custkey AS key, COUNT(*) AS cnt
+        FROM orders GROUP BY o_custkey),
+    top5 AS (
+        SELECT key, cnt FROM k
+        QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, key) <= 5),
+    stats AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        FROM k)
+    SELECT s.n_rows, s.n_keys, s.max_cnt,
+           (s.max_cnt * 1000000) // s.n_rows AS max_share_e6,
+           (s.n_rows * 1000000) // s.n_keys AS mean_cnt_e6,
+           (SELECT array_to_string(
+                list(key || ':' || cnt ORDER BY cnt DESC, key), ',')
+            FROM top5) AS top_keys
+    FROM stats s
+    """,
+    tags=("scale", "D1", "F2"),
+)
+def q_scale_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit — the diagnostic a pipeline runs BEFORE
+    choosing between plain shuffle, broadcast, AQE skew-split, or the
+    salting in q_scale_salted_join: per-key counts of the prospective
+    shuffle key, reduced to row count, NDV, the hottest key's absolute
+    count and fixed-point share, the mean per-key count, and the top-5
+    keys inline ('key:cnt', hotness-ordered). At 100 TB this is ONE
+    map-side-combined groupBy on the key (the same shuffle the join
+    itself would do, so the audit costs what one stage of the join
+    costs) followed by a 5-row TakeOrderedAndProject and a 1-row
+    aggregate — the two tiny frames meet in a scalar crossJoin, never
+    the fact table. A max_share_e6 over ~1/shuffle-partitions is the
+    standard 'this key will straggle' signal."""
+    k = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    stats = k.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    top5 = (
+        k.orderBy(F.desc("cnt"), "key")
+        .limit(5)  # TakeOrderedAndProject: partition-local top-5 + merge
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct((-F.col("cnt")).alias("neg"),
+                                                "key", "cnt"))
+                    ),
+                    lambda s: F.concat(
+                        s["key"].cast("string"),
+                        F.lit(":"),
+                        s["cnt"].cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("top_keys")
+        )
+    )
+    return stats.crossJoin(top5).select(
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        F.expr("(max_cnt * 1000000) DIV n_rows").alias("max_share_e6"),
+        F.expr("(n_rows * 1000000) DIV n_keys").alias("mean_cnt_e6"),
+        "top_keys",
+    )

@@ -238,6 +238,9 @@ _CARTESIAN_OK = {
                              # the lift denominator
     "q_eval_pr_curve",       # 1-row positives-total scalar broadcast
                              # onto the thinned threshold frame
+    "q_scale_skew_audit",    # 1-row stats × 1-row top-5 scalar report
+                             # crossJoin; the fact table sees one
+                             # map-side-combined groupBy only
     "q_cluster_kmeans",      # K·dim centroid cells broadcast-crossJoined
                              # onto every vector — the dense-distance
                              # kernel (q_knn_pq's shape); the K-row
