@@ -69,6 +69,16 @@ def unit(a: str | Column) -> Column:
     return scale(a, F.lit(1.0) / F.nullif(norm(a), F.lit(0.0)))
 
 
+def quantize_e6(x: str | Column) -> Column:
+    """Half-up 1e-6 fixed-point quantization of ONE float component:
+    floor(x·1e6 + 0.5) as BIGINT. This is a cross-engine CONTRACT —
+    the DuckDB oracles spell the identical expression — shared by
+    q_embed_centroids, q_embed_covariance and ml/cluster.py so a scale
+    or rounding change can never drift one call site out of lockstep
+    (review finding: the rule was copy-pasted three times)."""
+    return F.floor(_c(x).cast("double") * 1000000 + F.lit(0.5)).cast("bigint")
+
+
 # ---------------------------------------------------------------------------
 # Registered query: the distributed "training" step of the flagship
 # pipeline — per-label centroids of the embedding table. entry()'s
@@ -117,13 +127,7 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     flat = emb.select(
         "label", F.posexplode("embedding").alias("pos", "v")
-    ).select(
-        "label",
-        "pos",
-        F.floor(F.col("v").cast("double") * 1000000 + F.lit(0.5))
-        .cast("bigint")
-        .alias("q"),
-    )
+    ).select("label", "pos", quantize_e6("v").alias("q"))
     return flat.groupBy("label", "pos").agg(
         F.sum("q").alias("sum_e6"), F.count("*").alias("n_vectors")
     )
@@ -158,22 +162,19 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact here, so the heavy data pass gets the full
     cross-engine check and only the tiny d×d eigensolve stays
     unverifiable. Components quantize to 1e-6 ints (half-up), so
-    products are exact bigints (|x|≤6e5 ⇒ per-pair ≤3.6e11; at 1e9+
-    rows promote the sums to DECIMAL(38,0), the q_window_rolling_slope
-    convention). Spark spelling is JOIN-FREE: each vector emits its own
+    products are exact bigints. BIGINT headroom: per-pair ≤3.6e11 at
+    this fixture's |x|≤6e5, so worst-case sums stay exact to ~2.6e7
+    rows (≈6e8 at unit-norm component magnitudes ~1.25e5) — BEYOND
+    that promote the three sums to DECIMAL(38,0), the
+    q_window_rolling_slope convention (review finding: an earlier
+    draft claimed 1e9 rows, ~40× past the worst-case bound). Spark
+    spelling is JOIN-FREE: each vector emits its own
     upper triangle map-side (posexplode, then posexplode of the array
     SUFFIX so j ≥ i), one (i,j) shuffle with map-side partials — the
     classic one-pass Gram accumulation; the oracle's long-form
     self-join must agree because integer sums are order-free."""
     emb = t(spark, sf_dir, "embeddings")
-    q = emb.select(
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast(
-                "bigint"
-            ),
-        ).alias("q")
-    )
+    q = emb.select(F.transform("embedding", quantize_e6).alias("q"))
     a = q.select(F.posexplode("q").alias("i", "xi"), "q")
     b = a.select(
         "i",

@@ -11,37 +11,43 @@ exactly; this module instead runs Lloyd's algorithm in FIXED-POINT
 INTEGER arithmetic with a deterministic init (the K lowest vec_ids),
 which makes every iteration bit-reproducible in ANY engine:
 
-- components quantized to 1e-6 ints ONCE (floor(x·1e6 + 0.5) — the
-  same half-up rule as q_embed_centroids), then OFFSET to positives so
-  integer division has one semantics everywhere (Spark's DIV truncates
-  toward zero, DuckDB's // floors; they agree exactly on non-negative
-  operands — the q_pareto_8020 hardening, commit 996f824);
+- components quantized to 1e-6 ints ONCE (functions/vectors.py
+  quantize_e6 — the shared half-up contract), then OFFSET to positives
+  so integer division has one semantics everywhere (Spark's DIV
+  truncates toward zero, DuckDB's // floors; they agree exactly on
+  non-negative operands — the q_pareto_8020 hardening, commit 996f824);
 - distances are Σ(q−c)² over bigints — commutative integer adds, so
   ANY summation order gives the identical result (the property float
   KMeans lacks and the reason it can't cross-check);
 - centroid updates are half-up integer means (2·Σq + n) DIV (2·n);
-- ties in the argmin break to the lowest cluster id.
+- ties in the argmin break to the lowest cluster id; a cluster left
+  empty by a round simply stops competing (both engines agree because
+  the oracle's update CTE drops it the same way).
 
-Scale shape: the points side never moves — each iteration is one
-broadcast of K·dim centroid cells onto the scan, a map-side distance
-argmin, and ONE shuffle on (cid, pos) for the partial-aggregated
-update (fixed-width rows, map-side combine). The Spark side evaluates
-distances on the ARRAY form via zip_with/aggregate (no fan-out, stays
-in whole-stage codegen); the oracle evaluates the same integers in
-LONG form — integer exactness is what lets the two spellings differ
-while the results cannot.
+Scale shape — the MLlib KMeans dataflow, exactly: the K·dim centroid
+table lives DRIVER-SIDE between rounds (K·dim integers — bytes, not
+data), each assignment is a MAP-SIDE expression against literal
+centroids (no join, no shuffle of the points side), and each update is
+ONE (cid, pos) shuffle of fixed-width rows with map-side partials
+followed by a bounded K·dim collect. Per full Lloyd iteration: one
+shuffle + one bounded collect; the final report is one more map-side
+assignment feeding a K-row aggregate. (An earlier draft kept centroids
+as a DataFrame and paid a per-round groupBy(vec_id) argmin shuffle
+plus a vec_id join — the review caught the docstring/plan mismatch;
+this spelling is the one the docs always claimed.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.vectors import quantize_e6
 from ..registry import register
 from ..sources.tables import t
 
 _K = 4
-_ITERS = 2
+_ITERS = 2  # FULL Lloyd iterations (assign+update); one final assign more
 _OFFSET = 2_000_000  # shifts 1e-6-quantized components ≥ 0 (|x| < 1)
 
 
@@ -50,69 +56,69 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
-            "embedding",
-            lambda x: (
-                F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast(
-                    "bigint"
-                )
-                + F.lit(_OFFSET)
-            ),
+            "embedding", lambda x: quantize_e6(x) + F.lit(_OFFSET)
         ).alias("q"),
     )
 
 
-def _dist(a, b):
-    """Σ (aᵢ − bᵢ)² in exact bigint arithmetic."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, d: acc + d,
+def _best(cents: list[tuple[int, list[int]]]) -> Column:
+    """struct(dist, cid) of the nearest LITERAL centroid — a pure
+    map-side expression (array_min over per-centroid structs; struct
+    comparison is lexicographic, so ties break to the lowest cid)."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            "q",
+                            F.array(*[F.lit(v) for v in vec]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, d: acc + d,
+                    ).alias("dist"),
+                    F.lit(cid).cast("bigint").alias("cid"),
+                )
+                for cid, vec in cents
+            ]
+        )
     )
 
 
-def _assign(points: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cid, dist): nearest centroid per vector, ties to the
-    lowest cid. K·dim centroid cells broadcast; argmin via min(struct)
-    — no shuffle of the points side."""
-    scored = points.join(F.broadcast(cents)).select(
-        "vec_id", "cid", _dist("q", "c").alias("dist")
-    )
-    return (
-        scored.groupBy("vec_id")
-        .agg(F.min(F.struct("dist", "cid")).alias("best"))
-        .select("vec_id", F.col("best.cid").alias("cid"),
-                F.col("best.dist").alias("dist"))
-    )
-
-
-def _update(points: DataFrame, assign: DataFrame) -> DataFrame:
-    """(cid, c array<bigint>): half-up integer mean per component. One
-    shuffle on (cid, pos) with map-side partials, then a K-row
-    re-assembly."""
-    long = (
-        assign.join(points, "vec_id")
-        .select("cid", F.posexplode("q").alias("pos", "qv"))
+def _update(points: DataFrame, cents) -> list[tuple[int, list[int]]]:
+    """One Lloyd update: map-side assignment, ONE (cid, pos) shuffle
+    for the half-up integer means, then a BOUNDED K·dim collect (the
+    centroid table is bytes — driver residency between rounds is the
+    MLlib shape, and the documented exception to the no-collect rule).
+    Clusters with no members drop out, matching the oracle's update
+    CTE."""
+    rows = (
+        points.select(_best(cents).alias("b"), "q")
+        .select(
+            F.col("b.cid").alias("cid"), F.posexplode("q").alias("pos", "qv")
+        )
         .groupBy("cid", "pos")
         .agg(
             F.expr(
                 "CAST((2 * SUM(qv) + COUNT(*)) DIV (2 * COUNT(*)) AS BIGINT)"
             ).alias("cv")
         )
+        .collect()  # bounded: ≤ K·dim rows
     )
-    return (
-        long.groupBy("cid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                lambda s: s["cv"],
-            ).alias("c")
-        )
-    )
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["cv"]
+    return [
+        (cid, [comp[p] for p in range(len(comp))])
+        for cid, comp in sorted(by_cid.items())
+    ]
 
 
 def _kmeans_oracle() -> str:
     """Unrolled chained-CTE DuckDB oracle — the same integer dataflow
-    in long form (cf. operators/graph.py's pagerank oracle)."""
+    in long form (cf. operators/graph.py's pagerank oracle): _ITERS
+    full assign+update rounds, then the reported final assignment."""
     ctes = [
         f"""q AS (
         SELECT vec_id,
@@ -129,7 +135,7 @@ def _kmeans_oracle() -> str:
         "c0 AS (SELECT init.cid, q.pos, q.qv AS cv FROM init "
         "JOIN q USING (vec_id))",
     ]
-    for k in range(_ITERS):
+    for k in range(_ITERS + 1):
         ctes.append(
             f"""a{k + 1} AS (
         SELECT vec_id, cid, dist FROM (
@@ -140,7 +146,7 @@ def _kmeans_oracle() -> str:
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY vec_id ORDER BY dist, cid) = 1)"""
         )
-        if k + 1 < _ITERS:
+        if k < _ITERS:
             ctes.append(
                 f"""c{k + 1} AS (
         SELECT a.cid, q.pos,
@@ -154,7 +160,7 @@ def _kmeans_oracle() -> str:
         + f"""
     SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors,
            CAST(SUM(dist // 1000000) AS BIGINT) AS inertia_e6
-    FROM a{_ITERS} GROUP BY cid ORDER BY cid"""
+    FROM a{_ITERS + 1} GROUP BY cid ORDER BY cid"""
     )
 
 
@@ -164,37 +170,30 @@ def _kmeans_oracle() -> str:
     tags=("K", "J1", "D1"),
 )
 def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distributed KMeans (K=4, 2 Lloyd iterations, deterministic
-    lowest-vec_id init) over the embedding table: per-cluster sizes and
-    integer inertia after the final assignment. Inertia is reduced per
-    point by DIV 1e6 BEFORE summing (truncation of non-negative ints —
-    identical in both engines) so the corpus-level sum keeps ~100×
-    headroom inside bigint at any realistic scale. Every quantity is
-    integer-exact, so the Spark array spelling and the oracle's long
-    form must agree bit-for-bit — the cross-engine check MLlib KMeans
-    (seeded, float-summed) structurally cannot pass."""
+    """Exact distributed KMeans (K=4, 2 FULL Lloyd iterations +
+    reported final assignment, deterministic lowest-vec_id init) over
+    the embedding table: per-cluster sizes and integer inertia.
+    Inertia is reduced per point by DIV 1e6 BEFORE summing (truncation
+    of non-negative ints — identical in both engines) so the
+    corpus-level sum keeps ~100× headroom inside bigint at any
+    realistic scale. Every quantity is integer-exact, so the Spark
+    broadcast-literal spelling and the oracle's long form must agree
+    bit-for-bit — the cross-engine check MLlib KMeans (seeded,
+    float-summed) structurally cannot pass. Plan per iteration: zero
+    joins — one map-side argmin expression + one (cid, pos) shuffle;
+    the driver holds only K·dim integers between rounds."""
     points = _quantized(spark, sf_dir)
-    init = (
-        points.orderBy("vec_id")
-        .limit(_K)  # K-row frame: the single-partition window is free
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1)
-            .cast("bigint")
-            .alias("cid"),
-            F.col("q").alias("c"),
-        )
-    )
-    cents = init
-    assign = None
-    for k in range(_ITERS):
-        assign = _assign(points, cents)
-        if k + 1 < _ITERS:
-            cents = _update(points, assign)
+    # bounded K-row collect: the deterministic init (lowest vec_ids)
+    init_rows = points.orderBy("vec_id").limit(_K).collect()
+    cents = [(cid, list(r["q"])) for cid, r in enumerate(init_rows)]
+    for _ in range(_ITERS):
+        cents = _update(points, cents)
     return (
-        assign.groupBy("cid")
+        points.select(_best(cents).alias("b"))
+        .groupBy(F.col("b.cid").alias("cid"))
         .agg(
             F.count("*").cast("bigint").alias("n_vectors"),
-            F.sum(F.expr("dist DIV 1000000")).cast("bigint")
+            F.sum(F.expr("b.dist DIV 1000000")).cast("bigint")
             .alias("inertia_e6"),
         )
     )

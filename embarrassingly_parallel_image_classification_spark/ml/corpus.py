@@ -552,12 +552,12 @@ def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
     w AS (SELECT lang, n,
-                 CAST(FLOOR(SQRT(n) * 1000000 + 0.5) AS BIGINT) AS w_e6
+                 CAST(FLOOR(SQRT(n) * 1000 + 0.5) AS BIGINT) AS w_e3
           FROM per),
     thr AS (SELECT lang, n,
                    LEAST(1000000,
-                         (200 * w_e6 * 1000000)
-                             // ((SELECT SUM(w_e6) FROM w) * n)) AS rate_e6
+                         (200 * w_e3 * 1000000)
+                             // ((SELECT SUM(w_e3) FROM w) * n)) AS rate_e6
             FROM w),
     u AS (SELECT doc_id, lang,
                  ('0x' || substring(
@@ -580,13 +580,19 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 1 — raw-share-heavy domains (en) are DOWN-sampled and tail
     domains (fr/de) kept nearly whole, the standard multi-domain
     pretraining mixture. Everything is engine-exact: weights are
-    half-up fixed-point of IEEE sqrt (correctly rounded in both
+    half-up e3 fixed-point of IEEE sqrt (correctly rounded in both
     engines), the rate is a truncating division of non-negative
     bigints, and membership is the portable 32-bit md5-prefix uniform
     (same family as q_split_kfold) against that rate — so the SELECTED
     SET, not just its size, is reproducible from doc_id alone in any
     engine, which is what makes a mixture re-runnable after a pipeline
-    rewrite. Plan: one tiny groupBy(lang) pass for the rate table
+    rewrite. BIGINT headroom (review finding — the first cut's e6
+    weights overflowed at ~4.4e8 docs/domain, silently wrapping in
+    non-ANSI Spark while DuckDB errors): with e3 weights the
+    denominator Σw·n stays exact to ~4e10 docs in the largest domain
+    — past any 100-TB corpus (~1e9–1e10 docs); beyond that promote
+    the rate arithmetic to DECIMAL(38,0)/HUGEINT, and scale N_target
+    with it. Plan: one tiny groupBy(lang) pass for the rate table
     (window-summed over ≤|domains| rows), broadcast back onto the
     scan, one conditional re-aggregation — two shuffles of fixed-width
     rows; the per-doc decision is map-side and embarrassingly
@@ -596,9 +602,9 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("lang")
         .agg(F.count("*").alias("n"))
         .withColumn(
-            "w_e6",
+            "w_e3",
             F.expr(
-                "CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000 + 0.5)"
+                "CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000 + 0.5)"
                 " AS BIGINT)"
             ),
         )
@@ -610,8 +616,8 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(
             F.lit(1000000).cast("bigint"),
             F.expr(
-                "(200 * w_e6 * 1000000)"
-                " DIV ((SUM(w_e6) OVER ()) * n)"
+                "(200 * w_e3 * 1000000)"
+                " DIV ((SUM(w_e3) OVER ()) * n)"
             ),
         ),
     ).select("lang", "n", "rate_e6")
@@ -680,12 +686,15 @@ def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     census by bucket, first-occurrence census by bucket) joined on a
     10-row frame, where the naive per-prefix COUNT(DISTINCT) would
     rescan the corpus 10 times. Cumulative sums run on the 10-row
-    result — the unpartitioned window never touches the scan."""
+    result — the unpartitioned window never touches the scan. The
+    bucket denominator MAX(doc_id)+1 stays IN-PLAN as a broadcast
+    1-row frame (the q_eval_pr_curve scalar pattern) — an eager
+    collect here would run a hidden job at DataFrame-construction time
+    and crash on an empty corpus (review finding)."""
     d = t(spark, sf_dir, "documents")
-    # bounded scalar: one MAX over the corpus keys, used as the bucket
-    # denominator literal in both branches (the oracle inlines the
-    # same scalar subquery)
-    nd = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    nd = F.broadcast(
+        d.agg((F.max("doc_id") + 1).alias("nd"))
+    )
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
@@ -694,14 +703,19 @@ def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     nv = (
         tok.groupBy("word")
         .agg(F.min("doc_id").alias("fd"))
+        .crossJoin(nd)
         .groupBy(
-            F.expr(f"CAST((fd * 10) DIV {nd} AS BIGINT)").alias("bucket")
+            F.expr("CAST((fd * 10) DIV nd AS BIGINT)").alias("bucket")
         )
         .agg(F.count("*").alias("new_words"))
     )
-    tk = tok.groupBy(
-        F.expr(f"CAST((doc_id * 10) DIV {nd} AS BIGINT)").alias("bucket")
-    ).agg(F.count("*").alias("tokens"))
+    tk = (
+        tok.crossJoin(nd)
+        .groupBy(
+            F.expr("CAST((doc_id * 10) DIV nd AS BIGINT)").alias("bucket")
+        )
+        .agg(F.count("*").alias("tokens"))
+    )
     from pyspark.sql import Window as _W
 
     ten = tk.join(nv, "bucket", "left").select(

@@ -43,6 +43,27 @@ _EDGES_SQL = """
 """
 
 
+def _trade_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-table lineitem→orders→customer→supplier relation every
+    graph query derives its nation edges from — ONE definition for the
+    five edge builds (pagerank, BFS, triangles, SSSP, label
+    propagation), which used to re-type the join chain verbatim
+    (review finding: a join-key change needed five synchronized
+    edits). Callers apply their own filter/aggregate/canonicalization;
+    the SQL-oracle twin of this definition is _EDGES_SQL's FROM/JOIN
+    block."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+    )
+
+
+
 def _pagerank_oracle() -> str:
     """Chained-CTE DuckDB oracle: it0..itN, each one join+group-by —
     the same dataflow the Spark loop builds, in pure ANSI SQL."""
@@ -93,14 +114,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory) keep natural partitioning and switch to the driver-loop +
     checkpoint-every-few-iterations pattern, which bounds plan depth
     when the iteration count is data-dependent rather than fixed."""
-    li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
-    s = t(spark, sf_dir, "supplier")
     edges = (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        _trade_base(spark, sf_dir)
         .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .distinct()
         .coalesce(1)
@@ -169,14 +184,8 @@ def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-enumerates paths (breadth explosion on dense graphs) — bound the
     depth and aggregate outside, or use the q_graph_pagerank loop shape
     with a frontier-minus-visited anti-join for unbounded traversals."""
-    li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
-    s = t(spark, sf_dir, "supplier")
     edges = (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        _trade_base(spark, sf_dir)
         .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .distinct()
     )
@@ -218,14 +227,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle enumeration. At scale the standard refinement — orient
     edges by degree so high-degree hubs never fan out — drops straight
     into this shape."""
-    li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
-    s = t(spark, sf_dir, "supplier")
     e = (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        _trade_base(spark, sf_dir)
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .select(
             F.least("c_nationkey", "s_nationkey").alias("u"),
@@ -335,15 +338,9 @@ def q_graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     — and the driver-loop + periodic-checkpoint spelling takes over
     when the round count is data-dependent (negative-cycle detection
     adds the standard n-th round check)."""
-    li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
-    s = t(spark, sf_dir, "supplier")
     nodes = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
     edges = (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        _trade_base(spark, sf_dir)
         .groupBy(
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
@@ -472,17 +469,11 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     here the 3-round plan is unrolled whole so Catalyst sees one
     dataflow. Members emitted sorted + comma-joined (driver-sortable
     array convention)."""
-    li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
-    s = t(spark, sf_dir, "supplier")
     nodes = t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node")
     )
     pairs = (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        _trade_base(spark, sf_dir)
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .groupBy(
             F.col("c_nationkey").alias("src"),

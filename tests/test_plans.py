@@ -238,6 +238,10 @@ _CARTESIAN_OK = {
                              # the lift denominator
     "q_eval_pr_curve",       # 1-row positives-total scalar broadcast
                              # onto the thinned threshold frame
+    "q_text_vocab_growth",   # 1-row MAX(doc_id)+1 bucket-denominator
+                             # scalar broadcast onto both censuses
+                             # (kept in-plan; an eager collect was the
+                             # review finding)
     "q_scale_skew_audit",    # 1-row stats × 1-row top-5 scalar report
                              # crossJoin; the fact table sees one
                              # map-side-combined groupBy only
