@@ -83,3 +83,49 @@ def test_pushdown_source_prunes_planned_partitions(spark):
         .count()
     )
     assert mixed == 100
+
+
+def test_label_prop_isolated_node_and_mode_tiebreak(spark):
+    """Pin the LPA contract paths the trade fixture may never hit: an
+    ISOLATED node keeps its own label through every round (the LEFT
+    JOIN fallback), and a node whose neighbor labels tie takes the
+    SMALLEST (the deterministic Raghavan variant)."""
+    from embarrassingly_parallel_image_classification_spark.operators.graph import (
+        _lpa_ctes,
+        _LPA_ITERS,
+    )
+    from pyspark.sql import functions as F
+
+    # path graph 0-1-2 plus isolated node 9 (edges already undirected)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "src int, dst int"
+    )
+    nodes = spark.createDataFrame([(0,), (1,), (2,), (9,)], "node int")
+    sql = (
+        "WITH "
+        + ",\n".join(_lpa_ctes("{edges}", "{nodes}"))
+        + f" SELECT node, label FROM l{_LPA_ITERS}"
+    )
+    got = {
+        r["node"]: r["label"] for r in spark.sql(sql, edges=edges, nodes=nodes).collect()
+    }
+    assert got[9] == 9, "isolated node must keep its own label"
+    # round 1: node 1 sees labels {0, 2} — a tie — and must take 0;
+    # nodes 0 and 2 see only {1}. After 3 synchronous rounds the path
+    # converges to the parity oscillation fixed point of min-tiebreak
+    # LPA: recompute it here independently as the reference.
+    labels = {0: 0, 1: 1, 2: 2, 9: 9}
+    nbrs = {0: [1], 1: [0, 2], 2: [1], 9: []}
+    for _ in range(_LPA_ITERS):
+        labels = {
+            n: (
+                min(
+                    sorted(labels[m] for m in nbrs[n]),
+                    key=lambda l: (-[labels[m] for m in nbrs[n]].count(l), l),
+                )
+                if nbrs[n]
+                else labels[n]
+            )
+            for n in labels
+        }
+    assert got == labels, f"spark {got} != reference {labels}"

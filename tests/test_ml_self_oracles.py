@@ -546,3 +546,53 @@ def test_bpe_encode_matches_reference(spark):
         for r in registry.queries()["q_text_bpe_encode"](spark, SF_T2).collect()
     }
     assert got == want
+
+
+def test_kmeans_empty_cluster_drops_like_oracle(spark):
+    """The fixture never empties a cluster, so pin the path directly:
+    with init centroids at 0 and 1 and every point near 100, cluster 0
+    captures everything after one update and cluster 1 must DROP OUT
+    of the next round (matching the oracle's update CTE, which simply
+    has no rows for it) — not resurrect its stale centroid."""
+    from embarrassingly_parallel_image_classification_spark.ml import cluster as km
+
+    pts = spark.createDataFrame(
+        [(i, [100 + (i % 3)]) for i in range(12)] + [(99, [1])],
+        "vec_id bigint, q array<bigint>",
+    )
+    # init: cid 0 at [1] (vec 99's value), cid 1 at [100]
+    cents = [(0, [1]), (1, [100])]
+    c1 = km._update(pts, cents)
+    # vec 99 keeps cluster 0 alive; the rest vote cluster 1
+    assert [cid for cid, _ in c1] == [0, 1]
+    # now REMOVE vec 99's point: cluster 0 gets no members and drops
+    c2 = km._update(pts.filter("vec_id <> 99"), cents)
+    assert [cid for cid, _ in c2] == [1], "empty cluster must drop out"
+    # final assignment against the surviving centroid still covers
+    # every point (including the far-away one)
+    from pyspark.sql import functions as F
+
+    out = (
+        pts.select(km._best(c2).alias("b"))
+        .groupBy(F.col("b.cid").alias("cid"))
+        .count()
+        .collect()
+    )
+    assert len(out) == 1 and out[0]["cid"] == 1 and out[0]["count"] == 13
+
+
+def test_kmeans_ties_break_to_lowest_cid(spark):
+    """A point equidistant from two centroids must take the LOWER cid
+    in both the map-side array_min expression and the oracle's
+    (dist, cid) ROW_NUMBER ordering — the struct comparison contract."""
+    from embarrassingly_parallel_image_classification_spark.ml import cluster as km
+    from pyspark.sql import functions as F
+
+    pts = spark.createDataFrame(
+        [(0, [50])], "vec_id bigint, q array<bigint>"
+    )
+    cents = [(0, [40]), (1, [60]), (2, [50])]  # 2 is exact; 0/1 tie at 100
+    r = pts.select(km._best(cents).alias("b")).collect()[0]["b"]
+    assert r["cid"] == 2 and r["dist"] == 0
+    r2 = pts.select(km._best([(0, [40]), (1, [60])]).alias("b")).collect()[0]["b"]
+    assert r2["cid"] == 0 and r2["dist"] == 100, "tie must break low"
