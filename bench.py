@@ -152,6 +152,7 @@ HEADLINE = [
     "q_graph_label_prop",
     "q_embed_covariance",
     "q_scale_skew_audit",
+    "q_privacy_k_anon",
 ]
 
 

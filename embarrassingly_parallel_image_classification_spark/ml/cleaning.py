@@ -537,3 +537,69 @@ def q_split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("chars"),
         )
     )
+
+
+@register(
+    "q_privacy_k_anon",
+    oracle="""
+    WITH l0 AS (
+        SELECT COUNT(*) AS n
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment,
+                 CAST(FLOOR(c_acctbal / 1000) AS BIGINT)),
+    l1 AS (
+        SELECT COUNT(*) AS n
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_regionkey, c.c_mktsegment),
+    rep AS (
+        SELECT 0 AS level, * FROM l0
+        UNION ALL SELECT 1 AS level, * FROM l1)
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(CASE WHEN n < 5 THEN 1 END) AS BIGINT)
+               AS n_violating,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS rows_at_risk,
+           CAST(MIN(n) AS BIGINT) AS min_group_size
+    FROM rep GROUP BY level
+    """,
+    tags=("governance", "D1", "C1"),
+)
+def q_privacy_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) with a generalization hierarchy — the
+    privacy gate a dataset passes before release: every
+    quasi-identifier combination must describe ≥k individuals, else
+    those rows are re-identifiable by linkage. Level 0 audits the raw
+    QI (nation, segment, balance-in-thousands): violated at every
+    fixture scale. Level 1 applies the standard fix — generalize the
+    most identifying attribute up its hierarchy (nation → region via
+    the dim join) — and the violations vanish at sf0.01+, which is
+    exactly the report shape an anonymization loop consumes (keep
+    generalizing until n_violating = 0, then release). Plan: each
+    level is one map-side-combined groupBy (the region hierarchy
+    rides a broadcast dim join); the two 1-row-per-group frames union
+    into a 2-row report — no fact-table join, no window. At 100 TB
+    the QI census is the same shuffle a dedup pass pays."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    l0 = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)"),
+    ).agg(F.count("*").alias("n"))
+    l1 = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_regionkey", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    rep = l0.select(F.lit(0).alias("level"), "n").unionByName(
+        l1.select(F.lit(1).alias("level"), "n")
+    )
+    return rep.groupBy(F.col("level").cast("bigint").alias("level")).agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.count(F.when(F.col("n") < 5, 1)).cast("bigint").alias("n_violating"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") < 5, F.col("n"))), F.lit(0)
+        ).cast("bigint").alias("rows_at_risk"),
+        F.min("n").cast("bigint").alias("min_group_size"),
+    )
