@@ -153,6 +153,7 @@ HEADLINE = [
     "q_embed_covariance",
     "q_scale_skew_audit",
     "q_privacy_k_anon",
+    "q_reconcile_checksum",
 ]
 
 

@@ -502,3 +502,69 @@ def q_scale_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_rows * 1000000) DIV n_keys").alias("mean_cnt_e6"),
         "top_keys",
     )
+
+
+@register(
+    "q_reconcile_checksum",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id % 16 AS bucket,
+               ('0x' || substring(
+                    md5(doc_id || '|' || lang || '|' || source || '|'
+                        || n_chars || '|' || md5(text)), 1, 15)
+               )::BIGINT AS h60
+        FROM documents)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(BIT_XOR(h60) AS BIGINT) AS xor60,
+           CAST(SUM(h60 % 1000000000) AS BIGINT) AS sum_mod
+    FROM h GROUP BY bucket
+    """,
+    tags=("scale", "D1", "H9"),
+)
+def q_reconcile_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system table reconciliation fingerprint — the audit a
+    migration runs on BOTH systems to prove "same rows, nothing lost,
+    nothing duplicated" without moving data: an ORDER-INDEPENDENT
+    per-bucket checksum (XOR of a canonical 60-bit row hash) plus row
+    count and a modular hash sum (XOR alone is blind to a row
+    duplicated twice; the count+sum pair closes that). The row hash is
+    the engine-portable md5 prefix (15 hex chars = 60 bits — fits
+    SIGNED bigint in both engines; 16 would overflow Spark's cast)
+    over a canonical '|'-joined rendering with long text pre-hashed.
+    Buckets mean a mismatch localizes to 1/16th of the table instead
+    of one useless table-level boolean — at 100 TB, bucket by the
+    table's partition key so each mismatch names the partition to
+    re-copy. Plan: pure map-side hashing into one map-side-combined
+    groupBy — the cheapest possible full-table pass, and the SAME SQL
+    text runs on any engine with md5 (the q_scale_zorder portability
+    convention)."""
+    d = t(spark, sf_dir, "documents")
+    h60 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id"),
+                    F.col("lang"),
+                    F.col("source"),
+                    F.col("n_chars"),
+                    F.md5("text"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.select((F.col("doc_id") % 16).cast("bigint").alias("bucket"),
+                 h60.alias("h60"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.expr("BIT_XOR(h60)").cast("bigint").alias("xor60"),
+            F.sum(F.col("h60") % 1000000000).cast("bigint").alias("sum_mod"),
+        )
+    )
