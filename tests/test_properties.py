@@ -120,6 +120,7 @@ _lake_ops = st.lists(
         st.tuples(st.just("restore"), st.lists(st.integers(1, 5), min_size=1, max_size=1)),
         st.tuples(st.just("rename"), st.lists(st.integers(0, 0), min_size=1, max_size=1)),
         st.tuples(st.just("add_column"), st.lists(st.integers(0, 0), min_size=1, max_size=1)),
+        st.tuples(st.just("erase"), st.lists(st.integers(0, 30), min_size=1, max_size=1)),
     ),
     min_size=1,
     max_size=5,
@@ -127,7 +128,8 @@ _lake_ops = st.lists(
 
 
 @settings(
-    max_examples=10,
+    max_examples=25,  # the 7-op pool needs more draws to hit the
+    # erase success path and the sticky-guard interactions
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow],
@@ -143,10 +145,14 @@ def test_lakehouse_model_equivalence_on_random_op_sequences(spark, ops):
     versions must read back under their HISTORICAL column name), and
     content-invisibility for ADD COLUMN DEFAULT on the key column.
     The model also tracks the guard matrix: delete×mapping,
-    rename×delete, rename×defaults are refusals, and a refusal must
-    not create a version. One counterexample here means snapshot
-    isolation, the manifest chain, delete-file application, or the
-    metadata-commit layer is broken."""
+    rename×delete, rename×defaults, add-default×delete (session-5
+    review fix — the MoR reader can't resolve a defaulted column) are
+    refusals, and a refusal must not create a version. ERASE rewrites
+    the key out of EVERY retained version IN PLACE (no new version),
+    refuses on a mapped table, and refuses while delete files keyed on
+    the erased column exist. One counterexample here means snapshot
+    isolation, the manifest chain, delete-file application, erase
+    history-rewriting, or the metadata-commit layer is broken."""
     import shutil as _shutil
     import tempfile as _tempfile
 
@@ -162,6 +168,9 @@ def test_lakehouse_model_equivalence_on_random_op_sequences(spark, ops):
         col = "k"
         n_renames = n_adds = 0
         has_mapping = has_defaults = has_deletes = False
+        # erase scans EVERY retained manifest, so its refusals key on
+        # what ever happened in history, not just the latest version
+        hist_mapping = hist_deletes = False
         for kind, keys in ops:
             if kind == "append":
                 df = spark.createDataFrame([(k,) for k in keys], f"{col} bigint")
@@ -201,10 +210,11 @@ def test_lakehouse_model_equivalence_on_random_op_sequences(spark, ops):
                 lakehouse.rename_column(path, col, new)
                 col = new
                 has_mapping = True
+                hist_mapping = True
             elif kind == "add_column":
                 if lakehouse.current_version(path) == 0:
                     continue
-                if has_mapping:
+                if has_mapping or has_deletes:
                     with _pytest.raises(ValueError):
                         lakehouse.add_column_default(
                             path, f"c{n_adds + 1}", "bigint", 7
@@ -213,6 +223,26 @@ def test_lakehouse_model_equivalence_on_random_op_sequences(spark, ops):
                 n_adds += 1
                 lakehouse.add_column_default(path, f"c{n_adds}", "bigint", 7)
                 has_defaults = True
+            elif kind == "erase":
+                if lakehouse.current_version(path) == 0:
+                    continue
+                victim = keys[0]
+                if hist_mapping or hist_deletes:
+                    # mapped anywhere in history: logical/physical
+                    # mismatch; any historical delete file is keyed on
+                    # this very column — both refusals are STICKY
+                    # because erase rewrites every retained version
+                    with _pytest.raises(ValueError):
+                        lakehouse.erase_rows(spark, path, col, victim)
+                    continue
+                lakehouse.erase_rows(spark, path, col, victim)
+                # history REWRITTEN in place: the key vanishes from
+                # every retained version; NO new version is created
+                model_versions = [
+                    [k for k in ver if k != victim] for ver in model_versions
+                ]
+                cur = [k for k in cur if k != victim]
+                continue
             else:
                 if lakehouse.current_version(path) == 0:
                     continue  # deleting from a non-existent table: skip
@@ -223,6 +253,7 @@ def test_lakehouse_model_equivalence_on_random_op_sequences(spark, ops):
                     continue
                 lakehouse.delete_where(spark, path, col, df)
                 has_deletes = True
+                hist_deletes = True
                 doomed = set(keys)
                 cur = [k for k in cur if k not in doomed]
             model_versions.append(list(cur))
