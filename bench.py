@@ -154,6 +154,7 @@ HEADLINE = [
     "q_scale_skew_audit",
     "q_privacy_k_anon",
     "q_reconcile_checksum",
+    "q_quality_benford",
 ]
 
 

@@ -603,3 +603,84 @@ def q_privacy_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("rows_at_risk"),
         F.min("n").cast("bigint").alias("min_group_size"),
     )
+
+
+_BENFORD_E6 = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}  # floor(log10(1 + 1/d)·1e6 + 0.5) — shared literal constants so no
+# engine ever evaluates a float log10 at query time
+
+
+def _benford_values_sql() -> str:
+    return ", ".join(f"({d}, {e})" for d, e in _BENFORD_E6.items())
+
+
+@register(
+    "q_quality_benford",
+    oracle=f"""
+    WITH exp(digit, exp_e6) AS (VALUES {_benford_values_sql()}),
+    obs AS (
+        SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100, 0)
+                   AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1),
+    tot AS (SELECT SUM(n) AS total FROM obs)
+    SELECT e.digit,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n,
+           CAST((COALESCE(o.n, 0) * 1000000) // tot.total AS BIGINT)
+               AS obs_e6,
+           CAST(e.exp_e6 AS BIGINT) AS exp_e6,
+           CAST(ABS((COALESCE(o.n, 0) * 1000000) // tot.total - e.exp_e6)
+               AS BIGINT) AS dev_e6
+    FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot
+    """,
+    tags=("governance", "D1", "quality"),
+)
+def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the forensic screen auditors
+    run on financial or telemetry columns: natural multiplicative data
+    follows P(d) = log10(1+1/d); flat or truncated deviations flag
+    synthetic, fabricated, or clipped values. On THIS fixture the
+    audit correctly fires (the generator draws near-uniform prices:
+    digits 1–4 are ~4× over-represented, 5–9 starved) — the point of
+    the demo: the report's dev_e6 column IS the detector. Expected
+    shares are shared e6 literals (no engine evaluates log10 at query
+    time); observed shares are truncating divisions of exact counts;
+    amounts canonicalize to integer cents first so the leading digit
+    is well-defined. Plan: one map-side-combined groupBy(digit) into a
+    9-row broadcast join against the constants — the cheapest possible
+    full-column pass at any scale."""
+    o = t(spark, sf_dir, "orders")
+    exp = spark.createDataFrame(
+        sorted(_BENFORD_E6.items()), "digit bigint, exp_e6 bigint"
+    )
+    obs = (
+        o.select(
+            F.substring(
+                F.expr("CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+                       " AS STRING)"),
+                1,
+                1,
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    return (
+        exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.expr("(COALESCE(n, 0) * 1000000) DIV total").alias("obs_e6"),
+            F.col("exp_e6").cast("bigint").alias("exp_e6"),
+            F.expr(
+                "CAST(ABS((COALESCE(n, 0) * 1000000) DIV total - exp_e6)"
+                " AS BIGINT)"
+            ).alias("dev_e6"),
+        )
+    )

@@ -238,6 +238,8 @@ _CARTESIAN_OK = {
                              # the lift denominator
     "q_eval_pr_curve",       # 1-row positives-total scalar broadcast
                              # onto the thinned threshold frame
+    "q_quality_benford",     # 1-row total-count scalar broadcast onto
+                             # the 9-row digit census
     "q_text_vocab_growth",   # 1-row MAX(doc_id)+1 bucket-denominator
                              # scalar broadcast onto both censuses
                              # (kept in-plan; an eager collect was the
