@@ -889,3 +889,80 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+RECONCILE_EVENTS_ORACLE = """
+    WITH h AS (
+        SELECT event_id % 16 AS bucket,
+               ('0x' || substring(md5(
+                    event_id || '|' || event_type || '|' || user_id || '|'
+                    || CAST(ROUND(value * 100, 0) AS BIGINT) || '|'
+                    || CAST(epoch(date_trunc('second', ts)) AS BIGINT) || '|'
+                    || md5(COALESCE(props, ''))), 1, 15)
+               )::BIGINT AS h60
+        FROM events)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(BIT_XOR(h60) AS BIGINT) AS xor60,
+           CAST(SUM(h60 % 1000000000) AS BIGINT) AS sum_mod
+    FROM h GROUP BY bucket
+"""
+
+
+@register(
+    "q_stream_reconcile",
+    oracle=RECONCILE_EVENTS_ORACLE,
+    tags=("I1", "H9", "D1"),
+)
+def q_stream_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of q_reconcile_checksum over the events feed:
+    per-bucket row-set fingerprints (60-bit md5-prefix XOR + count +
+    modular sum) maintained as a complete-mode streaming aggregate,
+    drained and required to hash-equal the batch oracle. The semantic
+    point is the COMPLEMENT of q_stream_bitmap_audience's: OR is a
+    semilattice (idempotent), so at-least-once replay can never
+    corrupt it — but XOR, COUNT and SUM are associative+commutative
+    WITHOUT idempotence, so this checksum is only correct under the
+    exactly-once accounting Structured Streaming's state store
+    provides (each input row folded into state exactly once per the
+    checkpoint's offset log, however the microbatches split). That is
+    precisely the guarantee a continuously-ingesting system relies on
+    when it publishes live reconciliation fingerprints downstream.
+    Every field is canonicalized identically in both engines (cents,
+    second-truncated epoch, md5 of the raw props payload, explicit
+    COALESCE — Spark's concat_ws silently DROPS null args while
+    DuckDB's || nulls the row, so nulls must never reach the
+    concatenation)."""
+    ev = events_stream(spark, sf_dir)
+    h60 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("event_id"),
+                    F.col("event_type"),
+                    F.col("user_id"),
+                    F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"),
+                    F.unix_timestamp(F.date_trunc("second", F.col("ts"))),
+                    F.md5(F.coalesce(F.col("props"), F.lit(""))),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    agg = (
+        ev.select(
+            (F.col("event_id") % 16).cast("bigint").alias("bucket"),
+            h60.alias("h60"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.expr("BIT_XOR(h60)").cast("bigint").alias("xor60"),
+            F.sum(F.col("h60") % 1000000000).cast("bigint").alias("sum_mod"),
+        )
+    )
+    return run_to_memory(agg, "complete")
