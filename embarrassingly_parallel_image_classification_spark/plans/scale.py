@@ -504,14 +504,51 @@ def q_scale_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NULL_SENTINEL = "<NULL>"
+
+
+def row_fingerprint60(*cols) -> "F.Column":
+    """Canonical NULL-SAFE 60-bit row hash shared by the batch and
+    streaming reconciliation queries (review finding: the spelling was
+    duplicated and one copy was not null-safe): every field is cast to
+    string and NULL is rendered as an explicit sentinel BEFORE the
+    '|' join — Spark's concat_ws silently DROPS null args (so
+    (NULL,'x') and ('x',NULL) would collide) while SQL '||' nulls the
+    whole row (so the engines would diverge); the sentinel closes
+    both. 15 hex chars = 60 bits fits SIGNED bigint in both engines
+    (16 would overflow Spark's cast)."""
+    safe = [
+        F.coalesce(F.col(c).cast("string") if isinstance(c, str)
+                   else c.cast("string"), F.lit(_NULL_SENTINEL))
+        for c in cols
+    ]
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", *safe)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def checksum_report(df: DataFrame) -> DataFrame:
+    """(bucket, h60) → the per-bucket reconciliation triple: row count,
+    60-bit XOR, modular hash sum (XOR alone is blind to a row
+    duplicated twice; count+sum close that)."""
+    return df.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.expr("BIT_XOR(h60)").cast("bigint").alias("xor60"),
+        F.sum(F.col("h60") % 1000000000).cast("bigint").alias("sum_mod"),
+    )
+
+
 @register(
     "q_reconcile_checksum",
     oracle="""
     WITH h AS (
         SELECT doc_id % 16 AS bucket,
                ('0x' || substring(
-                    md5(doc_id || '|' || lang || '|' || source || '|'
-                        || n_chars || '|' || md5(text)), 1, 15)
+                    md5(COALESCE(CAST(doc_id AS VARCHAR), '<NULL>') || '|'
+                        || COALESCE(lang, '<NULL>') || '|'
+                        || COALESCE(source, '<NULL>') || '|'
+                        || COALESCE(CAST(n_chars AS VARCHAR), '<NULL>')
+                        || '|' || COALESCE(md5(text), '<NULL>')), 1, 15)
                )::BIGINT AS h60
         FROM documents)
     SELECT CAST(bucket AS BIGINT) AS bucket,
@@ -527,44 +564,23 @@ def q_reconcile_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     migration runs on BOTH systems to prove "same rows, nothing lost,
     nothing duplicated" without moving data: an ORDER-INDEPENDENT
     per-bucket checksum (XOR of a canonical 60-bit row hash) plus row
-    count and a modular hash sum (XOR alone is blind to a row
-    duplicated twice; the count+sum pair closes that). The row hash is
-    the engine-portable md5 prefix (15 hex chars = 60 bits — fits
-    SIGNED bigint in both engines; 16 would overflow Spark's cast)
-    over a canonical '|'-joined rendering with long text pre-hashed.
-    Buckets mean a mismatch localizes to 1/16th of the table instead
-    of one useless table-level boolean — at 100 TB, bucket by the
-    table's partition key so each mismatch names the partition to
-    re-copy. Plan: pure map-side hashing into one map-side-combined
-    groupBy — the cheapest possible full-table pass, and the SAME SQL
-    text runs on any engine with md5 (the q_scale_zorder portability
+    count and a modular hash sum. The row hash is row_fingerprint60 —
+    null-safe by sentinel (a NULL field renders as '<NULL>', so
+    (NULL,'x') vs ('x',NULL) cannot collide on Spark and the engines
+    cannot diverge on null rows) — with long text pre-hashed. Buckets
+    mean a mismatch localizes to 1/16th of the table instead of one
+    useless table-level boolean — at 100 TB, bucket by the table's
+    partition key so each mismatch names the partition to re-copy.
+    Plan: pure map-side hashing into one map-side-combined groupBy —
+    the cheapest possible full-table pass, and the SAME SQL text runs
+    on any engine with md5 (the q_scale_zorder portability
     convention)."""
     d = t(spark, sf_dir, "documents")
-    h60 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("doc_id"),
-                    F.col("lang"),
-                    F.col("source"),
-                    F.col("n_chars"),
-                    F.md5("text"),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    return (
-        d.select((F.col("doc_id") % 16).cast("bigint").alias("bucket"),
-                 h60.alias("h60"))
-        .groupBy("bucket")
-        .agg(
-            F.count("*").cast("bigint").alias("n_rows"),
-            F.expr("BIT_XOR(h60)").cast("bigint").alias("xor60"),
-            F.sum(F.col("h60") % 1000000000).cast("bigint").alias("sum_mod"),
+    return checksum_report(
+        d.select(
+            (F.col("doc_id") % 16).cast("bigint").alias("bucket"),
+            row_fingerprint60(
+                "doc_id", "lang", "source", "n_chars", F.md5("text")
+            ).alias("h60"),
         )
     )

@@ -895,10 +895,14 @@ RECONCILE_EVENTS_ORACLE = """
     WITH h AS (
         SELECT event_id % 16 AS bucket,
                ('0x' || substring(md5(
-                    event_id || '|' || event_type || '|' || user_id || '|'
-                    || CAST(ROUND(value * 100, 0) AS BIGINT) || '|'
-                    || CAST(epoch(date_trunc('second', ts)) AS BIGINT) || '|'
-                    || md5(COALESCE(props, ''))), 1, 15)
+                    COALESCE(CAST(event_id AS VARCHAR), '<NULL>') || '|'
+                    || COALESCE(event_type, '<NULL>') || '|'
+                    || COALESCE(CAST(user_id AS VARCHAR), '<NULL>') || '|'
+                    || COALESCE(CAST(CAST(ROUND(value * 100, 0) AS BIGINT)
+                                     AS VARCHAR), '<NULL>') || '|'
+                    || COALESCE(CAST(CAST(epoch(date_trunc('second', ts))
+                                     AS BIGINT) AS VARCHAR), '<NULL>') || '|'
+                    || COALESCE(md5(props), '<NULL>')), 1, 15)
                )::BIGINT AS h60
         FROM events)
     SELECT CAST(bucket AS BIGINT) AS bucket,
@@ -928,41 +932,28 @@ def q_stream_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint's offset log, however the microbatches split). That is
     precisely the guarantee a continuously-ingesting system relies on
     when it publishes live reconciliation fingerprints downstream.
-    Every field is canonicalized identically in both engines (cents,
-    second-truncated epoch, md5 of the raw props payload, explicit
-    COALESCE — Spark's concat_ws silently DROPS null args while
-    DuckDB's || nulls the row, so nulls must never reach the
-    concatenation)."""
+    The hash and the report triple are the SHARED helpers
+    (plans/scale.py row_fingerprint60 / checksum_report — review
+    finding: a verbatim copy here had already drifted on null
+    handling): every field canonicalizes identically in both engines
+    (cents, second-truncated epoch, md5 of the raw props payload, and
+    the '<NULL>' sentinel — Spark's concat_ws silently DROPS null
+    args while DuckDB's || nulls the row, so nulls must never reach
+    the concatenation)."""
+    from ..plans.scale import checksum_report, row_fingerprint60
+
     ev = events_stream(spark, sf_dir)
-    h60 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("event_id"),
-                    F.col("event_type"),
-                    F.col("user_id"),
-                    F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"),
-                    F.unix_timestamp(F.date_trunc("second", F.col("ts"))),
-                    F.md5(F.coalesce(F.col("props"), F.lit(""))),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    agg = (
+    agg = checksum_report(
         ev.select(
             (F.col("event_id") % 16).cast("bigint").alias("bucket"),
-            h60.alias("h60"),
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count("*").cast("bigint").alias("n_rows"),
-            F.expr("BIT_XOR(h60)").cast("bigint").alias("xor60"),
-            F.sum(F.col("h60") % 1000000000).cast("bigint").alias("sum_mod"),
+            row_fingerprint60(
+                "event_id",
+                "event_type",
+                "user_id",
+                F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"),
+                F.unix_timestamp(F.date_trunc("second", F.col("ts"))),
+                F.md5("props"),
+            ).alias("h60"),
         )
     )
     return run_to_memory(agg, "complete")

@@ -120,7 +120,7 @@ def test_label_prop_isolated_node_and_mode_tiebreak(spark):
         labels = {
             n: (
                 min(
-                    sorted(labels[m] for m in nbrs[n]),
+                    (labels[m] for m in nbrs[n]),
                     key=lambda l: (-[labels[m] for m in nbrs[n]].count(l), l),
                 )
                 if nbrs[n]

@@ -550,10 +550,11 @@ def test_bpe_encode_matches_reference(spark):
 
 def test_kmeans_empty_cluster_drops_like_oracle(spark):
     """The fixture never empties a cluster, so pin the path directly:
-    with init centroids at 0 and 1 and every point near 100, cluster 0
-    captures everything after one update and cluster 1 must DROP OUT
-    of the next round (matching the oracle's update CTE, which simply
-    has no rows for it) — not resurrect its stale centroid."""
+    cluster 0's centroid sits at [1] (kept alive only by the one
+    far-away point, vec 99) and cluster 1's at [100] (capturing all
+    the others); remove vec 99 and cluster 0 must DROP OUT of the next
+    round (matching the oracle's update CTE, which simply has no rows
+    for it) — not resurrect its stale centroid."""
     from embarrassingly_parallel_image_classification_spark.ml import cluster as km
 
     pts = spark.createDataFrame(

@@ -1569,15 +1569,12 @@ def test_cbo_statistics_drive_join_reorder(spark):
     UNSETTING when they were unset (the q_sql_scripting ADVICE
     lesson — leaving engine flags flipped changes every later query
     in the shared session)."""
-    from pyspark.sql import functions as F
-
     names = ("cbo_big", "cbo_mid", "cbo_small")
     sizes = (100_000, 10_000, 100)
     prev = {
         k: spark.conf.get(k, None)
         for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
     }
-    from pyspark.sql import functions as F  # noqa: F811 (local alias)
     try:
         for name, n in zip(names, sizes):
             # a stale warehouse dir from a crashed run blocks managed-
