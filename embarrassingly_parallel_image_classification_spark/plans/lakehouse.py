@@ -453,7 +453,9 @@ def snapshot_read(
     return out
 
 
-def vacuum(path: str, retain_versions: int = 2) -> list[str]:
+def vacuum(
+    path: str, retain_versions: int = 2, min_age_s: float = 0.0
+) -> list[str]:
     """Delete data files AND delete files unreachable from the
     ``retain_versions`` most recent snapshots, plus the expired
     manifests; returns removed files. The real-format analog (VACUUM /
@@ -461,7 +463,18 @@ def vacuum(path: str, retain_versions: int = 2) -> list[str]:
     stops working, by design. Delete-*.parquet tombstones are removed
     once no retained manifest references them (review finding: the
     first cut only matched data-* names, so a delete file's key list —
-    GDPR-relevant residue — survived every maintenance cycle)."""
+    GDPR-relevant residue — survived every maintenance cycle).
+
+    ``min_age_s``: spare files younger than this. An unreferenced
+    data file is EITHER a crash orphan (rename landed, manifest link
+    never did — safe to reclaim) OR an in-flight write between its
+    rename and its commit loop — indistinguishable by name, so a
+    concurrent vacuum could delete files a manifest is about to
+    reference. Age is the standard disambiguator (Delta defaults to 7
+    DAYS for exactly this race); 0 keeps the immediate-reclaim
+    semantics single-writer tests rely on. Crashed ``_staging_*`` /
+    ``_erase_*`` scratch directories are reclaimed under the same age
+    rule (they are pre-rename, so never referenced by any manifest)."""
     latest = current_version(path)
     keep_versions = [v for v in range(latest - retain_versions + 1, latest + 1) if v >= 1]
     reachable: set[str] = set()
@@ -471,18 +484,35 @@ def vacuum(path: str, retain_versions: int = 2) -> list[str]:
         reachable.update(m["files"])
         reachable.update(d[0] for d in m.get("delete_files", []))
     removed = []
+    now = time.time()
+
+    def old_enough(p: str) -> bool:
+        try:
+            return now - os.path.getmtime(p) >= min_age_s
+        except OSError:
+            return False  # vanished concurrently: nothing to do
+
     for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
         if (
             (name.startswith("data-") or name.startswith("delete-"))
             and name.endswith(".parquet")
             and name not in reachable
+            and old_enough(full)
         ):
-            os.remove(os.path.join(path, name))
+            os.remove(full)
+            removed.append(name)
+        if (
+            (name.startswith("_staging_") or name.startswith("_erase_"))
+            and os.path.isdir(full)
+            and old_enough(full)
+        ):
+            shutil.rmtree(full, ignore_errors=True)
             removed.append(name)
         if name.startswith("_manifest_v"):
             v = int(name[len("_manifest_v"):-len(".json")])
             if v not in keep_versions:
-                os.remove(os.path.join(path, name))
+                os.remove(full)
     return removed
 
 

@@ -1625,3 +1625,47 @@ def test_cbo_statistics_drive_join_reorder(spark):
                 spark.conf.set(k, v)
         for name in names:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_lakehouse_vacuum_crash_orphans_and_age_guard(spark, tmp_path):
+    """Crash-window hygiene: a data file renamed into place whose
+    manifest link never landed, and a leftover _staging_ scratch dir,
+    are both invisible to readers and RECLAIMED by vacuum — but spared
+    by an age guard (min_age_s) so a concurrent in-flight write's
+    just-renamed files can never be swept before their commit lands
+    (the Delta retention-check race)."""
+    import os as _os
+    import shutil as _shutil
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    lakehouse.snapshot_write(
+        spark.range(10).select(F.col("id").alias("k")), path, "append"
+    )
+    # simulate a crash between the staged-file rename and the manifest
+    # link: an orphan data file no manifest references...
+    orphan = _os.path.join(path, "data-deadbeef.parquet")
+    spark.range(5).select(F.col("id").alias("k")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "scratch"))
+    part = next(
+        n for n in _os.listdir(str(tmp_path / "scratch"))
+        if n.endswith(".parquet")
+    )
+    _shutil.copy(_os.path.join(str(tmp_path / "scratch"), part), orphan)
+    # ...and a crashed staging dir from an interrupted write
+    _os.makedirs(_os.path.join(path, "_staging_deadbeef"))
+    # readers never see the orphan
+    assert lakehouse.snapshot_read(spark, path).count() == 10
+    # a fresh-file age guard spares both (the in-flight-write race)
+    spared = lakehouse.vacuum(path, retain_versions=5, min_age_s=3600)
+    assert spared == [] and _os.path.exists(orphan)
+    # immediate vacuum reclaims both
+    removed = lakehouse.vacuum(path, retain_versions=5)
+    assert "data-deadbeef.parquet" in removed
+    assert "_staging_deadbeef" in removed
+    assert not _os.path.exists(orphan)
+    assert not _os.path.exists(_os.path.join(path, "_staging_deadbeef"))
+    # the table itself is untouched
+    assert lakehouse.snapshot_read(spark, path).count() == 10
