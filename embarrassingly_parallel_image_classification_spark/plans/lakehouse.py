@@ -510,9 +510,18 @@ def vacuum(
             shutil.rmtree(full, ignore_errors=True)
             removed.append(name)
         if name.startswith("_manifest_v"):
-            v = int(name[len("_manifest_v"):-len(".json")])
-            if v not in keep_versions:
-                os.remove(full)
+            if ".json.tmp" in name:
+                # a crash between the tmp write and the link(2) claim
+                # leaves the tmp behind (both success and lost-race
+                # paths unlink it); never visible to current_version
+                # (endswith('.json') fails), reclaim under the age rule
+                if old_enough(full):
+                    os.remove(full)
+                    removed.append(name)
+            else:
+                v = int(name[len("_manifest_v"):-len(".json")])
+                if v not in keep_versions:
+                    os.remove(full)
     return removed
 
 

@@ -1654,18 +1654,26 @@ def test_lakehouse_vacuum_crash_orphans_and_age_guard(spark, tmp_path):
         if n.endswith(".parquet")
     )
     _shutil.copy(_os.path.join(str(tmp_path / "scratch"), part), orphan)
-    # ...and a crashed staging dir from an interrupted write
+    # ...and a crashed staging dir plus a crashed manifest tmp from an
+    # interrupted commit
     _os.makedirs(_os.path.join(path, "_staging_deadbeef"))
+    tmp_manifest = _os.path.join(path, "_manifest_v2.json.tmpdeadbeef")
+    with open(tmp_manifest, "w") as f:
+        f.write("{}")
+    # the crashed tmp never affects version resolution
+    assert lakehouse.current_version(path) == 1
     # readers never see the orphan
     assert lakehouse.snapshot_read(spark, path).count() == 10
     # a fresh-file age guard spares both (the in-flight-write race)
     spared = lakehouse.vacuum(path, retain_versions=5, min_age_s=3600)
     assert spared == [] and _os.path.exists(orphan)
-    # immediate vacuum reclaims both
+    # immediate vacuum reclaims all three
     removed = lakehouse.vacuum(path, retain_versions=5)
     assert "data-deadbeef.parquet" in removed
     assert "_staging_deadbeef" in removed
+    assert "_manifest_v2.json.tmpdeadbeef" in removed
     assert not _os.path.exists(orphan)
     assert not _os.path.exists(_os.path.join(path, "_staging_deadbeef"))
+    assert not _os.path.exists(tmp_manifest)
     # the table itself is untouched
     assert lakehouse.snapshot_read(spark, path).count() == 10
