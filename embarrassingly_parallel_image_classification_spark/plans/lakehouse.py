@@ -1115,6 +1115,44 @@ def catalog_version(root: str) -> int:
     return max(versions, default=0)
 
 
+def catalog_vacuum(
+    root: str, retain_versions: int = 2, min_age_s: float = 0.0
+) -> list[str]:
+    """The catalog-level twin of vacuum(): expire catalog versions
+    beyond the retention horizon and reclaim crashed commit tmps
+    (a crash between the tmp write and the link(2) claim leaves
+    ``_catalog_vN.json.tmp*`` behind — invisible to catalog_version,
+    but accumulating forever without this sweep). Table snapshots
+    referenced only by expired catalog versions are NOT touched here —
+    each table's own vacuum() reclaims them, the same layering as
+    Iceberg's expire_snapshots vs remove_orphan_files. ``min_age_s``
+    spares young tmps exactly like vacuum() spares just-renamed data
+    files (an in-flight commit's tmp is indistinguishable from a
+    crashed one except by age)."""
+    latest = catalog_version(root)
+    keep = set(range(latest - retain_versions + 1, latest + 1))
+    removed: list[str] = []
+    now = time.time()
+    for name in sorted(os.listdir(root) if os.path.isdir(root) else []):
+        if not name.startswith("_catalog_v"):
+            continue
+        full = os.path.join(root, name)
+        if ".json.tmp" in name:
+            try:
+                young = now - os.path.getmtime(full) < min_age_s
+            except OSError:
+                continue  # vanished concurrently
+            if not young:
+                os.remove(full)
+                removed.append(name)
+        elif name.endswith(".json"):
+            v = int(name[len("_catalog_v"):-len(".json")])
+            if v not in keep:
+                os.remove(full)
+                removed.append(name)
+    return removed
+
+
 def multi_table_commit(
     spark: SparkSession,
     root: str,

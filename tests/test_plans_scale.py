@@ -1677,3 +1677,34 @@ def test_lakehouse_vacuum_crash_orphans_and_age_guard(spark, tmp_path):
     assert not _os.path.exists(tmp_manifest)
     # the table itself is untouched
     assert lakehouse.snapshot_read(spark, path).count() == 10
+
+
+def test_lakehouse_catalog_vacuum_expires_versions_and_tmps(spark, tmp_path):
+    """catalog_vacuum keeps the newest retain_versions catalog files,
+    reclaims crashed commit tmps under the age guard, and never
+    touches table data (each table's own vacuum owns that layer)."""
+    import os as _os
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    root = str(tmp_path / "cat")
+    for i in range(4):
+        lakehouse.multi_table_commit(
+            spark, root, {"a": spark.createDataFrame([(i,)], "k bigint")}
+        )
+    with open(_os.path.join(root, "_catalog_v9.json.tmpdead"), "w") as f:
+        f.write("{}")
+    assert lakehouse.catalog_version(root) == 4, "tmp must stay invisible"
+    # age guard spares the (possibly in-flight) tmp
+    assert lakehouse.catalog_vacuum(root, 2, min_age_s=3600) == [
+        "_catalog_v1.json",
+        "_catalog_v2.json",
+    ]
+    removed = lakehouse.catalog_vacuum(root, 2)
+    assert "_catalog_v9.json.tmpdead" in removed
+    # newest two catalog versions survive; reads still work
+    assert lakehouse.catalog_version(root) == 4
+    got = sorted(
+        r["k"] for r in lakehouse.catalog_read(spark, root, "a").collect()
+    )
+    assert got == [0, 1, 2, 3]
