@@ -476,11 +476,27 @@ def vacuum(
     ``_erase_*`` scratch directories are reclaimed under the same age
     rule (they are pre-rename, so never referenced by any manifest)."""
     latest = current_version(path)
-    keep_versions = [v for v in range(latest - retain_versions + 1, latest + 1) if v >= 1]
+    keep_versions = {
+        v for v in range(latest - retain_versions + 1, latest + 1) if v >= 1
+    }
+    # versions pinned by a tag ref survive ANY retention horizon —
+    # Iceberg's expire_snapshots keeps ref-pinned snapshots for the
+    # same reason: read_tag on an expired manifest would 404 (review
+    # pass: recency-only expiry silently broke every old tag)
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if name.startswith("_ref_") and name.endswith(".json"):
+                with open(os.path.join(path, name)) as f:
+                    pinned = json.load(f).get("version")
+                if isinstance(pinned, int) and pinned >= 1:
+                    keep_versions.add(pinned)
     reachable: set[str] = set()
-    for v in keep_versions:
-        with open(_manifest_path(path, v)) as f:
-            m = json.load(f)
+    for v in sorted(keep_versions):
+        try:
+            with open(_manifest_path(path, v)) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            continue  # already expired by an earlier, ref-blind vacuum
         reachable.update(m["files"])
         reachable.update(d[0] for d in m.get("delete_files", []))
     removed = []
@@ -508,6 +524,14 @@ def vacuum(
             and old_enough(full)
         ):
             shutil.rmtree(full, ignore_errors=True)
+            removed.append(name)
+        if (
+            name.startswith("_ref_")
+            and ".json.tmp" in name
+            and old_enough(full)
+        ):
+            # crashed create_tag: tmp written, link never landed
+            os.remove(full)
             removed.append(name)
         if name.startswith("_manifest_v"):
             if ".json.tmp" in name:
@@ -2821,10 +2845,11 @@ def create_tag(path: str, name: str, version: int | None = None) -> int:
     """Named REF (Iceberg tag / Delta named commit): pin a human name
     to a snapshot version in one atomically-linked ref file. Tags are
     immutable — re-tagging an existing name raises (delete the ref
-    file to move it deliberately); vacuum keeps tagged versions alive
-    only if retention covers them (same contract as the real formats:
-    expire_snapshots wins over tags unless told otherwise — documented
-    sharp edge)."""
+    file to move it deliberately). vacuum() KEEPS tagged versions
+    alive past any retention horizon (Iceberg's expire_snapshots
+    contract: a snapshot referenced by a live ref never expires;
+    delete the ref first to let it go — an earlier cut let recency-only
+    expiry silently break every old tag)."""
     v = version if version is not None else current_version(path)
     if not os.path.exists(_manifest_path(path, v)):
         raise FileNotFoundError(f"no snapshot v{v} to tag")

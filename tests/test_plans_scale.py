@@ -1708,3 +1708,38 @@ def test_lakehouse_catalog_vacuum_expires_versions_and_tmps(spark, tmp_path):
         r["k"] for r in lakehouse.catalog_read(spark, root, "a").collect()
     )
     assert got == [0, 1, 2, 3]
+
+
+def test_lakehouse_vacuum_keeps_tag_pinned_versions(spark, tmp_path):
+    """A tagged snapshot must survive ANY retention horizon (Iceberg
+    expire_snapshots contract: live refs pin their snapshot); deleting
+    the ref releases it to the next vacuum; crashed ref tmps are
+    reclaimed under the age rule."""
+    import os as _os
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    for i in range(4):
+        lakehouse.snapshot_write(
+            spark.createDataFrame([(i,)], "k bigint"), path, "append"
+        )
+    lakehouse.create_tag(path, "release", version=1)
+    with open(_os.path.join(path, "_ref_dead.json.tmpbeef"), "w") as f:
+        f.write("{}")
+    removed = lakehouse.vacuum(path, retain_versions=1)
+    assert "_ref_dead.json.tmpbeef" in removed
+    # v1 (tagged) manifest and its file survive; v2/v3 expired
+    assert _os.path.exists(_os.path.join(path, "_manifest_v1.json"))
+    assert not _os.path.exists(_os.path.join(path, "_manifest_v2.json"))
+    got = sorted(
+        r["k"] for r in lakehouse.read_tag(spark, path, "release").collect()
+    )
+    assert got == [0], "tagged version must stay readable after vacuum"
+    # latest still reads fully (v1's file is shared by v4's file list)
+    assert lakehouse.snapshot_read(spark, path).count() == 4
+    # releasing the ref lets the snapshot expire on the next vacuum
+    _os.remove(_os.path.join(path, "_ref_release.json"))
+    lakehouse.vacuum(path, retain_versions=1)
+    assert not _os.path.exists(_os.path.join(path, "_manifest_v1.json"))
+    assert lakehouse.snapshot_read(spark, path).count() == 4
