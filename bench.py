@@ -155,6 +155,7 @@ HEADLINE = [
     "q_privacy_k_anon",
     "q_reconcile_checksum",
     "q_quality_benford",
+    "q_dedup_semantic",
 ]
 
 

@@ -197,3 +197,199 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("inertia_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic near-duplicate pruning scoped by the KMeans
+# clusters above (Abbas et al. 2023): embed, cluster, search for
+# near-duplicates ONLY within each cluster, keep one representative.
+# ---------------------------------------------------------------------------
+
+_SEM_TAU2_E6 = 810_000  # τ = 0.9 → τ²·1e6 (integer comparison constant)
+_SEM_PLANT_MOD = 40  # every 40th vector gets a planted 0.99-scaled copy
+_SEM_PLANT_ID = 100_000  # planted copy id = original id + this
+
+
+def _semantic_oracle() -> str:
+    """The full SemDeDup dataflow as one chained-CTE oracle: corpus
+    with planted copies → the q_cluster_kmeans iterations → within-
+    cluster pairwise cosine in 128-bit integer arithmetic → per-
+    cluster dedup census."""
+    ctes = [
+        f"""corpus AS (
+        SELECT vec_id, embedding, 1.0 AS s FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_SEM_PLANT_ID}, embedding, 0.99 AS s
+        FROM embeddings WHERE vec_id % {_SEM_PLANT_MOD} = 0)""",
+        f"""q AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+               CAST(FLOOR((CAST(unnest(embedding) AS DOUBLE) * s) * 1000000
+                          + 0.5) AS BIGINT) AS raw
+        FROM corpus)""",
+        f"qo AS (SELECT vec_id, pos, raw + {_OFFSET} AS qv FROM q)",
+        f"""init AS (
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                   AS cid
+        FROM (SELECT DISTINCT vec_id FROM corpus
+              ORDER BY vec_id LIMIT {_K}))""",
+        "c0 AS (SELECT init.cid, qo.pos, qo.qv AS cv FROM init "
+        "JOIN qo USING (vec_id))",
+    ]
+    for k in range(_ITERS + 1):
+        ctes.append(
+            f"""a{k + 1} AS (
+        SELECT vec_id, cid FROM (
+            SELECT qo.vec_id, c.cid,
+                   SUM((qo.qv - c.cv) * (qo.qv - c.cv)) AS dist
+            FROM qo JOIN c{k} c ON qo.pos = c.pos
+            GROUP BY qo.vec_id, c.cid)
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist, cid) = 1)"""
+        )
+        if k < _ITERS:
+            ctes.append(
+                f"""c{k + 1} AS (
+        SELECT a.cid, qo.pos,
+               (2 * SUM(qo.qv) + COUNT(*)) // (2 * COUNT(*)) AS cv
+        FROM a{k + 1} a JOIN qo USING (vec_id)
+        GROUP BY a.cid, qo.pos)"""
+            )
+    final = f"a{_ITERS + 1}"
+    ctes.append(
+        f"""pairs AS (
+        SELECT aa.cid, ab.vec_id AS dupe
+        FROM {final} aa JOIN {final} ab
+             ON aa.cid = ab.cid AND aa.vec_id < ab.vec_id
+        JOIN (SELECT a.vec_id va, b.vec_id vb,
+                     SUM(a.raw * b.raw) AS dot,
+                     SUM(a.raw * a.raw) AS na,
+                     SUM(b.raw * b.raw) AS nb
+              FROM q a JOIN q b ON a.pos = b.pos AND a.vec_id < b.vec_id
+              GROUP BY a.vec_id, b.vec_id) d
+             ON d.va = aa.vec_id AND d.vb = ab.vec_id
+        WHERE d.dot > 0
+          AND CAST(d.dot AS HUGEINT) * d.dot * 1000000
+              >= {_SEM_TAU2_E6} * CAST(d.na AS HUGEINT) * d.nb)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT f.cid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(DISTINCT p.dupe) AS BIGINT) AS n_dupes
+    FROM {final} f LEFT JOIN (SELECT DISTINCT dupe, cid FROM pairs) p
+         ON p.dupe = f.vec_id AND p.cid = f.cid
+    GROUP BY f.cid"""
+    )
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=_semantic_oracle(),
+    tags=("K2", "K", "composite"),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023), exact and oracle-checked end to
+    end: cluster the corpus with the integer KMeans above, then search
+    for near-duplicates (cosine ≥ 0.9) ONLY WITHIN each cluster and
+    count the dropped members per cluster. The fixture has no natural
+    near-dups (max pairwise cosine 0.51), so the corpus plants a
+    deterministic 0.99-scaled copy of every 40th vector — the planted
+    pair's cosine is ≈1 and both engines quantize the SAME planted
+    values, so the expected census (every planted copy dropped, zero
+    false positives) is exactly verifiable. The cosine test is pure
+    integer arithmetic: cos ≥ τ ⇔ dot > 0 ∧ dot²·1e6 ≥ τ²e6·na·nb,
+    evaluated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — ~5e32
+    worst case, inside both 128-bit ranges.
+
+    Scale shape — the ENTIRE point of SemDeDup: the quadratic pair
+    search is scoped to clusters (Σ|c|² ≪ N²), expressed as a cid
+    equi-self-join (co-partitioned shuffle, never a cross join); the
+    clustering cost is q_cluster_kmeans's (map-side argmin + one
+    (cid,pos) shuffle per round). At 100 TB, K grows to ~√N·α so
+    clusters stay bounded, and the within-cluster join is exactly the
+    shape that stays tractable."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", quantize_e6).alias("raw")
+    )
+    planted = emb.filter(F.col("vec_id") % _SEM_PLANT_MOD == 0).select(
+        (F.col("vec_id") + _SEM_PLANT_ID).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                (x.cast("double") * F.lit(0.99)) * 1000000 + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("raw"),
+    )
+    corpus = base.unionByName(planted)
+    points = corpus.select(
+        "vec_id",
+        F.transform("raw", lambda x: x + F.lit(_OFFSET)).alias("q"),
+    ).localCheckpoint(eager=True)  # the union feeds every round once
+    init_rows = points.orderBy("vec_id").limit(_K).collect()
+    cents = [(cid, list(r["q"])) for cid, r in enumerate(init_rows)]
+    for _ in range(_ITERS):
+        cents = _update(points, cents)
+    assign = points.select("vec_id", _best(cents)["cid"].alias("cid"))
+    member = assign.join(corpus, "vec_id")  # (vec_id, cid, raw)
+    a = member.select(
+        F.col("cid").alias("cid"),
+        F.col("vec_id").alias("va"),
+        F.col("raw").alias("ra"),
+    )
+    b = member.select(
+        F.col("cid").alias("cid_b"),
+        F.col("vec_id").alias("vb"),
+        F.col("raw").alias("rb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cid") == F.col("cid_b")) & (F.col("va") < F.col("vb")),
+        )
+        .select(
+            "cid",
+            "vb",
+            F.aggregate(
+                F.zip_with("ra", "rb", lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, d: acc + d,
+            ).alias("dot"),
+            F.aggregate(
+                F.zip_with("ra", "ra", lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, d: acc + d,
+            ).alias("na"),
+            F.aggregate(
+                F.zip_with("rb", "rb", lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, d: acc + d,
+            ).alias("nb"),
+        )
+        .filter(
+            (F.col("dot") > 0)
+            & F.expr(
+                "CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0))"
+                f" * 1000000 >= {_SEM_TAU2_E6}"
+                " * CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))"
+            )
+        )
+        .select("cid", F.col("vb").alias("dupe"))
+        .distinct()
+    )
+    return (
+        assign.join(
+            pairs, (assign["cid"] == pairs["cid"])
+            & (assign["vec_id"] == pairs["dupe"]),
+            "left",
+        )
+        .groupBy(assign["cid"].alias("cid"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.count(pairs["dupe"]).cast("bigint").alias("n_dupes"),
+        )
+    )
