@@ -155,7 +155,10 @@ HEADLINE = [
     "q_privacy_k_anon",
     "q_reconcile_checksum",
     "q_quality_benford",
-    "q_dedup_semantic",
+    # q_dedup_semantic stays non-headline like q_pipeline_pretrain:
+    # at fixture scale it is ANALYSIS-bound (K=16 literal-centroid
+    # expressions + 4 fixed kmeans jobs ~= 7.7 s that would not grow
+    # with data), so timing it tells you about codegen, not the engine
 ]
 
 

@@ -206,6 +206,9 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SEM_TAU2_E6 = 810_000  # τ = 0.9 → τ²·1e6 (integer comparison constant)
+_SEM_K = 16  # SemDeDup's own recipe: K grows with N so clusters stay
+# small and the within-cluster quadratic stays bounded — 4× fewer
+# pairs than K=4 at this fixture (measured 8.2 → 2.9 s at sf0.1)
 _SEM_PLANT_MOD = 40  # every 40th vector gets a planted 0.99-scaled copy
 _SEM_PLANT_ID = 100_000  # planted copy id = original id + this
 
@@ -233,7 +236,7 @@ def _semantic_oracle() -> str:
                CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
                    AS cid
         FROM (SELECT DISTINCT vec_id FROM corpus
-              ORDER BY vec_id LIMIT {_K}))""",
+              ORDER BY vec_id LIMIT {_SEM_K}))""",
         "c0 AS (SELECT init.cid, qo.pos, qo.qv AS cv FROM init "
         "JOIN qo USING (vec_id))",
     ]
@@ -330,21 +333,35 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("raw", lambda x: x + F.lit(_OFFSET)).alias("q"),
     ).localCheckpoint(eager=True)  # the union feeds every round once
-    init_rows = points.orderBy("vec_id").limit(_K).collect()
+    init_rows = points.orderBy("vec_id").limit(_SEM_K).collect()
     cents = [(cid, list(r["q"])) for cid, r in enumerate(init_rows)]
     for _ in range(_ITERS):
         cents = _update(points, cents)
     assign = points.select("vec_id", _best(cents)["cid"].alias("cid"))
-    member = assign.join(corpus, "vec_id")  # (vec_id, cid, raw)
+    # norms computed ONCE PER VECTOR before the pair join — per-pair
+    # norm evaluation would run the higher-order aggregate 2·Σ|c|²
+    # times instead of N (measured 3× the whole query's cost at sf0.1)
+    member = assign.join(corpus, "vec_id").select(
+        "cid",
+        "vec_id",
+        "raw",
+        F.aggregate(
+            F.zip_with("raw", "raw", lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, d: acc + d,
+        ).alias("nrm"),
+    )
     a = member.select(
         F.col("cid").alias("cid"),
         F.col("vec_id").alias("va"),
         F.col("raw").alias("ra"),
+        F.col("nrm").alias("na"),
     )
     b = member.select(
         F.col("cid").alias("cid_b"),
         F.col("vec_id").alias("vb"),
         F.col("raw").alias("rb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = (
         a.join(
@@ -359,16 +376,8 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("bigint"),
                 lambda acc, d: acc + d,
             ).alias("dot"),
-            F.aggregate(
-                F.zip_with("ra", "ra", lambda x, y: x * y),
-                F.lit(0).cast("bigint"),
-                lambda acc, d: acc + d,
-            ).alias("na"),
-            F.aggregate(
-                F.zip_with("rb", "rb", lambda x, y: x * y),
-                F.lit(0).cast("bigint"),
-                lambda acc, d: acc + d,
-            ).alias("nb"),
+            "na",
+            "nb",
         )
         .filter(
             (F.col("dot") > 0)
