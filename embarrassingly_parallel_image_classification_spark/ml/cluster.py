@@ -210,7 +210,9 @@ _SEM_K = 16  # SemDeDup's own recipe: K grows with N so clusters stay
 # small and the within-cluster quadratic stays bounded — 4× fewer
 # pairs than K=4 at this fixture (measured 8.2 → 2.9 s at sf0.1)
 _SEM_PLANT_MOD = 40  # every 40th vector gets a planted 0.99-scaled copy
-_SEM_PLANT_ID = 100_000  # planted copy id = original id + this
+# planted copy id = original id + (MAX(vec_id) + 1), derived from the
+# data in-plan — a fixed literal offset collides with real ids once the
+# corpus outgrows it (review finding: 100_000 breaks at 100k rows)
 
 
 def _semantic_oracle() -> str:
@@ -222,7 +224,8 @@ def _semantic_oracle() -> str:
         f"""corpus AS (
         SELECT vec_id, embedding, 1.0 AS s FROM embeddings
         UNION ALL
-        SELECT vec_id + {_SEM_PLANT_ID}, embedding, 0.99 AS s
+        SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings),
+               embedding, 0.99 AS s
         FROM embeddings WHERE vec_id % {_SEM_PLANT_MOD} = 0)""",
         f"""q AS (
         SELECT vec_id,
@@ -319,30 +322,41 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select(
         "vec_id", F.transform("embedding", quantize_e6).alias("raw")
     )
-    planted = emb.filter(F.col("vec_id") % _SEM_PLANT_MOD == 0).select(
-        (F.col("vec_id") + _SEM_PLANT_ID).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x: F.floor(
-                (x.cast("double") * F.lit(0.99)) * 1000000 + F.lit(0.5)
-            ).cast("bigint"),
-        ).alias("raw"),
+    # plant id offset derived from the data IN-PLAN (1-row broadcast
+    # scalar, the q_text_vocab_growth pattern) — literal offsets
+    # collide with real ids at scale; the scaled copy quantizes through
+    # the SAME shared contract (quantize_e6(x·0.99) — review finding:
+    # re-inlining the floor rule is exactly what the helper exists to
+    # prevent)
+    maxid = F.broadcast(emb.agg((F.max("vec_id") + 1).alias("plant0")))
+    planted = (
+        emb.filter(F.col("vec_id") % _SEM_PLANT_MOD == 0)
+        .crossJoin(maxid)
+        .select(
+            (F.col("vec_id") + F.col("plant0")).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: quantize_e6(x * F.lit(0.99))
+            ).alias("raw"),
+        )
     )
     corpus = base.unionByName(planted)
     points = corpus.select(
         "vec_id",
+        "raw",
         F.transform("raw", lambda x: x + F.lit(_OFFSET)).alias("q"),
     ).localCheckpoint(eager=True)  # the union feeds every round once
     init_rows = points.orderBy("vec_id").limit(_SEM_K).collect()
     cents = [(cid, list(r["q"])) for cid, r in enumerate(init_rows)]
     for _ in range(_ITERS):
         cents = _update(points, cents)
-    assign = points.select("vec_id", _best(cents)["cid"].alias("cid"))
-    # norms computed ONCE PER VECTOR before the pair join — per-pair
-    # norm evaluation would run the higher-order aggregate 2·Σ|c|²
-    # times instead of N (measured 3× the whole query's cost at sf0.1)
-    member = assign.join(corpus, "vec_id").select(
-        "cid",
+    # member is a single MAP-SIDE select on the checkpointed points:
+    # cid from the literal-centroid argmin, raw carried through, norms
+    # computed ONCE PER VECTOR (per-pair norm evaluation would run the
+    # higher-order aggregate 2·Σ|c|² times instead of N — measured 3×
+    # the whole query's cost; a vec_id re-join against the
+    # un-checkpointed corpus re-scanned the parquet — review finding)
+    member = points.select(
+        _best(cents)["cid"].alias("cid"),
         "vec_id",
         "raw",
         F.aggregate(
@@ -390,13 +404,14 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", F.col("vb").alias("dupe"))
         .distinct()
     )
+    census = member.select("cid", "vec_id")
     return (
-        assign.join(
-            pairs, (assign["cid"] == pairs["cid"])
-            & (assign["vec_id"] == pairs["dupe"]),
+        census.join(
+            pairs, (census["cid"] == pairs["cid"])
+            & (census["vec_id"] == pairs["dupe"]),
             "left",
         )
-        .groupBy(assign["cid"].alias("cid"))
+        .groupBy(census["cid"].alias("cid"))
         .agg(
             F.count("*").cast("bigint").alias("n_vectors"),
             F.count(pairs["dupe"]).cast("bigint").alias("n_dupes"),

@@ -486,8 +486,30 @@ def vacuum(
     if os.path.isdir(path):
         for name in os.listdir(path):
             if name.startswith("_ref_") and name.endswith(".json"):
-                with open(os.path.join(path, name)) as f:
-                    pinned = json.load(f).get("version")
+                try:
+                    with open(os.path.join(path, name)) as f:
+                        pinned = json.load(f).get("version")
+                except FileNotFoundError:
+                    continue  # ref deleted between listdir and open
+                if isinstance(pinned, int) and pinned >= 1:
+                    keep_versions.add(pinned)
+    # versions pinned by a LIVE CATALOG version survive too: a
+    # catalog-managed table's parent dir holds _catalog_v*.json files
+    # mapping table name → snapshot version; expiring a snapshot a
+    # retained catalog version still references would break
+    # catalog_read at that version — the same broken-live-ref class as
+    # tags, one layer up (review finding)
+    parent = os.path.dirname(os.path.abspath(path))
+    tbl = os.path.basename(os.path.abspath(path))
+    if os.path.isdir(parent):
+        for name in os.listdir(parent):
+            if name.startswith("_catalog_v") and name.endswith(".json"):
+                try:
+                    with open(os.path.join(parent, name)) as f:
+                        cat = json.load(f)
+                except FileNotFoundError:
+                    continue  # expired by a concurrent catalog_vacuum
+                pinned = cat.get("tables", {}).get(tbl)
                 if isinstance(pinned, int) and pinned >= 1:
                     keep_versions.add(pinned)
     reachable: set[str] = set()
@@ -524,7 +546,8 @@ def vacuum(
             and old_enough(full)
         ):
             shutil.rmtree(full, ignore_errors=True)
-            removed.append(name)
+            if not os.path.exists(full):  # report only real reclaims
+                removed.append(name)
         if (
             name.startswith("_ref_")
             and ".json.tmp" in name
@@ -546,6 +569,7 @@ def vacuum(
                 v = int(name[len("_manifest_v"):-len(".json")])
                 if v not in keep_versions:
                     os.remove(full)
+                    removed.append(name)  # same contract as catalog_vacuum
     return removed
 
 

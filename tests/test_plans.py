@@ -240,6 +240,10 @@ _CARTESIAN_OK = {
                              # onto the thinned threshold frame
     "q_quality_benford",     # 1-row total-count scalar broadcast onto
                              # the 9-row digit census
+    "q_dedup_semantic",      # 1-row MAX(vec_id)+1 plant-offset scalar
+                             # broadcast onto the planted-copy select;
+                             # the pair search itself is a cid
+                             # equi-self-join (SortMergeJoin)
     "q_text_vocab_growth",   # 1-row MAX(doc_id)+1 bucket-denominator
                              # scalar broadcast onto both censuses
                              # (kept in-plan; an eager collect was the

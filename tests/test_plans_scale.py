@@ -1743,3 +1743,49 @@ def test_lakehouse_vacuum_keeps_tag_pinned_versions(spark, tmp_path):
     lakehouse.vacuum(path, retain_versions=1)
     assert not _os.path.exists(_os.path.join(path, "_manifest_v1.json"))
     assert lakehouse.snapshot_read(spark, path).count() == 4
+
+
+def test_lakehouse_table_vacuum_keeps_catalog_pinned_versions(
+    spark, tmp_path
+):
+    """A table-level vacuum on a catalog-managed table must keep every
+    snapshot a LIVE catalog version still references (the same
+    broken-live-ref class as tags, one layer up): after expiring old
+    CATALOG versions, the table snapshots they pinned become
+    reclaimable on the next table vacuum — the two-layer expiry
+    choreography catalog_vacuum's docstring names."""
+    import os as _os
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    root = str(tmp_path / "cat")
+    for i in range(4):
+        lakehouse.multi_table_commit(
+            spark, root, {"a": spark.createDataFrame([(i,)], "k bigint")}
+        )
+    tbl = _os.path.join(root, "a")
+    # aggressive table retention: recency alone would expire v1-v3,
+    # but catalog v1..v4 still reference them
+    lakehouse.vacuum(tbl, retain_versions=1)
+    for cv in (1, 2, 3, 4):
+        got = sorted(
+            r["k"]
+            for r in lakehouse.catalog_read(
+                spark, root, "a", at_catalog_version=cv
+            ).collect()
+        )
+        assert got == list(range(cv)), f"catalog v{cv} read broke"
+    # expire catalog v1/v2, then the table snapshots they pinned
+    # (v1, v2) become reclaimable; v3 stays (catalog v3 lives)
+    lakehouse.catalog_vacuum(root, retain_versions=2)
+    lakehouse.vacuum(tbl, retain_versions=1)
+    assert not _os.path.exists(_os.path.join(tbl, "_manifest_v1.json"))
+    assert not _os.path.exists(_os.path.join(tbl, "_manifest_v2.json"))
+    assert _os.path.exists(_os.path.join(tbl, "_manifest_v3.json"))
+    got = sorted(
+        r["k"]
+        for r in lakehouse.catalog_read(
+            spark, root, "a", at_catalog_version=3
+        ).collect()
+    )
+    assert got == [0, 1, 2]
