@@ -417,3 +417,30 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(pairs["dupe"]).cast("bigint").alias("n_dupes"),
         )
     )
+
+
+def assign_longform(points_long: DataFrame, cents: DataFrame) -> DataFrame:
+    """Lloyd assignment with centroids as a DATAFRAME — the production
+    spelling once K reaches the hundreds: ``points_long`` is
+    (vec_id, pos, x), ``cents`` is (cid, pos, cv); the K·dim centroid
+    cells broadcast onto the long points, distances partial-aggregate
+    per (vec_id, cid), and the per-vector argmin is min(struct) with
+    the same lowest-cid tie-break as _best. The literal-expression
+    spelling (_best) is analysis-bound in K (K·dim literals compiled
+    per job — measured ~6 s fixed at K=16); this one is analysis-flat
+    and data-parallel, at the price of a (vec_id, cid) shuffle the
+    literal path never pays. Both produce IDENTICAL assignments
+    (integer arithmetic; pinned by test_ml_self_oracles)."""
+    return (
+        points_long.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("cv")) * (F.col("x") - F.col("cv"))
+            ).alias("dist")
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("b"))
+        .select("vec_id", F.col("b.dist").alias("dist"),
+                F.col("b.cid").alias("cid"))
+    )

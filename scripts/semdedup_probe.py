@@ -35,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from embarrassingly_parallel_image_classification_spark.ml.cluster import assign_longform
 from embarrassingly_parallel_image_classification_spark.session import get_spark
 
 N = 20_000
@@ -56,20 +57,6 @@ def corpus(spark):
         F.expr("transform(raw, x -> (x * 99) DIV 100)").alias("raw"),
     )
     return base.unionByName(planted)
-
-
-def assign_longform(pts_long, cents, k):
-    """One Lloyd assignment via broadcast join on pos — the
-    analysis-cheap spelling for large K."""
-    scored = (
-        pts_long.join(F.broadcast(cents), "pos")
-        .groupBy("vec_id", "cid")
-        .agg(F.sum((F.col("x") - F.col("cv")) ** 2).alias("dist"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("dist", "cid")).alias("b"))
-        .select("vec_id", F.col("b.cid").alias("cid"))
-    )
-    return scored
 
 
 def main() -> None:
@@ -96,7 +83,9 @@ def main() -> None:
                     F.col("x").alias("cv"))
             .localCheckpoint(eager=True)
         )
-        assign = assign_longform(long, cents, k).localCheckpoint(eager=True)
+        assign = assign_longform(long, cents).select(
+            "vec_id", "cid"
+        ).localCheckpoint(eager=True)
         n_pairs = (
             assign.groupBy("cid").count()
             .agg(F.sum(F.expr("count * (count - 1) DIV 2")))

@@ -597,3 +597,34 @@ def test_kmeans_ties_break_to_lowest_cid(spark):
     assert r["cid"] == 2 and r["dist"] == 0
     r2 = pts.select(km._best([(0, [40]), (1, [60])]).alias("b")).collect()[0]["b"]
     assert r2["cid"] == 0 and r2["dist"] == 100, "tie must break low"
+
+
+def test_kmeans_longform_assignment_equals_literal(spark):
+    """The two Lloyd-assignment spellings — literal-centroid map-side
+    expression (_best, analysis-bound in K) and long-form broadcast
+    join (assign_longform, the large-K production path) — must produce
+    IDENTICAL (vec_id, cid, dist) triples: integer arithmetic leaves
+    no rounding slack for the plans to hide behind."""
+    from pyspark.sql import functions as F
+
+    from embarrassingly_parallel_image_classification_spark.ml import cluster as km
+
+    points = km._quantized(spark, "/root/testdata/sf0.001")
+    init_rows = points.orderBy("vec_id").limit(km._K).collect()
+    cents = [(cid, list(r["q"])) for cid, r in enumerate(init_rows)]
+    lit = {
+        (r["vec_id"], r["b"]["cid"], r["b"]["dist"])
+        for r in points.select("vec_id", km._best(cents).alias("b")).collect()
+    }
+    cents_df = spark.createDataFrame(
+        [(cid, pos, cv) for cid, vec in cents for pos, cv in enumerate(vec)],
+        "cid bigint, pos int, x_ignore bigint",
+    ).selectExpr("cid", "pos", "x_ignore as cv")
+    long = points.select(
+        "vec_id", F.posexplode("q").alias("pos", "x")
+    )
+    lf = {
+        (r["vec_id"], r["cid"], r["dist"])
+        for r in km.assign_longform(long, cents_df).collect()
+    }
+    assert lit == lf
