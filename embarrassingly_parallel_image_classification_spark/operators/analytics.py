@@ -846,7 +846,7 @@ def q_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sup sa ON sa.item = p.item_a
     JOIN sup sb ON sb.item = p.item_b
     CROSS JOIN n_ord n
-    WHERE p.c_ab >= 20
+    WHERE p.c_ab >= GREATEST(5, n.n // 2100)
     """,
     tags=("C6", "D1", "composite"),
 )
@@ -861,10 +861,13 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-order pair fanout is bounded by basket size², the Apriori
     candidate shape — never an item×item cross), pair hash aggregate,
     then two broadcast joins against the item-support frame and the
-    1-row order count. The min-support filter (c_ab ≥ 20) is the
-    standard pruning; at 100 TB it moves map-side via a first-pass
-    frequent-item broadcast semi-filter (the classic two-scan
-    Apriori)."""
+    1-row order count. The min-support floor is SCALE-AWARE —
+    greatest(5, n_orders div 2100), evaluated inside the plan off the
+    broadcast 1-row count (r6 verdict item 3: a fixed c_ab ≥ 20 was
+    vacuously empty-vs-empty at sf0.01) — so the same code prunes
+    meaningfully at every SF; at 100 TB it additionally moves
+    map-side via a first-pass frequent-item broadcast semi-filter
+    (the classic two-scan Apriori)."""
     # the distinct (order, item) frame feeds FOUR consumers (order
     # count, supports, both self-join sides) — materialize it once
     # (localCheckpoint, the tokenize-once rule) instead of re-scanning
@@ -884,14 +887,16 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("item_a") < F.col("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("c_ab"))
-        .filter(F.col("c_ab") >= 20)
     )
     sa = sup.select(F.col("item").alias("item_a"), F.col("c").alias("ca"))
     sb = sup.select(F.col("item").alias("item_b"), F.col("c").alias("cb"))
     return (
-        pairs.join(F.broadcast(sa), "item_a")
+        pairs.crossJoin(F.broadcast(n_ord))
+        # scale-aware min-support: the floor derives from the same
+        # broadcast 1-row order count the lift formula uses
+        .filter(F.col("c_ab") >= F.greatest(F.lit(5), F.expr("n DIV 2100")))
+        .join(F.broadcast(sa), "item_a")
         .join(F.broadcast(sb), "item_b")
-        .crossJoin(F.broadcast(n_ord))
         .select(
             "item_a",
             "item_b",

@@ -120,15 +120,21 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_anti",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'F')
     """,
     tags=("C5",),
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left anti join — the reference's 'tiles scored in one year but
-    absent the other' set difference [PK≈]."""
+    absent the other' set difference [PK≈]. The probe side is orders
+    FILTERED to final status: every fixture customer has some order,
+    so the unfiltered anti-join was a vacuous empty-vs-empty oracle
+    match (r6-verdict pattern); against 'F' orders the result is
+    non-empty at every SF and the anti-join semantics are actually
+    exercised."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )

@@ -97,15 +97,22 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey AS custkey FROM customer
     EXCEPT
-    SELECT o_custkey AS custkey FROM orders
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
     """,
     tags=("G3",),
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers who never ordered, as a set difference (EXCEPT DISTINCT
-    semantics via ``subtract`` — exceptAll would keep multiplicity)."""
+    """Customers with no FINAL-status order, as a set difference
+    (EXCEPT DISTINCT semantics via ``subtract`` — exceptAll would keep
+    multiplicity). The right side is filtered to 'F' orders because
+    every fixture customer has some order — the unfiltered difference
+    was a vacuous 0-row-vs-0-row oracle match (r6-verdict pattern)."""
     c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
     return c.subtract(o)
 
 

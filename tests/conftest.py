@@ -50,9 +50,19 @@ def assert_driver_sortable(name: str, pdf) -> None:
         ) from ex
 
 
+# Oracle-backed queries allowed to return 0 rows at sf0.01. Empty-vs-
+# empty "passes" verify nothing (r6 verdict item 3: q_market_basket's
+# fixed min-support floor; q_join_anti / q_except before their 'F'
+# filters) — any query landing here needs an explicit justification.
+_EMPTY_OK_AT_SF001: frozenset[str] = frozenset()
+
+
 def assert_matches_oracle(spark, con, name: str, fn, sql: str, sf_dir: str) -> None:
     """EXACT, dtype-sensitive comparison — the model of the driver's value
-    hash (round-1 lesson: atol/check_dtype=False hid three driver reds)."""
+    hash (round-1 lesson: atol/check_dtype=False hid three driver reds).
+    Also asserts the oracle result is NON-EMPTY (vacuity guard): a 0-row
+    oracle matching a 0-row Spark result consumes a driver window slot
+    while verifying nothing."""
     from embarrassingly_parallel_image_classification_spark.verify import diff_exact
 
     from pyspark.sql.types import ArrayType, MapType, StructType
@@ -73,5 +83,11 @@ def assert_matches_oracle(spark, con, name: str, fn, sql: str, sf_dir: str) -> N
     got = df.toPandas()
     assert_driver_sortable(name, got)
     want = con.execute(sql).fetchdf()
+    if sf_dir.rstrip("/").endswith("sf0.01") and name not in _EMPTY_OK_AT_SF001:
+        assert len(want) >= 1, (
+            f"{name}: oracle returns 0 rows at sf0.01 — an empty-vs-empty "
+            f"driver check verifies nothing; make the query non-vacuous at "
+            f"this SF or allowlist it in _EMPTY_OK_AT_SF001 with a reason"
+        )
     diff = diff_exact(got, want)
     assert diff is None, f"{name}: {diff}"
