@@ -183,10 +183,16 @@ def snapshot_write(
         with open(_manifest_path(path, _map_base)) as f:
             _m0 = json.load(f)
         renames = _m0.get("renames", {})
-        for phys, logical in renames.items():
-            if logical in df.columns:
-                df = df.withColumnRenamed(logical, phys)
         _to_phys = {l: p for p, l in renames.items()}
+        if _to_phys:
+            # ONE select from the full mapping, not sequential
+            # withColumnRenamed calls: a swap mapping ({a: b, b: a},
+            # reachable through rename_column via a temp name) makes a
+            # sequential first rename collide with a still-present
+            # column and the second duplicate it (advice r6)
+            df = df.select(
+                *[F.col(c).alias(_to_phys.get(c, c)) for c in df.columns]
+            )
         stat_cols = [_to_phys.get(c, c) for c in stat_cols]
         defaults0 = _m0.get("defaults", {})
         _missing_dft = [c for c in defaults0 if c not in df.columns]
@@ -439,9 +445,13 @@ def snapshot_read(
         return out
     out = spark.read.parquet(*[os.path.join(path, name) for name in files])
     # column-mapping: surface every physical column under its logical
-    # name (rename_column is metadata-only; no data file was rewritten)
-    for phys, logical in renames.items():
-        out = out.withColumnRenamed(phys, logical)
+    # name (rename_column is metadata-only; no data file was rewritten).
+    # ONE select from the full mapping — sequential withColumnRenamed
+    # breaks on swap mappings ({a: b, b: a}), same as the write path
+    if renames:
+        out = out.select(
+            *[F.col(c).alias(renames.get(c, c)) for c in out.columns]
+        )
     # project to the version's recorded schema: an erase-rewritten
     # replacement file can physically carry LATER versions' columns
     # (the rewrite unions schemas across history) — without the
@@ -512,6 +522,16 @@ def vacuum(
                 pinned = cat.get("tables", {}).get(tbl)
                 if isinstance(pinned, int) and pinned >= 1:
                     keep_versions.add(pinned)
+    # versions committed AFTER the retention horizon was computed (a
+    # writer racing this vacuum) keep their manifests (guard below) —
+    # so their files must be reachable too, or the sweep would orphan
+    # a just-committed snapshot's data (advice r6)
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if name.startswith("_manifest_v") and name.endswith(".json"):
+                v = int(name[len("_manifest_v"):-len(".json")])
+                if v > latest:
+                    keep_versions.add(v)
     reachable: set[str] = set()
     for v in sorted(keep_versions):
         try:
@@ -567,7 +587,12 @@ def vacuum(
                     removed.append(name)
             else:
                 v = int(name[len("_manifest_v"):-len(".json")])
-                if v not in keep_versions:
+                # v <= latest: a writer committing latest+1 between our
+                # current_version() snapshot and this listdir must never
+                # have its just-committed manifest swept (min_age_s
+                # guards data files and tmps, NOT linked manifests) —
+                # versions newer than the horizon are always kept
+                if v not in keep_versions and v <= latest:
                     os.remove(full)
                     removed.append(name)  # same contract as catalog_vacuum
     return removed
@@ -1195,7 +1220,10 @@ def catalog_vacuum(
                 removed.append(name)
         elif name.endswith(".json"):
             v = int(name[len("_catalog_v"):-len(".json")])
-            if v not in keep:
+            # v <= latest: same concurrent-writer guard as vacuum() —
+            # a catalog version committed after we read catalog_version
+            # is newer than the horizon and must never be swept
+            if v not in keep and v <= latest:
                 os.remove(full)
                 removed.append(name)
     return removed
@@ -1240,7 +1268,15 @@ def multi_table_commit(
         # every commit, streaming or not — same carry rule as the
         # per-table manifest batch_ids
         cat_batch_ids = _prev_cat.get("batch_ids", [])
-    if batch_id is not None and batch_id not in cat_batch_ids:
+    if batch_id is not None:
+        # the idempotence gate is atomic with the commit: a replayed
+        # batch_id returns the current catalog version UNCHANGED
+        # instead of double-appending every member table while the
+        # duplicate id silently vanished from the audit trail
+        # (advice r6 — callers bypassing stream_ingest_fanout's
+        # pre-check hit this path directly)
+        if batch_id in cat_batch_ids:
+            return prev_cv
         cat_batch_ids = cat_batch_ids + [batch_id]
     new_tables = dict(prev_tables)
     for name, df in writes.items():  # phase 1: durable, catalog-invisible
@@ -1672,6 +1708,24 @@ def add_column_default(path: str, name: str, sql_type: str, default) -> int:
     from pyspark.sql.types import _parse_datatype_string
 
     dtype = _parse_datatype_string(sql_type)
+    if default is not None:
+        # validate the default AT DDL TIME with the exact read-side
+        # semantics (snapshot_read applies lit(value).cast(dtype)): an
+        # incompatible default (e.g. 'web' for bigint) used to commit
+        # fine and then silently read back NULL for every pre-add row
+        # (advice r6) — fail the DDL instead
+        from pyspark.sql import SparkSession
+
+        session = SparkSession.getActiveSession()
+        if session is not None:
+            casted = session.range(1).select(
+                F.lit(default).cast(dtype).alias("d")
+            ).first()["d"]
+            if casted is None:
+                raise ValueError(
+                    f"default {default!r} does not cast to {sql_type}: "
+                    f"pre-add rows would silently read NULL"
+                )
     while True:
         v = current_version(path)
         if v == 0:

@@ -1789,3 +1789,146 @@ def test_lakehouse_table_vacuum_keeps_catalog_pinned_versions(
         ).collect()
     )
     assert got == [0, 1, 2]
+
+
+def test_lakehouse_vacuum_never_sweeps_a_just_committed_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """Concurrent-writer guard (advice r6): a writer committing
+    v=latest+1 BETWEEN vacuum's current_version() snapshot and its
+    os.listdir() must keep its manifest — min_age_s guards data files
+    and tmps, not linked manifests, so without the `v <= latest` guard
+    the brand-new version would be expired as 'not in keep_versions'
+    and its data files reclaimed on the next sweep (data loss).
+    Simulated deterministically by pinning current_version to the
+    pre-commit value while v3 already exists on disk."""
+    import os as _os
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    assert lakehouse.snapshot_write(df, path, "append") == 1
+    assert lakehouse.snapshot_write(df, path, "append") == 2
+    assert lakehouse.snapshot_write(df, path, "append") == 3  # the racer
+    real = lakehouse.current_version
+    monkeypatch.setattr(
+        lakehouse,
+        "current_version",
+        lambda p: 2 if _os.path.abspath(p) == _os.path.abspath(path) else real(p),
+    )
+    lakehouse.vacuum(path, retain_versions=1)  # horizon = {2}
+    monkeypatch.undo()
+    # v1 expired (behind the horizon), v3 (committed after the scan) kept
+    assert not _os.path.exists(_os.path.join(path, "_manifest_v1.json"))
+    assert _os.path.exists(_os.path.join(path, "_manifest_v3.json"))
+    assert lakehouse.snapshot_read(spark, path, 3).count() == 30
+
+
+def test_lakehouse_catalog_vacuum_never_sweeps_a_just_committed_version(
+    spark, tmp_path, monkeypatch
+):
+    """Same race one layer up: a catalog version committed after
+    catalog_vacuum read catalog_version() is newer than the retention
+    horizon and must survive the sweep."""
+    import os as _os
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    root = str(tmp_path / "cat")
+    for i in range(3):
+        lakehouse.multi_table_commit(
+            spark, root, {"a": spark.createDataFrame([(i,)], "k bigint")}
+        )
+    real = lakehouse.catalog_version
+    monkeypatch.setattr(
+        lakehouse,
+        "catalog_version",
+        lambda r: 2 if _os.path.abspath(r) == _os.path.abspath(root) else real(r),
+    )
+    lakehouse.catalog_vacuum(root, retain_versions=1)  # horizon = {2}
+    monkeypatch.undo()
+    assert not _os.path.exists(_os.path.join(root, "_catalog_v1.json"))
+    assert _os.path.exists(_os.path.join(root, "_catalog_v3.json"))
+    got = sorted(
+        r["k"]
+        for r in lakehouse.catalog_read(
+            spark, root, "a", at_catalog_version=3
+        ).collect()
+    )
+    assert got == [0, 1, 2]
+
+
+def test_lakehouse_append_through_swap_rename_mapping(spark, tmp_path):
+    """A rename CYCLE (a→tmp, b→a, tmp→b) leaves the mapping
+    {phys a: logical b, phys b: logical a}; the append-path
+    logical→physical translation must apply it as ONE select — the old
+    sequential withColumnRenamed spelling collided on the first rename
+    and duplicated on the second (advice r6). Values must land in the
+    right logical columns across the swap."""
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(10).select(
+        F.col("id").alias("a"), (F.col("id") + 100).alias("b")
+    )
+    assert lakehouse.snapshot_write(df, path, "append") == 1
+    lakehouse.rename_column(path, "a", "tmpname")
+    lakehouse.rename_column(path, "b", "a")
+    v = lakehouse.rename_column(path, "tmpname", "b")
+    # logical schema is now (b := old a, a := old b); append NEW rows in
+    # logical terms: a (old b) = id+100, b (old a) = id
+    more = spark.range(10, 20).select(
+        (F.col("id") + 100).alias("a"), F.col("id").alias("b")
+    )
+    assert lakehouse.snapshot_write(more, path, "append") == v + 1
+    rows = lakehouse.snapshot_read(spark, path).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["a"] == r["b"] + 100, f"swap translation corrupted row {r}"
+
+
+def test_lakehouse_multi_table_commit_replay_is_idempotent(spark, tmp_path):
+    """Replaying a batch_id DIRECTLY through multi_table_commit (not via
+    stream_ingest_fanout's pre-check) must be a no-op returning the
+    current catalog version — not a double-append that silently drops
+    the duplicate id from the audit trail (advice r6)."""
+    import json as _json
+    import os as _os
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    root = str(tmp_path / "cat")
+    df = spark.createDataFrame([(1,), (2,)], "k bigint")
+    cv1 = lakehouse.multi_table_commit(spark, root, {"a": df}, batch_id=7)
+    cv2 = lakehouse.multi_table_commit(spark, root, {"a": df}, batch_id=7)
+    assert cv2 == cv1, "replayed batch must return the same catalog version"
+    assert lakehouse.catalog_read(spark, root, "a").count() == 2  # no double rows
+    with open(_os.path.join(root, f"_catalog_v{cv1}.json")) as f:
+        assert _json.load(f)["batch_ids"] == [7]
+    # a NEW batch id still commits normally on top
+    cv3 = lakehouse.multi_table_commit(spark, root, {"a": df}, batch_id=8)
+    assert cv3 == cv1 + 1
+    assert lakehouse.catalog_read(spark, root, "a").count() == 4
+
+
+def test_lakehouse_add_column_default_validates_type(spark, tmp_path):
+    """An initial default that cannot cast to the declared type must
+    fail AT DDL TIME — committing it used to succeed and then
+    snapshot_read's lit(value).cast(dtype) silently turned every
+    pre-add row's default into NULL (advice r6)."""
+    import pytest
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(5).select(F.col("id").alias("k"))
+    assert lakehouse.snapshot_write(df, path, "append") == 1
+    with pytest.raises(ValueError, match="does not cast"):
+        lakehouse.add_column_default(path, "src", "bigint", "web")
+    # the failed DDL must not have committed anything
+    assert lakehouse.current_version(path) == 1
+    # a compatible default still works and reads back for pre-add rows
+    v = lakehouse.add_column_default(path, "src", "string", "web")
+    rows = lakehouse.snapshot_read(spark, path, v).collect()
+    assert all(r["src"] == "web" for r in rows)
