@@ -628,3 +628,38 @@ def test_kmeans_longform_assignment_equals_literal(spark):
         for r in km.assign_longform(long, cents_df).collect()
     }
     assert lit == lf
+
+
+def test_kmeans_soft_assignment_contract(spark):
+    """assign_longform_soft (the SemDeDup Voronoi-boundary mitigation):
+    rank 1 must EQUAL the hard assignment (same integer distances, same
+    lowest-cid tie-break), every vector must get exactly p rows with
+    non-decreasing distance, and the p cells must be distinct."""
+    from pyspark.sql import functions as F
+
+    from embarrassingly_parallel_image_classification_spark.ml import cluster as km
+
+    points = km._quantized(spark, "/root/testdata/sf0.001")
+    init_rows = points.orderBy("vec_id").limit(km._K).collect()
+    cents = [(cid, list(r["q"])) for cid, r in enumerate(init_rows)]
+    cents_df = spark.createDataFrame(
+        [(cid, pos, cv) for cid, vec in cents for pos, cv in enumerate(vec)],
+        "cid bigint, pos int, cv bigint",
+    )
+    long = points.select("vec_id", F.posexplode("q").alias("pos", "x"))
+    hard = {
+        (r["vec_id"], r["cid"])
+        for r in km.assign_longform(long, cents_df).collect()
+    }
+    soft = km.assign_longform_soft(long, cents_df, p=2).collect()
+    by_vec: dict = {}
+    for r in soft:
+        by_vec.setdefault(r["vec_id"], []).append((r["rank"], r["cid"]))
+    n_vec = len({v for v, _ in hard})
+    assert len(by_vec) == n_vec
+    rank1 = {(v, dict(rs)[1]) for v, rs in by_vec.items()}
+    assert rank1 == hard, "soft rank-1 must equal the hard assignment"
+    for v, rs in by_vec.items():
+        assert sorted(r for r, _ in rs) == [1, 2], f"{v}: expected 2 ranks"
+        cids = [c for _, c in rs]
+        assert len(set(cids)) == 2, f"{v}: p cells must be distinct"
