@@ -65,6 +65,130 @@ def current_version(path: str) -> int:
     return max(versions, default=0)
 
 
+# ---------------------------------------------------------------- metalog
+# Iceberg-style manifest-LIST layer (r6 verdict item 5): per-version
+# manifests are single JSON files, so any metadata walk that opened
+# every one (table_history, snapshot_read_asof) paid O(versions) file
+# opens — fine at fixture scale, quadratic pain at production commit
+# rates (a 10k-commit table re-reads 10k files per DESCRIBE HISTORY).
+# `_metalog.jsonl` is ONE append-only sidecar: each commit appends a
+# tiny summary line after its link(2) claim; vacuum appends a
+# tombstone after expiring a manifest. Readers take one listdir (the
+# version high-water mark — also the total-ordering source, so the
+# metalog can never serve a version the manifests don't have) plus one
+# sequential file read. The metalog is a CACHE, never truth: a line
+# missing for a live manifest (writer crashed between link and append,
+# or a pre-metalog table) is healed by opening just that manifest and
+# re-appending; a line present for a vacuumed manifest is healed with
+# a tombstone. Steady state: 2 filesystem objects touched regardless
+# of version count (pinned by test_lakehouse_metalog_access_count).
+
+
+def _metalog_path(path: str) -> str:
+    return os.path.join(path, "_metalog.jsonl")
+
+
+def _summary_of(m: dict, version: int) -> dict:
+    """The per-commit metalog record: exactly the fields table_history
+    reports plus committed_at for AS OF resolution — never file lists,
+    so the line stays O(1) regardless of table width."""
+    return {
+        "version": version,
+        "mode": m.get("mode", "append"),
+        "n_files": len(m.get("files", [])),
+        "n_delete_files": len(m.get("delete_files", [])),
+        "n_batch_ids": len(m.get("batch_ids", [])),
+        "cloned_from": m.get("cloned_from"),
+        "committed_at": m.get("committed_at", 0.0),
+    }
+
+
+def _metalog_append(path: str, rec: dict) -> None:
+    """One JSON line via O_APPEND (atomic for short writes on POSIX —
+    concurrent committers interleave whole lines, never bytes). Best
+    effort: the reader heals any miss from the manifests."""
+    try:
+        with open(_metalog_path(path), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except OSError:
+        pass
+
+
+def _metalog_entries(path: str) -> dict[int, dict]:
+    """Summary records for every LIVE version 1..current, in one
+    metalog read + one listdir — healing gaps (crashed appends,
+    pre-metalog tables: open just those manifests) and stale lines
+    (vacuumed versions: tombstone) as it goes, so the next reader is
+    back to the 2-object fast path."""
+    latest = current_version(path)
+    entries: dict[int, dict] = {}
+    tombs: set[int] = set()
+    floor = 0  # no UN-listed version <= floor needs probing (compaction)
+    try:
+        with open(_metalog_path(path)) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue  # torn trailing line from a crash mid-append
+                if "floor" in rec:
+                    floor = max(floor, rec["floor"])
+                    continue
+                v = rec.get("version")
+                if not isinstance(v, int):
+                    continue
+                if rec.get("vacuumed"):
+                    tombs.add(v)
+                    entries.pop(v, None)
+                else:
+                    entries[v] = rec
+    except FileNotFoundError:
+        pass
+    for v in range(floor + 1, latest + 1):
+        if v in entries or v in tombs:
+            continue
+        try:
+            with open(_manifest_path(path, v)) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            # expired by a pre-metalog (or crashed) vacuum: tombstone
+            # so the next reader never re-probes this version
+            tombs.add(v)
+            _metalog_append(path, {"version": v, "vacuumed": True})
+            continue
+        entries[v] = _summary_of(m, v)
+        _metalog_append(path, entries[v])
+    return {v: entries[v] for v in sorted(entries) if v <= latest}
+
+
+def _metalog_compact(path: str) -> None:
+    """Rewrite the metalog to one line per LIVE version (override and
+    tombstone lines accumulate forever otherwise — the same reason
+    Iceberg periodically rewrites its metadata tree). Called from
+    vacuum, the table's existing maintenance point. Safe against
+    concurrent appenders: a line appended between our read and the
+    atomic os.replace is lost from the FILE but not from the SYSTEM —
+    the manifests stay truth, so the next reader heals the miss (a
+    lost summary re-reads one manifest; a lost tombstone re-probes one
+    missing file) and re-appends it."""
+    entries = _metalog_entries(path)
+    tmp = _metalog_path(path) + f".tmp{uuid.uuid4().hex}"
+    try:
+        with open(tmp, "w") as f:
+            # the floor replaces every tombstone: no UN-listed version
+            # <= floor is ever probed again, so expired versions cost
+            # zero lines and zero syscalls after compaction
+            f.write(json.dumps({"floor": current_version(path)}) + "\n")
+            for _v, rec in sorted(entries.items()):
+                f.write(json.dumps(rec) + "\n")
+        os.replace(tmp, _metalog_path(path))
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
 def _footer_stats(local_path: str, cols) -> tuple[dict, dict]:
     """One footer parse per file for ALL stat columns: returns
     ``({col: [min, max]}, {col: [null_count, row_count]})``, omitting
@@ -277,32 +401,31 @@ def snapshot_write(
         if batch_id is not None and batch_id not in carried_batch_ids:
             carried_batch_ids = carried_batch_ids + [batch_id]
         version = prev + 1
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "files": sorted(visible),
+            "stats": {k: vis_stats[k] for k in sorted(vis_stats)},
+            "col_stats": {
+                k: vis_col_stats[k] for k in sorted(vis_col_stats)
+            },
+            "null_stats": {
+                k: vis_null_stats[k] for k in sorted(vis_null_stats)
+            },
+            "delete_files": carried_deletes,
+            "batch_ids": sorted(carried_batch_ids),
+            "renames": carried_renames,
+            "defaults": carried_defaults,
+            "schema": logical_schema,
+            "committed_at": time.time(),
+        }
         tmp = _manifest_path(path, version) + f".tmp{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "version": version,
-                    "mode": mode,
-                    "files": sorted(visible),
-                    "stats": {k: vis_stats[k] for k in sorted(vis_stats)},
-                    "col_stats": {
-                        k: vis_col_stats[k] for k in sorted(vis_col_stats)
-                    },
-                    "null_stats": {
-                        k: vis_null_stats[k] for k in sorted(vis_null_stats)
-                    },
-                    "delete_files": carried_deletes,
-                    "batch_ids": sorted(carried_batch_ids),
-                    "renames": carried_renames,
-                    "defaults": carried_defaults,
-                    "schema": logical_schema,
-                    "committed_at": time.time(),
-                },
-                f,
-            )
+            json.dump(manifest, f)
         try:
             os.link(tmp, _manifest_path(path, version))  # atomic claim
             os.unlink(tmp)
+            _metalog_append(path, _summary_of(manifest, version))
             return version
         except FileExistsError:
             os.unlink(tmp)  # lost the race: another writer took `version`
@@ -595,6 +718,14 @@ def vacuum(
                 if v not in keep_versions and v <= latest:
                     os.remove(full)
                     removed.append(name)  # same contract as catalog_vacuum
+                    # tombstone AFTER the remove: a crash in between
+                    # leaves a missing manifest the metalog reader
+                    # heals into a tombstone on next read
+                    _metalog_append(path, {"version": v, "vacuumed": True})
+    # fold accumulated tombstone/override lines into one line per live
+    # version — vacuum is the maintenance point, same as Iceberg's
+    # periodic metadata rewrite
+    _metalog_compact(path)
     return removed
 
 
@@ -1047,6 +1178,7 @@ def delete_where(
         try:
             os.link(tmp, _manifest_path(path, version))  # atomic claim
             os.unlink(tmp)
+            _metalog_append(path, _summary_of(manifest, version))
             return version
         except FileExistsError:
             os.unlink(tmp)  # lost the race: rebase on the new version
@@ -1582,6 +1714,7 @@ def rename_column(path: str, old: str, new: str) -> int:
         try:
             os.link(tmp, _manifest_path(path, v + 1))  # atomic claim
             os.unlink(tmp)
+            _metalog_append(path, _summary_of(payload, v + 1))
             return v + 1
         except FileExistsError:
             os.unlink(tmp)  # lost the race: rebase on the new version
@@ -1774,6 +1907,7 @@ def add_column_default(path: str, name: str, sql_type: str, default) -> int:
         try:
             os.link(tmp, _manifest_path(path, v + 1))  # atomic claim
             os.unlink(tmp)
+            _metalog_append(path, _summary_of(payload, v + 1))
             return v + 1
         except FileExistsError:
             os.unlink(tmp)  # lost the race: rebase on the new version
@@ -2116,6 +2250,7 @@ def add_bloom_index(path: str, col: str, spark: SparkSession | None = None) -> i
         json.dump(m, f)
     os.link(tmp, _manifest_path(path, v + 1))
     os.unlink(tmp)
+    _metalog_append(path, _summary_of(m, v + 1))
     return v + 1
 
 
@@ -2451,6 +2586,9 @@ def erase_rows(spark: SparkSession, path: str, col: str, value) -> int:
         with open(tmp, "w") as f:
             json.dump(m, f)
         os.replace(tmp, _manifest_path(path, v))  # erasure rewrites history by design
+        # refresh the metalog line (a rewrite can fan one file out to
+        # several replacements, changing n_files): later lines override
+        _metalog_append(path, _summary_of(m, v))
     for old in sorted(affected):
         os.remove(os.path.join(path, old))
     return len(affected)
@@ -2567,6 +2705,7 @@ def snapshot_clone(src: str, dst: str, version: int | None = None) -> int:
         json.dump(manifest, f)
     os.link(tmp, _manifest_path(dst, 1))
     os.unlink(tmp)
+    _metalog_append(dst, _summary_of(manifest, 1))
     return 1
 
 
@@ -2765,28 +2904,24 @@ def q_lake_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def table_history(path: str) -> list[dict]:
     """DESCRIBE HISTORY analog: one dict per snapshot version —
     (version, mode, n_files, n_delete_files, n_batch_ids, cloned_from)
-    — read straight from the immutable manifests; the audit surface
-    every table format exposes (Delta DESCRIBE HISTORY, Iceberg
-    snapshots metadata table). Pure manifest metadata: no data file is
-    opened."""
-    out = []
-    for v in range(1, current_version(path) + 1):
-        try:
-            with open(_manifest_path(path, v)) as f:
-                m = json.load(f)
-        except FileNotFoundError:
-            continue  # vacuumed-away version
-        out.append(
-            {
-                "version": m["version"],
-                "mode": m.get("mode", "append"),
-                "n_files": len(m.get("files", [])),
-                "n_delete_files": len(m.get("delete_files", [])),
-                "n_batch_ids": len(m.get("batch_ids", [])),
-                "cloned_from": m.get("cloned_from"),
-            }
-        )
-    return out
+    — the audit surface every table format exposes (Delta DESCRIBE
+    HISTORY, Iceberg snapshots metadata table). Served from the
+    manifest-list sidecar (`_metalog.jsonl`): ONE sequential read +
+    one listdir regardless of version count, instead of the previous
+    O(versions) per-manifest opens (r6 verdict item 5 — a 10k-commit
+    table re-read 10k JSON files per call). Vacuumed versions are
+    skipped via their tombstones; no data file is ever opened."""
+    return [
+        {
+            "version": rec["version"],
+            "mode": rec.get("mode", "append"),
+            "n_files": rec.get("n_files", 0),
+            "n_delete_files": rec.get("n_delete_files", 0),
+            "n_batch_ids": rec.get("n_batch_ids", 0),
+            "cloned_from": rec.get("cloned_from"),
+        }
+        for _v, rec in sorted(_metalog_entries(path).items())
+    ]
 
 
 def restore_table(spark: SparkSession, path: str, version: int) -> int:
@@ -2960,17 +3095,13 @@ def snapshot_read_asof(
     recorded in each manifest at publish (``committed_at``, written by
     snapshot_write since this revision; older manifests without the
     field are treated as time 0 — resolvable but never newer than a
-    stamped one). Raises if every retained snapshot is newer than
-    ``ts`` (same contract as the real formats)."""
-    latest = current_version(path)
+    stamped one). Resolution reads the manifest-list sidecar — one
+    file, not one open per version (r6 verdict item 5). Raises if
+    every retained snapshot is newer than ``ts`` (same contract as the
+    real formats)."""
     best = None
-    for v in range(1, latest + 1):
-        try:
-            with open(_manifest_path(path, v)) as f:
-                m = json.load(f)
-        except FileNotFoundError:
-            continue
-        if m.get("committed_at", 0.0) <= ts:
+    for v, rec in sorted(_metalog_entries(path).items()):
+        if rec.get("committed_at", 0.0) <= ts:
             best = v
     if best is None:
         raise ValueError(f"no snapshot at or before ts={ts}")
@@ -3248,6 +3379,7 @@ def merge_branch_ff(path: str, branch: str) -> int:
         try:
             os.link(tmp, _manifest_path(path, main_v))
             os.unlink(tmp)
+            _metalog_append(path, _summary_of(m, main_v))
         except FileExistsError:
             os.unlink(tmp)
             raise ConcurrentWriteError(
