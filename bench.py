@@ -155,6 +155,13 @@ HEADLINE = [
     "q_privacy_k_anon",
     "q_reconcile_checksum",
     "q_quality_benford",
+    # round-7 curation pack: contamination screen (broadcast semi-join
+    # over train grams — the heaviest new line), Gopher rule bitmask,
+    # repetition signal, exact-cluster retention (window-free agg)
+    "q_decontaminate",
+    "q_quality_gopher",
+    "q_repetition_top_ngram",
+    "q_dedup_retention_exact",
     # q_dedup_semantic stays non-headline like q_pipeline_pretrain:
     # at fixture scale it is ANALYSIS-bound (K=16 literal-centroid
     # expressions + 4 fixed kmeans jobs ~= 7.7 s that would not grow

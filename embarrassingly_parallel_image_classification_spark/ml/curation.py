@@ -1,0 +1,379 @@
+"""Corpus curation pack (SURVEY.md §2-P, round 7): the pretraining
+gate-keeping operators between raw crawl and tokenizer that had no
+registry entry yet —
+
+- ``q_decontaminate``: eval-set n-gram CONTAMINATION screen (the
+  GPT-3 appendix-C / Llama decontamination procedure [PK]): a train
+  document is contaminated if it shares any K-gram with the held-out
+  eval set; the screen reports every contaminated doc with its
+  distinct shared-gram count. At 100 TB the eval side is tiny
+  (benchmarks are thousands of documents) — its distinct-gram set
+  broadcasts, so the screen is ONE map-side semi-join over the train
+  grams, never a shuffle of the corpus.
+- ``q_quality_gopher``: the Gopher rule filter (Rae et al. 2021
+  [PK]) in exact integer arithmetic: word-count bounds, mean-word-
+  length bounds, duplicate-bigram fraction cap, minimum stopword
+  count — each rule a bit in a fail bitmask so downstream can both
+  filter and AUDIT which rule fired. Thresholds are fixture-
+  calibrated (documented per rule); the rule *structure* is Gopher's.
+- ``q_repetition_top_ngram``: most-common-bigram coverage per doc
+  (Gopher's "fraction of characters in the most common n-gram" [PK])
+  — the repetition signal that catches boilerplate/spam; exact e6
+  fixed-point fraction, deterministic lexicographic tie-break.
+- ``q_dedup_keep_best``: exact-duplicate RETENTION POLICY — cluster
+  by full-text digest and keep the best member (max n_chars, then
+  min doc_id), reporting kept representative + dropped count per
+  cluster. This is the decision step every dedup family feeds; md5
+  is the cluster key so the oracle is engine-portable (the xxhash64
+  fast tier is ml/dedup.py's documented in-Spark upgrade).
+
+All four are pure DataFrame/SQL — no Python in the hot path — with
+exact DuckDB oracles (integer fixed-point only). Fixture documents
+have no natural exact duplicates, so q_dedup_keep_best plants copies
+in-plan (the q_dedup_semantic pattern: offset ids derived from the
+data, never literal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import t
+
+_DECON_K = 4  # contamination gram width: 79/450 train docs at sf0.01
+_EVAL_MOD = 10  # doc_id % 10 == 7 -> held-out eval split
+_STOP = ("a", "the", "and", "of", "to")  # ml/text.py STOPWORDS
+
+
+def _grams(d: DataFrame, k: int) -> DataFrame:
+    """(doc_id, gram) token k-grams — the substring_spans spelling
+    (ml/cleaning.py) without positions: map-only explode, no shuffle."""
+    return (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {k}), "
+                    f"i -> concat_ws(' ', slice(w, i + 1, {k})))"
+                )
+            ).alias("gram"),
+        )
+    )
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, w, UNNEST(range(1, len(w) - {_DECON_K - 2})) AS i
+        FROM toks WHERE len(w) >= {_DECON_K}
+    ),
+    grams AS (
+        SELECT doc_id,
+               array_to_string(w[i:i + {_DECON_K - 1}], ' ') AS gram
+        FROM pos
+    ),
+    ev AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % {_EVAL_MOD} = 7
+    ),
+    tr AS (
+        SELECT DISTINCT doc_id, gram FROM grams
+        WHERE doc_id % {_EVAL_MOD} <> 7
+    )
+    SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
+    FROM tr JOIN ev USING (gram)
+    GROUP BY tr.doc_id
+    """,
+    tags=("K4", "K2", "P1"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination screen (GPT-3/Llama decontamination
+    [PK]): flag every TRAIN document sharing a {4}-gram with the EVAL
+    split (here doc_id % 10 == 7 — in production, the benchmark
+    suite), with the distinct shared-gram count as severity. Plan:
+    map-only gram explode on both sides, distinct the small eval gram
+    set, BROADCAST it, one semi-shaped inner join + per-doc count —
+    the train corpus is never shuffled by gram, which is what keeps
+    the screen linear at 100 TB (the eval side is benchmark-sized by
+    construction; if it ever outgrew broadcast the join key is still
+    the gram hash, a plain equi-join)."""
+    d = t(spark, sf_dir, "documents")
+    g = _grams(d, _DECON_K)
+    ev = (
+        g.filter(F.col("doc_id") % _EVAL_MOD == 7)
+        .select("gram")
+        .distinct()
+    )
+    tr = g.filter(F.col("doc_id") % _EVAL_MOD != 7).select("doc_id", "gram").distinct()
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("shared_grams"))
+    )
+
+
+@register(
+    "q_quality_gopher",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w, n_chars
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, w, UNNEST(range(1, len(w))) AS i
+        FROM toks WHERE len(w) >= 2
+    ),
+    bg AS (
+        SELECT doc_id, array_to_string(w[i:i + 1], ' ') AS gram
+        FROM big
+    ),
+    bgc AS (
+        SELECT doc_id, gram, COUNT(*) AS n FROM bg GROUP BY 1, 2
+    ),
+    dup AS (
+        SELECT doc_id,
+               SUM(n) AS total,
+               SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS dupn
+        FROM bgc GROUP BY doc_id
+    ),
+    feat AS (
+        SELECT t.doc_id,
+               CAST(len(t.w) AS BIGINT) AS n_words,
+               CAST(t.n_chars * 10 // len(t.w) AS BIGINT) AS mean_len_e1,
+               CAST(COALESCE(d.dupn * 1000000 // d.total, 0) AS BIGINT)
+                   AS dup_bigram_e6,
+               CAST(len(list_filter(t.w,
+                    x -> list_contains({list(_STOP)}, x))) AS BIGINT)
+                   AS n_stop
+        FROM toks t LEFT JOIN dup d ON d.doc_id = t.doc_id
+    )
+    SELECT doc_id, n_words, mean_len_e1, dup_bigram_e6, n_stop,
+           CAST(
+               CASE WHEN n_words BETWEEN 20 AND 90 THEN 0 ELSE 1 END
+               + CASE WHEN mean_len_e1 BETWEEN 30 AND 100 THEN 0 ELSE 2 END
+               + CASE WHEN dup_bigram_e6 <= 120000 THEN 0 ELSE 4 END
+               + CASE WHEN n_stop >= 1 THEN 0 ELSE 8 END
+           AS BIGINT) AS fails
+    FROM feat
+    """,
+    tags=("K4", "P2"),
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 [PK]) as an exact-integer
+    rule bitmask per document: bit 1 = word count outside [20, 90],
+    bit 2 = mean word length outside [3.0, 10.0] (e1 fixed point),
+    bit 4 = duplicate-bigram token fraction above 12% (e6), bit 8 =
+    fewer than 1 stopword. fails == 0 is the keep set; non-zero masks
+    say WHY a document was dropped — the audit trail a production
+    filter has to keep (bounds fixture-calibrated, structure
+    Gopher's). Plan: one map-side feature select + one per-doc bigram
+    count (the only shuffle, keyed by doc_id so it co-partitions with
+    every other per-doc stage); no Python, no floats."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w"), "n_chars")
+    dup = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2), "
+                    "i -> concat_ws(' ', slice(w, i + 1, 2)))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("total"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("dupn"),
+        )
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOP])
+    feat = (
+        toks.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_words"),
+            F.expr("n_chars * 10 DIV size(w)").cast("bigint").alias("mean_len_e1"),
+            F.coalesce(
+                F.expr("dupn * 1000000 DIV total"), F.lit(0)
+            ).cast("bigint").alias("dup_bigram_e6"),
+            F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x)))
+            .cast("bigint")
+            .alias("n_stop"),
+        )
+    )
+    return feat.select(
+        "doc_id",
+        "n_words",
+        "mean_len_e1",
+        "dup_bigram_e6",
+        "n_stop",
+        (
+            F.when(F.col("n_words").between(20, 90), 0).otherwise(1)
+            + F.when(F.col("mean_len_e1").between(30, 100), 0).otherwise(2)
+            + F.when(F.col("dup_bigram_e6") <= 120000, 0).otherwise(4)
+            + F.when(F.col("n_stop") >= 1, 0).otherwise(8)
+        ).cast("bigint").alias("fails"),
+    )
+
+
+@register(
+    "q_repetition_top_ngram",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    big AS (
+        SELECT doc_id, w, UNNEST(range(1, len(w))) AS i
+        FROM toks WHERE len(w) >= 2
+    ),
+    bg AS (
+        SELECT doc_id, array_to_string(w[i:i + 1], ' ') AS gram FROM big
+    ),
+    c AS (
+        SELECT doc_id, gram, COUNT(*) AS n FROM bg GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT doc_id, SUM(n) AS total FROM c GROUP BY doc_id
+    ),
+    top AS (
+        SELECT doc_id, gram, n,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, gram) AS r
+        FROM c
+    )
+    SELECT t.doc_id, t.gram AS top_bigram,
+           CAST(t.n AS BIGINT) AS occurrences,
+           CAST(t.n * 1000000 // o.total AS BIGINT) AS top_frac_e6
+    FROM top t JOIN tot o ON o.doc_id = t.doc_id
+    WHERE t.r = 1
+    """,
+    tags=("K4", "P3"),
+)
+def q_repetition_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-common-bigram coverage per document — Gopher's "fraction
+    of characters in the most common n-gram" repetition signal [PK]
+    in token form: boilerplate and spam pages repeat one phrase, and
+    this exact e6 fraction is the filter feature. Tie-break is
+    deterministic (highest count, then lexicographic gram). Plan: one
+    (doc_id, gram) count, a per-doc total as a window sum, and a
+    WindowGroupLimit top-1 — all keyed by doc_id, one shuffle
+    family."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    c = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2), "
+                    "i -> concat_ws(' ', slice(w, i + 1, 2)))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("n"))
+    )
+    w_doc = Window.partitionBy("doc_id")
+    ranked = c.select(
+        "doc_id",
+        "gram",
+        "n",
+        F.sum("n").over(w_doc).alias("total"),
+        F.row_number()
+        .over(w_doc.orderBy(F.col("n").desc(), "gram"))
+        .alias("r"),
+    )
+    return ranked.filter(F.col("r") == 1).select(
+        "doc_id",
+        F.col("gram").alias("top_bigram"),
+        F.col("n").cast("bigint").alias("occurrences"),
+        F.expr("n * 1000000 DIV total").cast("bigint").alias("top_frac_e6"),
+    )
+
+
+@register(
+    "q_dedup_retention_exact",
+    oracle="""
+    WITH planted AS (
+        SELECT doc_id, text, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+               text, n_chars
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    keyed AS (
+        SELECT md5(text) AS ck, doc_id, n_chars FROM planted
+    ),
+    ranked AS (
+        SELECT ck, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY ck
+                                  ORDER BY n_chars DESC, doc_id) AS r,
+               COUNT(*) OVER (PARTITION BY ck) AS members
+        FROM keyed
+    )
+    SELECT CAST(doc_id AS BIGINT) AS kept_doc,
+           CAST(members AS BIGINT) AS n_members,
+           CAST(members - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE r = 1 AND members > 1
+    """,
+    tags=("K1", "P4"),
+)
+def q_dedup_retention_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate RETENTION POLICY: after dedup finds clusters,
+    something must decide which member SURVIVES — best-quality-first
+    (max n_chars, then min doc_id for determinism), reporting the kept
+    representative and dropped count per multi-member cluster. The
+    near-dup sibling (ml/dedup.py q_dedup_keep_best) pays a window
+    sort inside each connected component because near-dup clusters
+    have no key; EXACT clusters do (the text digest), so this spelling
+    is a single hash aggregate carrying an ordered struct — no window,
+    no per-cluster sort, ONE fixed-width-key shuffle regardless of
+    document size: the shape to prefer at 100 TB whenever the cluster
+    key is exact. The fixture has no natural exact dups, so copies of
+    every 25th document are planted in-plan with data-derived id
+    offsets (the q_dedup_semantic pattern). Cluster key is md5(text)
+    for oracle portability — production uses xxhash64 (ml/dedup.py's
+    fast tier, same plan shape)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    maxid = F.broadcast(d.agg((F.max("doc_id") + 1).alias("plant0")))
+    planted = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .crossJoin(maxid)
+        .select(
+            (F.col("doc_id") + F.col("plant0")).alias("doc_id"),
+            "text",
+            "n_chars",
+        )
+    )
+    corpus = d.unionByName(planted)
+    keyed = corpus.select(
+        F.md5("text").alias("ck"), "doc_id", "n_chars"
+    )
+    # best member per cluster: single hash aggregate with an ordered
+    # struct (max of (n_chars, -doc_id) == max n_chars then min id) —
+    # no window, one shuffle on the fixed-width digest
+    agg = keyed.groupBy("ck").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.max(
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("best"),
+    )
+    return agg.filter(F.col("n_members") > 1).select(
+        (-F.col("best.neg_id")).cast("bigint").alias("kept_doc"),
+        "n_members",
+        (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+    )
