@@ -926,3 +926,130 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_custkey HAVING COUNT(*) >= 3 ORDER BY o_custkey
         """
     )
+
+
+@register(
+    "q_sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ),
+    hops(node, hop) AS (
+        SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop
+        UNION ALL
+        SELECT CAST(e.dst AS BIGINT), h.hop + 1
+        FROM hops h JOIN edges e ON e.src = h.node
+        WHERE h.hop < 3
+    )
+    SELECT node, CAST(MIN(hop) AS BIGINT) AS hops
+    FROM hops GROUP BY node
+    """,
+    tags=("SQL", "graph", "N4"),
+)
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4.1 ``WITH RECURSIVE``) — the engine-native
+    iteration surface this repo previously covered only with unrolled
+    chained-CTE plans (q_graph_pagerank discipline) and driver loops:
+    bounded-depth BFS hop counts from nation 0 over the distinct
+    nation trade graph, ``UNION ALL`` recursion with a ``hop < 3``
+    guard and a final MIN(hop) per node. DuckDB runs the IDENTICAL
+    statement, so the two engines' recursion semantics (seed row,
+    per-level join, bound, aggregate-after) are proven to agree.
+
+    Scale shape: each recursion level is one frontier⋈edges shuffle —
+    the same per-round dataflow as the unrolled BFS, but the ENGINE
+    owns the loop (no analysis cost growing with rounds). The known
+    trap at 100 TB is frontier blow-up: UNION ALL recursion re-visits
+    a node once per distinct path (this dense 25-node graph makes
+    ~edges^3 rows at depth 3, harmless here, fatal at scale) and Spark
+    forbids aggregates inside the recursive term, so per-level
+    dedup/min-hop compaction is impossible in-CTE — exactly when the
+    driver-loop spelling with per-round ``groupBy(node).min(hop)``
+    (operators/graph.py) takes over. Both spellings now exist, with
+    the crossover documented."""
+    from ..operators.graph import _trade_base
+
+    edges = (
+        _trade_base(spark, sf_dir)
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges.createOrReplaceTempView("__rec_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE hops(node, hop) AS (
+            SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop
+            UNION ALL
+            SELECT CAST(e.dst AS BIGINT), h.hop + 1
+            FROM hops h JOIN __rec_edges e ON e.src = h.node
+            WHERE h.hop < 3
+        )
+        SELECT node, CAST(MIN(hop) AS BIGINT) AS hops
+        FROM hops GROUP BY node
+        """
+    )
+
+
+@register(
+    "q_sql_variables",
+    oracle="""
+    WITH thr AS (
+        SELECT MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) * 3 // 4
+            AS v
+        FROM orders
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders o CROSS JOIN thr
+    WHERE CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) > thr.v
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("SQL", "N4"),
+)
+def q_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SESSION VARIABLES (Spark 4 ``DECLARE VARIABLE`` /
+    ``SET VAR``) — the parameterized-script surface: a BIGINT
+    threshold is DECLAREd, bound from a scalar subquery over the data
+    (75% of the max order cents — data-dependent, so the test proves
+    the variable carries a real computed value, not parser sugar),
+    then referenced by name in a later statement's WHERE. The oracle
+    inlines the same scalar as a CTE, proving variable binding ==
+    textual substitution to the cent. At scale the SET VAR runs its
+    subquery as an ordinary job and the variable is a driver-resident
+    scalar folded into the consuming plan as a literal — pushdown-
+    friendly (it prunes at the scan exactly like a constant)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__var_orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE __big_thr BIGINT DEFAULT 0"
+    )
+    spark.sql(
+        """
+        SET VAR __big_thr =
+            (SELECT MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    * 3 DIV 4
+             FROM __var_orders)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM __var_orders
+        WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) > __big_thr
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
