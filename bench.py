@@ -162,6 +162,7 @@ HEADLINE = [
     "q_quality_gopher",
     "q_repetition_top_ngram",
     "q_dedup_retention_exact",
+    "q_quality_linear_clf",
     # q_dedup_semantic stays non-headline like q_pipeline_pretrain:
     # at fixture scale it is ANALYSIS-bound (K=16 literal-centroid
     # expressions + 4 fixed kmeans jobs ~= 7.7 s that would not grow

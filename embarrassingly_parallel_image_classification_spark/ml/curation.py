@@ -20,18 +20,21 @@ registry entry yet —
   (Gopher's "fraction of characters in the most common n-gram" [PK])
   — the repetition signal that catches boilerplate/spam; exact e6
   fixed-point fraction, deterministic lexicographic tie-break.
-- ``q_dedup_keep_best``: exact-duplicate RETENTION POLICY — cluster
-  by full-text digest and keep the best member (max n_chars, then
-  min doc_id), reporting kept representative + dropped count per
+- ``q_dedup_retention_exact``: exact-duplicate RETENTION POLICY —
+  cluster by full-text digest and keep the best member (max n_chars,
+  then min doc_id), reporting kept representative + dropped count per
   cluster. This is the decision step every dedup family feeds; md5
   is the cluster key so the oracle is engine-portable (the xxhash64
   fast tier is ml/dedup.py's documented in-Spark upgrade).
+- ``q_quality_linear_clf``: learned-filter INFERENCE (the CCNet /
+  Llama fastText-classifier shape): per-token weight table broadcast
+  onto the token stream, length-normalized integer score, keep bit.
 
-All four are pure DataFrame/SQL — no Python in the hot path — with
+All five are pure DataFrame/SQL — no Python in the hot path — with
 exact DuckDB oracles (integer fixed-point only). Fixture documents
-have no natural exact duplicates, so q_dedup_keep_best plants copies
-in-plan (the q_dedup_semantic pattern: offset ids derived from the
-data, never literal).
+have no natural exact duplicates, so q_dedup_retention_exact plants
+copies in-plan (the q_dedup_semantic pattern: offset ids derived from
+the data, never literal).
 """
 
 from __future__ import annotations
@@ -376,4 +379,77 @@ def q_dedup_retention_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("best.neg_id")).cast("bigint").alias("kept_doc"),
         "n_members",
         (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+    )
+
+
+@register(
+    "q_quality_linear_clf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (SELECT DISTINCT w FROM toks),
+    wt AS (
+        SELECT w,
+               CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % 2001 - 1000
+                    AS BIGINT) AS wgt
+        FROM vocab
+    ),
+    sc AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(wt.wgt) AS BIGINT) AS raw_score
+        FROM toks t JOIN wt ON wt.w = t.w
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(raw_score * 1000 // n_tokens AS BIGINT) AS score_e3,
+           raw_score * 1000 // n_tokens > 0 AS keep
+    FROM sc
+    """,
+    tags=("K4", "J1", "P5"),
+)
+def q_quality_linear_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear QUALITY-CLASSIFIER inference — the CCNet / Llama corpus-
+    filter shape [PK]: a learned per-token weight table scores each
+    document as the length-normalized sum of its tokens' weights, and
+    keep = score > bias. The weight table here is derived
+    deterministically (md5-prefix hash mapped to [-1000, 1000]) so the
+    oracle can rebuild it bit-for-bit — in production it is the
+    fastText/logistic artifact, and ONLY the table contents change,
+    never the plan. Plan: map-only token explode, the vocabulary-sized
+    weight table BROADCASTs onto the token stream (vocab ≪ corpus —
+    the same small-side economics as q_decontaminate's eval grams),
+    one per-doc sum — the corpus is shuffled once by doc_id and never
+    by token. Exact integers end to end: score_e3 is the mean weight
+    in e3 fixed point, the keep bit is an integer comparison."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    wt = (
+        toks.select("w")
+        .distinct()
+        .select(
+            "w",
+            (
+                F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
+                % 2001
+                - 1000
+            ).cast("bigint").alias("wgt"),
+        )
+    )
+    sc = (
+        toks.join(F.broadcast(wt), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("wgt").cast("bigint").alias("raw_score"),
+        )
+    )
+    return sc.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("raw_score * 1000 DIV n_tokens").cast("bigint").alias("score_e3"),
+        (F.expr("raw_score * 1000 DIV n_tokens") > 0).alias("keep"),
     )
