@@ -155,12 +155,12 @@ HEADLINE = [
     "q_privacy_k_anon",
     "q_reconcile_checksum",
     "q_quality_benford",
-    # round-7 curation pack: contamination screen (broadcast semi-join
-    # over train grams — the heaviest new line), Gopher rule bitmask,
-    # repetition signal, exact-cluster retention (window-free agg)
-    "q_decontaminate",
+    # round-7 curation pack: contamination screen (map-side-distinct
+    # grams + broadcast eval join — the r7 plan fix), Gopher rule
+    # bitmask, exact-cluster retention (window-free agg), learned-
+    # filter inference (broadcast weight table)
+    "q_text_decontaminate",
     "q_quality_gopher",
-    "q_repetition_top_ngram",
     "q_dedup_retention_exact",
     "q_quality_linear_clf",
     # q_dedup_semantic stays non-headline like q_pipeline_pretrain:

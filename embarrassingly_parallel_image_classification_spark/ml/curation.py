@@ -2,24 +2,21 @@
 gate-keeping operators between raw crawl and tokenizer that had no
 registry entry yet —
 
-- ``q_decontaminate``: eval-set n-gram CONTAMINATION screen (the
-  GPT-3 appendix-C / Llama decontamination procedure [PK]): a train
-  document is contaminated if it shares any K-gram with the held-out
-  eval set; the screen reports every contaminated doc with its
-  distinct shared-gram count. At 100 TB the eval side is tiny
-  (benchmarks are thousands of documents) — its distinct-gram set
-  broadcasts, so the screen is ONE map-side semi-join over the train
-  grams, never a shuffle of the corpus.
+(Eval-set decontamination lives in ml/text.py
+``q_text_decontaminate`` — round 7 rewired its per-doc gram
+dedup map-side via array_distinct after scripts/decon_probe.py
+showed the explode-then-distinct spelling shuffling every
+corpus gram; a short-lived duplicate query here was folded
+into it.)
 - ``q_quality_gopher``: the Gopher rule filter (Rae et al. 2021
   [PK]) in exact integer arithmetic: word-count bounds, mean-word-
   length bounds, duplicate-bigram fraction cap, minimum stopword
   count — each rule a bit in a fail bitmask so downstream can both
   filter and AUDIT which rule fired. Thresholds are fixture-
   calibrated (documented per rule); the rule *structure* is Gopher's.
-- ``q_repetition_top_ngram``: most-common-bigram coverage per doc
-  (Gopher's "fraction of characters in the most common n-gram" [PK])
-  — the repetition signal that catches boilerplate/spam; exact e6
-  fixed-point fraction, deterministic lexicographic tie-break.
+(The repetition signal already lives in ml/text.py
+``q_text_repetition`` — top-bigram and duplicate-trigram
+fractions; not duplicated here.)
 - ``q_dedup_retention_exact``: exact-duplicate RETENTION POLICY —
   cluster by full-text digest and keep the best member (max n_chars,
   then min doc_id), reporting kept representative + dropped count per
@@ -30,7 +27,7 @@ registry entry yet —
   Llama fastText-classifier shape): per-token weight table broadcast
   onto the token stream, length-normalized integer score, keep bit.
 
-All five are pure DataFrame/SQL — no Python in the hot path — with
+All three are pure DataFrame/SQL — no Python in the hot path — with
 exact DuckDB oracles (integer fixed-point only). Fixture documents
 have no natural exact duplicates, so q_dedup_retention_exact plants
 copies in-plan (the q_dedup_semantic pattern: offset ids derived from
@@ -45,81 +42,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources.tables import t
 
-_DECON_K = 4  # contamination gram width: 79/450 train docs at sf0.01
-_EVAL_MOD = 10  # doc_id % 10 == 7 -> held-out eval split
 _STOP = ("a", "the", "and", "of", "to")  # ml/text.py STOPWORDS
-
-
-def _grams(d: DataFrame, k: int) -> DataFrame:
-    """(doc_id, gram) token k-grams — the substring_spans spelling
-    (ml/cleaning.py) without positions: map-only explode, no shuffle."""
-    return (
-        d.select("doc_id", F.split("text", " ").alias("w"))
-        .filter(F.size("w") >= k)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(w) - {k}), "
-                    f"i -> concat_ws(' ', slice(w, i + 1, {k})))"
-                )
-            ).alias("gram"),
-        )
-    )
-
-
-@register(
-    "q_decontaminate",
-    oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS w FROM documents
-    ),
-    pos AS (
-        SELECT doc_id, w, UNNEST(range(1, len(w) - {_DECON_K - 2})) AS i
-        FROM toks WHERE len(w) >= {_DECON_K}
-    ),
-    grams AS (
-        SELECT doc_id,
-               array_to_string(w[i:i + {_DECON_K - 1}], ' ') AS gram
-        FROM pos
-    ),
-    ev AS (
-        SELECT DISTINCT gram FROM grams WHERE doc_id % {_EVAL_MOD} = 7
-    ),
-    tr AS (
-        SELECT DISTINCT doc_id, gram FROM grams
-        WHERE doc_id % {_EVAL_MOD} <> 7
-    )
-    SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
-    FROM tr JOIN ev USING (gram)
-    GROUP BY tr.doc_id
-    """,
-    tags=("K4", "K2", "P1"),
-)
-def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eval-set contamination screen (GPT-3/Llama decontamination
-    [PK]): flag every TRAIN document sharing a {4}-gram with the EVAL
-    split (here doc_id % 10 == 7 — in production, the benchmark
-    suite), with the distinct shared-gram count as severity. Plan:
-    map-only gram explode on both sides, distinct the small eval gram
-    set, BROADCAST it, one semi-shaped inner join + per-doc count —
-    the train corpus is never shuffled by gram, which is what keeps
-    the screen linear at 100 TB (the eval side is benchmark-sized by
-    construction; if it ever outgrew broadcast the join key is still
-    the gram hash, a plain equi-join)."""
-    d = t(spark, sf_dir, "documents")
-    g = _grams(d, _DECON_K)
-    ev = (
-        g.filter(F.col("doc_id") % _EVAL_MOD == 7)
-        .select("gram")
-        .distinct()
-    )
-    tr = g.filter(F.col("doc_id") % _EVAL_MOD != 7).select("doc_id", "gram").distinct()
-    return (
-        tr.join(F.broadcast(ev), "gram")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("bigint").alias("shared_grams"))
-    )
 
 
 @register(
@@ -176,7 +99,12 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     fewer than 1 stopword. fails == 0 is the keep set; non-zero masks
     say WHY a document was dropped — the audit trail a production
     filter has to keep (bounds fixture-calibrated, structure
-    Gopher's). Plan: one map-side feature select + one per-doc bigram
+    Gopher's). Differs from ml/text.py q_text_quality, which emits RAW
+    quality signals (token count, TTR, stopword ratio) with no
+    decision: this query is the downstream GATE — duplicate-bigram
+    fraction (a signal q_text_quality lacks) plus a composed rule
+    bitmask a pipeline filters on directly.
+    Plan: one map-side feature select + one per-doc bigram
     count (the only shuffle, keyed by doc_id so it co-partitions with
     every other per-doc stage); no Python, no floats."""
     d = t(spark, sf_dir, "documents")
@@ -227,84 +155,6 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("dup_bigram_e6") <= 120000, 0).otherwise(4)
             + F.when(F.col("n_stop") >= 1, 0).otherwise(8)
         ).cast("bigint").alias("fails"),
-    )
-
-
-@register(
-    "q_repetition_top_ngram",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS w FROM documents
-    ),
-    big AS (
-        SELECT doc_id, w, UNNEST(range(1, len(w))) AS i
-        FROM toks WHERE len(w) >= 2
-    ),
-    bg AS (
-        SELECT doc_id, array_to_string(w[i:i + 1], ' ') AS gram FROM big
-    ),
-    c AS (
-        SELECT doc_id, gram, COUNT(*) AS n FROM bg GROUP BY 1, 2
-    ),
-    tot AS (
-        SELECT doc_id, SUM(n) AS total FROM c GROUP BY doc_id
-    ),
-    top AS (
-        SELECT doc_id, gram, n,
-               ROW_NUMBER() OVER (PARTITION BY doc_id
-                                  ORDER BY n DESC, gram) AS r
-        FROM c
-    )
-    SELECT t.doc_id, t.gram AS top_bigram,
-           CAST(t.n AS BIGINT) AS occurrences,
-           CAST(t.n * 1000000 // o.total AS BIGINT) AS top_frac_e6
-    FROM top t JOIN tot o ON o.doc_id = t.doc_id
-    WHERE t.r = 1
-    """,
-    tags=("K4", "P3"),
-)
-def q_repetition_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Most-common-bigram coverage per document — Gopher's "fraction
-    of characters in the most common n-gram" repetition signal [PK]
-    in token form: boilerplate and spam pages repeat one phrase, and
-    this exact e6 fraction is the filter feature. Tie-break is
-    deterministic (highest count, then lexicographic gram). Plan: one
-    (doc_id, gram) count, a per-doc total as a window sum, and a
-    WindowGroupLimit top-1 — all keyed by doc_id, one shuffle
-    family."""
-    from pyspark.sql import Window
-
-    d = t(spark, sf_dir, "documents")
-    c = (
-        d.select("doc_id", F.split("text", " ").alias("w"))
-        .filter(F.size("w") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(w) - 2), "
-                    "i -> concat_ws(' ', slice(w, i + 1, 2)))"
-                )
-            ).alias("gram"),
-        )
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("n"))
-    )
-    w_doc = Window.partitionBy("doc_id")
-    ranked = c.select(
-        "doc_id",
-        "gram",
-        "n",
-        F.sum("n").over(w_doc).alias("total"),
-        F.row_number()
-        .over(w_doc.orderBy(F.col("n").desc(), "gram"))
-        .alias("r"),
-    )
-    return ranked.filter(F.col("r") == 1).select(
-        "doc_id",
-        F.col("gram").alias("top_bigram"),
-        F.col("n").cast("bigint").alias("occurrences"),
-        F.expr("n * 1000000 DIV total").cast("bigint").alias("top_frac_e6"),
     )
 
 

@@ -744,26 +744,35 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the benchmark side is tiny by construction (eval suites are
     MBs; the corpus is TBs), so its DISTINCT 5-gram set is BROADCAST —
     the 100 TB side is never shuffled for the probe; only matched
-    (doc_id, gram) pairs reach the per-doc count. Swap the broadcast
-    for the Bloom build in plans/scale.py when the gram set outgrows
-    the broadcast threshold."""
+    (doc_id, gram) pairs reach the per-doc count. Per-doc gram dedup
+    happens MAP-SIDE (array_distinct before the explode — a doc's
+    grams all live in one array cell): the earlier explode-then-
+    distinct spelling shuffled every corpus gram, which
+    scripts/decon_probe.py measured dominating BOTH join spellings
+    (r7). Swap the broadcast for the Bloom build in plans/scale.py
+    when the gram set outgrows the broadcast threshold."""
     d = t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     # Short-doc guard: sequence(0, size-5) descends when size < 5 and
     # element_at(toks, 0) throws (cf. text.py:231).
     grams = F.when(
         F.size(toks) >= 5,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 5),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(5)]
-            ),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 5),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(5)]
+                ),
+            )
         ),
     ).otherwise(F.array().cast("array<string>"))
     is_bench = F.col("doc_id") % 43 == 0
     exploded = d.select("doc_id", F.explode(grams).alias("gram"))
     bench_grams = exploded.filter(is_bench).select("gram").distinct()
-    corpus_grams = exploded.filter(~is_bench).distinct()
+    # no corpus-side distinct: per-doc dedup already happened in the
+    # array; cross-doc duplicates are exactly what the per-doc count
+    # keys on, so a (doc_id, gram) shuffle here would be pure waste
+    corpus_grams = exploded.filter(~is_bench)
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")

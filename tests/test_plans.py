@@ -234,6 +234,9 @@ _CARTESIAN_OK = {
                              # the single-row funnel report
     "q_agg_equidepth",       # 1-row total-count scalar broadcast for
                              # the NTILE closed-form bucket rule
+    "q_dedup_retention_exact",  # 1-row max-doc-id plant-offset scalar
+                                # crossed onto the planted-copy subset
+                                # (q_dedup_semantic's offset pattern)
     "q_market_basket",       # 1-row order-count scalar crossed into
                              # the lift denominator
     "q_eval_pr_curve",       # 1-row positives-total scalar broadcast

@@ -97,20 +97,18 @@ def test_registry_driver_window_ordering():
     last_oracle = max(i for i, n in enumerate(names) if specs[n].oracle is not None)
     assert first_rows_only > last_oracle
     must_be_inside = {
-        # round-6 rotation: the 28 queries with no driver-verified row
-        # after rounds 1-5 (the whole set is pinned in
-        # registry._DRIVER_PRIORITY; spot-check representatives here)
-        "q_embed_centroids", "q_text_inverted_index", "q_text_bm25",
-        "q_corpus_shuffle", "q_lake_snapshots", "q_lake_merge",
-        "q_lake_stream_ingest", "q_lake_schema_evolution",
-        "q_eval_auc", "q_infer_many_models", "q_timeseries_trend",
-        "q_anomaly_3sigma", "q_sql_scripting", "q_scan_provenance",
-        # round-6 in-round additions: every one is oracle-backed and
-        # never driver-verified, so each outranks re-verification
-        # canaries for a window slot (spot-check representatives)
-        "q_skyline", "q_timeseries_twap", "q_lake_zorder",
-        "q_lake_erase", "q_anomaly_mad", "q_mine_hard_negatives",
-        "q_pareto_8020",
+        # round-7 rotation (r6 verdict item 1): the never-driver-
+        # verified tail leads — spot-check representatives across the
+        # M/N/O families and the r6-session additions (the full
+        # 50-name tuple is pinned in registry._DRIVER_PRIORITY;
+        # update these alongside each rotation)
+        "q_ab_test", "q_bitmap_audience", "q_changepoint_cusum",
+        "q_dedup_containment", "q_lake_clone", "q_graph_shortest_path",
+        "q_market_basket", "q_dedup_substring", "q_split_kfold",
+        "q_lake_partition_evolution", "q_join_spatial_radius",
+        "q_multimodal_dup_frames", "q_lake_branch_merge",
+        "q_udf_window_agg", "q_lake_merge_when", "q_scan_merge_schema",
+        "q_infer_quantized", "q_eval_pr_curve",
     }
     assert must_be_inside <= set(window), must_be_inside - set(window)
     # canaries fill whatever window slots remain after the
