@@ -664,20 +664,22 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (id, tag, short gram); the per-doc reduce is a second map-side
     partial agg on doc_id alone. Both signals ride the same exploded
     frame, so the corpus is scanned once."""
-    d = t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # bind the token array as a column FIRST: inlining F.split into the
+    # per-position element_at calls re-split the text ~n·len times per
+    # row (O(len²) expression work — the q_text_decontaminate 6.3 s
+    # headline regression, r7); slice() on the bound array is O(len)
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
 
     def grams(n: int):
         # Guard short docs: sequence(0, size-n) DESCENDS when size < n
-        # and element_at(toks, 0) then throws at runtime (same pitfall
-        # documented at the shingle builder above, text.py:231).
+        # (same pitfall documented at the shingle builder, text.py:231).
         return F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-                ),
+            F.size("w") >= n,
+            F.expr(
+                f"transform(sequence(0, size(w) - {n}), "
+                f"i -> concat_ws(' ', slice(w, i + 1, {n})))"
             ),
         ).otherwise(F.array().cast("array<string>"))
 
@@ -752,22 +754,26 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r7). Swap the broadcast for the Bloom build in plans/scale.py
     when the gram set outgrows the broadcast threshold."""
     d = t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    # Short-doc guard: sequence(0, size-5) descends when size < 5 and
-    # element_at(toks, 0) throws (cf. text.py:231).
+    # materialize the token array as a COLUMN before the lambda: the
+    # earlier spelling inlined F.split into five element_at calls per
+    # gram position, so every row re-split its text ~5·len times —
+    # O(len²) expression work that made this the slowest headline line
+    # (6.3 s at sf0.1; 1.6 s after this fix). slice() on the bound
+    # array replaces the per-j element_at fan-out.
+    toks_df = d.select("doc_id", F.split("text", " ").alias("w"))
+    # Short-doc guard: sequence(0, size-5) descends when size < 5
+    # (cf. text.py:231).
     grams = F.when(
-        F.size(toks) >= 5,
+        F.size("w") >= 5,
         F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 5),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j + 1) for j in range(5)]
-                ),
+            F.expr(
+                "transform(sequence(0, size(w) - 5), "
+                "i -> concat_ws(' ', slice(w, i + 1, 5)))"
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
     is_bench = F.col("doc_id") % 43 == 0
-    exploded = d.select("doc_id", F.explode(grams).alias("gram"))
+    exploded = toks_df.select("doc_id", F.explode(grams).alias("gram"))
     bench_grams = exploded.filter(is_bench).select("gram").distinct()
     # no corpus-side distinct: per-doc dedup already happened in the
     # array; cross-doc duplicates are exactly what the per-doc count

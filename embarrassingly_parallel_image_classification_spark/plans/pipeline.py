@@ -269,18 +269,20 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     surv = kept.join(near_drop, "doc_id", "left_anti")
     # decontamination grams over the ORIGINAL corpus (benchmark slice
-    # included), exactly as q_text_decontaminate
-    toks = F.split("text", " ")
+    # included), exactly as q_text_decontaminate — token array bound
+    # as a column first (the inlined-split spelling re-split the text
+    # per element_at: O(len²), the r7 headline regression)
+    toks_df = docs.select("doc_id", F.split("text", " ").alias("w"))
     grams = F.when(
-        F.size(toks) >= 5,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 5),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(5)]
-            ),
+        F.size("w") >= 5,
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(w) - 5), "
+                "i -> concat_ws(' ', slice(w, i + 1, 5)))"
+            )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = docs.select("doc_id", F.explode(grams).alias("gram"))
+    exploded = toks_df.select("doc_id", F.explode(grams).alias("gram"))
     is_bench = F.col("doc_id") % 43 == 0
     bench = exploded.filter(is_bench).select("gram").distinct()
     contaminated = (
