@@ -319,8 +319,11 @@ def main() -> None:
         "n_queries": len(timings),
         # Frozen cross-round comparators (same query sets as the
         # driver's r1 / r5 bench records — see SUBSET22/SUBSET38).
-        "subset22_sec": round(sum(timings[q] for q in SUBSET22 if q in timings), 3),
-        "subset38_sec": round(sum(timings[q] for q in SUBSET38 if q in timings), 3),
+        # Every member MUST be present: silently summing fewer would
+        # fake a speedup against the append-only cross-round history
+        # (review finding r7).
+        "subset22_sec": round(sum(timings[q] for q in SUBSET22), 3),
+        "subset38_sec": round(sum(timings[q] for q in SUBSET38), 3),
         "slowest5": dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[:5]
         ),

@@ -73,15 +73,18 @@ def current_version(path: str) -> int:
 # rates (a 10k-commit table re-reads 10k files per DESCRIBE HISTORY).
 # `_metalog.jsonl` is ONE append-only sidecar: each commit appends a
 # tiny summary line after its link(2) claim; vacuum appends a
-# tombstone after expiring a manifest. Readers take one listdir (the
-# version high-water mark — also the total-ordering source, so the
-# metalog can never serve a version the manifests don't have) plus one
-# sequential file read. The metalog is a CACHE, never truth: a line
-# missing for a live manifest (writer crashed between link and append,
-# or a pre-metalog table) is healed by opening just that manifest and
-# re-appending; a line present for a vacuumed manifest is healed with
-# a tombstone. Steady state: 2 filesystem objects touched regardless
-# of version count (pinned by test_lakehouse_metalog_access_count).
+# tombstone BEFORE expiring a manifest (so a summary line can never
+# outlive its manifest — a crash between the two leaves a tombstoned-
+# but-present manifest, benign because the version was already past
+# retention and the next vacuum re-sweeps it). Readers take one
+# listdir (the version high-water mark — also the total-ordering
+# source, so the metalog can never serve a version the manifests
+# don't have) plus one sequential file read. The metalog is a CACHE,
+# never truth: a line missing for a live manifest (writer crashed
+# between link and append, or a pre-metalog table) is healed by
+# opening just that manifest and re-appending. Steady state: 2
+# filesystem objects touched regardless of version count (pinned by
+# test_lakehouse_metalog_access_count).
 
 
 def _metalog_path(path: str) -> str:
@@ -114,12 +117,13 @@ def _metalog_append(path: str, rec: dict) -> None:
         pass
 
 
-def _metalog_entries(path: str) -> dict[int, dict]:
-    """Summary records for every LIVE version 1..current, in one
-    metalog read + one listdir — healing gaps (crashed appends,
-    pre-metalog tables: open just those manifests) and stale lines
-    (vacuumed versions: tombstone) as it goes, so the next reader is
-    back to the 2-object fast path."""
+def _metalog_scan(path: str) -> tuple[dict[int, dict], int]:
+    """(summary records for every LIVE version 1..latest, the latest
+    this scan PROBED TO) in one metalog read + one listdir — healing
+    gaps (crashed appends, pre-metalog tables: open just those
+    manifests) as it goes, so the next reader is back to the 2-object
+    fast path. The returned latest is what a compaction may safely
+    write as its floor."""
     latest = current_version(path)
     entries: dict[int, dict] = {}
     tombs: set[int] = set()
@@ -158,7 +162,12 @@ def _metalog_entries(path: str) -> dict[int, dict]:
             continue
         entries[v] = _summary_of(m, v)
         _metalog_append(path, entries[v])
-    return {v: entries[v] for v in sorted(entries) if v <= latest}
+    return {v: entries[v] for v in sorted(entries) if v <= latest}, latest
+
+
+def _metalog_entries(path: str) -> dict[int, dict]:
+    entries, _latest = _metalog_scan(path)
+    return entries
 
 
 def _metalog_compact(path: str) -> None:
@@ -169,16 +178,20 @@ def _metalog_compact(path: str) -> None:
     concurrent appenders: a line appended between our read and the
     atomic os.replace is lost from the FILE but not from the SYSTEM —
     the manifests stay truth, so the next reader heals the miss (a
-    lost summary re-reads one manifest; a lost tombstone re-probes one
-    missing file) and re-appends it."""
-    entries = _metalog_entries(path)
+    lost summary re-reads one manifest) and re-appends it. The floor
+    written is EXACTLY the latest the scan probed to — a fresh
+    current_version() here could exceed it (a writer committing
+    between scan and rewrite), and a floor above an un-probed version
+    would hide that live version from every future reader (review
+    finding r7)."""
+    entries, scanned_latest = _metalog_scan(path)
     tmp = _metalog_path(path) + f".tmp{uuid.uuid4().hex}"
     try:
         with open(tmp, "w") as f:
             # the floor replaces every tombstone: no UN-listed version
             # <= floor is ever probed again, so expired versions cost
             # zero lines and zero syscalls after compaction
-            f.write(json.dumps({"floor": current_version(path)}) + "\n")
+            f.write(json.dumps({"floor": scanned_latest}) + "\n")
             for _v, rec in sorted(entries.items()):
                 f.write(json.dumps(rec) + "\n")
         os.replace(tmp, _metalog_path(path))
@@ -716,12 +729,18 @@ def vacuum(
                 # guards data files and tmps, NOT linked manifests) —
                 # versions newer than the horizon are always kept
                 if v not in keep_versions and v <= latest:
+                    # tombstone BEFORE the remove (review finding r7):
+                    # a crash in between leaves a tombstoned-but-
+                    # present manifest — benign (the version was past
+                    # retention; the next vacuum's listdir re-sweeps
+                    # it). The reverse order left a summary line for a
+                    # DELETED manifest, which no reader ever re-probes
+                    # (the heal loop only probes versions with no
+                    # line), so table_history kept reporting a dead
+                    # version and asof resolution could 404 on it.
+                    _metalog_append(path, {"version": v, "vacuumed": True})
                     os.remove(full)
                     removed.append(name)  # same contract as catalog_vacuum
-                    # tombstone AFTER the remove: a crash in between
-                    # leaves a missing manifest the metalog reader
-                    # heals into a tombstone on next read
-                    _metalog_append(path, {"version": v, "vacuumed": True})
     # fold accumulated tombstone/override lines into one line per live
     # version — vacuum is the maintenance point, same as Iceberg's
     # periodic metadata rewrite

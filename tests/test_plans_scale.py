@@ -2013,3 +2013,35 @@ def test_lakehouse_metalog_access_count(spark, tmp_path, monkeypatch):
         lines = [ln for ln in f if ln.strip()]
     assert len(lines) == 6
     assert _json.loads(lines[0]) == {"floor": 203}
+
+
+def test_lakehouse_metalog_tombstone_crash_window_is_benign(spark, tmp_path):
+    """vacuum writes the tombstone BEFORE removing a manifest (review
+    finding r7: the reverse order left a summary line for a DELETED
+    manifest that no reader re-probes — history kept reporting a dead
+    version and AS OF resolution could 404). The crash window is now a
+    tombstoned-but-present manifest, which must be (a) hidden from
+    history, (b) still directly readable, and (c) swept by the next
+    vacuum's listdir pass."""
+    import json as _json
+    import os as _os
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    for _ in range(3):
+        lakehouse.snapshot_write(df, path, "append")
+    # simulate the crash: tombstone appended, manifest NOT yet removed
+    lakehouse._metalog_append(path, {"version": 1, "vacuumed": True})
+    hist = lakehouse.table_history(path)
+    assert [h["version"] for h in hist] == [2, 3]  # hidden from history
+    assert lakehouse.snapshot_read(spark, path, 1).count() == 10  # readable
+    lakehouse.vacuum(path, retain_versions=2)  # re-sweeps the orphan
+    assert not _os.path.exists(lakehouse._manifest_path(path, 1))
+    assert [h["version"] for h in lakehouse.table_history(path)] == [2, 3]
+    # compacted log: floor line + the two live versions, no tombstones
+    with open(lakehouse._metalog_path(path)) as f:
+        recs = [_json.loads(ln) for ln in f if ln.strip()]
+    assert recs[0] == {"floor": 3}
+    assert [r["version"] for r in recs[1:]] == [2, 3]
