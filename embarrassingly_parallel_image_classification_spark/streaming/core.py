@@ -43,6 +43,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as a bounded file stream — the crawl-ingest
+    shape (new shards arriving continuously) the curation gates run
+    on in production. Schema from a footer-only batch read, same as
+    events_stream; no ts normalization needed (no timestamp col)."""
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def run_to_memory(result: DataFrame, mode: str) -> DataFrame:
     """Run a (bounded) streaming DataFrame to completion into a memory
     sink; return the sink as a batch DataFrame.

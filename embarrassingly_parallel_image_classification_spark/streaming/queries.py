@@ -957,3 +957,69 @@ def q_stream_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "complete")
+
+
+@register(
+    "q_stream_quality_gate",
+    oracle=f"""
+    WITH feat AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_words,
+               n_chars * 10 // len(string_split(text, ' ')) AS mean_len_e1,
+               len(list_filter(string_split(text, ' '),
+                   x -> list_contains({list(("a", "the", "and", "of", "to"))}, x)))
+                   AS n_stop
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_words BETWEEN 20 AND 90
+                          AND mean_len_e1 BETWEEN 30 AND 100
+                          AND n_stop >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM feat GROUP BY source
+    """,
+    tags=("I1", "K4", "P2", "streaming"),
+)
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING curation gate — the crawl-ingest twin of
+    q_quality_gopher: documents arrive as a file stream (new shards
+    landing continuously in production) and each microbatch applies
+    the MAP-SIDE quality rules (word-count bounds, mean-word-length
+    e1 bounds, stopword floor — the three rules computable from one
+    row with no per-doc aggregation; the duplicate-bigram rule needs
+    a per-doc gram count and stays batch-side by design, documented
+    here), then folds keep/drop counts per source into streaming
+    state. availableNow + complete mode makes the final counts the
+    batch answer, so the oracle is the same SQL the batch gate would
+    check — stream-batch equivalence, the I-family discipline. At
+    scale this is the shape that gates an ingest firehose: per-row
+    rules are stateless map work, the only state is |sources|
+    counters."""
+    from .core import documents_stream
+
+    d = documents_stream(spark, sf_dir)
+    toks = d.select(
+        "source", F.split("text", " ").alias("w"), "n_chars"
+    )
+    stop_arr = F.array(*[F.lit(s) for s in ("a", "the", "and", "of", "to")])
+    feat = toks.select(
+        "source",
+        F.size("w").alias("n_words"),
+        F.expr("n_chars * 10 DIV size(w)").alias("mean_len_e1"),
+        F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x))).alias(
+            "n_stop"
+        ),
+    )
+    agg = feat.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("n_words").between(20, 90)
+                & F.col("mean_len_e1").between(30, 100)
+                & (F.col("n_stop") >= 1),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_kept"),
+    )
+    return run_to_memory(agg, "complete")
