@@ -163,6 +163,9 @@ HEADLINE = [
     "q_quality_gopher",
     "q_dedup_retention_exact",
     "q_quality_linear_clf",
+    # round-7 active-learning selection: margin sampling over the
+    # quantized integer kernel, global top-K (TakeOrderedAndProject)
+    "q_select_uncertain",
     # q_dedup_semantic stays non-headline like q_pipeline_pretrain:
     # at fixture scale it is ANALYSIS-bound (K=16 literal-centroid
     # expressions + 4 fixed kmeans jobs ~= 7.7 s that would not grow

@@ -702,6 +702,30 @@ def q_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QSHIFT, _QSTEP = 1_000_000, 16_384  # e6 shift to nonneg; ~int8 step
+_QXS_EXPR = (
+    f"transform(embedding, v -> "
+    f"CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT) + {_QSHIFT})"
+)
+
+
+def _quant_centroids(emb):
+    """Exact-integer quantized per-label centroids for the INT8 serving
+    kernel: (SUM(xs) DIV n) DIV step, collected bounded (classes × dim
+    rows). Shared by q_infer_quantized and q_select_uncertain so the
+    quantization ladder has exactly one definition."""
+    rows = (
+        emb.select("label", F.posexplode(F.expr(_QXS_EXPR)).alias("pos", "xs"))
+        .groupBy("label", "pos")
+        .agg(F.expr(f"(SUM(xs) DIV COUNT(*)) DIV {_QSTEP}").alias("cq"))
+        .collect()
+    )
+    labels = sorted({r["label"] for r in rows})
+    dim = max(r["pos"] for r in rows) + 1
+    cents = np.zeros((len(labels), dim), dtype=np.int64)
+    lidx = {lab: i for i, lab in enumerate(labels)}
+    for r in rows:
+        cents[lidx[r["label"]], r["pos"]] = r["cq"]
+    return cents, np.asarray(labels, dtype=np.int64)
 
 
 _QUANT_ORACLE = f"""
@@ -754,24 +778,8 @@ def q_infer_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     the J1 flagship: tiny centroid collect, one Iterator-pandas-UDF
     scan, no shuffle."""
     emb = t(spark, sf_dir, "embeddings")
-    xs_expr = (
-        f"transform(embedding, v -> "
-        f"CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT) + {_QSHIFT})"
-    )
-    # exact-integer quantized centroids: (SUM(xs) DIV n) DIV step
-    rows = (
-        emb.select("label", F.posexplode(F.expr(xs_expr)).alias("pos", "xs"))
-        .groupBy("label", "pos")
-        .agg(F.expr(f"(SUM(xs) DIV COUNT(*)) DIV {_QSTEP}").alias("cq"))
-        .collect()
-    )  # bounded: n_classes × dim rows
-    labels = sorted({r["label"] for r in rows})
-    dim = max(r["pos"] for r in rows) + 1
-    cents = np.zeros((len(labels), dim), dtype=np.int64)
-    lidx = {lab: i for i, lab in enumerate(labels)}
-    for r in rows:
-        cents[lidx[r["label"]], r["pos"]] = r["cq"]
-    labs = np.asarray(labels, dtype=np.int64)
+    cents, labs = _quant_centroids(emb)
+    xs_expr = _QXS_EXPR
 
     from pyspark.sql.functions import pandas_udf
 
@@ -867,3 +875,96 @@ def q_eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("tp * 1000000 DIV cum").alias("precision_e6"),
         F.expr("tp * 1000000 DIV np").alias("recall_e6"),
     )
+
+
+_UNCERTAIN_K = 64
+
+_UNCERTAIN_ORACLE = f"""
+    WITH xe AS (
+        SELECT vec_id, label,
+               UNNEST(range(1, len(embedding) + 1)) AS pos,
+               UNNEST(list_transform(CAST(embedding AS DOUBLE[]),
+                   v -> CAST(ROUND(v * 1000000) AS BIGINT) + {_QSHIFT}))
+                   AS xs
+        FROM embeddings
+    ),
+    xq AS (SELECT vec_id, label, pos, xs // {_QSTEP} AS xq FROM xe),
+    cent AS (
+        SELECT label AS cl, pos,
+               (CAST(SUM(xs) AS BIGINT) // COUNT(*)) // {_QSTEP} AS cq
+        FROM xe GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT vec_id, cl,
+               SUM((xq - cq) * (xq - cq)) AS dist
+        FROM xq JOIN cent USING (pos)
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT vec_id, cl, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cl) AS rn
+        FROM d
+    ),
+    m AS (
+        SELECT vec_id,
+               MIN(CASE WHEN rn = 1 THEN cl END) AS pred,
+               CAST(MIN(CASE WHEN rn = 2 THEN dist END)
+                    - MIN(CASE WHEN rn = 1 THEN dist END) AS BIGINT)
+                   AS margin
+        FROM r GROUP BY vec_id
+    )
+    SELECT vec_id, CAST(pred AS BIGINT) AS pred, margin
+    FROM m ORDER BY margin, vec_id LIMIT {_UNCERTAIN_K}
+"""
+
+
+@register("q_select_uncertain", oracle=_UNCERTAIN_ORACLE, tags=("J1", "J3", "F2"))
+def q_select_uncertain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTIVE-LEARNING selection by margin sampling — the step after
+    batch inference in every label-efficient retraining loop [PK]:
+    rank unlabeled examples by the margin between their two nearest
+    classes (small margin = the model can't decide = the most
+    informative next label) and take the K most uncertain. Runs on
+    the INT8-quantized integer kernel (q_infer_quantized's ladder,
+    shared via _quant_centroids), so the margin d2 − d1 is an exact
+    BIGINT both engines agree on bit-for-bit — a float margin would
+    make the top-K boundary engine-dependent on near-ties. Ties at
+    the K boundary break by vec_id; ties between classes break by
+    smallest label (stable argsort == ROW_NUMBER ORDER BY dist, cl).
+    Plan: the same one-pass Arrow-batched scan as the J1 flagship
+    (tiny centroid collect, no shuffle), then a global top-K =
+    TakeOrderedAndProject — scale-safe at any corpus size, and at
+    100 TB the selection is exactly the map-side-scored,
+    heap-merged shape a fleet-wide labeling queue needs."""
+    from pyspark.sql.functions import pandas_udf
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents, labs = _quant_centroids(emb)
+
+    @pandas_udf("struct<pred: bigint, margin: bigint>")
+    def score_margin(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        C = np.ascontiguousarray(cents)  # (k, d) int64
+        for s in batches:
+            X = np.stack(s.to_numpy()).astype(np.int64)  # (n, d)
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            idx = np.argsort(d, axis=1, kind="stable")  # ties -> low label
+            rows = np.arange(d.shape[0])
+            best, second = idx[:, 0], idx[:, 1]
+            yield pd.DataFrame(
+                {
+                    "pred": labs[best],
+                    "margin": d[rows, second] - d[rows, best],
+                }
+            )
+
+    xq = emb.select(
+        "vec_id",
+        F.expr(f"transform({_QXS_EXPR}, x -> x DIV {_QSTEP})").alias("xq"),
+    )
+    scored = xq.select("vec_id", score_margin("xq").alias("s")).select(
+        "vec_id",
+        F.col("s.pred").cast("bigint").alias("pred"),
+        F.col("s.margin").cast("bigint").alias("margin"),
+    )
+    return scored.orderBy("margin", "vec_id").limit(_UNCERTAIN_K)
