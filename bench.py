@@ -166,6 +166,8 @@ HEADLINE = [
     # round-7 active-learning selection: margin sampling over the
     # quantized integer kernel, global top-K (TakeOrderedAndProject)
     "q_select_uncertain",
+    # round-7 filtered vector search (pre-filter tier, exact recall)
+    "q_knn_filtered",
     # q_dedup_semantic stays non-headline like q_pipeline_pretrain:
     # at fixture scale it is ANALYSIS-bound (K=16 literal-centroid
     # expressions + 4 fixed kmeans jobs ~= 7.7 s that would not grow

@@ -917,3 +917,61 @@ def q_knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < N_QUERIES),
         index=ensure_ivfpq_residual_index(spark, sf_dir),
     )
+
+
+_FILTER_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         scored AS (
+           SELECT q.qid, e.vec_id, e.label,
+                  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               q.q_emb), 6) AS sim
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.qid AND e.label % 2 = 0
+         )
+    SELECT qid, vec_id, CAST(label AS BIGINT) AS label, sim, rank FROM (
+        SELECT qid, vec_id, label, sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register("q_knn_filtered", oracle=_FILTER_ORACLE, tags=("K3", "B2", "F3"))
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-k among only the vectors passing a
+    metadata predicate (here label % 2 = 0; in production a tenant,
+    language, or license filter), the composition every vector store
+    has to get right [PK — pgvector/Milvus/Lucene filtered-ANN]. This
+    is the PRE-FILTER spelling: the predicate applies BEFORE scoring,
+    so recall is exact by construction and the scan does less work —
+    correct whenever the predicate is Catalyst-pushable (here it
+    reaches the parquet scan as a pushed filter). The alternatives and
+    the crossover are the docstring's point at 100 TB: POST-FILTER ANN
+    (probe the index, then filter) loses recall as selectivity drops
+    (top-k may be entirely filtered away — the k·1/selectivity
+    over-fetch rule of thumb), while pre-filter on an IVF index means
+    per-cell predicate evaluation; production engines switch on
+    estimated selectivity (pre-filter when selective, over-fetch
+    post-filter when not). The exact pre-filter tier here is BOTH the
+    high-selectivity production path AND the recall oracle for any
+    approximate filtered tier."""
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("label") % 2 == 0)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    pairs = corpus.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.round(cosine("embedding", "q_emb"), 6).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )

@@ -194,6 +194,9 @@ _CARTESIAN_OK = {
     "q_join_asof",           # C9 oracle-shape uses a range pairing
     "q_knn_exact",           # broadcast crossJoin vs tiny query side
     "q_knn_exact_pandas",    # same query-side broadcast
+    "q_knn_filtered",        # pre-filtered corpus × tiny query side
+                             # (q_knn_exact's shape behind a pushed
+                             # metadata predicate)
     "q_dedup_embedding",     # demoted all-pairs verifier (docstring'd)
     "q_dedup_ngram_jaccard", # exact-Jaccard verifier (docstring'd)
     "q_tpch_q11",            # 1-row global-total scalar into HAVING
