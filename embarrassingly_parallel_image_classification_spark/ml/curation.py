@@ -41,8 +41,18 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.tables import t
+from .text import STOPWORDS as _STOP
+from .text import word_ngrams
 
-_STOP = ("a", "the", "and", "of", "to")  # ml/text.py STOPWORDS
+# Gopher rule thresholds (fixture-calibrated; structure Rae et al.) —
+# module-level so the batch gate, its oracle, and the STREAMING twin
+# (streaming/queries.py q_stream_quality_gate) share ONE definition
+# and the documented batch/stream equivalence cannot silently drift
+# (review finding r7).
+GOPHER_WORDS = (20, 90)         # word-count bounds
+GOPHER_MEANLEN_E1 = (30, 100)   # mean word length, e1 fixed point
+GOPHER_DUP_E6 = 120_000         # duplicate-bigram fraction cap, e6
+GOPHER_MIN_STOP = 1             # stopword floor
 
 
 @register(
@@ -82,10 +92,10 @@ _STOP = ("a", "the", "and", "of", "to")  # ml/text.py STOPWORDS
     )
     SELECT doc_id, n_words, mean_len_e1, dup_bigram_e6, n_stop,
            CAST(
-               CASE WHEN n_words BETWEEN 20 AND 90 THEN 0 ELSE 1 END
-               + CASE WHEN mean_len_e1 BETWEEN 30 AND 100 THEN 0 ELSE 2 END
-               + CASE WHEN dup_bigram_e6 <= 120000 THEN 0 ELSE 4 END
-               + CASE WHEN n_stop >= 1 THEN 0 ELSE 8 END
+               CASE WHEN n_words BETWEEN {GOPHER_WORDS[0]} AND {GOPHER_WORDS[1]} THEN 0 ELSE 1 END
+               + CASE WHEN mean_len_e1 BETWEEN {GOPHER_MEANLEN_E1[0]} AND {GOPHER_MEANLEN_E1[1]} THEN 0 ELSE 2 END
+               + CASE WHEN dup_bigram_e6 <= {GOPHER_DUP_E6} THEN 0 ELSE 4 END
+               + CASE WHEN n_stop >= {GOPHER_MIN_STOP} THEN 0 ELSE 8 END
            AS BIGINT) AS fails
     FROM feat
     """,
@@ -108,18 +118,15 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (the only shuffle, keyed by doc_id so it co-partitions with
     every other per-doc stage); no Python, no floats."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("w"), "n_chars")
+    # tokenize ONCE: toks feeds two consumers (the bigram count and
+    # the feature select) — materialize it instead of re-scanning and
+    # re-splitting per consumer (review finding r7; the
+    # q_market_basket rule)
+    toks = d.select(
+        "doc_id", F.split("text", " ").alias("w"), "n_chars"
+    ).localCheckpoint(eager=True)
     dup = (
-        toks.filter(F.size("w") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(w) - 2), "
-                    "i -> concat_ws(' ', slice(w, i + 1, 2)))"
-                )
-            ).alias("gram"),
-        )
+        toks.select("doc_id", F.explode(word_ngrams(2)).alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count("*").alias("n"))
         .groupBy("doc_id")
@@ -150,10 +157,10 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_bigram_e6",
         "n_stop",
         (
-            F.when(F.col("n_words").between(20, 90), 0).otherwise(1)
-            + F.when(F.col("mean_len_e1").between(30, 100), 0).otherwise(2)
-            + F.when(F.col("dup_bigram_e6") <= 120000, 0).otherwise(4)
-            + F.when(F.col("n_stop") >= 1, 0).otherwise(8)
+            F.when(F.col("n_words").between(*GOPHER_WORDS), 0).otherwise(1)
+            + F.when(F.col("mean_len_e1").between(*GOPHER_MEANLEN_E1), 0).otherwise(2)
+            + F.when(F.col("dup_bigram_e6") <= GOPHER_DUP_E6, 0).otherwise(4)
+            + F.when(F.col("n_stop") >= GOPHER_MIN_STOP, 0).otherwise(8)
         ).cast("bigint").alias("fails"),
     )
 
@@ -274,9 +281,11 @@ def q_quality_linear_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     by token. Exact integers end to end: score_e3 is the mean weight
     in e3 fixed point, the keep bit is an integer comparison."""
     d = t(spark, sf_dir, "documents")
+    # tokenize ONCE: the token stream feeds the vocab/weight build AND
+    # the scoring join (review finding r7; the q_market_basket rule)
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
-    )
+    ).localCheckpoint(eager=True)
     wt = (
         toks.select("w")
         .distinct()

@@ -48,17 +48,25 @@ _KNN_ORACLE = f"""
 
 
 
-def knn_exact(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+def knn_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries`` must be small (it is broadcast). Excludes self-matches.
-    Returns (qid, vec_id, sim, rank).
-    """
+    Returns (qid, vec_id, *carry, sim, rank) — ``carry`` names extra
+    corpus columns passed through to the result (q_knn_filtered rides
+    its metadata column this way instead of re-typing the whole
+    tie-break/rounding contract — review finding r7)."""
     q = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
     pairs = corpus.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
     scored = pairs.select(
         "qid",
         "vec_id",
+        *carry,
         F.round(cosine("embedding", "q_emb"), 6).alias("sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -958,20 +966,8 @@ def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-selectivity production path AND the recall oracle for any
     approximate filtered tier."""
     emb = t(spark, sf_dir, "embeddings")
-    corpus = emb.filter(F.col("label") % 2 == 0)
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    corpus = emb.filter(F.col("label") % 2 == 0).withColumn(
+        "label", F.col("label").cast("bigint")
     )
-    pairs = corpus.crossJoin(F.broadcast(q)).filter(
-        F.col("vec_id") != F.col("qid")
-    )
-    scored = pairs.select(
-        "qid",
-        "vec_id",
-        F.col("label").cast("bigint").alias("label"),
-        F.round(cosine("embedding", "q_emb"), 6).alias("sim"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= TOP_K
-    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return knn_exact(corpus, queries, TOP_K, carry=("label",))

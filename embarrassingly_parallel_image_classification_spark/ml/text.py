@@ -24,6 +24,37 @@ BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 STOPWORDS = ("a", "the", "and", "of", "to")
 
 
+def word_ngrams(n: int, w: str = "w", distinct: bool = False):
+    """Column expression: token n-grams of the BOUND array column
+    ``w`` — THE one definition of the word-n-gram spelling (it was
+    copy-pasted in four modules and the r7 O(len²) inlined-split bug
+    had to be patched in two of them simultaneously — review finding).
+    Rules it encodes: (1) the token array must be a bound COLUMN, not
+    an inlined split() (Catalyst does not subexpression-eliminate
+    across lambda boundaries, so inlining re-splits per position —
+    the r7 6.3 s headline regression); (2) each gram is n O(1)
+    element_at lookups, not slice() (the slice spelling copies an
+    O(len) sub-array per gram — ml/dedup.py shingles() measured it
+    ~2.4× slower); (3) short-doc guard — sequence DESCENDS when
+    size < n, so the guard returns an empty array instead;
+    (4) ``distinct=True`` dedups PER DOC inside the array cell,
+    map-side — never explode-then-distinct, which shuffles every gram
+    in the corpus (the decon-probe finding)."""
+    parts = ", ".join(
+        f"element_at({w}, i + {j})" if j else f"element_at({w}, i)"
+        for j in range(n)
+    )
+    inner = F.expr(
+        f"transform(sequence(1, size({w}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+    if distinct:
+        inner = F.array_distinct(inner)
+    return F.when(F.size(w) >= n, inner).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 @register(
     "q_text_wordcount",
     oracle="""
@@ -672,21 +703,10 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " ").alias("w")
     )
 
-    def grams(n: int):
-        # Guard short docs: sequence(0, size-n) DESCENDS when size < n
-        # (same pitfall documented at the shingle builder, text.py:231).
-        return F.when(
-            F.size("w") >= n,
-            F.expr(
-                f"transform(sequence(0, size(w) - {n}), "
-                f"i -> concat_ws(' ', slice(w, i + 1, {n})))"
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
     exploded = d.select(
         "doc_id",
         F.explode(
-            F.map_from_arrays(F.array(F.lit(2), F.lit(3)), F.array(grams(2), grams(3)))
+            F.map_from_arrays(F.array(F.lit(2), F.lit(3)), F.array(word_ngrams(2), word_ngrams(3)))
         ).alias("k", "gs"),
     ).select("doc_id", "k", F.explode("gs").alias("gram"))
     counts = exploded.groupBy("doc_id", "k", "gram").agg(F.count("*").alias("n"))
@@ -761,17 +781,7 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (6.3 s at sf0.1; 1.6 s after this fix). slice() on the bound
     # array replaces the per-j element_at fan-out.
     toks_df = d.select("doc_id", F.split("text", " ").alias("w"))
-    # Short-doc guard: sequence(0, size-5) descends when size < 5
-    # (cf. text.py:231).
-    grams = F.when(
-        F.size("w") >= 5,
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(0, size(w) - 5), "
-                "i -> concat_ws(' ', slice(w, i + 1, 5)))"
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams(5, distinct=True)
     is_bench = F.col("doc_id") % 43 == 0
     exploded = toks_df.select("doc_id", F.explode(grams).alias("gram"))
     bench_grams = exploded.filter(is_bench).select("gram").distinct()

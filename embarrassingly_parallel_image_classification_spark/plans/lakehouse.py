@@ -106,13 +106,64 @@ def _summary_of(m: dict, version: int) -> dict:
     }
 
 
-def _metalog_append(path: str, rec: dict) -> None:
+def _metalog_append(path: str, rec: dict, must: bool = False) -> bool:
     """One JSON line via O_APPEND (atomic for short writes on POSIX —
-    concurrent committers interleave whole lines, never bytes). Best
-    effort: the reader heals any miss from the manifests."""
+    concurrent committers interleave whole lines, never bytes).
+    Best effort by default: the reader heals a missing SUMMARY from
+    the manifests. ``must=True`` is for TOMBSTONES, whose loss is NOT
+    healable (the heal loop only probes versions with no line, so a
+    summary outliving its manifest is permanent) — callers must check
+    the return and keep the manifest when the tombstone didn't land
+    (review finding r7: vacuum removed the manifest even when an
+    ENOSPC append silently failed)."""
     try:
         with open(_metalog_path(path), "a") as f:
             f.write(json.dumps(rec) + "\n")
+        return True
+    except OSError:
+        if must:
+            return False
+        return True  # summary loss is reader-healable
+
+
+def _maintenance_lock(path: str, max_age_s: float = 300.0) -> bool:
+    """Advisory exclusive lock for metalog MAINTENANCE (manifest
+    expiry + compaction): vacuum's tombstone appends and compact's
+    read-then-replace must not interleave across processes — a
+    tombstone appended into another process's compact window would be
+    clobbered by its os.replace and never healed (review finding r7).
+    Committer/erase APPENDS never take the lock: a summary line lost
+    to a compact window belongs to a version above the written floor,
+    so the heal loop re-probes it. link(2) claim, same primitive as
+    version claims; a crashed holder's lock is broken after
+    ``max_age_s``. Returns True if acquired."""
+    lock = os.path.join(path, "_metalog.lock")
+    try:
+        if time.time() - os.path.getmtime(lock) > max_age_s:
+            os.remove(lock)  # crashed holder
+    except OSError:
+        pass
+    tmp = lock + f".tmp{uuid.uuid4().hex}"
+    try:
+        with open(tmp, "w") as f:
+            f.write(str(os.getpid()))
+        os.link(tmp, lock)
+        os.unlink(tmp)
+        return True
+    except FileExistsError:
+        os.unlink(tmp)
+        return False
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return False
+
+
+def _maintenance_unlock(path: str) -> None:
+    try:
+        os.remove(os.path.join(path, "_metalog.lock"))
     except OSError:
         pass
 
@@ -173,17 +224,21 @@ def _metalog_entries(path: str) -> dict[int, dict]:
 def _metalog_compact(path: str) -> None:
     """Rewrite the metalog to one line per LIVE version (override and
     tombstone lines accumulate forever otherwise — the same reason
-    Iceberg periodically rewrites its metadata tree). Called from
-    vacuum, the table's existing maintenance point. Safe against
-    concurrent appenders: a line appended between our read and the
-    atomic os.replace is lost from the FILE but not from the SYSTEM —
-    the manifests stay truth, so the next reader heals the miss (a
-    lost summary re-reads one manifest) and re-appends it. The floor
-    written is EXACTLY the latest the scan probed to — a fresh
-    current_version() here could exceed it (a writer committing
-    between scan and rewrite), and a floor above an un-probed version
-    would hide that live version from every future reader (review
-    finding r7)."""
+    Iceberg periodically rewrites its metadata tree). MUST be called
+    under the maintenance lock (vacuum holds it): COMMITTER appends
+    lost to the read-then-replace window are healable (their versions
+    are above the written floor, so the heal loop re-probes them),
+    but a concurrent vacuum's TOMBSTONE for v <= floor would be
+    clobbered un-healably — the lock serializes exactly those
+    (review finding r7, second pass). Known benign residue: an
+    erase_rows override line lost to the window leaves a stale
+    n_files count in history (cosmetic — committed_at, mode and
+    liveness stay correct; the next erase or a manual re-append
+    refreshes it). The floor written is EXACTLY the latest the scan
+    probed to — a fresh current_version() here could exceed it (a
+    writer committing between scan and rewrite), and a floor above an
+    un-probed version would hide that live version from every future
+    reader (review finding r7)."""
     entries, scanned_latest = _metalog_scan(path)
     tmp = _metalog_path(path) + f".tmp{uuid.uuid4().hex}"
     try:
@@ -679,6 +734,13 @@ def vacuum(
         reachable.update(d[0] for d in m.get("delete_files", []))
     removed = []
     now = time.time()
+    # manifest expiry + compaction serialize under the maintenance
+    # lock: a tombstone appended into another process's compact
+    # read-then-replace window would be clobbered and never healed
+    # (review finding r7). Without the lock this vacuum still reclaims
+    # data files / tmps (reachability-based, idempotent) and simply
+    # leaves manifest expiry to the lock holder.
+    maint = _maintenance_lock(path)
 
     def old_enough(p: str) -> bool:
         try:
@@ -728,7 +790,7 @@ def vacuum(
                 # have its just-committed manifest swept (min_age_s
                 # guards data files and tmps, NOT linked manifests) —
                 # versions newer than the horizon are always kept
-                if v not in keep_versions and v <= latest:
+                if maint and v not in keep_versions and v <= latest:
                     # tombstone BEFORE the remove (review finding r7):
                     # a crash in between leaves a tombstoned-but-
                     # present manifest — benign (the version was past
@@ -738,13 +800,24 @@ def vacuum(
                     # (the heal loop only probes versions with no
                     # line), so table_history kept reporting a dead
                     # version and asof resolution could 404 on it.
-                    _metalog_append(path, {"version": v, "vacuumed": True})
-                    os.remove(full)
-                    removed.append(name)  # same contract as catalog_vacuum
+                    # must=True: if the tombstone cannot be written
+                    # (ENOSPC/EIO) the manifest MUST stay — removing
+                    # it would resurrect the version in the metalog
+                    # forever (second review pass r7).
+                    if _metalog_append(
+                        path, {"version": v, "vacuumed": True}, must=True
+                    ):
+                        os.remove(full)
+                        removed.append(name)  # same as catalog_vacuum
     # fold accumulated tombstone/override lines into one line per live
     # version — vacuum is the maintenance point, same as Iceberg's
-    # periodic metadata rewrite
-    _metalog_compact(path)
+    # periodic metadata rewrite (lock holder only: compaction's
+    # read-then-replace must not race another vacuum's tombstones)
+    if maint:
+        try:
+            _metalog_compact(path)
+        finally:
+            _maintenance_unlock(path)
     return removed
 
 

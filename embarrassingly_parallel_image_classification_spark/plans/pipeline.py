@@ -272,17 +272,12 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # included), exactly as q_text_decontaminate — token array bound
     # as a column first (the inlined-split spelling re-split the text
     # per element_at: O(len²), the r7 headline regression)
+    from ..ml.text import word_ngrams
+
     toks_df = docs.select("doc_id", F.split("text", " ").alias("w"))
-    grams = F.when(
-        F.size("w") >= 5,
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(0, size(w) - 5), "
-                "i -> concat_ws(' ', slice(w, i + 1, 5)))"
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = toks_df.select("doc_id", F.explode(grams).alias("gram"))
+    exploded = toks_df.select(
+        "doc_id", F.explode(word_ngrams(5, distinct=True)).alias("gram")
+    )
     is_bench = F.col("doc_id") % 43 == 0
     bench = exploded.filter(is_bench).select("gram").distinct()
     contaminated = (

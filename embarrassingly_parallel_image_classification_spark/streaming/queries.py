@@ -959,6 +959,14 @@ def q_stream_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete")
 
 
+from ..ml.curation import (  # noqa: E402 — shared rule constants
+    GOPHER_MEANLEN_E1,
+    GOPHER_MIN_STOP,
+    GOPHER_WORDS,
+)
+from ..ml.text import STOPWORDS  # noqa: E402
+
+
 @register(
     "q_stream_quality_gate",
     oracle=f"""
@@ -967,15 +975,15 @@ def q_stream_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(string_split(text, ' ')) AS n_words,
                n_chars * 10 // len(string_split(text, ' ')) AS mean_len_e1,
                len(list_filter(string_split(text, ' '),
-                   x -> list_contains({list(("a", "the", "and", "of", "to"))}, x)))
+                   x -> list_contains({list(STOPWORDS)}, x)))
                    AS n_stop
         FROM documents
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN n_words BETWEEN 20 AND 90
-                          AND mean_len_e1 BETWEEN 30 AND 100
-                          AND n_stop >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN n_words BETWEEN {GOPHER_WORDS[0]} AND {GOPHER_WORDS[1]}
+                          AND mean_len_e1 BETWEEN {GOPHER_MEANLEN_E1[0]} AND {GOPHER_MEANLEN_E1[1]}
+                          AND n_stop >= {GOPHER_MIN_STOP} THEN 1 ELSE 0 END) AS BIGINT)
                AS n_kept
     FROM feat GROUP BY source
     """,
@@ -1002,7 +1010,7 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "source", F.split("text", " ").alias("w"), "n_chars"
     )
-    stop_arr = F.array(*[F.lit(s) for s in ("a", "the", "and", "of", "to")])
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     feat = toks.select(
         "source",
         F.size("w").alias("n_words"),
@@ -1015,9 +1023,9 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(
             F.when(
-                F.col("n_words").between(20, 90)
-                & F.col("mean_len_e1").between(30, 100)
-                & (F.col("n_stop") >= 1),
+                F.col("n_words").between(*GOPHER_WORDS)
+                & F.col("mean_len_e1").between(*GOPHER_MEANLEN_E1)
+                & (F.col("n_stop") >= GOPHER_MIN_STOP),
                 1,
             ).otherwise(0)
         ).cast("bigint").alias("n_kept"),

@@ -43,9 +43,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # synthetic corpus: 50 vocab-bounded tokens per doc, deterministic.
     # Contamination is PLANTED (random 4-grams over a 2000-token vocab
-    # never collide): every 50th train doc copies a 10-token slice
-    # from eval doc (id % 1007) at offset 20 — so the expected flagged
-    # set is exactly the planted docs, asserted below.
+    # never collide): every doc with doc_id % 50 == 3 — necessarily a
+    # TRAIN doc, since eval needs doc_id % 100 == 7 — copies the
+    # 10-token slice at offset 20 from eval doc (doc_id % 999)*100 + 7
+    # (the % 999 keeps the referenced eval id < N_DOCS), so the
+    # expected flagged set is exactly the planted docs, asserted below.
     base = spark.range(N_DOCS).select(
         F.col("id").alias("doc_id"),
         F.expr(
@@ -56,7 +58,7 @@ def main() -> None:
     docs = base.select(
         "doc_id",
         F.when(
-            (F.col("doc_id") % EVAL_MOD != 7) & (F.col("doc_id") % 50 == 3),
+            F.col("doc_id") % 50 == 3,
             F.expr(
                 "concat(slice(w, 1, 20), "
                 f"transform(sequence(0, 9), p -> concat('w', "

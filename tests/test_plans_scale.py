@@ -2045,3 +2045,41 @@ def test_lakehouse_metalog_tombstone_crash_window_is_benign(spark, tmp_path):
         recs = [_json.loads(ln) for ln in f if ln.strip()]
     assert recs[0] == {"floor": 3}
     assert [r["version"] for r in recs[1:]] == [2, 3]
+
+
+def test_lakehouse_vacuum_maintenance_lock(spark, tmp_path):
+    """Manifest expiry and metalog compaction serialize under the
+    maintenance lock (review finding r7 second pass: a tombstone
+    appended into another process's compact read-then-replace window
+    would be clobbered un-healably). While another holder owns the
+    lock, vacuum must still reclaim DATA files (reachability-based,
+    idempotent) but must NOT expire manifests; a stale crashed lock is
+    broken after max_age_s."""
+    import os as _os
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    lakehouse.snapshot_write(df, path, "append")
+    lakehouse.snapshot_write(df, path, "overwrite")  # v1 files unreachable
+    # another process holds the lock
+    assert lakehouse._maintenance_lock(path)
+    removed = lakehouse.vacuum(path, retain_versions=1)
+    assert _os.path.exists(lakehouse._manifest_path(path, 1)), (
+        "manifest expired despite a held maintenance lock"
+    )
+    assert any(n.startswith("data-") for n in removed), (
+        "data-file reclaim must proceed without the lock"
+    )
+    lakehouse._maintenance_unlock(path)
+    # lock released: expiry proceeds and the lock does not leak
+    lakehouse.vacuum(path, retain_versions=1)
+    assert not _os.path.exists(lakehouse._manifest_path(path, 1))
+    assert not _os.path.exists(_os.path.join(path, "_metalog.lock"))
+    # stale-lock break: a crashed holder's old lock is removed
+    with open(_os.path.join(path, "_metalog.lock"), "w") as f:
+        f.write("999999")
+    _os.utime(_os.path.join(path, "_metalog.lock"), (1, 1))  # ancient
+    assert lakehouse._maintenance_lock(path), "stale lock must break"
+    lakehouse._maintenance_unlock(path)
