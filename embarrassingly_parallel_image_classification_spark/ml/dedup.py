@@ -75,19 +75,14 @@ def shingles(d: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     boundary) — measured ~2.4× slower end-to-end on the bigram census,
     and shingles() feeds every dedup query. Guarded for docs shorter
     than n tokens (sequence(1, size−n+1) would turn descending)."""
-    parts = ", ".join(
-        f"element_at(__ws, i + {j})" if j else "element_at(__ws, i)"
-        for j in range(n)
-    )
-    grams = F.expr(
-        f"CASE WHEN size(__ws) >= {n} THEN "
-        f"transform(sequence(1, size(__ws) - {n - 1}), "
-        f" i -> concat_ws(' ', {parts})) "
-        "ELSE array() END"
-    )
+    from .text import word_ngrams
+
     return (
         d.select("doc_id", F.split(F.col("text"), " ").alias("__ws"))
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        .select(
+            "doc_id",
+            F.explode(word_ngrams(n, "__ws", distinct=True)).alias("shingle"),
+        )
     )
 
 

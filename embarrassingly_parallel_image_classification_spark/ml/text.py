@@ -203,14 +203,8 @@ def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     slower), no Python."""
     d = t(spark, sf_dir, "documents")
     ws = d.select(F.split("text", " ").alias("__ws"))
-    grams = F.expr(
-        "CASE WHEN size(__ws) >= 2 THEN "
-        "transform(sequence(1, size(__ws) - 1), "
-        " i -> concat(element_at(__ws, i), ' ', element_at(__ws, i + 1))) "
-        "ELSE array() END"
-    )
     return (
-        ws.select(F.explode(grams).alias("bigram"))
+        ws.select(F.explode(word_ngrams(2, "__ws")).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 20)
