@@ -604,3 +604,47 @@ def test_merge_when_matches_dict_model(spark, target, source, thresh):
         assert got == model, (target, source, thresh, got, model)
     finally:
         _shutil.rmtree(path, ignore_errors=True)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_corpus, st.integers(min_value=1, max_value=5))
+def test_word_ngrams_equals_python_reference(spark, texts, n):
+    """word_ngrams (THE shared n-gram definition after the r7
+    consolidation — six queries ride it) must equal the obvious Python
+    reference for arbitrary corpora and gram widths, in order, for
+    both the plain and the distinct form; short docs (size < n) yield
+    the empty array, never a descending-sequence artifact."""
+    from pyspark.sql import functions as F
+
+    from embarrassingly_parallel_image_classification_spark.ml.text import (
+        word_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).select(
+        "doc_id",
+        "text",
+        F.split("text", " ").alias("w"),
+    )
+    got = {
+        r["doc_id"]: (r["g"], r["gd"])
+        for r in df.select(
+            "doc_id",
+            word_ngrams(n).alias("g"),
+            word_ngrams(n, distinct=True).alias("gd"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split(" ")  # '' splits to [''] — same as F.split
+        want = [
+            " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+        ] if len(toks) >= n else []
+        want_d = list(dict.fromkeys(want))  # first-occurrence order
+        assert got[i][0] == want, (n, t, got[i][0], want)
+        assert got[i][1] == want_d, (n, t, got[i][1], want_d)
