@@ -474,3 +474,213 @@ def assign_longform_soft(
         .filter(F.col("rank") <= p)
         .select("vec_id", "cid", "rank")
     )
+
+
+def _semantic_soft_oracle() -> str:
+    """q_dedup_semantic's chained-CTE oracle with the FINAL assignment
+    made SOFT (each vector joins its 2 nearest cells, rn <= 2 instead
+    of = 1): training stays hard (identical corpus/q/qo/init/c0..cN
+    CTEs, regenerated with the same construction as _semantic_oracle),
+    the pair search runs within every probed cell, and the census keys
+    on each vector's HOME (rank-1) cluster — the SemDeDup prune
+    decision: drop a member from its home cluster when a duplicate is
+    found in ANY probed cell."""
+    ctes = [
+        f"""corpus AS (
+        SELECT vec_id, embedding, 1.0 AS s FROM embeddings
+        UNION ALL
+        SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings),
+               embedding, 0.99 AS s
+        FROM embeddings WHERE vec_id % {_SEM_PLANT_MOD} = 0)""",
+        f"""q AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+               CAST(FLOOR((CAST(unnest(embedding) AS DOUBLE) * s) * 1000000
+                          + 0.5) AS BIGINT) AS raw
+        FROM corpus)""",
+        f"qo AS (SELECT vec_id, pos, raw + {_OFFSET} AS qv FROM q)",
+        f"""init AS (
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                   AS cid
+        FROM (SELECT DISTINCT vec_id FROM corpus
+              ORDER BY vec_id LIMIT {_SEM_K}))""",
+        "c0 AS (SELECT init.cid, qo.pos, qo.qv AS cv FROM init "
+        "JOIN qo USING (vec_id))",
+    ]
+    for k in range(_ITERS):  # HARD training rounds only
+        ctes.append(
+            f"""a{k + 1} AS (
+        SELECT vec_id, cid FROM (
+            SELECT qo.vec_id, c.cid,
+                   SUM((qo.qv - c.cv) * (qo.qv - c.cv)) AS dist
+            FROM qo JOIN c{k} c ON qo.pos = c.pos
+            GROUP BY qo.vec_id, c.cid)
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist, cid) = 1)"""
+        )
+        ctes.append(
+            f"""c{k + 1} AS (
+        SELECT a.cid, qo.pos,
+               (2 * SUM(qo.qv) + COUNT(*)) // (2 * COUNT(*)) AS cv
+        FROM a{k + 1} a JOIN qo USING (vec_id)
+        GROUP BY a.cid, qo.pos)"""
+        )
+    # SOFT final assignment: rank retained, top-2 cells per vector
+    ctes.append(
+        f"""soft AS (
+        SELECT vec_id, cid, rn FROM (
+            SELECT qo.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qo.vec_id
+                       ORDER BY SUM((qo.qv - c.cv) * (qo.qv - c.cv)),
+                                c.cid) AS rn
+            FROM qo JOIN c{_ITERS} c ON qo.pos = c.pos
+            GROUP BY qo.vec_id, c.cid)
+        WHERE rn <= 2)"""
+    )
+    ctes.append("home AS (SELECT vec_id, cid FROM soft WHERE rn = 1)")
+    ctes.append(
+        f"""pairs AS (
+        SELECT ab.vec_id AS dupe
+        FROM soft aa JOIN soft ab
+             ON aa.cid = ab.cid AND aa.vec_id < ab.vec_id
+        JOIN (SELECT a.vec_id va, b.vec_id vb,
+                     SUM(a.raw * b.raw) AS dot,
+                     SUM(a.raw * a.raw) AS na,
+                     SUM(b.raw * b.raw) AS nb
+              FROM q a JOIN q b ON a.pos = b.pos AND a.vec_id < b.vec_id
+              GROUP BY a.vec_id, b.vec_id) d
+             ON d.va = aa.vec_id AND d.vb = ab.vec_id
+        WHERE d.dot > 0
+          AND CAST(d.dot AS HUGEINT) * d.dot * 1000000
+              >= {_SEM_TAU2_E6} * CAST(d.na AS HUGEINT) * d.nb)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+    SELECT h.cid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(DISTINCT p.dupe) AS BIGINT) AS n_dupes
+    FROM home h LEFT JOIN (SELECT DISTINCT dupe FROM pairs) p
+         ON p.dupe = h.vec_id
+    GROUP BY h.cid"""
+    )
+
+
+@register(
+    "q_dedup_semantic_soft",
+    oracle=_semantic_soft_oracle(),
+    tags=("K2", "K", "composite"),
+)
+def q_dedup_semantic_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with SOFT ASSIGNMENT in the pair search — the
+    Voronoi-boundary mitigation measured in scripts/semdedup_probe.py
+    (recall 0.995 → 1.0 at K=256/p=2), now a registered query with a
+    full chained-CTE oracle: training iterations stay HARD (identical
+    centroids to q_dedup_semantic), but each vector probes its p=2
+    nearest cells in the final assignment, the within-cell pair search
+    covers every probed cell, and the census keys on each vector's
+    HOME (rank-1) cluster — the prune decision drops a member from its
+    home cluster when a duplicate surfaces in ANY probed cell. At
+    fixture K=16 the planted-dup census equals the hard query's (no
+    boundary splits at this granularity — the probe shows where fine K
+    needs this); what the oracle verifies beyond the hard sibling is
+    the top-2 assignment itself, bit-for-bit in both engines.
+
+    Scale shape: identical to q_dedup_semantic except Σ|c|² grows by
+    ≤p² (measured 3.9× at p=2) — still a cid equi-join, never a
+    cross; the long-form top-2 assignment is ONE (vec_id, cid)
+    distance shuffle + WindowGroupLimit (assign_longform_soft)."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", quantize_e6).alias("raw")
+    )
+    maxid = F.broadcast(emb.agg((F.max("vec_id") + 1).alias("plant0")))
+    planted = (
+        emb.filter(F.col("vec_id") % _SEM_PLANT_MOD == 0)
+        .crossJoin(maxid)
+        .select(
+            (F.col("vec_id") + F.col("plant0")).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: quantize_e6(x * F.lit(0.99))
+            ).alias("raw"),
+        )
+    )
+    corpus = base.unionByName(planted)
+    points = corpus.select(
+        "vec_id",
+        "raw",
+        F.transform("raw", lambda x: x + F.lit(_OFFSET)).alias("q"),
+    ).localCheckpoint(eager=True)
+    init_rows = points.orderBy("vec_id").limit(_SEM_K).collect()
+    cents = [(cid, list(r["q"])) for cid, r in enumerate(init_rows)]
+    for _ in range(_ITERS):
+        cents = _update(points, cents)  # training stays HARD
+    # soft final assignment: long form + top-2 per vector
+    long = points.select("vec_id", F.posexplode("q").alias("pos", "x"))
+    cents_df = points.sparkSession.createDataFrame(
+        [(cid, pos, cv) for cid, vec in cents for pos, cv in enumerate(vec)],
+        "cid bigint, pos int, cv bigint",
+    )
+    assign = assign_longform_soft(long, cents_df, p=2)
+    member = assign.join(
+        points.select(
+            "vec_id",
+            "raw",
+            F.aggregate(
+                F.zip_with("raw", "raw", lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, d: acc + d,
+            ).alias("nrm"),
+        ),
+        "vec_id",
+    )
+    a = member.select(
+        F.col("cid").alias("cid"),
+        F.col("vec_id").alias("va"),
+        F.col("raw").alias("ra"),
+        F.col("nrm").alias("na"),
+    )
+    b = member.select(
+        F.col("cid").alias("cid_b"),
+        F.col("vec_id").alias("vb"),
+        F.col("raw").alias("rb"),
+        F.col("nrm").alias("nb"),
+    )
+    dupes = (
+        a.join(
+            b,
+            (F.col("cid") == F.col("cid_b")) & (F.col("va") < F.col("vb")),
+        )
+        .select(
+            "vb",
+            F.aggregate(
+                F.zip_with("ra", "rb", lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, d: acc + d,
+            ).alias("dot"),
+            "na",
+            "nb",
+        )
+        .filter(
+            (F.col("dot") > 0)
+            & F.expr(
+                "CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0))"
+                f" * 1000000 >= {_SEM_TAU2_E6}"
+                " * CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))"
+            )
+        )
+        .select(F.col("vb").alias("dupe"))
+        .distinct()
+    )
+    home = assign.filter(F.col("rank") == 1).select("cid", "vec_id")
+    return (
+        home.join(dupes, home["vec_id"] == dupes["dupe"], "left")
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.count(dupes["dupe"]).cast("bigint").alias("n_dupes"),
+        )
+    )
