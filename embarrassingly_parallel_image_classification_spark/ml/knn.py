@@ -971,3 +971,56 @@ def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return knn_exact(corpus, queries, TOP_K, carry=("label",))
+
+
+def ivf_query_postfilter(
+    idx: IvfIndex,
+    queries: DataFrame,
+    predicate,
+    k: int = TOP_K,
+    nprobe: int = 4,
+    overfetch: int = 4,
+) -> DataFrame:
+    """POST-FILTER filtered ANN — the low-selectivity counterpart of
+    q_knn_filtered's pre-filter tier: probe the IVF index for the top
+    ``k·overfetch`` candidates IGNORING the predicate, then filter and
+    keep the top k survivors. This is what production vector stores do
+    when the predicate is NOT selective enough to pre-filter cheaply:
+    the index scan stays predicate-blind (no per-cell predicate
+    evaluation), and the over-fetch factor compensates for survivors
+    lost to the filter — the k/selectivity rule of thumb. The failure
+    mode is structural and measured in tests/test_ml_self_oracles.py:
+    at overfetch=1 every fetched neighbor can fail the predicate and
+    recall collapses; raising overfetch recovers it at linearly more
+    re-rank work (never more index work: the probe set is unchanged).
+    Returns (qid, vec_id, sim, rank) among survivors."""
+    fetched = idx.query(queries, k=k * overfetch, nprobe=nprobe)
+    survivors = fetched.filter(predicate)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        survivors.select("qid", "vec_id", "sim")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@register("q_knn_ivf_filtered", oracle=None, tags=("K3", "B2", "rows-only"))
+def q_knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN, POST-FILTER tier (rows-only by nature: IVF is
+    probe-approximate) — the scale path when the metadata predicate is
+    not selective enough for q_knn_filtered's exact pre-filter: fetch
+    k·overfetch predicate-blind candidates from the IVF index, filter,
+    keep top-k. Recall vs the exact pre-filter tier is pinned in
+    tests/test_ml_self_oracles.py including the overfetch=1 collapse
+    that motivates the over-fetch rule."""
+    emb = t(spark, sf_dir, "embeddings")
+    idx = ensure_ivf_index(spark, sf_dir)
+    # vec_id parity stands in for the metadata predicate (label lives
+    # on the corpus side of the index; the fetched frame carries
+    # vec_id, so the demo predicate keys on it)
+    return ivf_query_postfilter(
+        idx,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        F.col("vec_id") % 2 == 0,
+        overfetch=4,
+    )
