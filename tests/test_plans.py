@@ -212,6 +212,8 @@ _CARTESIAN_OK = {
     "q_knn_ivf",             # query-set × centroid table (k×nprobe rows)
                              # cross for cell selection; corpus join is
                              # hash on cell
+    "q_knn_ivf_filtered",    # same IVF probe shape (cell-selection
+                             # cross), post-filter applied after fetch
     "q_knn_ivfpq",           # tiny query×centroid cross for cell
                              # probing; corpus prune is hash on cell
                              # (plan-pinned), ADC is an in-stage
