@@ -268,10 +268,29 @@ def contention_canary(sf_dir: str) -> dict:
     }
 
 
+def wait_uncontended(
+    max_wait_s: float = 180.0, loadavg_gate: float = 4.0
+) -> float:
+    """Gate the timed run on box quiet (r7 verdict item 3: the r7
+    driver bench started at loadavg 5.91 and every sub-second query
+    inherited uniform 1.1-1.3x noise, polluting cross-round per-query
+    comparisons). Bounded wait — a persistently busy box still
+    produces a record, and the canary then documents the contention.
+    Must run BEFORE the SparkSession exists: once local[32] spins up,
+    loadavg measures our own work, not the neighbors'."""
+    t0 = time.time()
+    while os.getloadavg()[0] >= loadavg_gate:
+        if time.time() - t0 >= max_wait_s:
+            break
+        time.sleep(10.0)
+    return round(time.time() - t0, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    gate_wait = wait_uncontended()
     canary_start = contention_canary(sf_dir)
     spark = get_spark("epic-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -299,7 +318,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "contention_canary": {"start": canary_start, "end": canary_end},
+        "contention_canary": {
+            "start": canary_start,
+            "end": canary_end,
+            "gate_wait_sec": gate_wait,
+        },
     }
     # Full per-query record: first stdout line + a file. The driver's
     # stdout capture keeps only the LAST ~2000 chars (BENCH_r06.json
@@ -340,6 +363,7 @@ def main() -> None:
             canary_start["loadavg_1m"],
             canary_end["loadavg_1m"],
         ],
+        "gate_wait_sec": gate_wait,
         "queries_file": "BENCH_full.json",
     }
     print(json.dumps(summary))

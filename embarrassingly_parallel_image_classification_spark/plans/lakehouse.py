@@ -140,7 +140,16 @@ def _maintenance_lock(path: str, max_age_s: float = 300.0) -> bool:
     lock = os.path.join(path, "_metalog.lock")
     try:
         if time.time() - os.path.getmtime(lock) > max_age_s:
-            os.remove(lock)  # crashed holder
+            # break the crashed holder's lock with an atomic rename,
+            # not os.remove (advice r8): with remove, two breakers can
+            # both see it stale, A removes + links fresh, then B's
+            # remove deletes A's FRESH lock and links its own — two
+            # simultaneous "holders". rename succeeds for exactly one
+            # breaker (the loser gets ENOENT); the winner still races
+            # everyone on the link(2) claim below.
+            grave = lock + f".grave.{uuid.uuid4().hex}"
+            os.rename(lock, grave)
+            os.remove(grave)
     except OSError:
         pass
     tmp = lock + f".tmp{uuid.uuid4().hex}"
@@ -178,27 +187,54 @@ def _metalog_scan(path: str) -> tuple[dict[int, dict], int]:
     latest = current_version(path)
     entries: dict[int, dict] = {}
     tombs: set[int] = set()
-    floor = 0  # no UN-listed version <= floor needs probing (compaction)
+    lines: list[dict] = []
     try:
         with open(_metalog_path(path)) as f:
             for line in f:
                 try:
-                    rec = json.loads(line)
+                    lines.append(json.loads(line))
                 except ValueError:
                     continue  # torn trailing line from a crash mid-append
-                if "floor" in rec:
-                    floor = max(floor, rec["floor"])
-                    continue
-                v = rec.get("version")
-                if not isinstance(v, int):
-                    continue
-                if rec.get("vacuumed"):
-                    tombs.add(v)
-                    entries.pop(v, None)
-                else:
-                    entries[v] = rec
     except FileNotFoundError:
         pass
+    # no UN-listed version <= floor needs probing (compaction); the
+    # floor's GENERATION fences stale appends that straddled the
+    # compaction (see below)
+    floor, floor_gen = 0, 0
+    for rec in lines:
+        if "floor" in rec and (rec["floor"], rec.get("gen", 0)) > (
+            floor,
+            floor_gen,
+        ):
+            floor, floor_gen = rec["floor"], rec.get("gen", 0)
+    for rec in lines:
+        if "floor" in rec:
+            continue
+        v = rec.get("version")
+        if not isinstance(v, int):
+            continue
+        if rec.get("vacuumed"):
+            tombs.add(v)
+            entries.pop(v, None)
+        elif v not in tombs and (v > floor or rec.get("gen", 0) >= floor_gen):
+            # two resurrection fences (advice r8). (1) tombstones win
+            # regardless of line order: a reader's heal-append racing a
+            # vacuum can land a summary AFTER the tombstone (reader
+            # opened the manifest, vacuum tombstoned + deleted it,
+            # reader appended) — letting it override would revive a
+            # dead version permanently (history lists it, AS-OF
+            # resolves to it, the read 404s, and compaction bakes the
+            # line in). (2) generation fence: if the racing vacuum also
+            # COMPACTED before the straggler landed, the tombstone is
+            # already folded into the floor, so (1) can't see it — but
+            # the straggler's line carries a stale (or no) gen for a
+            # version <= the new floor, and only lines stamped with the
+            # floor's own generation (compaction's rewrites, erase
+            # overrides that read the current log) are honored below
+            # it. Legitimate commit/heal appends always target
+            # versions > the floor they read, so they carry no gen and
+            # pass fence (2) by the v > floor arm.
+            entries[v] = rec
     for v in range(floor + 1, latest + 1):
         if v in entries or v in tombs:
             continue
@@ -221,6 +257,30 @@ def _metalog_entries(path: str) -> dict[int, dict]:
     return entries
 
 
+def _metalog_gen(path: str) -> int:
+    """Compaction generation: the gen of the highest floor line (0 for
+    never-compacted or pre-gen metalogs). Override appends for
+    versions <= the floor must stamp this so scans honor them; a
+    compaction that slips between the read and the append supersedes
+    the line — the documented benign stale-n_files residue."""
+    floor, gen = 0, 0
+    try:
+        with open(_metalog_path(path)) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if "floor" in rec and (rec["floor"], rec.get("gen", 0)) > (
+                    floor,
+                    gen,
+                ):
+                    floor, gen = rec["floor"], rec.get("gen", 0)
+    except FileNotFoundError:
+        pass
+    return gen
+
+
 def _metalog_compact(path: str) -> None:
     """Rewrite the metalog to one line per LIVE version (override and
     tombstone lines accumulate forever otherwise — the same reason
@@ -240,15 +300,22 @@ def _metalog_compact(path: str) -> None:
     un-probed version would hide that live version from every future
     reader (review finding r7)."""
     entries, scanned_latest = _metalog_scan(path)
+    gen = _metalog_gen(path) + 1
     tmp = _metalog_path(path) + f".tmp{uuid.uuid4().hex}"
     try:
         with open(tmp, "w") as f:
             # the floor replaces every tombstone: no UN-listed version
             # <= floor is ever probed again, so expired versions cost
-            # zero lines and zero syscalls after compaction
-            f.write(json.dumps({"floor": scanned_latest}) + "\n")
+            # zero lines and zero syscalls after compaction. The gen
+            # bump fences stragglers: a summary line for v <= this
+            # floor written by a reader/eraser that never saw this
+            # compaction carries an older gen and is ignored by scans
+            # (advice r8 — post-compaction heal-appends would otherwise
+            # resurrect vacuumed versions the folded tombstones can no
+            # longer suppress).
+            f.write(json.dumps({"floor": scanned_latest, "gen": gen}) + "\n")
             for _v, rec in sorted(entries.items()):
-                f.write(json.dumps(rec) + "\n")
+                f.write(json.dumps({**rec, "gen": gen}) + "\n")
         os.replace(tmp, _metalog_path(path))
     except OSError:
         try:
@@ -723,100 +790,118 @@ def vacuum(
                 v = int(name[len("_manifest_v"):-len(".json")])
                 if v > latest:
                     keep_versions.add(v)
-    reachable: set[str] = set()
-    for v in sorted(keep_versions):
-        try:
-            with open(_manifest_path(path, v)) as f:
-                m = json.load(f)
-        except FileNotFoundError:
-            continue  # already expired by an earlier, ref-blind vacuum
-        reachable.update(m["files"])
-        reachable.update(d[0] for d in m.get("delete_files", []))
-    removed = []
-    now = time.time()
     # manifest expiry + compaction serialize under the maintenance
     # lock: a tombstone appended into another process's compact
     # read-then-replace window would be clobbered and never healed
     # (review finding r7). Without the lock this vacuum still reclaims
-    # data files / tmps (reachability-based, idempotent) and simply
-    # leaves manifest expiry to the lock holder.
+    # crash orphans / tmps (idempotent) and leaves manifest expiry to
+    # the lock holder. Everything after a successful acquire runs
+    # under ONE try/finally (advice r8): an exception mid-sweep (e.g.
+    # EACCES on a manifest remove) used to leak the lock, blocking all
+    # maintenance for max_age_s and skipping this run's compaction.
     maint = _maintenance_lock(path)
+    try:
+        if not maint and os.path.isdir(path):
+            # lock contended (advice r8): NO manifest can be expired in
+            # this run, so every live manifest's files must stay on disk
+            # with it — reclaiming data files of past-retention versions
+            # while their manifests survive leaves table_history listing
+            # a version whose read then 404s on deleted parquet (a
+            # dangling snapshot, worse than the clean missing-version
+            # signal manifest+files joint removal gives). Fold every
+            # live manifest into the reachability set; true orphans
+            # (files no manifest references) still reclaim.
+            for name in os.listdir(path):
+                if name.startswith("_manifest_v") and name.endswith(".json"):
+                    keep_versions.add(int(name[len("_manifest_v"):-len(".json")]))
+        reachable: set[str] = set()
+        for v in sorted(keep_versions):
+            try:
+                with open(_manifest_path(path, v)) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                continue  # already expired by an earlier, ref-blind vacuum
+            reachable.update(m["files"])
+            reachable.update(d[0] for d in m.get("delete_files", []))
+        removed = []
+        now = time.time()
 
-    def old_enough(p: str) -> bool:
-        try:
-            return now - os.path.getmtime(p) >= min_age_s
-        except OSError:
-            return False  # vanished concurrently: nothing to do
+        def old_enough(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) >= min_age_s
+            except OSError:
+                return False  # vanished concurrently: nothing to do
 
-    for name in sorted(os.listdir(path)):
-        full = os.path.join(path, name)
-        if (
-            (name.startswith("data-") or name.startswith("delete-"))
-            and name.endswith(".parquet")
-            and name not in reachable
-            and old_enough(full)
-        ):
-            os.remove(full)
-            removed.append(name)
-        if (
-            (name.startswith("_staging_") or name.startswith("_erase_"))
-            and os.path.isdir(full)
-            and old_enough(full)
-        ):
-            shutil.rmtree(full, ignore_errors=True)
-            if not os.path.exists(full):  # report only real reclaims
+        for name in sorted(os.listdir(path)):
+            full = os.path.join(path, name)
+            if (
+                (name.startswith("data-") or name.startswith("delete-"))
+                and name.endswith(".parquet")
+                and name not in reachable
+                and old_enough(full)
+            ):
+                os.remove(full)
                 removed.append(name)
-        if (
-            name.startswith("_ref_")
-            and ".json.tmp" in name
-            and old_enough(full)
-        ):
-            # crashed create_tag: tmp written, link never landed
-            os.remove(full)
-            removed.append(name)
-        if name.startswith("_manifest_v"):
-            if ".json.tmp" in name:
-                # a crash between the tmp write and the link(2) claim
-                # leaves the tmp behind (both success and lost-race
-                # paths unlink it); never visible to current_version
-                # (endswith('.json') fails), reclaim under the age rule
-                if old_enough(full):
-                    os.remove(full)
+            if (
+                (name.startswith("_staging_") or name.startswith("_erase_"))
+                and os.path.isdir(full)
+                and old_enough(full)
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+                if not os.path.exists(full):  # report only real reclaims
                     removed.append(name)
-            else:
-                v = int(name[len("_manifest_v"):-len(".json")])
-                # v <= latest: a writer committing latest+1 between our
-                # current_version() snapshot and this listdir must never
-                # have its just-committed manifest swept (min_age_s
-                # guards data files and tmps, NOT linked manifests) —
-                # versions newer than the horizon are always kept
-                if maint and v not in keep_versions and v <= latest:
-                    # tombstone BEFORE the remove (review finding r7):
-                    # a crash in between leaves a tombstoned-but-
-                    # present manifest — benign (the version was past
-                    # retention; the next vacuum's listdir re-sweeps
-                    # it). The reverse order left a summary line for a
-                    # DELETED manifest, which no reader ever re-probes
-                    # (the heal loop only probes versions with no
-                    # line), so table_history kept reporting a dead
-                    # version and asof resolution could 404 on it.
-                    # must=True: if the tombstone cannot be written
-                    # (ENOSPC/EIO) the manifest MUST stay — removing
-                    # it would resurrect the version in the metalog
-                    # forever (second review pass r7).
-                    if _metalog_append(
-                        path, {"version": v, "vacuumed": True}, must=True
-                    ):
+            if (
+                name.startswith("_ref_")
+                and ".json.tmp" in name
+                and old_enough(full)
+            ):
+                # crashed create_tag: tmp written, link never landed
+                os.remove(full)
+                removed.append(name)
+            if name.startswith("_manifest_v"):
+                if ".json.tmp" in name:
+                    # a crash between the tmp write and the link(2) claim
+                    # leaves the tmp behind (both success and lost-race
+                    # paths unlink it); never visible to current_version
+                    # (endswith('.json') fails), reclaim under the age rule
+                    if old_enough(full):
                         os.remove(full)
-                        removed.append(name)  # same as catalog_vacuum
-    # fold accumulated tombstone/override lines into one line per live
-    # version — vacuum is the maintenance point, same as Iceberg's
-    # periodic metadata rewrite (lock holder only: compaction's
-    # read-then-replace must not race another vacuum's tombstones)
-    if maint:
-        try:
+                        removed.append(name)
+                else:
+                    v = int(name[len("_manifest_v"):-len(".json")])
+                    # v <= latest: a writer committing latest+1 between our
+                    # current_version() snapshot and this listdir must never
+                    # have its just-committed manifest swept (min_age_s
+                    # guards data files and tmps, NOT linked manifests) —
+                    # versions newer than the horizon are always kept
+                    if maint and v not in keep_versions and v <= latest:
+                        # tombstone BEFORE the remove (review finding r7):
+                        # a crash in between leaves a tombstoned-but-
+                        # present manifest — benign (the version was past
+                        # retention; the next vacuum's listdir re-sweeps
+                        # it). The reverse order left a summary line for a
+                        # DELETED manifest, which no reader ever re-probes
+                        # (the heal loop only probes versions with no
+                        # line), so table_history kept reporting a dead
+                        # version and asof resolution could 404 on it.
+                        # must=True: if the tombstone cannot be written
+                        # (ENOSPC/EIO) the manifest MUST stay — removing
+                        # it would resurrect the version in the metalog
+                        # forever (second review pass r7).
+                        if _metalog_append(
+                            path, {"version": v, "vacuumed": True}, must=True
+                        ):
+                            os.remove(full)
+                            removed.append(name)  # same as catalog_vacuum
+        # fold accumulated tombstone/override lines into one line per
+        # live version — vacuum is the maintenance point, same as
+        # Iceberg's periodic metadata rewrite (lock holder only:
+        # compaction's read-then-replace must not race another
+        # vacuum's tombstones)
+        if maint:
             _metalog_compact(path)
-        finally:
+    finally:
+        if maint:
             _maintenance_unlock(path)
     return removed
 
@@ -2679,8 +2764,11 @@ def erase_rows(spark: SparkSession, path: str, col: str, value) -> int:
             json.dump(m, f)
         os.replace(tmp, _manifest_path(path, v))  # erasure rewrites history by design
         # refresh the metalog line (a rewrite can fan one file out to
-        # several replacements, changing n_files): later lines override
-        _metalog_append(path, _summary_of(m, v))
+        # several replacements, changing n_files): later lines override.
+        # Stamped with the current compaction gen — an override for a
+        # version at-or-below the floor is only honored when it carries
+        # the floor's gen (the resurrection fence, advice r8)
+        _metalog_append(path, {**_summary_of(m, v), "gen": _metalog_gen(path)})
     for old in sorted(affected):
         os.remove(os.path.join(path, old))
     return len(affected)

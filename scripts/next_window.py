@@ -1,14 +1,27 @@
-"""Compute the next round's `_DRIVER_PRIORITY` rotation: every
-oracle-backed query with no driver-verified green row in any
-CORRECTNESS_r*.json, followed by cross-family canaries, capped at the
-50-slot window. Prints a ready-to-paste Python tuple.
+"""Compute the next round's `_DRIVER_PRIORITY` rotation. Prints a
+ready-to-paste Python tuple.
 
     python scripts/next_window.py
 
-The policy (registry.py docstring): never-verified oracle-backed
-queries first (they need third-party verification most), rows-only
-never inside the window, canaries re-prove one green query per major
-family. Paste the output over `_DRIVER_PRIORITY` and re-run
+THE ROTATION RULE (r7 verdict item 6 — codified so regressions can't
+hide behind stale green rows):
+
+1. **Never-verified first.** Every oracle-backed query with no
+   driver-green row in any CORRECTNESS_r*.json leads the window, in
+   registration order — new registrations always land here, so new
+   coverage is verified the round it ships.
+2. **Then oldest evidence first.** Remaining slots go to already-green
+   oracle-backed queries ordered by the ROUND of their most recent
+   green row, ascending (ties: registration order) — the query whose
+   evidence is stalest gets re-verified soonest. Over ceil(N/50)
+   rounds every query's evidence is refreshed; a regression can
+   survive at most that long.
+3. **Rows-only queries never consume a slot** (their oracle is pytest,
+   the driver row adds nothing); cross-family canaries are only padded
+   in while never-verified queries still exist (once the window is
+   pure rotation, rule 2 IS the canary).
+
+Paste the output over `_DRIVER_PRIORITY` (registry.py) and re-run
 tests/test_smoke.py::test_registry_driver_window_ordering after
 updating its spot-check set.
 """
@@ -18,6 +31,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -26,7 +40,8 @@ from embarrassingly_parallel_image_classification_spark import registry  # noqa:
 
 WINDOW = 50
 
-# One stable, long-green representative per family for drift canaries.
+# One stable, long-green representative per family, padded in while
+# never-verified queries still exist (rule 3).
 CANARY_POOL = [
     "q_tpch_q9",
     "q_stream_tumbling",
@@ -39,30 +54,62 @@ CANARY_POOL = [
 ]
 
 
-def main() -> None:
-    specs = registry.specs()
-    verified: set[str] = set()
+def last_green_rounds() -> dict[str, int]:
+    """Most recent round with a driver-green row, per query."""
+    last: dict[str, int] = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         with open(path) as f:
             for name, row in json.load(f).items():
                 if row.get("hash_match") or (
                     row.get("rows_match") and row.get("err") is None
                 ):
-                    verified.add(name)
-    never = [
-        n
-        for n, s in specs.items()
-        if s.oracle is not None and n not in verified
-    ]
-    canaries = [n for n in CANARY_POOL if n in specs and n in verified]
-    slots_for_canaries = max(0, WINDOW - len(never))
-    window = never[:WINDOW] + canaries[:slots_for_canaries]
+                    last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def main() -> None:
+    specs = registry.specs()
+    last = last_green_rounds()
+    oracle_backed = [n for n, s in specs.items() if s.oracle is not None]
+    # registration order, not current driver order: the priority tuple
+    # itself must not feed back into the rotation
+    reg_order = {n: i for i, n in enumerate(registry._REGISTRY)}
+    never = sorted(
+        (n for n in oracle_backed if n not in last),
+        key=lambda n: reg_order[n],
+    )
+    stale_first = sorted(
+        (n for n in oracle_backed if n in last),
+        key=lambda n: (last[n], reg_order[n]),
+    )
+    window = list(never[:WINDOW])
+    if never:
+        # canaries hedge family-wide drift while unverified queries
+        # still crowd the window
+        for c in CANARY_POOL:
+            if len(window) >= WINDOW:
+                break
+            if c in specs and c in last and c not in window:
+                window.append(c)
+    for n in stale_first:
+        if len(window) >= WINDOW:
+            break
+        if n not in window:
+            window.append(n)
     overflow = never[WINDOW:]
-    print(f"# {len(never)} never-verified oracle-backed; "
-          f"{len(canaries[:slots_for_canaries])} canaries; "
-          f"window = {len(window)}")
+    print(
+        f"# {len(never)} never-verified; "
+        f"{len(window) - len(never[:WINDOW])} rotation/canary; "
+        f"window = {len(window)} "
+        f"(evidence ages: oldest green r{min(last.values(), default=0)})"
+    )
     if overflow:
-        print(f"# OVERFLOW ({len(overflow)} don't fit; they lead the NEXT rotation): {overflow}")
+        print(
+            f"# OVERFLOW ({len(overflow)} don't fit; they lead the NEXT "
+            f"rotation): {overflow}"
+        )
     print("_DRIVER_PRIORITY = (")
     for n in window:
         print(f'    "{n}",')

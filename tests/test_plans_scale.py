@@ -2012,7 +2012,7 @@ def test_lakehouse_metalog_access_count(spark, tmp_path, monkeypatch):
     with open(lakehouse._metalog_path(path)) as f:
         lines = [ln for ln in f if ln.strip()]
     assert len(lines) == 6
-    assert _json.loads(lines[0]) == {"floor": 203}
+    assert _json.loads(lines[0]) == {"floor": 203, "gen": 1}
 
 
 def test_lakehouse_metalog_tombstone_crash_window_is_benign(spark, tmp_path):
@@ -2043,7 +2043,7 @@ def test_lakehouse_metalog_tombstone_crash_window_is_benign(spark, tmp_path):
     # compacted log: floor line + the two live versions, no tombstones
     with open(lakehouse._metalog_path(path)) as f:
         recs = [_json.loads(ln) for ln in f if ln.strip()]
-    assert recs[0] == {"floor": 3}
+    assert recs[0] == {"floor": 3, "gen": 1}
     assert [r["version"] for r in recs[1:]] == [2, 3]
 
 
@@ -2052,8 +2052,11 @@ def test_lakehouse_vacuum_maintenance_lock(spark, tmp_path):
     maintenance lock (review finding r7 second pass: a tombstone
     appended into another process's compact read-then-replace window
     would be clobbered un-healably). While another holder owns the
-    lock, vacuum must still reclaim DATA files (reachability-based,
-    idempotent) but must NOT expire manifests; a stale crashed lock is
+    lock, vacuum must NOT expire manifests AND must not reclaim data
+    files still reachable from those unexpirable manifests (advice r8:
+    reclaiming them left a dangling snapshot — history listed the
+    version, the read 404'd on deleted parquet). True orphans (files
+    no manifest references) still reclaim. A stale crashed lock is
     broken after max_age_s."""
     import os as _os
 
@@ -2063,23 +2066,125 @@ def test_lakehouse_vacuum_maintenance_lock(spark, tmp_path):
     df = spark.range(10).select(F.col("id").alias("k"))
     lakehouse.snapshot_write(df, path, "append")
     lakehouse.snapshot_write(df, path, "overwrite")  # v1 files unreachable
+    with open(lakehouse._manifest_path(path, 1)) as f:
+        v1_files = __import__("json").load(f)["files"]
+    orphan = "data-orphan-test.parquet"
+    with open(_os.path.join(path, orphan), "wb") as f:
+        f.write(b"crash residue")  # rename landed, manifest link never did
     # another process holds the lock
     assert lakehouse._maintenance_lock(path)
     removed = lakehouse.vacuum(path, retain_versions=1)
     assert _os.path.exists(lakehouse._manifest_path(path, 1)), (
         "manifest expired despite a held maintenance lock"
     )
-    assert any(n.startswith("data-") for n in removed), (
-        "data-file reclaim must proceed without the lock"
+    assert all(
+        _os.path.exists(_os.path.join(path, n)) for n in v1_files
+    ), "data files of an unexpirable manifest reclaimed (dangling snapshot)"
+    assert orphan in removed, (
+        "true-orphan reclaim must proceed without the lock"
     )
     lakehouse._maintenance_unlock(path)
-    # lock released: expiry proceeds and the lock does not leak
+    # lock released: expiry proceeds (manifest + files together) and
+    # the lock does not leak
     lakehouse.vacuum(path, retain_versions=1)
     assert not _os.path.exists(lakehouse._manifest_path(path, 1))
+    assert not any(_os.path.exists(_os.path.join(path, n)) for n in v1_files)
     assert not _os.path.exists(_os.path.join(path, "_metalog.lock"))
-    # stale-lock break: a crashed holder's old lock is removed
+    # stale-lock break: a crashed holder's old lock is broken (via
+    # atomic rename, advice r8 — no double-break window) and no grave
+    # residue is left behind
     with open(_os.path.join(path, "_metalog.lock"), "w") as f:
         f.write("999999")
     _os.utime(_os.path.join(path, "_metalog.lock"), (1, 1))  # ancient
     assert lakehouse._maintenance_lock(path), "stale lock must break"
     lakehouse._maintenance_unlock(path)
+    assert not [
+        n for n in _os.listdir(path) if n.startswith("_metalog.lock.grave")
+    ], "stale-lock break left a grave file"
+
+
+def test_lakehouse_metalog_tombstone_wins_line_order(spark, tmp_path):
+    """A summary line landing AFTER a tombstone for the same version
+    must not resurrect it (advice r8: a reader's heal-append racing a
+    vacuum — reader opens manifest v, vacuum tombstones and deletes
+    it, reader appends the summary — would otherwise permanently
+    revive a dead version: history reports it, AS-OF resolves to it,
+    the read 404s, and compaction bakes the line in)."""
+    import json as _json
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    for _ in range(3):
+        lakehouse.snapshot_write(df, path, "append")
+    stale_summary = {
+        "version": 1, "mode": "append", "n_files": 1,
+        "n_delete_files": 0, "n_batch_ids": 0,
+        "cloned_from": None, "committed_at": 0.0,
+    }
+    # fence 1 (pre-compaction): tombstone line, then the straggler
+    # summary, in the SAME un-compacted metalog — in-file order must
+    # not decide liveness
+    lakehouse._metalog_append(path, {"version": 1, "vacuumed": True})
+    lakehouse._metalog_append(path, dict(stale_summary))
+    assert [h["version"] for h in lakehouse.table_history(path)] == [2, 3], (
+        "summary after tombstone resurrected a vacuumed version"
+    )
+    # undo the simulated tombstone (manifest v1 is still live) by
+    # rewriting the log without the two injected lines, then run the
+    # real vacuum — which tombstones v1, removes it and COMPACTS
+    with open(lakehouse._metalog_path(path)) as f:
+        kept = [ln for ln in f if '"version": 1' not in ln]
+    with open(lakehouse._metalog_path(path), "w") as f:
+        f.writelines(kept)
+    lakehouse.vacuum(path, retain_versions=2)  # v1 tombstoned + removed
+    # fence 2 (post-compaction): the tombstone is folded into the
+    # floor, so only the generation stamp can reject the straggler
+    lakehouse._metalog_append(path, dict(stale_summary))
+    assert [h["version"] for h in lakehouse.table_history(path)] == [2, 3]
+    # compaction must not bake the resurrected line in either
+    assert lakehouse._maintenance_lock(path)
+    try:
+        lakehouse._metalog_compact(path)
+    finally:
+        lakehouse._maintenance_unlock(path)
+    with open(lakehouse._metalog_path(path)) as f:
+        recs = [_json.loads(ln) for ln in f if ln.strip()]
+    assert 1 not in [r.get("version") for r in recs], (
+        "post-tombstone summary resurrected a vacuumed version"
+    )
+
+
+def test_lakehouse_vacuum_releases_lock_on_sweep_error(spark, tmp_path, monkeypatch):
+    """An exception mid-sweep must not leak the maintenance lock
+    (advice r8: the old shape only released in the finally around
+    _metalog_compact at the end, so an EACCES during the sweep blocked
+    all maintenance for max_age_s)."""
+    import os as _os
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    for _ in range(3):
+        lakehouse.snapshot_write(df, path, "append")
+    real_remove = _os.remove
+
+    def explode_on_manifest(p, *a, **kw):
+        if "_manifest_v" in _os.path.basename(p):
+            raise PermissionError(13, "EACCES", p)
+        return real_remove(p, *a, **kw)
+
+    monkeypatch.setattr(lakehouse.os, "remove", explode_on_manifest)
+    try:
+        lakehouse.vacuum(path, retain_versions=1)
+    except PermissionError:
+        pass
+    monkeypatch.setattr(lakehouse.os, "remove", real_remove)
+    assert not _os.path.exists(_os.path.join(path, "_metalog.lock")), (
+        "sweep exception leaked the maintenance lock"
+    )
+    # and the next vacuum (lock free) completes the expiry
+    lakehouse.vacuum(path, retain_versions=1)
+    assert not _os.path.exists(lakehouse._manifest_path(path, 1))

@@ -97,18 +97,19 @@ def test_registry_driver_window_ordering():
     last_oracle = max(i for i, n in enumerate(names) if specs[n].oracle is not None)
     assert first_rows_only > last_oracle
     must_be_inside = {
-        # round-7 rotation (r6 verdict item 1): the never-driver-
-        # verified tail leads — spot-check representatives across the
-        # M/N/O families and the r6-session additions (the full
-        # 50-name tuple is pinned in registry._DRIVER_PRIORITY;
-        # update these alongside each rotation)
-        "q_ab_test", "q_bitmap_audience", "q_changepoint_cusum",
-        "q_dedup_containment", "q_lake_clone", "q_graph_shortest_path",
-        "q_market_basket", "q_dedup_substring", "q_split_kfold",
-        "q_lake_partition_evolution", "q_join_spatial_radius",
-        "q_multimodal_dup_frames", "q_lake_branch_merge",
-        "q_udf_window_agg", "q_lake_merge_when", "q_scan_merge_schema",
-        "q_infer_quantized", "q_eval_pr_curve",
+        # round-8 rotation (r7 verdict item 1): the FULL remaining
+        # never-driver-verified tail (42 queries) — spot-check
+        # representatives across the N/O/P families and the r7-session
+        # additions (the full 50-name tuple is pinned in
+        # registry._DRIVER_PRIORITY; update these alongside each
+        # rotation)
+        "q_join_null_safe", "q_fn_format", "q_lake_column_rename",
+        "q_sql_pipe", "q_union_by_name", "q_text_perplexity",
+        "q_geo_geohash", "q_attribution_linear", "q_ps_rolling",
+        "q_lake_default_column", "q_scan_csv_corrupt",
+        "q_lake_stream_fanout", "q_graph_label_prop", "q_cluster_kmeans",
+        "q_dedup_semantic_soft", "q_quality_gopher", "q_select_uncertain",
+        "q_sql_recursive_cte", "q_sql_variables", "q_knn_filtered",
     }
     assert must_be_inside <= set(window), must_be_inside - set(window)
     # canaries fill whatever window slots remain after the
