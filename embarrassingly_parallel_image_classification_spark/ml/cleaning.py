@@ -136,6 +136,36 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drift_report(agg: DataFrame) -> DataFrame:
+    """Shared drift ALGEBRA for the batch/stream twin pair
+    (q_quality_drift here, streaming/queries.py q_stream_drift): given
+    per-bucket (bucket, ref_n, cur_n) counts, emit the exact
+    cross-difference dxr = cur_n·ref_tot − ref_n·cur_tot and the
+    fixed-point e6 TVD contribution. ONE definition so the twins'
+    documented equivalence cannot silently drift (r7 verdict item 8 —
+    the Gopher-constants rule applied to the drift pair; the twin
+    constants test pins that neither twin re-spells this algebra
+    inline). Totals via an unpartitioned window — safe because the
+    input is an already-aggregated ≤ bucket-count frame, never the
+    scan."""
+    w = Window.partitionBy()
+    return (
+        agg.withColumn("rt", F.sum("ref_n").over(w))
+        .withColumn("ct", F.sum("cur_n").over(w))
+        .select(
+            "bucket",
+            "ref_n",
+            "cur_n",
+            (F.col("cur_n") * F.col("rt") - F.col("ref_n") * F.col("ct")).alias(
+                "dxr"
+            ),
+            F.expr(
+                "abs(cur_n * rt - ref_n * ct) * 1000000 DIV (rt * ct)"
+            ).alias("tvd_e6"),
+        )
+    )
+
+
 @register(
     "q_quality_drift",
     oracle="""
@@ -192,22 +222,7 @@ def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_ref").cast("bigint").alias("ref_n"),
         F.sum(1 - F.col("is_ref")).cast("bigint").alias("cur_n"),
     )
-    w = Window.partitionBy()  # over the ≤10-row aggregated frame only
-    return (
-        agg.withColumn("rt", F.sum("ref_n").over(w))
-        .withColumn("ct", F.sum("cur_n").over(w))
-        .select(
-            "bucket",
-            "ref_n",
-            "cur_n",
-            (F.col("cur_n") * F.col("rt") - F.col("ref_n") * F.col("ct")).alias(
-                "dxr"
-            ),
-            F.expr(
-                "abs(cur_n * rt - ref_n * ct) * 1000000 DIV (rt * ct)"
-            ).alias("tvd_e6"),
-        )
-    )
+    return drift_report(agg)
 
 
 _COLL_MIN_COUNT = 5

@@ -873,22 +873,11 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("is_ref")).cast("bigint").alias("cur_n"),
     )
     agg = run_to_memory(counts_stream, "complete").localCheckpoint(eager=True)
-    w = Window.partitionBy()  # over the ≤10-row drained frame only
-    return (
-        agg.withColumn("rt", F.sum("ref_n").over(w))
-        .withColumn("ct", F.sum("cur_n").over(w))
-        .select(
-            "bucket",
-            "ref_n",
-            "cur_n",
-            (F.col("cur_n") * F.col("rt") - F.col("ref_n") * F.col("ct")).alias(
-                "dxr"
-            ),
-            F.expr("abs(cur_n * rt - ref_n * ct) * 1000000 DIV (rt * ct)").alias(
-                "tvd_e6"
-            ),
-        )
-    )
+    # the drift algebra is the SHARED tail — one definition with the
+    # batch twin (ml/cleaning.py drift_report), per r7 verdict item 8
+    from ..ml.cleaning import drift_report
+
+    return drift_report(agg)
 
 
 RECONCILE_EVENTS_ORACLE = """

@@ -263,6 +263,11 @@ _CARTESIAN_OK = {
                              # onto every vector — the dense-distance
                              # kernel (q_knn_pq's shape); the K-row
                              # init limit rides the same plan
+    "q_pipeline_curation",   # 1-row MAX(doc_id)+1 plant-offset scalar
+                             # crossed onto the planted-copy subset
+                             # (q_dedup_retention_exact's pattern); the
+                             # dedup window is hash-partitioned on the
+                             # digest and both probe joins are keyed
     "q_join_not_in_nulls",   # the POINT of the query: nullable NOT IN
                              # compiles to a null-aware anti join that
                              # Spark can only run broadcast (BNLJ) —
