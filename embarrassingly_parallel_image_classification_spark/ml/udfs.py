@@ -418,3 +418,77 @@ def q_udf_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", roll_sum("cents").over(w).alias("roll3_cents")
     )
+
+
+@register(
+    "q_udf_cogroup",
+    oracle="""
+    WITH cust AS (
+        SELECT c_nationkey AS nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cust_cents
+        FROM customer GROUP BY c_nationkey),
+    supp AS (
+        SELECT s_nationkey AS nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_supp,
+               CAST(SUM(CAST(ROUND(s_acctbal * 100, 0) AS BIGINT))
+                    AS BIGINT) AS supp_cents
+        FROM supplier GROUP BY s_nationkey)
+    SELECT CAST(COALESCE(cust.nationkey, supp.nationkey) AS BIGINT)
+               AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp,
+           COALESCE(cust_cents, 0) AS cust_cents,
+           COALESCE(supp_cents, 0) AS supp_cents
+    FROM cust FULL OUTER JOIN supp USING (nationkey)
+    """,
+    tags=("J4", "J6"),
+)
+def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map applyInPandas — the LAST Python-boundary API the
+    J-family was missing (spark:python/pyspark/sql/pandas/group_ops.py
+    cogroup().applyInPandas): BOTH groups for one key arrive as two
+    pandas frames in one call, the shape for per-key reconciliation of
+    two datasets that a join would force into wide rows first (train
+    vs serve features, ledger vs statement, …). Here: per-nation
+    customer-vs-supplier balance census in exact cents, so the DuckDB
+    oracle (two aggregates FULL OUTER joined) checks the cogroup
+    boundary bit-for-bit, including the one-sided-group path (a key
+    present in only one input must still emit, with zeros).
+
+    Scale: cogroup shuffles each side ONCE on the key (same exchange
+    shape as a shuffle join) and streams both Arrow batches to the
+    worker per key — no wide joined row ever materializes. Python does
+    integer sums only."""
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("bigint").alias("nationkey"),
+        F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("cents"),
+    )
+
+    def census(key, cpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "nationkey": int(key[0]),
+                    "n_cust": len(cpdf),
+                    "n_supp": len(spdf),
+                    "cust_cents": int(cpdf["cents"].sum()) if len(cpdf) else 0,
+                    "supp_cents": int(spdf["cents"].sum()) if len(spdf) else 0,
+                }
+            ]
+        )
+
+    return (
+        cust.groupBy("nationkey")
+        .cogroup(supp.groupBy("nationkey"))
+        .applyInPandas(
+            census,
+            "nationkey BIGINT, n_cust BIGINT, n_supp BIGINT,"
+            " cust_cents BIGINT, supp_cents BIGINT",
+        )
+    )
