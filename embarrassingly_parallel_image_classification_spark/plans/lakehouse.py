@@ -3760,3 +3760,57 @@ def q_lake_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_inserted"),
     )
+
+
+@register(
+    "q_lake_history_table",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'append',    CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(2 AS BIGINT), 'append',    CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(3 AS BIGINT), 'overwrite', CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(4 AS BIGINT), 'delete',    CAST(1 AS BIGINT), CAST(1 AS BIGINT))
+    ) AS t(version, mode, n_files, n_delete_files)
+    ORDER BY version
+    """,
+    tags=("A6", "lakehouse", "L6"),
+)
+def q_lake_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY as a QUERYABLE DataFrame (Delta `DESCRIBE
+    HISTORY` / Iceberg `.history` metadata table): run a deterministic
+    commit sequence — append (1 file), append (cumulative 2), full
+    overwrite (back to 1), MoR delete (files unchanged + 1 delete
+    file) — then surface table_history() as rows. The oracle is the
+    literal expected ledger, so a commit recording the wrong mode,
+    dropping a file from the cumulative manifest, or mis-carrying the
+    delete-file list fails the hash. Served from the metalog sidecar:
+    one sequential read + one listdir regardless of version count
+    (L6), never a per-manifest open — the metadata-table path an
+    operator dashboards at production commit rates."""
+    from ..sources.formats import scratch
+
+    path = scratch("lake_history", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    even = orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(1)
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1)
+    snapshot_write(even, path, "append")
+    snapshot_write(odd, path, "append")
+    snapshot_write(even, path, "overwrite")
+    delete_where(
+        spark,
+        path,
+        "o_orderkey",
+        spark.range(1).select(F.lit(2).cast("bigint").alias("o_orderkey")),
+    )
+    hist = table_history(path)
+    return spark.createDataFrame(
+        [
+            (h["version"], h["mode"], h["n_files"], h["n_delete_files"])
+            for h in hist
+        ],
+        "version BIGINT, mode STRING, n_files BIGINT, n_delete_files BIGINT",
+    ).orderBy("version")
