@@ -1053,3 +1053,45 @@ def q_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "q_sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("SQL", "N4"),
+)
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+ named parameter markers +
+    IDENTIFIER() clause, spark:python/pyspark/sql/session.py sql(...,
+    args=...)): the injection-safe front end every SQL service puts in
+    front of user input — values bind as TYPED literals through
+    `:name` markers (never string interpolation) and the table name
+    binds through IDENTIFIER(:tbl), which parses as an identifier or
+    fails (a value like 'orders; DROP ...' cannot escape into the
+    grammar). The oracle is the same query with the parameters inlined
+    — binding must be semantically invisible. Parameters are resolved
+    at parse time, so the physical plan is identical to the literal
+    spelling: pushdown and partial aggregation intact."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :minp AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"tbl": "__param_orders", "minp": 150000.0, "status": "F"},
+    )
