@@ -529,3 +529,86 @@ def test_mv_routing_never_scans_base_table(spark):
     )
     with _pytest.raises(ValueError, match="missing"):
         route_rollup(mv, ["o_orderdate"], {"cents": "sum"})
+
+
+def test_pipeline_curation_funnel_invariants(spark):
+    """Structural self-oracle for the capstone beyond the DuckDB hash:
+    the funnel must be MONOTONE (each stage keeps a subset of the
+    previous — a flag computed off the wrong predecessor breaks this
+    before it breaks the hash), stage 0 must equal corpus + planted
+    copies exactly, and the per-(fold, lang) census (stage 5) must
+    partition the mixed set (stage 4) with nothing lost or invented."""
+    import pandas as pd
+
+    rows = (
+        registry.queries()["q_pipeline_curation"](spark, SF_T2)
+        .toPandas()
+        .sort_values(["stage", "lang", "fold"])
+    )
+    funnel = rows[rows["stage"] <= 4].set_index("stage")
+    for s in range(1, 5):
+        assert funnel.loc[s, "n_docs"] <= funnel.loc[s - 1, "n_docs"], s
+        assert funnel.loc[s, "n_chars"] <= funnel.loc[s - 1, "n_chars"], s
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(f"{SF_T2}/documents.parquet")
+    n = md.num_rows
+    tbl = pq.read_table(f"{SF_T2}/documents.parquet", columns=["doc_id"])
+    n_planted = sum(1 for v in tbl["doc_id"].to_pylist() if v % 25 == 0)
+    assert funnel.loc[0, "n_docs"] == n + n_planted
+    folded = rows[rows["stage"] == 5]
+    assert folded["n_docs"].sum() == funnel.loc[4, "n_docs"]
+    assert folded["n_chars"].sum() == funnel.loc[4, "n_chars"]
+    assert set(folded["fold"].unique()) <= {0, 1, 2, 3, 4}
+
+
+def test_udf_cogroup_one_sided_groups(spark):
+    """cogroup().applyInPandas must emit a row for a key present in
+    only ONE input, with the absent side as an empty frame (the path a
+    full-outer-join rewrite gets for free but a cogroup UDF must
+    handle explicitly — len()=0 and a 0 sum, never a KeyError)."""
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 50), (3, 7)], "nationkey BIGINT, cents BIGINT"
+    )
+    right = spark.createDataFrame(
+        [(1, 10), (2, 20)], "nationkey BIGINT, cents BIGINT"
+    )
+
+    def census(key, cpdf, spdf):
+        return pd.DataFrame(
+            [
+                {
+                    "nationkey": int(key[0]),
+                    "n_cust": len(cpdf),
+                    "n_supp": len(spdf),
+                    "cust_cents": int(cpdf["cents"].sum()) if len(cpdf) else 0,
+                    "supp_cents": int(spdf["cents"].sum()) if len(spdf) else 0,
+                }
+            ]
+        )
+
+    got = {
+        r["nationkey"]: r.asDict()
+        for r in left.groupBy("nationkey")
+        .cogroup(right.groupBy("nationkey"))
+        .applyInPandas(
+            census,
+            "nationkey BIGINT, n_cust BIGINT, n_supp BIGINT,"
+            " cust_cents BIGINT, supp_cents BIGINT",
+        )
+        .collect()
+    }
+    assert got[1] == {
+        "nationkey": 1, "n_cust": 2, "n_supp": 1,
+        "cust_cents": 150, "supp_cents": 10,
+    }
+    assert got[2] == {
+        "nationkey": 2, "n_cust": 0, "n_supp": 1,
+        "cust_cents": 0, "supp_cents": 20,
+    }
+    assert got[3] == {
+        "nationkey": 3, "n_cust": 1, "n_supp": 0,
+        "cust_cents": 7, "supp_cents": 0,
+    }
