@@ -2709,6 +2709,11 @@ def erase_rows(spark: SparkSession, path: str, col: str, value) -> int:
             _stats_cache[new] = _footer_stats(os.path.join(path, new), None)
         return _stats_cache[new]
 
+    # one metalog read for the gen stamp, not one per rewritten
+    # manifest; a compaction racing this erase supersedes the stamped
+    # lines either way (documented benign stale-n_files residue)
+    _gen = _metalog_gen(path)
+
     for v, m in sorted(manifests.items()):  # vacuumed versions absent
         if not (set(m["files"]) & affected):
             continue
@@ -2768,7 +2773,7 @@ def erase_rows(spark: SparkSession, path: str, col: str, value) -> int:
         # Stamped with the current compaction gen — an override for a
         # version at-or-below the floor is only honored when it carries
         # the floor's gen (the resurrection fence, advice r8)
-        _metalog_append(path, {**_summary_of(m, v), "gen": _metalog_gen(path)})
+        _metalog_append(path, {**_summary_of(m, v), "gen": _gen})
     for old in sorted(affected):
         os.remove(os.path.join(path, old))
     return len(affected)
