@@ -126,6 +126,10 @@ def _metalog_append(path: str, rec: dict, must: bool = False) -> bool:
         return True  # summary loss is reader-healable
 
 
+# Open fds holding a flock per table path, for this process.
+_MAINT_FDS: dict[str, int] = {}
+
+
 def _maintenance_lock(path: str, max_age_s: float = 300.0) -> bool:
     """Advisory exclusive lock for metalog MAINTENANCE (manifest
     expiry + compaction): vacuum's tombstone appends and compact's
@@ -134,56 +138,57 @@ def _maintenance_lock(path: str, max_age_s: float = 300.0) -> bool:
     clobbered by its os.replace and never healed (review finding r7).
     Committer/erase APPENDS never take the lock: a summary line lost
     to a compact window belongs to a version above the written floor,
-    so the heal loop re-probes it. link(2) claim, same primitive as
-    version claims; a crashed holder's lock is broken after
-    ``max_age_s``. Returns True if acquired."""
+    so the heal loop re-probes it.
+
+    flock(2), not a link(2)-claimed lock FILE: a crashed holder's
+    flock is released by the kernel, so staleness — and the whole
+    break-a-stale-lock protocol — ceases to exist. Every mtime-based
+    break is a check-then-destroy race (two breakers can both observe
+    stale and the slower rename/remove destroys the first breaker's
+    FRESH lock — r8 advice, and the rename variant re-reviewed to the
+    same hole), which flock eliminates outright. This is the one
+    lakehouse primitive that is deliberately NOT the object-store
+    link-claim shape: maintenance is single-cluster by nature, and an
+    object-store deployment would hold a lease from a coordination
+    service here, not a lock file. ``max_age_s`` is kept for API
+    compatibility and ignored. Returns True if acquired; re-entrant
+    calls from the SAME process contend like any other caller
+    (flock on a second fd of the same file fails EWOULDBLOCK)."""
+    import fcntl
+
     lock = os.path.join(path, "_metalog.lock")
     try:
-        if time.time() - os.path.getmtime(lock) > max_age_s:
-            # break the crashed holder's lock with an atomic rename,
-            # not os.remove (advice r8): with remove, two breakers can
-            # both see it stale, A removes + links fresh, then B's
-            # remove deletes A's FRESH lock and links its own — two
-            # simultaneous "holders". rename succeeds for exactly one
-            # breaker (the loser gets ENOENT); the winner still races
-            # everyone on the link(2) claim below.
-            grave = lock + f".grave.{uuid.uuid4().hex}"
-            os.rename(lock, grave)
-            os.remove(grave)
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
     except OSError:
-        pass
-    tmp = lock + f".tmp{uuid.uuid4().hex}"
+        return False
     try:
-        with open(tmp, "w") as f:
-            f.write(str(os.getpid()))
-        os.link(tmp, lock)
-        os.unlink(tmp)
-        return True
-    except FileExistsError:
-        os.unlink(tmp)
-        return False
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
     except OSError:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
+        os.close(fd)
         return False
+    _MAINT_FDS[os.path.abspath(path)] = fd
+    return True
 
 
 def _maintenance_unlock(path: str) -> None:
-    try:
-        os.remove(os.path.join(path, "_metalog.lock"))
-    except OSError:
-        pass
+    fd = _MAINT_FDS.pop(os.path.abspath(path), None)
+    if fd is not None:
+        try:
+            os.close(fd)  # closing releases the flock
+        except OSError:
+            pass
 
 
-def _metalog_scan(path: str) -> tuple[dict[int, dict], int]:
+def _metalog_scan(path: str) -> tuple[dict[int, dict], int, int]:
     """(summary records for every LIVE version 1..latest, the latest
-    this scan PROBED TO) in one metalog read + one listdir — healing
-    gaps (crashed appends, pre-metalog tables: open just those
-    manifests) as it goes, so the next reader is back to the 2-object
-    fast path. The returned latest is what a compaction may safely
-    write as its floor."""
+    this scan PROBED TO, the floor line's generation) in one metalog
+    read + one listdir — healing gaps (crashed appends, pre-metalog
+    tables: open just those manifests) as it goes, so the next reader
+    is back to the 2-object fast path. The returned latest is what a
+    compaction may safely write as its floor; the returned gen is what
+    it bumps (returned here so compaction never re-reads the log —
+    the floor/gen max logic lives in exactly two spellings: this scan
+    and the cheap _metalog_gen used by override appends)."""
     latest = current_version(path)
     entries: dict[int, dict] = {}
     tombs: set[int] = set()
@@ -249,11 +254,15 @@ def _metalog_scan(path: str) -> tuple[dict[int, dict], int]:
             continue
         entries[v] = _summary_of(m, v)
         _metalog_append(path, entries[v])
-    return {v: entries[v] for v in sorted(entries) if v <= latest}, latest
+    return (
+        {v: entries[v] for v in sorted(entries) if v <= latest},
+        latest,
+        floor_gen,
+    )
 
 
 def _metalog_entries(path: str) -> dict[int, dict]:
-    entries, _latest = _metalog_scan(path)
+    entries, _latest, _gen = _metalog_scan(path)
     return entries
 
 
@@ -299,8 +308,8 @@ def _metalog_compact(path: str) -> None:
     writer committing between scan and rewrite), and a floor above an
     un-probed version would hide that live version from every future
     reader (review finding r7)."""
-    entries, scanned_latest = _metalog_scan(path)
-    gen = _metalog_gen(path) + 1
+    entries, scanned_latest, prior_gen = _metalog_scan(path)
+    gen = prior_gen + 1
     tmp = _metalog_path(path) + f".tmp{uuid.uuid4().hex}"
     try:
         with open(tmp, "w") as f:
@@ -832,7 +841,59 @@ def vacuum(
             except OSError:
                 return False  # vanished concurrently: nothing to do
 
-        for name in sorted(os.listdir(path)):
+        names = sorted(os.listdir(path))
+        # PASS 1 — manifest expiry, BEFORE any data file is touched:
+        # an expiry that cannot complete must protect its files in
+        # `reachable` before the file sweep runs (r8 review: relying
+        # on '_manifest' sorting before 'data-' in one combined loop
+        # is fragile, and the tombstone-append-failure path left the
+        # kept manifest's files to be reclaimed moments later — the
+        # same dangling snapshot the contended path was fixed for).
+        for name in names:
+            if not (
+                name.startswith("_manifest_v") and name.endswith(".json")
+            ):
+                continue
+            v = int(name[len("_manifest_v"):-len(".json")])
+            # v <= latest: a writer committing latest+1 between our
+            # current_version() snapshot and this listdir must never
+            # have its just-committed manifest swept (min_age_s guards
+            # data files and tmps, NOT linked manifests) — versions
+            # newer than the horizon are always kept
+            if maint and v not in keep_versions and v <= latest:
+                # tombstone BEFORE the remove (review finding r7): a
+                # crash in between leaves a tombstoned-but-present
+                # manifest — benign (the version was past retention;
+                # the next vacuum's listdir re-sweeps it). The reverse
+                # order left a summary line for a DELETED manifest,
+                # which no reader ever re-probes (the heal loop only
+                # probes versions with no line), so table_history kept
+                # reporting a dead version and asof resolution could
+                # 404 on it. must=True: if the tombstone cannot be
+                # written (ENOSPC/EIO) the manifest MUST stay —
+                # removing it would resurrect the version in the
+                # metalog forever (second review pass r7) — AND its
+                # files must stay reachable, or the file sweep below
+                # would strand the kept (still-listed) manifest on
+                # deleted parquet (r8 review).
+                if _metalog_append(
+                    path, {"version": v, "vacuumed": True}, must=True
+                ):
+                    os.remove(os.path.join(path, name))
+                    removed.append(name)  # same as catalog_vacuum
+                else:
+                    try:
+                        with open(_manifest_path(path, v)) as f:
+                            kept_m = json.load(f)
+                        reachable.update(kept_m["files"])
+                        reachable.update(
+                            d[0] for d in kept_m.get("delete_files", [])
+                        )
+                    except (OSError, ValueError):
+                        pass  # manifest unreadable: nothing to protect
+
+        # PASS 2 — data files, crash tmps, scratch dirs.
+        for name in names:
             full = os.path.join(path, name)
             if (
                 (name.startswith("data-") or name.startswith("delete-"))
@@ -858,41 +919,14 @@ def vacuum(
                 # crashed create_tag: tmp written, link never landed
                 os.remove(full)
                 removed.append(name)
-            if name.startswith("_manifest_v"):
-                if ".json.tmp" in name:
-                    # a crash between the tmp write and the link(2) claim
-                    # leaves the tmp behind (both success and lost-race
-                    # paths unlink it); never visible to current_version
-                    # (endswith('.json') fails), reclaim under the age rule
-                    if old_enough(full):
-                        os.remove(full)
-                        removed.append(name)
-                else:
-                    v = int(name[len("_manifest_v"):-len(".json")])
-                    # v <= latest: a writer committing latest+1 between our
-                    # current_version() snapshot and this listdir must never
-                    # have its just-committed manifest swept (min_age_s
-                    # guards data files and tmps, NOT linked manifests) —
-                    # versions newer than the horizon are always kept
-                    if maint and v not in keep_versions and v <= latest:
-                        # tombstone BEFORE the remove (review finding r7):
-                        # a crash in between leaves a tombstoned-but-
-                        # present manifest — benign (the version was past
-                        # retention; the next vacuum's listdir re-sweeps
-                        # it). The reverse order left a summary line for a
-                        # DELETED manifest, which no reader ever re-probes
-                        # (the heal loop only probes versions with no
-                        # line), so table_history kept reporting a dead
-                        # version and asof resolution could 404 on it.
-                        # must=True: if the tombstone cannot be written
-                        # (ENOSPC/EIO) the manifest MUST stay — removing
-                        # it would resurrect the version in the metalog
-                        # forever (second review pass r7).
-                        if _metalog_append(
-                            path, {"version": v, "vacuumed": True}, must=True
-                        ):
-                            os.remove(full)
-                            removed.append(name)  # same as catalog_vacuum
+            if name.startswith("_manifest_v") and ".json.tmp" in name:
+                # a crash between the tmp write and the link(2) claim
+                # leaves the tmp behind (both success and lost-race
+                # paths unlink it); never visible to current_version
+                # (endswith('.json') fails), reclaim under the age rule
+                if old_enough(full):
+                    os.remove(full)
+                    removed.append(name)
         # fold accumulated tombstone/override lines into one line per
         # live version — vacuum is the maintenance point, same as
         # Iceberg's periodic metadata rewrite (lock holder only:

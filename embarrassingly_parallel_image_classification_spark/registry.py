@@ -133,14 +133,15 @@ def _ensure_loaded() -> None:
 
 # Names pinned to the FRONT of specs()/queries() order, i.e. inside the
 # driver's verified prefix (50 slots observed in rounds 1-7).
-# ROUND-8 WINDOW (r7 verdict item 1; tuple generated by
-# scripts/next_window.py): 42 never-driver-verified oracle-backed
-# queries (the full remaining tail - all judge-verified EXACT in the r7
-# verdict session) + 8 cross-family canaries, r1-r6 driver-green. A
-# green round closes the evidence matrix: every oracle-backed query in
-# the registry will have a driver-verified row. From round 9 the window
-# is free and the rotation rule in next_window.py takes over (oldest
-# driver evidence first, new registrations always included).
+# ROUND-8 WINDOW (r7 verdict item 1; base tuple from
+# scripts/next_window.py): 46 never-driver-verified oracle-backed
+# queries — the full remaining 42-query tail (all judge-verified EXACT
+# in the r7 verdict session) plus the 4 queries registered THIS round —
+# and 4 cross-family canaries, r1-r6 driver-green. A green round closes
+# the evidence matrix: every oracle-backed query in the registry will
+# have a driver-verified row. From round 9 the window is free and the
+# rotation rule in next_window.py takes over (oldest driver evidence
+# first, new registrations always included).
 _DRIVER_PRIORITY = (
     # 1. Round-8 window part A: the 42-query never-driver-verified tail.
     "q_join_null_safe",

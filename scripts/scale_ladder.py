@@ -119,9 +119,15 @@ def build_blowup(spark, k: int) -> str:
         emb,
         lambda df, r: df.select(
             (F.col("vec_id") + r * max_vec).alias("vec_id"),
+            # CAST the SUM back to float: the jitter division promotes
+            # to double and unionByName would silently widen the whole
+            # 4x table to array<double> (8x bytes, different schema
+            # than the 1x fixture — r8 review), conflating row growth
+            # with a storage-type change in the measured exponent.
             F.expr(
-                f"transform(embedding, (x, i) -> x + CAST("
-                f"(abs(xxhash64(vec_id, i, {r})) % 1000) AS FLOAT) / 100000.0)"
+                f"transform(embedding, (x, i) -> CAST(x + CAST("
+                f"(abs(xxhash64(vec_id, i, {r})) % 1000) AS FLOAT)"
+                f" / 100000.0 AS FLOAT))"
             ).alias("embedding"),
             "label",
         ),

@@ -2084,23 +2084,70 @@ def test_lakehouse_vacuum_maintenance_lock(spark, tmp_path):
         "true-orphan reclaim must proceed without the lock"
     )
     lakehouse._maintenance_unlock(path)
-    # lock released: expiry proceeds (manifest + files together) and
-    # the lock does not leak
+    # lock released: expiry proceeds (manifest + files together)
     lakehouse.vacuum(path, retain_versions=1)
     assert not _os.path.exists(lakehouse._manifest_path(path, 1))
     assert not any(_os.path.exists(_os.path.join(path, n)) for n in v1_files)
-    assert not _os.path.exists(_os.path.join(path, "_metalog.lock"))
-    # stale-lock break: a crashed holder's old lock is broken (via
-    # atomic rename, advice r8 — no double-break window) and no grave
-    # residue is left behind
+    # crashed holder: a LEFTOVER LOCK FILE with no live flock must not
+    # block acquisition (flock is kernel-released on process death —
+    # the r8 review showed every mtime-based stale-break protocol,
+    # remove- or rename-based, is a check-then-destroy race; flock
+    # removes the staleness concept entirely, and leaves no grave
+    # residue by construction)
     with open(_os.path.join(path, "_metalog.lock"), "w") as f:
         f.write("999999")
     _os.utime(_os.path.join(path, "_metalog.lock"), (1, 1))  # ancient
-    assert lakehouse._maintenance_lock(path), "stale lock must break"
+    assert lakehouse._maintenance_lock(path), (
+        "unflocked leftover lock file must not block"
+    )
     lakehouse._maintenance_unlock(path)
-    assert not [
-        n for n in _os.listdir(path) if n.startswith("_metalog.lock.grave")
-    ], "stale-lock break left a grave file"
+    # and after release the lock is immediately re-acquirable
+    assert lakehouse._maintenance_lock(path)
+    lakehouse._maintenance_unlock(path)
+
+
+def test_lakehouse_vacuum_tombstone_append_failure_keeps_files(
+    spark, tmp_path, monkeypatch
+):
+    """When the must=True tombstone append fails (ENOSPC/EIO), vacuum
+    keeps the manifest — and must ALSO keep that version's data files
+    (r8 review: the file sweep otherwise reclaimed them in the same
+    run, stranding the kept, still-listed manifest on deleted parquet
+    — the dangling snapshot the contended-path fix targets)."""
+    import json as _json
+    import os as _os
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    lakehouse.snapshot_write(df, path, "append")
+    lakehouse.snapshot_write(df, path, "overwrite")  # v1 past retention
+    with open(lakehouse._manifest_path(path, 1)) as f:
+        v1_files = _json.load(f)["files"]
+    real_append = lakehouse._metalog_append
+
+    def fail_tombstones(p, rec, must=False):
+        if must and rec.get("vacuumed"):
+            return False  # simulated ENOSPC on the tombstone write
+        return real_append(p, rec, must=must)
+
+    monkeypatch.setattr(lakehouse, "_metalog_append", fail_tombstones)
+    lakehouse.vacuum(path, retain_versions=1)
+    monkeypatch.setattr(lakehouse, "_metalog_append", real_append)
+    assert _os.path.exists(lakehouse._manifest_path(path, 1)), (
+        "manifest removed despite tombstone append failure"
+    )
+    assert all(
+        _os.path.exists(_os.path.join(path, n)) for n in v1_files
+    ), "tombstone-append failure kept the manifest but lost its files"
+    # v1 is still listed AND still readable — no dangling snapshot
+    assert [h["version"] for h in lakehouse.table_history(path)] == [1, 2]
+    assert lakehouse.snapshot_read(spark, path, 1).count() == 10
+    # once appends work again, the next vacuum completes the expiry
+    lakehouse.vacuum(path, retain_versions=1)
+    assert not _os.path.exists(lakehouse._manifest_path(path, 1))
+    assert not any(_os.path.exists(_os.path.join(path, n)) for n in v1_files)
 
 
 def test_lakehouse_metalog_tombstone_wins_line_order(spark, tmp_path):
@@ -2182,9 +2229,13 @@ def test_lakehouse_vacuum_releases_lock_on_sweep_error(spark, tmp_path, monkeypa
     except PermissionError:
         pass
     monkeypatch.setattr(lakehouse.os, "remove", real_remove)
-    assert not _os.path.exists(_os.path.join(path, "_metalog.lock")), (
+    # the flock must have been released despite the mid-sweep
+    # exception (the lock FILE remains — flock lives on the fd, not
+    # the file) — proven by immediate re-acquirability
+    assert lakehouse._maintenance_lock(path), (
         "sweep exception leaked the maintenance lock"
     )
+    lakehouse._maintenance_unlock(path)
     # and the next vacuum (lock free) completes the expiry
     lakehouse.vacuum(path, retain_versions=1)
     assert not _os.path.exists(lakehouse._manifest_path(path, 1))
