@@ -172,6 +172,10 @@ HEADLINE = [
     # at fixture scale it is ANALYSIS-bound (K=16 literal-centroid
     # expressions + 4 fixed kmeans jobs ~= 7.7 s that would not grow
     # with data), so timing it tells you about codegen, not the engine
+    # round-8 additions
+    "q_udf_cogroup",
+    "q_sql_parameterized",
+    "q_lake_history_table",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the
