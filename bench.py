@@ -176,6 +176,16 @@ HEADLINE = [
     "q_udf_cogroup",
     "q_sql_parameterized",
     "q_lake_history_table",
+    # round-8 feature-engineering family (Q): tiny-agg + broadcast-back
+    # transforms — the fact table is never shuffled in any of the four
+    "q_feat_string_index",
+    "q_feat_onehot",
+    "q_feat_target_encode",
+    "q_feat_bucketize",
+    "q_feat_target_kfold",
+    # round-8 exact-GD trainer (7 aggregate jobs) and keyed snapshot diff
+    "q_train_linreg_gd",
+    "q_lake_snapshot_diff",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -1,0 +1,326 @@
+"""Feature-engineering transforms (SURVEY.md §2-Q, round 8): the
+tabular encode/discretize steps between curated data and a trainer.
+The rolling z-score/min-max normalizer already lives in
+operators/windows.py ``q_window_normalize`` (per-series, trailing
+frame); this module adds the GLOBAL and CATEGORICAL transforms — the
+Spark MLlib ``StringIndexer`` / ``OneHotEncoder`` / ``Bucketizer``
+shapes [PK] plus leave-one-out target encoding (Micci-Barreca 2001
+[PK]) — each as pure DataFrame ops with exact-integer DuckDB oracles.
+
+The shared scale shape: every transform here is
+``tiny aggregate → broadcast back onto the fact table`` —
+
+- the aggregate output is bounded by the CATEGORY DOMAIN (5 market
+  segments, 5 order priorities) or is a single global row (min/max),
+  never by the fact row count, so it broadcasts at any scale factor;
+- the fact table itself is touched exactly once, map-side, and is
+  NEVER shuffled or windowed. The naive spellings (a window
+  partitioned by category for target encoding, a per-row rank for
+  bucketize) shuffle the full fact table on a 5-value key — the
+  guaranteed-skew plan at 100 TB. The agg+broadcast-join spelling is
+  map-side combinable on the way up and embarrassingly parallel on
+  the way back down.
+
+Integer discipline throughout (the q_window_normalize rule): money in
+cents via CAST(ROUND(x*100, 0) AS BIGINT), encodings as BIGINT DIV —
+both engines agree bit-for-bit, no float accumulation order to drift.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import t
+
+# Equi-width bucket count for q_feat_bucketize — module-level so the
+# Spark plan, the oracle, and any downstream consumer share ONE
+# definition (the GOPHER_* rule from round 7).
+BUCKETIZE_K = 16
+
+
+@register(
+    "q_feat_string_index",
+    oracle="""
+    WITH counts AS (
+        SELECT c_mktsegment, COUNT(*) AS n
+        FROM customer GROUP BY c_mktsegment
+    ),
+    dict AS (
+        SELECT c_mktsegment,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, c_mktsegment) - 1
+                    AS BIGINT) AS seg_idx
+        FROM counts
+    )
+    SELECT c.c_custkey, c.c_mktsegment, d.seg_idx
+    FROM customer c JOIN dict d USING (c_mktsegment)
+    """,
+    tags=("Q1",),
+)
+def q_feat_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING INDEXING — map each categorical label to a dense integer
+    id, most-frequent-first (ties by label, for determinism): the
+    MLlib StringIndexer frequencyDesc contract [PK], the step before
+    any embedding lookup or tree split on a string column. Plan: ONE
+    map-side-combined count aggregate down to the category domain
+    (5 rows here, bounded by distinct labels at any sf), a
+    ROW_NUMBER over that dict-sized frame (single-partition window on
+    5 rows — deliberately NOT over the fact table), then a broadcast
+    join back. The fact table is scanned once and never shuffled."""
+    c = t(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+    dict_w = Window.orderBy(F.col("n").desc(), F.col("c_mktsegment"))
+    dic = counts.select(
+        "c_mktsegment",
+        (F.row_number().over(dict_w) - 1).cast("bigint").alias("seg_idx"),
+    )
+    return c.join(F.broadcast(dic), "c_mktsegment").select(
+        "c_custkey", "c_mktsegment", "seg_idx"
+    )
+
+
+def _oh_name(value: str) -> str:
+    """Deterministic indicator-column name for a category value."""
+    return "oh_" + re.sub(r"[^0-9a-z]+", "_", value.lower()).strip("_")
+
+
+@register(
+    "q_feat_onehot",
+    # The oracle hardcodes the TPC-H priority domain; the Spark side
+    # derives it from the data — a mismatch (new/missing category)
+    # fails the schema diff, which is exactly the drift signal a
+    # production encoder needs.
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS BIGINT) AS oh_1_urgent,
+           CAST(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS BIGINT) AS oh_2_high,
+           CAST(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS BIGINT) AS oh_3_medium,
+           CAST(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END AS BIGINT) AS oh_4_not_specified,
+           CAST(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS BIGINT) AS oh_5_low
+    FROM orders
+    """,
+    tags=("Q2",),
+)
+def q_feat_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-HOT ENCODING — expand a categorical column into one
+    indicator column per vocabulary value (the MLlib OneHotEncoder
+    shape [PK], dense spelling: column names derived from the values
+    so downstream code is self-describing). The vocabulary is learned
+    from the data with a bounded collect — distinct CATEGORY values,
+    not rows (5 here; a categorical past ~10k values belongs in
+    q_feat_string_index + an embedding, not one-hot). Sorted for a
+    deterministic column order. Plan: one tiny distinct (the only
+    shuffle, category-domain-sized), then the encode itself is pure
+    map-side CASE WHEN over a single fact scan — no join, no shuffle,
+    whole-stage-codegen all the way."""
+    o = t(spark, sf_dir, "orders")
+    vocab = sorted(
+        r[0] for r in o.select("o_orderpriority").distinct().collect()
+    )
+    indicators = [
+        F.when(F.col("o_orderpriority") == v, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias(_oh_name(v))
+        for v in vocab
+    ]
+    return o.select("o_orderkey", "o_orderpriority", *indicators)
+
+
+@register(
+    "q_feat_target_encode",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    g AS (
+        SELECT o_orderpriority,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pts GROUP BY o_orderpriority
+    )
+    SELECT p.o_orderkey, p.o_orderpriority, p.cents,
+           CASE WHEN g.n > 1
+                THEN CAST((g.s - p.cents) // (g.n - 1) AS BIGINT)
+           END AS te_loo_c
+    FROM pts p JOIN g USING (o_orderpriority)
+    """,
+    tags=("Q3",),
+)
+def q_feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT TARGET ENCODING (Micci-Barreca 2001 [PK]) —
+    replace a categorical with the mean of the target over the OTHER
+    rows of its category: te = (S_cat − y_own) / (n_cat − 1). The
+    leave-one-out form is the leakage-free variant — a row never sees
+    its own label — computed CLOSED-FORM from one category aggregate
+    instead of the textbook per-row re-aggregation. Exact integers:
+    cents in, BIGINT DIV out (dividend ≥ 0 since targets are
+    positive, so Spark DIV and DuckDB // agree); singleton categories
+    yield NULL rather than 0/0. Plan: one map-side-combined aggregate
+    to category-domain size, broadcast join back, map-side
+    arithmetic — the fact table is never shuffled, vs the naive
+    window-partitioned-by-category spelling that exchanges every row
+    on a 5-value (guaranteed-skew) key."""
+    pts = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    g = pts.groupBy("o_orderpriority").agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return pts.join(F.broadcast(g), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "cents",
+        F.when(
+            F.col("n") > 1,
+            F.expr("CAST((s - cents) DIV (n - 1) AS BIGINT)"),
+        ).alias("te_loo_c"),
+    )
+
+
+@register(
+    "q_feat_bucketize",
+    oracle=f"""
+    WITH pts AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    bounds AS (
+        SELECT CAST(MIN(cents) AS BIGINT) AS lo,
+               CAST(MAX(cents) AS BIGINT) AS hi
+        FROM pts
+    )
+    SELECT p.o_orderkey, p.cents,
+           CAST(CASE WHEN b.hi > b.lo
+                     THEN (p.cents - b.lo) * {BUCKETIZE_K} // (b.hi - b.lo + 1)
+                     ELSE 0 END AS BIGINT) AS bucket
+    FROM pts p CROSS JOIN bounds b
+    """,
+    tags=("Q4",),
+)
+def q_feat_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-WIDTH BUCKETIZATION — discretize a continuous feature into
+    K fixed-width buckets over the observed [min, max] (the MLlib
+    Bucketizer shape [PK] with data-derived splits): bucket =
+    (x − lo)·K DIV (hi − lo + 1), all BIGINT, the +1 guaranteeing
+    bucket ∈ [0, K) with the max value landing in bucket K−1 — no
+    float edges for the two engines to disagree on. A degenerate
+    (constant) column collapses to bucket 0 instead of dividing by
+    zero. The equi-DEPTH sibling (quantile boundaries) is
+    q_profile_equidepth in operators/analytics.py; equi-width is the
+    one a trainer wants when bucket WIDTH must be interpretable.
+    Plan: one global min/max aggregate (partial-agg to a single row),
+    broadcast nested-loop join of that 1-row frame back, map-side
+    assignment — one fact scan, zero fact shuffles."""
+    pts = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    bounds = pts.agg(
+        F.min("cents").cast("bigint").alias("lo"),
+        F.max("cents").cast("bigint").alias("hi"),
+    )
+    return pts.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        "cents",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.expr(f"(cents - lo) * {BUCKETIZE_K} DIV (hi - lo + 1)"),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+
+
+@register(
+    "q_feat_target_kfold",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 5
+                    AS BIGINT) AS fold,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    gf AS (
+        SELECT o_orderpriority, fold,
+               CAST(SUM(cents) AS BIGINT) AS s_f,
+               CAST(COUNT(*) AS BIGINT) AS n_f
+        FROM pts GROUP BY o_orderpriority, fold
+    ),
+    gt AS (
+        SELECT o_orderpriority,
+               CAST(SUM(s_f) AS BIGINT) AS s_t,
+               CAST(SUM(n_f) AS BIGINT) AS n_t
+        FROM gf GROUP BY o_orderpriority
+    )
+    SELECT p.o_orderkey, p.o_orderpriority, p.fold,
+           CASE WHEN t.n_t > f.n_f
+                THEN CAST((t.s_t - f.s_f) // (t.n_t - f.n_f) AS BIGINT)
+           END AS te_oof_c
+    FROM pts p
+    JOIN gf f ON f.o_orderpriority = p.o_orderpriority AND f.fold = p.fold
+    JOIN gt t ON t.o_orderpriority = p.o_orderpriority
+    """,
+    tags=("Q3", "M10"),
+)
+def q_feat_target_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-FOLD (out-of-fold) TARGET ENCODING — the cross-validated
+    variant of q_feat_target_encode: each row's encoding is the target
+    mean over the OTHER folds, te = (S_total − S_fold)/(n_total −
+    n_fold), so a model evaluated on fold k never sees statistics
+    computed from fold k (the leakage mode LOO cannot fix when the
+    same row appears in train AND validation). Fold assignment is the
+    q_split_kfold engine-portable md5-prefix hash — any engine
+    reproduces the identical split from the key alone. Closed form
+    from ONE (category × fold) aggregate — 25 cells here, bounded by
+    domain × K at any scale — with the category totals derived from
+    those cells, never a second fact pass. Plan: one
+    map-side-combined aggregate, two broadcast joins back, map-side
+    arithmetic; the fact table is scanned once and never shuffled.
+    Exact BIGINT DIV on non-negative dividends (both engines
+    truncate)."""
+    pts = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+        ).alias("fold"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    gf = pts.groupBy("o_orderpriority", "fold").agg(
+        F.sum("cents").cast("bigint").alias("s_f"),
+        F.count("*").cast("bigint").alias("n_f"),
+    )
+    gt = gf.groupBy("o_orderpriority").agg(
+        F.sum("s_f").cast("bigint").alias("s_t"),
+        F.sum("n_f").cast("bigint").alias("n_t"),
+    )
+    return (
+        pts.join(F.broadcast(gf), ["o_orderpriority", "fold"])
+        .join(F.broadcast(gt), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "fold",
+            F.when(
+                F.col("n_t") > F.col("n_f"),
+                F.expr("CAST((s_t - s_f) DIV (n_t - n_f) AS BIGINT)"),
+            ).alias("te_oof_c"),
+        )
+    )

@@ -3853,3 +3853,92 @@ def q_lake_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "version BIGINT, mode STRING, n_files BIGINT, n_delete_files BIGINT",
     ).orderBy("version")
+
+
+@register(
+    "q_lake_snapshot_diff",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    v1 AS (SELECT * FROM pts WHERE o_orderkey % 2 = 0),
+    v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 6 = 0 THEN cents + 7
+                    ELSE cents END AS cents
+        FROM v1 WHERE o_orderkey % 10 <> 0
+        UNION ALL
+        SELECT o_orderkey, cents FROM pts
+        WHERE o_orderkey % 2 = 1 AND o_orderkey % 7 = 0
+    ),
+    j AS (
+        SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+               CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'removed'
+                    WHEN a.cents <> b.cents THEN 'changed'
+                    ELSE 'unchanged' END AS change
+        FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT change, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM j GROUP BY change
+    """,
+    tags=("lakehouse", "L1", "C3"),
+)
+def q_lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYED SNAPSHOT DIFF — the semantic complement of q_lake_changes
+    (which counts row-level inserts/deletes via EXCEPT): diff two
+    table versions BY PRIMARY KEY into added / removed / CHANGED /
+    unchanged classes with a key-sum checksum per class. EXCEPT-style
+    CDF cannot tell an update apart from a delete+insert pair; the
+    keyed diff can, and 'changed' is the class a reconciliation or
+    SCD-maintenance job acts on. Versions: v1 = even keys; v2 deletes
+    keys %10 = 0, bumps cents by 7 for keys %6 = 0, inserts odd keys
+    %7 = 0 — all three classes non-empty plus a large unchanged
+    majority, computed purely from time travel (two AS-OF reads), no
+    change log maintained. Plan: ONE full-outer sort-merge join
+    co-partitioned on the key (both AS-OF scans hash on o_orderkey —
+    the join is the only fact shuffle) into a 4-row map-side-combined
+    aggregate; at production scale both sides prune to the files the
+    diffed partitions touch."""
+    from ..sources.formats import scratch
+
+    path = scratch("lake_snapdiff", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    pts = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    v1 = pts.filter(F.col("o_orderkey") % 2 == 0)
+    v2 = v1.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 6 == 0, F.col("cents") + 7)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    ).unionByName(
+        pts.filter(
+            (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 7 == 0)
+        )
+    )
+    snapshot_write(v1, path, "append")
+    snapshot_write(v2, path, "overwrite")
+    a = snapshot_read(spark, path, 1).select(
+        F.col("o_orderkey").alias("k1"), F.col("cents").alias("c1")
+    )
+    b = snapshot_read(spark, path, 2).select(
+        F.col("o_orderkey").alias("k2"), F.col("cents").alias("c2")
+    )
+    j = a.join(b, a["k1"] == b["k2"], "full_outer").select(
+        F.coalesce("k1", "k2").alias("k"),
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("c1") != F.col("c2"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return j.groupBy("change").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+    )

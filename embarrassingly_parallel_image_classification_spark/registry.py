@@ -133,74 +133,70 @@ def _ensure_loaded() -> None:
 
 # Names pinned to the FRONT of specs()/queries() order, i.e. inside the
 # driver's verified prefix (50 slots observed in rounds 1-7).
-# ROUND-8 WINDOW (r7 verdict item 1; base tuple from
-# scripts/next_window.py): 46 never-driver-verified oracle-backed
-# queries — the full remaining 42-query tail (all judge-verified EXACT
-# in the r7 verdict session) plus the 4 queries registered THIS round —
-# and 4 cross-family canaries, r1-r6 driver-green. A green round closes
-# the evidence matrix: every oracle-backed query in the registry will
-# have a driver-verified row. From round 9 the window is free and the
+# ROUND-8 WINDOW (r7 verdict item 1; tuple from scripts/next_window.py):
+# 50 never-driver-verified oracle-backed queries — the full remaining
+# 42-query tail (all judge-verified EXACT in the r7 verdict session),
+# the 4 queries registered earlier this round (cogroup/parameterized/
+# history/curation-capstone), and the 4 feature-engineering queries
+# (Q family) registered this session. Exactly 50, so the canary slots
+# gave way to never-verified evidence (the rotation rule: never-verified
+# first, canaries only when slots remain; pytest oracle-parity re-runs
+# every green query locally regardless). A green round closes the
+# evidence matrix: every oracle-backed query in the registry will have
+# a driver-verified row. From round 9 the window is free and the
 # rotation rule in next_window.py takes over (oldest driver evidence
 # first, new registrations always included).
 _DRIVER_PRIORITY = (
-    # 1. Round-8 window part A: the 42-query never-driver-verified tail.
     "q_join_null_safe",
+    "q_join_not_in_nulls",
+    "q_reshape_transpose",
+    "q_agg_approx_topk",
+    "q_window_rolling_slope",
+    "q_geo_geohash",
+    "q_attribution_linear",
+    "q_graph_label_prop",
+    "q_union_by_name",
     "q_fn_format",
-    "q_lake_column_rename",
     "q_fn_url",
     "q_fn_collation",
-    "q_sql_pipe",
-    "q_union_by_name",
-    "q_reshape_transpose",
-    "q_text_perplexity",
-    "q_geo_geohash",
-    "q_agg_approx_topk",
-    "q_attribution_linear",
-    "q_ps_rolling",
-    "q_lake_default_column",
     "q_fn_timezone",
-    "q_sql_udf",
-    "q_scan_csv_corrupt",
-    "q_lake_stream_fanout",
-    "q_window_rolling_slope",
-    "q_join_not_in_nulls",
-    "q_sink_dynamic_overwrite",
-    "q_lake_null_pruning",
-    "q_graph_label_prop",
     "q_embed_covariance",
+    "q_select_uncertain",
+    "q_udf_cogroup",
+    "q_knn_filtered",
     "q_cluster_kmeans",
     "q_dedup_semantic",
+    "q_dedup_semantic_soft",
+    "q_text_perplexity",
     "q_mix_temperature",
     "q_text_vocab_growth",
     "q_privacy_k_anon",
     "q_quality_benford",
-    "q_stream_reconcile",
-    "q_scale_skew_audit",
-    "q_reconcile_checksum",
-    "q_select_uncertain",
-    "q_knn_filtered",
-    "q_dedup_semantic_soft",
     "q_quality_gopher",
     "q_dedup_retention_exact",
     "q_quality_linear_clf",
+    "q_feat_string_index",
+    "q_feat_onehot",
+    "q_feat_target_encode",
+    "q_feat_bucketize",
+    "q_scan_csv_corrupt",
+    "q_sink_dynamic_overwrite",
+    "q_stream_reconcile",
     "q_stream_quality_gate",
+    "q_sql_pipe",
+    "q_sql_udf",
     "q_sql_recursive_cte",
     "q_sql_variables",
-    # 2. New round-8 registrations (rotation rule 1: new coverage is
-    #    verified the round it ships): the curation capstone and the
-    #    cogrouped-map API completion.
-    "q_pipeline_curation",
-    "q_udf_cogroup",
-    "q_lake_history_table",
     "q_sql_parameterized",
-    # 3. Round-8 window part B: cross-family canaries, driver-green
-    #    r1-r6 (q_knn_exact, q_agg_basic, q_text_chunking and
-    #    q_join_asof yielded their slots to the new registrations;
-    #    they re-enter in the round-9 stale-evidence rotation).
-    "q_tpch_q9",
-    "q_stream_tumbling",
-    "q_dedup_ngram_jaccard",
-    "q_window_firstlast",
+    "q_scale_skew_audit",
+    "q_reconcile_checksum",
+    "q_pipeline_curation",
+    "q_lake_null_pruning",
+    "q_lake_stream_fanout",
+    "q_lake_default_column",
+    "q_lake_column_rename",
+    "q_lake_history_table",
+    "q_ps_rolling",
 )
 
 # (round-1-green families act as their own canaries right behind the
@@ -227,6 +223,8 @@ _QUERY_MODULES = (
         "ml.corpus",
         "ml.cleaning",
         "ml.curation",
+        "ml.features",
+        "ml.training",
         "ml.multimodal",
         "sources.formats",
         "sources.custom",

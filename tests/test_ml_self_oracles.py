@@ -705,3 +705,30 @@ def test_ivf_postfilter_overfetch_recall_ladder(spark):
     assert abs(recalls[2] - recalls[3]) < 1e-9, (
         f"plateau = the IVF probe's own miss, not the filter: {recalls}"
     )
+
+
+def test_linreg_gd_training_log_converges(spark):
+    """q_train_linreg_gd's oracle pins bit-exactness; this pins the
+    SEMANTICS the exactness is supposed to carry: the training MAE
+    decreases strictly every iteration on this fixture (a wrong
+    gradient sign or an unstable learning rate both break this long
+    before they break determinism), the final validation row (iter
+    T+1) scores the SAME weights as the last update, and its MAE is
+    the best of the run."""
+    from embarrassingly_parallel_image_classification_spark import registry
+    from embarrassingly_parallel_image_classification_spark.ml.training import (
+        GD_ITERS,
+    )
+
+    rows = (
+        registry.queries()["q_train_linreg_gd"](spark, SF_T2)
+        .orderBy("iter")
+        .collect()
+    )
+    assert len(rows) == GD_ITERS + 1
+    maes = [r["mae_e6"] for r in rows]
+    assert all(a > b for a, b in zip(maes, maes[1:])), maes
+    last, fin = rows[-2], rows[-1]
+    assert (fin["w0_e6"], fin["w1_e6"], fin["w2_e6"]) == (
+        last["w0_e6"], last["w1_e6"], last["w2_e6"],
+    )

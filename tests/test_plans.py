@@ -612,3 +612,35 @@ def test_udf_cogroup_one_sided_groups(spark):
         "nationkey": 3, "n_cust": 1, "n_supp": 0,
         "cust_cents": 7, "supp_cents": 0,
     }
+
+
+def test_feature_encoders_never_shuffle_the_fact_table(spark):
+    """The Q-family feature transforms (ml/features.py) all claim the
+    same plan shape: a category-domain- or single-row-sized aggregate,
+    broadcast back onto the fact table, which itself is scanned once
+    and NEVER shuffled or sort-merge-joined. Pin each query's physical
+    plan to that claim — an SMJ or an extra non-broadcast Exchange
+    means a spelling regressed into the skew-prone window form.
+
+    Expected non-broadcast Exchange counts carry only aggregate
+    partials (dict-sized), never fact rows: string_index = 2 (the
+    count agg + the single-partition 5-row dict window), target_encode
+    = 1 (the category agg), bucketize = 1 (the global min/max agg),
+    onehot = 0 (vocab is learned in a separate bounded-collect job;
+    the returned plan is a pure map-side Project)."""
+    expected = {
+        "q_feat_string_index": (2, "BroadcastHashJoin"),
+        "q_feat_onehot": (0, None),
+        "q_feat_target_encode": (1, "BroadcastHashJoin"),
+        "q_feat_bucketize": (1, "BroadcastNestedLoop"),
+    }
+    for name, (n_shuffles, join_node) in expected.items():
+        plan = plan_of(spark, name)
+        tree = plan.split("== Physical Plan ==")[1].split("(1) ")[0]
+        got = tree.count("Exchange") - tree.count("BroadcastExchange")
+        assert got == n_shuffles, f"{name}: {got} shuffles:\n{tree}"
+        assert "SortMergeJoin" not in tree, f"{name}: SMJ crept in:\n{tree}"
+        if join_node is None:
+            assert "Join" not in tree, f"{name}: unexpected join:\n{tree}"
+        else:
+            assert join_node in tree, f"{name}: wanted {join_node}:\n{tree}"
