@@ -731,3 +731,164 @@ def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tokens").over(w).cast("bigint").alias("cum_tokens"),
         F.sum("new_words").over(w).cast("bigint").alias("cum_vocab"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018 [PK]) — the OTHER major subword
+# family next to BPE above: instead of greedy merges, hold a piece
+# vocabulary with probabilities and EM-fit it, segmenting each word by
+# Viterbi under the current piece log-probs. Deterministic, integer-
+# scored variant: log-probs as e6 integers, so every DP comparison is
+# exact and the whole trainer is bit-reproducible on any partitioning.
+# ---------------------------------------------------------------------------
+
+UNI_MAXL = 4  # max piece length in the seed inventory
+UNI_SEED_V = 48  # multi-char seed pieces kept (plus ALL single chars)
+UNI_ITERS = 2  # EM iterations
+UNI_TOPK = 20  # reported vocabulary head
+
+
+def _uni_lp_table(counts: dict[str, int]) -> dict[str, int]:
+    """Piece log-probs as e6 integers: lp = round(ln(c/total)·1e6).
+    The only float op in the trainer; everything downstream (Viterbi
+    sums, comparisons) is exact BIGINT."""
+    import math
+
+    total = sum(counts.values())
+    return {
+        p: round(math.log(c / total) * 1_000_000) for p, c in counts.items()
+    }
+
+
+def _uni_viterbi(word: str, lp: dict[str, int], maxl: int) -> list[str]:
+    """Deterministic Viterbi segmentation: maximize Σ lp_e6; ties →
+    fewer pieces; remaining ties → lexicographically smallest piece
+    sequence. All-integer scores make the argmax exact."""
+    n = len(word)
+    # best[i] = (neg_score, n_pieces, seq) for word[:i]; tuple compare
+    # gives the deterministic total order (min = best)
+    best: list[tuple] = [None] * (n + 1)  # type: ignore[list-item]
+    best[0] = (0, 0, ())
+    for i in range(1, n + 1):
+        cand = []
+        for j in range(max(0, i - maxl), i):
+            piece = word[j:i]
+            if best[j] is not None and piece in lp:
+                s, k, seq = best[j]
+                cand.append((s - lp[piece], k + 1, seq + (piece,)))
+        best[i] = min(cand) if cand else None
+    assert best[n] is not None, f"unsegmentable word {word!r}"
+    return list(best[n][2])
+
+
+def train_unigram(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict[str, int]]:
+    """The unigram-LM EM loop shared by q_text_unigram_train and the
+    pytest reference check. Distributed shape (the train_bpe economy,
+    one level stronger): ONE corpus shuffle builds the word-frequency
+    table; the seed inventory and every E-step run over DISTINCT
+    words only, with the vocab-sized model (piece → lp_e6 ints)
+    shipped to executors inside an Arrow-batched pandas UDF closure —
+    at 100 TB the corpus is touched once, and each EM iteration costs
+    one explode+aggregate over the word VOCABULARY plus a V-row
+    collect. Returns (final usage DataFrame, final lp table)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType
+
+    d = t(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    # Seed inventory: every substring of length 1..UNI_MAXL of every
+    # distinct word, weighted by word freq — map-side slice transform,
+    # one vocab-keyed aggregate, then a bounded (V-row) collect. All
+    # single chars are kept unconditionally so every word stays
+    # segmentable; multi-char pieces compete for UNI_SEED_V slots on
+    # (count desc, piece asc).
+    subs = wf.select(
+        F.explode(
+            F.expr(
+                # filter keeps l ≤ len(word): sequence(1, n) with n < 1
+                # DESCENDS ([1, 0]) instead of being empty, which would
+                # double-count whole-word pieces for short words
+                f"""flatten(transform(
+                       filter(sequence(1, {UNI_MAXL}),
+                              l -> l <= length(word)),
+                       l -> transform(sequence(1, length(word) - l + 1),
+                           i -> substring(word, i, l))))"""
+            )
+        ).alias("piece"),
+        "freq",
+    ).groupBy("piece").agg(F.sum("freq").cast("bigint").alias("n"))
+    singles = {
+        r["piece"]: int(r["n"])
+        for r in subs.filter(F.length("piece") == 1).collect()
+    }
+    multi = subs.filter(F.length("piece") > 1).orderBy(
+        F.desc("n"), F.asc("piece")
+    ).limit(UNI_SEED_V).collect()
+    counts = dict(singles)
+    counts.update({r["piece"]: int(r["n"]) for r in multi})
+
+    usage_df = None
+    lp: dict[str, int] = {}
+    for _ in range(UNI_ITERS):
+        lp = _uni_lp_table(counts)
+        lp_local = dict(lp)
+
+        def _segment(words):
+            return words.map(lambda w: _uni_viterbi(w, lp_local, UNI_MAXL))
+
+        # unannotated function + explicit returnType: `from __future__
+        # annotations` stringifies hints on nested defs, which
+        # pandas_udf's signature inspector rejects
+        segment = F.pandas_udf(_segment, ArrayType(StringType()))
+
+        usage_df = (
+            wf.select(F.explode(segment("word")).alias("piece"), "freq")
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("bigint").alias("usage"))
+        )
+        used = {
+            r["piece"]: int(r["usage"]) for r in usage_df.collect()
+        }  # bounded: ≤ V rows
+        # M-step: longer pieces live on their usage (0 → pruned);
+        # single chars are floored at +1 so coverage never breaks
+        counts = {
+            p: used.get(p, 0) + 1 for p in singles
+        }
+        counts.update(
+            {p: u for p, u in used.items() if len(p) > 1 and u > 0}
+        )
+    assert usage_df is not None
+    return usage_df, lp
+
+
+@register(
+    "q_text_unigram_train", oracle=None, tags=("K6", "iterative", "rows-only")
+)
+def q_text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM TOKENIZER TRAINING (Kudo 2018 [PK], the SentencePiece
+    default) — completes the subword family next to q_text_bpe_train:
+    seed a piece inventory from weighted substrings, then EM — E-step
+    Viterbi-segments every DISTINCT word under integer e6 log-probs
+    (exact DP: ties → fewer pieces → lexicographic), M-step re-counts
+    piece usage (single chars floored so coverage never breaks,
+    unused longer pieces pruned). Deterministic end to end: the one
+    float op (ln) is frozen into the e6 model table before anything
+    distributed consumes it, so the result is bit-identical on any
+    partitioning — pinned EXACTLY against an independent pure-Python
+    EM in tests/test_ml_self_oracles.py::
+    test_unigram_train_matches_reference (iterative + DP ⇒ rows-only).
+    Output: the final vocabulary head — top pieces by corpus usage.
+    Plan: corpus shuffled ONCE into the word-frequency table; seeding
+    and every E-step are vocab-frame explode+aggregates with the
+    model broadcast in an Arrow UDF closure; V-row bounded collects
+    between iterations (the train_bpe economy)."""
+    usage_df, _ = train_unigram(spark, sf_dir)
+    return usage_df.orderBy(F.desc("usage"), F.asc("piece")).limit(UNI_TOPK)

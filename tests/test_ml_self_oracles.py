@@ -732,3 +732,96 @@ def test_linreg_gd_training_log_converges(spark):
     assert (fin["w0_e6"], fin["w1_e6"], fin["w2_e6"]) == (
         last["w0_e6"], last["w1_e6"], last["w2_e6"],
     )
+
+
+def test_unigram_train_matches_reference(spark):
+    """q_text_unigram_train's final vocabulary head must equal, row
+    for row, an independent pure-Python unigram-LM EM run on the same
+    corpus: same substring seeding (all pieces len 1..4 weighted by
+    word freq, singles kept unconditionally, top-48 multis on
+    count desc / piece asc), same e6-integer log-prob model, same
+    Viterbi tie order (max score → fewer pieces → lexicographic
+    sequence), same M-step (singles floored at +1, unused multis
+    pruned). The reference segments by suffix recursion — a different
+    code shape than the engine's forward DP — so an ordering or
+    pruning divergence cannot hide in shared code."""
+    import math
+    from collections import Counter
+    from functools import lru_cache
+
+    import duckdb
+
+    from embarrassingly_parallel_image_classification_spark import registry
+    from embarrassingly_parallel_image_classification_spark.ml.corpus import (
+        UNI_ITERS,
+        UNI_MAXL,
+        UNI_SEED_V,
+        UNI_TOPK,
+    )
+
+    con = duckdb.connect()
+    wf = dict(
+        con.execute(
+            f"""
+        SELECT w, COUNT(*) c FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS w
+            FROM read_parquet('{SF_T2}/documents.parquet'))
+        WHERE length(w) >= 1 GROUP BY w
+        """
+        ).fetchall()
+    )
+
+    seed: Counter = Counter()
+    for w, c in wf.items():
+        for length in range(1, UNI_MAXL + 1):
+            for i in range(len(w) - length + 1):
+                seed[w[i : i + length]] += c
+    singles = {p: n for p, n in seed.items() if len(p) == 1}
+    multis = sorted(
+        ((p, n) for p, n in seed.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:UNI_SEED_V]
+    counts = dict(singles)
+    counts.update(dict(multis))
+
+    usage: Counter = Counter()
+    for _ in range(UNI_ITERS):
+        total = sum(counts.values())
+        lp = {
+            p: round(math.log(c / total) * 1_000_000)
+            for p, c in counts.items()
+        }
+
+        def seg(word):
+            @lru_cache(maxsize=None)
+            def rest(i):
+                # best (neg_score, n_pieces, seq) for word[i:]
+                if i == len(word):
+                    return (0, 0, ())
+                cands = []
+                for j in range(i + 1, min(i + UNI_MAXL, len(word)) + 1):
+                    piece = word[i:j]
+                    if piece in lp:
+                        s, k, sq = rest(j)
+                        cands.append((s - lp[piece], k + 1, (piece,) + sq))
+                return min(cands)
+
+            return rest(0)[2]
+
+        usage = Counter()
+        for w, c in wf.items():
+            for piece in seg(w):
+                usage[piece] += c
+        counts = {p: usage.get(p, 0) + 1 for p in singles}
+        counts.update(
+            {p: u for p, u in usage.items() if len(p) > 1 and u > 0}
+        )
+
+    want = sorted(usage.items(), key=lambda kv: (-kv[1], kv[0]))[:UNI_TOPK]
+    got = [
+        (r["piece"], r["usage"])
+        for r in registry.queries()["q_text_unigram_train"](
+            spark, SF_T2
+        ).collect()
+    ]
+    assert got == want
