@@ -41,6 +41,13 @@ from ..sources.tables import t
 # definition (the GOPHER_* rule from round 7).
 BUCKETIZE_K = 16
 
+# One-hot cardinality ceiling: the vocabulary collect is bounded by the
+# CATEGORY DOMAIN, and this guard keeps that claim honest — past it the
+# encode belongs in q_feat_string_index + an embedding, and silently
+# emitting 100k indicator columns would OOM the driver's plan, not the
+# executors (each F.when is a Catalyst expression node).
+ONEHOT_MAX_CARD = 1024
+
 
 @register(
     "q_feat_string_index",
@@ -117,9 +124,17 @@ def q_feat_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side CASE WHEN over a single fact scan — no join, no shuffle,
     whole-stage-codegen all the way."""
     o = t(spark, sf_dir, "orders")
-    vocab = sorted(
-        r[0] for r in o.select("o_orderpriority").distinct().collect()
-    )
+    # the +1 over-fetch detects an over-ceiling domain without ever
+    # collecting it in full
+    vocab_rows = (
+        o.select("o_orderpriority").distinct().limit(ONEHOT_MAX_CARD + 1)
+    ).collect()
+    if len(vocab_rows) > ONEHOT_MAX_CARD:
+        raise ValueError(
+            f"one-hot cardinality exceeds {ONEHOT_MAX_CARD}: use"
+            " q_feat_string_index + an embedding for high-card columns"
+        )
+    vocab = sorted(r[0] for r in vocab_rows)
     indicators = [
         F.when(F.col("o_orderpriority") == v, 1)
         .otherwise(0)

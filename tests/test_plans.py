@@ -644,3 +644,22 @@ def test_feature_encoders_never_shuffle_the_fact_table(spark):
             assert "Join" not in tree, f"{name}: unexpected join:\n{tree}"
         else:
             assert join_node in tree, f"{name}: wanted {join_node}:\n{tree}"
+
+
+def test_onehot_cardinality_guard(spark):
+    """q_feat_onehot must refuse a category domain past ONEHOT_MAX_CARD
+    instead of collecting it and emitting one Catalyst node per value
+    (the driver-plan OOM path); the probe is a LIMIT ceiling+1, never
+    a full collect of the oversized domain."""
+    import pytest as _pytest
+
+    from embarrassingly_parallel_image_classification_spark.ml import features
+
+    wide = spark.range(features.ONEHOT_MAX_CARD + 10).select(
+        F.col("id").alias("o_orderkey"),
+        F.concat(F.lit("p"), F.col("id")).alias("o_orderpriority"),
+    )
+    path = scratch("onehot_guard", SF_T2)
+    wide.write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    with _pytest.raises(ValueError, match="cardinality"):
+        registry.queries()["q_feat_onehot"](spark, path)
