@@ -186,6 +186,11 @@ HEADLINE = [
     # round-8 exact-GD trainer (7 aggregate jobs) and keyed snapshot diff
     "q_train_linreg_gd",
     "q_lake_snapshot_diff",
+    # round-8 session-2 additions: unigram-LM tokenizer EM, GROUP BY
+    # ALL surface, _metadata file-lineage audit
+    "q_text_unigram_train",
+    "q_sql_group_by_all",
+    "q_scan_file_metadata",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -1095,3 +1095,44 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "__param_orders", "minp": 150000.0, "status": "F"},
     )
+
+
+@register(
+    "q_sql_group_by_all",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("SQL", "N4", "D1"),
+)
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (the Spark 4 / DuckDB / BigQuery
+    convergent shorthand): group by every non-aggregate select
+    expression — including the COMPUTED year() dimension, the case
+    where hand-maintained positional lists rot when a column is
+    added — and order by all output columns left-to-right. The oracle
+    is DuckDB's own GROUP BY ALL, so the two engines' inference rules
+    are proven to pick the identical grouping set (a divergence —
+    e.g. one engine grouping by the underlying column instead of the
+    expression — changes row counts and fails the diff). Pure parser
+    surface: the physical plan is the ordinary partial+final hash
+    aggregate with pushdown intact."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM __gba_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

@@ -470,3 +470,57 @@ def q_sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+@register(
+    "q_scan_file_metadata",
+    oracle="""
+    SELECT o_orderpriority AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_files
+    FROM orders GROUP BY o_orderpriority ORDER BY prio
+    """,
+    tags=("A1", "A6"),
+)
+def q_scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN FILE-METADATA COLUMNS (`_metadata.file_path` /
+    `file_name` / `row_index` — Spark's scan-time lineage struct): the
+    per-file audit every ingestion pipeline runs — which physical
+    files feed each partition, with how many rows. Staged: orders
+    written partitioned by priority (repartitioned to one file per
+    partition so the file census is deterministic — physical file
+    NAMES are UUIDs, so the query must derive the partition from
+    `_metadata.file_path` with a regex, exactly how a production
+    audit attributes rows to files), then read back and grouped by
+    the EXTRACTED partition value: row count + distinct-file count.
+    The oracle recomputes the census from the source table with the
+    known 1-file-per-partition invariant. `_metadata` is evaluated at
+    the scan (no extra pass, no shuffle); the audit aggregate is the
+    only exchange, carrying one row per (partition, file)."""
+    import shutil
+
+    path = scratch("scan_meta", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("prio")
+    )
+    src.repartition("prio").write.partitionBy("prio").mode(
+        "overwrite"
+    ).parquet(path)
+    back = spark.read.parquet(path).select(
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"prio=([^/]+)/", 1
+        ).alias("prio_raw"),
+        F.col("_metadata.file_name").alias("fname"),
+    )
+    return (
+        back.select(
+            F.url_decode("prio_raw").alias("prio"), "fname"
+        )
+        .groupBy("prio")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("fname").cast("bigint").alias("n_files"),
+        )
+        .orderBy("prio")
+    )
