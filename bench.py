@@ -191,6 +191,9 @@ HEADLINE = [
     "q_text_unigram_train",
     "q_sql_group_by_all",
     "q_scan_file_metadata",
+    # round-8 session-2: selection-based exact quantiles + ER capstone
+    "q_agg_quantile_select",
+    "q_pipeline_entity_resolution",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -877,3 +877,99 @@ def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("item"), F.col("count").cast("bigint").alias("cnt"))
         .orderBy(F.desc("cnt"), "item")
     )
+
+
+@register(
+    "q_agg_quantile_select",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM c),
+    ks AS (
+        SELECT q, CAST((cnt * q + 99) // 100 AS BIGINT) AS k
+        FROM n CROSS JOIN (VALUES (50), (90), (99)) AS v(q)
+    ),
+    ranked AS (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM c
+    )
+    SELECT CAST(ks.q AS BIGINT) AS q, ks.k, r.cents AS value
+    FROM ks JOIN ranked r ON r.rn = ks.k
+    ORDER BY q
+    """,
+    tags=("D9", "F2", "scale"),
+)
+def q_agg_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT QUANTILES BY SELECTION, NOT SORT — the 100-TB spelling of
+    percentile_disc: find the value at rank k = ceil(q·n/100) by
+    iterative histogram narrowing (Blum-style distributed selection)
+    instead of a global sort. Each round: one map-side-combined
+    256-bucket histogram over the current [lo, hi] integer range (the
+    shuffle carries ≤ 256 partial rows per mapper, never data), the
+    driver walks the cumulative counts to the bucket containing rank
+    k, and the range narrows ×256 — so a 2⁶³ value domain needs ≤ 8
+    rounds of O(n) map work and the final in-range value census is
+    ≤ 4096 grouped rows. A global sort exchanges the ENTIRE fact
+    table once to order it; selection never moves a data row at all.
+    The exactness contract (same value bit-for-bit as the sort-based
+    oracle, ties included) is what approx_percentile trades away.
+    Driver state per round: 256 counts + the shrinking [lo, hi, k]."""
+    pts = t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        )
+    ).localCheckpoint(eager=True)  # ~4 bounded passes reuse one scan
+    B = 256
+    stats = pts.agg(
+        F.count("*").alias("n"), F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+    ).collect()[0]
+    n = int(stats["n"])
+    out = []
+    for q in (50, 90, 99):
+        k = (n * q + 99) // 100
+        lo, hi = int(stats["lo"]), int(stats["hi"])
+        while hi - lo + 1 > 4096:
+            width = hi - lo + 1
+            hist = {
+                int(r["b"]): int(r["c"])
+                for r in pts.filter(
+                    (F.col("cents") >= lo) & (F.col("cents") <= hi)
+                )
+                .groupBy(
+                    F.expr(f"(cents - {lo}L) * {B} DIV {width}L").alias("b")
+                )
+                .agg(F.count("*").alias("c"))
+                .collect()  # bounded: ≤ B rows
+            }
+            cum = 0
+            for b in range(B):
+                c = hist.get(b, 0)
+                if cum + c >= k:
+                    # rank-k value lies in bucket b; renumber k within it
+                    k -= cum
+                    lo_new = lo + (b * width) // B + (
+                        1 if (b * width) % B else 0
+                    )
+                    # bucket b covers cents with (cents-lo)*B DIV width == b
+                    hi = lo + ((b + 1) * width - 1) // B
+                    lo = lo_new
+                    break
+                cum += c
+        vals = sorted(
+            (int(r["cents"]), int(r["c"]))
+            for r in pts.filter(
+                (F.col("cents") >= lo) & (F.col("cents") <= hi)
+            )
+            .groupBy("cents")
+            .agg(F.count("*").alias("c"))
+            .collect()  # bounded: ≤ 4096 distinct values
+        )
+        cum = 0
+        for v, c in vals:
+            if cum + c >= k:
+                out.append((q, (n * q + 99) // 100, v))
+                break
+            cum += c
+    return spark.createDataFrame(out, "q BIGINT, k BIGINT, value BIGINT")

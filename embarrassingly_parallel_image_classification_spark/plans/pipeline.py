@@ -647,3 +647,110 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return funnel.unionByName(folded)
+
+
+@register(
+    "q_pipeline_entity_resolution",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT p_name AS name, CAST(MIN(p_partkey) AS BIGINT) AS key
+        FROM part GROUP BY p_name
+    ),
+    off AS (SELECT CAST(MAX(p_partkey) + 1 AS BIGINT) AS o FROM part),
+    dirty AS (
+        SELECT key, name FROM base
+        UNION ALL
+        SELECT key + o, name || 'x' FROM base CROSS JOIN off
+        WHERE key % 20 = 0
+        UNION ALL
+        SELECT key + 2 * o, name || 'xx' FROM base CROSS JOIN off
+        WHERE key % 40 = 0
+    ),
+    pairs AS (
+        SELECT a.key AS ka, b.key AS kb
+        FROM dirty a JOIN dirty b
+          ON split_part(a.name, ' ', 2) = split_part(b.name, ' ', 2)
+         AND a.key < b.key
+        WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    edges AS (
+        SELECT ka AS src, kb AS dst FROM pairs
+        UNION
+        SELECT kb AS src, ka AS dst FROM pairs
+    ),
+    reach AS (
+        SELECT DISTINCT src AS a, src AS b FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    labels AS (SELECT a AS key, MIN(b) AS lab FROM reach GROUP BY a)
+    SELECT CAST(lab AS BIGINT) AS canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(key) AS BIGINT) AS key_sum
+    FROM labels GROUP BY lab
+    """,
+    tags=("composite", "C", "H12", "K2", "graph"),
+)
+def q_pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION end to end — the master-data pipeline every
+    warehouse runs on dirty customer/product feeds: (1) PLANT dirty
+    variants (data-derived id offsets, the q_dedup_semantic rule:
+    every 20th entity gets a 1-edit copy, every 40th ALSO a 2-edit
+    copy — the 2-edit copy is ≤1 edit ONLY from the 1-edit copy, so
+    the original↔v2 link exists solely through TRANSITIVE CLOSURE and
+    a pairs-only implementation fails the oracle); (2) BLOCK on the
+    name's noun and verify candidates with exact levenshtein ≤ 1
+    (the q_fuzzy_join block→verify shape: never all-pairs); (3) close
+    matches into clusters with ml/dedup.py's connected_components
+    (min-label propagation — match graphs here have diameter ≤ 2, the
+    measured min-label regime); (4) elect the GOLDEN RECORD per
+    cluster (min key = the original, since planted keys are offset
+    above the domain) and census members + key-sum checksum. The
+    oracle replays all four stages in DuckDB with a recursive-CTE
+    closure. Plan: matching runs on the DISTINCT name domain, the
+    only quadratic work is inside noun blocks (candidate-bound), CC
+    shuffles one (node, label) pair per edge per round for ≤ diameter
+    rounds — each stage's 100-TB story is its parent query's."""
+    from ..ml.dedup import connected_components
+
+    part = t(spark, sf_dir, "part")
+    base = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.min("p_partkey").cast("bigint").alias("key")
+    )
+    off = int(
+        part.agg(F.max("p_partkey")).collect()[0][0]
+    ) + 1  # bounded 1-row collect, data-derived offset
+    dirty = (
+        base.select("key", "name")
+        .unionByName(
+            base.filter(F.col("key") % 20 == 0).select(
+                (F.col("key") + off).alias("key"),
+                F.concat("name", F.lit("x")).alias("name"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("key") % 40 == 0).select(
+                (F.col("key") + 2 * off).alias("key"),
+                F.concat("name", F.lit("xx")).alias("name"),
+            )
+        )
+    )
+    a = dirty.select(F.col("key").alias("ka"), F.col("name").alias("na"))
+    b = dirty.select(F.col("key").alias("kb"), F.col("name").alias("nb"))
+    pairs = (
+        a.join(
+            b,
+            (
+                F.split_part(F.col("na"), F.lit(" "), F.lit(2))
+                == F.split_part(F.col("nb"), F.lit(" "), F.lit(2))
+            )
+            & (F.col("ka") < F.col("kb")),
+        )
+        .filter(F.levenshtein("na", "nb") <= 1)
+        .select(F.col("ka").alias("id_a"), F.col("kb").alias("id_b"))
+    )
+    labels = connected_components(pairs)
+    return labels.groupBy(F.col("cluster_id").alias("canonical")).agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("node").cast("bigint").alias("key_sum"),
+    )

@@ -663,3 +663,39 @@ def test_onehot_cardinality_guard(spark):
     wide.write.mode("overwrite").parquet(f"{path}/orders.parquet")
     with _pytest.raises(ValueError, match="cardinality"):
         registry.queries()["q_feat_onehot"](spark, path)
+
+
+def test_quantile_select_adversarial_inputs(spark):
+    """q_agg_quantile_select's histogram-narrowing boundary math
+    (ceil/floor bucket edges, in-bucket rank renumbering) against
+    plain sorted selection on shapes the fixture can't produce:
+    all-ties (every bucket edge degenerate), two clusters separated
+    by a huge gap (forces deep narrowing on an almost-empty range),
+    and a tiny n where every quantile is an edge rank."""
+    import shutil
+
+    from embarrassingly_parallel_image_classification_spark import registry
+
+    cases = [
+        [777] * 1000,                               # all ties
+        [1] * 500 + [10**12] * 500,                 # huge-gap clusters
+        [5, 3, 9],                                  # tiny n
+        list(range(100_000, 0, -7)) * 2,            # dense dups, reversed
+    ]
+    for i, vals in enumerate(cases):
+        path = scratch(f"qsel_{i}", SF_T2)
+        shutil.rmtree(path, ignore_errors=True)
+        spark.createDataFrame(
+            [(v / 100.0,) for v in vals], "l_extendedprice DOUBLE"
+        ).write.parquet(f"{path}/lineitem.parquet")
+        got = {
+            r["q"]: (r["k"], r["value"])
+            for r in registry.queries()["q_agg_quantile_select"](
+                spark, path
+            ).collect()
+        }
+        s = sorted(vals)
+        n = len(s)
+        for q in (50, 90, 99):
+            k = (n * q + 99) // 100
+            assert got[q] == (k, s[k - 1]), (i, q, got[q], (k, s[k - 1]))
