@@ -194,6 +194,8 @@ HEADLINE = [
     # round-8 session-2: selection-based exact quantiles + ER capstone
     "q_agg_quantile_select",
     "q_pipeline_entity_resolution",
+    "q_agg_group_median_select",
+    "q_lake_replicate",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

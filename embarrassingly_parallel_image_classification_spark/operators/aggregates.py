@@ -973,3 +973,121 @@ def q_agg_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             cum += c
     return spark.createDataFrame(out, "q BIGINT, k BIGINT, value BIGINT")
+
+
+@register(
+    "q_agg_group_median_select",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag AS g,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY g),
+    ranked AS (
+        SELECT g, cents,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY cents) AS rn
+        FROM c
+    )
+    SELECT n.g AS g, n.cnt AS n, CAST((n.cnt + 1) // 2 AS BIGINT) AS k,
+           r.cents AS median_c
+    FROM n JOIN ranked r
+      ON r.g = n.g AND r.rn = (n.cnt + 1) // 2
+    ORDER BY n.g
+    """,
+    tags=("D9", "scale"),
+)
+def q_agg_group_median_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT PER-GROUP MEDIAN BY SELECTION — the skew-proof spelling of
+    GROUP BY + percentile_disc(0.5): the sort-based plan shuffles
+    every row of a group to ONE reducer and sorts there (a single hot
+    key at 100 TB is a straggler or an OOM); histogram selection
+    never co-locates a group at all. Each round: facts broadcast-join
+    the per-group [lo, hi] state (group-count-sized), bucket
+    map-side, and ONE (group, bucket) aggregate — ≤ 256·|groups|
+    partial rows per mapper — narrows every still-active group's
+    range ×256 simultaneously; groups that converge drop out of the
+    scan filter. Driver state: [lo, hi, k] per group. Same exactness
+    contract as q_agg_quantile_select (bit-equal to the sort-based
+    oracle, ties included), generalized to the grouped case where
+    the sort plan's skew actually bites."""
+    pts = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+    ).localCheckpoint(eager=True)
+    B = 256
+    init = {
+        r["g"]: [int(r["lo"]), int(r["hi"]), int(r["n"])]
+        for r in pts.groupBy("g")
+        .agg(
+            F.min("cents").alias("lo"), F.max("cents").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()  # bounded: one row per group
+    }
+    # state per group: lo, hi, k (rank of the lower median within range)
+    state = {g: (lo, hi, (n + 1) // 2) for g, (lo, hi, n) in init.items()}
+    done: dict[str, int] = {}
+    while state:
+        narrow = {g: s for g, s in state.items() if s[1] - s[0] + 1 > 4096}
+        small = {g: s for g, s in state.items() if g not in narrow}
+        for g, (lo, hi, k) in small.items():
+            vals = sorted(
+                (int(r["cents"]), int(r["c"]))
+                for r in pts.filter(
+                    (F.col("g") == g)
+                    & F.col("cents").between(lo, hi)
+                )
+                .groupBy("cents")
+                .agg(F.count("*").alias("c"))
+                .collect()  # bounded: ≤ 4096 distinct values
+            )
+            cum = 0
+            for v, c in vals:
+                if cum + c >= k:
+                    done[g] = v
+                    break
+                cum += c
+        if not narrow:
+            break
+        st = spark.createDataFrame(
+            [(g, s[0], s[1]) for g, s in narrow.items()],
+            "g STRING, lo BIGINT, hi BIGINT",
+        )
+        hist = (
+            pts.join(F.broadcast(st), "g")
+            .filter(F.col("cents").between(F.col("lo"), F.col("hi")))
+            .groupBy(
+                "g",
+                F.expr(f"(cents - lo) * {B} DIV (hi - lo + 1)").alias("b"),
+            )
+            .agg(F.count("*").alias("c"))
+            .collect()  # bounded: ≤ B rows per active group
+        )
+        by_g: dict[str, dict[int, int]] = {}
+        for r in hist:
+            by_g.setdefault(r["g"], {})[int(r["b"])] = int(r["c"])
+        state = {}
+        for g, (lo, hi, k) in narrow.items():
+            width = hi - lo + 1
+            cum = 0
+            for b in range(B):
+                c = by_g.get(g, {}).get(b, 0)
+                if cum + c >= k:
+                    k -= cum
+                    lo_new = lo + (b * width) // B + (
+                        1 if (b * width) % B else 0
+                    )
+                    hi = lo + ((b + 1) * width - 1) // B
+                    lo = lo_new
+                    break
+                cum += c
+            state[g] = (lo, hi, k)
+    out = [
+        (g, init[g][2], (init[g][2] + 1) // 2, done[g]) for g in sorted(done)
+    ]
+    return spark.createDataFrame(
+        out, "g STRING, n BIGINT, k BIGINT, median_c BIGINT"
+    )

@@ -3942,3 +3942,128 @@ def q_lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("k").cast("bigint").alias("key_sum"),
     )
+
+
+@register(
+    "q_lake_replicate",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    v1 AS (SELECT * FROM pts WHERE o_orderkey % 2 = 0),
+    v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 6 = 0 THEN cents + 7
+                    ELSE cents END AS cents
+        FROM v1 WHERE o_orderkey % 10 <> 0
+        UNION ALL
+        SELECT o_orderkey, cents FROM pts
+        WHERE o_orderkey % 2 = 1 AND o_orderkey % 7 = 0
+    ),
+    v3 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 4 = 0 THEN cents + 1
+                    ELSE cents END AS cents
+        FROM v2 WHERE o_orderkey % 9 <> 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_mismatch,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
+    FROM v3
+    """,
+    tags=("lakehouse", "L2", "composite"),
+)
+def q_lake_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC REPLICATION — keep a REPLICA table in sync with a source
+    table using only the source's version history: for each source
+    commit, compute the keyed diff against the previous version (two
+    AS-OF reads, the q_lake_snapshot_diff machinery inline), then
+    APPLY it to the replica — upserts via merge_into (added+changed
+    rows), deletes via delete_where (removed keys) — never a full
+    copy. This is the Delta/Iceberg CDF-consumer contract: a replica
+    fed by per-commit deltas must converge to the source bit-for-bit.
+    Source history: v1 = even keys; v2 deletes %10, bumps %6 by 7,
+    inserts odd %7; v3 deletes %9 and bumps %4 by 1 — updates, inserts
+    and deletes all flow through the diff→apply path at least twice.
+    Result: the final census over the replica PLUS n_mismatch — a
+    full-outer anti-census between replica and source AS-OF latest —
+    which the oracle pins at literal 0; any row the apply path drops,
+    duplicates or mis-updates shows up as a nonzero mismatch, not a
+    silent pass. Plan: each delta is diff-sized (the changed keys),
+    each apply shuffles the replica once on the key — replication
+    cost tracks churn, never table size."""
+    from ..sources.formats import scratch
+
+    src_path = scratch("repl_src", sf_dir)
+    dst_path = scratch("repl_dst", sf_dir)
+    shutil.rmtree(src_path, ignore_errors=True)
+    shutil.rmtree(dst_path, ignore_errors=True)
+    pts = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    v1 = pts.filter(F.col("o_orderkey") % 2 == 0)
+    v2 = v1.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 6 == 0, F.col("cents") + 7)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    ).unionByName(
+        pts.filter(
+            (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 7 == 0)
+        )
+    )
+    v3 = v2.filter(F.col("o_orderkey") % 9 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 4 == 0, F.col("cents") + 1)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    snapshot_write(v1, src_path, "append")
+    snapshot_write(v2, src_path, "overwrite")
+    snapshot_write(v3, src_path, "overwrite")
+
+    # bootstrap the replica from source v1, then apply per-commit diffs
+    snapshot_write(snapshot_read(spark, src_path, 1), dst_path, "append")
+    for v in (2, 3):
+        prev = snapshot_read(spark, src_path, v - 1).select(
+            F.col("o_orderkey").alias("k"), F.col("cents").alias("c_old")
+        )
+        cur = snapshot_read(spark, src_path, v).select(
+            F.col("o_orderkey").alias("k"), F.col("cents").alias("c_new")
+        )
+        d = prev.join(cur, "k", "full_outer")
+        upserts = d.filter(
+            F.col("c_new").isNotNull()
+            & (F.col("c_old").isNull() | (F.col("c_old") != F.col("c_new")))
+        ).select(F.col("k").alias("o_orderkey"), F.col("c_new").alias("cents"))
+        removes = d.filter(F.col("c_new").isNull()).select(
+            F.col("k").alias("o_orderkey")
+        )
+        merge_into(spark, dst_path, upserts, "o_orderkey", ["cents"])
+        delete_where(spark, dst_path, "o_orderkey", removes)
+
+    replica = snapshot_read_mor(spark, dst_path).select(
+        F.col("o_orderkey").alias("k"), F.col("cents").alias("c_rep")
+    )
+    source = snapshot_read(spark, src_path).select(
+        F.col("o_orderkey").alias("k"), F.col("cents").alias("c_src")
+    )
+    j = replica.join(source, "k", "full_outer")
+    return j.agg(
+        F.sum(F.col("c_src").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_rows"),
+        F.sum(
+            (
+                F.col("c_rep").isNull()
+                | F.col("c_src").isNull()
+                | (F.col("c_rep") != F.col("c_src"))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_mismatch"),
+        F.sum("c_src").cast("bigint").alias("cents_sum"),
+    )

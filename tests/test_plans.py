@@ -699,3 +699,40 @@ def test_quantile_select_adversarial_inputs(spark):
         for q in (50, 90, 99):
             k = (n * q + 99) // 100
             assert got[q] == (k, s[k - 1]), (i, q, got[q], (k, s[k - 1]))
+
+
+def test_group_median_select_adversarial_inputs(spark):
+    """q_agg_group_median_select against plain per-group sorted
+    selection on group shapes the fixture can't produce: a singleton
+    group (k = 1 immediately), an all-ties group, a huge-gap group
+    that forces deep narrowing, and groups converging after different
+    round counts (exercises the active-group drop-out path)."""
+    import shutil
+
+    from embarrassingly_parallel_image_classification_spark import registry
+
+    groups = {
+        "S": [42],
+        "T": [7] * 999,
+        "G": [1] * 400 + [10**12] * 401,
+        "D": [v for v in range(50_000, 0, -3)] * 3,
+    }
+    rows = [
+        (g, v / 100.0) for g, vals in groups.items() for v in vals
+    ]
+    path = scratch("gmed_adv", SF_T2)
+    shutil.rmtree(path, ignore_errors=True)
+    spark.createDataFrame(
+        rows, "l_returnflag STRING, l_extendedprice DOUBLE"
+    ).write.parquet(f"{path}/lineitem.parquet")
+    got = {
+        r["g"]: (r["n"], r["k"], r["median_c"])
+        for r in registry.queries()["q_agg_group_median_select"](
+            spark, path
+        ).collect()
+    }
+    for g, vals in groups.items():
+        s = sorted(vals)
+        n = len(s)
+        k = (n + 1) // 2
+        assert got[g] == (n, k, s[k - 1]), (g, got[g], (n, k, s[k - 1]))
