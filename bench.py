@@ -196,6 +196,7 @@ HEADLINE = [
     "q_pipeline_entity_resolution",
     "q_agg_group_median_select",
     "q_lake_replicate",
+    "q_stream_feature_serve",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -134,7 +134,22 @@ def q_feat_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"one-hot cardinality exceeds {ONEHOT_MAX_CARD}: use"
             " q_feat_string_index + an embedding for high-card columns"
         )
+    if any(r[0] is None for r in vocab_rows):
+        # encoders consume post-imputation data: a silent oh_null
+        # column would hide the upstream quality bug
+        raise ValueError(
+            "one-hot input contains NULL categories: impute or filter"
+            " before encoding"
+        )
     vocab = sorted(r[0] for r in vocab_rows)
+    names = [_oh_name(v) for v in vocab]
+    if len(set(names)) != len(names):
+        # two values differing only in non-alphanumerics would emit
+        # duplicate indicator columns Spark accepts silently
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"one-hot sanitized column names collide: {dupes}"
+        )
     indicators = [
         F.when(F.col("o_orderpriority") == v, 1)
         .otherwise(0)

@@ -879,6 +879,95 @@ def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _select_exact_ranks(
+    pts: DataFrame, targets: dict[str, tuple[str, int, int, int]], B: int = 256
+) -> dict[str, int]:
+    """Shared engine for exact rank selection by histogram narrowing
+    (used by q_agg_quantile_select and q_agg_group_median_select —
+    ONE copy of the boundary math). ``pts`` has columns (g, cents);
+    ``targets`` maps a tag to (group, lo, hi, k) = "the value of rank
+    k within [lo, hi] of group g". All still-active targets share each
+    round's single (tag, bucket) aggregate: facts broadcast-join the
+    per-target state on the group key and bucket by b = (cents − lo)
+    DIV step with step = ceil(width/B) — a pure division, so the math
+    cannot overflow BIGINT on any value domain (the earlier
+    (cents−lo)·B spelling wrapped past ~2⁵⁵-wide domains). Bucket b
+    covers [lo + b·step, lo + (b+1)·step − 1]; ≤ B ids by
+    construction. Converged targets (range ≤ 4096) resolve together
+    in one batched value census. Driver state: one (lo, hi, k) triple
+    per target."""
+    done: dict[str, int] = {}
+    state = dict(targets)
+    while state:
+        small = {
+            tag: s for tag, s in state.items() if s[2] - s[1] + 1 <= 4096
+        }
+        active = {tag: s for tag, s in state.items() if tag not in small}
+        if small:
+            st = pts.sparkSession.createDataFrame(
+                [(tag, g, lo, hi) for tag, (g, lo, hi, _) in small.items()],
+                "tag STRING, g STRING, lo BIGINT, hi BIGINT",
+            )
+            census = (
+                pts.join(F.broadcast(st), "g")
+                .filter(F.col("cents").between(F.col("lo"), F.col("hi")))
+                .groupBy("tag", "cents")
+                .agg(F.count("*").alias("c"))
+                .collect()  # bounded: ≤ 4096 distinct values per target
+            )
+            by_tag: dict[str, list] = {}
+            for r in census:
+                by_tag.setdefault(r["tag"], []).append(
+                    (int(r["cents"]), int(r["c"]))
+                )
+            for tag, (_, _, _, k) in small.items():
+                cum = 0
+                for v, c in sorted(by_tag.get(tag, [])):
+                    if cum + c >= k:
+                        done[tag] = v
+                        break
+                    cum += c
+        if not active:
+            break
+        steps = {
+            tag: (hi - lo + B) // B  # ceil(width / B), width = hi-lo+1
+            for tag, (_, lo, hi, _) in active.items()
+        }
+        st = pts.sparkSession.createDataFrame(
+            [
+                (tag, g, lo, hi, steps[tag])
+                for tag, (g, lo, hi, _) in active.items()
+            ],
+            "tag STRING, g STRING, lo BIGINT, hi BIGINT, step BIGINT",
+        )
+        hist = (
+            pts.join(F.broadcast(st), "g")
+            .filter(F.col("cents").between(F.col("lo"), F.col("hi")))
+            .groupBy("tag", F.expr("(cents - lo) DIV step").alias("b"))
+            .agg(F.count("*").alias("c"))
+            .collect()  # bounded: ≤ B rows per active target
+        )
+        by_tag2: dict[str, dict[int, int]] = {}
+        for r in hist:
+            by_tag2.setdefault(r["tag"], {})[int(r["b"])] = int(r["c"])
+        state = {}
+        for tag, (g, lo, hi, k) in active.items():
+            step = steps[tag]
+            cum = 0
+            for b in range(B):
+                c = by_tag2.get(tag, {}).get(b, 0)
+                if cum + c >= k:
+                    state[tag] = (
+                        g,
+                        lo + b * step,
+                        min(hi, lo + (b + 1) * step - 1),
+                        k - cum,
+                    )
+                    break
+                cum += c
+    return done
+
+
 @register(
     "q_agg_quantile_select",
     oracle="""
@@ -904,74 +993,36 @@ def q_agg_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT QUANTILES BY SELECTION, NOT SORT — the 100-TB spelling of
     percentile_disc: find the value at rank k = ceil(q·n/100) by
     iterative histogram narrowing (Blum-style distributed selection)
-    instead of a global sort. Each round: one map-side-combined
-    256-bucket histogram over the current [lo, hi] integer range (the
-    shuffle carries ≤ 256 partial rows per mapper, never data), the
-    driver walks the cumulative counts to the bucket containing rank
-    k, and the range narrows ×256 — so a 2⁶³ value domain needs ≤ 8
-    rounds of O(n) map work and the final in-range value census is
-    ≤ 4096 grouped rows. A global sort exchanges the ENTIRE fact
-    table once to order it; selection never moves a data row at all.
-    The exactness contract (same value bit-for-bit as the sort-based
-    oracle, ties included) is what approx_percentile trades away.
-    Driver state per round: 256 counts + the shrinking [lo, hi, k]."""
+    instead of a global sort. Each round: ONE map-side-combined
+    256-bucket histogram shared by all three quantiles (each carries
+    its own [lo, hi, k] state; the shuffle moves ≤ 256 partial rows
+    per mapper per target, never data rows), the driver walks the
+    cumulative counts, and each range narrows ×256 — a 2⁶³ domain
+    needs ≤ 8 rounds of O(n) map work (bucketing is a pure DIV by a
+    precomputed step, overflow-free on any domain) and the final
+    value census is ≤ 4096 grouped rows per quantile. A global sort
+    exchanges the ENTIRE fact table; selection never moves a data row.
+    Exactness (bit-equal to the sort-based oracle, ties included) is
+    what approx_percentile trades away. Each round rescans the
+    projection at fixture scale; production pins it once with
+    cache/localCheckpoint and frees it after (the returned frame is
+    driver-built, so nothing needs the lineage kept alive)."""
     pts = t(spark, sf_dir, "lineitem").select(
+        F.lit("_").alias("g"),
         F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias(
             "cents"
-        )
-    ).localCheckpoint(eager=True)  # ~4 bounded passes reuse one scan
-    B = 256
+        ),
+    )
     stats = pts.agg(
         F.count("*").alias("n"), F.min("cents").alias("lo"),
         F.max("cents").alias("hi"),
     ).collect()[0]
-    n = int(stats["n"])
-    out = []
-    for q in (50, 90, 99):
-        k = (n * q + 99) // 100
-        lo, hi = int(stats["lo"]), int(stats["hi"])
-        while hi - lo + 1 > 4096:
-            width = hi - lo + 1
-            hist = {
-                int(r["b"]): int(r["c"])
-                for r in pts.filter(
-                    (F.col("cents") >= lo) & (F.col("cents") <= hi)
-                )
-                .groupBy(
-                    F.expr(f"(cents - {lo}L) * {B} DIV {width}L").alias("b")
-                )
-                .agg(F.count("*").alias("c"))
-                .collect()  # bounded: ≤ B rows
-            }
-            cum = 0
-            for b in range(B):
-                c = hist.get(b, 0)
-                if cum + c >= k:
-                    # rank-k value lies in bucket b; renumber k within it
-                    k -= cum
-                    lo_new = lo + (b * width) // B + (
-                        1 if (b * width) % B else 0
-                    )
-                    # bucket b covers cents with (cents-lo)*B DIV width == b
-                    hi = lo + ((b + 1) * width - 1) // B
-                    lo = lo_new
-                    break
-                cum += c
-        vals = sorted(
-            (int(r["cents"]), int(r["c"]))
-            for r in pts.filter(
-                (F.col("cents") >= lo) & (F.col("cents") <= hi)
-            )
-            .groupBy("cents")
-            .agg(F.count("*").alias("c"))
-            .collect()  # bounded: ≤ 4096 distinct values
-        )
-        cum = 0
-        for v, c in vals:
-            if cum + c >= k:
-                out.append((q, (n * q + 99) // 100, v))
-                break
-            cum += c
+    n, lo, hi = int(stats["n"]), int(stats["lo"]), int(stats["hi"])
+    targets = {
+        str(q): ("_", lo, hi, (n * q + 99) // 100) for q in (50, 90, 99)
+    }
+    got = _select_exact_ranks(pts, targets)
+    out = [(q, (n * q + 99) // 100, got[str(q)]) for q in (50, 90, 99)]
     return spark.createDataFrame(out, "q BIGINT, k BIGINT, value BIGINT")
 
 
@@ -1002,24 +1053,21 @@ def q_agg_group_median_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY + percentile_disc(0.5): the sort-based plan shuffles
     every row of a group to ONE reducer and sorts there (a single hot
     key at 100 TB is a straggler or an OOM); histogram selection
-    never co-locates a group at all. Each round: facts broadcast-join
-    the per-group [lo, hi] state (group-count-sized), bucket
-    map-side, and ONE (group, bucket) aggregate — ≤ 256·|groups|
-    partial rows per mapper — narrows every still-active group's
-    range ×256 simultaneously; groups that converge drop out of the
-    scan filter. Driver state: [lo, hi, k] per group. Same exactness
-    contract as q_agg_quantile_select (bit-equal to the sort-based
-    oracle, ties included), generalized to the grouped case where
-    the sort plan's skew actually bites."""
+    never co-locates a group at all. Shares _select_exact_ranks with
+    the global quantile query — per-group [lo, hi, k] state
+    broadcast onto one (group, bucket) aggregate per round (division
+    bucketing, overflow-free), groups dropping out as they converge.
+    Same exactness contract (bit-equal to the sort-based oracle, ties
+    included), generalized to the grouped case where the sort plan's
+    skew actually bites."""
     pts = t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("g"),
         F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias(
             "cents"
         ),
-    ).localCheckpoint(eager=True)
-    B = 256
+    )
     init = {
-        r["g"]: [int(r["lo"]), int(r["hi"]), int(r["n"])]
+        r["g"]: (int(r["lo"]), int(r["hi"]), int(r["n"]))
         for r in pts.groupBy("g")
         .agg(
             F.min("cents").alias("lo"), F.max("cents").alias("hi"),
@@ -1027,66 +1075,12 @@ def q_agg_group_median_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()  # bounded: one row per group
     }
-    # state per group: lo, hi, k (rank of the lower median within range)
-    state = {g: (lo, hi, (n + 1) // 2) for g, (lo, hi, n) in init.items()}
-    done: dict[str, int] = {}
-    while state:
-        narrow = {g: s for g, s in state.items() if s[1] - s[0] + 1 > 4096}
-        small = {g: s for g, s in state.items() if g not in narrow}
-        for g, (lo, hi, k) in small.items():
-            vals = sorted(
-                (int(r["cents"]), int(r["c"]))
-                for r in pts.filter(
-                    (F.col("g") == g)
-                    & F.col("cents").between(lo, hi)
-                )
-                .groupBy("cents")
-                .agg(F.count("*").alias("c"))
-                .collect()  # bounded: ≤ 4096 distinct values
-            )
-            cum = 0
-            for v, c in vals:
-                if cum + c >= k:
-                    done[g] = v
-                    break
-                cum += c
-        if not narrow:
-            break
-        st = spark.createDataFrame(
-            [(g, s[0], s[1]) for g, s in narrow.items()],
-            "g STRING, lo BIGINT, hi BIGINT",
-        )
-        hist = (
-            pts.join(F.broadcast(st), "g")
-            .filter(F.col("cents").between(F.col("lo"), F.col("hi")))
-            .groupBy(
-                "g",
-                F.expr(f"(cents - lo) * {B} DIV (hi - lo + 1)").alias("b"),
-            )
-            .agg(F.count("*").alias("c"))
-            .collect()  # bounded: ≤ B rows per active group
-        )
-        by_g: dict[str, dict[int, int]] = {}
-        for r in hist:
-            by_g.setdefault(r["g"], {})[int(r["b"])] = int(r["c"])
-        state = {}
-        for g, (lo, hi, k) in narrow.items():
-            width = hi - lo + 1
-            cum = 0
-            for b in range(B):
-                c = by_g.get(g, {}).get(b, 0)
-                if cum + c >= k:
-                    k -= cum
-                    lo_new = lo + (b * width) // B + (
-                        1 if (b * width) % B else 0
-                    )
-                    hi = lo + ((b + 1) * width - 1) // B
-                    lo = lo_new
-                    break
-                cum += c
-            state[g] = (lo, hi, k)
+    targets = {
+        g: (g, lo, hi, (n + 1) // 2) for g, (lo, hi, n) in init.items()
+    }
+    got = _select_exact_ranks(pts, targets)
     out = [
-        (g, init[g][2], (init[g][2] + 1) // 2, done[g]) for g in sorted(done)
+        (g, init[g][2], (init[g][2] + 1) // 2, got[g]) for g in sorted(got)
     ]
     return spark.createDataFrame(
         out, "g STRING, n BIGINT, k BIGINT, median_c BIGINT"

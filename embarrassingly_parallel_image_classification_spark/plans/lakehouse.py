@@ -3855,10 +3855,12 @@ def q_lake_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("version")
 
 
-@register(
-    "q_lake_snapshot_diff",
-    oracle="""
-    WITH pts AS (
+# Shared version-mutation spec for q_lake_snapshot_diff and
+# q_lake_replicate — ONE definition of the v1/v2 commit contents in
+# both engines (the GOPHER_*/BUCKETIZE_K rule): v1 = even keys,
+# v2 deletes %10, bumps cents+7 for %6, inserts odd %7.
+_MUTATION_SQL = """
+    pts AS (
         SELECT o_orderkey,
                CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
         FROM orders
@@ -3872,7 +3874,29 @@ def q_lake_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT o_orderkey, cents FROM pts
         WHERE o_orderkey % 2 = 1 AND o_orderkey % 7 = 0
-    ),
+    )"""
+
+
+def _mutation_versions(pts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(v1, v2) per _MUTATION_SQL, from a (o_orderkey, cents) frame."""
+    v1 = pts.filter(F.col("o_orderkey") % 2 == 0)
+    v2 = v1.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 6 == 0, F.col("cents") + 7)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    ).unionByName(
+        pts.filter(
+            (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 7 == 0)
+        )
+    )
+    return v1, v2
+
+
+@register(
+    "q_lake_snapshot_diff",
+    oracle=f"""
+    WITH {_MUTATION_SQL},
     j AS (
         SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
                CASE WHEN a.o_orderkey IS NULL THEN 'added'
@@ -3894,15 +3918,14 @@ def q_lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged classes with a key-sum checksum per class. EXCEPT-style
     CDF cannot tell an update apart from a delete+insert pair; the
     keyed diff can, and 'changed' is the class a reconciliation or
-    SCD-maintenance job acts on. Versions: v1 = even keys; v2 deletes
-    keys %10 = 0, bumps cents by 7 for keys %6 = 0, inserts odd keys
-    %7 = 0 — all three classes non-empty plus a large unchanged
-    majority, computed purely from time travel (two AS-OF reads), no
-    change log maintained. Plan: ONE full-outer sort-merge join
-    co-partitioned on the key (both AS-OF scans hash on o_orderkey —
-    the join is the only fact shuffle) into a 4-row map-side-combined
-    aggregate; at production scale both sides prune to the files the
-    diffed partitions touch."""
+    SCD-maintenance job acts on. Versions per _MUTATION_SQL (shared
+    with q_lake_replicate): all three classes non-empty plus a large
+    unchanged majority, computed purely from time travel (two AS-OF
+    reads), no change log maintained. Plan: ONE full-outer
+    sort-merge join co-partitioned on the key (both AS-OF scans hash
+    on o_orderkey — the join is the only fact shuffle) into a 4-row
+    map-side-combined aggregate; at production scale both sides prune
+    to the files the diffed partitions touch."""
     from ..sources.formats import scratch
 
     path = scratch("lake_snapdiff", sf_dir)
@@ -3911,17 +3934,7 @@ def q_lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
     )
-    v1 = pts.filter(F.col("o_orderkey") % 2 == 0)
-    v2 = v1.filter(F.col("o_orderkey") % 10 != 0).select(
-        "o_orderkey",
-        F.when(F.col("o_orderkey") % 6 == 0, F.col("cents") + 7)
-        .otherwise(F.col("cents"))
-        .alias("cents"),
-    ).unionByName(
-        pts.filter(
-            (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 7 == 0)
-        )
-    )
+    v1, v2 = _mutation_versions(pts)
     snapshot_write(v1, path, "append")
     snapshot_write(v2, path, "overwrite")
     a = snapshot_read(spark, path, 1).select(
@@ -3946,22 +3959,8 @@ def q_lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_lake_replicate",
-    oracle="""
-    WITH pts AS (
-        SELECT o_orderkey,
-               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
-        FROM orders
-    ),
-    v1 AS (SELECT * FROM pts WHERE o_orderkey % 2 = 0),
-    v2 AS (
-        SELECT o_orderkey,
-               CASE WHEN o_orderkey % 6 = 0 THEN cents + 7
-                    ELSE cents END AS cents
-        FROM v1 WHERE o_orderkey % 10 <> 0
-        UNION ALL
-        SELECT o_orderkey, cents FROM pts
-        WHERE o_orderkey % 2 = 1 AND o_orderkey % 7 = 0
-    ),
+    oracle=f"""
+    WITH {_MUTATION_SQL},
     v3 AS (
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 4 = 0 THEN cents + 1
@@ -3984,16 +3983,16 @@ def q_lake_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows), deletes via delete_where (removed keys) — never a full
     copy. This is the Delta/Iceberg CDF-consumer contract: a replica
     fed by per-commit deltas must converge to the source bit-for-bit.
-    Source history: v1 = even keys; v2 deletes %10, bumps %6 by 7,
-    inserts odd %7; v3 deletes %9 and bumps %4 by 1 — updates, inserts
-    and deletes all flow through the diff→apply path at least twice.
-    Result: the final census over the replica PLUS n_mismatch — a
-    full-outer anti-census between replica and source AS-OF latest —
-    which the oracle pins at literal 0; any row the apply path drops,
-    duplicates or mis-updates shows up as a nonzero mismatch, not a
-    silent pass. Plan: each delta is diff-sized (the changed keys),
-    each apply shuffles the replica once on the key — replication
-    cost tracks churn, never table size."""
+    Source history: v1/v2 per _MUTATION_SQL (shared with
+    q_lake_snapshot_diff), then v3 deletes %9 and bumps %4 by 1 —
+    updates, inserts and deletes all flow through the diff→apply path
+    at least twice. Result: the final census over the replica PLUS
+    n_mismatch — a full-outer anti-census between replica and source
+    AS-OF latest — which the oracle pins at literal 0; any row the
+    apply path drops, duplicates or mis-updates shows up as a nonzero
+    mismatch, not a silent pass. Plan: each delta is diff-sized (the
+    changed keys), each apply shuffles the replica once on the key —
+    replication cost tracks churn, never table size."""
     from ..sources.formats import scratch
 
     src_path = scratch("repl_src", sf_dir)
@@ -4004,17 +4003,7 @@ def q_lake_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
     )
-    v1 = pts.filter(F.col("o_orderkey") % 2 == 0)
-    v2 = v1.filter(F.col("o_orderkey") % 10 != 0).select(
-        "o_orderkey",
-        F.when(F.col("o_orderkey") % 6 == 0, F.col("cents") + 7)
-        .otherwise(F.col("cents"))
-        .alias("cents"),
-    ).unionByName(
-        pts.filter(
-            (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 7 == 0)
-        )
-    )
+    v1, v2 = _mutation_versions(pts)
     v3 = v2.filter(F.col("o_orderkey") % 9 != 0).select(
         "o_orderkey",
         F.when(F.col("o_orderkey") % 4 == 0, F.col("cents") + 1)

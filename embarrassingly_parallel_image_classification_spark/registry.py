@@ -137,15 +137,19 @@ def _ensure_loaded() -> None:
 # 50 never-driver-verified oracle-backed queries — the full remaining
 # 42-query tail (all judge-verified EXACT in the r7 verdict session),
 # the 4 queries registered earlier this round (cogroup/parameterized/
-# history/curation-capstone), and the 4 feature-engineering queries
-# (Q family) registered this session. Exactly 50, so the canary slots
-# gave way to never-verified evidence (the rotation rule: never-verified
-# first, canaries only when slots remain; pytest oracle-parity re-runs
-# every green query locally regardless). A green round closes the
-# evidence matrix: every oracle-backed query in the registry will have
-# a driver-verified row. From round 9 the window is free and the
-# rotation rule in next_window.py takes over (oldest driver evidence
-# first, new registrations always included).
+# history/curation-capstone), and the first 4 feature-engineering
+# queries. Exactly 50, so the canary slots gave way to never-verified
+# evidence (the rotation rule: never-verified first, canaries only when
+# slots remain; pytest oracle-parity re-runs every green query locally
+# regardless). A green round gives every query registered BEFORE this
+# window was cut a driver-verified row; the ~10 oracle-backed queries
+# registered later in round 8 (kfold TE, GD trainer, snapshot diff,
+# GROUP BY ALL, _metadata audit, selection quantiles ×2, ER capstone,
+# CDC replicate, stream feature-serve) follow immediately after slot 50
+# in registration order and form round 9's never-verified head — the
+# window was already full, so they wait one round by design. From round
+# 9 next_window.py's rotation rule takes over (never-verified first,
+# then stalest driver evidence).
 _DRIVER_PRIORITY = (
     "q_join_null_safe",
     "q_join_not_in_nulls",

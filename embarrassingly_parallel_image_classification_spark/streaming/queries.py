@@ -1020,3 +1020,58 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_kept"),
     )
     return run_to_memory(agg, "complete")
+
+
+@register(
+    "q_stream_feature_serve",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    dict AS (
+        SELECT event_type,
+               CAST(SUM(cents) // COUNT(*) AS BIGINT) AS te_c
+        FROM pts GROUP BY event_type
+    )
+    SELECT p.event_type, d.te_c,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(p.event_id) AS BIGINT) AS id_sum
+    FROM pts p JOIN dict d USING (event_type)
+    GROUP BY p.event_type, d.te_c
+    """,
+    tags=("I7", "Q3", "streaming"),
+)
+def q_stream_feature_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE FEATURE SERVING — the streaming twin of the Q-family
+    encoders: a target-encoding dictionary is learned BATCH-side (per
+    event_type mean cents, exact BIGINT DIV — the ml/features.py
+    aggregate shape) and served onto a live event stream via a
+    STREAM-STATIC broadcast join, the feature-store online path: the
+    model/dict is a bounded static frame republished per microbatch,
+    the stream is never shuffled for the lookup, and training-time
+    and serving-time features come from ONE definition (the
+    train/serve skew every feature store exists to kill). Result:
+    per-type event census with the served encoding and an id-sum
+    checksum; the oracle recomputes dict and census from the same
+    table, pinning batch/stream feature equality bit-for-bit. Per
+    microbatch the only work is a hash lookup against the broadcast
+    dict; the complete-mode census is the verification harness, not
+    the serving path."""
+    from .core import events_stream, run_to_memory
+
+    batch = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    dic = batch.groupBy("event_type").agg(
+        F.expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)").alias("te_c")
+    )
+    ev = events_stream(spark, sf_dir).select("event_type", "event_id")
+    served = ev.join(F.broadcast(dic), "event_type")
+    agg = served.groupBy("event_type", "te_c").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+    )
+    return run_to_memory(agg, "complete")

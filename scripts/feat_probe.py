@@ -67,9 +67,12 @@ def te_window(pts):
 
 
 def checksum(df):
+    # modular per-term reduction: SUM(k·te) raw would exceed int64 at
+    # the 4x rung (~1.6e19 > 2^63) and rely on identical wrapping;
+    # each (k·te) % p term is < 1e9, so the sum stays exact
     r = df.agg(
         F.count("*").alias("n"),
-        F.sum(F.col("k") * F.col("te")).alias("x"),
+        F.sum((F.col("k") * F.col("te")) % F.lit(1_000_000_007)).alias("x"),
     ).first()
     return (int(r["n"]), int(r["x"]))
 

@@ -248,6 +248,12 @@ _CARTESIAN_OK = {
                              # onto the thinned threshold frame
     "q_quality_benford",     # 1-row total-count scalar broadcast onto
                              # the 9-row digit census
+    "q_feat_bucketize",      # 1-row global (min,max) bounds scalar
+                             # broadcast onto the fact scan for the
+                             # equi-width bucket assignment (the
+                             # q_eval_calibration shape; pinned 1-row
+                             # build side in
+                             # test_feature_encoders_never_shuffle_...)
     "q_dedup_semantic",      # 1-row MAX(vec_id)+1 plant-offset scalar
                              # broadcast onto the planted-copy select;
                              # the pair search itself is a cid
@@ -736,3 +742,30 @@ def test_group_median_select_adversarial_inputs(spark):
         n = len(s)
         k = (n + 1) // 2
         assert got[g] == (n, k, s[k - 1]), (g, got[g], (n, k, s[k - 1]))
+
+
+def test_onehot_null_and_collision_guards(spark):
+    """q_feat_onehot must refuse NULL categories (encoders consume
+    post-imputation data) and value pairs whose sanitized indicator
+    names collide ('1-URGENT' vs '1 urgent' → oh_1_urgent twice, which
+    Spark would accept silently) — each with a clear error."""
+    import shutil
+
+    import pytest as _pytest
+
+    from embarrassingly_parallel_image_classification_spark import registry
+
+    for i, (vals, match) in enumerate(
+        [
+            (["1-URGENT", None], "NULL"),
+            (["1-URGENT", "1 urgent"], "collide"),
+        ]
+    ):
+        path = scratch(f"onehot_bad_{i}", SF_T2)
+        shutil.rmtree(path, ignore_errors=True)
+        spark.createDataFrame(
+            [(j, v) for j, v in enumerate(vals)],
+            "o_orderkey BIGINT, o_orderpriority STRING",
+        ).write.parquet(f"{path}/orders.parquet")
+        with _pytest.raises(ValueError, match=match):
+            registry.queries()["q_feat_onehot"](spark, path)
