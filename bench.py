@@ -197,6 +197,7 @@ HEADLINE = [
     "q_agg_group_median_select",
     "q_lake_replicate",
     "q_stream_feature_serve",
+    "q_pipeline_features",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -354,3 +354,136 @@ def q_feat_target_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("te_oof_c"),
         )
     )
+
+
+@register(
+    "q_pipeline_features",
+    oracle=f"""
+    WITH pts AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 5
+                    AS BIGINT) AS fold
+        FROM orders
+    ),
+    counts AS (
+        SELECT o_orderpriority, COUNT(*) AS cnt FROM pts
+        GROUP BY o_orderpriority
+    ),
+    dict AS (
+        SELECT o_orderpriority,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, o_orderpriority)
+                    - 1 AS BIGINT) AS prio_idx
+        FROM counts
+    ),
+    gf AS (
+        SELECT o_orderpriority, fold,
+               CAST(SUM(cents) AS BIGINT) AS s_f,
+               CAST(COUNT(*) AS BIGINT) AS n_f
+        FROM pts GROUP BY o_orderpriority, fold
+    ),
+    gt AS (
+        SELECT o_orderpriority,
+               CAST(SUM(s_f) AS BIGINT) AS s_t,
+               CAST(SUM(n_f) AS BIGINT) AS n_t
+        FROM gf GROUP BY o_orderpriority
+    ),
+    bounds AS (
+        SELECT CAST(MIN(cents) AS BIGINT) AS lo,
+               CAST(MAX(cents) AS BIGINT) AS hi
+        FROM pts
+    )
+    SELECT p.o_orderkey, p.fold, d.prio_idx,
+           CAST(CASE WHEN p.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                AS BIGINT) AS oh_1_urgent,
+           CAST(p.yr - 1998 AS BIGINT) AS yr_c,
+           CASE WHEN t.n_t > f.n_f
+                THEN CAST((t.s_t - f.s_f) // (t.n_t - f.n_f) AS BIGINT)
+           END AS te_oof_c,
+           CAST(CASE WHEN b.hi > b.lo
+                     THEN (p.cents - b.lo) * {BUCKETIZE_K} // (b.hi - b.lo + 1)
+                     ELSE 0 END AS BIGINT) AS price_bucket
+    FROM pts p
+    JOIN dict d USING (o_orderpriority)
+    JOIN gf f ON f.o_orderpriority = p.o_orderpriority AND f.fold = p.fold
+    JOIN gt t ON t.o_orderpriority = p.o_orderpriority
+    CROSS JOIN bounds b
+    """,
+    tags=("composite", "Q1", "Q2", "Q3", "Q4", "Q6"),
+)
+def q_pipeline_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-MATRIX CAPSTONE — the Q-family transforms composed into
+    ONE lazy plan producing a training matrix: per order the k-fold
+    assignment, the frequency string index, a one-hot indicator, the
+    centered year, the out-of-fold target encoding and the equi-width
+    price bucket — the frame a trainer (q_train_linreg_gd's shape)
+    consumes directly. The point the capstone proves (the
+    q_pipeline_curation discipline): the transforms compose WITHOUT
+    driver barriers — every dictionary/bounds aggregate hangs off the
+    same plan and broadcasts back, so Catalyst sees one tree, scans
+    the fact table for the feature rows ONCE, and the only exchanges
+    are the dict-sized aggregates. Oracle = all stages as chained
+    CTEs, bit-exact. (The one-hot stage contributes a single
+    representative indicator here: the full dynamic-vocabulary
+    expansion with its cardinality/NULL/collision guards is
+    q_feat_onehot's own contract and would only widen this matrix.)"""
+    pts = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("yr"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+        ).alias("fold"),
+    )
+    counts = pts.groupBy("o_orderpriority").agg(F.count("*").alias("cnt"))
+    dict_w = Window.orderBy(F.col("cnt").desc(), F.col("o_orderpriority"))
+    dic = counts.select(
+        "o_orderpriority",
+        (F.row_number().over(dict_w) - 1).cast("bigint").alias("prio_idx"),
+    )
+    gf = pts.groupBy("o_orderpriority", "fold").agg(
+        F.sum("cents").cast("bigint").alias("s_f"),
+        F.count("*").cast("bigint").alias("n_f"),
+    )
+    gt = gf.groupBy("o_orderpriority").agg(
+        F.sum("s_f").cast("bigint").alias("s_t"),
+        F.sum("n_f").cast("bigint").alias("n_t"),
+    )
+    bounds = pts.agg(
+        F.min("cents").cast("bigint").alias("lo"),
+        F.max("cents").cast("bigint").alias("hi"),
+    )
+    return (
+        pts.join(F.broadcast(dic), "o_orderpriority")
+        .join(F.broadcast(gf), ["o_orderpriority", "fold"])
+        .join(F.broadcast(gt), "o_orderpriority")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "o_orderkey",
+            "fold",
+            "prio_idx",
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("oh_1_urgent"),
+            (F.col("yr") - 1998).cast("bigint").alias("yr_c"),
+            F.when(
+                F.col("n_t") > F.col("n_f"),
+                F.expr("CAST((s_t - s_f) DIV (n_t - n_f) AS BIGINT)"),
+            ).alias("te_oof_c"),
+            F.when(
+                F.col("hi") > F.col("lo"),
+                F.expr(f"(cents - lo) * {BUCKETIZE_K} DIV (hi - lo + 1)"),
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("price_bucket"),
+        )
+    )
