@@ -1003,25 +1003,28 @@ def q_agg_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     value census is ≤ 4096 grouped rows per quantile. A global sort
     exchanges the ENTIRE fact table; selection never moves a data row.
     Exactness (bit-equal to the sort-based oracle, ties included) is
-    what approx_percentile trades away. Each round rescans the
-    projection at fixture scale; production pins it once with
-    cache/localCheckpoint and frees it after (the returned frame is
-    driver-built, so nothing needs the lineage kept alive)."""
+    what approx_percentile trades away. The projection is persisted
+    for the ~4 bounded passes and unpersisted in a finally (the
+    returned frame is driver-built, so nothing needs the lineage
+    kept alive — no leaked executor blocks)."""
     pts = t(spark, sf_dir, "lineitem").select(
         F.lit("_").alias("g"),
         F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias(
             "cents"
         ),
-    )
-    stats = pts.agg(
-        F.count("*").alias("n"), F.min("cents").alias("lo"),
-        F.max("cents").alias("hi"),
-    ).collect()[0]
-    n, lo, hi = int(stats["n"]), int(stats["lo"]), int(stats["hi"])
-    targets = {
-        str(q): ("_", lo, hi, (n * q + 99) // 100) for q in (50, 90, 99)
-    }
-    got = _select_exact_ranks(pts, targets)
+    ).persist()  # ~4 bounded passes share one scan; freed in finally
+    try:
+        stats = pts.agg(
+            F.count("*").alias("n"), F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+        ).collect()[0]
+        n, lo, hi = int(stats["n"]), int(stats["lo"]), int(stats["hi"])
+        targets = {
+            str(q): ("_", lo, hi, (n * q + 99) // 100) for q in (50, 90, 99)
+        }
+        got = _select_exact_ranks(pts, targets)
+    finally:
+        pts.unpersist()
     out = [(q, (n * q + 99) // 100, got[str(q)]) for q in (50, 90, 99)]
     return spark.createDataFrame(out, "q BIGINT, k BIGINT, value BIGINT")
 
@@ -1065,20 +1068,23 @@ def q_agg_group_median_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias(
             "cents"
         ),
-    )
-    init = {
-        r["g"]: (int(r["lo"]), int(r["hi"]), int(r["n"]))
-        for r in pts.groupBy("g")
-        .agg(
-            F.min("cents").alias("lo"), F.max("cents").alias("hi"),
-            F.count("*").alias("n"),
-        )
-        .collect()  # bounded: one row per group
-    }
-    targets = {
-        g: (g, lo, hi, (n + 1) // 2) for g, (lo, hi, n) in init.items()
-    }
-    got = _select_exact_ranks(pts, targets)
+    ).persist()  # ~4 bounded passes share one scan; freed in finally
+    try:
+        init = {
+            r["g"]: (int(r["lo"]), int(r["hi"]), int(r["n"]))
+            for r in pts.groupBy("g")
+            .agg(
+                F.min("cents").alias("lo"), F.max("cents").alias("hi"),
+                F.count("*").alias("n"),
+            )
+            .collect()  # bounded: one row per group
+        }
+        targets = {
+            g: (g, lo, hi, (n + 1) // 2) for g, (lo, hi, n) in init.items()
+        }
+        got = _select_exact_ranks(pts, targets)
+    finally:
+        pts.unpersist()
     out = [
         (g, init[g][2], (init[g][2] + 1) // 2, got[g]) for g in sorted(got)
     ]
