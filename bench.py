@@ -198,6 +198,7 @@ HEADLINE = [
     "q_lake_replicate",
     "q_stream_feature_serve",
     "q_pipeline_features",
+    "q_feat_robust_scale",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

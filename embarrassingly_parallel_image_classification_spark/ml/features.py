@@ -487,3 +487,99 @@ def q_pipeline_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_bucket"),
         )
     )
+
+
+@register(
+    "q_feat_robust_scale",
+    oracle="""
+    WITH c AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag AS g,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY g),
+    ranked AS (
+        SELECT g, cents,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY cents) AS rn
+        FROM c
+    ),
+    quart AS (
+        SELECT n.g,
+               MAX(CASE WHEN r.rn = (n.cnt * 25 + 99) // 100
+                        THEN r.cents END) AS q25,
+               MAX(CASE WHEN r.rn = (n.cnt * 50 + 99) // 100
+                        THEN r.cents END) AS q50,
+               MAX(CASE WHEN r.rn = (n.cnt * 75 + 99) // 100
+                        THEN r.cents END) AS q75
+        FROM n JOIN ranked r ON r.g = n.g
+        GROUP BY n.g
+    )
+    SELECT c.l_orderkey, c.l_linenumber, c.g, c.cents,
+           CAST((c.cents - q.q50) * 1000000
+                // GREATEST(q.q75 - q.q25, 1) AS BIGINT) AS robust_e6
+    FROM c JOIN quart q ON q.g = c.g
+    """,
+    tags=("Q1", "D9", "scale"),
+)
+def q_feat_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST SCALING — (x − median) / IQR per group (the sklearn
+    RobustScaler contract [PK]: outlier-insensitive, unlike the
+    min-max/z-score pair in q_window_normalize), in exact e6 fixed
+    point: the three quartiles come from operators/aggregates.py's
+    _select_exact_ranks (histogram selection — rank ceil(q·n/100),
+    the percentile_disc convention), so no per-group sort ever
+    co-locates a group, then the scale itself is one broadcast join
+    back + map-side integer arithmetic (truncating division agrees
+    across engines for the negative deviations below the median; a
+    degenerate zero-IQR group divides by 1 instead of exploding).
+    The Q-family shape end to end: tiny selection state → broadcast →
+    one fact scan, zero fact shuffles."""
+    from ..operators.aggregates import _select_exact_ranks
+
+    pts = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").alias("g"),
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+    ).persist()  # quartile selection + final scale share one scan
+    try:
+        init = {
+            r["g"]: (int(r["lo"]), int(r["hi"]), int(r["n"]))
+            for r in pts.groupBy("g")
+            .agg(
+                F.min("cents").alias("lo"), F.max("cents").alias("hi"),
+                F.count("*").alias("n"),
+            )
+            .collect()  # bounded: one row per group
+        }
+        targets = {
+            f"{g}:{q}": (g, lo, hi, (n * q + 99) // 100)
+            for g, (lo, hi, n) in init.items()
+            for q in (25, 50, 75)
+        }
+        got = _select_exact_ranks(pts.select("g", "cents"), targets)
+        quart = [
+            (g, got[f"{g}:25"], got[f"{g}:50"], got[f"{g}:75"])
+            for g in sorted(init)
+        ]
+        qdf = pts.sparkSession.createDataFrame(
+            quart, "g STRING, q25 BIGINT, q50 BIGINT, q75 BIGINT"
+        )
+        out = pts.join(F.broadcast(qdf), "g").select(
+            "l_orderkey",
+            "l_linenumber",
+            "g",
+            "cents",
+            F.expr(
+                "CAST((cents - q50) * 1000000"
+                " DIV GREATEST(q75 - q25, 1L) AS BIGINT)"
+            ).alias("robust_e6"),
+        )
+    finally:
+        # drops the cached blocks only — the returned lazy plan simply
+        # recomputes the projection from parquet when evaluated (one
+        # extra scan, zero leaked executor storage)
+        pts.unpersist()
+    return out
