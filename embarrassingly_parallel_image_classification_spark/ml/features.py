@@ -534,7 +534,7 @@ def q_feat_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate zero-IQR group divides by 1 instead of exploding).
     The Q-family shape end to end: tiny selection state → broadcast →
     one fact scan, zero fact shuffles."""
-    from ..operators.aggregates import _select_exact_ranks
+    from ..operators.aggregates import select_group_quantiles
 
     pts = t(spark, sf_dir, "lineitem").select(
         "l_orderkey",
@@ -545,21 +545,9 @@ def q_feat_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).persist()  # quartile selection + final scale share one scan
     try:
-        init = {
-            r["g"]: (int(r["lo"]), int(r["hi"]), int(r["n"]))
-            for r in pts.groupBy("g")
-            .agg(
-                F.min("cents").alias("lo"), F.max("cents").alias("hi"),
-                F.count("*").alias("n"),
-            )
-            .collect()  # bounded: one row per group
-        }
-        targets = {
-            f"{g}:{q}": (g, lo, hi, (n * q + 99) // 100)
-            for g, (lo, hi, n) in init.items()
-            for q in (25, 50, 75)
-        }
-        got = _select_exact_ranks(pts.select("g", "cents"), targets)
+        init, got = select_group_quantiles(
+            pts.select("g", "cents"), (25, 50, 75)
+        )
         quart = [
             (g, got[f"{g}:25"], got[f"{g}:50"], got[f"{g}:75"])
             for g in sorted(init)

@@ -968,6 +968,32 @@ def _select_exact_ranks(
     return done
 
 
+def select_group_quantiles(
+    pts: DataFrame, qs: tuple[int, ...]
+) -> tuple[dict[str, tuple[int, int, int]], dict[str, int]]:
+    """Bounds-collect → ceil-rank targets → _select_exact_ranks, the
+    setup shared by q_agg_group_median_select, q_feat_robust_scale and
+    scripts/select_probe.py (ONE copy of the rank convention, like the
+    boundary math below it). ``pts`` has columns (g, cents); ``qs``
+    are percentiles. Returns (init, values): init[g] = (lo, hi, n),
+    values[f"{g}:{q}"] = the exact value of rank ceil(q·n/100) in g."""
+    init = {
+        r["g"]: (int(r["lo"]), int(r["hi"]), int(r["n"]))
+        for r in pts.groupBy("g")
+        .agg(
+            F.min("cents").alias("lo"), F.max("cents").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()  # bounded: one row per group
+    }
+    targets = {
+        f"{g}:{q}": (g, lo, hi, (n * q + 99) // 100)
+        for g, (lo, hi, n) in init.items()
+        for q in qs
+    }
+    return init, _select_exact_ranks(pts, targets)
+
+
 @register(
     "q_agg_quantile_select",
     oracle="""
@@ -1070,23 +1096,12 @@ def q_agg_group_median_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).persist()  # ~4 bounded passes share one scan; freed in finally
     try:
-        init = {
-            r["g"]: (int(r["lo"]), int(r["hi"]), int(r["n"]))
-            for r in pts.groupBy("g")
-            .agg(
-                F.min("cents").alias("lo"), F.max("cents").alias("hi"),
-                F.count("*").alias("n"),
-            )
-            .collect()  # bounded: one row per group
-        }
-        targets = {
-            g: (g, lo, hi, (n + 1) // 2) for g, (lo, hi, n) in init.items()
-        }
-        got = _select_exact_ranks(pts, targets)
+        init, got = select_group_quantiles(pts, (50,))
     finally:
         pts.unpersist()
     out = [
-        (g, init[g][2], (init[g][2] + 1) // 2, got[g]) for g in sorted(got)
+        (g, init[g][2], (init[g][2] * 50 + 99) // 100, got[f"{g}:50"])
+        for g in sorted(init)
     ]
     return spark.createDataFrame(
         out, "g STRING, n BIGINT, k BIGINT, median_c BIGINT"

@@ -92,7 +92,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out = {}
     for scale, n in (("1x", N_BASE), ("4x", 4 * N_BASE)):
-        pts = make_facts(spark, n).localCheckpoint(eager=True)
+        pts = make_facts(spark, n).persist()
+        pts.count()  # materialize before timing; unpersist below works
         tb, cb = timed(te_broadcast, pts)
         tw, cw = timed(te_window, pts)
         assert cb == cw, f"spellings disagree at {scale}: {cb} vs {cw}"

@@ -27,7 +27,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from embarrassingly_parallel_image_classification_spark.operators.aggregates import (
-    _select_exact_ranks,
+    select_group_quantiles,
 )
 from embarrassingly_parallel_image_classification_spark.session import get_spark
 
@@ -48,19 +48,8 @@ def make_facts(spark, n: int):
 
 
 def median_selection(pts):
-    init = {
-        r["g"]: (int(r["lo"]), int(r["hi"]), int(r["n"]))
-        for r in pts.groupBy("g")
-        .agg(
-            F.min("cents").alias("lo"), F.max("cents").alias("hi"),
-            F.count("*").alias("n"),
-        )
-        .collect()
-    }
-    targets = {
-        g: (g, lo, hi, (n + 1) // 2) for g, (lo, hi, n) in init.items()
-    }
-    return _select_exact_ranks(pts, targets)
+    _, got = select_group_quantiles(pts, (50,))
+    return {tag.rsplit(":", 1)[0]: v for tag, v in got.items()}
 
 
 def median_sort(pts):
@@ -93,7 +82,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out = {}
     for scale, n in (("1x", N_BASE), ("4x", 4 * N_BASE)):
-        pts = make_facts(spark, n).localCheckpoint(eager=True)
+        pts = make_facts(spark, n).persist()
+        pts.count()  # materialize before timing; unpersist below works
         ts, ms = timed(median_selection, pts)
         tw, mw = timed(median_sort, pts)
         assert ms == mw, f"medians disagree at {scale}"
