@@ -543,31 +543,28 @@ def q_feat_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias(
             "cents"
         ),
-    ).persist()  # quartile selection + final scale share one scan
-    try:
-        init, got = select_group_quantiles(
-            pts.select("g", "cents"), (25, 50, 75)
-        )
-        quart = [
-            (g, got[f"{g}:25"], got[f"{g}:50"], got[f"{g}:75"])
-            for g in sorted(init)
-        ]
-        qdf = pts.sparkSession.createDataFrame(
-            quart, "g STRING, q25 BIGINT, q50 BIGINT, q75 BIGINT"
-        )
-        out = pts.join(F.broadcast(qdf), "g").select(
-            "l_orderkey",
-            "l_linenumber",
-            "g",
-            "cents",
-            F.expr(
-                "CAST((cents - q50) * 1000000"
-                " DIV GREATEST(q75 - q25, 1L) AS BIGINT)"
-            ).alias("robust_e6"),
-        )
-    finally:
-        # drops the cached blocks only — the returned lazy plan simply
-        # recomputes the projection from parquet when evaluated (one
-        # extra scan, zero leaked executor storage)
-        pts.unpersist()
-    return out
+    ).localCheckpoint(eager=True)
+    # house caching rule (test_no_persist_in_library_source): quartile
+    # selection + the final scale share one materialization; the
+    # returned plan keeps the blocks alive exactly as long as the
+    # caller keeps the result, then ContextCleaner reclaims them
+    init, got = select_group_quantiles(
+        pts.select("g", "cents"), (25, 50, 75)
+    )
+    quart = [
+        (g, got[f"{g}:25"], got[f"{g}:50"], got[f"{g}:75"])
+        for g in sorted(init)
+    ]
+    qdf = pts.sparkSession.createDataFrame(
+        quart, "g STRING, q25 BIGINT, q50 BIGINT, q75 BIGINT"
+    )
+    return pts.join(F.broadcast(qdf), "g").select(
+        "l_orderkey",
+        "l_linenumber",
+        "g",
+        "cents",
+        F.expr(
+            "CAST((cents - q50) * 1000000"
+            " DIV GREATEST(q75 - q25, 1L) AS BIGINT)"
+        ).alias("robust_e6"),
+    )

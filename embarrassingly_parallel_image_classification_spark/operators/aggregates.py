@@ -1029,28 +1029,30 @@ def q_agg_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     value census is ≤ 4096 grouped rows per quantile. A global sort
     exchanges the ENTIRE fact table; selection never moves a data row.
     Exactness (bit-equal to the sort-based oracle, ties included) is
-    what approx_percentile trades away. The projection is persisted
-    for the ~4 bounded passes and unpersisted in a finally (the
-    returned frame is driver-built, so nothing needs the lineage
-    kept alive — no leaked executor blocks)."""
+    what approx_percentile trades away. The projection is
+    localCheckpointed for the ~4 bounded passes (the house caching
+    rule); the result is driver-built, so the blocks are reclaimed by
+    ContextCleaner the moment the frame goes out of scope at return."""
     pts = t(spark, sf_dir, "lineitem").select(
         F.lit("_").alias("g"),
         F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias(
             "cents"
         ),
-    ).persist()  # ~4 bounded passes share one scan; freed in finally
-    try:
-        stats = pts.agg(
-            F.count("*").alias("n"), F.min("cents").alias("lo"),
-            F.max("cents").alias("hi"),
-        ).collect()[0]
-        n, lo, hi = int(stats["n"]), int(stats["lo"]), int(stats["hi"])
-        targets = {
-            str(q): ("_", lo, hi, (n * q + 99) // 100) for q in (50, 90, 99)
-        }
-        got = _select_exact_ranks(pts, targets)
-    finally:
-        pts.unpersist()
+    ).localCheckpoint(eager=True)
+    # the house caching rule (test_no_persist_in_library_source):
+    # library code localCheckpoints — the ~4 bounded passes share one
+    # materialization, and ContextCleaner reclaims the blocks when the
+    # frame goes out of scope at return (the result is driver-built,
+    # so nothing keeps the lineage alive)
+    stats = pts.agg(
+        F.count("*").alias("n"), F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+    ).collect()[0]
+    n, lo, hi = int(stats["n"]), int(stats["lo"]), int(stats["hi"])
+    targets = {
+        str(q): ("_", lo, hi, (n * q + 99) // 100) for q in (50, 90, 99)
+    }
+    got = _select_exact_ranks(pts, targets)
     out = [(q, (n * q + 99) // 100, got[str(q)]) for q in (50, 90, 99)]
     return spark.createDataFrame(out, "q BIGINT, k BIGINT, value BIGINT")
 
@@ -1094,11 +1096,8 @@ def q_agg_group_median_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias(
             "cents"
         ),
-    ).persist()  # ~4 bounded passes share one scan; freed in finally
-    try:
-        init, got = select_group_quantiles(pts, (50,))
-    finally:
-        pts.unpersist()
+    ).localCheckpoint(eager=True)  # house rule: see q_agg_quantile_select
+    init, got = select_group_quantiles(pts, (50,))
     out = [
         (g, init[g][2], (init[g][2] * 50 + 99) // 100, got[f"{g}:50"])
         for g in sorted(init)

@@ -254,6 +254,10 @@ _CARTESIAN_OK = {
                              # q_eval_calibration shape; pinned 1-row
                              # build side in
                              # test_feature_encoders_never_shuffle_...)
+    "q_pipeline_features",   # the capstone inherits q_feat_bucketize's
+                             # 1-row bounds cross for its price-bucket
+                             # stage; every other stage joins hash on
+                             # the category key
     "q_dedup_semantic",      # 1-row MAX(vec_id)+1 plant-offset scalar
                              # broadcast onto the planted-copy select;
                              # the pair search itself is a cid
