@@ -69,6 +69,13 @@ LADDER = [
     "q_tpch_q21",
     "q_market_basket",
     "q_clean_winsorize",
+    # round-8 slowest-5 entrants: selection quantiles (fact 4x, domain
+    # fixed — rounds constant, per-round scan grows), CDC replication
+    # (churn and table grow together), robust scaler (selection + one
+    # broadcast-scale pass)
+    "q_agg_group_median_select",
+    "q_lake_replicate",
+    "q_feat_robust_scale",
 ]
 DIMS = ("region", "nation", "customer", "supplier", "part")
 PASSES = 3
