@@ -199,6 +199,17 @@ HEADLINE = [
     "q_stream_feature_serve",
     "q_pipeline_features",
     "q_feat_robust_scale",
+    # round-9: Arrow-native grouped/cogrouped map, stream-stream full
+    # outer, MERGE schema evolution
+    "q_udf_grouped_arrow",
+    "q_udf_cogroup_arrow",
+    "q_stream_full_outer_join",
+    "q_lake_merge_evolve",
+    "q_select_dsir",
+    "q_feat_chi2_select",
+    "q_privacy_l_diversity",
+    "q_stream_semi_join",
+    "q_timeseries_holt",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -620,6 +620,60 @@ def q_privacy_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_privacy_l_diversity",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               COUNT(*) AS n,
+               COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT))
+                   AS n_sensitive
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(CASE WHEN n_sensitive < 3 THEN 1 END) AS BIGINT)
+               AS n_violating,
+           CAST(SUM(CASE WHEN n_sensitive < 3 THEN n ELSE 0 END) AS BIGINT)
+               AS rows_at_risk,
+           CAST(MIN(n_sensitive) AS BIGINT) AS min_diversity
+    FROM g
+    """,
+    tags=("governance", "D4", "D1"),
+)
+def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit (distinct variant, l=3) — the privacy gate
+    k-anonymity alone cannot provide (Machanavajjhala et al. 2007,
+    public): a QI group of ≥k rows is STILL disclosive if every member
+    shares the same sensitive value (the homogeneity attack), so each
+    (nation, segment) group must contain ≥3 DISTINCT sensitive values
+    (the $2k balance band standing in for the sensitive attribute).
+    Complements q_privacy_k_anon: that gate counts group SIZE, this
+    one counts within-group VALUE variety; a release loop runs both.
+
+    Plan: ONE partial-aggregated groupBy with COUNT DISTINCT over the
+    QI (Spark expands the distinct into a two-level aggregate —
+    map-side combine still applies), then a 1-row report; no joins,
+    no window. At 100 TB: identical shuffle shape to the k-anon
+    census."""
+    c = t(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.countDistinct(
+            F.expr("CAST(FLOOR(c_acctbal / 2000) AS BIGINT)")
+        ).alias("n_sensitive"),
+    )
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.count(F.when(F.col("n_sensitive") < 3, 1))
+        .cast("bigint")
+        .alias("n_violating"),
+        F.coalesce(F.sum(F.when(F.col("n_sensitive") < 3, F.col("n"))), F.lit(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("n_sensitive").cast("bigint").alias("min_diversity"),
+    )
+
+
 _BENFORD_E6 = {
     1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
     6: 66947, 7: 57992, 8: 51153, 9: 45757,

@@ -312,3 +312,119 @@ def q_quality_linear_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("raw_score * 1000 DIV n_tokens").cast("bigint").alias("score_e3"),
         (F.expr("raw_score * 1000 DIV n_tokens") > 0).alias("keep"),
     )
+
+
+@register(
+    "q_select_dsir",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    tb AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS b
+        FROM tok
+    ),
+    tgt AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS tc
+        FROM tb WHERE lang = 'en' GROUP BY b
+    ),
+    raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc FROM tb GROUP BY b),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM tb WHERE lang = 'en') AS tt,
+               (SELECT COUNT(*) FROM tb) AS rt
+    ),
+    lr AS (
+        SELECT raw.b,
+               CAST(ROUND(LN(((COALESCE(tgt.tc, 0) + 1) * (tot.rt + 256.0))
+                             / ((raw.rc + 1) * (tot.tt + 256.0)))
+                          * 1000000, 0) AS BIGINT) AS lr_e6
+        FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot
+    ),
+    sc AS (
+        SELECT tb.doc_id, tb.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(SUM(lr.lr_e6) AS BIGINT) AS dsir_e6
+        FROM tb JOIN lr ON lr.b = tb.b
+        GROUP BY tb.doc_id, tb.lang
+    )
+    SELECT doc_id, lang, n_tok, dsir_e6
+    FROM sc ORDER BY dsir_e6 DESC, doc_id LIMIT 20
+    """,
+    tags=("K4", "P5", "B6"),
+)
+def q_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, public paper): score every raw-corpus document by how much
+    more likely its HASHED n-gram features are under the target
+    domain's unigram feature distribution than under the raw corpus's,
+    w(x) = Σ_tokens log(p_target(b)/p_raw(b)) over 256 md5 hash
+    buckets with add-1 smoothing — the importance weight the paper
+    resamples by (deterministic top-k here; the Gumbel-noise sampler
+    is one extra column). Target = the 'en' slice standing in for the
+    high-quality domain, raw = the whole corpus, exactly the
+    wiki-vs-crawl shape of the paper.
+
+    Determinism discipline: one double LN per BUCKET (256 of them)
+    fixed to e6 at the dictionary level — the same treatment as
+    BM25's idf and the perplexity LM — so every per-doc sum is an
+    exact integer in any aggregation order; the hash is the
+    engine-portable md5-prefix family (any system reproduces the
+    bucketing from the token alone).
+
+    Plan: tokenize ONCE (localCheckpoint — the q_market_basket rule),
+    two bucket-sized aggregates + one bounded 2-scalar collect build
+    the 256-row log-ratio dictionary, which BROADCASTS back onto the
+    token stream; the corpus shuffles once by doc_id and never by
+    token — at 100 TB the dictionary stays 256 rows no matter the
+    corpus, which is the entire point of hashed DSIR over exact-vocab
+    importance weights. Top-20 by (dsir_e6, doc_id) plans as
+    TakeOrderedAndProject, no global sort."""
+    d = t(spark, sf_dir, "documents")
+    tb = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
+                % 256
+            ).alias("b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = tb.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tt"),
+        F.count("*").alias("rt"),
+    ).collect()[0]  # bounded: 2 scalars
+    tt, rt = int(tot["tt"]), int(tot["rt"])
+    tgt = (
+        tb.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("tc"))
+    )
+    raw = tb.groupBy("b").agg(F.count("*").cast("bigint").alias("rc"))
+    lr = raw.join(tgt, "b", "left").select(
+        "b",
+        F.round(
+            F.log(
+                ((F.coalesce(F.col("tc"), F.lit(0)) + 1) * F.lit(rt + 256.0))
+                / ((F.col("rc") + 1) * F.lit(tt + 256.0))
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("lr_e6"),
+    )
+    return (
+        tb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.sum("lr_e6").cast("bigint").alias("dsir_e6"),
+        )
+        .orderBy(F.desc("dsir_e6"), "doc_id")
+        .limit(20)
+    )

@@ -568,3 +568,151 @@ def q_feat_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV GREATEST(q75 - q25, 1L) AS BIGINT)"
         ).alias("robust_e6"),
     )
+
+
+@register(
+    "q_feat_chi2_select",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, lang, UNNEST(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    n_tot AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+              FROM documents),
+    per_lang AS (
+        SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nl
+        FROM documents GROUP BY lang
+    ),
+    aw AS (
+        SELECT w, lang, CAST(COUNT(*) AS BIGINT) AS a
+        FROM tok GROUP BY w, lang
+    ),
+    wd AS (SELECT w, CAST(SUM(a) AS BIGINT) AS wdocs FROM aw GROUP BY w),
+    cells AS (
+        SELECT aw.w, aw.lang, aw.a,
+               wd.wdocs - aw.a AS b,
+               per_lang.nl - aw.a AS c,
+               n_tot.n - per_lang.nl - (wd.wdocs - aw.a) AS d,
+               n_tot.n AS n
+        FROM aw JOIN wd ON wd.w = aw.w
+                JOIN per_lang ON per_lang.lang = aw.lang, n_tot
+        WHERE wd.wdocs >= 5 AND wd.wdocs <= n_tot.n - 5
+    ),
+    chi AS (
+        SELECT lang, w, a,
+               CAST(ROUND(
+                   (CAST(n AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)
+                    * CAST(a * d - b * c AS DOUBLE))
+                   / (CAST((a + b) * (c + d) AS DOUBLE)
+                      * CAST((a + c) * (b + d) AS DOUBLE))
+                   * 1000000, 0) AS BIGINT) AS chi2_e6,
+               CASE WHEN a * d > b * c THEN 'pos' ELSE 'neg' END AS assoc
+        FROM cells
+    )
+    SELECT lang, CAST(rnk AS BIGINT) AS rnk, w AS word, chi2_e6, a AS n_docs,
+           assoc
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY chi2_e6 DESC, w) AS rnk
+        FROM chi
+    )
+    WHERE rnk <= 3
+    ORDER BY lang, rnk
+    """,
+    tags=("K4", "D1", "Q"),
+)
+def q_feat_chi2_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE feature selection — the classic filter-method ranking
+    of vocabulary features against a class label (per language, the 3
+    tokens whose document-presence is most dependent on the label):
+    the one-vs-rest 2×2 contingency (a,b,c,d) per (word, label) and
+    chi2 = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), with the df ∈ [5, N−5]
+    support filter every practical selector applies (degenerate
+    all-doc words have an empty complement column). The `assoc` sign
+    (ad vs bc) says whether the feature marks the class or its
+    absence.
+
+    Determinism: contingency cells are exact BIGINTs (doc-level
+    DISTINCT presence, not term frequency); ONE double expression per
+    (word,label) pair — dictionary-sized, same discipline as BM25 idf
+    — rounded to e6, so ranking ties are impossible to mis-order
+    (tie-break on the word itself).
+
+    Plan: one distinct-presence aggregate over exploded tokens (the
+    only corpus-sized shuffle), then everything is vocabulary-sized:
+    word totals derive from the (word,label) cells (no second corpus
+    pass), label totals are a 5-row broadcast, and top-3-per-label
+    plans as a bounded window over the dictionary. At 100 TB the
+    corpus is touched once; feature stats never exceed
+    vocab × |labels| rows."""
+    d = t(spark, sf_dir, "documents")
+    n_total = d.select("doc_id").distinct().count()  # bounded scalar
+    per_lang = d.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("nl")
+    )
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    aw = tok.groupBy("w", "lang").agg(F.count("*").cast("bigint").alias("a"))
+    wd = aw.groupBy("w").agg(F.sum("a").cast("bigint").alias("wdocs"))
+    cells = (
+        aw.join(wd, "w")
+        .join(F.broadcast(per_lang), "lang")
+        .filter((F.col("wdocs") >= 5) & (F.col("wdocs") <= n_total - 5))
+        .select(
+            "lang",
+            "w",
+            "a",
+            (F.col("wdocs") - F.col("a")).alias("b"),
+            (F.col("nl") - F.col("a")).alias("c"),
+            (F.lit(n_total) - F.col("nl") - (F.col("wdocs") - F.col("a")))
+            .alias("d"),
+        )
+    )
+    chi = cells.select(
+        "lang",
+        "w",
+        "a",
+        F.round(
+            (
+                F.lit(float(n_total))
+                * (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast(
+                    "double"
+                )
+                * (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast(
+                    "double"
+                )
+            )
+            / (
+                ((F.col("a") + F.col("b")) * (F.col("c") + F.col("d"))).cast(
+                    "double"
+                )
+                * ((F.col("a") + F.col("c")) * (F.col("b") + F.col("d"))).cast(
+                    "double"
+                )
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("chi2_e6"),
+        F.when(
+            F.col("a") * F.col("d") > F.col("b") * F.col("c"), "pos"
+        )
+        .otherwise("neg")
+        .alias("assoc"),
+    )
+    w_rank = Window.partitionBy("lang").orderBy(F.desc("chi2_e6"), "w")
+    return (
+        chi.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "lang",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.col("w").alias("word"),
+            "chi2_e6",
+            F.col("a").alias("n_docs"),
+            "assoc",
+        )
+        .orderBy("lang", "rnk")
+    )

@@ -492,3 +492,132 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cust_cents BIGINT, supp_cents BIGINT",
         )
     )
+
+
+@register(
+    "q_udf_grouped_arrow",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS acct_cents,
+           CAST(MIN(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS min_cents,
+           CAST(MAX(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS max_cents
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("J4", "J6"),
+)
+def q_udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInArrow`` (Spark 4.1,
+    spark:python/pyspark/sql/pandas/group_ops.py ``applyInArrow``): the
+    whole group arrives as ONE ``pyarrow.Table`` — no pandas frame is
+    ever built, so string columns stay in Arrow buffers instead of
+    being boxed into Python objects (the cost q_udf_grouped_map pays).
+    Per-market-segment account census in exact cents via
+    ``pyarrow.compute`` kernels only; the DuckDB GROUP BY oracle checks
+    the Arrow grouped-map boundary bit-for-bit.
+
+    Cents are fixed Spark-side (``F.round`` half-up matches the oracle;
+    pyarrow's round is half-to-even, so money never rounds in Arrow).
+    Scale: one hash exchange on the key, same as any groupBy — with the
+    grouped-map caveat that a group must fit one worker's memory, so
+    the key is a bounded domain (5 segments); unbounded-group shapes
+    belong to mapInArrow (J6) or plain aggregates."""
+    import pyarrow.compute as pc
+
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
+    )
+
+    def census(table: pa.Table) -> pa.Table:
+        cents = table.column("cents")
+        return pa.table(
+            {
+                "segment": pa.array([table.column("segment")[0].as_py()], pa.string()),
+                "n_cust": pa.array([table.num_rows], pa.int64()),
+                "acct_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+                "min_cents": pa.array([pc.min(cents).as_py()], pa.int64()),
+                "max_cents": pa.array([pc.max(cents).as_py()], pa.int64()),
+            }
+        )
+
+    return cust.groupBy("segment").applyInArrow(
+        census,
+        "segment STRING, n_cust BIGINT, acct_cents BIGINT,"
+        " min_cents BIGINT, max_cents BIGINT",
+    )
+
+
+@register(
+    "q_udf_cogroup_arrow",
+    oracle="""
+    WITH ord AS (
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS order_cents
+        FROM orders GROUP BY o_orderstatus),
+    li AS (
+        SELECT l_linestatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_units
+        FROM lineitem GROUP BY l_linestatus)
+    SELECT status,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_lines, 0) AS n_lines,
+           COALESCE(order_cents, 0) AS order_cents,
+           COALESCE(qty_units, 0) AS qty_units
+    FROM ord FULL OUTER JOIN li USING (status)
+    """,
+    tags=("J4", "J6"),
+)
+def q_udf_cogroup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map ``applyInArrow`` — the last empty cell in the
+    J-family API matrix (grouped/cogrouped × pandas/Arrow): both sides
+    of one key arrive as two ``pyarrow.Table``s in a single call, with
+    zero pandas materialization. Order-header vs line-item status
+    reconciliation; status 'P' exists ONLY on the orders side, so the
+    FULL-OUTER-twin oracle (same pattern as q_udf_cogroup) proves the
+    one-sided-group path emits with zeros — an empty Arrow table still
+    carries its schema, which is exactly what this pins.
+
+    Scale: each side shuffles once on its own status key (no joined
+    wide row); Python touches only pre-fixed BIGINTs."""
+    import pyarrow.compute as pc
+
+    ords = t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("status"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+
+    def reconcile(key, otab: pa.Table, ltab: pa.Table) -> pa.Table:
+        def s(tab: pa.Table, col: str) -> int:
+            v = pc.sum(tab.column(col)).as_py() if tab.num_rows else None
+            return v if v is not None else 0
+
+        return pa.table(
+            {
+                "status": pa.array([key[0].as_py()], pa.string()),
+                "n_orders": pa.array([otab.num_rows], pa.int64()),
+                "n_lines": pa.array([ltab.num_rows], pa.int64()),
+                "order_cents": pa.array([s(otab, "cents")], pa.int64()),
+                "qty_units": pa.array([s(ltab, "qty")], pa.int64()),
+            }
+        )
+
+    return (
+        ords.groupBy("status")
+        .cogroup(li.groupBy("status"))
+        .applyInArrow(
+            reconcile,
+            "status STRING, n_orders BIGINT, n_lines BIGINT,"
+            " order_cents BIGINT, qty_units BIGINT",
+        )
+    )

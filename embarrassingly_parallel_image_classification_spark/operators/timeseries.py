@@ -1312,3 +1312,122 @@ def q_timeseries_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.expr("cents * tn * 1000000 DIV (tc * n)").alias("seasonal_e6"),
     )
+
+
+def _holt_weights() -> tuple[dict[int, int], dict[int, int], int]:
+    """Exact dyadic weights for Holt double-exponential smoothing
+    (level + trend) with alpha = beta = 1/2 over exactly 12 ticks,
+    s_1 = x_1, b_1 = 0: run the recursion symbolically over
+    Fractions; every coefficient's denominator divides 2^22, so
+    scaling by 2^22 makes both statistics exact BIGINT linear
+    combinations of the inputs (level weights sum to exactly 2^22 —
+    a constant series smooths to itself). Shared by the Spark plan
+    and the DuckDB oracle, so no engine ever runs the recursion."""
+    from fractions import Fraction as Fr
+
+    k = 12
+    s = [Fr(0)] * k
+    b = [Fr(0)] * k
+    s[0] = Fr(1)
+    for step in range(2, k + 1):
+        x = [Fr(0)] * k
+        x[step - 1] = Fr(1)
+        s_new = [(xi + si + bi) / 2 for xi, si, bi in zip(x, s, b)]
+        b = [(sn - si) / 2 + bi / 2 for sn, si, bi in zip(s_new, s, b)]
+        s = s_new
+    den = 1 << 22
+    ws = {i + 1: int(c * den) for i, c in enumerate(s)}
+    wb = {i + 1: int(c * den) for i, c in enumerate(b)}
+    return ws, wb, den
+
+
+_HOLT_WS, _HOLT_WB, _HOLT_DEN = _holt_weights()
+
+
+def _holt_values_sql() -> str:
+    return ", ".join(
+        f"({p}, {_HOLT_WS[p]}, {_HOLT_WB[p]})" for p in sorted(_HOLT_WS)
+    )
+
+
+@register(
+    "q_timeseries_holt",
+    oracle=f"""
+    WITH w(pos, ws, wb) AS (VALUES {_holt_values_sql()}),
+    pts AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    last12 AS (SELECT event_type, cents, 13 - rn AS pos
+               FROM pts WHERE rn <= 12)
+    SELECT p.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM(p.cents * w.ws) AS BIGINT) AS level_x2e22,
+           CAST(SUM(p.cents * w.wb) AS BIGINT) AS trend_x2e22,
+           CAST(SUM(p.cents * (w.ws + w.wb)) AS BIGINT) AS forecast_x2e22
+    FROM last12 p JOIN w ON w.pos = p.pos
+    GROUP BY p.event_type
+    HAVING COUNT(*) = 12
+    """,
+    tags=("D10", "E1", "timeseries"),
+)
+def q_timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT double-exponential smoothing (level + trend) — the
+    one-step-ahead FORECASTER next to q_timeseries_ewma's smoother:
+    per event_type, run Holt's coupled recursion s_t = alpha*x_t +
+    (1-alpha)(s_(t-1)+b_(t-1)), b_t = beta*(s_t - s_(t-1)) +
+    (1-beta)*b_(t-1) over the last 12 ticks with the dyadic
+    alpha = beta = 1/2, and emit level, trend and forecast = s + b.
+    Same fixed-point trick as EWMA, one step harder: the COUPLED
+    recursion unrolls to exact 2^22-denominator dyadic weights per
+    input position (derived symbolically once in _holt_weights,
+    shared verbatim with the oracle as a VALUES table), so the whole
+    forecast is one BIGINT dot product — no float, no sequential
+    state, any aggregation order.
+
+    Scale: the per-type top-12 plans as WindowGroupLimit (per-
+    partition prune BEFORE the shuffle, same as EWMA); the 12-row
+    weight table broadcasts. The unrolling is what makes a
+    sequential-looking recursion embarrassingly parallel — the
+    general lesson for linear recurrences at 100 TB (same move as
+    the GD trainer's closed-form iteration)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    recent = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 12)
+        .withColumn("pos", 13 - F.col("rn"))
+    )
+    wdf = recent.sparkSession.createDataFrame(
+        [(p, _HOLT_WS[p], _HOLT_WB[p]) for p in sorted(_HOLT_WS)],
+        "pos INT, ws BIGINT, wb BIGINT",
+    )
+    return (
+        recent.join(F.broadcast(wdf), "pos")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_ticks"),
+            F.sum(F.col("cents") * F.col("ws"))
+            .cast("bigint")
+            .alias("level_x2e22"),
+            F.sum(F.col("cents") * F.col("wb"))
+            .cast("bigint")
+            .alias("trend_x2e22"),
+            F.sum(F.col("cents") * (F.col("ws") + F.col("wb")))
+            .cast("bigint")
+            .alias("forecast_x2e22"),
+        )
+        .filter(F.col("n_ticks") == 12)
+    )

@@ -393,6 +393,7 @@ def snapshot_write(
     stats_col: str | list[str] | None = None,
     batch_id: int | None = None,
     base_version: int | None = None,
+    extra_defaults: dict | None = None,
 ) -> int:
     """Publish a new snapshot of ``df`` at ``path``; returns the new
     version number. Task files are written first (invisible to any
@@ -424,8 +425,18 @@ def snapshot_write(
     uncommitted snapshot of a crashed transaction (an orphan the
     catalog never references) can never leak into a later commit's
     file list (review finding). 0 = base on empty. The published
-    version number is still latest+1."""
+    version number is still latest+1.
+
+    ``extra_defaults``: additional manifest ``defaults`` entries for
+    columns this OVERWRITE introduced (MERGE schema evolution — see
+    merge_into_when). Overwrite rewrites every data file, so the scope
+    is empty (no pre-existing file owes a backfill); the entry's job is
+    the append guard — subsequent writers must carry the column or the
+    table's logical schema would silently narrow."""
     assert mode in ("append", "overwrite")
+    assert extra_defaults is None or mode == "overwrite", (
+        "extra_defaults is an overwrite-commit (schema evolution) concept"
+    )
     os.makedirs(path, exist_ok=True)
     if expected_version is not None and current_version(path) != expected_version:
         raise ConcurrentWriteError(
@@ -559,7 +570,7 @@ def snapshot_write(
             "delete_files": carried_deletes,
             "batch_ids": sorted(carried_batch_ids),
             "renames": carried_renames,
-            "defaults": carried_defaults,
+            "defaults": {**carried_defaults, **(extra_defaults or {})},
             "schema": logical_schema,
             "committed_at": time.time(),
         }
@@ -3686,6 +3697,7 @@ def merge_into_when(
     update_cols: list[str],
     matched_delete: str | None = None,
     insert_cond: str | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """Full WHEN-clause MERGE (the Delta/Iceberg MERGE surface
     merge_into's plain upsert doesn't cover):
@@ -3702,8 +3714,29 @@ def merge_into_when(
     columns as ``__s_<col>``). Same copy-on-write shape as
     merge_into: one MoR-aware full-outer join, one OVERWRITE publish;
     at 100 TB the join pre-filters to key-range-intersecting files
-    via manifest stats."""
+    via manifest stats.
+
+    ``evolve_schema=True`` is Delta's MERGE ``mergeSchema``: source
+    columns absent from the target AUTO-WIDEN the table in the SAME
+    commit — the target frame gains each new column as typed NULL
+    (rows the source never touched read back NULL), matched rows take
+    the source value through the normal update path, and the overwrite
+    publish records the widened schema plus an empty-scope ``defaults``
+    entry so later appends must carry the column (the narrow-append
+    guard; the overwrite itself rewrote every file, so nothing owes a
+    backfill). With the default False, a widening source is an ERROR
+    rather than the silent column drop the aligned-schema code path
+    would produce."""
     target = snapshot_read_mor(spark, path)
+    new_cols = [c for c in update_cols if c not in target.columns]
+    if new_cols and not evolve_schema:
+        raise ValueError(
+            f"source column(s) {new_cols} not in target schema; "
+            f"pass evolve_schema=True to auto-widen"
+        )
+    src_fields = {f.name: f.dataType for f in source.schema.fields}
+    for c in new_cols:
+        target = target.withColumn(c, F.lit(None).cast(src_fields[c]))
     src = source.select(
         F.col(key).alias("__k"), *[F.col(c).alias(f"__s_{c}") for c in update_cols]
     )
@@ -3724,7 +3757,10 @@ def merge_into_when(
         else:
             merged_cols.append(F.col(c))
     merged = joined.filter(keep).select(*merged_cols)
-    return snapshot_write(merged, path, "overwrite")
+    extra = (
+        {c: {"value": None, "scope": []} for c in new_cols} if new_cols else None
+    )
+    return snapshot_write(merged, path, "overwrite", extra_defaults=extra)
 
 
 @register(
@@ -3798,6 +3834,88 @@ def q_lake_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("cents") == 777, 1).otherwise(0))
         .cast("bigint")
         .alias("n_inserted"),
+    )
+
+
+@register(
+    "q_lake_merge_evolve",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    s AS (
+        SELECT o_orderkey AS k, CAST(0 AS BIGINT) AS cents, 'web' AS chan
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000 AS k, CAST(777 AS BIGINT) AS cents,
+               'bulk' AS chan
+        FROM orders WHERE o_orderkey % 1000 = 0
+    ),
+    m AS (
+        SELECT COALESCE(t.k, s.k) AS k,
+               COALESCE(s.cents, t.cents) AS cents,
+               s.chan AS chan
+        FROM t FULL OUTER JOIN s ON t.k = s.k
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN chan = 'web' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_web,
+           CAST(SUM(CASE WHEN chan = 'bulk' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bulk,
+           CAST(SUM(CASE WHEN chan IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_legacy
+    FROM m
+    """,
+    tags=("lakehouse", "C3", "L4"),
+)
+def q_lake_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with AUTOMATIC SCHEMA EVOLUTION (Delta MERGE +
+    mergeSchema): the CDC source carries a column the target has never
+    seen (`chan`). One merge_into_when(evolve_schema=True) call widens
+    the table, updates matched even keys (cents→0, chan→'web'),
+    inserts new keys (chan→'bulk'), and leaves every untouched legacy
+    row with chan NULL — all in ONE commit, which the post-merge
+    snapshot read proves (the oracle replays the widened merge
+    relationally; n_legacy pins that widening did NOT backfill). The
+    manifest also gains an empty-scope default entry so a later
+    narrow append raises instead of silently narrowing the schema
+    (guard pinned in tests/test_plans.py)."""
+    from ..sources.formats import scratch
+
+    path = scratch("lake_merge_evolve", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    snapshot_write(o, path, "append")
+    source = o.filter(F.col("k") % 2 == 0).select(
+        "k", F.lit(0).cast("bigint").alias("cents"), F.lit("web").alias("chan")
+    ).unionAll(
+        o.filter(F.col("k") % 1000 == 0).select(
+            (F.col("k") + 100000000).alias("k"),
+            F.lit(777).cast("bigint").alias("cents"),
+            F.lit("bulk").alias("chan"),
+        )
+    )
+    merge_into_when(
+        spark, path, source, "k", ["cents", "chan"], evolve_schema=True
+    )
+    return snapshot_read(spark, path).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.when(F.col("chan") == "web", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_web"),
+        F.sum(F.when(F.col("chan") == "bulk", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bulk"),
+        F.sum(F.when(F.col("chan").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_legacy"),
     )
 
 

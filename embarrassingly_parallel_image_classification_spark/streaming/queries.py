@@ -429,6 +429,153 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_semi_join",
+    oracle="""
+    WITH p AS (SELECT event_id AS p_id, user_id, date_trunc('second', ts) AS pts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, date_trunc('second', ts) AS cts
+               FROM events WHERE event_type = 'click')
+    SELECT p.p_id, p.user_id,
+           CAST(epoch(p.pts) AS BIGINT) AS purchase_sec
+    FROM p
+    WHERE EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                  AND c.cts >= p.pts - INTERVAL 1 HOUR
+                  AND c.cts <= p.pts)
+    """,
+    tags=("I9", "I4", "C4"),
+)
+def q_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream LEFT SEMI join — the attribution EXISTS check
+    without click payload duplication: each purchase emits AT MOST
+    ONCE, when its first in-range click is known, never per-click
+    (the inner join's fan-out is exactly what a conversion counter
+    must not have). Unmatched purchases never emit at all (no
+    eviction emission — that's the outer joins' job), so with
+    availableNow the result equals the batch EXISTS semi-join
+    verbatim: the oracle needs no watermark encoding, and a
+    duplicate-emitting bug (per-click emission) fails the row-count
+    check immediately. Completes the stream–stream mode matrix:
+    inner / left outer / full outer / left semi.
+
+    Scale: same two-sided keyed state as the other modes, but the
+    left side can DROP a row's state at first match (emit-once) —
+    strictly smaller state than the outer forms."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.date_trunc("second", "ts").alias("pts"),
+        )
+        .withWatermark("pts", "10 minutes")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.date_trunc("second", "ts").alias("cts"),
+        )
+        .withWatermark("cts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") <= F.col("pts")),
+        "leftSemi",
+    ).select("p_id", "user_id", F.unix_timestamp("pts").alias("purchase_sec"))
+    return run_to_memory(joined, "append")
+
+
+@register(
+    "q_stream_full_outer_join",
+    oracle="""
+    WITH p AS (SELECT event_id AS p_id, user_id, date_trunc('second', ts) AS pts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS c_id, user_id, date_trunc('second', ts) AS cts
+               FROM events WHERE event_type = 'click'),
+         wm AS (SELECT LEAST((SELECT MAX(pts) FROM p), (SELECT MAX(cts) FROM c))
+                       - INTERVAL 10 MINUTE AS w)
+    SELECT p.p_id, c.c_id, p.user_id,
+           CAST(epoch(p.pts) AS BIGINT) AS p_sec,
+           CAST(epoch(c.cts) AS BIGINT) AS c_sec
+    FROM p JOIN c ON c.user_id = p.user_id
+                 AND c.cts >= p.pts - INTERVAL 1 HOUR
+                 AND c.cts <= p.pts
+    UNION ALL
+    SELECT p.p_id, CAST(NULL AS BIGINT) AS c_id, p.user_id,
+           CAST(epoch(p.pts) AS BIGINT) AS p_sec,
+           CAST(NULL AS BIGINT) AS c_sec
+    FROM p, wm
+    WHERE p.pts < wm.w
+      AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                      AND c.cts >= p.pts - INTERVAL 1 HOUR AND c.cts <= p.pts)
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT) AS p_id, c.c_id, c.user_id,
+           CAST(NULL AS BIGINT) AS p_sec,
+           CAST(epoch(c.cts) AS BIGINT) AS c_sec
+    FROM c, wm
+    WHERE c.cts < wm.w - INTERVAL 1 HOUR
+      AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                      AND c.cts >= p.pts - INTERVAL 1 HOUR AND c.cts <= p.pts)
+    """,
+    tags=("I9", "I4", "C3"),
+)
+def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream FULL OUTER join — both sides' unmatched rows, each
+    gated on the GLOBAL watermark but at DIFFERENT eviction points,
+    which is what the oracle pins. An unmatched purchase is provably
+    final once wm passes its own time (no click with cts ≤ pts can
+    still arrive). An unmatched click must wait an EXTRA hour: a future
+    purchase at pts = cts + 1h would still match it, so its state lives
+    until wm > cts + 1h. The oracle encodes exactly this asymmetric
+    eviction (pts < wm on the left, cts < wm − 1h on the right), so
+    the driver check proves the watermark algebra Spark derives from
+    the range condition, not just the join pairs.
+
+    Scale: identical state shape to the inner/left-outer joins — each
+    side keyed by user, rows evicted as the state watermark passes;
+    full-outer adds no extra state, only the emit-on-evict path for
+    both sides."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.date_trunc("second", "ts").alias("pts"),
+        )
+        .withWatermark("pts", "10 minutes")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.date_trunc("second", "ts").alias("cts"),
+        )
+        .withWatermark("cts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") <= F.col("pts")),
+        "fullOuter",
+    ).select(
+        "p_id",
+        "c_id",
+        F.coalesce("user_id", "c_user_id").alias("user_id"),
+        F.unix_timestamp("pts").alias("p_sec"),
+        F.unix_timestamp("cts").alias("c_sec"),
+    )
+    return run_to_memory(joined, "append")
+
+
+@register(
     "q_stream_chained_agg",
     oracle="""
     WITH per_user AS (

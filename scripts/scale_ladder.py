@@ -33,7 +33,12 @@ growth):
     under the blow-up; their exponent ≈ 0 documents iteration-bound
     cost, which is the point.
 
-    python scripts/scale_ladder.py [K]        # default K=4
+    python scripts/scale_ladder.py [K] [query ...]   # default K=4, all LADDER
+
+Naming queries restricts the run (r8 verdict item 5: the 64× rung is
+only needed for the three steepest 16× exponents — containment,
+substring, winsorize — to prove the 4×→16× growth is constant-overhead
+washout, not the super-linear signature).
 
 Prints a markdown table (paste into BASELINE.md) plus one JSON line.
 """
@@ -191,13 +196,16 @@ def spatial_pairs(spark, sf_dir: str) -> int:
 
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    ladder = sys.argv[2:] or LADDER
+    unknown = [n for n in ladder if n not in LADDER]
+    assert not unknown, f"not ladder queries: {unknown}"
     spark = get_spark("scale-ladder")
     spark.sparkContext.setLogLevel("ERROR")
     blow = build_blowup(spark, k)
     qs = registry.queries()
     rows = []
     try:
-        for name in LADDER:
+        for name in ladder:
             fn = qs[name]
             t1 = time_query(fn, spark, SF_DIR)
             tk = time_query(fn, spark, blow)

@@ -1233,6 +1233,53 @@ def test_lakehouse_column_rename_is_metadata_only_and_versioned(
         lakehouse.rename_column(path_b, "k", "key")
 
 
+def test_lakehouse_merge_schema_evolution_guards(spark, tmp_path):
+    """MERGE schema evolution: evolve_schema=True widens the table in
+    one commit (untouched rows read NULL, matched rows take the source
+    value), the default is a widening ERROR not a silent column drop,
+    and after evolution a NARROW append is refused — the manifest's
+    empty-scope default entry is the guard."""
+    import pytest
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "evolve")
+    lakehouse.snapshot_write(
+        spark.range(10).select(F.col("id").alias("k")), path, "append"
+    )
+    src = spark.range(0, 10, 2).select(
+        F.col("id").alias("k"), F.lit("web").alias("chan")
+    )
+    with pytest.raises(ValueError, match="evolve_schema"):
+        lakehouse.merge_into_when(spark, path, src, "k", ["chan"])
+    v = lakehouse.merge_into_when(
+        spark, path, src, "k", ["chan"], evolve_schema=True
+    )
+    rows = {
+        r["k"]: r["chan"] for r in lakehouse.snapshot_read(spark, path).collect()
+    }
+    assert rows[0] == "web" and rows[1] is None and len(rows) == 10
+    # time travel to the pre-evolve version must NOT show the column
+    assert lakehouse.snapshot_read(spark, path, v - 1).columns == ["k"]
+    # the narrow-append guard: the table's schema cannot silently shrink
+    with pytest.raises(ValueError, match="defaulted column"):
+        lakehouse.snapshot_write(
+            spark.range(20, 21).select(F.col("id").alias("k")), path, "append"
+        )
+    # a carrying append is fine, and NULLs stay NULLs (no backfill)
+    lakehouse.snapshot_write(
+        spark.range(30, 31).select(
+            F.col("id").alias("k"), F.lit(None).cast("string").alias("chan")
+        ),
+        path,
+        "append",
+    )
+    rows2 = {
+        r["k"]: r["chan"] for r in lakehouse.snapshot_read(spark, path).collect()
+    }
+    assert rows2[30] is None and rows2[0] == "web" and len(rows2) == 11
+
+
 def test_lakehouse_default_column_scoping_and_guards(spark, tmp_path):
     """Initial-default semantics: pre-add files read back the default,
     post-add explicit NULLs survive, time travel to the pre-add

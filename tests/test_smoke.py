@@ -97,23 +97,22 @@ def test_registry_driver_window_ordering():
     last_oracle = max(i for i, n in enumerate(names) if specs[n].oracle is not None)
     assert first_rows_only > last_oracle
     must_be_inside = {
-        # round-8 rotation (r7 verdict item 1): the FULL remaining
-        # never-driver-verified tail (42 queries) — spot-check
-        # representatives across the N/O/P families and the r7-session
-        # additions (the full 50-name tuple is pinned in
-        # registry._DRIVER_PRIORITY; update these alongside each
-        # rotation)
-        "q_join_null_safe", "q_fn_format", "q_lake_column_rename",
-        "q_sql_pipe", "q_union_by_name", "q_text_perplexity",
-        "q_geo_geohash", "q_attribution_linear", "q_ps_rolling",
-        "q_lake_default_column", "q_scan_csv_corrupt",
-        "q_lake_stream_fanout", "q_graph_label_prop", "q_cluster_kmeans",
-        "q_dedup_semantic_soft", "q_quality_gopher", "q_select_uncertain",
-        "q_sql_recursive_cte", "q_sql_variables", "q_knn_filtered",
+        # round-9 rotation (r8 verdict item 1): the 12 late-round-8
+        # registrations that have never had a driver row — ALL of them
+        # must sit inside the window (the full 50-name tuple is pinned
+        # in registry._DRIVER_PRIORITY; update these alongside each
+        # rotation). The other 38 slots re-prove the OLDEST standing
+        # driver evidence (rolling re-verification).
+        "q_agg_quantile_select", "q_agg_group_median_select",
+        "q_feat_target_kfold", "q_pipeline_features",
+        "q_feat_robust_scale", "q_train_linreg_gd",
+        "q_scan_file_metadata", "q_stream_feature_serve",
+        "q_sql_group_by_all", "q_pipeline_entity_resolution",
+        "q_lake_snapshot_diff", "q_lake_replicate",
     }
     assert must_be_inside <= set(window), must_be_inside - set(window)
-    # canaries fill whatever window slots remain after the
-    # never-verified set; the rest queue for round 7's rotation
+    # rotation slots (stale-green re-proof) fill whatever window slots
+    # remain after the never-verified set
     canaries = {
         "q_tpch_q9", "q_stream_tumbling", "q_dedup_ngram_jaccard",
         "q_window_firstlast", "q_join_asof", "q_text_chunking",
