@@ -210,6 +210,18 @@ HEADLINE = [
     "q_privacy_l_diversity",
     "q_stream_semi_join",
     "q_timeseries_holt",
+    # round-9 session-2: statistical-inference pack, sub-document
+    # dedup, Zipf fit, classical trainers (NB / stump / PAVA)
+    "q_stats_ks_test",
+    "q_stats_gini",
+    "q_survival_km",
+    "q_ts_theil_sen",
+    "q_dedup_paragraph",
+    "q_text_zipf",
+    "q_train_naive_bayes",
+    "q_train_decision_stump",
+    "q_train_isotonic",
+    "q_stream_right_outer_join",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

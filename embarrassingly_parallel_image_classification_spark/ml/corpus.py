@@ -14,7 +14,7 @@ order cannot flip a rounding boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -892,3 +892,104 @@ def q_text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     between iterations (the train_bpe economy)."""
     usage_df, _ = train_unigram(spark, sf_dir)
     return usage_df.orderBy(F.desc("usage"), F.asc("piece")).limit(UNI_TOPK)
+
+
+# Zipf fit depth: OLS over the top-K rank-frequency points. K is a
+# dictionary-scale constant (the head of the vocabulary), so every
+# post-census frame below is <= K rows regardless of corpus size.
+ZIPF_TOP_K = 100
+
+
+@register(
+    "q_text_zipf",
+    oracle=f"""
+    WITH tok AS (
+        SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    counts AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+    top AS (
+        SELECT word, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk
+        FROM counts
+        ORDER BY cnt DESC, word LIMIT {ZIPF_TOP_K}
+    ),
+    pts AS (
+        SELECT CAST(ROUND(LN(CAST(rnk AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                   AS x,
+               CAST(ROUND(LN(CAST(cnt AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                   AS y
+        FROM top
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000, 0)
+                AS BIGINT) AS slope_e6,
+           CAST(ROUND((CAST(sy AS DOUBLE)
+                       - CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE), 0) AS BIGINT) AS intercept_e6
+    FROM s
+    """,
+    tags=("K4", "K6", "D10"),
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW FIT — the OLS slope of log-frequency on log-rank over
+    the top-{ZIPF_TOP_K} vocabulary head: the companion diagnostic to
+    q_text_vocab_growth (Heaps), telling a curator whether a corpus
+    has the natural-language ~-1 head slope or the flat profile of
+    templated/synthetic text (a standard crawl-quality fingerprint).
+    Both axes are e6-FIXED LOGS of exact integers at the
+    {ZIPF_TOP_K}-row dictionary level (the q_select_dsir fixing — each
+    LN sees the same clean integer in both engines); the OLS closed
+    form then runs entirely in DECIMAL(38,0) with the final divisions
+    on identical operands, so both engines round identically.
+
+    Plan: ONE map-side-combined token census down to the vocabulary
+    domain, a top-K selection (TakeOrdered shape — never a full sort
+    of the census), and an OLS aggregate over <= {ZIPF_TOP_K} rows.
+    The corpus is scanned once; nothing row-scale is ever windowed."""
+    tok = t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    counts = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), "word").limit(ZIPF_TOP_K)
+    w = Window.orderBy(F.col("cnt").desc(), "word")
+    pts = top.select(F.row_number().over(w).alias("rnk"), "cnt").select(
+        F.round(F.log(F.col("rnk").cast("double")) * 1000000, 0)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1000000, 0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    s = pts.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return s.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope * 1000000, 0).cast("bigint").alias("slope_e6"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            0,
+        )
+        .cast("bigint")
+        .alias("intercept_e6"),
+    )

@@ -1332,3 +1332,99 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sz_contained",
         F.expr("CAST(inter * 1000000 DIV sz_contained AS BIGINT)").alias("cont_e6"),
     )
+
+
+# Pseudo-paragraph width for q_dedup_paragraph: the fixture's documents
+# are single-line word soup, so "paragraphs" are fixed 10-token chunks
+# — the granularity knob of line-level dedup (CCNet / RefinedWeb run
+# the same algorithm on newline-split lines).
+PARA_TOKENS = 10
+
+
+@register(
+    "q_dedup_paragraph",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i AS cpos,
+               array_to_string(
+                   tk[(i*{PARA_TOKENS}+1):(i*{PARA_TOKENS}+{PARA_TOKENS})],
+                   ' ') AS chunk
+        FROM toks,
+             UNNEST(range(CAST(ceil(len(tk) / {PARA_TOKENS}.0) AS BIGINT)))
+                 AS u(i)
+    ),
+    ranked AS (
+        SELECT doc_id, cpos, chunk,
+               ROW_NUMBER() OVER (PARTITION BY chunk
+                   ORDER BY doc_id, cpos) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                               ORDER BY cpos), '') AS kept_text,
+           CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("K1", "K4", "E1"),
+)
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-LEVEL (sub-document) exact dedup — the CCNet /
+    RefinedWeb line-level pass [PK]: boilerplate repeats ACROSS
+    documents (headers, licence blocks, navigation) that doc-level
+    dedup can never see, so the corpus is exploded to fixed
+    10-token pseudo-paragraphs (the fixture has no newlines),
+    each paragraph keeps only its FIRST occurrence in global
+    (doc_id, position) order, and every document is reassembled from
+    its surviving paragraphs in original order — documents reduced to
+    nothing stay in the output with empty text and n_kept = 0, which
+    the downstream length filter (q_quality_gopher) removes, not this
+    operator.
+
+    Plan: chunking is MAP-ONLY (slice over the token array — no
+    explode-then-regroup round trip); the first-occurrence election is
+    ONE window over paragraphs partitioned by content (at 100 TB the
+    shuffle key is the paragraph's 8-byte digest with the text riding
+    only for winner arbitration — same shape as q_dedup_exact); the
+    reassembly groupBy is keyed by doc_id and bounded by document
+    length. Two keyed shuffles total, both fixed-width."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(tk) / {PARA_TOKENS}.0) AS INT) - 1), "
+                f"i -> array_join(slice(tk, i * {PARA_TOKENS} + 1, {PARA_TOKENS}), ' '))"
+            )
+        ).alias("cpos", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "cpos")
+    ranked = chunks.select(
+        "doc_id", "cpos", "chunk", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1, F.struct("cpos", "chunk")
+                            )
+                        )
+                    ),
+                    lambda x: x.chunk,
+                ),
+                " ",
+            ).alias("kept_text"),
+            F.count(F.when(F.col("rn") == 1, 1)).cast("bigint").alias("n_kept"),
+            F.count(F.when(F.col("rn") > 1, 1)).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("doc_id")
+    )

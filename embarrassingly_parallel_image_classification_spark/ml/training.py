@@ -28,7 +28,7 @@ gradients divide identically in all three places.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -183,4 +183,421 @@ def q_train_linreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         log_rows, "iter BIGINT, w0_e6 BIGINT, w1_e6 BIGINT, w2_e6 BIGINT,"
         " mae_e6 BIGINT"
+    )
+
+
+# Naive Bayes: deterministic hash-free train/test split on doc_id —
+# fold 0 (doc_id % NB_FOLD == 0) is held out, the rest trains. Shared
+# by the Spark plan and the oracle (one definition, like GD_ITERS).
+NB_FOLD = 5
+
+
+@register(
+    "q_train_naive_bayes",
+    oracle=f"""
+    WITH train AS (
+        SELECT doc_id, lang, text FROM documents WHERE doc_id % {NB_FOLD} <> 0
+    ),
+    test AS (
+        SELECT doc_id, lang, text FROM documents WHERE doc_id % {NB_FOLD} = 0
+    ),
+    ttok AS (
+        SELECT lang, UNNEST(string_split(text, ' ')) AS word FROM train
+    ),
+    cw AS (SELECT lang, word, COUNT(*) AS c FROM ttok GROUP BY lang, word),
+    tl AS (SELECT lang, COUNT(*) AS t FROM ttok GROUP BY lang),
+    vocab AS (SELECT DISTINCT word FROM ttok),
+    vsize AS (SELECT COUNT(*) AS v FROM vocab),
+    model AS (
+        SELECT l.lang, vo.word,
+               CAST(ROUND(LN(CAST(COALESCE(cw.c, 0) + 1 AS DOUBLE)
+                             / CAST(l.t + vs.v AS DOUBLE)) * 1000000, 0)
+                    AS BIGINT) AS lp
+        FROM tl l CROSS JOIN vocab vo CROSS JOIN vsize vs
+        LEFT JOIN cw ON cw.lang = l.lang AND cw.word = vo.word
+    ),
+    prior AS (
+        SELECT lang,
+               CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE)
+                             / CAST((SELECT COUNT(*) FROM train) AS DOUBLE))
+                          * 1000000, 0) AS BIGINT) AS lp0
+        FROM train GROUP BY lang
+    ),
+    dtok AS (
+        SELECT doc_id, word, COUNT(*) AS k
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+              FROM test)
+        GROUP BY doc_id, word
+    ),
+    scores AS (
+        SELECT d.doc_id, m.lang, p.lp0 + SUM(d.k * m.lp) AS score
+        FROM dtok d
+        JOIN model m ON m.word = d.word
+        JOIN prior p ON p.lang = m.lang
+        GROUP BY d.doc_id, m.lang, p.lp0
+    ),
+    pred AS (
+        SELECT doc_id, lang AS pred_lang, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, lang) AS rn
+        FROM scores
+    )
+    SELECT p.doc_id, p.pred_lang, te.lang AS true_lang,
+           p.pred_lang = te.lang AS correct
+    FROM pred p JOIN test te ON te.doc_id = p.doc_id
+    WHERE p.rn = 1 ORDER BY p.doc_id
+    """,
+    tags=("Q5", "K4", "J1"),
+)
+def q_train_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTINOMIAL NAIVE BAYES — train on 4/5 of the corpus (doc_id
+    mod {NB_FOLD} != 0), predict the held-out fold's lang label: the
+    classic first text classifier, and the one whose training IS a
+    pure aggregation (per-(class, word) counts), making it the
+    canonical "training as a groupBy" distributed ML shape. Laplace
+    log-likelihoods log((c+1)/(T_l+V)) and class priors are e6-FIXED
+    AT THE MODEL-TABLE LEVEL (vocab x 5 langs, a bounded dictionary —
+    the q_select_dsir fixing), so scoring is exact BIGINT
+    sum-of-products and the argmax (ties broken by lang, stated) is
+    driver-reproducible bit-for-bit. Out-of-vocabulary test tokens are
+    dropped by the model join (standard NB practice), and a test doc
+    of ONLY OOV tokens drops out entirely — stated, not hidden; the
+    fixture vocabulary is shared so none does. The labels here are
+    mechanically random w.r.t. the text, so accuracy hovers at chance
+    — the query pins the ALGORITHM, not a modeling claim.
+
+    Plan: training = two map-side-combined token censuses (per-class
+    and per-(class, word)); the smoothed model is a dictionary-sized
+    cross of bounded dims (class count x vocabulary — the
+    q_cluster_kmeans centroid-cross shape, allowlisted); scoring
+    broadcasts the model onto ONE pass over the test token counts and
+    aggregates per (doc, class). The corpus is never shuffled — only
+    dictionary-sized partials and per-doc score rows move."""
+    docs = t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % NB_FOLD != 0)
+    test = docs.filter(F.col("doc_id") % NB_FOLD == 0)
+    ttok = train.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    cw = ttok.groupBy("lang", "word").agg(F.count("*").alias("c"))
+    tl = ttok.groupBy("lang").agg(F.count("*").alias("t"))
+    vocab = ttok.select("word").distinct()
+    vsize = vocab.agg(F.count("*").alias("v"))
+    model = (
+        tl.crossJoin(vocab)
+        .crossJoin(F.broadcast(vsize))
+        .join(cw, ["lang", "word"], "left")
+        .select(
+            "lang",
+            "word",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("t") + F.col("v")).cast("double")
+                )
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("lp"),
+        )
+    )
+    n_train = train.agg(F.count("*").alias("nt"))
+    prior = (
+        train.groupBy("lang")
+        .agg(F.count("*").alias("nl"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "lang",
+            F.round(
+                F.log(F.col("nl").cast("double") / F.col("nt").cast("double"))
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("lp0"),
+        )
+    )
+    dtok = (
+        test.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("k"))
+    )
+    scores = (
+        dtok.join(F.broadcast(model), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("k") * F.col("lp")).alias("s"))
+        .join(F.broadcast(prior), "lang")
+        .select("doc_id", "lang", (F.col("lp0") + F.col("s")).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    pred = scores.select(
+        "doc_id",
+        F.col("lang").alias("pred_lang"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return (
+        pred.join(test.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .select(
+            "doc_id",
+            "pred_lang",
+            "true_lang",
+            (F.col("pred_lang") == F.col("true_lang")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_train_decision_stump",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ),
+    long AS (
+        SELECT 'quantity' AS feature, qty AS val, y FROM base
+        UNION ALL
+        SELECT 'discount' AS feature, disc AS val, y FROM base
+    ),
+    per_v AS (
+        SELECT feature, val,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+        FROM long GROUP BY feature, val
+    ),
+    cum AS (
+        SELECT feature, val,
+               CAST(SUM(pos) OVER (PARTITION BY feature ORDER BY val
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS lp,
+               CAST(SUM(neg) OVER (PARTITION BY feature ORDER BY val
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS lneg,
+               CAST(SUM(pos) OVER (PARTITION BY feature) AS BIGINT) AS tp,
+               CAST(SUM(neg) OVER (PARTITION BY feature) AS BIGINT) AS tn
+        FROM per_v
+    ),
+    splits AS (
+        SELECT feature, val AS threshold,
+               lp + lneg AS n_left,
+               (tp - lp) + (tn - lneg) AS n_right,
+               CAST(ROUND((2.0 * (
+                       CAST(lp * lneg AS DOUBLE)
+                           / CAST(lp + lneg AS DOUBLE)
+                     + CAST((tp - lp) * (tn - lneg) AS DOUBLE)
+                           / CAST((tp - lp) + (tn - lneg) AS DOUBLE)
+                   ) / CAST(tp + tn AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                   AS gini_e6
+        FROM cum
+        WHERE lp + lneg > 0 AND (tp - lp) + (tn - lneg) > 0
+    )
+    SELECT * FROM splits ORDER BY gini_e6, feature, threshold LIMIT 5
+    """,
+    tags=("Q5", "D9", "E3"),
+)
+def q_train_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECISION-STUMP SPLIT FINDING — the inner loop of every
+    histogram-based tree learner (LightGBM/XGBoost hist mode [PK]):
+    for each candidate (feature, threshold <= v) split of lineitem on
+    the binary label returnflag='R', the weighted Gini impurity, with
+    the 5 best splits returned. The distributed trick the query pins:
+    split evaluation needs NO per-split scan — ONE census down to the
+    (feature, value) domain gives per-value (pos, neg), a cumulative
+    sum over that domain-sized frame yields every threshold's left
+    contingency simultaneously, and right = total - left. The Gini
+    ladder is computed from exact BIGINT contingencies; the one float
+    expression is evaluated in the identical operation order in both
+    engines on identical operands (same doubles, same e6 rounding),
+    and ranking ties break deterministically by (feature, threshold).
+
+    Plan: one map-side-combined groupBy bounded by the feature-value
+    domain (quantity 1-50, discount 0-10 — NOT the row count), two
+    windows over that tiny frame, one TakeOrdered(5). The fact table
+    is scanned once; a 100x scale-up changes only the census counts,
+    not a single post-census row."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("qty"),
+        F.expr("CAST(ROUND(l_discount * 100, 0) AS BIGINT)").alias("disc"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    long = li.select(
+        F.lit("quantity").alias("feature"), F.col("qty").alias("val"), "y"
+    ).unionAll(
+        li.select(
+            F.lit("discount").alias("feature"), F.col("disc").alias("val"), "y"
+        )
+    )
+    per_v = long.groupBy("feature", "val").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("neg"),
+    )
+    wcum = (
+        Window.partitionBy("feature")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("feature")
+    cum = per_v.select(
+        "feature",
+        "val",
+        F.sum("pos").over(wcum).cast("bigint").alias("lp"),
+        F.sum("neg").over(wcum).cast("bigint").alias("lneg"),
+        F.sum("pos").over(wtot).cast("bigint").alias("tp"),
+        F.sum("neg").over(wtot).cast("bigint").alias("tn"),
+    )
+    n_left = F.col("lp") + F.col("lneg")
+    rp = F.col("tp") - F.col("lp")
+    rneg = F.col("tn") - F.col("lneg")
+    n_right = rp + rneg
+    gini = F.round(
+        (
+            F.lit(2.0)
+            * (
+                (F.col("lp") * F.col("lneg")).cast("double")
+                / n_left.cast("double")
+                + (rp * rneg).cast("double") / n_right.cast("double")
+            )
+            / (F.col("tp") + F.col("tn")).cast("double")
+        )
+        * 1000000,
+        0,
+    ).cast("bigint")
+    splits = cum.filter((n_left > 0) & (n_right > 0)).select(
+        "feature",
+        F.col("val").alias("threshold"),
+        n_left.alias("n_left"),
+        n_right.alias("n_right"),
+        gini.alias("gini_e6"),
+    )
+    return splits.orderBy("gini_e6", "feature", "threshold").limit(5)
+
+
+# Isotonic fit window: PAVA runs per key over the FIRST ISO_N events
+# (rank-capped before the grouped-map, so no group ever exceeds ISO_N
+# rows in Python regardless of sf). The O(n^3) minimax oracle below is
+# only viable BECAUSE of this cap — which mirrors production, where
+# isotonic calibration runs on a bounded per-segment sample.
+ISO_N = 20
+
+
+def _pava_pools(ys):
+    """Pool-adjacent-violators on exact integer y values: returns the
+    final non-decreasing pools as (sum, len) pairs. The violation test
+    is cross-multiplied (prev_sum * len > cur_sum * prev_len), so the
+    whole merge sequence is exact integer arithmetic — floats appear
+    only when a pool average is materialized by the caller."""
+    pools = []  # (sum, len)
+    for v in ys:
+        s, n = int(v), 1
+        while pools and pools[-1][0] * n > s * pools[-1][1]:
+            ps, pn = pools.pop()
+            s += ps
+            n += pn
+        pools.append((s, n))
+    return pools
+
+
+def _round_half_away_e6(v: float) -> int:
+    """ROUND(v * 1e6, 0) with half-away-from-zero ties — the Spark
+    round(double) / DuckDB ROUND(double) behavior (Python's round()
+    is banker's, which would diverge on exact .5)."""
+    x = v * 1_000_000.0
+    return int((1 if x >= 0 else -1) * float(abs(x) + 0.5).__floor__())
+
+
+@register(
+    "q_train_isotonic",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS i
+        FROM events
+    ),
+    sel AS (SELECT user_id, i, cents FROM e WHERE i <= {ISO_N}),
+    ps AS (
+        SELECT user_id, i, cents,
+               SUM(cents) OVER (PARTITION BY user_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        FROM sel
+    ),
+    pairs AS (
+        SELECT a.user_id, b.i AS j, a.i AS k,
+               CAST(a.s - COALESCE(c.s, 0) AS DOUBLE) / (a.i - b.i + 1)
+                   AS avgd
+        FROM ps a
+        JOIN ps b ON b.user_id = a.user_id AND b.i <= a.i
+        LEFT JOIN ps c ON c.user_id = a.user_id AND c.i = b.i - 1
+    ),
+    mins AS (
+        SELECT p.user_id, s.i, p.j, MIN(p.avgd) AS m
+        FROM pairs p
+        JOIN sel s ON s.user_id = p.user_id
+                  AND p.j <= s.i AND p.k >= s.i
+        GROUP BY p.user_id, s.i, p.j
+    ),
+    iso AS (SELECT user_id, i, MAX(m) AS fit FROM mins GROUP BY user_id, i)
+    SELECT s.user_id, s.i AS x, s.cents AS y_cents,
+           CAST(ROUND(iso.fit * 1000000, 0) AS BIGINT) AS iso_e6
+    FROM sel s JOIN iso ON iso.user_id = s.user_id AND iso.i = s.i
+    ORDER BY s.user_id, s.i
+    """,
+    tags=("Q5", "J4", "M2"),
+)
+def q_train_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC REGRESSION (PAVA) per user over the first {ISO_N}
+    event values — the monotone fit behind probability calibration and
+    dose-response curves, and a genuinely non-SQL iterative algorithm
+    run as a grouped-map pandas UDF. The ORACLE is the closed-form
+    minimax characterization iso[i] = max(j<=i) min(k>=i) avg(y[j..k])
+    — a theorem, not a reimplementation — spelled as an O(n^3) SQL
+    join that is only tractable because the fit window is rank-capped
+    at {ISO_N} points per key BEFORE the grouped map (the cap is also
+    what bounds the Python-side group at any sf). PAVA's pooling runs
+    in exact cross-multiplied integer arithmetic (no float compare
+    ever decides a merge); each emitted value materializes one pool
+    average as the identical IEEE division both engines perform, and
+    the e6 rounding has NO reachable tie: a pool mean with len <= {ISO_N}
+    sits at least 1/(2*{ISO_N}) from any half-integer unless exactly on
+    it, where all three engines round half-away.
+
+    Plan: one per-user rank window, a rank filter, then ONE
+    applyInPandas keyed by user — groups are {ISO_N}-row bounded, the
+    shuffle is the same keyed exchange any per-user aggregate pays,
+    and Arrow batches carry 3 small columns. The minimax oracle's
+    cubic join never exists on the Spark side."""
+    import pandas as pd
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("i"),
+    )
+    sel = e.filter(F.col("i") <= ISO_N).select("user_id", "i", "cents")
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("i")
+        ys = pdf["cents"].tolist()
+        out = []
+        for s, n in _pava_pools(ys):
+            a = s / n  # the one float: same IEEE division as the oracle
+            out.extend([_round_half_away_e6(a)] * n)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].values,
+                "x": pdf["i"].values,
+                "y_cents": pdf["cents"].values,
+                "iso_e6": out,
+            }
+        )
+
+    return (
+        sel.groupBy("user_id")
+        .applyInPandas(fit, "user_id long, x long, y_cents long, iso_e6 long")
+        .orderBy("user_id", "x")
     )

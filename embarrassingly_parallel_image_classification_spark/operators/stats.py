@@ -1,0 +1,466 @@
+"""Statistical-inference pack (SURVEY.md §2-M2 growth, round 9): the
+distribution-level tests a data-quality / experimentation platform runs
+beyond the per-group moments of q_agg_stats and the pooled-variance
+t-test of q_ab_test [PK] — two-sample Kolmogorov–Smirnov, the Gini
+concentration coefficient, a Kaplan–Meier survivor curve, and the
+Theil–Sen robust slope.
+
+House exactness discipline, extended with one new lemma used
+throughout: **identical exact integer operands, cast to DOUBLE while
+< 2^53, then divided, are the SAME IEEE double in every engine**
+(casts of such integers are exact; division is correctly rounded), so
+a final ROUND(x * 1e6) agrees bit-for-bit between Spark and DuckDB
+with NO boundary case at all — the rounding decision is made on the
+same double. Decisions (significance booleans) never touch floats:
+they are cross-multiplied DECIMAL(38,0) integer comparisons
+(q_ab_test's multiply-through pattern). The only e6 log fixing (LN of
+a small-step rational, the q_select_dsir / q_text_perplexity
+precedent) is in the Kaplan–Meier step table, which is bounded by the
+distinct-duration domain, never by row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import t
+
+D38 = "decimal(38,0)"
+
+# KS rejection at alpha = 0.05: D > c(alpha) * sqrt((n+m)/(n*m)) with
+# c(0.05) = 1.358; squared and multiplied through, the decision is
+# D_num^2 * 10^6 > 1358^2 * (n+m) * n * m over exact integers
+# (D_num = max |CA*m - CB*n| is the cross-multiplied sup-distance).
+KS_C2_E6 = 1358 * 1358  # 1,844,164 = round(1.358^2 * 1e6)
+
+# Theil-Sen pair budget: the estimator is O(n^2) pairs by nature, so
+# production fits a RECENT WINDOW per key — this cap IS the scale
+# design (pairs <= 300 per key at any sf), mirroring how q_skyline
+# bounds its dominance checks.
+THEIL_SEN_WINDOW = 25
+
+
+@register(
+    "q_stats_ks_test",
+    oracle=f"""
+    WITH x AS (
+        SELECT o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    per_v AS (
+        SELECT v,
+               COUNT(*) FILTER (WHERE st = 'F') AS ca,
+               COUNT(*) FILTER (WHERE st = 'O') AS cb
+        FROM x GROUP BY v
+    ),
+    cum AS (
+        SELECT CAST(SUM(ca) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DECIMAL(38,0)) AS fa,
+               CAST(SUM(cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DECIMAL(38,0)) AS fb
+        FROM per_v
+    ),
+    g AS (
+        SELECT MAX(fa) AS n, MAX(fb) AS m,
+               MAX(ABS(fa * (SELECT MAX(fb) FROM cum)
+                       - fb * (SELECT MAX(fa) FROM cum))) AS dnum
+        FROM cum
+    )
+    SELECT CAST(n AS BIGINT) AS n_f,
+           CAST(m AS BIGINT) AS n_o,
+           CAST(dnum AS BIGINT) AS d_num,
+           CAST(ROUND(CAST(dnum AS DOUBLE) / CAST(n * m AS DOUBLE)
+                      * 1000000, 0) AS BIGINT) AS d_e6,
+           dnum * dnum * 1000000 > {KS_C2_E6} * (n + m) * n * m
+               AS significant
+    FROM g
+    """,
+    tags=("M2", "D10", "E3"),
+)
+def q_stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV test — does the o_totalprice
+    distribution differ between finished ('F') and open ('O') orders?
+    The sup-distance is computed EXACTLY in integers: with CA(v)/CB(v)
+    the cumulative counts at each distinct cent value and n/m the
+    sample sizes, D = max |CA/n - CB/m| = max |CA*m - CB*n| / (n*m),
+    so d_num is an exact BIGINT and the alpha=0.05 decision is the
+    cross-multiplied DECIMAL comparison d_num^2*1e6 > 1.358^2e6*(n+m)*n*m
+    — no float ever enters the verdict (q_ab_test's discipline applied
+    to a distribution test). The reported d_e6 divides two exact
+    < 2^53 integers as doubles, which both engines round identically.
+
+    Plan: ONE map-side-combined count aggregate down to the DISTINCT
+    CENT-VALUE domain (bounded by the price range, not the row count),
+    one cumulative window over that domain-sized frame, one global
+    max. The fact table is scanned once and shuffles only value-domain
+    partials; at 100 TB the cumulative step is a range-partitioned
+    prefix sum over the same bounded domain."""
+    x = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.col("o_orderstatus").alias("st"),
+            F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("v"),
+        )
+    )
+    per_v = x.groupBy("v").agg(
+        F.count(F.when(F.col("st") == "F", 1)).alias("ca"),
+        F.count(F.when(F.col("st") == "O", 1)).alias("cb"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_v.select(
+        "v",
+        F.sum("ca").over(wcum).cast(D38).alias("fa"),
+        F.sum("cb").over(wcum).cast(D38).alias("fb"),
+    ).select(
+        "fa",
+        "fb",
+        F.max("fa").over(wall).alias("n"),
+        F.max("fb").over(wall).alias("m"),
+    )
+    g = cum.agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.max(F.abs(F.col("fa") * F.col("m") - F.col("fb") * F.col("n"))).alias(
+            "dnum"
+        ),
+    )
+    return g.select(
+        F.col("n").cast("bigint").alias("n_f"),
+        F.col("m").cast("bigint").alias("n_o"),
+        F.col("dnum").cast("bigint").alias("d_num"),
+        F.round(
+            F.col("dnum").cast("double")
+            / (F.col("n") * F.col("m")).cast("double")
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("d_e6"),
+        (
+            F.col("dnum") * F.col("dnum") * F.lit(1000000)
+            > F.lit(KS_C2_E6) * (F.col("n") + F.col("m")) * F.col("n") * F.col("m")
+        ).alias("significant"),
+    )
+
+
+@register(
+    "q_stats_gini",
+    oracle="""
+    WITH x AS (
+        SELECT c_mktsegment AS seg,
+               CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents,
+               c_custkey
+        FROM customer WHERE c_acctbal >= 0
+    ),
+    r AS (
+        SELECT seg, cents,
+               CAST(ROW_NUMBER() OVER (PARTITION BY seg
+                    ORDER BY cents, c_custkey) AS DECIMAL(38,0)) AS i
+        FROM x
+    ),
+    g AS (
+        SELECT seg,
+               CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(cents) AS DECIMAL(38,0)) AS s,
+               SUM(i * cents) AS si
+        FROM r GROUP BY seg
+    )
+    SELECT seg,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(s AS BIGINT) AS total_cents,
+           CAST(ROUND(CAST(2 * si - (n + 1) * s AS DOUBLE)
+                      / CAST(n * s AS DOUBLE) * 1000000, 0) AS BIGINT)
+               AS gini_e6
+    FROM g ORDER BY seg
+    """,
+    tags=("M2", "E1", "D1"),
+)
+def q_stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI CONCENTRATION COEFFICIENT of account balance per market
+    segment — the Lorenz-curve inequality measure (how concentrated is
+    the balance mass?), a standard revenue-concentration / fairness
+    audit. Closed form over the ascending sort: G = (2*SUM(i*x_i)
+    - (n+1)*SUM(x_i)) / (n*SUM(x_i)), all terms exact DECIMAL(38,0)
+    integers (cents, deterministic rank ties by c_custkey); the single
+    division happens on identical < 2^53 operands cast to DOUBLE, so
+    both engines produce the same double and the same e6 rounding.
+    Negative balances are excluded (Gini is defined on non-negative
+    mass), stated here rather than hidden.
+
+    Plan: one per-segment rank window (5 partitions, each sorted once
+    — at 100 TB this rank comes from a range-partitioned sort or the
+    selection engine's histogram ranks) feeding one map-side-combined
+    aggregate to 5 rows. No join anywhere."""
+    x = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") >= 0)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.expr("CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)").alias("cents"),
+            "c_custkey",
+        )
+    )
+    w = Window.partitionBy("seg").orderBy("cents", "c_custkey")
+    r = x.select(
+        "seg", "cents", F.row_number().over(w).cast(D38).alias("i")
+    )
+    g = r.groupBy("seg").agg(
+        F.count("*").cast(D38).alias("n"),
+        F.sum("cents").cast(D38).alias("s"),
+        F.sum(F.col("i") * F.col("cents")).alias("si"),
+    )
+    num = 2 * F.col("si") - (F.col("n") + 1) * F.col("s")
+    den = F.col("n") * F.col("s")
+    return g.select(
+        "seg",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("s").cast("bigint").alias("total_cents"),
+        F.round(num.cast("double") / den.cast("double") * 1000000, 0)
+        .cast("bigint")
+        .alias("gini_e6"),
+    ).orderBy("seg")
+
+
+@register(
+    "q_survival_km",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               MIN(sec) AS t0,
+               MIN(sec) FILTER (WHERE event_type = 'purchase') AS tp,
+               MAX(sec) AS tl
+        FROM e GROUP BY user_id
+    ),
+    dur AS (
+        SELECT (CASE WHEN tp IS NOT NULL THEN tp ELSE tl END - t0) // 60
+                   AS d_min,
+               tp IS NOT NULL AS observed
+        FROM per_user
+    ),
+    steps AS (
+        SELECT d_min,
+               COUNT(*) FILTER (WHERE observed) AS d_i,
+               COUNT(*) AS c_all
+        FROM dur GROUP BY d_min
+    ),
+    risk AS (
+        SELECT d_min, d_i,
+               SUM(c_all) OVER (ORDER BY d_min DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_i
+        FROM steps
+    ),
+    km AS (
+        SELECT d_min, d_i, n_i,
+               CAST(ROUND(LN(CAST(n_i - d_i AS DOUBLE)
+                             / CAST(n_i AS DOUBLE)) * 1000000, 0)
+                    AS BIGINT) AS step_ln_e6
+        FROM risk WHERE d_i > 0 AND n_i > d_i
+    )
+    SELECT d_min,
+           CAST(d_i AS BIGINT) AS n_events,
+           CAST(n_i AS BIGINT) AS n_at_risk,
+           CAST(SUM(step_ln_e6) OVER (ORDER BY d_min
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS ln_surv_e6
+    FROM km ORDER BY d_min
+    """,
+    tags=("M2", "E3", "D3"),
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survivor curve for time-to-first-purchase — the
+    censoring-aware funnel statistic (how long until a user converts,
+    counting users who never did as censored at their last activity,
+    not as zeros). Durations are exact integer minutes from each
+    user's first event; at-risk counts n_i come from ONE descending
+    cumulative sum over the distinct-duration step table; the survivor
+    product S(t) = prod(1 - d_i/n_i) is carried in LOG space as exact
+    e6-fixed step terms (the q_select_dsir / q_text_perplexity
+    dictionary-level LN fixing — each LN sees the same small rational
+    in both engines) summed as BIGINTs, so no float product ever
+    accumulates. Steps where everyone at risk converts (S -> 0) are
+    excluded, stated not hidden.
+
+    Plan: one per-user conditional aggregate (map-side combined), one
+    groupBy down to the distinct-duration domain, two windows over
+    that domain-sized frame. Row count touches only the first
+    aggregate; everything after is bounded by the duration domain."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("sec"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("sec").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("sec"))).alias("tp"),
+        F.max("sec").alias("tl"),
+    )
+    dur = per_user.select(
+        F.expr("(coalesce(tp, tl) - t0) DIV 60").alias("d_min"),
+        F.col("tp").isNotNull().alias("observed"),
+    )
+    steps = dur.groupBy("d_min").agg(
+        F.count(F.when(F.col("observed"), 1)).alias("d_i"),
+        F.count("*").alias("c_all"),
+    )
+    wdesc = Window.orderBy(F.col("d_min").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = steps.select(
+        "d_min", "d_i", F.sum("c_all").over(wdesc).alias("n_i")
+    )
+    km = risk.filter((F.col("d_i") > 0) & (F.col("n_i") > F.col("d_i"))).select(
+        "d_min",
+        "d_i",
+        "n_i",
+        F.round(
+            F.log(
+                (F.col("n_i") - F.col("d_i")).cast("double")
+                / F.col("n_i").cast("double")
+            )
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("step_ln_e6"),
+    )
+    wasc = Window.orderBy("d_min").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return km.select(
+        "d_min",
+        F.col("d_i").cast("bigint").alias("n_events"),
+        F.col("n_i").cast("bigint").alias("n_at_risk"),
+        F.sum("step_ln_e6").over(wasc).cast("bigint").alias("ln_surv_e6"),
+    ).orderBy("d_min")
+
+
+@register(
+    "q_ts_theil_sen",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    recent AS (
+        SELECT user_id, event_id, sec, cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY sec DESC, event_id DESC) AS rn
+        FROM e
+    ),
+    sel AS (SELECT * FROM recent WHERE rn <= {THEIL_SEN_WINDOW}),
+    pairs AS (
+        SELECT a.user_id,
+               CAST(b.cents - a.cents AS DOUBLE)
+                   / CAST(b.sec - a.sec AS DOUBLE) AS slope,
+               a.event_id AS ia, b.event_id AS ib
+        FROM sel a JOIN sel b
+          ON a.user_id = b.user_id AND a.rn > b.rn AND a.sec <> b.sec
+    ),
+    ranked AS (
+        SELECT user_id, slope,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY slope, ia, ib) AS r,
+               COUNT(*) OVER (PARTITION BY user_id) AS cnt
+        FROM pairs
+    )
+    SELECT user_id,
+           CAST(ROUND(AVG(slope) * 1000000, 0) AS BIGINT) AS slope_e6,
+           CAST(MAX(cnt) AS BIGINT) AS n_pairs
+    FROM ranked
+    WHERE r IN ((cnt + 1) // 2, (cnt + 2) // 2)
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("M2", "D10", "C6"),
+)
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust slope per user — the median of all pairwise
+    slopes of (event value vs time), the outlier-proof alternative to
+    the OLS slope of q_window_rolling_slope (one wild value drags OLS
+    arbitrarily; it moves the pairwise median by at most one rank).
+    Estimator is O(n^2) pairs by nature, so the query fits the LAST
+    {THEIL_SEN_WINDOW} events per user — the cap is the scale design
+    (<= {THEIL_SEN_WINDOW * (THEIL_SEN_WINDOW - 1) // 2} pairs per key
+    at ANY sf), exactly how production robust-trend monitors bound the
+    window. Every slope is the division of two exact integer deltas
+    cast to DOUBLE (same IEEE double in both engines), the median is
+    an explicit middle-rank selection with deterministic tie order
+    (slope, ia, ib) — no percentile interpolation ambiguity — and the
+    final e6 rounding acts on identical doubles.
+
+    Plan: one per-user rank window, one within-user equi-join (keyed
+    on user_id, pair-bounded by the cap), one rank window over the
+    pair set, one aggregate. All shuffles are keyed by user_id."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("sec"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    wrn = Window.partitionBy("user_id").orderBy(
+        F.col("sec").desc(), F.col("event_id").desc()
+    )
+    sel = e.select(
+        "user_id", "event_id", "sec", "cents", F.row_number().over(wrn).alias("rn")
+    ).filter(F.col("rn") <= THEIL_SEN_WINDOW)
+    a = sel.select(
+        "user_id",
+        F.col("event_id").alias("ia"),
+        F.col("sec").alias("sa"),
+        F.col("cents").alias("va"),
+        F.col("rn").alias("ra"),
+    )
+    b = sel.select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_id").alias("ib"),
+        F.col("sec").alias("sb"),
+        F.col("cents").alias("vb"),
+        F.col("rn").alias("rb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("user_id") == F.col("user_id_b"))
+        & (F.col("ra") > F.col("rb"))
+        & (F.col("sa") != F.col("sb")),
+        "inner",
+    ).select(
+        "user_id",
+        (
+            (F.col("vb") - F.col("va")).cast("double")
+            / (F.col("sb") - F.col("sa")).cast("double")
+        ).alias("slope"),
+        "ia",
+        "ib",
+    )
+    wrank = Window.partitionBy("user_id").orderBy("slope", "ia", "ib")
+    wcnt = Window.partitionBy("user_id")
+    ranked = pairs.select(
+        "user_id",
+        "slope",
+        F.row_number().over(wrank).alias("r"),
+        F.count("*").over(wcnt).alias("cnt"),
+    )
+    mid = ranked.filter(F.expr("r IN ((cnt + 1) DIV 2, (cnt + 2) DIV 2)"))
+    return (
+        mid.groupBy("user_id")
+        .agg(
+            F.round(F.avg("slope") * 1000000, 0).cast("bigint").alias("slope_e6"),
+            F.max("cnt").cast("bigint").alias("n_pairs"),
+        )
+        .orderBy("user_id")
+    )

@@ -204,6 +204,7 @@ _QUERY_MODULES = (
         "operators.sort_limit",
         "operators.timeseries",
         "operators.analytics",
+        "operators.stats",
         "operators.graph",
         "operators.setops",
         "functions.scalar",

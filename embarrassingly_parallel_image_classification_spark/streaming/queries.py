@@ -576,6 +576,81 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_right_outer_join",
+    oracle="""
+    WITH p AS (SELECT event_id AS p_id, user_id, date_trunc('second', ts) AS pts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS c_id, user_id, date_trunc('second', ts) AS cts
+               FROM events WHERE event_type = 'click'),
+         wm AS (SELECT LEAST((SELECT MAX(pts) FROM p), (SELECT MAX(cts) FROM c))
+                       - INTERVAL 10 MINUTE AS w)
+    SELECT p.p_id, c.c_id, c.user_id,
+           CAST(epoch(c.cts) AS BIGINT) AS click_sec
+    FROM p JOIN c ON c.user_id = p.user_id
+                 AND c.cts >= p.pts - INTERVAL 1 HOUR
+                 AND c.cts <= p.pts
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT) AS p_id, c.c_id, c.user_id,
+           CAST(epoch(c.cts) AS BIGINT) AS click_sec
+    FROM c, wm
+    WHERE c.cts < wm.w - INTERVAL 1 HOUR
+      AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                      AND c.cts >= p.pts - INTERVAL 1 HOUR AND c.cts <= p.pts)
+    """,
+    tags=("I9", "I4", "C3"),
+)
+def q_stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream RIGHT OUTER join — completes the mode matrix
+    (inner / left outer / right outer / full outer / left semi, all
+    five Spark supports for stream–stream). The preserved side is now
+    the CLICK stream, whose eviction point is the interesting one: an
+    unmatched click is only provably final once the global watermark
+    passes cts + 1 HOUR (a future purchase at pts = cts + 1h could
+    still match it), so its null-purchase row emits a full range-width
+    LATER than the left-outer twin's unmatched purchases — the oracle
+    pins exactly that cts < wm − 1h gate, i.e. the watermark algebra
+    Spark derives for the BUILD side of the range condition, which
+    q_stream_outer_join (probe side, pts < wm) cannot exercise.
+
+    Scale: state shape identical to the other modes — both sides keyed
+    by user, rows evicted as the state watermark passes; right-outer
+    adds only the emit-on-evict path for the click side."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.date_trunc("second", "ts").alias("pts"),
+        )
+        .withWatermark("pts", "10 minutes")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.date_trunc("second", "ts").alias("cts"),
+        )
+        .withWatermark("cts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") <= F.col("pts")),
+        "rightOuter",
+    ).select(
+        "p_id",
+        "c_id",
+        F.col("c_user_id").alias("user_id"),
+        F.unix_timestamp("cts").alias("click_sec"),
+    )
+    return run_to_memory(joined, "append")
+
+
+@register(
     "q_stream_chained_agg",
     oracle="""
     WITH per_user AS (

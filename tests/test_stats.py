@@ -1,0 +1,229 @@
+"""Self-oracles for the round-9 statistical-inference pack
+(operators/stats.py) and the round-9 trainers (ml/training.py
+additions) — pure-Python recomputation at sf0.001, independent of
+both Spark and the DuckDB oracle strings, so a shared spelling bug in
+query+oracle cannot hide (the K6 BPE/unigram reference-twin rule
+applied to statistics)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+
+from embarrassingly_parallel_image_classification_spark import registry
+from embarrassingly_parallel_image_classification_spark.ml.training import (
+    ISO_N,
+    _pava_pools,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def _rows(spark, name, sf_dir=SF_SMOKE):
+    return registry.queries()[name](spark, sf_dir).toPandas()
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return duckdb.sql(
+        f"SELECT * FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    ).df()
+
+
+def test_ks_matches_brute_force(spark):
+    """d_num recomputed by brute force over the pooled cent values."""
+    got = _rows(spark, "q_stats_ks_test").iloc[0]
+    orders = duckdb.sql(
+        f"SELECT o_orderstatus st, CAST(ROUND(o_totalprice*100,0) AS BIGINT) v"
+        f" FROM read_parquet('{SF_SMOKE}/orders.parquet')"
+        f" WHERE o_orderstatus IN ('F','O')"
+    ).df()
+    a = sorted(orders[orders.st == "F"].v)
+    b = sorted(orders[orders.st == "O"].v)
+    n, m = len(a), len(b)
+    import bisect
+
+    d_num = max(
+        abs(bisect.bisect_right(a, v) * m - bisect.bisect_right(b, v) * n)
+        for v in set(a) | set(b)
+    )
+    assert int(got["n_f"]) == n and int(got["n_o"]) == m
+    assert int(got["d_num"]) == d_num
+    assert bool(got["significant"]) == (
+        d_num * d_num * 1_000_000 > 1358 * 1358 * (n + m) * n * m
+    )
+
+
+def test_gini_matches_brute_force(spark):
+    got = _rows(spark, "q_stats_gini").set_index("seg")
+    cust = duckdb.sql(
+        f"SELECT c_mktsegment seg, CAST(ROUND(c_acctbal*100,0) AS BIGINT) c,"
+        f" c_custkey k FROM read_parquet('{SF_SMOKE}/customer.parquet')"
+        f" WHERE c_acctbal >= 0"
+    ).df()
+    for seg, grp in cust.groupby("seg"):
+        xs = [int(c) for c, _ in sorted(zip(grp.c, grp.k))]
+        n, s = len(xs), sum(xs)
+        num = 2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * s
+        want = round(num / (n * s) * 1_000_000)
+        assert int(got.loc[seg, "gini_e6"]) == want
+        assert 0 <= int(got.loc[seg, "gini_e6"]) <= 1_000_000
+
+
+def test_km_invariants_and_brute_force(spark, events):
+    """Kaplan-Meier: at-risk counts strictly decrease over time, the
+    log-survivor is non-increasing, and every step matches the
+    pure-Python product-limit estimator."""
+    got = _rows(spark, "q_survival_km")
+    assert (got["n_at_risk"].diff().dropna() < 0).all()
+    assert (got["ln_surv_e6"].diff().dropna() <= 0).all()
+    ev = events.copy()
+    ev["sec"] = ev["ts"].astype("datetime64[s]").astype("int64")
+    durs = []
+    for _, g in ev.groupby("user_id"):
+        t0 = int(g.sec.min())
+        p = g[g.event_type == "purchase"]
+        if len(p):
+            durs.append((int((int(p.sec.min()) - t0) // 60), True))
+        else:
+            durs.append((int((int(g.sec.max()) - t0) // 60), False))
+    steps = {}
+    for d, obs in durs:
+        a, e = steps.get(d, (0, 0))
+        steps[d] = (a + 1, e + (1 if obs else 0))
+    cum, want = 0, {}
+    at_risk = len(durs)
+    for d in sorted(steps):
+        c_all, d_i = steps[d]
+        n_i = at_risk
+        if d_i > 0 and n_i > d_i:
+            cum += round(math.log((n_i - d_i) / n_i) * 1_000_000)
+            want[d] = (d_i, n_i, cum)
+        at_risk -= c_all
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        d_i, n_i, ln_s = want[int(r.d_min)]
+        assert (int(r.n_events), int(r.n_at_risk), int(r.ln_surv_e6)) == (
+            d_i,
+            n_i,
+            ln_s,
+        )
+
+
+def test_theil_sen_matches_brute_force(spark, events):
+    got = _rows(spark, "q_ts_theil_sen").set_index("user_id")
+    ev = events.copy()
+    ev["sec"] = ev["ts"].astype("datetime64[s]").astype("int64")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["sec", "event_id"], ascending=False).head(25)
+        rows = list(zip(g.event_id, g.sec, g.cents))
+        slopes = []
+        for i in range(len(rows)):
+            for j in range(len(rows)):
+                # a.rn > b.rn means a is OLDER (later in desc order)
+                if i > j and rows[i][1] != rows[j][1]:
+                    slopes.append(
+                        (
+                            (rows[j][2] - rows[i][2]) / (rows[j][1] - rows[i][1]),
+                            rows[i][0],
+                            rows[j][0],
+                        )
+                    )
+        if not slopes:
+            assert uid not in got.index
+            continue
+        slopes.sort()
+        cnt = len(slopes)
+        mids = {(cnt + 1) // 2, (cnt + 2) // 2}
+        med = sum(slopes[r - 1][0] for r in mids) / len(mids)
+        assert int(got.loc[uid, "n_pairs"]) == cnt
+        assert int(got.loc[uid, "slope_e6"]) == round(med * 1_000_000)
+
+
+def test_pava_equals_minimax_brute_force():
+    """PAVA == max-min characterization, on 200 random integer
+    sequences — the theorem the SQL oracle relies on, pinned against
+    an independent O(n^3) implementation."""
+    rng = random.Random(42)
+    for _ in range(200):
+        n = rng.randint(1, 12)
+        ys = [rng.randint(-50, 50) for _ in range(n)]
+        fit = []
+        for s, ln in _pava_pools(ys):
+            fit.extend([s / ln] * ln)
+        for i in range(n):
+            want = max(
+                min(
+                    sum(ys[j : k + 1]) / (k - j + 1)
+                    for k in range(i, n)
+                )
+                for j in range(i + 1)
+            )
+            assert abs(fit[i] - want) < 1e-9
+        assert all(fit[i] <= fit[i + 1] + 1e-12 for i in range(n - 1))
+
+
+def test_isotonic_output_is_monotone(spark):
+    got = _rows(spark, "q_train_isotonic")
+    for _, g in got.groupby("user_id"):
+        g = g.sort_values("x")
+        assert len(g) <= ISO_N
+        assert (g["iso_e6"].diff().dropna() >= 0).all()
+        # pool means preserve the group total to rounding error
+        assert abs(g["iso_e6"].sum() / 10**6 - g["y_cents"].sum()) <= len(g)
+
+
+def test_paragraph_dedup_invariants(spark):
+    """Corpus-wide: each distinct paragraph survives EXACTLY once, and
+    kept+dropped re-partitions the original chunk count."""
+    got = _rows(spark, "q_dedup_paragraph")
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).df()
+    n_chunks = 0
+    originals = set()
+    for t_ in docs.text:
+        tk = t_.split(" ")
+        for i in range(0, len(tk), 10):
+            originals.add(" ".join(tk[i : i + 10]))
+            n_chunks += 1
+    kept = []
+    for t_ in got.kept_text:
+        if t_:
+            tk = t_.split(" ")
+            # kept_text is a concat of 10-token chunks; the final chunk
+            # of a doc may be shorter, so re-chunking is not clean —
+            # count via n_kept instead and spot the uniqueness by set
+            kept.append(t_)
+    assert int(got.n_kept.sum()) == len(originals)
+    assert int(got.n_kept.sum() + got.n_dropped.sum()) == n_chunks
+
+
+def test_naive_bayes_covers_test_fold(spark):
+    got = _rows(spark, "q_train_naive_bayes")
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        f" WHERE doc_id % 5 = 0"
+    ).df()
+    assert len(got) == len(docs)  # no test doc dropped (shared vocab)
+    assert set(got.doc_id) == set(docs.doc_id)
+    assert (got.correct == (got.pred_lang == got.true_lang)).all()
+
+
+def test_decision_stump_beats_trivial_split(spark):
+    got = _rows(spark, "q_train_decision_stump")
+    assert len(got) == 5
+    assert (got.n_left > 0).all() and (got.n_right > 0).all()
+    assert got.gini_e6.is_monotonic_increasing
+    # weighted gini after any split can't exceed 0.5 (binary label cap)
+    assert (got.gini_e6 <= 500_000).all()
+
+
+def test_zipf_slope_is_negative(spark):
+    got = _rows(spark, "q_text_zipf").iloc[0]
+    assert 0 < int(got.n_points) <= 100  # sf0.001 vocab is < TOP_K
+    assert int(got.slope_e6) < 0  # frequency falls with rank, always
