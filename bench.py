@@ -222,6 +222,11 @@ HEADLINE = [
     "q_train_decision_stump",
     "q_train_isotonic",
     "q_stream_right_outer_join",
+    "q_stats_mann_whitney",
+    "q_train_grouped_ols",
+    "q_timeseries_acf",
+    "q_multimodal_audio",
+    "q_lake_generated_columns",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -308,3 +308,98 @@ def q_multimodal_dup_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_media") >= 2)
     )
+
+
+# PCM16 audio synth/decode constants — shared by the Spark synth UDF,
+# the numpy feature extractor AND (as literals) the DuckDB oracle, so
+# one definition governs all three. 256 samples/clip, 64-sample frames.
+PCM_SAMPLES = 256
+PCM_FRAME = 64
+PCM_MUL = 2654435761  # Knuth multiplicative hash constant
+PCM_STEP = 40503
+
+
+@register(
+    "q_multimodal_audio",
+    oracle=f"""
+    WITH samples AS (
+        SELECT vec_id, i,
+               CAST((vec_id * {PCM_MUL} + i * {PCM_STEP}) % 65536 - 32768
+                    AS BIGINT) AS s,
+               i // {PCM_FRAME} AS frame
+        FROM embeddings, UNNEST(range({PCM_SAMPLES})) AS u(i)
+    ),
+    sl AS (
+        SELECT vec_id, frame, s,
+               LAG(s) OVER (PARTITION BY vec_id, frame ORDER BY i) AS prev
+        FROM samples
+    )
+    SELECT vec_id, CAST(frame AS BIGINT) AS frame,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(COUNT(*) FILTER (WHERE prev IS NOT NULL
+                                 AND ((s >= 0) <> (prev >= 0))) AS BIGINT)
+               AS zero_cross,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak
+    FROM sl GROUP BY vec_id, frame ORDER BY vec_id, frame
+    """,
+    tags=("K5", "J6", "A3"),
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO DECODE + FRAME FEATURES over a real binary column — the
+    K5 audio path done end-to-end: each clip is {PCM_SAMPLES} PCM16-LE
+    samples synthesized from a deterministic integer formula, PACKED
+    TO ACTUAL LITTLE-ENDIAN BYTES in one mapInPandas stage, then a
+    second mapInPandas stage — the operator under test — decodes the
+    binary payload with `np.frombuffer('<i2')` and emits per-
+    {PCM_FRAME}-sample-frame energy (Σs², the loudness census),
+    zero-crossing count (the pitch/voicing proxy) and peak amplitude,
+    all exact BIGINTs. The ORACLE never sees a byte: it recomputes the
+    features from the SAME integer formula in SQL — so an exact match
+    PROVES the pack→binary-column→Arrow→frombuffer round trip is
+    lossless, including int16 sign and endianness (a byte-order or
+    signedness bug flips zero_cross and energy immediately). This is
+    the pattern for every codec this container lacks: the Spark-side
+    plumbing (binary schema, Arrow batching, frame slicing) is real;
+    only the waveform source is synthetic.
+
+    Plan: two chained mapInPandas passes (Arrow in, Arrow out, no
+    shuffle between them — payloads never leave the task that made
+    them), one final ORDER BY for presentation. At 100 TB the synth
+    stage is replaced by `binaryFile` reads; the decode stage is
+    unchanged."""
+    ids = t(spark, sf_dir, "embeddings").select("vec_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for m in pdf["vec_id"]:
+                i = np.arange(PCM_SAMPLES, dtype=np.int64)
+                s = (int(m) * PCM_MUL + i * PCM_STEP) % 65536 - 32768
+                payloads.append(s.astype("<i2").tobytes())
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "payload": payloads})
+
+    clips = ids.mapInPandas(synth, "vec_id long, payload binary")
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for m, buf in zip(pdf["vec_id"], pdf["payload"]):
+                s = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+                for f in range(len(s) // PCM_FRAME):
+                    sl = s[f * PCM_FRAME : (f + 1) * PCM_FRAME]
+                    rows.append(
+                        {
+                            "vec_id": int(m),
+                            "frame": f,
+                            "energy": int((sl * sl).sum()),
+                            "zero_cross": int(
+                                ((sl[1:] >= 0) != (sl[:-1] >= 0)).sum()
+                            ),
+                            "peak": int(np.abs(sl).max()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return clips.mapInPandas(
+        feats, "vec_id long, frame long, energy long, zero_cross long, peak long"
+    ).orderBy("vec_id", "frame")

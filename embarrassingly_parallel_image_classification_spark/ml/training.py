@@ -601,3 +601,96 @@ def q_train_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(fit, "user_id long, x long, y_cents long, iso_e6 long")
         .orderBy("user_id", "x")
     )
+
+
+@register(
+    "q_train_grouped_ols",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderpriority AS grp,
+               CAST(year(o_orderdate) - 1998 AS BIGINT) AS x,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS y
+        FROM orders
+    ),
+    s AS (
+        SELECT grp,
+               CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+        FROM pts GROUP BY grp
+    )
+    SELECT grp,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * 100, 0)
+                AS BIGINT) AS slope_cents_e2,
+           CAST(ROUND((CAST(sy AS DOUBLE)
+                       - CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE), 0) AS BIGINT) AS intercept_cents,
+           CAST(ROUND(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           AS DOUBLE)
+                      / (CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000, 0)
+                AS BIGINT) AS r2_e6
+    FROM s ORDER BY grp
+    """,
+    tags=("Q5", "D10", "D1"),
+)
+def q_train_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED OLS — five linear models (totalprice-vs-year per order
+    priority) trained in ONE aggregate pass: the "many models, one
+    job" pattern (per-segment / per-store / per-SKU forecasting fits
+    thousands of models as ONE groupBy over sufficient statistics,
+    where a train-per-group loop would schedule thousands of jobs).
+    The closed form b1 = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²) consumes only
+    the six per-group sufficient statistics, all exact DECIMAL(38,0);
+    slope, intercept and R² are materialized by the identical-operands
+    double-division rule, so the e2/e6 roundings agree bit-for-bit
+    cross-engine. Complements q_train_linreg_gd: same model family,
+    but the closed form replaces T iterative scans with ONE — the
+    right trade whenever X'X is tiny and invertible (GD remains the
+    shape for high-dimensional or regularized fits). Also the
+    training-side twin of q_infer_many_models, which SERVES per-group
+    models this query could have produced.
+
+    Plan: one map-side-combined aggregate bounded by the group domain
+    (5 rows); rows never shuffle — partials do. A 1000-executor run at
+    100 TB still moves only 5 x 6 numbers per mapper."""
+    pts = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(year(o_orderdate) - 1998 AS BIGINT)").alias("x"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    s = pts.groupBy("grp").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(d38).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / den
+    return s.select(
+        "grp",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(slope * 100, 0).cast("bigint").alias("slope_cents_e2"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            0,
+        )
+        .cast("bigint")
+        .alias("intercept_cents"),
+        F.round(num * num / (den * deny) * 1000000, 0)
+        .cast("bigint")
+        .alias("r2_e6"),
+    ).orderBy("grp")

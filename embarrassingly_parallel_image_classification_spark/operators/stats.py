@@ -464,3 +464,139 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# Mann-Whitney rejection at alpha = 0.05 two-sided: z^2 > 1.96^2 with
+# the tie-corrected variance, cross-multiplied to integers (e4 scale:
+# 1.96^2 = 3.8416 = 38416 / 1e4).
+MW_Z2_E4 = 196 * 196  # 38,416
+
+
+@register(
+    "q_stats_mann_whitney",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type,
+               user_id % 2 = 0 AS treat,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+        FROM events
+    ),
+    per_v AS (
+        SELECT event_type, v,
+               CAST(COUNT(*) FILTER (WHERE treat) AS BIGINT) AS n1v,
+               CAST(COUNT(*) AS BIGINT) AS nv
+        FROM x GROUP BY event_type, v
+    ),
+    cum AS (
+        SELECT event_type, v, n1v, nv,
+               CAST(SUM(nv) OVER (PARTITION BY event_type ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - nv AS BIGINT) AS c_lt
+        FROM per_v
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(SUM(n1v) AS DECIMAL(38,0)) AS n1,
+               CAST(SUM(nv - n1v) AS DECIMAL(38,0)) AS n2,
+               CAST(SUM(nv) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(n1v * (2 * c_lt + nv + 1)) AS DECIMAL(38,0))
+                   AS r1x2,
+               CAST(SUM(nv * nv * nv - nv) AS DECIMAL(38,0)) AS tie3
+        FROM cum GROUP BY event_type
+    ),
+    u AS (
+        SELECT event_type, n1, n2, n,
+               r1x2 - n1 * (n1 + 1) AS u1x2,
+               (n + 1) * n * (n - 1) - tie3 AS kk
+        FROM g
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_treat,
+           CAST(n2 AS BIGINT) AS n_control,
+           CAST(u1x2 AS BIGINT) AS u1_x2,
+           CAST(ROUND(CAST(u1x2 AS DOUBLE)
+                      / CAST(2 * n1 * n2 AS DOUBLE) * 1000000, 0)
+                AS BIGINT) AS auc_e6,
+           (u1x2 - n1 * n2) * (u1x2 - n1 * n2) * 12 * n * (n - 1) * 10000
+               > 4 * {MW_Z2_E4} * n1 * n2 * kk AS significant
+    FROM u ORDER BY event_type
+    """,
+    tags=("M2", "E3", "D3"),
+)
+def q_stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U test per event_type — the rank-based
+    (distribution-free) twin of q_ab_test's pooled-variance t-test on
+    the SAME treatment split (even user_id), detecting stochastic
+    dominance a mean test misses under skew. Everything is exact:
+    midranks come from the tie census (2*midrank = 2*c_lt + t + 1, an
+    integer), so 2*R1 and 2*U1 are exact BIGINTs; the reported effect
+    size is the AUC U1/(n1*n2) (the probability a random treated value
+    exceeds a random control one) via the identical-operands double
+    division; and the alpha=0.05 verdict uses the TIE-CORRECTED normal
+    variance cross-multiplied into DECIMAL(38,0) — wholly float-free:
+    (2U1 − n1n2)²·12n(n−1)·10⁴ > 4·1.96²e4·n1n2·[(n+1)n(n−1) − Σ(t³−t)].
+
+    Plan: ONE map-side-combined census down to the (event_type,
+    distinct-cent-value) domain, one cumulative window over that
+    domain-sized frame (per-type partitions), one final aggregate to 5
+    rows. Same scan shape as q_stats_ks_test — the whole two-sample
+    testing pack rides a single census pattern."""
+    x = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("v"),
+    )
+    per_v = x.groupBy("event_type", "v").agg(
+        F.count(F.when(F.col("treat"), 1)).cast("bigint").alias("n1v"),
+        F.count("*").cast("bigint").alias("nv"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_v.select(
+        "event_type",
+        "n1v",
+        "nv",
+        (F.sum("nv").over(wcum) - F.col("nv")).cast("bigint").alias("c_lt"),
+    )
+    g = cum.groupBy("event_type").agg(
+        F.sum("n1v").cast(D38).alias("n1"),
+        F.sum(F.col("nv") - F.col("n1v")).cast(D38).alias("n2"),
+        F.sum("nv").cast(D38).alias("n"),
+        F.sum(F.col("n1v") * (2 * F.col("c_lt") + F.col("nv") + 1))
+        .cast(D38)
+        .alias("r1x2"),
+        F.sum(F.col("nv") * F.col("nv") * F.col("nv") - F.col("nv"))
+        .cast(D38)
+        .alias("tie3"),
+    )
+    u1x2 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
+    kk = (F.col("n") + 1) * F.col("n") * (F.col("n") - 1) - F.col("tie3")
+    return (
+        g.select(
+            "event_type",
+            F.col("n1").cast("bigint").alias("n_treat"),
+            F.col("n2").cast("bigint").alias("n_control"),
+            u1x2.cast("bigint").alias("u1_x2"),
+            F.round(
+                u1x2.cast("double")
+                / (2 * F.col("n1") * F.col("n2")).cast("double")
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("auc_e6"),
+            (
+                (u1x2 - F.col("n1") * F.col("n2"))
+                * (u1x2 - F.col("n1") * F.col("n2"))
+                * 12
+                * F.col("n")
+                * (F.col("n") - 1)
+                * 10000
+                > 4 * F.lit(MW_Z2_E4) * F.col("n1") * F.col("n2") * kk
+            ).alias("significant"),
+        )
+        .orderBy("event_type")
+    )

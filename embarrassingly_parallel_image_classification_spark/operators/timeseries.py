@@ -1431,3 +1431,125 @@ def q_timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_ticks") == 12)
     )
+
+
+# Autocorrelation probe depth: lags 1..ACF_MAX_LAG hours. A constant —
+# the lag frame is a 6-row literal at any scale.
+ACF_MAX_LAG = 6
+
+
+@register(
+    "q_timeseries_acf",
+    oracle=f"""
+    WITH bars AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT b.event_type, l.lag, b.h, b.cents
+        FROM bars b, UNNEST(range(1, {ACF_MAX_LAG + 1})) AS l(lag)
+    ),
+    pairs AS (
+        SELECT a.event_type, a.lag, a.cents AS x, b.cents AS y
+        FROM lagged a
+        JOIN bars b ON b.event_type = a.event_type AND b.h = a.h + a.lag
+    ),
+    s AS (
+        SELECT event_type, lag,
+               CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+        FROM pairs GROUP BY event_type, lag
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+    FROM s ORDER BY event_type, lag
+    """,
+    tags=("D10", "timeseries", "M2"),
+)
+def q_timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION FUNCTION at lags 1..{ACF_MAX_LAG} hours per
+    event type — the lag-structure diagnostic behind seasonality
+    detection and ARIMA order selection (q_timeseries_seasonal finds a
+    KNOWN period's profile; the ACF tells you WHICH lags carry signal
+    — and q_timeseries_xcorr's lag-0 cross-series algebra generalized
+    to own-series lags). Each lag's coefficient is the paired-subset
+    Pearson correlation: all six sufficient statistics are exact
+    integer sums widened to DECIMAL(38,0); floats enter only in the
+    one final expression on identical operand bits (the xcorr
+    discipline, per (type, lag) cell).
+
+    Plan: ONE fact aggregate down to the (type, hour) bar domain; the
+    lag expansion is a map-side 6-way explode OF THE BAR FRAME (never
+    the fact table), self-equi-joined on (type, hour+lag) — bar-domain
+    keyed, fact rows never join; one aggregate to type x lag rows."""
+    bars = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT)"
+                " DIV 3600"
+            ).alias("h"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).alias(
+                "cents"
+            )
+        )
+    )
+    lagged = bars.select(
+        "event_type",
+        "h",
+        "cents",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, ACF_MAX_LAG + 1)])
+        ).alias("lag"),
+    )
+    b2 = bars.select(
+        F.col("event_type").alias("et2"),
+        F.col("h").alias("h2"),
+        F.col("cents").alias("y"),
+    )
+    pairs = lagged.join(
+        b2,
+        (F.col("et2") == F.col("event_type"))
+        & (F.col("h2") == F.col("h") + F.col("lag")),
+    ).select("event_type", "lag", F.col("cents").alias("x"), "y")
+    d38 = "decimal(38,0)"
+    s = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(d38).alias("syy"),
+    )
+    return s.select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("acf"),
+    ).orderBy("event_type", "lag")

@@ -454,13 +454,39 @@ def snapshot_write(
     # carries the mapping forward. An overwrite replaces all data, so
     # the new files' physical names ARE the logical names and the
     # mapping resets — same lifecycle as the carried delete files.
+    # Generated-column enforcement (Delta GENERATED ALWAYS AS ... ):
+    # a table-level property that survives every mode — a writer
+    # omitting the column gets it COMPUTED (the main convenience), a
+    # writer supplying it must match the expression exactly (the
+    # consistency guarantee partition-derivation relies on). Runs
+    # BEFORE the logical-schema capture so the computed column is part
+    # of the committed schema.
+    _plan_base = base_version if base_version is not None else current_version(path)
+    _m0 = None
+    if _plan_base > 0:
+        # ONE planning read serves the generated / rename / default
+        # handling below — a second current_version call here would
+        # shift the commit loop's race-detection window (pinned by the
+        # racing-DDL pytests).
+        with open(_manifest_path(path, _plan_base)) as f:
+            _m0 = json.load(f)
+    gen0: dict = {}
+    if _m0 is not None:
+        gen0 = _m0.get("generated", {})
+        for _col, _expr in sorted(gen0.items()):
+            if _col not in df.columns:
+                df = df.withColumn(_col, F.expr(_expr))
+            elif df.filter(
+                ~F.col(_col).eqNullSafe(F.expr(_expr))
+            ).limit(1).count():
+                raise ValueError(
+                    f"generated column {_col} violates its expression "
+                    f"{_expr!r}; drop the column to have it computed"
+                )
     logical_schema = df.schema.jsonValue()
-    _map_base = base_version if base_version is not None else current_version(path)
     renames: dict = {}
     defaults0: dict = {}
-    if mode == "append" and _map_base > 0:
-        with open(_manifest_path(path, _map_base)) as f:
-            _m0 = json.load(f)
+    if mode == "append" and _m0 is not None:
         renames = _m0.get("renames", {})
         _to_phys = {l: p for p, l in renames.items()}
         if _to_phys:
@@ -516,10 +542,20 @@ def snapshot_write(
         carried_batch_ids: list = []
         carried_renames: dict = {}
         carried_defaults: dict = {}
+        carried_generated: dict = {}
         base = base_version if base_version is not None else prev
         if base > 0:
             with open(_manifest_path(path, base)) as f:
                 m = json.load(f)
+            # generated definitions survive every mode (table property,
+            # like batch_ids); a set_generated_column racing this write
+            # means the frame was computed/validated under a different
+            # definition — retry, same rule as renames/defaults.
+            carried_generated = m.get("generated", {})
+            if carried_generated != gen0:
+                raise ConcurrentWriteError(
+                    "generated columns changed during write; retry"
+                )
             # ingest-idempotence ids survive EVERY snapshot, including
             # overwrite/compaction — dropping them would let a stream
             # restart replay an already-ingested batch.
@@ -571,6 +607,7 @@ def snapshot_write(
             "batch_ids": sorted(carried_batch_ids),
             "renames": carried_renames,
             "defaults": {**carried_defaults, **(extra_defaults or {})},
+            "generated": carried_generated,
             "schema": logical_schema,
             "committed_at": time.time(),
         }
@@ -4173,4 +4210,118 @@ def q_lake_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_mismatch"),
         F.sum("c_src").cast("bigint").alias("cents_sum"),
+    )
+
+
+def set_generated_column(spark: SparkSession, path: str, name: str, expr: str) -> int:
+    """DECLARE a GENERATED column (Delta ``GENERATED ALWAYS AS (expr)``)
+    as a metadata-only commit: the manifest gains a ``generated`` entry
+    and every subsequent snapshot_write COMPUTES the column when the
+    writer omits it and REJECTS the write when a supplied value
+    disagrees with the expression — the consistency contract that makes
+    derived partition columns (year(date), bucket(id)) trustworthy.
+    The column must already exist in the schema and the CURRENT
+    snapshot must satisfy the expression (validated here, at DDL time —
+    the add_column_default rule: fail the DDL, never let a violation
+    surface later as silent read-side nonsense). Returns the new
+    version."""
+    v = current_version(path)
+    if v == 0:
+        raise ValueError("cannot declare a generated column on an empty table")
+    cur = snapshot_read(spark, path)
+    if name not in cur.columns:
+        raise ValueError(
+            f"generated column {name} must exist in the schema "
+            f"(declare it with its first write)"
+        )
+    if cur.filter(~F.col(name).eqNullSafe(F.expr(expr))).limit(1).count():
+        raise ValueError(
+            f"existing rows violate {name} = {expr!r}; "
+            f"rewrite the data before declaring it generated"
+        )
+    while True:
+        v = current_version(path)
+        with open(_manifest_path(path, v)) as f:
+            m = json.load(f)
+        generated = dict(m.get("generated", {}))
+        generated[name] = expr
+        payload = {
+            **m,
+            "version": v + 1,
+            "mode": "set_generated",
+            "generated": generated,
+            "committed_at": time.time(),
+        }
+        tmp = _manifest_path(path, v + 1) + f".tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        try:
+            os.link(tmp, _manifest_path(path, v + 1))  # atomic claim
+            os.unlink(tmp)
+            _metalog_append(path, _summary_of(payload, v + 1))
+            return v + 1
+        except FileExistsError:
+            os.unlink(tmp)  # lost the race: rebase on the new version
+
+
+@register(
+    "q_lake_generated_columns",
+    oracle="""
+    WITH u AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year
+        FROM orders
+    )
+    SELECT o_year, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM u GROUP BY o_year ORDER BY o_year
+    """,
+    tags=("lakehouse", "schema", "A6"),
+)
+def q_lake_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS end to end: v1 writes the even orders WITH a
+    correct o_year column; the DDL declares o_year GENERATED ALWAYS AS
+    year(date) (validating v1 at DDL time); v3 appends the odd half
+    WITHOUT the column — snapshot_write computes it, which is the
+    convenience contract. The final per-year census must equal deriving
+    the year from every raw row — i.e. the stored column is provably
+    consistent with its expression across both write paths. The
+    rejection path (a writer supplying a WRONG o_year raises, and
+    declaring over violating data raises) is pinned in pytest — a
+    query cannot return a raise.
+
+    Scale: the generated definition lives in the manifest (bytes); the
+    write-time compute is one map-side expression over the incoming
+    batch only; validation of a supplied column is one early-exit
+    filter over the same batch — never a scan of the standing table."""
+    from ..sources.formats import scratch
+
+    path = scratch("lake_generated", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.col("o_orderdate"),
+    )
+    year_expr = "CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT)"
+    snapshot_write(
+        orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "o_year", F.expr(year_expr)
+        ),
+        path,
+        "append",
+    )
+    set_generated_column(spark, path, "o_year", year_expr)
+    snapshot_write(
+        orders.filter(F.col("o_orderkey") % 2 == 1), path, "append"
+    )
+    return (
+        snapshot_read(spark, path)
+        .groupBy("o_year")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("o_year")
     )

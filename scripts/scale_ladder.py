@@ -85,8 +85,30 @@ LADDER = [
 DIMS = ("region", "nation", "customer", "supplier", "part")
 PASSES = 3
 
+# Which BLOWN-UP tables each ladder query actually reads (dims are
+# always copied as-is). A restricted run (named queries on the command
+# line) generates only the union of its needs — at 64x, generating the
+# unused events/lineitem replicas would dominate the probe's wall
+# clock and contend with nothing useful.
+TABLE_DEPS = {
+    "q_dedup_containment": {"documents"},
+    "q_dedup_substring": {"documents"},
+    "q_dedup_incremental": {"documents"},
+    "q_graph_label_prop": {"documents"},
+    "q_graph_pagerank": set(),
+    "q_cluster_kmeans": {"embeddings"},
+    "q_join_spatial_radius": {"events"},
+    "q_tpch_q21": {"lineitem", "orders"},
+    "q_market_basket": {"lineitem"},
+    "q_clean_winsorize": {"lineitem"},
+    "q_agg_group_median_select": {"lineitem"},
+    "q_lake_replicate": {"orders"},
+    "q_feat_robust_scale": {"lineitem", "orders"},
+}
+ALL_BIG = {"documents", "embeddings", "events", "lineitem", "orders"}
 
-def build_blowup(spark, k: int) -> str:
+
+def build_blowup(spark, k: int, tables: set | None = None) -> str:
     tag = os.path.basename(os.path.normpath(SF_DIR))
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -97,6 +119,10 @@ def build_blowup(spark, k: int) -> str:
     os.makedirs(out, exist_ok=True)
     for name in DIMS:
         shutil.copy(f"{SF_DIR}/{name}.parquet", f"{out}/{name}.parquet")
+    # Restricted generation: tables outside the set are NOT written, so
+    # a wrong TABLE_DEPS entry fails loudly (missing path) instead of
+    # silently measuring 1x data.
+    tables = ALL_BIG if tables is None else set(tables)
 
     def reps(df, build_replica):
         parts = [df]
@@ -107,8 +133,20 @@ def build_blowup(spark, k: int) -> str:
             u = u.unionByName(p)
         return u
 
-    docs = load_table(spark, SF_DIR, "documents")
-    max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+    docs = load_table(spark, SF_DIR, "documents") if "documents" in tables else None
+    if docs is not None:
+        max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+        _gen_documents(reps, docs, max_doc, out)
+    if "embeddings" in tables:
+        _gen_embeddings(spark, reps, out)
+    if "events" in tables:
+        _gen_events(spark, reps, out)
+    if "lineitem" in tables or "orders" in tables:
+        _gen_lineitem_orders(spark, reps, out, tables)
+    return out
+
+
+def _gen_documents(reps, docs, max_doc, out):
     reps(
         docs,
         lambda df, r: df.select(
@@ -125,6 +163,8 @@ def build_blowup(spark, k: int) -> str:
         ),
     ).repartition(8).write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
+
+def _gen_embeddings(spark, reps, out):
     emb = load_table(spark, SF_DIR, "embeddings")
     max_vec = emb.agg(F.max("vec_id")).first()[0] + 1
     reps(
@@ -145,6 +185,8 @@ def build_blowup(spark, k: int) -> str:
         ),
     ).repartition(8).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
+
+def _gen_events(spark, reps, out):
     ev = load_table(spark, SF_DIR, "events")
     max_ev = ev.agg(F.max("event_id")).first()[0] + 1
     reps(
@@ -162,22 +204,29 @@ def build_blowup(spark, k: int) -> str:
         ),
     ).repartition(16).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
+
+def _gen_lineitem_orders(spark, reps, out, tables):
     li = load_table(spark, SF_DIR, "lineitem")
     orders = load_table(spark, SF_DIR, "orders")
     max_ord = orders.agg(F.max("o_orderkey")).first()[0] + 1
-    reps(
-        li,
-        lambda df, r: df.withColumn(
-            "l_orderkey", F.col("l_orderkey") + r * max_ord
-        ),
-    ).repartition(32).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
-    reps(
-        orders,
-        lambda df, r: df.withColumn(
-            "o_orderkey", F.col("o_orderkey") + r * max_ord
-        ),
-    ).repartition(16).write.mode("overwrite").parquet(f"{out}/orders.parquet")
-    return out
+    if "lineitem" in tables:
+        reps(
+            li,
+            lambda df, r: df.withColumn(
+                "l_orderkey", F.col("l_orderkey") + r * max_ord
+            ),
+        ).repartition(32).write.mode("overwrite").parquet(
+            f"{out}/lineitem.parquet"
+        )
+    if "orders" in tables:
+        reps(
+            orders,
+            lambda df, r: df.withColumn(
+                "o_orderkey", F.col("o_orderkey") + r * max_ord
+            ),
+        ).repartition(16).write.mode("overwrite").parquet(
+            f"{out}/orders.parquet"
+        )
 
 
 def time_query(fn, spark, sf_dir: str) -> float:
@@ -201,7 +250,8 @@ def main() -> None:
     assert not unknown, f"not ladder queries: {unknown}"
     spark = get_spark("scale-ladder")
     spark.sparkContext.setLogLevel("ERROR")
-    blow = build_blowup(spark, k)
+    needed = set().union(*(TABLE_DEPS.get(n, ALL_BIG) for n in ladder))
+    blow = build_blowup(spark, k, needed)
     qs = registry.queries()
     rows = []
     try:

@@ -2286,3 +2286,53 @@ def test_lakehouse_vacuum_releases_lock_on_sweep_error(spark, tmp_path, monkeypa
     # and the next vacuum (lock free) completes the expiry
     lakehouse.vacuum(path, retain_versions=1)
     assert not _os.path.exists(lakehouse._manifest_path(path, 1))
+
+
+def test_lakehouse_generated_column_guards(spark, tmp_path):
+    """Generated-column contract: a writer omitting the column gets it
+    computed; a writer supplying a WRONG value is refused; declaring
+    over violating data is refused; declaring a column absent from the
+    schema is refused; the definition survives an overwrite."""
+    import pytest
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "gen_tbl")
+    base = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dbl")
+    )
+    lakehouse.snapshot_write(base, path, "append")
+    # declaring a column not in the schema is refused
+    with pytest.raises(ValueError, match="must exist in the schema"):
+        lakehouse.set_generated_column(spark, path, "tripled", "k * 3")
+    # declaring over violating data is refused
+    with pytest.raises(ValueError, match="existing rows violate"):
+        lakehouse.set_generated_column(spark, path, "dbl", "k * 3")
+    lakehouse.set_generated_column(spark, path, "dbl", "k * 2")
+    # omitted -> computed
+    lakehouse.snapshot_write(
+        spark.range(10, 13).select(F.col("id").alias("k")), path, "append"
+    )
+    got = {
+        r["k"]: r["dbl"]
+        for r in lakehouse.snapshot_read(spark, path).collect()
+    }
+    assert got[11] == 22 and len(got) == 13
+    # supplied-but-wrong -> refused
+    with pytest.raises(ValueError, match="violates its expression"):
+        lakehouse.snapshot_write(
+            spark.range(13, 14).select(
+                F.col("id").alias("k"), F.lit(0).cast("bigint").alias("dbl")
+            ),
+            path,
+            "append",
+        )
+    # the definition survives an overwrite (table property, like ids)
+    lakehouse.snapshot_write(
+        spark.range(5).select(F.col("id").alias("k")), path, "overwrite"
+    )
+    got2 = {
+        r["k"]: r["dbl"]
+        for r in lakehouse.snapshot_read(spark, path).collect()
+    }
+    assert got2 == {i: i * 2 for i in range(5)}

@@ -227,3 +227,94 @@ def test_zipf_slope_is_negative(spark):
     got = _rows(spark, "q_text_zipf").iloc[0]
     assert 0 < int(got.n_points) <= 100  # sf0.001 vocab is < TOP_K
     assert int(got.slope_e6) < 0  # frequency falls with rank, always
+
+
+def test_mann_whitney_matches_pair_count(spark, events):
+    """2*U1 equals the direct pair count 2*#(x>y) + #(x==y) — the
+    definitional U, independent of the midrank spelling."""
+    got = _rows(spark, "q_stats_mann_whitney").set_index("event_type")
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    for et, g in ev.groupby("event_type"):
+        xs = sorted(g[g.user_id % 2 == 0].cents)  # treatment
+        ys = sorted(g[g.user_id % 2 == 1].cents)  # control
+        import bisect
+
+        u_x2 = sum(
+            2 * bisect.bisect_left(ys, x) + (
+                bisect.bisect_right(ys, x) - bisect.bisect_left(ys, x)
+            )
+            for x in xs
+        )
+        assert int(got.loc[et, "u1_x2"]) == u_x2
+        assert int(got.loc[et, "n_treat"]) == len(xs)
+        assert int(got.loc[et, "auc_e6"]) == round(
+            u_x2 / (2 * len(xs) * len(ys)) * 1_000_000
+        )
+
+
+def test_grouped_ols_matches_numpy(spark):
+    import numpy as np
+
+    got = _rows(spark, "q_train_grouped_ols").set_index("grp")
+    orders = duckdb.sql(
+        f"SELECT o_orderpriority grp, year(o_orderdate) - 1998 AS x,"
+        f" CAST(ROUND(o_totalprice*100,0) AS BIGINT) y"
+        f" FROM read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).df()
+    for grp, g in orders.groupby("grp"):
+        b1, b0 = np.polyfit(g.x.astype(float), g.y.astype(float), 1)
+        assert abs(int(got.loc[grp, "slope_cents_e2"]) / 100 - b1) < 0.1
+        assert abs(int(got.loc[grp, "intercept_cents"]) - b0) < 10
+        r = np.corrcoef(g.x.astype(float), g.y.astype(float))[0, 1]
+        assert abs(int(got.loc[grp, "r2_e6"]) / 1e6 - r * r) < 1e-4
+
+
+def test_acf_matches_numpy(spark, events):
+    import numpy as np
+
+    got = _rows(spark, "q_timeseries_acf")
+    ev = events.copy()
+    ev["h"] = ev["ts"].astype("datetime64[s]").astype("int64") // 3600
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    bars = ev.groupby(["event_type", "h"])["cents"].sum()
+    for _, r in got.iterrows():
+        s = bars[r.event_type].sort_index()
+        xs, ys = [], []
+        for h, v in s.items():
+            if (h + r.lag) in s.index:
+                xs.append(float(v))
+                ys.append(float(s[h + r.lag]))
+        assert int(r.n_pairs) == len(xs)
+        want = np.corrcoef(xs, ys)[0, 1]
+        assert abs(r.acf - want) < 1e-6
+
+
+def test_audio_features_match_formula(spark):
+    """The decode path's features equal the pure-Python recomputation
+    from the waveform formula — byte order or signedness bugs flip
+    energy/zero_cross immediately."""
+    from embarrassingly_parallel_image_classification_spark.ml.multimodal import (
+        PCM_FRAME,
+        PCM_MUL,
+        PCM_SAMPLES,
+        PCM_STEP,
+    )
+
+    got = _rows(spark, "q_multimodal_audio")
+    ids = sorted(set(got.vec_id))[:3]
+    for m in ids:
+        s = [
+            (m * PCM_MUL + i * PCM_STEP) % 65536 - 32768
+            for i in range(PCM_SAMPLES)
+        ]
+        for f in range(PCM_SAMPLES // PCM_FRAME):
+            sl = s[f * PCM_FRAME : (f + 1) * PCM_FRAME]
+            row = got[(got.vec_id == m) & (got.frame == f)].iloc[0]
+            assert int(row.energy) == sum(v * v for v in sl)
+            assert int(row.zero_cross) == sum(
+                1
+                for a, b in zip(sl, sl[1:])
+                if (a >= 0) != (b >= 0)
+            )
+            assert int(row.peak) == max(abs(v) for v in sl)
