@@ -227,6 +227,8 @@ HEADLINE = [
     "q_timeseries_acf",
     "q_multimodal_audio",
     "q_lake_generated_columns",
+    "q_stats_bootstrap_ci",
+    "q_stats_chi2",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

