@@ -229,6 +229,8 @@ HEADLINE = [
     "q_lake_generated_columns",
     "q_stats_bootstrap_ci",
     "q_stats_chi2",
+    "q_mining_variants",
+    "q_geo_point_in_polygon",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -1182,3 +1182,187 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("credited_cents"),
         )
     )
+
+
+# Process-mining variant prefix depth: the "opening book" — full paths
+# are near-unique (5 event types, 100+ steps), the first VARIANT_STEPS
+# steps are where process structure lives, and the cap bounds the
+# variant-string domain at 5^8 regardless of row count.
+VARIANT_STEPS = 8
+
+# Point-in-polygon fixture region: a convex-ish pentagon in the same
+# 1000x1000 integer space q_join_spatial_radius / q_grid_hotspots
+# derive from (user_id, value). One definition feeds the Spark edge
+# array, the DuckDB VALUES list and the pytest brute force.
+POLY = [(200, 100), (800, 150), (900, 600), (500, 950), (100, 550)]
+POLY_EDGES = [
+    (POLY[i][0], POLY[i][1], POLY[(i + 1) % len(POLY)][0], POLY[(i + 1) % len(POLY)][1])
+    for i in range(len(POLY))
+]
+
+
+@register(
+    "q_mining_variants",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY date_trunc('second', ts), event_id) AS rn
+        FROM events
+    ),
+    pref AS (SELECT * FROM e WHERE rn <= {VARIANT_STEPS}),
+    paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS variant,
+               CAST(COUNT(*) AS BIGINT) AS n_steps
+        FROM pref GROUP BY user_id
+    )
+    SELECT variant, n_steps, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY variant, n_steps
+    ORDER BY n_users DESC, variant LIMIT 20
+    """,
+    tags=("M1", "E1", "D8"),
+)
+def q_mining_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROCESS-MINING VARIANT CENSUS — the first {VARIANT_STEPS}-step
+    path per user ("opening book"), counted across users: the
+    variant-explorer view every process-mining tool (Celonis/ProM
+    family [PK]) opens with, and the structural complement of
+    q_markov_transitions (which censuses EDGES — this censuses whole
+    prefixes, catching order effects a first-order Markov model
+    cannot). The prefix cap is the scale design twice over: it bounds
+    the per-user collect at {VARIANT_STEPS} structs AND bounds the
+    variant-string domain at |event types|^{VARIANT_STEPS} regardless
+    of corpus size, so the census aggregate stays domain-sized.
+
+    Plan: one per-user rank window (keyed exchange), a rank filter,
+    one per-user ordered assembly (array_sort over <= {VARIANT_STEPS}
+    structs — never a giant collect), one domain-bounded census, one
+    TakeOrdered(20)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.date_trunc("second", "ts"), "event_id"
+    )
+    pref = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= VARIANT_STEPS)
+    )
+    paths = pref.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("variant"),
+        F.count("*").cast("bigint").alias("n_steps"),
+    )
+    return (
+        paths.groupBy("variant", "n_steps")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "variant")
+        .limit(20)
+    )
+
+
+def _poly_edges_sql() -> str:
+    return ", ".join(f"({x1}, {y1}, {x2}, {y2})" for x1, y1, x2, y2 in POLY_EDGES)
+
+
+def _poly_edges_spark() -> str:
+    structs = ", ".join(
+        f"named_struct('x1', CAST({x1} AS BIGINT), 'y1', CAST({y1} AS BIGINT), "
+        f"'x2', CAST({x2} AS BIGINT), 'y2', CAST({y2} AS BIGINT))"
+        for x1, y1, x2, y2 in POLY_EDGES
+    )
+    return f"array({structs})"
+
+
+# Ray-cast crossing predicate (+x ray, half-open vertex rule), pure
+# integers: one spelling string used by BOTH engines.
+_CROSSING = (
+    "((y1 <= py) <> (y2 <= py)) AND "
+    "(CASE WHEN y2 > y1 "
+    " THEN (x1 - px) * (y2 - y1) + (py - y1) * (x2 - x1) > 0 "
+    " ELSE (x1 - px) * (y2 - y1) + (py - y1) * (x2 - x1) < 0 END)"
+)
+
+
+@register(
+    "q_geo_point_in_polygon",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_id, event_type,
+               user_id % 1000 AS px,
+               CAST(ROUND(value * 100, 0) AS BIGINT) % 1000 AS py
+        FROM events
+    ),
+    edges AS (
+        SELECT * FROM (VALUES {_poly_edges_sql()}) AS e(x1, y1, x2, y2)
+    ),
+    crossings AS (
+        SELECT p.event_id, p.event_type,
+               CAST(COUNT(*) FILTER (WHERE {_CROSSING}) AS BIGINT) AS k
+        FROM pts p CROSS JOIN edges
+        GROUP BY p.event_id, p.event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(*) FILTER (WHERE k % 2 = 1) AS BIGINT) AS n_inside,
+           CAST(COUNT(*) FILTER (WHERE k % 2 = 1) * 1000000 // COUNT(*)
+                AS BIGINT) AS share_e6
+    FROM crossings GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("M4", "H5", "D3"),
+)
+def q_geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT point-in-polygon census — which events fall inside a
+    polygon region of the fixture's 1000x1000 integer space (the
+    geofence / service-area query): classic +x ray casting with the
+    half-open vertex rule, every crossing decided by a CROSS-MULTIPLIED
+    INTEGER comparison (the ray-edge intersection x is never computed
+    as a float — its comparison against px is multiplied through by
+    (y2-y1), sign-corrected), so the census is exact in both engines
+    with no epsilon anywhere. Horizontal edges drop out of the
+    half-open test; a vertex on the ray counts once.
+
+    Plan: the polygon is a {len(POLY)}-edge LITERAL exploded map-side
+    onto each point — a {len(POLY)}x fan-out with NO join node (the
+    oracle spells the same thing as a tiny VALUES cross join); parity
+    folds back per point in the same keyed aggregate. One fact scan,
+    one keyed shuffle of (event_id)-partials, one 5-row census. At
+    100 TB with a REAL polygon table, the edge side is the broadcast
+    dimension of q_join_spatial_radius's grid pattern."""
+    pts = t(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "event_type",
+        "user_id % 1000 AS px",
+        "CAST(ROUND(value * 100, 0) AS BIGINT) % 1000 AS py",
+    )
+    edges = pts.selectExpr(
+        "event_id",
+        "event_type",
+        "px",
+        "py",
+        f"explode({_poly_edges_spark()}) AS e",
+    ).selectExpr(
+        "event_id", "event_type", "px", "py",
+        "e.x1 AS x1", "e.y1 AS y1", "e.x2 AS x2", "e.y2 AS y2",
+    )
+    crossings = edges.groupBy("event_id", "event_type").agg(
+        F.count(F.when(F.expr(_CROSSING), 1)).cast("bigint").alias("k")
+    )
+    return (
+        crossings.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.count(F.when(F.col("k") % 2 == 1, 1))
+            .cast("bigint")
+            .alias("n_inside"),
+            F.expr(
+                "CAST(count(CASE WHEN k % 2 = 1 THEN 1 END) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("share_e6"),
+        )
+        .orderBy("event_type")
+    )

@@ -704,6 +704,12 @@ def q_stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
     )
+    # The replicate fan-out multiplies per-row work by B; the fixture
+    # table is ONE parquet split, which would serialize all B x N md5
+    # draws in a single task (measured 8.2 s -> 0.9 s at sf0.1). At
+    # 100 TB the scan's own splits provide this parallelism for free;
+    # local fixtures must ask for it.
+    x = x.repartition(spark.sparkContext.defaultParallelism, "event_id")
     drawn = x.select(
         "event_type",
         "cents",

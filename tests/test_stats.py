@@ -373,3 +373,51 @@ def test_chi2_matches_brute_force(spark, events):
     assert int(got.n) == n
     assert int(got.chi2_e6) == chi2_e6
     assert bool(got.significant) == (chi2_e6 > 9_487_729)
+
+
+def _ray_cast(px, py, edges):
+    k = 0
+    for x1, y1, x2, y2 in edges:
+        if (y1 <= py) != (y2 <= py):
+            t_ = (x1 - px) * (y2 - y1) + (py - y1) * (x2 - x1)
+            if (t_ > 0) if y2 > y1 else (t_ < 0):
+                k += 1
+    return k % 2 == 1
+
+
+def test_point_in_polygon_matches_brute_force(spark, events):
+    from embarrassingly_parallel_image_classification_spark.operators.analytics import (
+        POLY_EDGES,
+    )
+
+    # sanity of the reference itself on known points
+    assert _ray_cast(500, 500, POLY_EDGES) is True  # deep interior
+    assert _ray_cast(0, 0, POLY_EDGES) is False  # far corner
+    assert _ray_cast(999, 999, POLY_EDGES) is False
+
+    got = _rows(spark, "q_geo_point_in_polygon").set_index("event_type")
+    ev = events.copy()
+    ev["px"] = ev["user_id"] % 1000
+    ev["py"] = (ev["value"] * 100).round().astype("int64") % 1000
+    for et, g in ev.groupby("event_type"):
+        inside = sum(
+            1 for px, py in zip(g.px, g.py) if _ray_cast(px, py, POLY_EDGES)
+        )
+        assert int(got.loc[et, "n_points"]) == len(g)
+        assert int(got.loc[et, "n_inside"]) == inside
+        assert int(got.loc[et, "share_e6"]) == inside * 1_000_000 // len(g)
+
+
+def test_mining_variants_matches_brute_force(spark, events):
+    got = _rows(spark, "q_mining_variants")
+    ev = events.copy()
+    ev["sec"] = ev["ts"].astype("datetime64[s]").astype("int64")
+    census = {}
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["sec", "event_id"]).head(8)
+        v = ">".join(g.event_type)
+        census[(v, len(g))] = census.get((v, len(g)), 0) + 1
+    want = sorted(census.items(), key=lambda kv: (-kv[1], kv[0][0]))[:20]
+    assert len(got) == min(20, len(census))
+    for row, ((v, ns), n) in zip(got.itertuples(index=False), want):
+        assert (row.variant, row.n_steps, row.n_users) == (v, ns, n)
