@@ -231,6 +231,7 @@ HEADLINE = [
     "q_stats_chi2",
     "q_mining_variants",
     "q_geo_point_in_polygon",
+    "q_train_gbt_stumps",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -724,3 +724,242 @@ def q_train_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("r2_e6"),
     ).orderBy("grp")
+
+
+@register(
+    "q_train_gbt_stumps",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc,
+               CAST(ROUND(l_tax * 100, 0) AS BIGINT) AS tax,
+               CAST(ROUND(l_quantity, 0) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    long1 AS (
+        SELECT 'discount' AS f, disc AS v, y FROM base
+        UNION ALL SELECT 'tax' AS f, tax AS v, y FROM base
+    ),
+    c1 AS (
+        SELECT f, v, CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(y) AS DECIMAL(38,0)) AS s
+        FROM long1 GROUP BY f, v
+    ),
+    w1 AS (
+        SELECT f, v,
+               SUM(n) OVER (PARTITION BY f ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+               SUM(s) OVER (PARTITION BY f ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+               SUM(n) OVER (PARTITION BY f) AS nt,
+               SUM(s) OVER (PARTITION BY f) AS st
+        FROM c1
+    ),
+    sc1 AS (
+        SELECT f, v, nl, sl, nt - nl AS nr, st - sl AS sr,
+               CAST(ROUND(CAST(sl * sl AS DOUBLE) / CAST(nl AS DOUBLE)
+                          + CAST((st - sl) * (st - sl) AS DOUBLE)
+                            / CAST(nt - nl AS DOUBLE), 0) AS BIGINT)
+                   AS score
+        FROM w1 WHERE nl > 0 AND nt - nl > 0
+    ),
+    p1 AS (SELECT * FROM sc1 ORDER BY score DESC, f, v LIMIT 1),
+    z2 AS (
+        SELECT b.disc, b.tax,
+               CAST(b.y AS DECIMAL(38,0)) * (p.nl * p.nr)
+                 - CASE WHEN (CASE WHEN p.f = 'discount' THEN b.disc
+                              ELSE b.tax END) <= p.v
+                        THEN p.sl * p.nr ELSE p.sr * p.nl END AS z
+        FROM base b CROSS JOIN p1 p
+    ),
+    long2 AS (
+        SELECT 'discount' AS f, disc AS v, z FROM z2
+        UNION ALL SELECT 'tax' AS f, tax AS v, z FROM z2
+    ),
+    c2 AS (
+        SELECT f, v, CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(z) AS DECIMAL(38,0)) AS s
+        FROM long2 GROUP BY f, v
+    ),
+    w2 AS (
+        SELECT f, v,
+               SUM(n) OVER (PARTITION BY f ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+               SUM(s) OVER (PARTITION BY f ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+               SUM(n) OVER (PARTITION BY f) AS nt,
+               SUM(s) OVER (PARTITION BY f) AS st
+        FROM c2
+    ),
+    sc2 AS (
+        SELECT f, v, nl, sl, nt - nl AS nr, st - sl AS sr,
+               CAST(sl * sl AS DOUBLE) / CAST(nl AS DOUBLE)
+                 + CAST((st - sl) * (st - sl) AS DOUBLE)
+                   / CAST(nt - nl AS DOUBLE) AS score
+        FROM w2 WHERE nl > 0 AND nt - nl > 0
+    ),
+    p2 AS (SELECT * FROM sc2 ORDER BY score DESC, f, v LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS round, f AS feature,
+           CAST(v AS BIGINT) AS threshold,
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           CAST(ROUND(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+                      * 1000000, 0) AS BIGINT) AS pred_left_e6,
+           CAST(ROUND(CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)
+                      * 1000000, 0) AS BIGINT) AS pred_right_e6
+    FROM p1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), p2.f, CAST(p2.v AS BIGINT),
+           CAST(p2.nl AS BIGINT), CAST(p2.nr AS BIGINT),
+           CAST(ROUND(CAST(p2.sl AS DOUBLE) / CAST(p2.nl AS DOUBLE)
+                      / CAST(p1.nl * p1.nr AS DOUBLE) * 1000000, 0)
+                AS BIGINT),
+           CAST(ROUND(CAST(p2.sr AS DOUBLE) / CAST(p2.nr AS DOUBLE)
+                      / CAST(p1.nl * p1.nr AS DOUBLE) * 1000000, 0)
+                AS BIGINT)
+    FROM p2 CROSS JOIN p1
+    ORDER BY round
+    """,
+    tags=("Q5", "D9", "E3"),
+)
+def q_train_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADIENT-BOOSTED STUMPS, two rounds — boosting as CHAINED
+    CENSUSES: round 1 fits the variance-reduction-optimal stump on
+    y = quantity over (discount, tax); round 2 fits a second stump on
+    the ROUND-1 RESIDUALS, which are kept EXACT by scaling through
+    D = n_left*n_right (residual*D = y*D - S_side*n_other is an
+    integer — no float residual ever feeds round 2, the property that
+    makes the boosted model bit-reproducible on any partitioning and
+    oracle-checkable). Each round is ONE census to the
+    (feature, value) domain + cumulative windows (the q_train_decision
+    _stump machinery) + a 1-row argmax broadcast; split scores compare
+    Sl^2/nl + Sr^2/nr (equivalent to SSE minimization since total SS
+    is constant), evaluated on identical operand bits in both engines
+    with deterministic (score, feature, value) tie order. The output
+    is the MODEL ITSELF (per round: split + side predictions in e6 y
+    units — round 2's de-scaled by D at materialization only), so the
+    pytest twin can re-apply it and verify SSE strictly improves over
+    the single stump and the constant fit.
+
+    Plan: two fact scans (one per round — production checkpoints the
+    base projection), each reduced map-side to the tiny value domain;
+    the ROUND-1 pick rides into round 2 as a 1-row broadcast (the
+    allowlisted q_feat_bucketize scalar-cross shape). Rows never
+    shuffle; only domain-sized partials move. T boosting rounds = T
+    censuses, exactly how LightGBM's histogram mode spends its
+    network."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(ROUND(l_discount * 100, 0) AS BIGINT)").alias("disc"),
+        F.expr("CAST(ROUND(l_tax * 100, 0) AS BIGINT)").alias("tax"),
+        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+
+    def census_scores(long, val_col="v"):
+        c = long.groupBy("f", val_col).agg(
+            F.count("*").cast(d38).alias("n"),
+            F.sum("s_in").cast(d38).alias("s"),
+        )
+        wcum = (
+            Window.partitionBy("f")
+            .orderBy(val_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wtot = Window.partitionBy("f")
+        w = c.select(
+            "f",
+            val_col,
+            F.sum("n").over(wcum).alias("nl"),
+            F.sum("s").over(wcum).alias("sl"),
+            F.sum("n").over(wtot).alias("nt"),
+            F.sum("s").over(wtot).alias("st"),
+        )
+        nr = F.col("nt") - F.col("nl")
+        sr = F.col("st") - F.col("sl")
+        score = (F.col("sl") * F.col("sl")).cast("double") / F.col("nl").cast(
+            "double"
+        ) + (sr * sr).cast("double") / nr.cast("double")
+        return w.filter((F.col("nl") > 0) & (nr > 0)).select(
+            "f",
+            val_col,
+            "nl",
+            "sl",
+            nr.alias("nr"),
+            sr.alias("sr"),
+            score.alias("score_raw"),
+        )
+
+    long1 = li.selectExpr("'discount' AS f", "disc AS v", "y AS s_in").unionAll(
+        li.selectExpr("'tax' AS f", "tax AS v", "y AS s_in")
+    )
+    sc1 = census_scores(long1).withColumn(
+        "score", F.round(F.col("score_raw"), 0).cast("bigint")
+    )
+    p1 = sc1.orderBy(F.col("score").desc(), "f", "v").limit(1)
+
+    z2 = li.crossJoin(F.broadcast(p1.select(
+        F.col("f").alias("pf"),
+        F.col("v").alias("pv"),
+        F.col("nl").alias("pnl"),
+        F.col("sl").alias("psl"),
+        F.col("nr").alias("pnr"),
+        F.col("sr").alias("psr"),
+    ))).select(
+        "disc",
+        "tax",
+        (
+            F.col("y").cast(d38) * (F.col("pnl") * F.col("pnr"))
+            - F.when(
+                F.when(F.col("pf") == "discount", F.col("disc")).otherwise(
+                    F.col("tax")
+                )
+                <= F.col("pv"),
+                F.col("psl") * F.col("pnr"),
+            ).otherwise(F.col("psr") * F.col("pnl"))
+        ).alias("z"),
+    )
+    long2 = z2.selectExpr("'discount' AS f", "disc AS v", "z AS s_in").unionAll(
+        z2.selectExpr("'tax' AS f", "tax AS v", "z AS s_in")
+    )
+    p2 = (
+        census_scores(long2)
+        .orderBy(F.col("score_raw").desc(), "f", "v")
+        .limit(1)
+    )
+
+    r1 = p1.select(
+        F.lit(1).cast("bigint").alias("round"),
+        F.col("f").alias("feature"),
+        F.col("v").cast("bigint").alias("threshold"),
+        F.col("nl").cast("bigint").alias("n_left"),
+        F.col("nr").cast("bigint").alias("n_right"),
+        F.round(F.col("sl").cast("double") / F.col("nl").cast("double") * 1000000, 0)
+        .cast("bigint")
+        .alias("pred_left_e6"),
+        F.round(F.col("sr").cast("double") / F.col("nr").cast("double") * 1000000, 0)
+        .cast("bigint")
+        .alias("pred_right_e6"),
+    )
+    d_scale = (F.col("pnl") * F.col("pnr")).cast("double")
+    r2 = p2.crossJoin(
+        F.broadcast(
+            p1.select(F.col("nl").alias("pnl"), F.col("nr").alias("pnr"))
+        )
+    ).select(
+        F.lit(2).cast("bigint").alias("round"),
+        F.col("f").alias("feature"),
+        F.col("v").cast("bigint").alias("threshold"),
+        F.col("nl").cast("bigint").alias("n_left"),
+        F.col("nr").cast("bigint").alias("n_right"),
+        F.round(
+            F.col("sl").cast("double") / F.col("nl").cast("double") / d_scale * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("pred_left_e6"),
+        F.round(
+            F.col("sr").cast("double") / F.col("nr").cast("double") / d_scale * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("pred_right_e6"),
+    )
+    return r1.unionAll(r2).orderBy("round")

