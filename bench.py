@@ -232,6 +232,7 @@ HEADLINE = [
     "q_mining_variants",
     "q_geo_point_in_polygon",
     "q_train_gbt_stumps",
+    "q_stats_runs_test",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -839,3 +839,119 @@ def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term_e6").cast("bigint").alias("chi2_e6"),
         (F.sum("term_e6") > F.lit(CHI2_DF4_E6)).alias("significant"),
     )
+
+
+# Runs-test rejection at alpha = 0.05 two-sided: z^2 > 1.96^2, same e4
+# cross-multiplication as Mann-Whitney.
+RUNS_Z2_E4 = 196 * 196
+
+
+@register(
+    "q_stats_runs_test",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    med AS (
+        SELECT CAST(ROUND(CAST(quantile_disc(cents, 0.5) AS DOUBLE), 0)
+                    AS BIGINT) AS m
+        FROM e
+    ),
+    signs AS (
+        SELECT sec, event_id, cents > (SELECT m FROM med) AS above
+        FROM e WHERE cents <> (SELECT m FROM med)
+    ),
+    seq AS (
+        SELECT above,
+               LAG(above) OVER (ORDER BY sec, event_id) AS prev
+        FROM signs
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE above) AS DECIMAL(38,0)) AS n1,
+               CAST(COUNT(*) FILTER (WHERE NOT above) AS DECIMAL(38,0)) AS n2,
+               CAST(1 + COUNT(*) FILTER (WHERE prev IS NOT NULL
+                                         AND above <> prev)
+                    AS DECIMAL(38,0)) AS r
+        FROM seq
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST(r AS BIGINT) AS n_runs,
+           (r * (n1 + n2) - 2 * n1 * n2 - (n1 + n2))
+             * (r * (n1 + n2) - 2 * n1 * n2 - (n1 + n2))
+             * ((n1 + n2) - 1) * 10000
+             > {RUNS_Z2_E4} * 2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2))
+               AS significant
+    FROM g
+    """,
+    tags=("M2", "E2", "D9"),
+)
+def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ RUNS TEST — is the event-value stream random
+    around its median, or does it trend/cluster (the serial-dependence
+    audit that complements q_quality_benford's digit audit and the
+    CUSUM changepoint: iid data should alternate sides often; too few
+    runs means regime persistence, too many means oscillation)?
+    Median via the exact distributed selection (percentile_disc /
+    quantile_disc, the q_anomaly_mad bit-identical pair); exact-median
+    ties excluded, stated. The run count is ONE lag comparison over
+    the time order; the alpha=0.05 two-sided verdict is wholly
+    float-free: with mu = 2n1n2/n + 1 and sigma^2 = 2n1n2(2n1n2-n) /
+    (n^2(n-1)), z^2 > 1.96^2 cross-multiplies to an exact
+    DECIMAL(38,0) comparison (both sides scaled by n^4(n-1)*10^4 —
+    the q_ab_test multiply-through discipline on a messier variance).
+
+    Plan: one selection for the median, one lag window over the time
+    order (at 100 TB: range-partitioned by time with boundary-row
+    exchange — the q_timeseries family's documented spelling), one
+    conditional aggregate to 3 numbers."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("sec"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    med = e.agg(
+        F.expr(
+            "CAST(ROUND(CAST(percentile_disc(0.5) WITHIN GROUP"
+            " (ORDER BY cents) AS DOUBLE), 0) AS BIGINT)"
+        ).alias("m")
+    )
+    signs = e.crossJoin(F.broadcast(med)).filter(
+        F.col("cents") != F.col("m")
+    ).select("sec", "event_id", (F.col("cents") > F.col("m")).alias("above"))
+    w = Window.orderBy("sec", "event_id")
+    seq = signs.select("above", F.lag("above").over(w).alias("prev"))
+    g = seq.agg(
+        F.count(F.when(F.col("above"), 1)).cast(D38).alias("n1"),
+        F.count(F.when(~F.col("above"), 1)).cast(D38).alias("n2"),
+        (
+            1
+            + F.count(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("above") != F.col("prev")),
+                    1,
+                )
+            )
+        )
+        .cast(D38)
+        .alias("r"),
+    )
+    n = F.col("n1") + F.col("n2")
+    # minimal multiplied-through form (both sides divided by n^2 keeps
+    # every term within DECIMAL(38,0) headroom even at adversarial R)
+    num = F.col("r") * n - 2 * F.col("n1") * F.col("n2") - n
+    var_term = (
+        2 * F.col("n1") * F.col("n2") * (2 * F.col("n1") * F.col("n2") - n)
+    )
+    return g.select(
+        F.col("n1").cast("bigint").alias("n_above"),
+        F.col("n2").cast("bigint").alias("n_below"),
+        F.col("r").cast("bigint").alias("n_runs"),
+        (num * num * (n - 1) * 10000 > F.lit(RUNS_Z2_E4) * var_term).alias(
+            "significant"
+        ),
+    )

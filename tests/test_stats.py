@@ -456,3 +456,27 @@ def test_gbt_stumps_boosting_improves(spark):
     n = len(li)
     assert int(r1.n_left + r1.n_right) == n
     assert int(r2.n_left + r2.n_right) == n
+
+
+def test_runs_test_matches_brute_force(spark, events):
+    got = _rows(spark, "q_stats_runs_test").iloc[0]
+    ev = events.copy()
+    ev["sec"] = ev["ts"].astype("datetime64[s]").astype("int64")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    vals = sorted(ev.cents)
+    m = vals[(len(vals) - 1) // 2]  # percentile_disc(0.5) lower-mid
+    g = ev[ev.cents != m].sort_values(["sec", "event_id"])
+    signs = [c > m for c in g.cents]
+    n1 = sum(signs)
+    n2 = len(signs) - n1
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    assert (int(got.n_above), int(got.n_below), int(got.n_runs)) == (
+        n1,
+        n2,
+        runs,
+    )
+    n = n1 + n2
+    num = runs * n - 2 * n1 * n2 - n
+    assert bool(got.significant) == (
+        num * num * (n - 1) * 10000 > 38416 * 2 * n1 * n2 * (2 * n1 * n2 - n)
+    )
