@@ -278,6 +278,9 @@ _CARTESIAN_OK = {
                              # (q_dedup_retention_exact's pattern); the
                              # dedup window is hash-partitioned on the
                              # digest and both probe joins are keyed
+    "q_stats_runs_test",     # the 1-row exact-median scalar broadcast-
+                             # crosses onto the sign pass (the
+                             # q_feat_bucketize bounds-row shape)
     "q_train_gbt_stumps",    # the round-1 pick (1 row) broadcast-crosses
                              # onto the fact scan to form exact scaled
                              # residuals, and again onto round-2's pick
