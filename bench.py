@@ -233,6 +233,7 @@ HEADLINE = [
     "q_geo_point_in_polygon",
     "q_train_gbt_stumps",
     "q_stats_runs_test",
+    "q_stats_spearman",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -955,3 +955,135 @@ def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant"
         ),
     )
+
+
+@register(
+    "q_stats_spearman",
+    oracle="""
+    WITH x AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    ),
+    cv AS (
+        SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS t
+        FROM x GROUP BY event_type, v
+    ),
+    rv AS (
+        SELECT event_type, v,
+               2 * (SUM(t) OVER (PARTITION BY event_type ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+                 + t + 1 AS r2
+        FROM cv
+    ),
+    ck AS (
+        SELECT event_type, k, CAST(COUNT(*) AS BIGINT) AS t
+        FROM x GROUP BY event_type, k
+    ),
+    rk AS (
+        SELECT event_type, k,
+               2 * (SUM(t) OVER (PARTITION BY event_type ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+                 + t + 1 AS r2
+        FROM ck
+    ),
+    ranked AS (
+        SELECT x.event_type, rv.r2 AS rx, rk.r2 AS ry
+        FROM x
+        JOIN rv ON rv.event_type = x.event_type AND rv.v = x.v
+        JOIN rk ON rk.event_type = x.event_type AND rk.k = x.k
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(rx) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(ry) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(rx * ry) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(rx * rx) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(ry * ry) AS DECIMAL(38,0)) AS syy
+        FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+    FROM s ORDER BY event_type
+    """,
+    tags=("M2", "H8", "D10"),
+)
+def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION per event_type between the event value
+    and the JSON payload's k field — the monotone-association measure
+    that survives outliers and nonlinearity where Pearson
+    (q_timeseries_xcorr's algebra) does not, with EXACT tie handling:
+    the fractional midrank (c_lt + (t+1)/2) is carried DOUBLED as the
+    integer 2*c_lt + t + 1 (the q_stats_mann_whitney tie-census
+    identity), so every rank is a BIGINT, all six sufficient
+    statistics are exact DECIMAL(38,0) (the doubling cancels in rho),
+    and the one float expression runs on identical operand bits in
+    both engines (the xcorr SQRT discipline).
+
+    Plan — ranks WITHOUT ranking the fact table: a per-(type, value)
+    census + a cumulative window over the DOMAIN-sized frame yields
+    every row's midrank, joined back by (type, value) — two
+    domain-bounded dimension joins (k's domain is 0..99; Catalyst
+    broadcasts both), the fact table scanned once and never windowed.
+    The naive spelling (RANK() over each per-type partition) sorts
+    the whole fact table twice in |type| tasks — the guaranteed-skew
+    plan the census spelling exists to avoid."""
+    x = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("v"),
+        F.expr(
+            "CAST(from_json(props, 'k INT').k AS BIGINT)"
+        ).alias("k"),
+    )
+
+    def midranks(col):
+        c = x.groupBy("event_type", col).agg(
+            F.count("*").cast("bigint").alias("t")
+        )
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return c.select(
+            "event_type",
+            col,
+            (2 * (F.sum("t").over(w) - F.col("t")) + F.col("t") + 1).alias(
+                "r2"
+            ),
+        )
+
+    rv = midranks("v").withColumnRenamed("r2", "rx")
+    rk = midranks("k").withColumnRenamed("r2", "ry")
+    ranked = x.join(rv, ["event_type", "v"]).join(rk, ["event_type", "k"])
+    d38 = "decimal(38,0)"
+    s = ranked.groupBy("event_type").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("rx").cast(d38).alias("sx"),
+        F.sum("ry").cast(d38).alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast(d38).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast(d38).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast(d38).alias("syy"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("rho"),
+    ).orderBy("event_type")

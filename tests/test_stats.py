@@ -480,3 +480,35 @@ def test_runs_test_matches_brute_force(spark, events):
     assert bool(got.significant) == (
         num * num * (n - 1) * 10000 > 38416 * 2 * n1 * n2 * (2 * n1 * n2 - n)
     )
+
+
+def test_spearman_matches_scipy_free_brute_force(spark, events):
+    """rho recomputed with pure-Python midranks (no scipy)."""
+    import json as _json
+
+    got = _rows(spark, "q_stats_spearman").set_index("event_type")
+    ev = events.copy()
+    ev["v"] = (ev["value"] * 100).round().astype("int64")
+    ev["k"] = [int(_json.loads(p)["k"]) for p in ev["props"]]
+    for et, g in ev.groupby("event_type"):
+        def mid2(vals):
+            order = sorted(vals)
+            import bisect
+            return [
+                2 * bisect.bisect_left(order, x)
+                + (bisect.bisect_right(order, x) - bisect.bisect_left(order, x))
+                + 1
+                for x in vals
+            ]
+        rx = mid2(list(g.v))
+        ry = mid2(list(g.k))
+        n = len(rx)
+        sx, sy = sum(rx), sum(ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        sxx = sum(a * a for a in rx)
+        syy = sum(b * b for b in ry)
+        rho = (n * sxy - sx * sy) / (
+            ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+        )
+        assert abs(got.loc[et, "rho"] - rho) < 1e-6
+        assert int(got.loc[et, "n_rows"]) == n
