@@ -132,27 +132,48 @@ def _ensure_loaded() -> None:
 
 
 # Names pinned to the FRONT of specs()/queries() order, i.e. inside the
-# driver's verified prefix (50 slots observed in rounds 1-8).
-# ROUND-9 WINDOW (r8 verdict item 1; tuple from scripts/next_window.py,
-# generated ONCE at round-9 open): the 12 never-driver-verified late-r8
-# registrations (all judge-verified EXACT in the r8 verdict session) +
-# 38 rotation slots re-proving the OLDEST standing driver evidence
-# (r1-era greens) against today's code — the r7-item-6 rolling
-# re-verification policy. Queries registered during round 9 land after
-# slot 50 in registration order and form round 10's never-verified head.
+# driver's verified prefix (50 slots observed in rounds 1-9).
+# ROUND-10 WINDOW (r9 verdict items 1+2; tuple from scripts/next_window.py,
+# generated ONCE at round-10 open): the 31 never-driver-verified round-9
+# registrations (all judge-verified EXACT in the r9 verdict session) +
+# 14 rotation/canary slots re-proving the OLDEST standing driver
+# evidence + a NEW 5-slot rows-only tail (r9 verdict item 2: the driver
+# records its weaker rows-only check for q_sample, the sketch aggs and
+# q_freq_items — independent did-it-run evidence their pytest oracles
+# alone don't give). Queries registered during round 10 land after slot
+# 50 in registration order and form round 11's never-verified head.
 _DRIVER_PRIORITY = (
-    "q_agg_quantile_select",
-    "q_agg_group_median_select",
-    "q_feat_target_kfold",
-    "q_pipeline_features",
-    "q_feat_robust_scale",
-    "q_train_linreg_gd",
-    "q_scan_file_metadata",
-    "q_stream_feature_serve",
-    "q_sql_group_by_all",
-    "q_pipeline_entity_resolution",
-    "q_lake_snapshot_diff",
-    "q_lake_replicate",
+    "q_timeseries_holt",
+    "q_timeseries_acf",
+    "q_mining_variants",
+    "q_geo_point_in_polygon",
+    "q_stats_ks_test",
+    "q_stats_gini",
+    "q_survival_km",
+    "q_ts_theil_sen",
+    "q_stats_mann_whitney",
+    "q_stats_bootstrap_ci",
+    "q_stats_chi2",
+    "q_stats_runs_test",
+    "q_stats_spearman",
+    "q_udf_grouped_arrow",
+    "q_udf_cogroup_arrow",
+    "q_dedup_paragraph",
+    "q_text_zipf",
+    "q_privacy_l_diversity",
+    "q_select_dsir",
+    "q_feat_chi2_select",
+    "q_train_naive_bayes",
+    "q_train_decision_stump",
+    "q_train_isotonic",
+    "q_train_grouped_ols",
+    "q_train_gbt_stumps",
+    "q_multimodal_audio",
+    "q_stream_semi_join",
+    "q_stream_full_outer_join",
+    "q_stream_right_outer_join",
+    "q_lake_merge_evolve",
+    "q_lake_generated_columns",
     "q_tpch_q9",
     "q_stream_tumbling",
     "q_dedup_ngram_jaccard",
@@ -161,38 +182,18 @@ _DRIVER_PRIORITY = (
     "q_text_chunking",
     "q_agg_basic",
     "q_knn_exact",
-    "q_project",
-    "q_filter",
-    "q_case_when",
-    "q_null_handling",
-    "q_distinct",
-    "q_join_inner",
-    "q_join_broadcast",
-    "q_join_outer",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_self",
-    "q_join_cross",
-    "q_join_range",
-    "q_agg_global",
-    "q_agg_conditional",
-    "q_agg_distinct",
-    "q_pivot_confusion",
-    "q_agg_rollup",
-    "q_agg_collect",
-    "q_agg_percentile",
-    "q_agg_stats",
-    "q_agg_minby",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_unpivot",
-    "q_window_rank",
-    "q_window_lag",
-    "q_window_running",
-    "q_window_ntile",
-    "q_sort",
+    "q_topk_global",
+    "q_topk_per_group",
+    "q_topk_freq",
+    "q_union",
+    "q_intersect",
+    "q_except",
+    "q_sample",
+    "q_agg_hll_sketch",
+    "q_agg_approx_distinct",
+    "q_agg_approx_percentile",
+    "q_freq_items",
 )
-
 # (round-1-green families act as their own canaries right behind the
 # window: non-priority oracle-backed queries keep registration order.)
 

@@ -16,10 +16,14 @@ hide behind stale green rows):
    evidence is stalest gets re-verified soonest. Over ceil(N/50)
    rounds every query's evidence is refreshed; a regression can
    survive at most that long.
-3. **Rows-only queries never consume a slot** (their oracle is pytest,
-   the driver row adds nothing); cross-family canaries are only padded
-   in while never-verified queries still exist (once the window is
-   pure rotation, rule 2 IS the canary).
+3. **Rows-only tail (r9 verdict item 2).** Up to ROWS_ONLY_TAIL of the
+   LAST window slots go to rows-only queries with no driver row yet
+   (registration order): the driver records its weaker rows-only check
+   for them — independent did-it-run-at-all evidence that pytest alone
+   doesn't give. Rows-only queries never displace a never-verified
+   ORACLE query (the tail shrinks first). Cross-family canaries are
+   only padded in while never-verified queries still exist (once the
+   window is pure rotation, rule 2 IS the canary).
 
 Paste the output over `_DRIVER_PRIORITY` (registry.py) and re-run
 tests/test_smoke.py::test_registry_driver_window_ordering after
@@ -39,6 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from embarrassingly_parallel_image_classification_spark import registry  # noqa: E402
 
 WINDOW = 50
+ROWS_ONLY_TAIL = 5
 
 # One stable, long-green representative per family, padded in while
 # never-verified queries still exist (rule 3).
@@ -84,24 +89,40 @@ def main() -> None:
         (n for n in oracle_backed if n in last),
         key=lambda n: (last[n], reg_order[n]),
     )
-    window = list(never[:WINDOW])
+    # rows-only tail (rule 3): rows-only queries with no driver row at
+    # all, oldest registration first, capped so they never displace a
+    # never-verified oracle query
+    rows_only_unrecorded = sorted(
+        (
+            n
+            for n, s in specs.items()
+            if s.oracle is None and n not in last
+        ),
+        key=lambda n: reg_order[n],
+    )
+    tail_n = min(ROWS_ONLY_TAIL, max(0, WINDOW - len(never)))
+    tail = rows_only_unrecorded[:tail_n]
+    window = list(never[: WINDOW - len(tail)])
     if never:
         # canaries hedge family-wide drift while unverified queries
         # still crowd the window
         for c in CANARY_POOL:
-            if len(window) >= WINDOW:
+            if len(window) >= WINDOW - len(tail):
                 break
             if c in specs and c in last and c not in window:
                 window.append(c)
     for n in stale_first:
-        if len(window) >= WINDOW:
+        if len(window) >= WINDOW - len(tail):
             break
         if n not in window:
             window.append(n)
-    overflow = never[WINDOW:]
+    n_rotation = len(window) - len(never[: WINDOW - len(tail)])
+    window.extend(tail)
+    overflow = never[WINDOW - len(tail) :]
     print(
         f"# {len(never)} never-verified; "
-        f"{len(window) - len(never[:WINDOW])} rotation/canary; "
+        f"{n_rotation} rotation/canary; "
+        f"{len(tail)} rows-only tail; "
         f"window = {len(window)} "
         f"(evidence ages: oldest green r{min(last.values(), default=0)})"
     )

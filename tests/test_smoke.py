@@ -78,9 +78,12 @@ def test_registry_contract(spark):
 def test_registry_driver_window_ordering():
     """The driver verifies a PREFIX of queries() (50 entries observed in
     round 1), so ordering is part of the contract:
-      * every slot in the first 50 must be oracle-backed — a rows-only
-        query there wastes a verification slot;
-      * rows-only queries must all sort after every oracle-backed one;
+      * every slot in the first 45 must be oracle-backed — a rows-only
+        query there wastes a full-verification slot; the LAST <=5 may
+        be the rows-only tail (r9 verdict item 2: the driver records
+        its weaker rows-only check for them);
+      * any rows-only query NOT in the tail must sort after every
+        oracle-backed one;
       * queries fixed/changed this round and the rotation's
         never-yet-verified picks must sit inside the window."""
     from embarrassingly_parallel_image_classification_spark import registry
@@ -88,27 +91,49 @@ def test_registry_driver_window_ordering():
     specs = registry.specs()
     names = list(specs)
     window = names[:50]
-    assert all(specs[n].oracle is not None for n in window), [
-        n for n in window if specs[n].oracle is None
+    assert all(specs[n].oracle is not None for n in window[:45]), [
+        n for n in window[:45] if specs[n].oracle is None
     ]
-    first_rows_only = min(
-        i for i, n in enumerate(names) if specs[n].oracle is None
+    # rows-only entries inside the window must form a contiguous TAIL
+    # (never ahead of an oracle-backed slot they could have displaced)
+    ro_in_window = [i for i, n in enumerate(window) if specs[n].oracle is None]
+    if ro_in_window:
+        assert ro_in_window == list(range(50 - len(ro_in_window), 50))
+    # outside the priority tuple, rows-only still sorts last
+    from embarrassingly_parallel_image_classification_spark.registry import (
+        _DRIVER_PRIORITY as _PRIO,
     )
-    last_oracle = max(i for i, n in enumerate(names) if specs[n].oracle is not None)
+
+    non_prio = [n for n in names if n not in _PRIO]
+    first_rows_only = min(
+        i for i, n in enumerate(non_prio) if specs[n].oracle is None
+    )
+    last_oracle = max(
+        i for i, n in enumerate(non_prio) if specs[n].oracle is not None
+    )
     assert first_rows_only > last_oracle
     must_be_inside = {
-        # round-9 rotation (r8 verdict item 1): the 12 late-round-8
+        # round-10 rotation (r9 verdict item 1): the 31 late-round-9
         # registrations that have never had a driver row — ALL of them
         # must sit inside the window (the full 50-name tuple is pinned
         # in registry._DRIVER_PRIORITY; update these alongside each
-        # rotation). The other 38 slots re-prove the OLDEST standing
-        # driver evidence (rolling re-verification).
-        "q_agg_quantile_select", "q_agg_group_median_select",
-        "q_feat_target_kfold", "q_pipeline_features",
-        "q_feat_robust_scale", "q_train_linreg_gd",
-        "q_scan_file_metadata", "q_stream_feature_serve",
-        "q_sql_group_by_all", "q_pipeline_entity_resolution",
-        "q_lake_snapshot_diff", "q_lake_replicate",
+        # rotation). 14 slots re-prove the OLDEST standing driver
+        # evidence; the last 5 are the rows-only tail.
+        "q_timeseries_holt", "q_timeseries_acf", "q_mining_variants",
+        "q_geo_point_in_polygon", "q_stats_ks_test", "q_stats_gini",
+        "q_survival_km", "q_ts_theil_sen", "q_stats_mann_whitney",
+        "q_stats_bootstrap_ci", "q_stats_chi2", "q_stats_runs_test",
+        "q_stats_spearman", "q_udf_grouped_arrow", "q_udf_cogroup_arrow",
+        "q_dedup_paragraph", "q_text_zipf", "q_privacy_l_diversity",
+        "q_select_dsir", "q_feat_chi2_select", "q_train_naive_bayes",
+        "q_train_decision_stump", "q_train_isotonic",
+        "q_train_grouped_ols", "q_train_gbt_stumps", "q_multimodal_audio",
+        "q_stream_semi_join", "q_stream_full_outer_join",
+        "q_stream_right_outer_join", "q_lake_merge_evolve",
+        "q_lake_generated_columns",
+        # rows-only tail
+        "q_sample", "q_agg_hll_sketch", "q_agg_approx_distinct",
+        "q_agg_approx_percentile", "q_freq_items",
     }
     assert must_be_inside <= set(window), must_be_inside - set(window)
     # rotation slots (stale-green re-proof) fill whatever window slots
