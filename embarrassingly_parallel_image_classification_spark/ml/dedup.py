@@ -1386,11 +1386,14 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: chunking is MAP-ONLY (slice over the token array — no
     explode-then-regroup round trip); the first-occurrence election is
-    ONE window over paragraphs partitioned by content (at 100 TB the
-    shuffle key is the paragraph's 8-byte digest with the text riding
-    only for winner arbitration — same shape as q_dedup_exact); the
-    reassembly groupBy is keyed by doc_id and bounded by document
-    length. Two keyed shuffles total, both fixed-width."""
+    ONE window whose partition key LEADS with the paragraph's 8-byte
+    xxhash64 digest — hashing/range-comparing a fixed 8-byte key at
+    shuffle time, not a variable ~60-char string — with the text as
+    the SECOND key component so a digest collision still partitions
+    exactly (the text rides anyway for reassembly, so no extra bytes
+    move; same key discipline as q_dedup_exact). The reassembly
+    groupBy is keyed by doc_id and bounded by document length. Two
+    keyed shuffles total, both fixed-width."""
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("tk")
     )
@@ -1403,7 +1406,9 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cpos", "chunk"),
     )
-    w = Window.partitionBy("chunk").orderBy("doc_id", "cpos")
+    w = Window.partitionBy(F.xxhash64("chunk"), "chunk").orderBy(
+        "doc_id", "cpos"
+    )
     ranked = chunks.select(
         "doc_id", "cpos", "chunk", F.row_number().over(w).alias("rn")
     )
