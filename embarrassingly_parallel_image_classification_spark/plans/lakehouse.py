@@ -385,6 +385,164 @@ def _file_stats(local_path: str, col: str):
     return tuple(per_col[col]) if col in per_col else None
 
 
+def _assign_identity_staged(
+    spark: SparkSession, staging: str, ident: dict
+) -> tuple[str, dict]:
+    """Assign IDENTITY values over the already-staged (immutable) batch
+    files; returns (new_staging_dir, {col: new_high}).
+
+    Protocol: per-file row counts come from the parquet FOOTERS (a
+    driver-side metadata read, same channel _footer_stats already
+    trusts) → each staged file owns the disjoint contiguous range
+    ``[offset(file), offset(file)+rows)``; within a file, rows take
+    ``high + step * (offset + row_number)``. The per-commit id SET is
+    therefore exactly ``{high + step, ..., high + step * n}`` —
+    deterministic (exact-oracle-checkable sums) even though the
+    row↔id pairing follows Spark's scan order. The window partitions
+    by input_file_name, so a file split across scan tasks is regrouped
+    before numbering — one batch-sized shuffle, only on identity
+    tables. (A production engine reserves per-TASK ranges inside the
+    write to skip that shuffle, at the price of non-contiguous ids —
+    Delta burns values the same way; we take the shuffle for exact
+    contiguity since it is bounded by the incoming batch, never the
+    standing table.)"""
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+
+    files = sorted(
+        fn for fn in os.listdir(staging) if fn.endswith(".parquet")
+    )
+    offs, acc = {}, 0
+    for fn in files:
+        offs[fn] = acc
+        acc += pq.ParquetFile(os.path.join(staging, fn)).metadata.num_rows
+    n = acc
+    out = spark.read.parquet(staging)
+    if n and files:
+        omap = F.create_map(
+            *[x for fn, o in offs.items() for x in (F.lit(fn), F.lit(o))]
+        )  # bounded: one entry per staged file of THIS batch
+        # input_file_name() only resolves in the SCAN stage — it reads
+        # empty post-shuffle — so the file offset must be materialized
+        # as a column BEFORE the window's exchange
+        out = out.withColumn(
+            "_ident_off",
+            F.element_at(
+                omap, F.element_at(F.split(F.input_file_name(), "/"), -1)
+            ),
+        )
+        w = Window.partitionBy("_ident_off").orderBy(
+            F.monotonically_increasing_id()
+        )
+        ordinal = F.col("_ident_off") + F.row_number().over(w)
+        for col in sorted(ident):
+            d = ident[col]
+            out = out.withColumn(
+                col,
+                (F.lit(d["high"]) + F.lit(d["step"]) * ordinal).cast(
+                    "bigint"
+                ),
+            )
+        out = out.drop("_ident_off")
+    else:
+        for col in sorted(ident):
+            out = out.withColumn(col, F.lit(None).cast("bigint"))
+    staging2 = staging + "_id"
+    out.write.mode("overwrite").parquet(staging2)
+    new_high = {c: d["high"] + d["step"] * n for c, d in ident.items()}
+    return staging2, new_high
+
+
+def set_identity_column(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    start: int = 1,
+    step: int = 1,
+) -> int:
+    """ALTER TABLE ... ADD/SYNC an IDENTITY column (Delta `GENERATED
+    ALWAYS AS IDENTITY (START WITH start INCREMENT BY step)`): a
+    table-level manifest property ``identity[name] = {start, step,
+    high}`` that makes every subsequent snapshot_write ASSIGN the
+    column (writers must omit it; supplying it raises — the ALWAYS
+    contract). Uniqueness under concurrent appends comes from the same
+    atomic link(2) claim every commit already rides: the high-water
+    mark lives INSIDE the manifest, a writer bakes ids from the high
+    it planned against, and the commit loop refuses to publish if the
+    manifest it would chain to carries a different high (the racing
+    winner consumed the range) — the loser retries the whole write and
+    draws a fresh range. No two published snapshots can ever assign
+    the same id.
+
+    Declare-on-data (Delta ALTER ... SYNC IDENTITY): if the table has
+    rows, the column must already exist, be non-null and globally
+    distinct (one census aggregate — the uniqueness invariant is
+    checked ONCE here, then preserved by construction); the high-water
+    mark starts at max(existing, start - step) so new ids never
+    collide with history. On an empty table (declare-at-create: write
+    an empty frame carrying the schema first) the next assigned value
+    is exactly ``start``."""
+    if step == 0:
+        raise ValueError("identity step must be non-zero")
+    v0 = current_version(path)
+    if v0 == 0:
+        raise ValueError(
+            "declare identity on an existing table (write an empty "
+            "frame first to create the table with its schema)"
+        )
+    cur = snapshot_read(spark, path)
+    if name not in cur.columns:
+        raise ValueError(
+            f"identity column {name} must exist in the schema "
+            f"(declare it with the table's first — possibly empty — write)"
+        )
+    census = cur.agg(
+        F.count("*").alias("n"),
+        F.count(name).alias("nn"),
+        F.countDistinct(name).alias("nd"),
+        F.max(F.col(name).cast("bigint")).alias("mx"),
+    ).collect()[0]
+    if census["n"]:
+        if census["nn"] != census["n"] or census["nd"] != census["n"]:
+            raise ValueError(
+                f"existing {name} values must be non-null and distinct "
+                f"to declare IDENTITY (SYNC)"
+            )
+        high = max(int(census["mx"]), start - step)
+    else:
+        high = start - step
+    while True:
+        v = current_version(path)
+        with open(_manifest_path(path, v)) as f:
+            m = json.load(f)
+        if v != v0:
+            raise ConcurrentWriteError(
+                "table moved during identity declaration; retry"
+            )
+        identity = dict(m.get("identity", {}))
+        identity[name] = {"start": start, "step": step, "high": high}
+        payload = {
+            **m,
+            "version": v + 1,
+            "mode": "set_identity",
+            "identity": identity,
+            "committed_at": time.time(),
+        }
+        tmp = _manifest_path(path, v + 1) + f".tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        try:
+            os.link(tmp, _manifest_path(path, v + 1))  # atomic claim
+            os.unlink(tmp)
+            _metalog_append(path, _summary_of(payload, v + 1))
+            return v + 1
+        except FileExistsError:
+            os.unlink(tmp)  # lost the race
+            raise ConcurrentWriteError(
+                "version claimed concurrently during identity declaration"
+            )
+
+
 def snapshot_write(
     df: DataFrame,
     path: str,
@@ -394,6 +552,7 @@ def snapshot_write(
     batch_id: int | None = None,
     base_version: int | None = None,
     extra_defaults: dict | None = None,
+    preserve_identity: bool = False,
 ) -> int:
     """Publish a new snapshot of ``df`` at ``path``; returns the new
     version number. Task files are written first (invisible to any
@@ -432,7 +591,15 @@ def snapshot_write(
     merge_into_when). Overwrite rewrites every data file, so the scope
     is empty (no pre-existing file owes a backfill); the entry's job is
     the append guard — subsequent writers must carry the column or the
-    table's logical schema would silently narrow."""
+    table's logical schema would silently narrow.
+
+    ``preserve_identity``: maintenance escape hatch (compaction,
+    RESTORE, ZORDER, MERGE rewrites) — the frame already CARRIES the
+    table's identity column values and must keep them verbatim; the
+    high-water mark is left untouched. Normal writers leave this False
+    and must OMIT identity columns (GENERATED ALWAYS AS IDENTITY):
+    snapshot_write assigns them from the manifest's high-water mark —
+    see set_identity_column for the protocol."""
     assert mode in ("append", "overwrite")
     assert extra_defaults is None or mode == "overwrite", (
         "extra_defaults is an overwrite-commit (schema evolution) concept"
@@ -483,7 +650,32 @@ def snapshot_write(
                     f"generated column {_col} violates its expression "
                     f"{_expr!r}; drop the column to have it computed"
                 )
+    # IDENTITY columns (Delta GENERATED ALWAYS AS IDENTITY): writers
+    # must omit them — values are assigned below from the manifest's
+    # high-water mark, after the batch is staged (assignment runs over
+    # the immutable staged files, so per-file footer row counts give
+    # each file a disjoint contiguous range with no second scan of the
+    # incoming data and no nondeterministic double evaluation of df).
+    ident0: dict = {}
+    if _m0 is not None:
+        ident0 = _m0.get("identity", {})
+    if ident0 and not preserve_identity:
+        _supplied = [c for c in sorted(ident0) if c in df.columns]
+        if _supplied:
+            raise ValueError(
+                f"identity column(s) {_supplied} are GENERATED ALWAYS AS "
+                f"IDENTITY — writers must omit them (maintenance rewrites "
+                f"pass preserve_identity=True)"
+            )
     logical_schema = df.schema.jsonValue()
+    if ident0 and not preserve_identity:
+        _have = {fl["name"] for fl in logical_schema["fields"]}
+        for _c in sorted(ident0):
+            if _c not in _have:
+                logical_schema["fields"].append(
+                    {"name": _c, "type": "long", "nullable": False,
+                     "metadata": {}}
+                )
     renames: dict = {}
     defaults0: dict = {}
     if mode == "append" and _m0 is not None:
@@ -511,6 +703,13 @@ def snapshot_write(
             )
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
+    _staging_raw = None
+    _new_high = {c: d["high"] for c, d in ident0.items()}
+    if ident0 and not preserve_identity:
+        _staging_raw = staging
+        staging, _new_high = _assign_identity_staged(
+            df.sparkSession, staging, ident0
+        )
     new_files, stats, col_stats, null_stats = [], {}, {}, {}
     for name in sorted(os.listdir(staging)):
         if name.endswith(".parquet"):
@@ -529,6 +728,8 @@ def snapshot_write(
             os.rename(os.path.join(staging, name), os.path.join(path, final))
             new_files.append(final)
     shutil.rmtree(staging, ignore_errors=True)
+    if _staging_raw is not None:
+        shutil.rmtree(_staging_raw, ignore_errors=True)
     while True:
         prev = current_version(path)
         if expected_version is not None and prev != expected_version:
@@ -555,6 +756,16 @@ def snapshot_write(
             if carried_generated != gen0:
                 raise ConcurrentWriteError(
                     "generated columns changed during write; retry"
+                )
+            # identity is compared on DEFS AND HIGH-WATER: a racing
+            # writer that won the link(2) claim already consumed the
+            # range this write baked into its staged files — publishing
+            # would duplicate ids, so the loser must re-run the whole
+            # write (re-assignment needs new files). Same caller-retry
+            # rule as renames/defaults.
+            if m.get("identity", {}) != ident0:
+                raise ConcurrentWriteError(
+                    "identity high-water mark moved during write; retry"
                 )
             # ingest-idempotence ids survive EVERY snapshot, including
             # overwrite/compaction — dropping them would let a stream
@@ -608,6 +819,10 @@ def snapshot_write(
             "renames": carried_renames,
             "defaults": {**carried_defaults, **(extra_defaults or {})},
             "generated": carried_generated,
+            "identity": {
+                c: {**d, "high": _new_high.get(c, d["high"])}
+                for c, d in ident0.items()
+            },
             "schema": logical_schema,
             "committed_at": time.time(),
         }
@@ -1112,7 +1327,7 @@ def merge_into(
         else:
             merged_cols.append(F.col(c))
     merged = joined.select(*merged_cols)
-    return snapshot_write(merged, path, "overwrite")
+    return snapshot_write(merged, path, "overwrite", preserve_identity=True)
 
 
 @register(
@@ -1425,9 +1640,13 @@ def delete_where(
             # survive (Iceberg sequence-number semantics)
             "delete_files": m.get("delete_files", [])
             + [[del_file, key, sorted(m["files"])]],
-            # carry forward table schema + ingest-idempotence ids — a
-            # delete snapshot changes neither
+            # carry forward table schema + ingest-idempotence ids +
+            # generated/identity table properties — a delete snapshot
+            # changes none of them (dropping generated/identity here
+            # would silently un-declare the DDL: round-10 carry fix)
             "batch_ids": m.get("batch_ids", []),
+            "generated": m.get("generated", {}),
+            "identity": m.get("identity", {}),
             "committed_at": time.time(),
             **({"schema": m["schema"]} if "schema" in m else {}),
         }
@@ -1530,7 +1749,9 @@ def compact_mor(spark: SparkSession, path: str) -> int:
     files, or earlier when >~6 reads are expected before the next
     delete burst; at scale apply the same rule partition-locally."""
     survivors = snapshot_read_mor(spark, path)
-    return snapshot_write(survivors, path, "overwrite")
+    return snapshot_write(
+        survivors, path, "overwrite", preserve_identity=True
+    )
 
 
 COMPACT_DELETE_FILE_THRESHOLD = 4  # measured: scripts/mor_probe.py → BASELINE.md
@@ -2621,7 +2842,10 @@ def optimize_zorder(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    return snapshot_write(clustered, path, "overwrite", stats_col=list(cols))
+    return snapshot_write(
+        clustered, path, "overwrite", stats_col=list(cols),
+        preserve_identity=True,
+    )
 
 
 @register(
@@ -2959,10 +3183,15 @@ def snapshot_clone(src: str, dst: str, version: int | None = None) -> int:
         "delete_files": m.get("delete_files", []),
         "batch_ids": [],
         "null_stats": m.get("null_stats", {}),
-        # column mapping and initial defaults are part of the table's
-        # logical identity — a clone must read back identically
+        # column mapping, defaults, and the generated/identity DDL
+        # properties are part of the table's logical identity — a
+        # clone must read back AND write forward identically (the
+        # clone inherits the source's high-water mark, so ids keep
+        # ascending from where the source left off)
         "renames": m.get("renames", {}),
         "defaults": m.get("defaults", {}),
+        "generated": m.get("generated", {}),
+        "identity": m.get("identity", {}),
         "schema": m["schema"],
         "committed_at": time.time(),
         "cloned_from": {"path": src, "version": v},
@@ -3093,7 +3322,10 @@ def merge_into_latest(
             )
         else:
             merged_cols.append(F.col(c))
-    return snapshot_write(joined.select(*merged_cols), path, "overwrite")
+    return snapshot_write(
+        joined.select(*merged_cols), path, "overwrite",
+        preserve_identity=True,
+    )
 
 
 @register(
@@ -3203,7 +3435,7 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
     RESTORE preserves deletion vectors the same way). Returns the new
     version."""
     old = snapshot_read_mor(spark, path, version)
-    return snapshot_write(old, path, "overwrite")
+    return snapshot_write(old, path, "overwrite", preserve_identity=True)
 
 
 @register(
@@ -4324,4 +4556,82 @@ def q_lake_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("cents"),
         )
         .orderBy("o_year")
+    )
+
+
+@register(
+    "q_lake_identity",
+    oracle="""
+    WITH c AS (
+        SELECT
+            (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS n1,
+            (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1) AS n2
+    )
+    SELECT CAST(0 AS BIGINT) AS parity,
+           CAST(n1 AS BIGINT) AS n,
+           CAST(n1 AS BIGINT) AS n_ids,
+           CAST(997 + 3 AS BIGINT) AS min_id,
+           CAST(997 + 3 * n1 AS BIGINT) AS max_id,
+           CAST(997 * n1 + 3 * (n1 * (n1 + 1) / 2) AS BIGINT) AS sum_id
+    FROM c
+    UNION ALL
+    SELECT CAST(1 AS BIGINT),
+           CAST(n2 AS BIGINT),
+           CAST(n2 AS BIGINT),
+           CAST(997 + 3 * (n1 + 1) AS BIGINT),
+           CAST(997 + 3 * (n1 + n2) AS BIGINT),
+           CAST(997 * n2 + 3 * ((n1 + n2) * (n1 + n2 + 1) / 2
+                                - n1 * (n1 + 1) / 2) AS BIGINT)
+    FROM c
+    ORDER BY parity
+    """,
+    tags=("lakehouse", "schema", "A6"),
+)
+def q_lake_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY COLUMNS end to end (Delta GENERATED ALWAYS AS IDENTITY,
+    START WITH 1000 INCREMENT BY 3): v1 creates the table with an
+    EMPTY schema-bearing write; the DDL declares row_id IDENTITY; v3
+    appends the even orders and v4 the odd orders, both OMITTING the
+    column — snapshot_write assigns each commit the exact contiguous
+    range the manifest's high-water mark dictates. The per-batch
+    census (count, distinct ids, min/max/sum of ids) is fully
+    determined by arithmetic over the two batch SIZES alone — the
+    oracle recomputes min/max/sum from closed-form range sums without
+    ever seeing an assigned id, so a single duplicated, skipped, or
+    mis-stepped id anywhere breaks the hash. Disjoint [min,max] ranges
+    across the two batches prove cross-commit uniqueness; the
+    explicit-supply rejection path and the two-writer race (losers
+    retry and draw fresh ranges — no duplicate ids) are pinned in
+    pytest.
+
+    Scale: the high-water mark is BYTES in the manifest; assignment is
+    one batch-bounded shuffle (per-staged-file ranges from parquet
+    footers — see _assign_identity_staged); the standing table is
+    never read or rewritten."""
+    from ..sources.formats import scratch
+
+    path = scratch("lake_identity", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    empty = orders.withColumn(
+        "row_id", F.lit(None).cast("bigint")
+    ).limit(0)
+    snapshot_write(empty, path, "append")
+    set_identity_column(spark, path, "row_id", start=1000, step=3)
+    snapshot_write(orders.filter(F.col("o_orderkey") % 2 == 0), path, "append")
+    snapshot_write(orders.filter(F.col("o_orderkey") % 2 == 1), path, "append")
+    return (
+        snapshot_read(spark, path)
+        .groupBy((F.col("o_orderkey") % 2).cast("bigint").alias("parity"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("row_id").alias("n_ids"),
+            F.min("row_id").alias("min_id"),
+            F.max("row_id").alias("max_id"),
+            F.sum("row_id").cast("bigint").alias("sum_id"),
+        )
+        .orderBy("parity")
     )

@@ -2336,3 +2336,173 @@ def test_lakehouse_generated_column_guards(spark, tmp_path):
         for r in lakehouse.snapshot_read(spark, path).collect()
     }
     assert got2 == {i: i * 2 for i in range(5)}
+
+
+def test_lakehouse_identity_guards(spark, tmp_path):
+    """IDENTITY contract: declared on an empty schema-bearing table,
+    the next value is exactly `start`; appends OMITTING the column get
+    disjoint contiguous ranges; a writer SUPPLYING the column is
+    refused (GENERATED ALWAYS); declaring over duplicate data is
+    refused; SYNC over valid data resumes past its max; the property
+    survives overwrite, DELETE, and restore (preserve_identity)."""
+    import pytest
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "id_tbl")
+    empty = spark.range(0).select(
+        F.col("id").alias("k"), F.lit(None).cast("bigint").alias("rid")
+    )
+    lakehouse.snapshot_write(empty, path, "append")
+    with pytest.raises(ValueError, match="must be non-zero"):
+        lakehouse.set_identity_column(spark, path, "rid", start=1, step=0)
+    with pytest.raises(ValueError, match="must exist in the schema"):
+        lakehouse.set_identity_column(spark, path, "nope")
+    lakehouse.set_identity_column(spark, path, "rid", start=10, step=2)
+    lakehouse.snapshot_write(
+        spark.range(5).select(F.col("id").alias("k")), path, "append"
+    )
+    ids1 = sorted(
+        r["rid"] for r in lakehouse.snapshot_read(spark, path).collect()
+    )
+    assert ids1 == [10, 12, 14, 16, 18]  # next value is exactly start
+    lakehouse.snapshot_write(
+        spark.range(5, 8).select(F.col("id").alias("k")), path, "append"
+    )
+    ids2 = sorted(
+        r["rid"] for r in lakehouse.snapshot_read(spark, path).collect()
+    )
+    assert ids2 == [10, 12, 14, 16, 18, 20, 22, 24]  # contiguous, disjoint
+    # GENERATED ALWAYS: supplying the column is refused
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        lakehouse.snapshot_write(
+            spark.range(8, 9).select(
+                F.col("id").alias("k"), F.lit(99).alias("rid")
+            ),
+            path,
+            "append",
+        )
+    # DELETE carries the property (round-10 carry fix) and a
+    # subsequent append keeps drawing fresh ids
+    lakehouse.delete_where(
+        spark, path, "k", spark.range(1).select(F.col("id").alias("k"))
+    )
+    lakehouse.snapshot_write(
+        spark.range(8, 9).select(F.col("id").alias("k")), path, "append"
+    )
+    rows = {
+        r["k"]: r["rid"]
+        for r in lakehouse.snapshot_read_mor(spark, path).collect()
+    }
+    assert 0 not in rows and rows[8] == 26
+    # compaction / restore preserve existing ids verbatim
+    lakehouse.compact_mor(spark, path)
+    assert {
+        r["rid"] for r in lakehouse.snapshot_read(spark, path).collect()
+    } == {12, 14, 16, 18, 20, 22, 24, 26}
+
+
+def test_lakehouse_identity_sync_over_data(spark, tmp_path):
+    """Declare-on-data (SYNC): duplicate or null existing values are
+    refused; valid data sets the high-water mark past its max."""
+    import pytest
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "sync_tbl")
+    dup = spark.range(4).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("rid")
+    )
+    lakehouse.snapshot_write(dup, path, "append")
+    with pytest.raises(ValueError, match="non-null and distinct"):
+        lakehouse.set_identity_column(spark, path, "rid")
+    path2 = str(tmp_path / "sync_ok")
+    ok = spark.range(4).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("rid")
+    )
+    lakehouse.snapshot_write(ok, path2, "append")
+    lakehouse.set_identity_column(spark, path2, "rid", start=1, step=1)
+    lakehouse.snapshot_write(
+        spark.range(4, 6).select(F.col("id").alias("k")), path2, "append"
+    )
+    ids = sorted(
+        r["rid"] for r in lakehouse.snapshot_read(spark, path2).collect()
+    )
+    assert ids == [0, 7, 14, 21, 22, 23]  # resumes past max(existing)=21
+
+
+def test_lakehouse_identity_two_writer_race(spark, tmp_path):
+    """Two writers appending CONCURRENTLY must never publish duplicate
+    ids: the loser of the link(2)/high-water race gets
+    ConcurrentWriteError and retries the whole write, drawing a fresh
+    range. After both settle: 2n rows, 2n DISTINCT ids, and the id set
+    is exactly the contiguous range both commits together claimed."""
+    import threading
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "race_tbl")
+    empty = spark.range(0).select(
+        F.col("id").alias("k"), F.lit(None).cast("bigint").alias("rid")
+    )
+    lakehouse.snapshot_write(empty, path, "append")
+    lakehouse.set_identity_column(spark, path, "rid", start=1, step=1)
+    errs: list = []
+
+    def writer(lo: int, hi: int) -> None:
+        df = spark.range(lo, hi).select(F.col("id").alias("k"))
+        for _ in range(20):  # optimistic retry loop
+            try:
+                lakehouse.snapshot_write(df, path, "append")
+                return
+            except lakehouse.ConcurrentWriteError:
+                continue
+        errs.append(f"writer {lo} never won the race")
+
+    t1 = threading.Thread(target=writer, args=(0, 500))
+    t2 = threading.Thread(target=writer, args=(500, 1000))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    rows = lakehouse.snapshot_read(spark, path).collect()
+    ids = sorted(r["rid"] for r in rows)
+    assert len(rows) == 1000
+    assert ids == list(range(1, 1001))  # distinct AND contiguous
+
+
+def test_lakehouse_delete_and_clone_carry_generated(spark, tmp_path):
+    """Round-10 carry fix: a DELETE snapshot and a CLONE must both
+    preserve the generated-column property — before the fix their
+    hand-built manifests silently un-declared the DDL, so a later
+    append would skip compute/validation."""
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "gen_carry")
+    base = spark.range(6).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dbl")
+    )
+    lakehouse.snapshot_write(base, path, "append")
+    lakehouse.set_generated_column(spark, path, "dbl", "k * 2")
+    lakehouse.delete_where(
+        spark, path, "k", spark.range(1).select(F.col("id").alias("k"))
+    )
+    # after the delete, an append omitting the column must STILL be
+    # computed (property survived)
+    lakehouse.snapshot_write(
+        spark.range(6, 8).select(F.col("id").alias("k")), path, "append"
+    )
+    got = {
+        r["k"]: r["dbl"]
+        for r in lakehouse.snapshot_read_mor(spark, path).collect()
+    }
+    assert got[7] == 14 and 0 not in got
+    # clone: the property rides along
+    dst = str(tmp_path / "gen_clone")
+    lakehouse.snapshot_clone(path, dst)
+    lakehouse.snapshot_write(
+        spark.range(8, 9).select(F.col("id").alias("k")), dst, "append"
+    )
+    got2 = {
+        r["k"]: r["dbl"]
+        for r in lakehouse.snapshot_read_mor(spark, dst).collect()
+    }
+    assert got2[8] == 16
