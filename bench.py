@@ -234,6 +234,7 @@ HEADLINE = [
     "q_train_gbt_stumps",
     "q_stats_runs_test",
     "q_stats_spearman",
+    "q_lake_identity",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the
@@ -372,8 +373,30 @@ def main() -> None:
             dt = time.time() - t0
             timings[name] = round(min(timings.get(name, float("inf")), dt), 3)
 
-    total = round(sum(timings.values()), 3)
     canary_end = contention_canary(sf_dir)
+    # End-canary retry (r9 verdict item 5): the r9 record was flagged
+    # by the END canary degrading 1.9-2.7x vs its own start — the old
+    # gate only checked quiet at START, so mid-run contention polluted
+    # every per-query min. If the end canary exceeds the start canary
+    # by >1.5x, wait for quiet ONCE more and run ONE extra interleaved
+    # pass (mins only improve); bounded at a single retry so a
+    # persistently busy box still terminates and the recorded canaries
+    # document the residual contention.
+    retry_wait = 0.0
+    if (
+        canary_end["duckdb_fixed_agg_sec"]
+        > 1.5 * canary_start["duckdb_fixed_agg_sec"]
+    ):
+        retry_wait = wait_uncontended()
+        for name in HEADLINE:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            timings[name] = round(min(timings[name], dt), 3)
+        canary_end = contention_canary(sf_dir)
+
+    total = round(sum(timings.values()), 3)
     full = {
         "metric": "total_runtime",
         "value": total,
@@ -384,6 +407,7 @@ def main() -> None:
             "start": canary_start,
             "end": canary_end,
             "gate_wait_sec": gate_wait,
+            "retry_wait_sec": retry_wait,
         },
     }
     # Full per-query record: first stdout line + a file. The driver's
