@@ -235,6 +235,10 @@ HEADLINE = [
     "q_stats_runs_test",
     "q_stats_spearman",
     "q_lake_identity",
+    "q_stats_kendall",
+    "q_stats_anova",
+    "q_stats_cramers_v",
+    "q_stats_sign_bh",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -1087,3 +1087,667 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rho"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: Kendall tau-b, one-way ANOVA, Cramér's V, and the
+# sign test with Benjamini–Hochberg FDR control — same house discipline
+# (census → domain-bounded frame → exact integer / identical-double
+# verdicts, brute-force pytest twins in tests/test_stats.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stats_kendall",
+    oracle="""
+    WITH x AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 100, 0) AS BIGINT) // 100 AS v,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    ),
+    cells AS (
+        SELECT g, v, k, CAST(COUNT(*) AS BIGINT) AS c
+        FROM x GROUP BY g, v, k
+    ),
+    vd AS (SELECT DISTINCT g, v FROM x),
+    kd AS (SELECT DISTINCT g, k FROM x),
+    grid AS (
+        SELECT vd.g, vd.v, kd.k, COALESCE(cl.c, 0) AS c
+        FROM vd JOIN kd ON kd.g = vd.g
+        LEFT JOIN cells cl ON cl.g = vd.g AND cl.v = vd.v AND cl.k = kd.k
+    ),
+    p1 AS (
+        SELECT *, SUM(c) OVER (PARTITION BY g, k ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv
+        FROM grid
+    ),
+    p2 AS (
+        SELECT *, SUM(pv) OVER (PARTITION BY g, v ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        FROM p1
+    ),
+    p3 AS (
+        SELECT g, v, k, c,
+               COALESCE(LAG(p - pv) OVER (PARTITION BY g, k ORDER BY v),
+                        0) AS ll,
+               COALESCE(LAG(p) OVER (PARTITION BY g, k ORDER BY v),
+                        0) AS pvm1k
+        FROM p2
+    ),
+    vm AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS tv FROM x GROUP BY g, v
+    ),
+    vmc AS (
+        SELECT g, v, tv,
+               SUM(tv) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - tv AS cvm1
+        FROM vm
+    ),
+    cd AS (
+        SELECT p3.g,
+               CAST(SUM(p3.c * (p3.ll - (vmc.cvm1 - p3.pvm1k)))
+                    AS DECIMAL(38,0)) AS cmd
+        FROM p3 JOIN vmc ON vmc.g = p3.g AND vmc.v = p3.v
+        GROUP BY p3.g
+    ),
+    t1 AS (
+        SELECT g, CAST(SUM(tv) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(tv * (tv - 1) / 2) AS DECIMAL(38,0)) AS n1
+        FROM vm GROUP BY g
+    ),
+    km AS (
+        SELECT g, k, CAST(COUNT(*) AS BIGINT) AS tk FROM x GROUP BY g, k
+    ),
+    t2 AS (
+        SELECT g, CAST(SUM(tk * (tk - 1) / 2) AS DECIMAL(38,0)) AS n2
+        FROM km GROUP BY g
+    )
+    SELECT cd.g AS event_type,
+           CAST(t1.n AS BIGINT) AS n_rows,
+           CAST(cd.cmd AS BIGINT) AS con_minus_dis,
+           ROUND(CAST(cd.cmd AS DOUBLE)
+                 / SQRT(CAST(t1.n * (t1.n - 1) / 2 - t1.n1 AS DOUBLE)
+                        * CAST(t1.n * (t1.n - 1) / 2 - t2.n2 AS DOUBLE)),
+                 6) AS tau_b
+    FROM cd JOIN t1 ON t1.g = cd.g JOIN t2 ON t2.g = cd.g
+    ORDER BY event_type
+    """,
+    tags=("M2", "M14", "D10"),
+)
+def q_stats_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL RANK CORRELATION (tau-b, the tie-corrected form) per
+    event_type between the event value in whole dollars and the JSON
+    payload's k field — the pair-concordance companion to
+    q_stats_spearman's midrank algebra, with C − D computed EXACTLY
+    and O(n^2)-free.
+
+    Plan — concordance WITHOUT enumerating pairs: one joint census to
+    (value, k) cells, then a DENSE DOMAIN GRID (observed v-domain x
+    observed k-domain per type, bounded by the VALUE DOMAINS — ~500 x
+    100 cells — never by row count) carries a 2D prefix sum built
+    from two cumulative windows (over v within k, then over k within
+    v; P(v,k-1) falls out as P - Pv with no extra pass). Each cell
+    then reads its strictly-smaller-both quadrant LL = P(v-1,k-1) and
+    its discordant quadrant LG = C(v-1) - P(v-1,k) from one LAG, and
+    C - D = sum c * (LL - LG) counts every pair exactly once at its
+    larger-v member. Tie corrections n1/n2 come from the two marginal
+    censuses; tau_b's one float expression (the sqrt quotient) runs on
+    identical exact-integer operand bits in both engines (< 2^53 —
+    the module-header lemma, same bound q_stats_spearman documents).
+    The naive spelling is a self-join of n rows with n rows per type
+    — 4 * 10^6 pairs at sf0.01 and ruinous at any real scale; the
+    grid spelling's cost is fixed by the domains alone.
+    """
+    x = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.expr(
+            "CAST(ROUND(value * 100, 0) AS BIGINT) div 100"
+        ).alias("v"),
+        F.expr("CAST(from_json(props, 'k INT').k AS BIGINT)").alias("k"),
+    )
+    cells = x.groupBy("g", "v", "k").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    vd = x.select("g", "v").distinct()
+    kd = x.select("g", "k").distinct()
+    grid = (
+        vd.join(kd, "g")
+        .join(cells, ["g", "v", "k"], "left")
+        .na.fill({"c": 0})
+    )
+    wv = (
+        Window.partitionBy("g", "k")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wk = (
+        Window.partitionBy("g", "v")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p1 = grid.withColumn("pv", F.sum("c").over(wv))
+    p2 = p1.withColumn("p", F.sum("pv").over(wk))
+    wlag = Window.partitionBy("g", "k").orderBy("v")
+    p3 = p2.select(
+        "g",
+        "v",
+        "c",
+        F.coalesce(
+            F.lag(F.col("p") - F.col("pv")).over(wlag), F.lit(0)
+        ).alias("ll"),
+        F.coalesce(F.lag("p").over(wlag), F.lit(0)).alias("pvm1k"),
+    )
+    vm = x.groupBy("g", "v").agg(F.count("*").cast("bigint").alias("tv"))
+    wvm = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vmc = vm.withColumn("cvm1", F.sum("tv").over(wvm) - F.col("tv"))
+    terms = p3.join(vmc.select("g", "v", "cvm1"), ["g", "v"])
+    cd = terms.groupBy("g").agg(
+        F.sum(
+            F.col("c") * (F.col("ll") - (F.col("cvm1") - F.col("pvm1k")))
+        )
+        .cast(D38)
+        .alias("cmd")
+    )
+    t1 = vm.groupBy("g").agg(
+        F.sum("tv").cast(D38).alias("n"),
+        F.sum(F.expr("tv * (tv - 1) div 2")).cast(D38).alias("n1"),
+    )
+    km = x.groupBy("g", "k").agg(F.count("*").cast("bigint").alias("tk"))
+    t2 = km.groupBy("g").agg(
+        F.sum(F.expr("tk * (tk - 1) div 2")).cast(D38).alias("n2")
+    )
+    n0 = F.expr("n * (n - 1) / 2")
+    return (
+        cd.join(t1, "g")
+        .join(t2, "g")
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("cmd").cast("bigint").alias("con_minus_dis"),
+            F.round(
+                F.col("cmd").cast("double")
+                / F.sqrt(
+                    (n0 - F.col("n1")).cast("double")
+                    * (n0 - F.col("n2")).cast("double")
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# One-way ANOVA rejection at alpha = 0.05 with df1 = 4: the df2 = inf
+# critical value 2.3719, e4-fixed; cross-multiplied like RUNS_Z2_E4.
+# (At every fixture SF df2 = n - 5 is in the thousands, where the true
+# critical value differs from the asymptote only in the 4th decimal;
+# the decision stays an exact integer comparison either way.)
+ANOVA_F_CRIT_E4 = 23719
+
+
+@register(
+    "q_stats_anova",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    grp AS (
+        SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(cents) AS HUGEINT) AS s,
+               CAST(SUM(cents * cents) AS HUGEINT) AS q
+        FROM x GROUP BY g
+    ),
+    gterm AS (
+        SELECT g, n, s, q,
+               1000000 * ((s * s) // n)
+                 + CAST(ROUND(1000000.0
+                       * CAST((s * s) % n AS DOUBLE)
+                       / CAST(n AS DOUBLE), 0) AS HUGEINT) AS term_e6
+        FROM grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+               CAST(SUM(s) AS HUGEINT) AS ss,
+               CAST(SUM(q) AS HUGEINT) AS qq,
+               CAST(SUM(term_e6) AS HUGEINT) AS a_e6,
+               CAST(COUNT(*) AS HUGEINT) AS k
+        FROM gterm
+    ),
+    fin AS (
+        SELECT nn, k,
+               a_e6 - (1000000 * ((ss * ss) // nn)
+                       + CAST(ROUND(1000000.0
+                             * CAST((ss * ss) % nn AS DOUBLE)
+                             / CAST(nn AS DOUBLE), 0) AS HUGEINT))
+                 AS ssb_e6,
+               1000000 * qq - a_e6 AS ssw_e6
+        FROM tot
+    )
+    SELECT CAST(nn AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS k_groups,
+           CAST(ssb_e6 AS BIGINT) AS ssb_e6,
+           CAST(ssw_e6 AS BIGINT) AS ssw_e6,
+           CAST((ssb_e6 * (nn - k) * 1000000)
+                // (ssw_e6 * (k - 1)) AS BIGINT) AS f_e6_floor,
+           ssb_e6 * (nn - k) * 10000
+             > {ANOVA_F_CRIT_E4} * ssw_e6 * (k - 1) AS significant
+    FROM fin
+    """,
+    tags=("M2", "M14", "D10"),
+)
+def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA — does mean event value (cents) differ across the
+    five event types? Generalizes q_ab_test's two-sample t to k
+    groups; completes the classical battery next to Kruskal-free rank
+    tests (Mann-Whitney) and the chi-square.
+
+    Exactness: each group's between-term s_g^2/n_g is e6-fixed by
+    integer DIV/MOD decomposition — 10^6*(s^2 div n) is exact integer
+    arithmetic and the residue r = s^2 mod n is < n < 2^53, so
+    round(10^6*r/n) divides identical operand bits in both engines
+    (module-header lemma; no operand anywhere near the 2^53 cliff,
+    unlike a naive 10^6*s^2/n whose numerator is ~10^24). SSB_e6 and
+    SSW_e6 are then exact integer sums/differences of those fixings
+    (house DECIMAL(38,0)); the F statistic is reported as an exact
+    FLOOR-e6 integer quotient and the alpha = 0.05 decision is the
+    cross-multiplied integer comparison SSB*(n-k)*10^4 >
+    crit*SSW*(k-1) — no float ever enters the verdict.
+
+    Plan: ONE map-side-combined census to 5 group rows; everything
+    after is arithmetic on a 5-row frame. The fact table is scanned
+    once; at any scale this is the optimal shape (partial aggregation
+    does all the work map-side)."""
+    x = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    grp = x.groupBy("g").agg(
+        F.count("*").cast(D38).alias("n"),
+        F.sum("cents").cast(D38).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast(D38).alias("q"),
+    )
+    s2 = F.col("s") * F.col("s")
+    gterm = grp.select(
+        "n",
+        "s",
+        "q",
+        (
+            F.lit(1000000).cast(D38) * F.expr("(s * s) div n").cast(D38)
+            + F.round(
+                F.lit(1000000.0)
+                * (s2 % F.col("n")).cast("double")
+                / F.col("n").cast("double"),
+                0,
+            ).cast(D38)
+        ).alias("term_e6"),
+    )
+    tot = gterm.agg(
+        F.sum("n").cast(D38).alias("nn"),
+        F.sum("s").cast(D38).alias("ss"),
+        F.sum("q").cast(D38).alias("qq"),
+        F.sum("term_e6").cast(D38).alias("a_e6"),
+        F.count("*").cast(D38).alias("k"),
+    )
+    ss2 = F.col("ss") * F.col("ss")
+    fin = tot.select(
+        "nn",
+        "k",
+        (
+            F.col("a_e6")
+            - (
+                F.lit(1000000).cast(D38)
+                * F.expr("(ss * ss) div nn").cast(D38)
+                + F.round(
+                    F.lit(1000000.0)
+                    * (ss2 % F.col("nn")).cast("double")
+                    / F.col("nn").cast("double"),
+                    0,
+                ).cast(D38)
+            )
+        ).alias("ssb_e6"),
+        (F.lit(1000000).cast(D38) * F.col("qq") - F.col("a_e6")).alias(
+            "ssw_e6"
+        ),
+    )
+    return fin.select(
+        F.col("nn").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("ssb_e6").cast("bigint").alias("ssb_e6"),
+        F.col("ssw_e6").cast("bigint").alias("ssw_e6"),
+        F.expr(
+            "(ssb_e6 * (nn - k) * 1000000) div (ssw_e6 * (k - 1))"
+        )
+        .cast("bigint")
+        .alias("f_e6_floor"),
+        (
+            F.col("ssb_e6") * (F.col("nn") - F.col("k")) * F.lit(10000)
+            > F.lit(ANOVA_F_CRIT_E4)
+            * F.col("ssw_e6")
+            * (F.col("k") - F.lit(1))
+        ).alias("significant"),
+    )
+
+
+@register(
+    "q_stats_cramers_v",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS kb,
+               CAST(COUNT(*) AS DECIMAL(38,0)) AS o
+        FROM events GROUP BY event_type, kb
+    ),
+    tot AS (
+        SELECT event_type, kb, o,
+               SUM(o) OVER (PARTITION BY event_type) AS row_t,
+               SUM(o) OVER (PARTITION BY kb) AS col_t,
+               SUM(o) OVER () AS n
+        FROM cells
+    ),
+    terms AS (
+        SELECT n,
+               CAST(ROUND(CAST((o * n - row_t * col_t)
+                               * (o * n - row_t * col_t) AS DOUBLE)
+                          / CAST(n * row_t * col_t AS DOUBLE) * 1000000, 0)
+                    AS BIGINT) AS term_e6
+        FROM tot
+    ),
+    s AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(term_e6) AS BIGINT) AS chi2_e6
+        FROM terms
+    )
+    SELECT n, chi2_e6,
+           CAST((CAST(chi2_e6 AS HUGEINT) * 1000) // (CAST(n AS HUGEINT) * 4)
+                AS BIGINT) AS v2_e9_floor,
+           CAST(chi2_e6 AS HUGEINT) * 25 > CAST(n AS HUGEINT) * 4000000
+             AS strong_assoc
+    FROM s
+    """,
+    tags=("M2", "M14", "D6"),
+)
+def q_stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMER'S V effect size over the 5x5 event_type x (k mod 5)
+    contingency — the companion EFFECT-SIZE number to q_stats_chi2's
+    SIGNIFICANCE verdict (at fixture n, chi-square rejects for
+    associations far too small to matter; V is what a analyst actually
+    reads). V^2 = chi^2 / (n * min(r-1, c-1)) with min-dim 4.
+
+    Exactness: the chi-square statistic reuses q_stats_chi2's
+    multiplied-through per-cell e6 fixing (exact DECIMAL operands,
+    one identical-bits double division per cell); V^2 is then the
+    exact FLOOR-e9 integer quotient chi2_e6 * 1000 div (n * 4), and
+    the V > 0.2 'strong association' call is the cross-multiplied
+    integer comparison chi2_e6 * 25 > n * 4 * 10^6. No float in any
+    reported decision.
+
+    Plan: one census to 25 cells; three windows over the 25-row frame;
+    one global fold. Fact table scanned once."""
+    cells = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (
+                F.expr("CAST(from_json(props, 'k INT').k AS BIGINT)") % 5
+            ).alias("kb"),
+        )
+        .agg(F.count("*").cast(D38).alias("o"))
+    )
+    wrow = Window.partitionBy("event_type")
+    wcol = Window.partitionBy("kb")
+    wall = Window.partitionBy()
+    tot = cells.select(
+        "o",
+        F.sum("o").over(wrow).alias("row_t"),
+        F.sum("o").over(wcol).alias("col_t"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    num = F.col("o") * F.col("n") - F.col("row_t") * F.col("col_t")
+    terms = tot.select(
+        "n",
+        F.round(
+            (num * num).cast("double")
+            / (F.col("n") * F.col("row_t") * F.col("col_t")).cast("double")
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("term_e6"),
+    )
+    s = terms.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("term_e6").cast("bigint").alias("chi2_e6"),
+    )
+    return s.select(
+        "n",
+        "chi2_e6",
+        F.expr(
+            "(CAST(chi2_e6 AS DECIMAL(38,0)) * 1000) "
+            "div (CAST(n AS DECIMAL(38,0)) * 4)"
+        )
+        .cast("bigint")
+        .alias("v2_e9_floor"),
+        (
+            F.col("chi2_e6").cast(D38) * 25
+            > F.col("n").cast(D38) * 4000000
+        ).alias("strong_assoc"),
+    )
+
+
+def _pascal_cum_rows(max_m: int = 31) -> list:
+    """(m, s, K) rows with K = sum_{i<=s} C(m,i) — the exact binomial
+    tail table for the sign test, bounded by the day-count domain
+    (<= 31 per month), built driver-side from integer Pascal identity
+    (math.comb) and broadcast. The ORACLE rebuilds the same table
+    independently inside SQL from a recursive factorial CTE with
+    HUGEINT exact division — two engines, two constructions, one
+    integer table."""
+    import math
+
+    rows = []
+    for m in range(max_m + 1):
+        acc = 0
+        for s in range(m + 1):
+            acc += math.comb(m, s)
+            rows.append((m, s, acc))
+    return rows
+
+
+@register(
+    "q_stats_sign_bh",
+    oracle="""
+    WITH RECURSIVE fct(i, f) AS (
+        SELECT 0, CAST(1 AS HUGEINT)
+        UNION ALL
+        SELECT i + 1, f * (i + 1) FROM fct WHERE i < 31
+    ),
+    comb AS (
+        SELECT fm.i AS m, fi.i AS s,
+               fm.f // (fi.f * fmi.f) AS c
+        FROM fct fm
+        JOIN fct fi ON fi.i <= fm.i
+        JOIN fct fmi ON fmi.i = fm.i - fi.i
+    ),
+    kcum AS (
+        SELECT m, s,
+               CAST(SUM(c) OVER (PARTITION BY m ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS kc
+        FROM comb
+    ),
+    x AS (
+        SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS g,
+               CAST(ts AS DATE) AS day,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    daily AS (
+        SELECT g, day, CAST(COUNT(*) AS DECIMAL(38,0)) AS nd,
+               CAST(SUM(cents) AS DECIMAL(38,0)) AS sd
+        FROM x GROUP BY g, day
+    ),
+    gt AS (
+        SELECT g, SUM(nd) AS ng, SUM(sd) AS sg FROM daily GROUP BY g
+    ),
+    signs AS (
+        SELECT d.g,
+               CAST(SUM(CASE WHEN d.sd * t.ng > t.sg * d.nd
+                             THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+               CAST(SUM(CASE WHEN d.sd * t.ng < t.sg * d.nd
+                             THEN 1 ELSE 0 END) AS BIGINT) AS neg
+        FROM daily d JOIN gt t ON t.g = d.g GROUP BY d.g
+    ),
+    mm AS (
+        SELECT g, pos, neg, pos + neg AS m,
+               LEAST(pos, neg) AS smin
+        FROM signs
+    ),
+    pv AS (
+        SELECT mm.g, mm.pos, mm.m,
+               LEAST(CAST(1 AS BIGINT) << mm.m, 2 * kcum.kc) AS p_num,
+               CAST(1 AS BIGINT) << mm.m AS p_den
+        FROM mm JOIN kcum ON kcum.m = mm.m AND kcum.s = mm.smin
+    ),
+    ranked AS (
+        SELECT *,
+               CAST(COUNT(*) OVER () AS BIGINT) AS gcount,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE),
+                            g) AS BIGINT) AS j
+        FROM pv
+    ),
+    verdict AS (
+        SELECT *,
+               MAX(CASE WHEN p_num * 20 * gcount <= p_den * j
+                        THEN j ELSE 0 END) OVER () AS jmax
+        FROM ranked
+    )
+    SELECT g, m AS m_days, pos,
+           CAST(ROUND(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)
+                      * 1000000, 0) AS BIGINT) AS p_e6,
+           j AS bh_rank,
+           j <= jmax AS bh_reject
+    FROM verdict ORDER BY g
+    """,
+    tags=("M2", "M14", "D10"),
+)
+def q_stats_sign_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SIGN TEST per segment + BENJAMINI-HOCHBERG FDR control
+    across the family — the multiple-testing layer every
+    experimentation platform needs on top of the single-test pack
+    (running 10 segment tests at alpha = 0.05 uncorrected false-flags
+    ~40% of the time). Per k-segment: is the segment's daily mean
+    symmetric around its own overall mean? Each day's sign is the
+    cross-multiplied integer comparison s_d * N_g vs S_g * n_d (no
+    division, exact ties dropped — the classical sign test); with
+    m <= 31 days the two-sided p-value is the EXACT dyadic rational
+    min(1, 2 * sum_{i<=smin} C(m,i)) / 2^m — numerator and
+    denominator are BIGINTs from an integer Pascal table (bounded by
+    the calendar, not the data; built via math.comb here and
+    INDEPENDENTLY via a recursive factorial CTE with HUGEINT exact
+    division in the oracle). BH then sorts the 10 exact rationals
+    (the sort key p_num/2^m divides identical exact-double operand
+    bits in both engines) and rejects ranks <= max{j : p_(j) <=
+    alpha*j/G}, spelled as the integer comparison p_num * 20 * G <=
+    2^m * j — alpha = 0.05 = 1/20 exactly, so NO float touches any
+    acceptance decision, single-test or family-wise.
+
+    Plan: one census to (segment, day) — 310 rows at any SF; the
+    Pascal table is a 528-row broadcast constant; everything after the
+    census is windows over a 10-row frame. Fact scanned once."""
+    x = t(spark, sf_dir, "events").select(
+        (
+            F.expr("CAST(from_json(props, 'k INT').k AS BIGINT)") % 10
+        ).alias("g"),
+        F.col("ts").cast("date").alias("day"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    daily = x.groupBy("g", "day").agg(
+        F.count("*").cast(D38).alias("nd"),
+        F.sum("cents").cast(D38).alias("sd"),
+    )
+    gt = daily.groupBy("g").agg(
+        F.sum("nd").alias("ng"), F.sum("sd").alias("sg")
+    )
+    d = daily.join(gt, "g")
+    signs = d.groupBy("g").agg(
+        F.sum(
+            F.when(F.col("sd") * F.col("ng") > F.col("sg") * F.col("nd"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("pos"),
+        F.sum(
+            F.when(F.col("sd") * F.col("ng") < F.col("sg") * F.col("nd"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("neg"),
+    )
+    mm = signs.select(
+        "g",
+        "pos",
+        (F.col("pos") + F.col("neg")).alias("m"),
+        F.least("pos", "neg").alias("smin"),
+    )
+    pascal = spark.createDataFrame(
+        _pascal_cum_rows(), ["pm", "ps", "kc"]
+    )
+    pv = mm.join(
+        F.broadcast(pascal),
+        (F.col("pm") == F.col("m")) & (F.col("ps") == F.col("smin")),
+    ).select(
+        "g",
+        "pos",
+        "m",
+        F.least(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(m AS INT))"),
+            2 * F.col("kc"),
+        ).alias("p_num"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(m AS INT))").alias(
+            "p_den"
+        ),
+    )
+    wall = Window.partitionBy()
+    wrank = Window.orderBy(
+        F.col("p_num").cast("double") / F.col("p_den").cast("double"),
+        "g",
+    )
+    ranked = pv.select(
+        "*",
+        F.count("*").over(wall).cast("bigint").alias("gcount"),
+        F.row_number().over(wrank).cast("bigint").alias("j"),
+    )
+    verdict = ranked.withColumn(
+        "jmax",
+        F.max(
+            F.when(
+                F.col("p_num") * 20 * F.col("gcount")
+                <= F.col("p_den") * F.col("j"),
+                F.col("j"),
+            ).otherwise(0)
+        ).over(wall),
+    )
+    return verdict.select(
+        "g",
+        F.col("m").alias("m_days"),
+        "pos",
+        F.round(
+            F.col("p_num").cast("double")
+            / F.col("p_den").cast("double")
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("p_e6"),
+        F.col("j").alias("bh_rank"),
+        (F.col("j") <= F.col("jmax")).alias("bh_reject"),
+    ).orderBy("g")

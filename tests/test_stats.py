@@ -512,3 +512,132 @@ def test_spearman_matches_scipy_free_brute_force(spark, events):
         )
         assert abs(got.loc[et, "rho"] - rho) < 1e-6
         assert int(got.loc[et, "n_rows"]) == n
+
+
+# ---------------------------------------------------------------------------
+# Round-10 pack: Kendall tau-b, one-way ANOVA, Cramér's V, sign test + BH.
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_matches_brute_force_pairs(spark, events):
+    """C - D recomputed by the O(n^2) definition the grid spelling
+    exists to avoid: literally enumerate every pair per event_type."""
+    got = _rows(spark, "q_stats_kendall").set_index("event_type")
+    df = events.copy()
+    df["v"] = (df.value * 100).round().astype("int64") // 100
+    df["k"] = df.props.str.extract(r'"k":\s*(\d+)').astype("int64")
+    for g, sub in df.groupby("event_type"):
+        pts = list(zip(sub.v, sub.k))
+        n = len(pts)
+        cmd = 0
+        n1 = n2 = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx = pts[i][0] - pts[j][0]
+                dy = pts[i][1] - pts[j][1]
+                s = dx * dy
+                if s > 0:
+                    cmd += 1
+                elif s < 0:
+                    cmd -= 1
+        from collections import Counter
+
+        tv = Counter(p[0] for p in pts)
+        tk = Counter(p[1] for p in pts)
+        n1 = sum(t * (t - 1) // 2 for t in tv.values())
+        n2 = sum(t * (t - 1) // 2 for t in tk.values())
+        n0 = n * (n - 1) // 2
+        assert int(got.loc[g, "con_minus_dis"]) == cmd, g
+        assert int(got.loc[g, "n_rows"]) == n
+        tau = cmd / math.sqrt((n0 - n1) * (n0 - n2))
+        assert abs(float(got.loc[g, "tau_b"]) - tau) < 5e-7, g
+
+
+def test_anova_matches_brute_force(spark, events):
+    """SSB/SSW e6 fixings and the F decision recomputed with exact
+    Python integers (the same div/mod decomposition, independently)."""
+    got = _rows(spark, "q_stats_anova").iloc[0]
+    df = events.copy()
+    df["cents"] = (df.value * 100).round().astype("int64")
+    groups = {
+        g: list(sub.cents) for g, sub in df.groupby("event_type")
+    }
+    k = len(groups)
+    nn = sum(len(v) for v in groups.values())
+    qq = sum(c * c for v in groups.values() for c in v)
+    ss = sum(sum(v) for v in groups.values())
+    def term_e6(s, n):
+        s2 = s * s
+        return 1_000_000 * (s2 // n) + round(1_000_000 * (s2 % n) / n)
+    a_e6 = sum(term_e6(sum(v), len(v)) for v in groups.values())
+    ssb = a_e6 - term_e6(ss, nn)
+    ssw = 1_000_000 * qq - a_e6
+    assert int(got["n"]) == nn and int(got["k_groups"]) == k
+    assert int(got["ssb_e6"]) == ssb
+    assert int(got["ssw_e6"]) == ssw
+    assert int(got["f_e6_floor"]) == (ssb * (nn - k) * 1_000_000) // (
+        ssw * (k - 1)
+    )
+    assert bool(got["significant"]) == (
+        ssb * (nn - k) * 10_000 > 23719 * ssw * (k - 1)
+    )
+
+
+def test_cramers_v_matches_brute_force(spark, events):
+    """chi2_e6 and the V^2 floor recomputed from the raw contingency."""
+    got = _rows(spark, "q_stats_cramers_v").iloc[0]
+    df = events.copy()
+    df["kb"] = df.props.str.extract(r'"k":\s*(\d+)').astype("int64") % 5
+    from collections import Counter
+
+    cells = Counter(zip(df.event_type, df.kb))
+    rows = Counter(df.event_type)
+    cols = Counter(df.kb)
+    n = len(df)
+    chi2_e6 = sum(
+        round(
+            (o * n - rows[r] * cols[c]) ** 2
+            / (n * rows[r] * cols[c])
+            * 1_000_000
+        )
+        for (r, c), o in cells.items()
+    )
+    assert int(got["n"]) == n
+    assert int(got["chi2_e6"]) == chi2_e6
+    assert int(got["v2_e9_floor"]) == (chi2_e6 * 1000) // (n * 4)
+    assert bool(got["strong_assoc"]) == (chi2_e6 * 25 > n * 4_000_000)
+
+
+def test_sign_bh_matches_brute_force(spark, events):
+    """Per-group exact dyadic p-values and the BH cutoff recomputed
+    with Fraction arithmetic (no rounding anywhere)."""
+    from fractions import Fraction
+
+    got = _rows(spark, "q_stats_sign_bh").set_index("g")
+    df = events.copy()
+    df["g"] = df.props.str.extract(r'"k":\s*(\d+)').astype("int64") % 10
+    df["day"] = df.ts.dt.date
+    df["cents"] = (df.value * 100).round().astype("int64")
+    ps = {}
+    for g, sub in df.groupby("g"):
+        daily = sub.groupby("day").agg(
+            nd=("cents", "size"), sd=("cents", "sum")
+        )
+        ng, sg = int(daily.nd.sum()), int(daily.sd.sum())
+        pos = int(((daily.sd * ng) > (sg * daily.nd)).sum())
+        neg = int(((daily.sd * ng) < (sg * daily.nd)).sum())
+        m, smin = pos + neg, min(pos, neg)
+        pnum = min(2**m, 2 * sum(math.comb(m, i) for i in range(smin + 1)))
+        ps[g] = (Fraction(pnum, 2**m), m, pos)
+        assert int(got.loc[g, "m_days"]) == m and int(got.loc[g, "pos"]) == pos
+        assert int(got.loc[g, "p_e6"]) == round(pnum / 2**m * 1_000_000)
+    order = sorted(ps, key=lambda g: (ps[g][0], g))
+    G = len(order)
+    jmax = max(
+        (j for j, g in enumerate(order, 1)
+         if ps[g][0] <= Fraction(1, 20) * Fraction(j, G)),
+        default=0,
+    )
+    for j, g in enumerate(order, 1):
+        assert int(got.loc[g, "bh_rank"]) == j
+        assert bool(got.loc[g, "bh_reject"]) == (j <= jmax)
