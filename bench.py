@@ -239,6 +239,10 @@ HEADLINE = [
     "q_stats_anova",
     "q_stats_cramers_v",
     "q_stats_sign_bh",
+    "q_ts_changepoint_sse",
+    "q_train_ridge",
+    "q_class_knn_vote",
+    "q_sql_decorrelate",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

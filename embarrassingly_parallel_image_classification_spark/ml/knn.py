@@ -1024,3 +1024,92 @@ def q_knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") % 2 == 0,
         overfetch=4,
     )
+
+
+# kNN-classifier fixture: 20 held-out queries, 5 voting neighbors —
+# big enough that votes actually split, small enough that the oracle's
+# cross join stays trivial at sf0.01.
+CLS_QUERIES = 20
+CLS_K = 5
+
+
+@register(
+    "q_class_knn_vote",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, label AS true_label,
+               CAST(embedding AS DOUBLE[]) AS q_emb
+        FROM embeddings WHERE vec_id < {CLS_QUERIES}
+    ),
+    scored AS (
+        SELECT q.qid, q.true_label, e.vec_id, e.label,
+               ROUND(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), q.q_emb), 6) AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id >= {CLS_QUERIES}
+    ),
+    nn AS (
+        SELECT qid, true_label, label FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY sim DESC, vec_id) AS r
+            FROM scored
+        ) WHERE r <= {CLS_K}
+    ),
+    votes AS (
+        SELECT qid, true_label, label,
+               CAST(COUNT(*) AS BIGINT) AS votes
+        FROM nn GROUP BY qid, true_label, label
+    )
+    SELECT qid, CAST(true_label AS BIGINT) AS true_label,
+           CAST(label AS BIGINT) AS pred_label, votes,
+           true_label = label AS correct
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY votes DESC, label) AS r
+        FROM votes
+    ) WHERE r = 1 ORDER BY qid
+    """,
+    tags=("K3", "J1", "F3"),
+)
+def q_class_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN CLASSIFIER (Fix & Hodges 1951; Cover & Hart 1967) — the
+    inference-side consumer of the K3 retrieval stack: 20 held-out
+    embedding rows are classified by MAJORITY VOTE among their 5
+    nearest train-set neighbors (cosine). Prediction ties break to the
+    smallest label, neighbor-rank ties to the smallest vec_id on the
+    e6-rounded similarity — the established K3 determinism contract —
+    so the whole decision path is discrete and exactly
+    oracle-checkable (no decision ever rests on an unrounded float).
+
+    Plan: rides knn_exact verbatim (broadcast queries x corpus, one
+    partial-topk-per-partition tournament — neighbor selection never
+    shuffles the corpus); the vote is a groupBy over k*|queries| = 100
+    rows and one rank window over the vote census. Swap-in path for
+    the IVF/PQ tiers: any K3 retriever that emits (qid, vec_id, rank)
+    feeds the same vote."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < CLS_QUERIES)
+    corpus = emb.filter(F.col("vec_id") >= CLS_QUERIES)
+    nn = knn_exact(corpus, queries, CLS_K, carry=("label",))
+    truth = queries.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").cast("bigint").alias("true_label"),
+    )
+    votes = (
+        nn.join(F.broadcast(truth), "qid")
+        .groupBy("qid", "true_label", "label")
+        .agg(F.count("*").cast("bigint").alias("votes"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "qid",
+            "true_label",
+            F.col("label").cast("bigint").alias("pred_label"),
+            "votes",
+            (F.col("true_label") == F.col("label")).alias("correct"),
+        )
+        .orderBy("qid")
+    )

@@ -963,3 +963,155 @@ def q_train_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pred_right_e6"),
     )
     return r1.unionAll(r2).orderBy("round")
+
+
+# Ridge penalty for q_train_ridge, on the integer (cents / units /
+# discount-pct) design scale. Standard ridge with the intercept
+# penalized too — that makes (X'X + lambda*I) a 3x3 INTEGER matrix and
+# Cramer's rule an exact-rational solve; the estimator is stated, not
+# approximated.
+RIDGE_LAMBDA = 10_000
+
+@register(
+    "q_train_ridge",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x1) AS HUGEINT) AS sx1,
+               CAST(SUM(x2) AS HUGEINT) AS sx2,
+               CAST(SUM(x1 * x1) AS HUGEINT) AS sx11,
+               CAST(SUM(x1 * x2) AS HUGEINT) AS sx12,
+               CAST(SUM(x2 * x2) AS HUGEINT) AS sx22,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x1 * y) AS HUGEINT) AS sx1y,
+               CAST(SUM(x2 * y) AS HUGEINT) AS sx2y
+        FROM (
+            SELECT CAST(l_quantity AS BIGINT) AS x1,
+                   CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x2,
+                   CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+            FROM lineitem
+        )
+    ),
+    m AS (
+        SELECT n, sy,
+               n + {RIDGE_LAMBDA} AS a11, sx1 AS a12, sx2 AS a13,
+               sx11 + {RIDGE_LAMBDA} AS a22, sx12 AS a23,
+               sx22 + {RIDGE_LAMBDA} AS a33,
+               sy AS b1, sx1y AS b2, sx2y AS b3
+        FROM c
+    ),
+    d AS (
+        SELECT n,
+               a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+                 + a13*(a12*a23 - a22*a13) AS det0,
+               b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3)
+                 + a13*(b2*a23 - a22*b3) AS detb0,
+               a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13)
+                 + a13*(a12*b3 - b2*a13) AS detb1,
+               a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13)
+                 + b1*(a12*a23 - a22*a13) AS detb2
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST({RIDGE_LAMBDA} AS BIGINT) AS lam,
+           CAST(CASE WHEN detb0 < 0 THEN -1 ELSE 1 END
+                * CASE WHEN det0 < 0 THEN -1 ELSE 1 END
+                * (ABS(detb0) * 1000000 // ABS(det0)) AS BIGINT)
+             AS beta0_e6,
+           CAST(CASE WHEN detb1 < 0 THEN -1 ELSE 1 END
+                * CASE WHEN det0 < 0 THEN -1 ELSE 1 END
+                * (ABS(detb1) * 1000000 // ABS(det0)) AS BIGINT)
+             AS beta1_e6,
+           CAST(CASE WHEN detb2 < 0 THEN -1 ELSE 1 END
+                * CASE WHEN det0 < 0 THEN -1 ELSE 1 END
+                * (ABS(detb2) * 1000000 // ABS(det0)) AS BIGINT)
+             AS beta2_e6
+    FROM d
+    """,
+    tags=("Q5", "D10", "M14"),
+)
+def q_train_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIDGE REGRESSION, CLOSED FORM (Hoerl & Kennard 1970): y =
+    extendedprice cents on [1, quantity, discount-pct] with the
+    L2-penalized normal equations (X'X + lambda*I) beta = X'y solved
+    EXACTLY by Cramer's rule — the 3x3 system's determinants are
+    integer polynomials in the nine census sums, so every coefficient
+    is an exact rational detb_j/det0 reported as a sign-split
+    TRUNCATED e6 integer quotient (floor on the absolute values, where
+    Spark's `div` and DuckDB's `//` agree bit-for-bit; no float
+    anywhere). Complements q_train_linreg_gd: same model family, the
+    ITERATIVE spelling there vs the one-shot algebraic solve here —
+    at 100 TB the closed form is ONE census pass + driver-side 3x3
+    arithmetic, strictly cheaper than any GD schedule when the
+    feature count is small enough to invert.
+
+    Plan: one map-side-combined aggregate to a single row of nine
+    sums; everything after is constant-time arithmetic ON that row
+    (no second scan, no iteration, no collect — the determinant
+    algebra runs inside the same Catalyst plan)."""
+    x = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.expr("CAST(ROUND(l_discount * 100, 0) AS BIGINT)").alias("x2"),
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    d38 = "decimal(38,0)"
+    c = x.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x1").cast(d38).alias("sx1"),
+        F.sum("x2").cast(d38).alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast(d38).alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).cast(d38).alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).cast(d38).alias("sx22"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast(d38).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast(d38).alias("sx2y"),
+    )
+    lam = RIDGE_LAMBDA
+    m = c.select(
+        "n",
+        F.expr(f"n + {lam}").alias("a11"),
+        F.col("sx1").alias("a12"),
+        F.col("sx2").alias("a13"),
+        F.expr(f"sx11 + {lam}").alias("a22"),
+        F.col("sx12").alias("a23"),
+        F.expr(f"sx22 + {lam}").alias("a33"),
+        F.col("sy").alias("b1"),
+        F.col("sx1y").alias("b2"),
+        F.col("sx2y").alias("b3"),
+    )
+    d = m.select(
+        "n",
+        F.expr(
+            "a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)"
+            " + a13*(a12*a23 - a22*a13)"
+        ).alias("det0"),
+        F.expr(
+            "b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3)"
+            " + a13*(b2*a23 - a22*b3)"
+        ).alias("detb0"),
+        F.expr(
+            "a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13)"
+            " + a13*(a12*b3 - b2*a13)"
+        ).alias("detb1"),
+        F.expr(
+            "a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13)"
+            " + b1*(a12*a23 - a22*a13)"
+        ).alias("detb2"),
+    )
+
+    def trunc_e6(num: str):
+        return (
+            F.when(F.col(num) < 0, -1).otherwise(1)
+            * F.when(F.col("det0") < 0, -1).otherwise(1)
+            * F.expr(f"abs({num}) * 1000000 div abs(det0)")
+        ).cast("bigint")
+
+    return d.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.lit(lam).cast("bigint").alias("lam"),
+        trunc_e6("detb0").alias("beta0_e6"),
+        trunc_e6("detb1").alias("beta1_e6"),
+        trunc_e6("detb2").alias("beta2_e6"),
+    )

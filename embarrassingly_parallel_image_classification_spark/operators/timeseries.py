@@ -1553,3 +1553,128 @@ def q_timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf"),
     ).orderBy("event_type", "lag")
+
+
+@register(
+    "q_ts_changepoint_sse",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) // 100
+                    AS BIGINT) AS y
+        FROM events GROUP BY event_type, day
+    ),
+    pre AS (
+        SELECT event_type, day, y,
+               CAST(SUM(y) OVER w AS DECIMAL(38,0)) AS s1,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY day) AS DECIMAL(38,0)) AS n1,
+               CAST(SUM(y) OVER (PARTITION BY event_type)
+                    AS DECIMAL(38,0)) AS s,
+               CAST(COUNT(*) OVER (PARTITION BY event_type)
+                    AS DECIMAL(38,0)) AS n
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    gains AS (
+        SELECT event_type, day, n1, n - n1 AS n2,
+               CAST((CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)
+                         * CAST(n - n1 AS HUGEINT)
+                       + CAST(s - s1 AS HUGEINT) * CAST(s - s1 AS HUGEINT)
+                         * CAST(n1 AS HUGEINT))
+                    // (CAST(n1 AS HUGEINT) * CAST(n - n1 AS HUGEINT))
+                    AS BIGINT) AS gain_floor
+        FROM pre WHERE n1 < n
+    ),
+    best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY gain_floor DESC, day) AS r
+        FROM gains
+    )
+    SELECT event_type, day AS split_day,
+           CAST(n1 AS BIGINT) AS n_left,
+           CAST(n2 AS BIGINT) AS n_right,
+           gain_floor
+    FROM best WHERE r = 1 ORDER BY event_type
+    """,
+    tags=("D10", "M2", "E1"),
+)
+def q_ts_changepoint_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGEPOINT DETECTION by least-squares binary segmentation (the
+    first split of Scott-Knott / PELT-style segmentation; public
+    method, Bai 1997 single-break estimation) — the level-shift
+    locator that complements q_changepoint_cusum's drift ALARM: for
+    each event_type's daily-revenue series (whole dollars), find the
+    split that minimizes total within-segment SSE, i.e. maximizes the
+    between-segment gain s1^2/n1 + s2^2/n2 (total SS is constant in
+    the split).
+
+    Exactness: the gain is carried as the exact integer FLOOR of
+    (s1^2*n2 + s2^2*n1) / (n1*n2) — numerator exact DECIMAL(38,0),
+    denominator bounded by the day-count domain (<= 31*31), quotient a
+    BIGINT; the argmax is over (gain_floor DESC, day ASC), so no float
+    enters the location decision anywhere. SSE itself never needs to
+    be materialized.
+
+    Plan: one census to (type, day) — <= 31 rows per type at any SF —
+    then two windows and one rank over that domain-bounded frame; the
+    fact table is scanned once. The naive spelling recomputes two
+    variances per candidate split (O(days^2) passes); prefix sums make
+    every candidate's gain fall out of ONE cumulative window."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) div 100 "
+                "AS BIGINT)"
+            ).alias("y")
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    d38 = "decimal(38,0)"
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.sum("y").over(wcum).cast(d38).alias("s1"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast(d38)
+        .alias("n1"),
+        F.sum("y").over(wall).cast(d38).alias("s"),
+        F.count("*").over(wall).cast(d38).alias("n"),
+    )
+    gains = pre.filter(F.col("n1") < F.col("n")).select(
+        "event_type",
+        "day",
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        F.expr(
+            "CAST((s1 * s1 * (n - n1) + (s - s1) * (s - s1) * n1) "
+            "div (n1 * (n - n1)) AS BIGINT)"
+        ).alias("gain_floor"),
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.desc("gain_floor"), F.asc("day")
+    )
+    return (
+        gains.withColumn("r", F.row_number().over(wbest))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("split_day"),
+            F.col("n1").cast("bigint").alias("n_left"),
+            F.col("n2").cast("bigint").alias("n_right"),
+            "gain_floor",
+        )
+        .orderBy("event_type")
+    )

@@ -1136,3 +1136,55 @@ def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+# Correlated-subquery surface: the SAME portable SQL runs on both
+# engines (q_sql_portable's parity rule) — four correlated scalar
+# aggregates over the same relation plus an EXISTS, all against
+# EXACT integer cents so no float threshold can flip a boundary row.
+_DECORRELATE_SQL = """
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT c.c_custkey,
+           (SELECT COUNT(*) FROM o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           (SELECT MAX(cents) FROM o
+            WHERE o.o_custkey = c.c_custkey) AS max_cents
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM o WHERE o.o_custkey = c.c_custkey)
+      AND (SELECT MAX(cents) FROM o WHERE o.o_custkey = c.c_custkey)
+            * (SELECT COUNT(*) FROM o WHERE o.o_custkey = c.c_custkey)
+          > 2 * (SELECT SUM(cents) FROM o
+                 WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c.c_custkey
+"""
+
+
+@register(
+    "q_sql_decorrelate", oracle=_DECORRELATE_SQL, tags=("composite", "C1")
+)
+def q_sql_decorrelate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED SUBQUERY DECORRELATION — customers whose single
+    largest order exceeds twice their own average order value
+    (max * n > 2 * sum over exact cents), written the way an analyst
+    writes it: four correlated scalar aggregate subqueries plus an
+    EXISTS, all correlated on c_custkey against the same derived
+    relation.
+
+    This query exists to pin the OPTIMIZER contract (SURVEY §4), not
+    new semantics: executed naively it is five probes of `orders` PER
+    CUSTOMER ROW — O(|customer| * |orders|). Catalyst's
+    RewriteCorrelatedScalarSubquery + RewritePredicateSubquery +
+    MergeScalarSubqueries rules decorrelate every probe into
+    aggregate-then-JOIN form (the EXISTS becomes a semi/outer join,
+    the four scalars collapse onto a shared per-custkey aggregate), so
+    the physical plan is a bounded number of hash joins over ONE
+    aggregation of orders — tests/test_plans.py asserts no
+    BroadcastNestedLoopJoin / CartesianProduct survives in the
+    physical plan, which IS the 100-TB viability of this spelling."""
+    for name in ("orders", "customer"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_DECORRELATE_SQL)

@@ -788,3 +788,14 @@ def test_onehot_null_and_collision_guards(spark):
         ).write.parquet(f"{path}/orders.parquet")
         with _pytest.raises(ValueError, match=match):
             registry.queries()["q_feat_onehot"](spark, path)
+
+
+def test_decorrelate_plan_has_no_nested_loop(spark):
+    """q_sql_decorrelate exists to pin the optimizer contract: its four
+    correlated scalar subqueries + EXISTS must decorrelate into
+    aggregate-then-hash-join form. A BroadcastNestedLoopJoin or
+    CartesianProduct here means Catalyst executed a per-customer probe
+    of orders — the O(|customer|*|orders|) shape that dies at scale."""
+    plan = plan_of(spark, "q_sql_decorrelate")
+    assert "NestedLoop" not in plan
+    assert "Cartesian" not in plan

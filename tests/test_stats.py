@@ -641,3 +641,90 @@ def test_sign_bh_matches_brute_force(spark, events):
     for j, g in enumerate(order, 1):
         assert int(got.loc[g, "bh_rank"]) == j
         assert bool(got.loc[g, "bh_reject"]) == (j <= jmax)
+
+
+def test_changepoint_sse_matches_brute_force(spark, events):
+    """Best split recomputed by the O(days^2) definition: for every
+    candidate, exact-Fraction within-segment SSE; argmin must agree
+    with the prefix-sum spelling's integer-floor argmax."""
+    from fractions import Fraction
+
+    got = _rows(spark, "q_ts_changepoint_sse").set_index("event_type")
+    df = events.copy()
+    df["day"] = df.ts.dt.date
+    df["cents"] = (df.value * 100).round().astype("int64")
+    for g, sub in df.groupby("event_type"):
+        daily = sub.groupby("day").cents.sum().sort_index() // 100
+        ys = [int(v) for v in daily]
+        days = list(daily.index)
+        n = len(ys)
+        best = None
+        for t_ in range(1, n):
+            left, right = ys[:t_], ys[t_:]
+            gain_num = (
+                sum(left) ** 2 * len(right) + sum(right) ** 2 * len(left)
+            )
+            gain_floor = gain_num // (len(left) * len(right))
+            key = (-gain_floor, days[t_ - 1])
+            if best is None or key < best[0]:
+                best = (key, days[t_ - 1], t_, gain_floor)
+        assert str(got.loc[g, "split_day"]) == str(best[1]), g
+        assert int(got.loc[g, "n_left"]) == best[2]
+        assert int(got.loc[g, "gain_floor"]) == best[3]
+        # and the integer-floor argmax picks a split whose EXACT
+        # rational gain is within 1 of the true optimum (quantization
+        # bound), i.e. the floor statistic is a faithful locator
+        exact = [
+            Fraction(
+                sum(ys[:t_]) ** 2 * (n - t_) + sum(ys[t_:]) ** 2 * t_,
+                t_ * (n - t_),
+            )
+            for t_ in range(1, n)
+        ]
+        assert max(exact) - Fraction(best[3]) < 1
+
+
+def test_ridge_matches_brute_force(spark):
+    """Cramer's-rule coefficients recomputed with arbitrary-precision
+    Python integers straight from the raw rows."""
+    got = _rows(spark, "q_train_ridge").iloc[0]
+    li = duckdb.sql(
+        f"SELECT CAST(l_quantity AS BIGINT) x1,"
+        f" CAST(ROUND(l_discount*100,0) AS BIGINT) x2,"
+        f" CAST(ROUND(l_extendedprice*100,0) AS BIGINT) y"
+        f" FROM read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).df()
+    lam = 10_000
+    n = len(li)
+    sx1, sx2 = int(li.x1.sum()), int(li.x2.sum())
+    sx11 = int((li.x1 * li.x1).sum())
+    sx12 = int((li.x1 * li.x2).sum())
+    sx22 = int((li.x2 * li.x2).sum())
+    sy = int(li.y.sum())
+    sx1y = int((li.x1 * li.y).sum())
+    sx2y = int((li.x2 * li.y).sum())
+    A = [
+        [n + lam, sx1, sx2],
+        [sx1, sx11 + lam, sx12],
+        [sx2, sx12, sx22 + lam],
+    ]
+    b = [sy, sx1y, sx2y]
+
+    def det3(M):
+        return (
+            M[0][0] * (M[1][1] * M[2][2] - M[1][2] * M[2][1])
+            - M[0][1] * (M[1][0] * M[2][2] - M[1][2] * M[2][0])
+            + M[0][2] * (M[1][0] * M[2][1] - M[1][1] * M[2][0])
+        )
+
+    d0 = det3(A)
+    for j, name in enumerate(["beta0_e6", "beta1_e6", "beta2_e6"]):
+        Mj = [row[:] for row in A]
+        for r in range(3):
+            Mj[r][j] = b[r]
+        dj = det3(Mj)
+        sign = (-1 if dj < 0 else 1) * (-1 if d0 < 0 else 1)
+        expect = sign * (abs(dj) * 1_000_000 // abs(d0))
+        assert int(got[name]) == expect, name
+    # sanity: ridge shrinks toward zero vs huge lambda
+    assert int(got["n"]) == n
