@@ -197,6 +197,10 @@ _CARTESIAN_OK = {
     "q_knn_filtered",        # pre-filtered corpus × tiny query side
                              # (q_knn_exact's shape behind a pushed
                              # metadata predicate)
+    "q_class_knn_vote",      # rides knn_exact verbatim: broadcast of
+                             # the 20-row query side × corpus is the
+                             # documented K3 retrieval shape; the vote
+                             # itself is a 100-row groupBy
     "q_dedup_embedding",     # demoted all-pairs verifier (docstring'd)
     "q_dedup_ngram_jaccard", # exact-Jaccard verifier (docstring'd)
     "q_tpch_q11",            # 1-row global-total scalar into HAVING
