@@ -243,6 +243,10 @@ HEADLINE = [
     "q_train_ridge",
     "q_class_knn_vote",
     "q_sql_decorrelate",
+    "q_privacy_t_closeness",
+    "q_lake_check_constraint",
+    "q_ts_backtest_mase",
+    "q_multimodal_keyframes",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

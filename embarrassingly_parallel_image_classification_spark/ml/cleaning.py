@@ -753,3 +753,153 @@ def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dev_e6"),
         )
     )
+
+
+@register(
+    "q_privacy_t_closeness",
+    oracle="""
+    WITH x AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS b
+        FROM customer
+    ),
+    dom AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS cb FROM x GROUP BY b
+    ),
+    gtotal AS (
+        SELECT CAST(SUM(cb) AS BIGINT) AS nn,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM dom
+    ),
+    grp AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS ng
+        FROM x GROUP BY c_nationkey, c_mktsegment
+    ),
+    cells AS (
+        SELECT c_nationkey, c_mktsegment, b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM x GROUP BY c_nationkey, c_mktsegment, b
+    ),
+    grid AS (
+        SELECT g.c_nationkey, g.c_mktsegment, g.ng, d.b, d.cb,
+               gl.nn, gl.m, COALESCE(cl.c, 0) AS c
+        FROM grp g CROSS JOIN dom d CROSS JOIN gtotal gl
+        LEFT JOIN cells cl
+          ON cl.c_nationkey = g.c_nationkey
+         AND cl.c_mktsegment = g.c_mktsegment AND cl.b = d.b
+    ),
+    cum AS (
+        SELECT c_nationkey, c_mktsegment, ng, nn, m,
+               SUM(c * nn - cb * ng) OVER (
+                   PARTITION BY c_nationkey, c_mktsegment ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cd
+        FROM grid
+    ),
+    emd AS (
+        SELECT c_nationkey, c_mktsegment, ng, nn, m,
+               CAST(SUM(ABS(cd)) AS BIGINT) AS emd_num
+        FROM cum GROUP BY c_nationkey, c_mktsegment, ng, nn, m
+    ),
+    per AS (
+        SELECT ng, emd_num,
+               (emd_num * 1000000) // (ng * nn * (m - 1)) AS emd_e6,
+               emd_num * 5 > ng * nn * (m - 1) AS violate
+        FROM emd
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(CASE WHEN violate THEN 1 END) AS BIGINT)
+             AS n_violating,
+           CAST(COALESCE(SUM(CASE WHEN violate THEN ng END), 0) AS BIGINT)
+             AS rows_at_risk,
+           CAST(MAX(emd_e6) AS BIGINT) AS max_emd_e6
+    FROM per
+    """,
+    tags=("governance", "D4", "E1"),
+)
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007, public) —
+    completes the release-gate triad over the same QI groups:
+    q_privacy_k_anon counts group SIZE, q_privacy_l_diversity counts
+    within-group VARIETY, and this gate bounds how much a group's
+    sensitive DISTRIBUTION deviates from the global one (skewness
+    attack: a group can be large and diverse yet still 90% high-
+    balance). For the ORDERED sensitive attribute (the $2k balance
+    band), the distance is the 1-D Earth Mover's Distance = mean of
+    |cumulative(P - Q)| over the band domain.
+
+    Exactness: with group counts c_i, global counts C_i, group size
+    n_g, total N, every cumulative difference is the exact integer
+    cum(c_i*N - C_i*n_g); EMD's rational value emd_num / (n_g*N*(m-1))
+    is reported as a FLOOR-e6 integer quotient and the t = 0.2 = 1/5
+    gate is the cross-multiplied comparison 5*emd_num > n_g*N*(m-1) —
+    no float in any verdict (the house M14 discipline applied to
+    privacy).
+
+    Plan: one fact census to (QI, band) cells; a (groups x band-domain)
+    dense grid — bounded by DOMAINS (125 groups x ~6 bands), never by
+    rows — carries one cumulative window; one fold to the report row.
+    Fact table scanned once (the three grouping passes all reuse the
+    same scan via Catalyst's exchange reuse or cost a second scan of
+    one column — either way no row ever shuffles twice)."""
+    x = t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("CAST(FLOOR(c_acctbal / 2000) AS BIGINT)").alias("b"),
+    )
+    dom = x.groupBy("b").agg(F.count("*").cast("bigint").alias("cb"))
+    gtotal = dom.agg(
+        F.sum("cb").cast("bigint").alias("nn"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    grp = x.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("ng")
+    )
+    cells = x.groupBy("c_nationkey", "c_mktsegment", "b").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(dom))
+        .join(cells, ["c_nationkey", "c_mktsegment", "b"], "left")
+        .na.fill({"c": 0})
+        .crossJoin(F.broadcast(gtotal))
+    )
+    wcum = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "ng",
+        "nn",
+        "m",
+        F.sum(
+            F.col("c") * F.col("nn") - F.col("cb") * F.col("ng")
+        ).over(wcum).alias("cd"),
+    )
+    emd = cum.groupBy("c_nationkey", "c_mktsegment", "ng", "nn", "m").agg(
+        F.sum(F.abs("cd")).cast("bigint").alias("emd_num")
+    )
+    per = emd.select(
+        "ng",
+        F.expr(
+            "(emd_num * 1000000) div (ng * nn * (m - 1))"
+        ).alias("emd_e6"),
+        (
+            F.col("emd_num") * 5
+            > F.col("ng") * F.col("nn") * (F.col("m") - 1)
+        ).alias("violate"),
+    )
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.count(F.when(F.col("violate"), 1))
+        .cast("bigint")
+        .alias("n_violating"),
+        F.coalesce(F.sum(F.when(F.col("violate"), F.col("ng"))), F.lit(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.max("emd_e6").cast("bigint").alias("max_emd_e6"),
+    )

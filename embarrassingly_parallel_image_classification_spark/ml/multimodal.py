@@ -403,3 +403,98 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clips.mapInPandas(
         feats, "vec_id long, frame long, energy long, zero_cross long, peak long"
     ).orderBy("vec_id", "frame")
+
+
+# Keyframe selection: a frame is a KEYFRAME when its energy (sum of
+# bytes — the stand-in for a luminance histogram) jumps more than this
+# vs the previous frame; the first frame of every media is always kept.
+_KEYFRAME_DELTA = 64
+
+
+@register(
+    "q_multimodal_keyframes",
+    oracle=f"""
+    WITH idx AS (
+        SELECT doc_id, text,
+               unnest(range(0,
+                   CAST((strlen(text) - {_FRAME_LEN}) // {_FRAME_STRIDE}
+                        AS BIGINT) + 1)) AS i
+        FROM documents WHERE strlen(text) >= {_FRAME_LEN}
+    ),
+    ch AS (
+        SELECT doc_id, i, text, unnest(range(0, {_FRAME_LEN})) AS j
+        FROM idx
+    ),
+    en AS (
+        SELECT doc_id, i,
+               CAST(SUM(ascii(substr(text,
+                    CAST(i * {_FRAME_STRIDE} + j + 1 AS INT), 1)))
+                    AS BIGINT) AS energy
+        FROM ch GROUP BY doc_id, i
+    ),
+    d AS (
+        SELECT doc_id, i, energy,
+               LAG(energy) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM en
+    )
+    SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx, energy
+    FROM d
+    WHERE prev IS NULL OR ABS(energy - prev) > {_KEYFRAME_DELTA}
+    ORDER BY media_id, frame_idx
+    """,
+    tags=("K5", "J6"),
+)
+def q_multimodal_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYFRAME SELECTION by frame differencing — the shot/scene-change
+    detector every video curation pipeline runs before storing or
+    embedding frames (keep a frame only when it CHANGES; ffmpeg's
+    select='gt(scene,t)' is the production analog): consecutive
+    32-byte frames at stride 16, per-frame energy = exact integer byte
+    sum (the luminance-histogram stand-in), keep frame 0 and every
+    frame whose energy jumps > 64 vs its predecessor. A real decoder swaps ONLY the energy function
+    (frombuffer → decode + histogram); the sequential frame walk,
+    fanout schema and partitioning hold verbatim.
+
+    Plan: one shuffle-free mapInPandas fanout (payloads never return to
+    the JVM — the K5 contract); per media the energies come from ONE
+    numpy cumulative sum (each window sum is prefix[i+L] - prefix[i]),
+    so the Python stage is vectorized end to end. The oracle recomputes
+    every energy character-by-character in SQL — a completely
+    independent spelling of the same integers."""
+    import numpy as np  # noqa: F811 (vectorized path below)
+
+    def keyframes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple[int, int, int]] = []
+            for mid, payload in zip(
+                pdf["media_id"], pdf["payload"], strict=True
+            ):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(buf) < _FRAME_LEN:
+                    continue
+                n_frames = (len(buf) - _FRAME_LEN) // _FRAME_STRIDE + 1
+                prefix = np.concatenate(
+                    ([0], np.cumsum(buf, dtype=np.int64))
+                )
+                starts = np.arange(n_frames, dtype=np.int64) * _FRAME_STRIDE
+                energy = prefix[starts + _FRAME_LEN] - prefix[starts]
+                keep = np.empty(n_frames, dtype=bool)
+                keep[0] = True
+                if n_frames > 1:
+                    keep[1:] = (
+                        np.abs(np.diff(energy)) > _KEYFRAME_DELTA
+                    )
+                for i in np.nonzero(keep)[0]:
+                    out.append((int(mid), int(i), int(energy[i])))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "energy"]
+            )
+
+    return (
+        media_table(spark, sf_dir)
+        .select("media_id", "payload")
+        .mapInPandas(
+            keyframes, "media_id long, frame_idx long, energy long"
+        )
+        .orderBy("media_id", "frame_idx")
+    )

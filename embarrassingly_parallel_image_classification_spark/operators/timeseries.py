@@ -1678,3 +1678,138 @@ def q_ts_changepoint_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Backtest split for q_ts_backtest_mase: last 7 days held out, the
+# seasonal-naive forecaster has period 7 (weekly), and the MASE scale
+# is the classical in-sample one-step naive MAE (Hyndman & Koehler
+# 2006, public).
+MASE_HORIZON = 7
+MASE_PERIOD = 7
+
+
+@register(
+    "q_ts_backtest_mase",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) // 100
+                    AS BIGINT) AS y
+        FROM events GROUP BY event_type, day
+    ),
+    r AS (
+        SELECT event_type, day, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS t,
+               COUNT(*) OVER (PARTITION BY event_type) AS n,
+               LAG(y, {MASE_PERIOD}) OVER (PARTITION BY event_type
+                                           ORDER BY day) AS y_season,
+               LAG(y, 1) OVER (PARTITION BY event_type
+                               ORDER BY day) AS y_prev
+        FROM daily
+    ),
+    s AS (
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN t > n - {MASE_HORIZON}
+                        THEN ABS(y - y_season) END) AS BIGINT) AS err_num,
+               CAST(SUM(CASE WHEN t BETWEEN 2 AND n - {MASE_HORIZON}
+                        THEN ABS(y - y_prev) END) AS BIGINT) AS scale_num,
+               CAST(SUM(CASE WHEN t BETWEEN 2 AND n - {MASE_HORIZON}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS scale_n
+        FROM r GROUP BY event_type
+    )
+    SELECT event_type, n_days, err_num, scale_num,
+           CAST((err_num * scale_n * 1000000)
+                // (CAST({MASE_HORIZON} AS BIGINT) * scale_num)
+                AS BIGINT) AS mase_e6,
+           err_num * scale_n < {MASE_HORIZON} * scale_num
+             AS beats_naive
+    FROM s ORDER BY event_type
+    """,
+    tags=("D10", "M2", "E2"),
+)
+def q_ts_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST BACKTEST with MASE (Hyndman & Koehler 2006): hold out
+    the last {h} days of each event_type's daily-revenue series,
+    forecast them with the seasonal-naive rule y_hat(t) = y(t - {p})
+    (the baseline every forecasting paper scales against), and score
+    with the Mean Absolute SCALED Error — test MAE divided by the
+    in-sample one-step naive MAE, the scale-free metric that lets
+    series of different magnitude share one quality gate.
+
+    Exactness: both MAEs are rationals over integer absolute
+    differences of whole-dollar daily sums, so MASE = (err/h) /
+    (scale/m) is reported as the exact FLOOR-e6 integer quotient
+    err*m*10^6 div (h*scale), and the 'beats naive' gate (MASE < 1)
+    is the cross-multiplied integer comparison err*m < h*scale — no
+    float in the metric or the verdict.
+
+    Plan: one census to (type, day); two LAG windows + one conditional
+    fold over the <= 31-row-per-type frame. Fact scanned once. This is
+    the evaluation harness the Holt trainer (q_timeseries_holt) plugs
+    into: any forecaster that emits y_hat joins the same scoring
+    frame.""".format(h=MASE_HORIZON, p=MASE_PERIOD)
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) div 100 "
+                "AS BIGINT)"
+            ).alias("y")
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    r = daily.select(
+        "event_type",
+        "y",
+        F.row_number().over(wo).alias("t"),
+        F.count("*").over(wall).alias("n"),
+        F.lag("y", MASE_PERIOD).over(wo).alias("y_season"),
+        F.lag("y", 1).over(wo).alias("y_prev"),
+    )
+    h = MASE_HORIZON
+    s = r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.sum(
+            F.when(
+                F.col("t") > F.col("n") - h,
+                F.abs(F.col("y") - F.col("y_season")),
+            )
+        )
+        .cast("bigint")
+        .alias("err_num"),
+        F.sum(
+            F.when(
+                (F.col("t") >= 2) & (F.col("t") <= F.col("n") - h),
+                F.abs(F.col("y") - F.col("y_prev")),
+            )
+        )
+        .cast("bigint")
+        .alias("scale_num"),
+        F.sum(
+            F.when(
+                (F.col("t") >= 2) & (F.col("t") <= F.col("n") - h), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("scale_n"),
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        "err_num",
+        "scale_num",
+        F.expr(
+            f"(err_num * scale_n * 1000000) div "
+            f"(CAST({h} AS BIGINT) * scale_num)"
+        )
+        .cast("bigint")
+        .alias("mase_e6"),
+        (
+            F.col("err_num") * F.col("scale_n")
+            < F.lit(h) * F.col("scale_num")
+        ).alias("beats_naive"),
+    ).orderBy("event_type")

@@ -650,6 +650,23 @@ def snapshot_write(
                     f"generated column {_col} violates its expression "
                     f"{_expr!r}; drop the column to have it computed"
                 )
+    # CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT ... CHECK):
+    # table-level manifest predicates every write must satisfy. SQL
+    # semantics: a row violates only when the expression is FALSE —
+    # NULL passes (same rule real engines apply) — hence the
+    # NOT coalesce(expr, true) spelling. Early-exit probe (limit 1)
+    # over the INCOMING batch only; the standing table was validated
+    # when the constraint was declared and is immutable since.
+    checks0: dict = {}
+    if _m0 is not None:
+        checks0 = _m0.get("checks", {})
+    for _cname, _cexpr in sorted(checks0.items()):
+        if df.filter(
+            ~F.coalesce(F.expr(_cexpr), F.lit(True))
+        ).limit(1).count():
+            raise ValueError(
+                f"write violates CHECK constraint {_cname}: {_cexpr!r}"
+            )
     # IDENTITY columns (Delta GENERATED ALWAYS AS IDENTITY): writers
     # must omit them — values are assigned below from the manifest's
     # high-water mark, after the batch is staged (assignment runs over
@@ -767,6 +784,12 @@ def snapshot_write(
                 raise ConcurrentWriteError(
                     "identity high-water mark moved during write; retry"
                 )
+            # a constraint added while this write was staging means the
+            # frame was validated against the OLD check set — retry
+            if m.get("checks", {}) != checks0:
+                raise ConcurrentWriteError(
+                    "CHECK constraints changed during write; retry"
+                )
             # ingest-idempotence ids survive EVERY snapshot, including
             # overwrite/compaction — dropping them would let a stream
             # restart replay an already-ingested batch.
@@ -823,6 +846,7 @@ def snapshot_write(
                 c: {**d, "high": _new_high.get(c, d["high"])}
                 for c, d in ident0.items()
             },
+            "checks": checks0,
             "schema": logical_schema,
             "committed_at": time.time(),
         }
@@ -1647,6 +1671,7 @@ def delete_where(
             "batch_ids": m.get("batch_ids", []),
             "generated": m.get("generated", {}),
             "identity": m.get("identity", {}),
+            "checks": m.get("checks", {}),
             "committed_at": time.time(),
             **({"schema": m["schema"]} if "schema" in m else {}),
         }
@@ -3192,6 +3217,7 @@ def snapshot_clone(src: str, dst: str, version: int | None = None) -> int:
         "defaults": m.get("defaults", {}),
         "generated": m.get("generated", {}),
         "identity": m.get("identity", {}),
+        "checks": m.get("checks", {}),
         "schema": m["schema"],
         "committed_at": time.time(),
         "cloned_from": {"path": src, "version": v},
@@ -4634,4 +4660,108 @@ def q_lake_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("row_id").cast("bigint").alias("sum_id"),
         )
         .orderBy("parity")
+    )
+
+
+def add_check_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT name CHECK (expr) — a metadata-only
+    commit (Delta CHECK constraints): the manifest gains a ``checks``
+    entry and every subsequent snapshot_write raises when an incoming
+    row evaluates the predicate to FALSE (NULL passes — SQL CHECK
+    semantics). Declaration validates the STANDING data once with an
+    early-exit probe; from then on only incoming batches are probed,
+    so enforcement cost is O(batch), never O(table). Races with
+    in-flight writes resolve exactly like generated/identity: the
+    staged frame was validated under a different check set, the commit
+    loop refuses, the caller retries."""
+    v0 = current_version(path)
+    if v0 == 0:
+        raise ValueError("cannot add a constraint to an empty table")
+    cur = snapshot_read(spark, path)
+    if cur.filter(~F.coalesce(F.expr(expr), F.lit(True))).limit(1).count():
+        raise ValueError(
+            f"existing rows violate CHECK {name}: {expr!r}; "
+            f"clean the data before declaring it"
+        )
+    while True:
+        v = current_version(path)
+        with open(_manifest_path(path, v)) as f:
+            m = json.load(f)
+        if v != v0:
+            raise ConcurrentWriteError(
+                "table moved during constraint declaration; retry"
+            )
+        checks = dict(m.get("checks", {}))
+        checks[name] = expr
+        payload = {
+            **m,
+            "version": v + 1,
+            "mode": "add_check",
+            "checks": checks,
+            "committed_at": time.time(),
+        }
+        tmp = _manifest_path(path, v + 1) + f".tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        try:
+            os.link(tmp, _manifest_path(path, v + 1))  # atomic claim
+            os.unlink(tmp)
+            _metalog_append(path, _summary_of(payload, v + 1))
+            return v + 1
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ConcurrentWriteError(
+                "version claimed concurrently during constraint declaration"
+            )
+
+
+@register(
+    "q_lake_check_constraint",
+    oracle="""
+    WITH u AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders WHERE o_totalprice > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(MIN(cents) AS BIGINT) AS min_cents
+    FROM u
+    """,
+    tags=("lakehouse", "schema", "A6"),
+)
+def q_lake_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK CONSTRAINTS end to end (Delta ALTER TABLE ADD CONSTRAINT):
+    v1 writes the even orders; the DDL declares CHECK (cents > 0)
+    (validating the standing data at declaration time); v3 appends the
+    odd orders, which must pass the write-time probe. The final census
+    equals the raw-rows census — i.e. enforcement admitted exactly the
+    compliant data and nothing was silently dropped (a constraint
+    REJECTS, it never filters). The rejection paths — an append with a
+    violating row raises, declaring over violating data raises, the
+    constraint survives DELETE/overwrite/clone — are pinned in pytest;
+    a query cannot return a raise.
+
+    Scale: the constraint is BYTES in the manifest; enforcement is one
+    early-exit limit-1 probe over the incoming batch only — the
+    standing table is never rescanned."""
+    from ..sources.formats import scratch
+
+    path = scratch("lake_check", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    ).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    snapshot_write(orders.filter(F.col("o_orderkey") % 2 == 0), path, "append")
+    add_check_constraint(spark, path, "positive_cents", "cents > 0")
+    snapshot_write(orders.filter(F.col("o_orderkey") % 2 == 1), path, "append")
+    return snapshot_read(spark, path).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.min("cents").cast("bigint").alias("min_cents"),
     )

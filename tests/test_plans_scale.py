@@ -2506,3 +2506,50 @@ def test_lakehouse_delete_and_clone_carry_generated(spark, tmp_path):
         for r in lakehouse.snapshot_read_mor(spark, dst).collect()
     }
     assert got2[8] == 16
+
+
+def test_lakehouse_check_constraint_guards(spark, tmp_path):
+    """CHECK contract: violating append is REFUSED (not filtered);
+    NULL passes (SQL CHECK semantics); declaring over violating data
+    is refused; the constraint survives DELETE, overwrite, and
+    clone."""
+    import pytest
+
+    from embarrassingly_parallel_image_classification_spark.plans import lakehouse
+
+    path = str(tmp_path / "chk_tbl")
+    base = spark.range(1, 6).select(F.col("id").alias("k"))
+    lakehouse.snapshot_write(base, path, "append")
+    with pytest.raises(ValueError, match="existing rows violate"):
+        lakehouse.add_check_constraint(spark, path, "big", "k > 3")
+    lakehouse.add_check_constraint(spark, path, "positive", "k > 0")
+    with pytest.raises(ValueError, match="violates CHECK"):
+        lakehouse.snapshot_write(
+            spark.range(0, 1).select(F.col("id").alias("k")), path, "append"
+        )
+    # NULL passes
+    lakehouse.snapshot_write(
+        spark.range(1).select(F.lit(None).cast("bigint").alias("k")),
+        path,
+        "append",
+    )
+    # survives DELETE and overwrite
+    lakehouse.delete_where(
+        spark, path, "k", spark.range(1, 2).select(F.col("id").alias("k"))
+    )
+    lakehouse.snapshot_write(
+        spark.range(7, 9).select(F.col("id").alias("k")), path, "overwrite"
+    )
+    with pytest.raises(ValueError, match="violates CHECK"):
+        lakehouse.snapshot_write(
+            spark.range(-1, 0).select(F.col("id").alias("k")),
+            path,
+            "overwrite",
+        )
+    # clone carries the constraint
+    dst = str(tmp_path / "chk_clone")
+    lakehouse.snapshot_clone(path, dst)
+    with pytest.raises(ValueError, match="violates CHECK"):
+        lakehouse.snapshot_write(
+            spark.range(-1, 0).select(F.col("id").alias("k")), dst, "append"
+        )
