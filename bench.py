@@ -247,6 +247,9 @@ HEADLINE = [
     "q_lake_check_constraint",
     "q_ts_backtest_mase",
     "q_multimodal_keyframes",
+    "q_stats_kruskal",
+    "q_stream_cusum",
+    "q_graph_connected_components",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -24,7 +24,7 @@ and keeps the query a pure function of its inputs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -513,3 +513,118 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM l{_LPA_ITERS} GROUP BY label"""
     )
     return spark.sql(sql, edges=edges, nodes=nodes)
+
+
+# Connected components run on the SAME-REGION restriction of the trade
+# graph (edges only between nations of one region), which makes the
+# component structure non-trivial (disconnected by construction unless
+# a region lacks internal trade) while the oracle's transitive closure
+# stays a 25-node recursion. Rounds: a region holds <= 5 nations, so
+# diameter <= 4; 8 unrolled min-label rounds are provably past
+# convergence — and the oracle is an INDEPENDENT transitive closure,
+# so an insufficient round count could not silently pass.
+_CC_ROUNDS = 8
+
+_CC_EDGES_SQL = """
+    SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    WHERE nc.n_regionkey = ns.n_regionkey
+"""
+
+
+@register(
+    "q_graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE base AS ({_CC_EDGES_SQL}),
+    edges AS (
+        SELECT src, dst FROM base
+        UNION
+        SELECT dst, src FROM base
+        UNION
+        SELECT n_nationkey, n_nationkey FROM nation
+    ),
+    reach(node, lbl) AS (
+        SELECT n_nationkey, n_nationkey FROM nation
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+        SELECT node, CAST(MIN(lbl) AS BIGINT) AS comp FROM reach
+        GROUP BY node
+    )
+    SELECT CAST(node AS BIGINT) AS node, comp,
+           CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT)
+             AS comp_size
+    FROM comp ORDER BY node
+    """,
+    tags=("M5", "C1", "D1"),
+)
+def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONNECTED COMPONENTS by iterative min-label propagation (the
+    GraphX/GraphFrames CC algorithm, Kiveris et al.'s baseline) over
+    the same-region trade graph — each nation's component id converges
+    to the smallest nation id it can reach. The Spark side runs
+    {rounds} UNROLLED relaxation rounds as one chained plan (the
+    q_graph_shortest_path iteration discipline: self-loops make each
+    round reference the previous frame exactly once, the engine owns
+    the dataflow); the ORACLE is a genuinely different algorithm — a
+    recursive-CTE TRANSITIVE CLOSURE with min-fold — so the two can
+    only agree if min-label propagation actually converged.
+
+    Scale: the edge derivation is the shared 4-table broadcast-dim
+    join (one pass over lineitem); the label frame is bounded by the
+    NATION DOMAIN (25 rows), localCheckpointed once. At real scale
+    (labels ≫ memory) the same relaxation runs as the driver-loop +
+    periodic-checkpoint pattern with large-star/small-star halving —
+    the round structure is identical, only the loop control moves.""".format(rounds=_CC_ROUNDS)
+    base = (
+        _trade_base(spark, sf_dir)
+        .join(
+            t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("c_nk"),
+                F.col("n_regionkey").alias("c_rk"),
+            ),
+            F.col("c_nk") == F.col("c_nationkey"),
+        )
+        .join(
+            t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("s_nk"),
+                F.col("n_regionkey").alias("s_rk"),
+            ),
+            F.col("s_nk") == F.col("s_nationkey"),
+        )
+        .filter(F.col("c_rk") == F.col("s_rk"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    edges = (
+        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+        .distinct()
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(_CC_ROUNDS):
+        labels = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(edges["dst"].alias("node"))
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    w = Window.partitionBy("lbl")
+    return labels.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("lbl").cast("bigint").alias("comp"),
+        F.count("*").over(w).cast("bigint").alias("comp_size"),
+    ).orderBy("node")

@@ -1751,3 +1751,169 @@ def q_stats_sign_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").alias("bh_rank"),
         (F.col("j") <= F.col("jmax")).alias("bh_reject"),
     ).orderBy("g")
+
+
+@register(
+    "q_stats_kruskal",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+        FROM events
+    ),
+    per_v AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM x GROUP BY v
+    ),
+    rk AS (
+        SELECT v, t,
+               2 * (SUM(t) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+                 + t + 1 AS r2
+        FROM per_v
+    ),
+    gv AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY g, v
+    ),
+    grp AS (
+        SELECT gv.g,
+               CAST(SUM(gv.c) AS HUGEINT) AS ng,
+               CAST(SUM(gv.c * rk.r2) AS HUGEINT) AS s2
+        FROM gv JOIN rk ON rk.v = gv.v
+        GROUP BY gv.g
+    ),
+    gterm AS (
+        SELECT ng, s2,
+               1000000 * ((s2 * s2) // ng)
+                 + CAST(ROUND(1000000.0 * CAST((s2 * s2) % ng AS DOUBLE)
+                              / CAST(ng AS DOUBLE), 0) AS HUGEINT)
+                 AS term_e6
+        FROM grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(ng) AS HUGEINT) AS n,
+               CAST(COUNT(*) AS HUGEINT) AS k,
+               CAST(SUM(term_e6) AS HUGEINT) AS a4_e6,
+               (SELECT CAST(SUM(t * t * t - t) AS HUGEINT) FROM per_v)
+                 AS ties3
+        FROM gterm
+    ),
+    h AS (
+        SELECT n, k,
+               (3 * a4_e6 - 3000000 * n * (n + 1) * (n + 1))
+                 // (n * (n + 1)) AS h_e6
+        FROM tot
+    ),
+    hh AS (
+        SELECT h.n, h.k, h.h_e6,
+               (h.h_e6 * (h.n * h.n * h.n - h.n))
+                 // (h.n * h.n * h.n - h.n - t.ties3) AS h_tie_e6
+        FROM h, tot t
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+           CAST(h_e6 AS BIGINT) AS h_e6,
+           CAST(h_tie_e6 AS BIGINT) AS h_tie_e6,
+           h_tie_e6 > {CHI2_DF4_E6} AS significant
+    FROM hh
+    """,
+    tags=("M2", "M14", "E3"),
+)
+def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H — the rank-based (distribution-free) k-group
+    sibling of this round's q_stats_anova, exactly as Mann-Whitney is
+    the rank twin of q_ab_test: does the VALUE DISTRIBUTION differ
+    across the five event types, detecting dominance shifts a mean
+    test misses under skew. Pooled midranks come from the global tie
+    census carried DOUBLED (2*c_lt + t + 1 — the house integer-rank
+    identity), so each group's rank sum S2_g = 2*R_g is an exact
+    integer; S2_g^2/n_g is e6-fixed by the ANOVA DIV/MOD decomposition
+    (S2^2 = 4R^2, so 12*sum(R^2/n) = 3*sum(S2^2/n) exactly);
+    H = 12*sum(R^2/n)/(N(N+1)) - 3(N+1) and
+    the tie correction H/C with C = 1 - sum(t^3-t)/(N^3-N) are exact
+    integer FLOOR quotients of those fixings; the alpha = 0.05 verdict
+    compares the corrected H'_e6 against the df=4 chi-square critical
+    e6 literal — integer vs integer, no float in the decision. (A full
+    cross-multiplied form exists but its operands pass 10^38 at
+    bench SF; the staged e6 fixing is the documented trade.)
+
+    Plan: one census to the pooled value domain (ranks WITHOUT ranking
+    the fact table — the q_stats_spearman discipline), one census to
+    the (group, value) domain, one broadcast-joinable rank lookup,
+    then arithmetic on a 5-row frame. Fact scanned twice at most
+    (Catalyst often reuses the exchange); rows never windowed."""
+    x = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("v"),
+    )
+    per_v = x.groupBy("v").agg(F.count("*").cast("bigint").alias("t"))
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = per_v.select(
+        "v",
+        "t",
+        (
+            2 * (F.sum("t").over(wv) - F.col("t")) + F.col("t") + 1
+        ).alias("r2"),
+    )
+    gv = x.groupBy("g", "v").agg(F.count("*").cast("bigint").alias("c"))
+    grp = (
+        gv.join(rk.select("v", "r2"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast(D38).alias("ng"),
+            F.sum(F.col("c") * F.col("r2")).cast(D38).alias("s2"),
+        )
+    )
+    gterm = grp.select(
+        "ng",
+        (
+            F.lit(1000000).cast(D38)
+            * F.expr("(s2 * s2) div ng").cast(D38)
+            + F.round(
+                F.lit(1000000.0)
+                * ((F.col("s2") * F.col("s2")) % F.col("ng")).cast(
+                    "double"
+                )
+                / F.col("ng").cast("double"),
+                0,
+            ).cast(D38)
+        ).alias("term_e6"),
+    )
+    ties = per_v.agg(
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast(D38).alias("ties3")
+    )
+    tot = gterm.agg(
+        F.sum("ng").cast(D38).alias("n"),
+        F.count("*").cast(D38).alias("k"),
+        F.sum("term_e6").cast(D38).alias("a4_e6"),
+    ).crossJoin(F.broadcast(ties))
+    h = tot.select(
+        "n",
+        "k",
+        "ties3",
+        F.expr(
+            "(3 * a4_e6 - 3000000 * n * (n + 1) * (n + 1)) "
+            "div (n * (n + 1))"
+        )
+        .cast(D38)
+        .alias("h_e6"),
+    )
+    hh = h.select(
+        "n",
+        "k",
+        "h_e6",
+        F.expr(
+            "(h_e6 * (n * n * n - n)) div (n * n * n - n - ties3)"
+        )
+        .cast(D38)
+        .alias("h_tie_e6"),
+    )
+    return hh.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("h_e6").cast("bigint").alias("h_e6"),
+        F.col("h_tie_e6").cast("bigint").alias("h_tie_e6"),
+        (F.col("h_tie_e6") > F.lit(CHI2_DF4_E6)).alias("significant"),
+    )

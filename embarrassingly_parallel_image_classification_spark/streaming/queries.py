@@ -1297,3 +1297,153 @@ def q_stream_feature_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").cast("bigint").alias("id_sum"),
     )
     return run_to_memory(agg, "complete")
+
+
+# Streaming CUSUM twin: the reference level is the floor-mean of the
+# first REF_DAYS daily totals (whole dollars) and the alarm threshold
+# is one full reference day of accumulated excess — both derived from
+# the data, so the statistic is scale-free across fixture SFs.
+CUSUM_REF_DAYS = 7
+
+CUSUM_STREAM_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) // 100
+                    AS BIGINT) AS y
+        FROM events GROUP BY event_type, day
+    ),
+    r AS (
+        SELECT event_type, day, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS t
+        FROM daily
+    ),
+    ref AS (
+        SELECT event_type,
+               CAST(SUM(y) // {CUSUM_REF_DAYS} AS BIGINT) AS ref
+        FROM r WHERE t <= {CUSUM_REF_DAYS} GROUP BY event_type
+    ),
+    p AS (
+        SELECT r.event_type, r.t,
+               SUM(r.y - ref.ref) OVER (PARTITION BY r.event_type
+                   ORDER BY r.t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+        FROM r JOIN ref ON ref.event_type = r.event_type
+        WHERE r.t > {CUSUM_REF_DAYS}
+    ),
+    s AS (
+        SELECT event_type, t, pk,
+               pk - LEAST(CAST(0 AS BIGINT),
+                   MIN(pk) OVER (PARTITION BY event_type ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 AS cusum
+        FROM p
+    ),
+    fin AS (
+        SELECT s.event_type,
+               MAX(s.t) AS n_days,
+               MAX(ref.ref) AS ref,
+               CAST(COALESCE(MIN(CASE WHEN s.cusum > ref.ref
+                                      THEN s.t END), 0) AS BIGINT)
+                 AS alarm_t
+        FROM s JOIN ref ON ref.event_type = s.event_type
+        GROUP BY s.event_type
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(ref AS BIGINT) AS ref, alarm_t
+    FROM fin ORDER BY event_type
+"""
+
+
+@register(
+    "q_stream_cusum",
+    oracle=CUSUM_STREAM_ORACLE,
+    tags=("I6", "M2", "timeseries"),
+)
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING one-sided CUSUM drift alarm (Page 1954 — the ONLINE
+    form of q_changepoint_cusum's offline argmax): per event_type the
+    state is a day -> (dollar-sum) map — bounded by the CALENDAR, not
+    the stream, and built from COMMUTATIVE sums, so the drained result
+    is independent of how the source splits into microbatches (no
+    order assumption at all, unlike a tick-level recursion). Every
+    emission re-derives the full decision from the map: reference =
+    floor-mean of the first 7 daily totals, S_t = max(0, S_{{t-1}} +
+    y_t - ref) over the remaining days via the prefix-minus-running-
+    min identity (S_t = P_t - min(0, min P)), alarm at the first day
+    S_t exceeds one reference day. All integers; the drained maximum-
+    progress emission must hash-equal the batch oracle — the
+    streaming/batch parity discipline of q_stream_ewma applied to
+    sequential drift detection."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            "event_type",
+            F.col("ts").cast("date").cast("string").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+
+    def track(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            days, sums, total = state.get
+            acc = dict(zip(list(days), list(sums)))
+            total = int(total)
+        else:
+            acc, total = {}, 0
+        for pdf in pdfs:
+            if len(pdf):
+                for d, c in zip(pdf["day"], pdf["cents"]):
+                    acc[str(d)] = acc.get(str(d), 0) + int(c)
+                total += int(len(pdf))
+        days_sorted = sorted(acc)
+        state.update(
+            (days_sorted, [acc[d] for d in days_sorted], total)
+        )
+        ys = [acc[d] // 100 for d in days_sorted]
+        ref_n = CUSUM_REF_DAYS
+        if len(ys) > ref_n:
+            ref = sum(ys[:ref_n]) // ref_n
+            s, alarm = 0, 0
+            for i, y in enumerate(ys[ref_n:], start=ref_n + 1):
+                s = max(0, s + y - ref)
+                if alarm == 0 and s > ref:
+                    alarm = i
+        else:
+            ref, alarm = 0, 0
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_days": [len(ys)],
+                "ref": [ref],
+                "alarm_t": [alarm],
+                "n_total": [total],
+            }
+        )
+
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        track,
+        outputStructType=(
+            "event_type STRING, n_days BIGINT, ref BIGINT, "
+            "alarm_t BIGINT, n_total BIGINT"
+        ),
+        stateStructType=(
+            "days ARRAY<STRING>, sums ARRAY<BIGINT>, total BIGINT"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_memory(out, "update")
+    return (
+        sink.groupBy("event_type")
+        .agg(
+            F.max_by("n_days", "n_total").cast("bigint").alias("n_days"),
+            F.max_by("ref", "n_total").cast("bigint").alias("ref"),
+            F.max_by("alarm_t", "n_total").cast("bigint").alias("alarm_t"),
+        )
+        .orderBy("event_type")
+    )

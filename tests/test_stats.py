@@ -728,3 +728,46 @@ def test_ridge_matches_brute_force(spark):
         assert int(got[name]) == expect, name
     # sanity: ridge shrinks toward zero vs huge lambda
     assert int(got["n"]) == n
+
+
+def test_kruskal_matches_brute_force(spark, events):
+    """S2 rank sums and the staged e6 fixings recomputed from scratch
+    with exact Python integers (independent midrank construction)."""
+    got = _rows(spark, "q_stats_kruskal").iloc[0]
+    df = events.copy()
+    df["v"] = (df.value * 100).round().astype("int64")
+    vals = sorted(df.v)
+    from collections import Counter
+
+    tie = Counter(vals)
+    # doubled midrank per distinct value
+    r2, c_lt = {}, 0
+    for v in sorted(tie):
+        r2[v] = 2 * c_lt + tie[v] + 1
+        c_lt += tie[v]
+    N = len(df)
+    a4_e6 = 0
+    for g, sub in df.groupby("event_type"):
+        s2 = sum(r2[v] for v in sub.v)
+        ng = len(sub)
+        a4_e6 += 1_000_000 * (s2 * s2 // ng) + round(
+            1_000_000 * (s2 * s2 % ng) / ng
+        )
+    ties3 = sum(t**3 - t for t in tie.values())
+    h_e6 = (3 * a4_e6 - 3_000_000 * N * (N + 1) ** 2) // (
+        N * (N + 1)
+    )
+    h_tie_e6 = (h_e6 * (N**3 - N)) // (N**3 - N - ties3)
+    assert int(got["n"]) == N
+    assert int(got["h_e6"]) == h_e6
+    assert int(got["h_tie_e6"]) == h_tie_e6
+    assert bool(got["significant"]) == (h_tie_e6 > 9_487_729)
+    # sanity vs the float textbook formula (quantization bound)
+    rbar = {v: (r2[v]) / 2 for v in r2}
+    ssum = 0.0
+    for g, sub in df.groupby("event_type"):
+        R = sum(rbar[v] for v in sub.v)
+        ssum += R * R / len(sub)
+    H = 12 * ssum / (N * (N + 1)) - 3 * (N + 1)
+    C = 1 - ties3 / (N**3 - N)
+    assert abs(h_tie_e6 / 1e6 - H / C) < 1e-3
