@@ -250,6 +250,7 @@ HEADLINE = [
     "q_stats_kruskal",
     "q_stream_cusum",
     "q_graph_connected_components",
+    "q_sql_variant",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -1188,3 +1188,65 @@ def q_sql_decorrelate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("orders", "customer"):
         t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_DECORRELATE_SQL)
+
+
+@register(
+    "q_sql_variant",
+    oracle="""
+    WITH x AS (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               json_extract(props, '$.absent') AS missing
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+           CAST(COUNT(missing) AS BIGINT) AS n_missing,
+           'OBJECT<k: BIGINT>' AS vschema
+    FROM x GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("composite", "H8", "N"),
+)
+def q_sql_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT data type (Spark 4.0's semi-structured column — the
+    open-source answer to Snowflake VARIANT, SPARK-45891): the JSON
+    payload is parsed ONCE into the binary VARIANT encoding with
+    parse_json, then every downstream access is a typed
+    variant_get/try_variant_get path lookup on the binary value — at
+    100 TB this replaces per-access JSON string re-parsing (the
+    q_json_extract shape) with a parse-once columnar layout, the same
+    reason the type exists in every warehouse. Covered surface:
+    parse_json, typed variant_get('$.k', 'bigint'), try_variant_get on
+    a MISSING path (returns NULL, never raises — counted to prove it),
+    and schema_of_variant_agg (the per-group inferred schema, a
+    deterministic literal here). The oracle reads the same payloads
+    with DuckDB's JSON extraction — two engines, two semi-structured
+    stacks, one census.
+
+    Plan: parse_json + variant_get are JVM expressions inside
+    whole-stage codegen (no Python, no UDF); one map-side-combined
+    groupBy. The fact table is scanned once."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("vj")
+    )
+    x = ev.select(
+        "event_type",
+        F.expr("variant_get(vj, '$.k', 'bigint')").alias("k"),
+        F.expr("try_variant_get(vj, '$.absent', 'string')").alias(
+            "missing"
+        ),
+        F.expr("schema_of_variant(vj)").alias("vs"),
+    )
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+            F.count("missing").cast("bigint").alias("n_missing"),
+            F.max("vs").alias("vschema"),
+        )
+        .orderBy("event_type")
+    )
