@@ -251,6 +251,7 @@ HEADLINE = [
     "q_stream_cusum",
     "q_graph_connected_components",
     "q_sql_variant",
+    "q_feat_gini_gain",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

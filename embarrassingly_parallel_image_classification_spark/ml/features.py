@@ -716,3 +716,146 @@ def q_feat_chi2_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "rnk")
     )
+
+
+@register(
+    "q_feat_gini_gain",
+    oracle="""
+    WITH x AS (
+        SELECT event_type AS y,
+               CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS f_kmod,
+               user_id % 2 AS f_parity,
+               CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS f_dow,
+               CAST(ROUND(value * 100, 0) AS BIGINT) // 10000 AS f_band
+        FROM events
+    ),
+    melted AS (
+        SELECT 'f_kmod' AS feature, f_kmod AS v, y FROM x
+        UNION ALL SELECT 'f_parity', f_parity, y FROM x
+        UNION ALL SELECT 'f_dow', f_dow, y FROM x
+        UNION ALL SELECT 'f_band', f_band, y FROM x
+    ),
+    cells AS (
+        SELECT feature, v, y, CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+        FROM melted GROUP BY feature, v, y
+    ),
+    per_v AS (
+        SELECT feature, v,
+               CAST(SUM(c) AS HUGEINT) AS nv,
+               CAST(SUM(c * c) AS HUGEINT) AS a
+        FROM cells GROUP BY feature, v
+    ),
+    term AS (
+        SELECT feature,
+               CAST(SUM(1000000 * (a // nv)
+                    + CAST(ROUND(1000000.0 * CAST(a % nv AS DOUBLE)
+                                 / CAST(nv AS DOUBLE), 0) AS HUGEINT))
+                    AS HUGEINT) AS a_e6,
+               CAST(SUM(nv) AS HUGEINT) AS n
+        FROM per_v GROUP BY feature
+    ),
+    cls AS (
+        SELECT y, CAST(COUNT(*) AS HUGEINT) AS cy FROM x GROUP BY y
+    ),
+    base AS (
+        SELECT CAST(SUM(cy * cy) AS HUGEINT) AS c2,
+               CAST(SUM(cy) AS HUGEINT) AS n
+        FROM cls
+    ),
+    gain AS (
+        SELECT t.feature,
+               CAST((t.a_e6
+                     - (1000000 * (b.c2 // b.n)
+                        + CAST(ROUND(1000000.0
+                              * CAST(b.c2 % b.n AS DOUBLE)
+                              / CAST(b.n AS DOUBLE), 0) AS HUGEINT)))
+                    // b.n AS BIGINT) AS gain_e6
+        FROM term t CROSS JOIN base b
+    )
+    SELECT feature, gain_e6,
+           CAST(ROW_NUMBER() OVER (ORDER BY gain_e6 DESC, feature)
+                AS BIGINT) AS rank
+    FROM gain ORDER BY rank
+    """,
+    tags=("P7", "Q8", "M14"),
+)
+def q_feat_gini_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI-GAIN FEATURE RANKING — the fully-RATIONAL sibling of the
+    chi-square selector (P7): rank four candidate features by how much
+    splitting on them reduces the label's Gini impurity (CART's
+    criterion, Breiman 1984; the ranking layer over Q8's single-stump
+    split finder). The identity gain = [sum_x (sum_c c_xc^2)/n_x -
+    (sum_c C_c^2)/N] / N removes every probability: per-feature-value
+    purity A_x/n_x is e6-fixed by the ANOVA DIV/MOD decomposition
+    (integer quotient + a sub-2^53 remainder divided on identical
+    bits), the baseline term likewise, and the gain is an exact
+    integer FLOOR quotient. Ranking ties break on feature name — no
+    float anywhere, unlike the textbook p log p spelling whose
+    logarithms are not correctly-rounded across engines.
+
+    Plan: a 4x map-side melt (stack) then ONE census to the
+    (feature, value, label) domain — bounded by the feature domains
+    (5+2+7+~5 values x 5 labels), never by rows; everything after is
+    arithmetic on that tiny frame. Fact scanned once."""
+    x = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("y"),
+        (
+            F.expr("CAST(from_json(props, 'k INT').k AS BIGINT)") % 5
+        ).alias("f_kmod"),
+        (F.col("user_id") % 2).alias("f_parity"),
+        F.expr("CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT)").alias(
+            "f_dow"
+        ),
+        F.expr(
+            "CAST(ROUND(value * 100, 0) AS BIGINT) div 10000"
+        ).alias("f_band"),
+    )
+    melted = x.selectExpr(
+        "stack(4, 'f_kmod', f_kmod, 'f_parity', f_parity, "
+        "'f_dow', f_dow, 'f_band', f_band) AS (feature, v)",
+        "y",
+    )
+    cells = melted.groupBy("feature", "v", "y").agg(
+        F.count("*").cast("decimal(38,0)").alias("c")
+    )
+    per_v = cells.groupBy("feature", "v").agg(
+        F.sum("c").cast("decimal(38,0)").alias("nv"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("a"),
+    )
+    term = per_v.groupBy("feature").agg(
+        F.sum(
+            F.lit(1000000).cast("decimal(38,0)")
+            * F.expr("a div nv").cast("decimal(38,0)")
+            + F.round(
+                F.lit(1000000.0)
+                * (F.col("a") % F.col("nv")).cast("double")
+                / F.col("nv").cast("double"),
+                0,
+            ).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("a_e6"),
+        F.sum("nv").cast("decimal(38,0)").alias("n"),
+    )
+    cls = x.groupBy("y").agg(
+        F.count("*").cast("decimal(38,0)").alias("cy")
+    )
+    base = cls.agg(
+        F.sum(F.col("cy") * F.col("cy")).cast("decimal(38,0)").alias("c2"),
+        F.sum("cy").cast("decimal(38,0)").alias("nn"),
+    )
+    gain = term.crossJoin(F.broadcast(base)).select(
+        "feature",
+        F.expr(
+            "CAST((a_e6 - (1000000 * (c2 div nn) "
+            "+ CAST(ROUND(1000000.0 * CAST(c2 % nn AS DOUBLE) "
+            "/ CAST(nn AS DOUBLE), 0) AS DECIMAL(38,0)))) div nn "
+            "AS BIGINT)"
+        ).alias("gain_e6"),
+    )
+    w = Window.orderBy(F.desc("gain_e6"), F.asc("feature"))
+    return gain.select(
+        "feature",
+        "gain_e6",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    ).orderBy("rank")
