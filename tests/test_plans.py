@@ -201,6 +201,13 @@ _CARTESIAN_OK = {
                              # the 20-row query side × corpus is the
                              # documented K3 retrieval shape; the vote
                              # itself is a 100-row groupBy
+    "q_stats_kruskal",       # 1-row ties3 scalar broadcast-crossed
+                             # onto the 1-row totals frame
+    "q_privacy_t_closeness", # dense (QI-groups × ~6-band domain) grid
+                             # build + 1-row global-census scalar —
+                             # both bounded by DOMAINS, never rows
+    "q_feat_gini_gain",      # 1-row baseline-impurity scalar crossed
+                             # onto the 4-row per-feature frame
     "q_dedup_embedding",     # demoted all-pairs verifier (docstring'd)
     "q_dedup_ngram_jaccard", # exact-Jaccard verifier (docstring'd)
     "q_tpch_q11",            # 1-row global-total scalar into HAVING
