@@ -252,6 +252,9 @@ HEADLINE = [
     "q_graph_connected_components",
     "q_sql_variant",
     "q_feat_gini_gain",
+    "q_survival_nelson_aalen",
+    "q_ab_sequential",
+    "q_train_lasso_cd",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

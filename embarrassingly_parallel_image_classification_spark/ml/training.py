@@ -1115,3 +1115,194 @@ def q_train_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc_e6("detb1").alias("beta1_e6"),
         trunc_e6("detb2").alias("beta2_e6"),
     )
+
+
+# Lasso sweeps for q_train_lasso_cd: 2 full coordinate-descent sweeps
+# on the CENTERED (n-multiplied) normal-equation scale, lambda =
+# lambda_max/2 (glmnet's standard path point: half the largest
+# absolute CENTERED feature-response covariance — on raw sums the
+# mean dominates and lambda_max zeroes everything), everything on the
+# e6 fixed-point scale of the GD trainer.
+LASSO_SWEEPS = 2
+
+
+def _lasso_cd_sql() -> tuple:
+    """Unrolled coordinate-descent CTE chain (the q_train_linreg_gd
+    oracle discipline: the UPDATE RULE is the estimator, spelled once
+    and run by both engines over their exact integer types).
+
+    Centering is done by multiplying the normal equations through by
+    n, which keeps every constant an exact integer: c_jy = n*Sxjy -
+    Sxj*Sy, c_12 = n*Sx12 - Sx1*Sx2, c_jj = n*Sxjj - Sxj^2. State is
+    (b1_e6, b2_e6); per sweep, in order b1 -> b2:
+      rho_j_e6 = 10^6*c_jy - b_other_e6*c_12            (exact)
+      b_j_e6   = sign(rho) * ((|rho| - lam_e6) // c_jj) if |rho| > lam
+                 else 0                               (soft threshold)
+    The intercept is recovered once at the end on the raw scale.
+    Sign-split floor keeps Spark `div` (truncating) and DuckDB `//`
+    (flooring) bit-identical on the non-negative operands they agree
+    on."""
+    ctes = ["s0 AS (SELECT *, CAST(0 AS DECIMAL(38,0)) AS b1, CAST(0 AS DECIMAL(38,0)) AS b2 FROM cc)"]
+    k = 0
+    for _ in range(LASSO_SWEEPS):
+        for j, oth in ((1, 2), (2, 1)):
+            k += 1
+            rho = f"(1000000 * c{j}y - b{oth} * c12)"
+            ctes.append(
+                f"s{k} AS (SELECT n, sx1, sx2, sy, c1y, c2y, c12, c11,"
+                f" c22, lam, b{oth},"
+                f" CASE WHEN ABS({rho}) <= lam"
+                f" THEN CAST(0 AS DECIMAL(38,0))"
+                f" ELSE (CASE WHEN {rho} < 0 THEN -1 ELSE 1 END)"
+                f" * CAST((CAST(ABS({rho}) - lam AS HUGEINT)"
+                f" // CAST(c{j}{j} AS HUGEINT)) AS DECIMAL(38,0))"
+                f" END AS b{j}"
+                f" FROM s{k - 1})"
+            )
+    return ",\n    ".join(ctes), k
+
+
+def _lasso_oracle() -> str:
+    chain, k = _lasso_cd_sql()
+    return f"""
+    WITH c AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(x1) AS DECIMAL(38,0)) AS sx1,
+               CAST(SUM(x2) AS DECIMAL(38,0)) AS sx2,
+               CAST(SUM(x1 * x1) AS DECIMAL(38,0)) AS sx11,
+               CAST(SUM(x1 * x2) AS DECIMAL(38,0)) AS sx12,
+               CAST(SUM(x2 * x2) AS DECIMAL(38,0)) AS sx22,
+               CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(x1 * y) AS DECIMAL(38,0)) AS sx1y,
+               CAST(SUM(x2 * y) AS DECIMAL(38,0)) AS sx2y
+        FROM (
+            SELECT CAST(l_quantity AS BIGINT) AS x1,
+                   CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x2,
+                   CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+            FROM lineitem
+        )
+    ),
+    cc AS (
+        SELECT n, sx1, sx2, sy,
+               n * sx1y - sx1 * sy AS c1y,
+               n * sx2y - sx2 * sy AS c2y,
+               n * sx12 - sx1 * sx2 AS c12,
+               n * sx11 - sx1 * sx1 AS c11,
+               n * sx22 - sx2 * sx2 AS c22,
+               GREATEST(ABS(n * sx1y - sx1 * sy),
+                        ABS(n * sx2y - sx2 * sy)) * 500000 AS lam
+        FROM c
+    ),
+    {chain},
+    fin AS (
+        SELECT n, lam, b1, b2,
+               (CASE WHEN (1000000 * sy - b1 * sx1 - b2 * sx2) < 0
+                     THEN -1 ELSE 1 END)
+               * CAST(CAST(ABS(1000000 * sy - b1 * sx1 - b2 * sx2)
+                           AS HUGEINT) // CAST(n AS HUGEINT)
+                      AS DECIMAL(38,0)) AS b0
+        FROM s{k}
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(CAST(lam AS HUGEINT) // 1000000 AS BIGINT)
+             AS lam_natural,
+           CAST(b0 AS BIGINT) AS b0_e6,
+           CAST(b1 AS BIGINT) AS b1_e6,
+           CAST(b2 AS BIGINT) AS b2_e6,
+           CAST((CASE WHEN b1 = 0 THEN 0 ELSE 1 END)
+                + (CASE WHEN b2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS nnz
+    FROM fin
+    """
+
+
+@register("q_train_lasso_cd", oracle=_lasso_oracle, tags=("Q5", "P7", "M14"))
+def q_train_lasso_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LASSO via COORDINATE DESCENT (Friedman/Hastie/Tibshirani 2010,
+    the glmnet algorithm) in exact e6 fixed point — the SPARSITY-
+    inducing member of the trainer family next to GD (Q5) and the
+    closed-form ridge: soft-thresholding S(rho, lambda) can zero a
+    coordinate outright (INTEGER zero, not epsilon), which no L2
+    trainer can do. lambda = lambda_max/2 (glmnet's standard path
+    point on the CENTERED covariance scale, where lambda_max is the
+    smallest value zeroing everything); at this fixture both features
+    carry enough independent signal to survive that point — the
+    zeroing path itself is pinned in the pytest twin, which re-runs
+    the identical update rule at a lambda past the weaker feature's
+    threshold and asserts the exact-integer 0. Centering multiplies the normal
+    equations through by n so every constant stays an exact integer
+    (c_jy = n*Sxjy - Sxj*Sy); each soft-threshold update is integer
+    algebra with a sign-split floor quotient, so the 2-sweep
+    trajectory is bit-reproducible on any partitioning and the whole
+    trainer unrolls into one chained-CTE oracle — the
+    q_train_linreg_gd discipline applied to a second optimizer family.
+
+    Plan: ONE map-side-combined census pass; the four coordinate
+    updates plus the intercept recovery are constant-time arithmetic
+    on that single row inside the same Catalyst plan (no iteration, no
+    collect, no second scan)."""
+    x = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.expr("CAST(ROUND(l_discount * 100, 0) AS BIGINT)").alias("x2"),
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    d38 = "decimal(38,0)"
+    c = x.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x1").cast(d38).alias("sx1"),
+        F.sum("x2").cast(d38).alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast(d38).alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).cast(d38).alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).cast(d38).alias("sx22"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast(d38).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast(d38).alias("sx2y"),
+    )
+    cc = c.selectExpr(
+        "n", "sx1", "sx2", "sy",
+        "CAST(n * sx1y - sx1 * sy AS DECIMAL(38,0)) AS c1y",
+        "CAST(n * sx2y - sx2 * sy AS DECIMAL(38,0)) AS c2y",
+        "CAST(n * sx12 - sx1 * sx2 AS DECIMAL(38,0)) AS c12",
+        "CAST(n * sx11 - sx1 * sx1 AS DECIMAL(38,0)) AS c11",
+        "CAST(n * sx22 - sx2 * sx2 AS DECIMAL(38,0)) AS c22",
+        "CAST(GREATEST(ABS(n * sx1y - sx1 * sy), "
+        "ABS(n * sx2y - sx2 * sy)) * 500000 "
+        "AS DECIMAL(38,0)) AS lam",
+    )
+    s = cc.withColumn("b1", F.lit(0).cast(d38)).withColumn(
+        "b2", F.lit(0).cast(d38)
+    )
+    for _ in range(LASSO_SWEEPS):
+        for j, oth in ((1, 2), (2, 1)):
+            rho = f"(1000000 * c{j}y - b{oth} * c12)"
+            s = s.withColumn(
+                f"b{j}",
+                F.expr(
+                    f"CASE WHEN ABS({rho}) <= lam "
+                    f"THEN CAST(0 AS DECIMAL(38,0)) "
+                    f"ELSE (CASE WHEN {rho} < 0 THEN -1 ELSE 1 END) "
+                    f"* ((ABS({rho}) - lam) div c{j}{j}) END"
+                ).cast(d38),
+            )
+    b0e = "(1000000 * sy - b1 * sx1 - b2 * sx2)"
+    s = s.withColumn(
+        "b0",
+        F.expr(
+            f"(CASE WHEN {b0e} < 0 THEN -1 ELSE 1 END) "
+            f"* (ABS({b0e}) div n)"
+        ).cast(d38),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("lam div 1000000").cast("bigint").alias("lam_natural"),
+        F.col("b0").cast("bigint").alias("b0_e6"),
+        F.col("b1").cast("bigint").alias("b1_e6"),
+        F.col("b2").cast("bigint").alias("b2_e6"),
+        (
+            F.when(F.col("b1") == 0, 0).otherwise(1)
+            + F.when(F.col("b2") == 0, 0).otherwise(1)
+        )
+        .cast("bigint")
+        .alias("nnz"),
+    )

@@ -1366,3 +1366,151 @@ def q_geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Pocock group-sequential boundary for K = 5 looks at overall
+# alpha = 0.05: each interim test uses the SAME critical value
+# z_P = 2.413 (Pocock 1977, public tables) -> z^2 e6-fixed.
+POCOCK5_Z2_E6 = 5_822_569
+
+
+@register(
+    "q_ab_sequential",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS day,
+               user_id % 2 = 0 AS treat,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    daily AS (
+        SELECT event_type, day,
+               CAST(COUNT(*) FILTER (WHERE treat) AS DECIMAL(38,0)) AS n1,
+               CAST(COUNT(*) FILTER (WHERE NOT treat)
+                    AS DECIMAL(38,0)) AS n2,
+               CAST(COALESCE(SUM(cents) FILTER (WHERE treat), 0)
+                    AS DECIMAL(38,0)) AS s1,
+               CAST(COALESCE(SUM(cents) FILTER (WHERE NOT treat), 0)
+                    AS DECIMAL(38,0)) AS s2,
+               CAST(COALESCE(SUM(cents * cents) FILTER (WHERE treat), 0)
+                    AS DECIMAL(38,0)) AS q1,
+               CAST(COALESCE(SUM(cents * cents)
+                    FILTER (WHERE NOT treat), 0) AS DECIMAL(38,0)) AS q2
+        FROM x GROUP BY event_type, day
+    ),
+    cum AS (
+        SELECT event_type, day,
+               ROW_NUMBER() OVER w AS t,
+               SUM(n1) OVER wc AS n1, SUM(n2) OVER wc AS n2,
+               SUM(s1) OVER wc AS s1, SUM(s2) OVER wc AS s2,
+               SUM(q1) OVER wc AS q1, SUM(q2) OVER wc AS q2
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day),
+               wc AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    looks AS (
+        SELECT * FROM cum WHERE t % 6 = 0
+    )
+    SELECT event_type,
+           CAST(t // 6 AS BIGINT) AS look,
+           CAST(n1 AS BIGINT) AS n_treat,
+           CAST(n2 AS BIGINT) AS n_control,
+           ROUND(CAST(s1 * n2 - s2 * n1 AS DOUBLE)
+                 / CAST(n1 * n2 AS DOUBLE) / 100.0, 6) AS mean_diff,
+           (s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1)
+               * (n1 + n2 - 2) * 1000000
+             > {POCOCK5_Z2_E6}
+               * (n2 * (n1 * q1 - s1 * s1) + n1 * (n2 * q2 - s2 * s2))
+               * (n1 + n2) AS reject
+    FROM looks ORDER BY event_type, look
+    """,
+    tags=("D10", "M2", "eval"),
+)
+def q_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-SEQUENTIAL A/B TESTING (Pocock 1977) — the interim-
+    analysis layer q_ab_test lacks: an experimenter who PEEKS five
+    times at alpha = 0.05 uncorrected inflates the false-positive rate
+    to ~14%, so each of the 5 equally-spaced looks (every 6th day of
+    cumulative data) tests against the constant Pocock boundary
+    z = 2.413 instead of 1.96. Each look's pooled-variance t^2 is
+    q_ab_test's exact multiply-through identity on the CUMULATIVE
+    census sums — D^2(n-2)*10^6 > z_P^2e6 * (n2*B1 + n1*B2) * n over
+    DECIMAL(38,0) — so all 25 accept/reject decisions are wholly
+    float-free; only the reported mean_diff pays the one ROUND(6)
+    division on identical operand bits.
+
+    Plan: one (type, day, treat)-conditional census — 310 rows at any
+    SF — then cumulative windows over the day domain give every look's
+    sufficient statistics with NO second fact pass (the naive spelling
+    re-scans the fact table once per look). Fact scanned once."""
+    x = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    d38 = "decimal(38,0)"
+    daily = x.groupBy("event_type", "day").agg(
+        F.count(F.when(F.col("treat"), 1)).cast(d38).alias("n1"),
+        F.count(F.when(~F.col("treat"), 1)).cast(d38).alias("n2"),
+        F.coalesce(F.sum(F.when(F.col("treat"), F.col("cents"))), F.lit(0))
+        .cast(d38)
+        .alias("s1"),
+        F.coalesce(
+            F.sum(F.when(~F.col("treat"), F.col("cents"))), F.lit(0)
+        )
+        .cast(d38)
+        .alias("s2"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("treat"), F.col("cents") * F.col("cents"))
+            ),
+            F.lit(0),
+        )
+        .cast(d38)
+        .alias("q1"),
+        F.coalesce(
+            F.sum(
+                F.when(~F.col("treat"), F.col("cents") * F.col("cents"))
+            ),
+            F.lit(0),
+        )
+        .cast(d38)
+        .alias("q2"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select(
+        "event_type",
+        F.row_number().over(wo).alias("t"),
+        F.sum("n1").over(wc).alias("n1"),
+        F.sum("n2").over(wc).alias("n2"),
+        F.sum("s1").over(wc).alias("s1"),
+        F.sum("s2").over(wc).alias("s2"),
+        F.sum("q1").over(wc).alias("q1"),
+        F.sum("q2").over(wc).alias("q2"),
+    ).filter(F.col("t") % 6 == 0)
+    d = F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1")
+    b1 = F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1")
+    b2 = F.col("n2") * F.col("q2") - F.col("s2") * F.col("s2")
+    nn = F.col("n1") + F.col("n2")
+    return cum.select(
+        "event_type",
+        F.expr("t div 6").cast("bigint").alias("look"),
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("n2").cast("bigint").alias("n_control"),
+        F.round(
+            d.cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double")
+            / 100.0,
+            6,
+        ).alias("mean_diff"),
+        (
+            d * d * (nn - 2) * F.lit(1000000)
+            > F.lit(POCOCK5_Z2_E6)
+            * (F.col("n2") * b1 + F.col("n1") * b2)
+            * nn
+        ).alias("reject"),
+    ).orderBy("event_type", "look")

@@ -1917,3 +1917,141 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h_tie_e6").cast("bigint").alias("h_tie_e6"),
         (F.col("h_tie_e6") > F.lit(CHI2_DF4_E6)).alias("significant"),
     )
+
+
+@register(
+    "q_survival_nelson_aalen",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               MIN(sec) AS t0,
+               MIN(sec) FILTER (WHERE event_type = 'purchase') AS tp,
+               MAX(sec) AS tl
+        FROM e GROUP BY user_id
+    ),
+    dur AS (
+        SELECT (CASE WHEN tp IS NOT NULL THEN tp ELSE tl END - t0) // 60
+                   AS d_min,
+               tp IS NOT NULL AS observed
+        FROM per_user
+    ),
+    steps AS (
+        SELECT d_min,
+               COUNT(*) FILTER (WHERE observed) AS d_i,
+               COUNT(*) AS c_all
+        FROM dur GROUP BY d_min
+    ),
+    risk AS (
+        SELECT d_min, d_i,
+               SUM(c_all) OVER (ORDER BY d_min DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_i
+        FROM steps
+    ),
+    na AS (
+        SELECT d_min, d_i, n_i,
+               CAST(ROUND(1000000.0 * CAST(d_i AS DOUBLE)
+                          / CAST(n_i AS DOUBLE), 0) AS BIGINT)
+                 AS step_e6,
+               CAST(ROUND(1000000000.0 * CAST(d_i AS DOUBLE)
+                          / CAST(n_i * n_i AS DOUBLE), 0) AS BIGINT)
+                 AS var_e9
+        FROM risk WHERE d_i > 0
+    )
+    SELECT d_min,
+           CAST(d_i AS BIGINT) AS n_events,
+           CAST(n_i AS BIGINT) AS n_at_risk,
+           CAST(SUM(step_e6) OVER (ORDER BY d_min
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_hazard_e6,
+           CAST(SUM(var_e9) OVER (ORDER BY d_min
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_var_e9
+    FROM na ORDER BY d_min
+    """,
+    tags=("M2", "M14", "E3"),
+)
+def q_survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN cumulative-hazard estimator over the same
+    censoring-aware time-to-first-purchase table as q_survival_km —
+    the other canonical survival curve (H(t) = sum d_i/n_i; Aalen
+    1978), preferred when hazard INCREMENTS are the decision quantity
+    (KM's product form loses them) and the basis of log-rank testing.
+    Unlike KM's log-space product, every step here is a PLAIN RATIONAL
+    d_i/n_i — no logarithm anywhere — so each e6 step fixing (and the
+    e9 per-step variance d_i/n_i^2, the Poisson-counting variance)
+    divides identical exact-integer operand bits in both engines and
+    the curve is a BIGINT cumulative sum of those fixings.
+
+    Plan: identical to KM's — one per-user aggregate, one
+    distinct-duration census, ONE descending cumulative sum for the
+    at-risk counts, two ascending cumulative sums over the step
+    domain. Fact scanned once; every post-census frame is bounded by
+    the distinct-duration domain."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "CAST(unix_timestamp(date_trunc('second', ts)) AS BIGINT)"
+        ).alias("sec"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("sec").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("sec"))
+        ).alias("tp"),
+        F.max("sec").alias("tl"),
+    )
+    dur = per_user.select(
+        F.expr(
+            "CAST((CASE WHEN tp IS NOT NULL THEN tp ELSE tl END - t0) "
+            "div 60 AS BIGINT)"
+        ).alias("d_min"),
+        F.col("tp").isNotNull().alias("observed"),
+    )
+    steps = dur.groupBy("d_min").agg(
+        F.count(F.when(F.col("observed"), 1)).alias("d_i"),
+        F.count("*").alias("c_all"),
+    )
+    wdesc = (
+        Window.orderBy(F.desc("d_min"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = steps.select(
+        "d_min", "d_i", F.sum("c_all").over(wdesc).alias("n_i")
+    )
+    na = risk.filter(F.col("d_i") > 0).select(
+        "d_min",
+        "d_i",
+        "n_i",
+        F.round(
+            F.lit(1000000.0)
+            * F.col("d_i").cast("double")
+            / F.col("n_i").cast("double"),
+            0,
+        )
+        .cast("bigint")
+        .alias("step_e6"),
+        F.round(
+            F.lit(1000000000.0)
+            * F.col("d_i").cast("double")
+            / (F.col("n_i") * F.col("n_i")).cast("double"),
+            0,
+        )
+        .cast("bigint")
+        .alias("var_e9"),
+    )
+    wasc = Window.orderBy("d_min").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return na.select(
+        "d_min",
+        F.col("d_i").cast("bigint").alias("n_events"),
+        F.col("n_i").cast("bigint").alias("n_at_risk"),
+        F.sum("step_e6").over(wasc).cast("bigint").alias("cum_hazard_e6"),
+        F.sum("var_e9").over(wasc).cast("bigint").alias("cum_var_e9"),
+    ).orderBy("d_min")

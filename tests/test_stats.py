@@ -771,3 +771,60 @@ def test_kruskal_matches_brute_force(spark, events):
     H = 12 * ssum / (N * (N + 1)) - 3 * (N + 1)
     C = 1 - ties3 / (N**3 - N)
     assert abs(h_tie_e6 / 1e6 - H / C) < 1e-3
+
+
+def test_lasso_cd_matches_brute_force_and_zeroes(spark):
+    """The 2-sweep coordinate-descent trajectory recomputed with
+    arbitrary-precision Python integers; then the SAME update rule at
+    a lambda past the weaker feature's threshold must produce an
+    exact-integer zero coefficient (the sparsity property)."""
+    got = _rows(spark, "q_train_lasso_cd").iloc[0]
+    li = duckdb.sql(
+        f"SELECT CAST(l_quantity AS BIGINT) x1,"
+        f" CAST(ROUND(l_discount*100,0) AS BIGINT) x2,"
+        f" CAST(ROUND(l_extendedprice*100,0) AS BIGINT) y"
+        f" FROM read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).df()
+    n = len(li)
+    sx1, sx2, sy = int(li.x1.sum()), int(li.x2.sum()), int(li.y.sum())
+    c1y = n * int((li.x1 * li.y).sum()) - sx1 * sy
+    c2y = n * int((li.x2 * li.y).sum()) - sx2 * sy
+    c12 = n * int((li.x1 * li.x2).sum()) - sx1 * sx2
+    c11 = n * int((li.x1 * li.x1).sum()) - sx1 * sx1
+    c22 = n * int((li.x2 * li.x2).sum()) - sx2 * sx2
+
+    def run(lam):
+        b1 = b2 = 0
+        for _ in range(2):
+            for j in (1, 2):
+                cjy = c1y if j == 1 else c2y
+                cjj = c11 if j == 1 else c22
+                oth = b2 if j == 1 else b1
+                rho = 1_000_000 * cjy - oth * c12
+                if abs(rho) <= lam:
+                    b = 0
+                else:
+                    b = (1 if rho > 0 else -1) * ((abs(rho) - lam) // cjj)
+                if j == 1:
+                    b1 = b
+                else:
+                    b2 = b
+        s0 = 1_000_000 * sy - b1 * sx1 - b2 * sx2
+        b0 = (1 if s0 >= 0 else -1) * (abs(s0) // n)
+        return b0, b1, b2
+
+    lam = max(abs(c1y), abs(c2y)) * 500_000
+    b0, b1, b2 = run(lam)
+    assert int(got["b0_e6"]) == b0
+    assert int(got["b1_e6"]) == b1
+    assert int(got["b2_e6"]) == b2
+    assert int(got["lam_natural"]) == lam // 1_000_000
+    assert int(got["nnz"]) == (b1 != 0) + (b2 != 0)
+    # sparsity: just past lambda_max the FIRST update must zero the
+    # weaker coordinate exactly (and at lambda_max both die)
+    b0x, b1x, b2x = run(max(abs(c1y), abs(c2y)) * 1_000_000 + 1)
+    assert b1x == 0 and b2x == 0
+    # and at 0.9*lambda_max the weaker coordinate is exactly 0 while
+    # the stronger survives — the one-zero region of the path
+    bb = run(max(abs(c1y), abs(c2y)) * 900_000)
+    assert 0 in (bb[1], bb[2]) and bb[1:] != (0, 0)
