@@ -255,6 +255,8 @@ HEADLINE = [
     "q_survival_nelson_aalen",
     "q_ab_sequential",
     "q_train_lasso_cd",
+    "q_survival_logrank",
+    "q_stats_mcnemar",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -2055,3 +2055,296 @@ def q_survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("step_e6").over(wasc).cast("bigint").alias("cum_hazard_e6"),
         F.sum("var_e9").over(wasc).cast("bigint").alias("cum_var_e9"),
     ).orderBy("d_min")
+
+
+# Log-rank rejection at alpha = 0.05, df = 1: chi-square critical
+# value 3.841459, e6-fixed (the M14 integer-verdict convention).
+CHI2_DF1_E6 = 3_841_459
+
+
+@register(
+    "q_survival_logrank",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               user_id % 2 = 0 AS grp,
+               MIN(sec) AS t0,
+               MIN(sec) FILTER (WHERE event_type = 'purchase') AS tp,
+               MAX(sec) AS tl
+        FROM e GROUP BY user_id
+    ),
+    dur AS (
+        SELECT grp,
+               (CASE WHEN tp IS NOT NULL THEN tp ELSE tl END - t0) // 60
+                   AS d_min,
+               tp IS NOT NULL AS observed
+        FROM per_user
+    ),
+    steps AS (
+        SELECT d_min,
+               CAST(COUNT(*) FILTER (WHERE observed) AS DECIMAL(38,0))
+                   AS d_i,
+               CAST(COUNT(*) FILTER (WHERE observed AND grp)
+                   AS DECIMAL(38,0)) AS d1_i,
+               CAST(COUNT(*) AS DECIMAL(38,0)) AS c_all,
+               CAST(COUNT(*) FILTER (WHERE grp) AS DECIMAL(38,0)) AS c1
+        FROM dur GROUP BY d_min
+    ),
+    risk AS (
+        SELECT d_min, d_i, d1_i,
+               SUM(c_all) OVER (ORDER BY d_min DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS n_i,
+               SUM(c1) OVER (ORDER BY d_min DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS n1_i
+        FROM steps
+    ),
+    terms AS (
+        SELECT d_min, d_i, n_i, n1_i, d1_i,
+               CAST(ROUND(1000000.0
+                    * CAST(d_i * n1_i AS DOUBLE)
+                    / CAST(n_i AS DOUBLE), 0) AS HUGEINT) AS e1_e6,
+               CASE WHEN n_i > 1 THEN
+                   CAST(ROUND(1000000.0
+                        * CAST(d_i * n1_i * (n_i - n1_i) * (n_i - d_i)
+                               AS DOUBLE)
+                        / CAST(n_i * n_i * (n_i - 1) AS DOUBLE), 0)
+                        AS HUGEINT)
+               ELSE CAST(0 AS HUGEINT) END AS v_e6
+        FROM risk WHERE d_i > 0
+    ),
+    s AS (
+        SELECT CAST(SUM(CAST(d1_i AS HUGEINT) * 1000000 - e1_e6)
+                    AS HUGEINT) AS omE_e6,
+               CAST(SUM(v_e6) AS HUGEINT) AS v_e6,
+               CAST(SUM(d1_i) AS BIGINT) AS o1,
+               CAST(COUNT(*) AS BIGINT) AS n_steps
+        FROM terms
+    )
+    SELECT o1, n_steps,
+           CAST(omE_e6 AS BIGINT) AS om_e_e6,
+           CAST(v_e6 AS BIGINT) AS var_e6,
+           omE_e6 * omE_e6 > {CHI2_DF1_E6} * v_e6 * 1000000
+             AS significant
+    FROM s
+    """,
+    tags=("M2", "M14", "E3"),
+)
+def q_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK TEST (Mantel 1966) — do even- and odd-user cohorts
+    convert at the same rate over time? The capstone of the survival
+    trio: KM draws each curve, Nelson-Aalen gives the hazards, the
+    log-rank test DECIDES — the censoring-aware comparison an A/B test
+    on raw conversion counts gets wrong whenever observation windows
+    differ. Per event time: observed group-1 events d1_i vs expected
+    E1_i = d_i*n1_i/n_i under the null, hypergeometric variance
+    d_i*n1_i*(n_i-n1_i)*(n_i-d_i) / (n_i^2*(n_i-1)); the statistic
+    (O-E)^2/V ~ chi-square(1).
+
+    Exactness: every per-step numerator/denominator is a product of
+    exact BIGINT counts (largest ~n^4 < 2^53 at fixture SFs), so the
+    e6 fixings divide identical operand bits in both engines; O-E and
+    V accumulate as integer sums of those fixings, and the alpha=0.05
+    verdict is the cross-multiplied integer comparison (O-E)^2 >
+    chi2crit * V * 10^6 — no float in the decision (the M14 rule
+    applied to survival comparison).
+
+    Plan: one per-user aggregate, one distinct-duration census, TWO
+    descending cumulative sums sharing one window order (at-risk
+    total and at-risk group-1), one fold. Fact scanned once; every
+    post-census frame bounded by the duration domain."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "CAST(unix_timestamp(date_trunc('second', ts)) AS BIGINT)"
+        ).alias("sec"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        (F.col("user_id") % 2 == 0).alias("grp"),
+        F.min("sec").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("sec"))
+        ).alias("tp"),
+        F.max("sec").alias("tl"),
+    )
+    dur = per_user.select(
+        "grp",
+        F.expr(
+            "CAST((CASE WHEN tp IS NOT NULL THEN tp ELSE tl END - t0) "
+            "div 60 AS BIGINT)"
+        ).alias("d_min"),
+        F.col("tp").isNotNull().alias("observed"),
+    )
+    d38 = "decimal(38,0)"
+    steps = dur.groupBy("d_min").agg(
+        F.count(F.when(F.col("observed"), 1)).cast(d38).alias("d_i"),
+        F.count(F.when(F.col("observed") & F.col("grp"), 1))
+        .cast(d38)
+        .alias("d1_i"),
+        F.count("*").cast(d38).alias("c_all"),
+        F.count(F.when(F.col("grp"), 1)).cast(d38).alias("c1"),
+    )
+    wdesc = Window.orderBy(F.desc("d_min")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = steps.select(
+        "d_min",
+        "d_i",
+        "d1_i",
+        F.sum("c_all").over(wdesc).alias("n_i"),
+        F.sum("c1").over(wdesc).alias("n1_i"),
+    ).filter(F.col("d_i") > 0)
+    terms = risk.select(
+        "d1_i",
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("d_i") * F.col("n1_i")).cast("double")
+            / F.col("n_i").cast("double"),
+            0,
+        )
+        .cast(d38)
+        .alias("e1_e6"),
+        F.when(
+            F.col("n_i") > 1,
+            F.round(
+                F.lit(1000000.0)
+                * (
+                    F.col("d_i")
+                    * F.col("n1_i")
+                    * (F.col("n_i") - F.col("n1_i"))
+                    * (F.col("n_i") - F.col("d_i"))
+                ).cast("double")
+                / (
+                    F.col("n_i") * F.col("n_i") * (F.col("n_i") - 1)
+                ).cast("double"),
+                0,
+            ),
+        )
+        .otherwise(0)
+        .cast(d38)
+        .alias("v_e6"),
+    )
+    s = terms.agg(
+        F.sum(
+            F.col("d1_i").cast(d38) * 1000000 - F.col("e1_e6")
+        )
+        .cast(d38)
+        .alias("omE_e6"),
+        F.sum("v_e6").cast(d38).alias("v_e6"),
+        F.sum("d1_i").cast("bigint").alias("o1"),
+        F.count("*").cast("bigint").alias("n_steps"),
+    )
+    return s.select(
+        "o1",
+        "n_steps",
+        F.col("omE_e6").cast("bigint").alias("om_e_e6"),
+        F.col("v_e6").cast("bigint").alias("var_e6"),
+        (
+            F.col("omE_e6") * F.col("omE_e6")
+            > F.lit(CHI2_DF1_E6) * F.col("v_e6") * F.lit(1000000)
+        ).alias("significant"),
+    )
+
+
+@register(
+    "q_stats_mcnemar",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase'
+                        AND CAST(ts AS DATE) < DATE '2024-01-16'
+                        THEN 1 ELSE 0 END) AS a1,
+               MAX(CASE WHEN event_type = 'purchase'
+                        AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                        THEN 1 ELSE 0 END) AS a2
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN a1 = 1 AND a2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN a1 = 0 AND a2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM u
+    )
+    SELECT n_users, b, c,
+           CAST(CASE WHEN b + c > 0
+                THEN ((b - c) * (b - c) * 1000000) // (b + c)
+                ELSE 0 END AS BIGINT) AS chi2_e6_floor,
+           b + c > 0 AND (b - c) * (b - c) * 1000000
+             > {CHI2_DF1_E6} * (b + c) AS significant
+    FROM s
+    """,
+    tags=("M2", "M14", "D3"),
+)
+def q_stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S TEST (1947) — did the per-user purchase propensity
+    CHANGE between the first and second half of the month? The PAIRED
+    sibling of the two-sample battery: each user is their own control
+    (converted-in-half-1 yes/no vs converted-in-half-2 yes/no), so
+    between-user variance cancels and only the DISCORDANT pairs b
+    (active then lapsed) and c (lapsed then activated) carry
+    information — chi2 = (b-c)^2/(b+c) against df=1. This is the test
+    behind every before/after product change readout on the same
+    cohort.
+
+    Exactness: b and c are exact BIGINT counts from one census; the
+    statistic is reported as the exact integer FLOOR quotient
+    (b-c)^2*10^6 div (b+c) and the alpha = 0.05 verdict is the
+    cross-multiplied comparison (b-c)^2*10^6 > chi2crit_e6*(b+c) — all
+    integers, the degenerate b+c = 0 case stated (not significant).
+
+    Plan: one per-user conditional aggregate (two MAX-CASE branches of
+    the same pass), one 1-row fold. Fact scanned once, no join."""
+    u = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts").cast("date") < F.lit("2024-01-16")),
+                1,
+            ).otherwise(0)
+        ).alias("a1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts").cast("date") >= F.lit("2024-01-16")),
+                1,
+            ).otherwise(0)
+        ).alias("a2"),
+    )
+    s = u.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.when((F.col("a1") == 1) & (F.col("a2") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("a1") == 0) & (F.col("a2") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    d = (F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))
+    return s.select(
+        "n_users",
+        "b",
+        "c",
+        F.when(
+            F.col("b") + F.col("c") > 0,
+            F.expr("((b - c) * (b - c) * 1000000) div (b + c)"),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("chi2_e6_floor"),
+        (
+            (F.col("b") + F.col("c") > 0)
+            & (
+                d * 1000000
+                > F.lit(CHI2_DF1_E6) * (F.col("b") + F.col("c"))
+            )
+        ).alias("significant"),
+    )

@@ -828,3 +828,76 @@ def test_lasso_cd_matches_brute_force_and_zeroes(spark):
     # the stronger survives — the one-zero region of the path
     bb = run(max(abs(c1y), abs(c2y)) * 900_000)
     assert 0 in (bb[1], bb[2]) and bb[1:] != (0, 0)
+
+
+def test_logrank_matches_brute_force(spark, events):
+    """O-E and V recomputed step-by-step with exact Python integers
+    (independent at-risk construction, same e6 fixing rule)."""
+    got = _rows(spark, "q_survival_logrank").iloc[0]
+    df = events.copy()
+    df["sec"] = df.ts.astype("datetime64[s]").astype("int64")
+    rows = []
+    for uid, sub in df.groupby("user_id"):
+        t0 = int(sub.sec.min())
+        tp = sub[sub.event_type == "purchase"].sec
+        tlast = int(sub.sec.max())
+        end = int(tp.min()) if len(tp) else tlast
+        rows.append(
+            (uid % 2 == 0, (end - t0) // 60, bool(len(tp)))
+        )
+    from collections import defaultdict
+
+    at = defaultdict(lambda: [0, 0])  # d_min -> [c_all, c1]
+    ev = defaultdict(lambda: [0, 0])  # d_min -> [d_i, d1_i]
+    for grp, d, obs in rows:
+        at[d][0] += 1
+        at[d][1] += grp
+        if obs:
+            ev[d][0] += 1
+            ev[d][1] += grp
+    om_e = v = o1 = steps = 0
+    n_i = n1_i = 0
+    for d in sorted(at, reverse=True):
+        n_i += at[d][0]
+        n1_i += at[d][1]
+        d_i, d1_i = ev.get(d, (0, 0))
+        if d_i > 0:
+            e1 = round(1_000_000 * d_i * n1_i / n_i)
+            om_e += d1_i * 1_000_000 - e1
+            if n_i > 1:
+                v += round(
+                    1_000_000
+                    * d_i * n1_i * (n_i - n1_i) * (n_i - d_i)
+                    / (n_i * n_i * (n_i - 1))
+                )
+            o1 += d1_i
+            steps += 1
+    assert int(got["o1"]) == o1 and int(got["n_steps"]) == steps
+    assert int(got["om_e_e6"]) == om_e
+    assert int(got["var_e6"]) == v
+    assert bool(got["significant"]) == (
+        om_e * om_e > 3_841_459 * v * 1_000_000
+    )
+
+
+def test_mcnemar_matches_brute_force(spark, events):
+    got = _rows(spark, "q_stats_mcnemar").iloc[0]
+    df = events.copy()
+    df["half1"] = df.ts.dt.date.astype(str) < "2024-01-16"
+    g = df[df.event_type == "purchase"].groupby("user_id").half1
+    a1 = g.max()  # any purchase in half 1
+    a2 = ~g.min()  # any purchase in half 2 (min(half1)==False)
+    users = df.user_id.unique()
+    b = c = 0
+    for u in users:
+        h1 = bool(a1.get(u, False))
+        h2 = bool(a2.get(u, False))
+        if h1 and not h2:
+            b += 1
+        if h2 and not h1:
+            c += 1
+    assert int(got["n_users"]) == len(users)
+    assert int(got["b"]) == b and int(got["c"]) == c
+    assert bool(got["significant"]) == (
+        b + c > 0 and (b - c) ** 2 * 1_000_000 > 3_841_459 * (b + c)
+    )
