@@ -257,6 +257,8 @@ HEADLINE = [
     "q_train_lasso_cd",
     "q_survival_logrank",
     "q_stats_mcnemar",
+    "q_alloc_fifo",
+    "q_scan_binary",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -1514,3 +1514,151 @@ def q_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             * nn
         ).alias("reject"),
     ).orderBy("event_type", "look")
+
+
+@register(
+    "q_alloc_fifo",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    lots AS (
+        SELECT user_id, event_id, cents,
+               SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+               SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - cents AS lo
+        FROM x WHERE event_type = 'view'
+    ),
+    outs AS (
+        SELECT user_id, event_id, cents,
+               SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+               SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - cents AS lo
+        FROM x WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT l.user_id,
+               SUM(LEAST(l.hi, o.hi) - GREATEST(l.lo, o.lo)) AS m
+        FROM lots l JOIN outs o
+          ON o.user_id = l.user_id
+         AND l.lo < o.hi AND o.lo < l.hi
+        GROUP BY l.user_id
+    ),
+    tot AS (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                                      THEN cents END), 0) AS BIGINT)
+                 AS supply,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN cents END), 0) AS BIGINT)
+                 AS demand
+        FROM x GROUP BY user_id
+    )
+    SELECT t.user_id,
+           t.supply, t.demand,
+           CAST(COALESCE(m.m, 0) AS BIGINT) AS matched_cents,
+           CAST(t.supply - COALESCE(m.m, 0) AS BIGINT) AS leftover_cents,
+           CAST(t.demand - COALESCE(m.m, 0) AS BIGINT) AS unfilled_cents
+    FROM tot t LEFT JOIN matched m ON m.user_id = t.user_id
+    ORDER BY t.user_id
+    """,
+    tags=("M1", "C8", "E2"),
+)
+def q_alloc_fifo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO LOT ALLOCATION — match each user's demand (purchase cents)
+    against their oldest unconsumed supply (view cents) in strict
+    arrival order: the inventory-costing / tax-lot / queue-accounting
+    primitive (FIFO cost basis) that naive implementations write as a
+    per-user sequential loop. The distributed spelling uses the
+    CUMULATIVE-INTERVAL identity: lot i occupies [A_{i-1}, A_i) of the
+    user's supply axis and outflow j occupies [B_{j-1}, B_j) of the
+    demand axis; FIFO matches exactly their overlap min(A_i,B_j) -
+    max(A_{i-1},B_{j-1}) when positive — so the whole allocation is
+    two prefix-sum windows and ONE user-keyed equi-join with a range
+    residual (the C8 interval-overlap shape), no loop, no state, all
+    exact integer cents.
+
+    Plan: two windows over one user-keyed exchange; the match join is
+    hash on user_id with the overlap predicate as a residual filter —
+    candidate-bound by per-user overlap (each outflow touches few
+    lots), never all-pairs; at 100 TB the same join is bucketable on
+    user_id. Output is the per-user supply/demand/matched/leftover/
+    unfilled census — conservation (matched <= min(supply, demand),
+    with equality when one side exhausts) is checkable row by row."""
+    x = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def ranged(df):
+        return df.select(
+            "user_id",
+            (F.sum("cents").over(w) - F.col("cents")).alias("lo"),
+            F.sum("cents").over(w).alias("hi"),
+        )
+
+    lots = ranged(x.filter(F.col("event_type") == "view"))
+    outs = (
+        ranged(x.filter(F.col("event_type") == "purchase"))
+        .withColumnRenamed("lo", "olo")
+        .withColumnRenamed("hi", "ohi")
+    )
+    matched = (
+        lots.join(outs, "user_id")
+        .filter((F.col("lo") < F.col("ohi")) & (F.col("olo") < F.col("hi")))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.least("hi", "ohi") - F.greatest("lo", "olo")
+            ).alias("m")
+        )
+    )
+    tot = x.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "view", F.col("cents"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("supply"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("cents"))
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("demand"),
+    )
+    return (
+        tot.join(matched, "user_id", "left")
+        .na.fill({"m": 0})
+        .select(
+            "user_id",
+            "supply",
+            "demand",
+            F.col("m").cast("bigint").alias("matched_cents"),
+            (F.col("supply") - F.col("m")).cast("bigint").alias(
+                "leftover_cents"
+            ),
+            (F.col("demand") - F.col("m")).cast("bigint").alias(
+                "unfilled_cents"
+            ),
+        )
+        .orderBy("user_id")
+    )
