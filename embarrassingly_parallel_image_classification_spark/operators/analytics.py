@@ -1573,9 +1573,13 @@ def q_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_alloc_fifo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIFO LOT ALLOCATION — match each user's demand (purchase cents)
     against their oldest unconsumed supply (view cents) in strict
-    arrival order: the inventory-costing / tax-lot / queue-accounting
-    primitive (FIFO cost basis) that naive implementations write as a
-    per-user sequential loop. The distributed spelling uses the
+    arrival order, with BACKORDER semantics (demand queues until
+    supply arrives, so the k-th supplied cent always meets the k-th
+    demanded cent — the pairing is independent of how the two streams
+    interleave in time; scripts/fifo_probe.py checksums that pairing
+    against a sequential two-queue matcher): the inventory-costing /
+    tax-lot / queue-accounting primitive (FIFO cost basis) that naive
+    implementations write as a per-user sequential loop. The distributed spelling uses the
     CUMULATIVE-INTERVAL identity: lot i occupies [A_{i-1}, A_i) of the
     user's supply axis and outflow j occupies [B_{j-1}, B_j) of the
     demand axis; FIFO matches exactly their overlap min(A_i,B_j) -
