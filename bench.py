@@ -259,6 +259,7 @@ HEADLINE = [
     "q_stats_mcnemar",
     "q_alloc_fifo",
     "q_scan_binary",
+    "q_knn_hamming",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

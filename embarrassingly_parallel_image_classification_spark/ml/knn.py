@@ -1113,3 +1113,128 @@ def q_class_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@register(
+    "q_knn_hamming",
+    oracle=f"""
+    WITH bits AS (
+        SELECT e.vec_id,
+               SUM(CASE WHEN CAST(e.embedding[i.i + 1] AS DOUBLE) > 0
+                        THEN (CAST(1 AS BIGINT) << i.i)
+                        ELSE 0 END) AS sig
+        FROM embeddings e, range(63) i(i)
+        GROUP BY e.vec_id
+    ),
+    q AS (
+        SELECT vec_id AS qid, sig AS qsig FROM bits
+        WHERE qid < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.qid, b.vec_id,
+               bit_count(xor(b.sig, q.qsig)) AS hamming
+        FROM bits b CROSS JOIN q WHERE b.vec_id <> q.qid
+    ),
+    ham_top AS (
+        SELECT qid, vec_id, hamming,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY hamming, vec_id) AS rank
+        FROM scored
+    ),
+    exact AS (
+        SELECT q.vec_id AS qid, e.vec_id
+        FROM embeddings e
+        CROSS JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings WHERE vec_id < {N_QUERIES}) q
+        WHERE e.vec_id <> q.vec_id
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ROUND(list_cosine_similarity(
+                CAST(e.embedding AS DOUBLE[]), q.emb), 6) DESC,
+                e.vec_id) <= {TOP_K}
+    )
+    SELECT h.qid, h.rank, h.vec_id,
+           CAST(h.hamming AS BIGINT) AS hamming,
+           EXISTS (SELECT 1 FROM exact x
+                   WHERE x.qid = h.qid AND x.vec_id = h.vec_id)
+             AS in_exact_topk
+    FROM ham_top h WHERE h.rank <= {TOP_K}
+    ORDER BY h.qid, h.rank
+    """,
+    tags=("K3", "K7", "H10"),
+)
+def q_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-QUANTIZED vector search (sign quantization + Hamming
+    ranking — the 1-bit tier below PQ in every modern vector stack;
+    Charikar 2002 hyperplane-LSH with the coordinate hyperplanes):
+    each embedding collapses to ONE BIGINT bitmask (sign bit per
+    coordinate over the first 63 dims — bit 63 is dropped so the
+    signature stays a non-negative BIGINT whose shifts both engines
+    define identically; 32x less data to scan, and the distance
+    is a single XOR + POPCOUNT per pair instead of 64 multiply-adds),
+    then the exact top-k under Hamming distance is annotated with
+    whether it was also in the float-cosine exact top-k — the recall
+    census that tells you what the 1-bit tier costs in quality.
+
+    Determinism: the bitmask is exact integer arithmetic (strictly-
+    positive test per coordinate), Hamming is integer, ties break on
+    vec_id — and the recall annotation reuses q_knn_exact's e6-rounded
+    cosine contract, so the ENTIRE result is exactly oracle-checkable
+    (unlike the seeded-hyperplane LSH tier q_dedup_embedding_lsh,
+    whose planes are random). Plan: one map-side fold builds the
+    signatures (no shuffle); the scan side carries 8 bytes per vector;
+    ranking is the same broadcast-queries window as every K3 tier. At
+    100 TB the binary tier is the FIRST pass of a rerank cascade:
+    hamming top-(4k) from the bitmask scan, then exact cosine only on
+    the survivors."""
+    emb = t(spark, sf_dir, "embeddings")
+    bits = emb.select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(slice(embedding, 1, 63), "
+            "CAST(sequence(0, 62) AS ARRAY<INT>), "
+            "(e, i) -> IF(CAST(e AS DOUBLE) > 0D, "
+            "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("sig"),
+    )
+    q = bits.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("sig").alias("qsig")
+    )
+    scored = (
+        bits.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.bit_count(
+                F.col("sig").bitwiseXOR(F.col("qsig"))
+            ).cast("bigint").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("hamming", "vec_id")
+    ham_top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    exact = knn_exact(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), TOP_K
+    ).select(
+        F.col("qid").alias("xq"),
+        F.col("vec_id").alias("xv"),
+        F.lit(True).alias("hit"),
+    )
+    return (
+        ham_top.join(
+            exact,
+            (F.col("xq") == F.col("qid")) & (F.col("xv") == F.col("vec_id")),
+            "left",
+        )
+        .select(
+            "qid",
+            F.col("rank").cast("bigint").alias("rank"),
+            "vec_id",
+            "hamming",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact_topk"),
+        )
+        .orderBy("qid", "rank")
+    )

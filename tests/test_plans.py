@@ -208,6 +208,9 @@ _CARTESIAN_OK = {
                              # both bounded by DOMAINS, never rows
     "q_feat_gini_gain",      # 1-row baseline-impurity scalar crossed
                              # onto the 4-row per-feature frame
+    "q_knn_hamming",         # the K3 broadcast-query-side cross (5-row
+                             # signature side × corpus), same shape as
+                             # q_knn_exact
     "q_dedup_embedding",     # demoted all-pairs verifier (docstring'd)
     "q_dedup_ngram_jaccard", # exact-Jaccard verifier (docstring'd)
     "q_tpch_q11",            # 1-row global-total scalar into HAVING
