@@ -260,6 +260,7 @@ HEADLINE = [
     "q_alloc_fifo",
     "q_scan_binary",
     "q_knn_hamming",
+    "q_knn_hamming_rerank",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

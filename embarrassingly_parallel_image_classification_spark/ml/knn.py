@@ -1238,3 +1238,153 @@ def q_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rank")
     )
+
+
+# Rerank cascade: binary shortlist OVERFETCH x4, then exact cosine on
+# survivors only (the q_knn_filtered post-filter overfetch discipline
+# applied to the 1-bit tier).
+HAMMING_OVERFETCH = 4
+
+
+@register(
+    "q_knn_hamming_rerank",
+    oracle=f"""
+    WITH bits AS (
+        SELECT e.vec_id,
+               SUM(CASE WHEN CAST(e.embedding[i.i + 1] AS DOUBLE) > 0
+                        THEN (CAST(1 AS BIGINT) << i.i)
+                        ELSE 0 END) AS sig
+        FROM embeddings e, range(63) i(i)
+        GROUP BY e.vec_id
+    ),
+    q AS (
+        SELECT vec_id AS qid, sig AS qsig FROM bits
+        WHERE qid < {N_QUERIES}
+    ),
+    shortlist AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, b.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                       ORDER BY bit_count(xor(b.sig, q.qsig)), b.vec_id)
+                     AS hrank
+            FROM bits b CROSS JOIN q WHERE b.vec_id <> q.qid
+        ) WHERE hrank <= {TOP_K * HAMMING_OVERFETCH}
+    ),
+    reranked AS (
+        SELECT s.qid, s.vec_id,
+               ROUND(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings qq
+                    WHERE qq.vec_id = s.qid)), 6) AS sim
+        FROM shortlist s JOIN embeddings e ON e.vec_id = s.vec_id
+    ),
+    cascade AS (
+        SELECT qid, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, vec_id) AS rank
+        FROM reranked
+    ),
+    exact AS (
+        SELECT q.vec_id AS qid, e.vec_id
+        FROM embeddings e
+        CROSS JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings WHERE vec_id < {N_QUERIES}) q
+        WHERE e.vec_id <> q.vec_id
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ROUND(list_cosine_similarity(
+                CAST(e.embedding AS DOUBLE[]), q.emb), 6) DESC,
+                e.vec_id) <= {TOP_K}
+    )
+    SELECT c.qid, c.rank, c.vec_id, c.sim,
+           EXISTS (SELECT 1 FROM exact x
+                   WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+             AS in_exact_topk
+    FROM cascade c WHERE c.rank <= {TOP_K}
+    ORDER BY c.qid, c.rank
+    """,
+    tags=("K3", "K7", "F3"),
+)
+def q_knn_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-SHORTLIST + EXACT-RERANK CASCADE — the production shape
+    of 1-bit vector search (how every binary-quantized index is
+    actually served): the 8-byte Hamming tier overfetches a top-12
+    shortlist per query (4x the final k, the q_knn_filtered overfetch
+    discipline), then full float cosine runs ONLY on the shortlist and
+    keeps the top-3. The output carries the exact-top-k membership
+    flag, so the cascade's recall — what the two-stage design buys
+    back from the raw 1-bit tier of q_knn_hamming — is part of the
+    checked result. Everything is deterministic (integer Hamming,
+    e6-rounded cosine, vec_id ties), hence fully oracle-checkable.
+
+    Scale: stage 1 scans 8 bytes/vector (XOR+POPCOUNT); stage 2
+    touches only 12 full vectors per query — at 100 TB the float
+    columns are read for a shortlist-sized fraction of the corpus
+    (columnar pruning makes stage 2 cost proportional to the
+    SHORTLIST, not the corpus)."""
+    emb = t(spark, sf_dir, "embeddings")
+    bits = emb.select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(slice(embedding, 1, 63), "
+            "CAST(sequence(0, 62) AS ARRAY<INT>), "
+            "(e, i) -> IF(CAST(e AS DOUBLE) > 0D, "
+            "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("sig"),
+    )
+    q = bits.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("sig").alias("qsig")
+    )
+    wh = Window.partitionBy("qid").orderBy("hamming", "vec_id")
+    shortlist = (
+        bits.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .withColumn("hrank", F.row_number().over(wh))
+        .filter(F.col("hrank") <= TOP_K * HAMMING_OVERFETCH)
+        .select("qid", "vec_id")
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    reranked = (
+        shortlist.join(emb, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine("embedding", "q_emb"), 6).alias("sim"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    cascade = reranked.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= TOP_K
+    )
+    exact = knn_exact(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), TOP_K
+    ).select(
+        F.col("qid").alias("xq"),
+        F.col("vec_id").alias("xv"),
+        F.lit(True).alias("hit"),
+    )
+    return (
+        cascade.join(
+            exact,
+            (F.col("xq") == F.col("qid")) & (F.col("xv") == F.col("vec_id")),
+            "left",
+        )
+        .select(
+            "qid",
+            F.col("rank").cast("bigint").alias("rank"),
+            "vec_id",
+            "sim",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact_topk"),
+        )
+        .orderBy("qid", "rank")
+    )

@@ -211,6 +211,9 @@ _CARTESIAN_OK = {
     "q_knn_hamming",         # the K3 broadcast-query-side cross (5-row
                              # signature side × corpus), same shape as
                              # q_knn_exact
+    "q_knn_hamming_rerank",  # same broadcast query-side cross in its
+                             # stage-1 shortlist + the knn_exact
+                             # recall-annotation join
     "q_dedup_embedding",     # demoted all-pairs verifier (docstring'd)
     "q_dedup_ngram_jaccard", # exact-Jaccard verifier (docstring'd)
     "q_tpch_q11",            # 1-row global-total scalar into HAVING
