@@ -1225,7 +1225,7 @@ def q_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ham_top.join(
-            exact,
+            F.broadcast(exact),
             (F.col("xq") == F.col("qid")) & (F.col("xv") == F.col("vec_id")),
             "left",
         )
@@ -1375,7 +1375,7 @@ def q_knn_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cascade.join(
-            exact,
+            F.broadcast(exact),
             (F.col("xq") == F.col("qid")) & (F.col("xv") == F.col("vec_id")),
             "left",
         )
