@@ -579,13 +579,31 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile: constant memory per group, mergeable partials, no global
     sort (q_agg_percentile's exact interpolation needs one). Sketch
     estimates are engine-specific ⇒ rows-only; the rank-error bound vs
-    the exact percentile is asserted in tests/test_approx.py."""
+    the exact percentile is asserted in tests/test_approx.py.
+
+    Output is posexploded to SCALAR rows (pct, approx_value) — the
+    driver's canonicalizer sorts the raw frame before hashing and an
+    ARRAY cell crashes it (round-10 red slot: numpy.ndarray is
+    unhashable). Scalar rows are also the shape a downstream join
+    wants; the array spelling saved nothing."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.percentile_approx(
             "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95)), 10000
-        ).alias("approx_price_quantiles"),
+        ).alias("qarr"),
         F.count("*").alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.posexplode("qarr").alias("pos", "approx_value"),
+        "n",
+    ).select(
+        "l_returnflag",
+        F.element_at(
+            F.array(F.lit(25), F.lit(50), F.lit(95)), F.col("pos") + 1
+        ).alias("pct"),
+        F.col("approx_value").cast("double").alias("approx_value"),
+        F.col("n").cast("bigint").alias("n"),
     )
 
 

@@ -143,37 +143,33 @@ def _ensure_loaded() -> None:
 # alone don't give). Queries registered during round 10 land after slot
 # 50 in registration order and form round 11's never-verified head.
 _DRIVER_PRIORITY = (
-    "q_timeseries_holt",
-    "q_timeseries_acf",
-    "q_mining_variants",
-    "q_geo_point_in_polygon",
-    "q_stats_ks_test",
-    "q_stats_gini",
-    "q_survival_km",
-    "q_ts_theil_sen",
-    "q_stats_mann_whitney",
-    "q_stats_bootstrap_ci",
-    "q_stats_chi2",
-    "q_stats_runs_test",
-    "q_stats_spearman",
-    "q_udf_grouped_arrow",
-    "q_udf_cogroup_arrow",
-    "q_dedup_paragraph",
-    "q_text_zipf",
-    "q_privacy_l_diversity",
-    "q_select_dsir",
-    "q_feat_chi2_select",
-    "q_train_naive_bayes",
-    "q_train_decision_stump",
-    "q_train_isotonic",
-    "q_train_grouped_ols",
-    "q_train_gbt_stumps",
-    "q_multimodal_audio",
-    "q_stream_semi_join",
-    "q_stream_full_outer_join",
-    "q_stream_right_outer_join",
-    "q_lake_merge_evolve",
-    "q_lake_generated_columns",
+    "q_ts_changepoint_sse",
+    "q_ts_backtest_mase",
+    "q_ab_sequential",
+    "q_alloc_fifo",
+    "q_stats_kendall",
+    "q_stats_anova",
+    "q_stats_cramers_v",
+    "q_stats_sign_bh",
+    "q_stats_kruskal",
+    "q_survival_nelson_aalen",
+    "q_survival_logrank",
+    "q_stats_mcnemar",
+    "q_graph_connected_components",
+    "q_class_knn_vote",
+    "q_knn_hamming",
+    "q_knn_hamming_rerank",
+    "q_privacy_t_closeness",
+    "q_feat_gini_gain",
+    "q_train_ridge",
+    "q_train_lasso_cd",
+    "q_multimodal_keyframes",
+    "q_scan_binary",
+    "q_stream_cusum",
+    "q_sql_decorrelate",
+    "q_sql_variant",
+    "q_lake_identity",
+    "q_lake_check_constraint",
     "q_tpch_q9",
     "q_stream_tumbling",
     "q_dedup_ngram_jaccard",
@@ -182,17 +178,21 @@ _DRIVER_PRIORITY = (
     "q_text_chunking",
     "q_agg_basic",
     "q_knn_exact",
-    "q_topk_global",
-    "q_topk_per_group",
-    "q_topk_freq",
-    "q_union",
-    "q_intersect",
-    "q_except",
-    "q_sample",
-    "q_agg_hll_sketch",
-    "q_agg_approx_distinct",
+    "q_fn_string",
+    "q_fn_regex",
+    "q_change_detection",
+    "q_window_range_frame",
+    "q_fn_datetime",
+    "q_fn_math",
+    "q_fn_array_argmax",
+    "q_fn_dot_product",
+    "q_fn_array_set",
+    "q_fn_map",
     "q_agg_approx_percentile",
-    "q_freq_items",
+    "q_knn_lsh",
+    "q_knn_ivf",
+    "q_knn_pq",
+    "q_knn_ivfpq",
 )
 # (round-1-green families act as their own canaries right behind the
 # window: non-priority oracle-backed queries keep registration order.)

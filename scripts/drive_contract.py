@@ -39,14 +39,16 @@ for name, fn in qs.items():  # registry order == the driver's check order
         got = fn(spark, SF).toPandas()
     except Exception as ex:
         print(f"FAIL {name}: query raised {ex}"); fails += 1; continue
+    try:
+        # the driver's canonicalizer sorts the RAW frame by all
+        # columns before hashing — an array/map/struct cell crashes
+        # it even when values are right (round-5 red). This applies
+        # to ROWS-ONLY queries too: the driver sorts before its
+        # did-it-run record (round-10 red: q_agg_approx_percentile).
+        got.head(50).sort_values(by=list(got.columns))
+    except Exception as ex:
+        print(f"FAIL {name}: not driver-sortable ({ex})"); fails += 1; continue
     if name in oracles:
-        try:
-            # the driver's canonicalizer sorts the RAW frame by all
-            # columns before hashing — an array/map/struct cell crashes
-            # it even when values are right (round-5 red)
-            got.head(50).sort_values(by=list(got.columns))
-        except Exception as ex:
-            print(f"FAIL {name}: not driver-sortable ({ex})"); fails += 1; continue
         try:
             want = con.execute(oracles[name]).fetchdf()
         except Exception as ex:

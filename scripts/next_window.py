@@ -59,9 +59,14 @@ CANARY_POOL = [
 ]
 
 
-def last_green_rounds() -> dict[str, int]:
-    """Most recent round with a driver-green row, per query."""
-    last: dict[str, int] = {}
+def last_green_rounds() -> tuple[dict[str, int], dict[str, int]]:
+    """Per query: most recent round with (a) a driver-green ORACLE row,
+    (b) a rows-only did-it-run record (err == "no_oracle" with a row
+    count — the weaker evidence class the r9 tail policy collects).
+    Kept separate: a rows-only record must never satisfy the oracle
+    rotation (a later oracle upgrade re-enters as never-verified)."""
+    green: dict[str, int] = {}
+    recorded: dict[str, int] = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", os.path.basename(path))
         rnd = int(m.group(1)) if m else 0
@@ -70,13 +75,18 @@ def last_green_rounds() -> dict[str, int]:
                 if row.get("hash_match") or (
                     row.get("rows_match") and row.get("err") is None
                 ):
-                    last[name] = max(last.get(name, 0), rnd)
-    return last
+                    green[name] = max(green.get(name, 0), rnd)
+                elif (
+                    row.get("err") == "no_oracle"
+                    and row.get("spark_rows") is not None
+                ):
+                    recorded[name] = max(recorded.get(name, 0), rnd)
+    return green, recorded
 
 
 def main() -> None:
     specs = registry.specs()
-    last = last_green_rounds()
+    last, recorded = last_green_rounds()
     oracle_backed = [n for n, s in specs.items() if s.oracle is not None]
     # registration order, not current driver order: the priority tuple
     # itself must not feed back into the rotation
@@ -96,7 +106,7 @@ def main() -> None:
         (
             n
             for n, s in specs.items()
-            if s.oracle is None and n not in last
+            if s.oracle is None and n not in last and n not in recorded
         ),
         key=lambda n: reg_order[n],
     )

@@ -47,6 +47,13 @@ def test_readme_counts_match_registry():
     text = _read("README.md")
     for found in re.findall(r"(\d+) registered queries", text):
         assert int(found) == n, f"README says {found} queries, registry {n}"
+    # the rows-only remainder drifted once (r10 verdict item 4: README
+    # said 20 after the q_scan_binary oracle upgrade made it 19) — pin it
+    m = re.search(r"the (\d+) rows-only remainder", text)
+    assert m, "README no longer states the rows-only remainder"
+    assert int(m.group(1)) == n - n_oracle, (
+        f"README says {m.group(1)} rows-only, registry has {n - n_oracle}"
+    )
 
 
 def test_survey_counts_match_registry():

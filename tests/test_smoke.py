@@ -113,27 +113,27 @@ def test_registry_driver_window_ordering():
     )
     assert first_rows_only > last_oracle
     must_be_inside = {
-        # round-10 rotation (r9 verdict item 1): the 31 late-round-9
+        # round-11 rotation (r10 verdict item 1): the 27 round-10
         # registrations that have never had a driver row — ALL of them
         # must sit inside the window (the full 50-name tuple is pinned
         # in registry._DRIVER_PRIORITY; update these alongside each
-        # rotation). 14 slots re-prove the OLDEST standing driver
-        # evidence; the last 5 are the rows-only tail.
-        "q_timeseries_holt", "q_timeseries_acf", "q_mining_variants",
-        "q_geo_point_in_polygon", "q_stats_ks_test", "q_stats_gini",
-        "q_survival_km", "q_ts_theil_sen", "q_stats_mann_whitney",
-        "q_stats_bootstrap_ci", "q_stats_chi2", "q_stats_runs_test",
-        "q_stats_spearman", "q_udf_grouped_arrow", "q_udf_cogroup_arrow",
-        "q_dedup_paragraph", "q_text_zipf", "q_privacy_l_diversity",
-        "q_select_dsir", "q_feat_chi2_select", "q_train_naive_bayes",
-        "q_train_decision_stump", "q_train_isotonic",
-        "q_train_grouped_ols", "q_train_gbt_stumps", "q_multimodal_audio",
-        "q_stream_semi_join", "q_stream_full_outer_join",
-        "q_stream_right_outer_join", "q_lake_merge_evolve",
-        "q_lake_generated_columns",
-        # rows-only tail
-        "q_sample", "q_agg_hll_sketch", "q_agg_approx_distinct",
-        "q_agg_approx_percentile", "q_freq_items",
+        # rotation). 18 slots re-prove the OLDEST standing driver
+        # evidence; the last 5 are the rows-only tail (now rotating:
+        # next_window.py counts "no_oracle" did-it-run records).
+        "q_ts_changepoint_sse", "q_ts_backtest_mase", "q_ab_sequential",
+        "q_alloc_fifo", "q_stats_kendall", "q_stats_anova",
+        "q_stats_cramers_v", "q_stats_sign_bh", "q_stats_kruskal",
+        "q_survival_nelson_aalen", "q_survival_logrank",
+        "q_stats_mcnemar", "q_graph_connected_components",
+        "q_class_knn_vote", "q_knn_hamming", "q_knn_hamming_rerank",
+        "q_privacy_t_closeness", "q_feat_gini_gain", "q_train_ridge",
+        "q_train_lasso_cd", "q_multimodal_keyframes", "q_scan_binary",
+        "q_stream_cusum", "q_sql_decorrelate", "q_sql_variant",
+        "q_lake_identity", "q_lake_check_constraint",
+        # rows-only tail: the fixed approx_percentile (round-10 red,
+        # now posexploded to scalar rows) + the next 4 unrecorded
+        "q_agg_approx_percentile", "q_knn_lsh", "q_knn_ivf",
+        "q_knn_pq", "q_knn_ivfpq",
     }
     assert must_be_inside <= set(window), must_be_inside - set(window)
     # rotation slots (stale-green re-proof) fill whatever window slots
