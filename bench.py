@@ -261,6 +261,8 @@ HEADLINE = [
     "q_scan_binary",
     "q_knn_hamming",
     "q_knn_hamming_rerank",
+    "q_knn_hamming_postdedup",
+    "q_train_tree_depth2",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

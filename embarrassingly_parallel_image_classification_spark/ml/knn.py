@@ -696,10 +696,25 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     step before ANN indexing that trades dimensionality for index
     cost. Rows-only (eigensolver results are engine-specific floats);
     orthonormality, variance ordering, and agreement with a NumPy
-    eigendecomposition are pinned in tests/test_ml_self_oracles.py."""
+    eigendecomposition are pinned in tests/test_ml_self_oracles.py.
+
+    Output is posexploded to SCALAR (vec_id, component, value) rows:
+    the driver's rows-only canonicalizer sorts the raw frame before
+    recording and an ARRAY cell crashes it (the round-10
+    q_agg_approx_percentile red; drive_contract's sortability guard
+    now covers rows-only queries and flagged this one)."""
     emb = t(spark, sf_dir, "embeddings")
     projected, _ = pca_project(emb, k=8)
-    return projected.orderBy("vec_id").limit(100)
+    return (
+        projected.orderBy("vec_id")
+        .limit(100)
+        .select("vec_id", F.posexplode("proj").alias("component", "value"))
+        .select(
+            "vec_id",
+            F.col("component").cast("bigint").alias("component"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
 
 
 _HARD_NEG_QUERIES = 20
@@ -1387,4 +1402,314 @@ def q_knn_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact_topk"),
         )
         .orderBy("qid", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K7 + K1 composite: the dedup-before-retrieval mitigation, DEMONSTRATED.
+# The round-10 Hamming probe recorded honestly that sign patterns collapse
+# within near-duplicate clusters (BASELINE.md "Hamming probe": recall@3 =
+# 4/15 raw on the clustered fixture) and named dedup-before-embed as the
+# pipeline-order mitigation. This query turns that caveat into a measured,
+# oracle-checkable claim: pollute the corpus with exact duplicates (the
+# limit case of a near-dup cluster — identical sign signature, Hamming 0),
+# run the SAME binary-shortlist + rerank cascade before and after a K1
+# document-level dedup, and emit per-query recall against the clean-corpus
+# exact top-k. Duplicates crowd both stages — the 12-slot Hamming shortlist
+# fills with signature-identical copies, and the reranked top-3 wastes
+# slots on (a) the query's own duplicate (cosine 1.0, rank 1) and (b) the
+# best neighbor's copy (tied sim) — so hits_prededup < hits_postdedup by
+# construction, which is exactly the uplift the mitigation buys.
+_DUP_OFFSET = 100_000
+
+
+def _sign_bits(emb: DataFrame) -> DataFrame:
+    """(vec_id, sig): 1-bit sign quantization over the first 63 dims —
+    the q_knn_hamming signature (kept textually identical so the two
+    tiers stay cross-checkable)."""
+    return emb.select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(slice(embedding, 1, 63), "
+            "CAST(sequence(0, 62) AS ARRAY<INT>), "
+            "(e, i) -> IF(CAST(e AS DOUBLE) > 0D, "
+            "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("sig"),
+    )
+
+
+def _hamming_shortlist(corpus: DataFrame, k: int, overfetch: int) -> DataFrame:
+    """Stage 1 of the cascade: (qid, vec_id) for each query's
+    k*overfetch Hamming-nearest signatures. Queries are the original
+    fixture query set (vec_id < N_QUERIES); the corpus may carry
+    duplicate surrogates."""
+    bits = _sign_bits(corpus)
+    q = bits.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("sig").alias("qsig")
+    )
+    wh = Window.partitionBy("qid").orderBy("hamming", "vec_id")
+    return (
+        bits.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .withColumn("hrank", F.row_number().over(wh))
+        .filter(F.col("hrank") <= k * overfetch)
+        .select("qid", "vec_id")
+    )
+
+
+def _hamming_cascade(corpus: DataFrame, k: int, overfetch: int) -> DataFrame:
+    """Binary shortlist (k*overfetch by Hamming) -> exact-cosine rerank
+    (top-k)."""
+    shortlist = _hamming_shortlist(corpus, k, overfetch)
+    qv = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        shortlist.join(corpus, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine("embedding", "q_emb"), 6).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id")
+    )
+
+
+@register(
+    "q_knn_hamming_postdedup",
+    oracle=f"""
+    WITH corpus_a AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_DUP_OFFSET}, embedding FROM embeddings
+    ),
+    docs_a AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_DUP_OFFSET}, text FROM documents
+    ),
+    survivors AS (
+        SELECT MIN(doc_id) AS doc_id FROM docs_a GROUP BY md5(text)
+    ),
+    corpus_d AS (
+        SELECT c.vec_id, c.embedding FROM corpus_a c
+        WHERE c.vec_id IN (SELECT doc_id FROM survivors)
+    ),
+    q AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS q_emb
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    truth AS (
+        SELECT q.qid, c.vec_id
+        FROM corpus_d c CROSS JOIN q WHERE c.vec_id <> q.qid
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY q.qid
+            ORDER BY ROUND(list_cosine_similarity(
+                CAST(c.embedding AS DOUBLE[]), q.q_emb), 6) DESC,
+                c.vec_id) <= {TOP_K}
+    ),
+    bits_a AS (
+        SELECT c.vec_id,
+               SUM(CASE WHEN CAST(c.embedding[i.i + 1] AS DOUBLE) > 0
+                        THEN (CAST(1 AS BIGINT) << i.i) ELSE 0 END) AS sig
+        FROM corpus_a c, range(63) i(i) GROUP BY c.vec_id
+    ),
+    qb AS (SELECT vec_id AS qid, sig AS qsig FROM bits_a
+           WHERE qid < {N_QUERIES}),
+    short_a AS (
+        SELECT qb.qid, b.vec_id
+        FROM bits_a b CROSS JOIN qb WHERE b.vec_id <> qb.qid
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qb.qid
+            ORDER BY bit_count(xor(b.sig, qb.qsig)), b.vec_id)
+          <= {TOP_K * HAMMING_OVERFETCH}
+    ),
+    casc_a AS (
+        SELECT s.qid, s.vec_id
+        FROM short_a s JOIN corpus_a c ON c.vec_id = s.vec_id
+        JOIN q ON q.qid = s.qid
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY s.qid
+            ORDER BY ROUND(list_cosine_similarity(
+                CAST(c.embedding AS DOUBLE[]), q.q_emb), 6) DESC,
+                s.vec_id) <= {TOP_K}
+    ),
+    short_d AS (
+        SELECT qb.qid, b.vec_id
+        FROM bits_a b CROSS JOIN qb
+        WHERE b.vec_id <> qb.qid
+          AND b.vec_id IN (SELECT doc_id FROM survivors)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qb.qid
+            ORDER BY bit_count(xor(b.sig, qb.qsig)), b.vec_id)
+          <= {TOP_K * HAMMING_OVERFETCH}
+    ),
+    casc_d AS (
+        SELECT s.qid, s.vec_id
+        FROM short_d s JOIN corpus_d c ON c.vec_id = s.vec_id
+        JOIN q ON q.qid = s.qid
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY s.qid
+            ORDER BY ROUND(list_cosine_similarity(
+                CAST(c.embedding AS DOUBLE[]), q.q_emb), 6) DESC,
+                s.vec_id) <= {TOP_K}
+    ),
+    pre AS (
+        SELECT c.qid,
+               COUNT(DISTINCT c.vec_id % {_DUP_OFFSET}) AS hits
+        FROM casc_a c JOIN truth t
+          ON t.qid = c.qid AND t.vec_id = c.vec_id % {_DUP_OFFSET}
+        GROUP BY c.qid
+    ),
+    post AS (
+        SELECT c.qid, COUNT(DISTINCT c.vec_id) AS hits
+        FROM casc_d c JOIN truth t
+          ON t.qid = c.qid AND t.vec_id = c.vec_id
+        GROUP BY c.qid
+    ),
+    sl_pre AS (
+        SELECT qid, COUNT(DISTINCT vec_id % {_DUP_OFFSET}) AS n
+        FROM short_a GROUP BY qid
+    ),
+    sl_post AS (
+        SELECT qid, COUNT(DISTINCT vec_id) AS n
+        FROM short_d GROUP BY qid
+    )
+    SELECT q.qid,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(COALESCE(sl_pre.n, 0) AS BIGINT)
+             AS shortlist_distinct_prededup,
+           CAST(COALESCE(sl_post.n, 0) AS BIGINT)
+             AS shortlist_distinct_postdedup,
+           CAST(COALESCE(pre.hits, 0) AS BIGINT) AS hits_prededup,
+           CAST(COALESCE(post.hits, 0) AS BIGINT) AS hits_postdedup,
+           CAST(COALESCE(post.hits, 0) - COALESCE(pre.hits, 0) AS BIGINT)
+             AS recall_uplift
+    FROM q LEFT JOIN pre ON pre.qid = q.qid
+           LEFT JOIN post ON post.qid = q.qid
+           LEFT JOIN sl_pre ON sl_pre.qid = q.qid
+           LEFT JOIN sl_post ON sl_post.qid = q.qid
+    ORDER BY q.qid
+    """,
+    tags=("K7", "K1", "K2", "K3"),
+)
+def q_knn_hamming_postdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-BEFORE-RETRIEVAL, measured (r10 verdict item 5): the same
+    binary-shortlist + exact-rerank cascade as q_knn_hamming_rerank,
+    run twice — on a corpus polluted with exact duplicates (every
+    vector cloned at vec_id + 100000; identical sign signature, the
+    limit case of the near-dup clusters the Hamming probe flagged) and
+    on the corpus after a K1 document-level exact dedup (min doc_id
+    per md5(text) over documents ∪ their clones; vec_id = doc_id is
+    the fixture linkage). Recall is counted per query against the
+    CLEAN-corpus exact-cosine top-k — the answer a user actually wants
+    (near-dup-free). Pre-dedup, the 12-slot shortlist fills with
+    signature-identical copies and the final top-3 wastes slots on the
+    query's own clone (cosine 1.0) and tied neighbor copies (canonical
+    identity vec_id % 100000 is applied before the hit count, so a
+    surrogate copy of a true neighbor still counts — the measured loss
+    is pure slot-crowding, not id bookkeeping). hits_postdedup >=
+    hits_prededup row by row IS the mitigation, demonstrated inside
+    one oracle-checked result — and the CROWDING MECHANISM itself is
+    measured alongside: shortlist_distinct_prededup counts the
+    distinct canonical candidates the 12 shortlist slots actually
+    bought pre-dedup (~half; every slot pairs with its clone's
+    identical signature) vs the full 12 post-dedup, so the uplift is
+    visible even on fixture rows where final recall happens to tie.
+
+    Scale: the dedup side is K1's two fixed-width shuffles; both
+    cascades scan 8 bytes/vector for stage 1 and touch only
+    shortlist-sized float data for stage 2 — the pollution doubles the
+    corpus but none of the per-query state (window frames stay
+    k*overfetch). Everything deterministic: integer Hamming,
+    e6-rounded cosine, vec_id ties."""
+    emb = t(spark, sf_dir, "embeddings")
+    docs = t(spark, sf_dir, "documents")
+    clone = emb.select(
+        (F.col("vec_id") + F.lit(_DUP_OFFSET)).alias("vec_id"), "embedding"
+    )
+    corpus_a = emb.select("vec_id", "embedding").unionAll(clone)
+    docs_a = docs.select("doc_id", "text").unionAll(
+        docs.select(
+            (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"), "text"
+        )
+    )
+    survivors = docs_a.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("vec_id")
+    ).select("vec_id")
+    corpus_d = corpus_a.join(F.broadcast(survivors), "vec_id", "semi")
+    truth = knn_exact(
+        corpus_d, emb.filter(F.col("vec_id") < N_QUERIES), TOP_K
+    ).select(F.col("qid").alias("tq"), F.col("vec_id").alias("tv"))
+    casc_a = _hamming_cascade(corpus_a, TOP_K, HAMMING_OVERFETCH)
+    casc_d = _hamming_cascade(corpus_d, TOP_K, HAMMING_OVERFETCH)
+    sl_pre = (
+        _hamming_shortlist(corpus_a, TOP_K, HAMMING_OVERFETCH)
+        .groupBy("qid")
+        .agg(
+            F.countDistinct(F.col("vec_id") % F.lit(_DUP_OFFSET)).alias(
+                "shortlist_distinct_prededup"
+            )
+        )
+    )
+    sl_post = (
+        _hamming_shortlist(corpus_d, TOP_K, HAMMING_OVERFETCH)
+        .groupBy("qid")
+        .agg(F.countDistinct("vec_id").alias("shortlist_distinct_postdedup"))
+    )
+    pre = (
+        casc_a.withColumn("canon", F.col("vec_id") % F.lit(_DUP_OFFSET))
+        .join(
+            F.broadcast(truth),
+            (F.col("tq") == F.col("qid")) & (F.col("tv") == F.col("canon")),
+        )
+        .groupBy("qid")
+        .agg(F.countDistinct("canon").alias("hits_prededup"))
+    )
+    post = (
+        casc_d.join(
+            F.broadcast(truth),
+            (F.col("tq") == F.col("qid")) & (F.col("tv") == F.col("vec_id")),
+        )
+        .groupBy("qid")
+        .agg(F.countDistinct("vec_id").alias("hits_postdedup"))
+    )
+    q_ids = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid")
+    )
+    return (
+        q_ids.join(pre, "qid", "left")
+        .join(post, "qid", "left")
+        .join(sl_pre, "qid", "left")
+        .join(sl_post, "qid", "left")
+        .select(
+            "qid",
+            F.lit(TOP_K).cast("bigint").alias("k"),
+            F.coalesce("shortlist_distinct_prededup", F.lit(0))
+            .cast("bigint")
+            .alias("shortlist_distinct_prededup"),
+            F.coalesce("shortlist_distinct_postdedup", F.lit(0))
+            .cast("bigint")
+            .alias("shortlist_distinct_postdedup"),
+            F.coalesce("hits_prededup", F.lit(0))
+            .cast("bigint")
+            .alias("hits_prededup"),
+            F.coalesce("hits_postdedup", F.lit(0))
+            .cast("bigint")
+            .alias("hits_postdedup"),
+            (
+                F.coalesce("hits_postdedup", F.lit(0))
+                - F.coalesce("hits_prededup", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("recall_uplift"),
+        )
+        .orderBy("qid")
     )

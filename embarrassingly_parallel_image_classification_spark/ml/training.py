@@ -1306,3 +1306,250 @@ def q_train_lasso_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("nnz"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8 extension (r10 verdict item 9's named pick): DEPTH-2 DECISION TREE
+# as two chained stump censuses — the natural next trainer above
+# q_train_decision_stump and the inner structure of every histogram
+# GBM's per-tree loop (grow level by level; each level = ONE census of
+# the fact table grouped by (node, feature, value)).
+
+
+def _stump_split_scores(long: DataFrame, part_cols: tuple[str, ...]) -> DataFrame:
+    """Candidate-split scores from one (node..., feature, value) census.
+
+    ``long`` carries (part_cols..., feature, val, y). Returns every
+    threshold's exact BIGINT contingency (n_left, n_right) plus the
+    weighted-Gini score gini_e6 — the q_train_decision_stump ladder,
+    generalized with partition columns so level-2 nodes score in the
+    SAME two windows instead of one scan per node."""
+    per_v = long.groupBy(*part_cols, "feature", "val").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("neg"),
+    )
+    wcum = (
+        Window.partitionBy(*part_cols, "feature")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*part_cols, "feature")
+    cum = per_v.select(
+        *part_cols,
+        "feature",
+        "val",
+        F.sum("pos").over(wcum).cast("bigint").alias("lp"),
+        F.sum("neg").over(wcum).cast("bigint").alias("lneg"),
+        F.sum("pos").over(wtot).cast("bigint").alias("tp"),
+        F.sum("neg").over(wtot).cast("bigint").alias("tn"),
+    )
+    n_left = F.col("lp") + F.col("lneg")
+    rp = F.col("tp") - F.col("lp")
+    rneg = F.col("tn") - F.col("lneg")
+    n_right = rp + rneg
+    gini = F.round(
+        (
+            F.lit(2.0)
+            * (
+                (F.col("lp") * F.col("lneg")).cast("double")
+                / n_left.cast("double")
+                + (rp * rneg).cast("double") / n_right.cast("double")
+            )
+            / (F.col("tp") + F.col("tn")).cast("double")
+        )
+        * 1000000,
+        0,
+    ).cast("bigint")
+    return cum.filter((n_left > 0) & (n_right > 0)).select(
+        *part_cols,
+        "feature",
+        F.col("val").alias("threshold"),
+        n_left.alias("n_left"),
+        n_right.alias("n_right"),
+        gini.alias("gini_e6"),
+    )
+
+
+_TREE2_BASE_SQL = """
+        SELECT CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+"""
+
+_TREE2_GINI_SQL = """CAST(ROUND((2.0 * (
+                       CAST(lp * lneg AS DOUBLE)
+                           / CAST(lp + lneg AS DOUBLE)
+                     + CAST((tp - lp) * (tn - lneg) AS DOUBLE)
+                           / CAST((tp - lp) + (tn - lneg) AS DOUBLE)
+                   ) / CAST(tp + tn AS DOUBLE)) * 1000000, 0) AS BIGINT)"""
+
+
+@register(
+    "q_train_tree_depth2",
+    oracle=f"""
+    WITH base AS ({_TREE2_BASE_SQL}),
+    long0 AS (
+        SELECT 'quantity' AS feature, qty AS val, y FROM base
+        UNION ALL
+        SELECT 'discount' AS feature, disc AS val, y FROM base
+    ),
+    per0 AS (
+        SELECT feature, val,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+        FROM long0 GROUP BY feature, val
+    ),
+    cum0 AS (
+        SELECT feature, val,
+               CAST(SUM(pos) OVER (PARTITION BY feature ORDER BY val
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS lp,
+               CAST(SUM(neg) OVER (PARTITION BY feature ORDER BY val
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS lneg,
+               CAST(SUM(pos) OVER (PARTITION BY feature) AS BIGINT) AS tp,
+               CAST(SUM(neg) OVER (PARTITION BY feature) AS BIGINT) AS tn
+        FROM per0
+    ),
+    splits0 AS (
+        SELECT feature, val AS threshold,
+               lp + lneg AS n_left,
+               (tp - lp) + (tn - lneg) AS n_right,
+               {_TREE2_GINI_SQL} AS gini_e6
+        FROM cum0
+        WHERE lp + lneg > 0 AND (tp - lp) + (tn - lneg) > 0
+    ),
+    root AS (
+        SELECT * FROM splits0 ORDER BY gini_e6, feature, threshold LIMIT 1
+    ),
+    base2 AS (
+        SELECT b.qty, b.disc, b.y,
+               CASE WHEN (r.feature = 'quantity' AND b.qty <= r.threshold)
+                      OR (r.feature = 'discount' AND b.disc <= r.threshold)
+                    THEN 'L' ELSE 'R' END AS node
+        FROM base b CROSS JOIN root r
+    ),
+    long2 AS (
+        SELECT node, 'quantity' AS feature, qty AS val, y FROM base2
+        UNION ALL
+        SELECT node, 'discount' AS feature, disc AS val, y FROM base2
+    ),
+    per2 AS (
+        SELECT node, feature, val,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+        FROM long2 GROUP BY node, feature, val
+    ),
+    cum2 AS (
+        SELECT node, feature, val,
+               CAST(SUM(pos) OVER (PARTITION BY node, feature ORDER BY val
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS lp,
+               CAST(SUM(neg) OVER (PARTITION BY node, feature ORDER BY val
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS lneg,
+               CAST(SUM(pos) OVER (PARTITION BY node, feature) AS BIGINT)
+                   AS tp,
+               CAST(SUM(neg) OVER (PARTITION BY node, feature) AS BIGINT)
+                   AS tn
+        FROM per2
+    ),
+    splits2 AS (
+        SELECT node, feature, val AS threshold,
+               lp + lneg AS n_left,
+               (tp - lp) + (tn - lneg) AS n_right,
+               {_TREE2_GINI_SQL} AS gini_e6
+        FROM cum2
+        WHERE lp + lneg > 0 AND (tp - lp) + (tn - lneg) > 0
+    ),
+    best2 AS (
+        SELECT node, feature, threshold, n_left, n_right, gini_e6
+        FROM splits2
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+            ORDER BY gini_e6, feature, threshold) = 1
+    )
+    SELECT 'root' AS node, feature, threshold,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right, gini_e6
+    FROM root
+    UNION ALL
+    SELECT node, feature, threshold,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right, gini_e6
+    FROM best2
+    ORDER BY node
+    """,
+    tags=("Q8", "Q11", "D9", "E3"),
+)
+def q_train_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEPTH-2 DECISION TREE by level-wise census growth — the CART
+    step above q_train_decision_stump and the exact structure of a
+    histogram GBM's tree loop (LightGBM/XGBoost hist mode [PK]): the
+    root split comes from one (feature, value) census; both children
+    are then scored TOGETHER by one more census keyed (node, feature,
+    value). Depth d costs d fact-table scans — never one scan per
+    node, which is the difference between O(d) and O(2^d) passes at
+    100 TB.
+
+    Determinism: contingencies are exact BIGINTs; the weighted-Gini
+    double is evaluated in the identical operation order on identical
+    operands in both engines, e6-rounded, ties broken by (feature,
+    threshold) — the q_train_decision_stump contract, applied twice.
+    The 1-row root broadcast-cross onto the fact table is the scalar
+    cross pattern (allowlisted, tests/test_plans.py): every row needs
+    the SAME three root parameters, which is a broadcast variable, not
+    a join.
+
+    Output: 3 rows — the root split and each child's best split, with
+    exact child sizes and scores (a pure child with no valid split
+    would simply emit no row, deterministically in both engines)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("qty"),
+        F.expr("CAST(ROUND(l_discount * 100, 0) AS BIGINT)").alias("disc"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+
+    def two_features(df: DataFrame, extra: tuple[str, ...]) -> DataFrame:
+        return df.select(
+            *extra, F.lit("quantity").alias("feature"),
+            F.col("qty").alias("val"), "y",
+        ).unionAll(
+            df.select(
+                *extra, F.lit("discount").alias("feature"),
+                F.col("disc").alias("val"), "y",
+            )
+        )
+
+    splits0 = _stump_split_scores(two_features(li, ()), ())
+    root = splits0.orderBy("gini_e6", "feature", "threshold").limit(1)
+    rootb = F.broadcast(
+        root.select(
+            F.col("feature").alias("r_feature"),
+            F.col("threshold").alias("r_threshold"),
+        )
+    )
+    base2 = li.crossJoin(rootb).withColumn(
+        "node",
+        F.when(
+            ((F.col("r_feature") == "quantity") & (F.col("qty") <= F.col("r_threshold")))
+            | ((F.col("r_feature") == "discount") & (F.col("disc") <= F.col("r_threshold"))),
+            F.lit("L"),
+        ).otherwise(F.lit("R")),
+    )
+    splits2 = _stump_split_scores(two_features(base2, ("node",)), ("node",))
+    w2 = Window.partitionBy("node").orderBy("gini_e6", "feature", "threshold")
+    best2 = (
+        splits2.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .select("node", "feature", "threshold", "n_left", "n_right", "gini_e6")
+    )
+    out_root = root.select(
+        F.lit("root").alias("node"),
+        "feature",
+        "threshold",
+        "n_left",
+        "n_right",
+        "gini_e6",
+    )
+    return out_root.unionAll(best2).orderBy("node")

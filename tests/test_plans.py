@@ -316,6 +316,16 @@ _CARTESIAN_OK = {
                              # the docstring documents the NOT EXISTS
                              # rewrite as the 100-TB path; the other
                              # BNLJs are 1-row×1-row count scalars
+    "q_knn_hamming_postdedup",  # the K3 broadcast-query-side cross
+                             # (5-row signature/query side × corpus),
+                             # run twice (pre/post-dedup cascades) +
+                             # the knn_exact truth annotation — the
+                             # q_knn_hamming_rerank shape, twice
+    "q_train_tree_depth2",   # the 1-row root-split pick broadcast-
+                             # crosses onto the fact scan to route rows
+                             # L/R for the level-2 census — the
+                             # q_train_gbt_stumps 1-row scalar-cross
+                             # shape (a broadcast variable, not a join)
 }
 
 

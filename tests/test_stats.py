@@ -901,3 +901,63 @@ def test_mcnemar_matches_brute_force(spark, events):
     assert bool(got["significant"]) == (
         b + c > 0 and (b - c) ** 2 * 1_000_000 > 3_841_459 * (b + c)
     )
+
+
+def test_tree_depth2_matches_brute_force(spark):
+    """Full CART recomputation in pure Python (every (feature,
+    threshold) candidate scored at root, then within each routed
+    child) — independent of both the Spark census spelling and the
+    DuckDB oracle, so a shared query+oracle bug cannot hide (the
+    Kruskal-twin lesson from round 10)."""
+    got = _rows(spark, "q_train_tree_depth2").set_index("node")
+    li = duckdb.sql(
+        f"SELECT CAST(ROUND(l_quantity,0) AS BIGINT) qty,"
+        f" CAST(ROUND(l_discount*100,0) AS BIGINT) disc,"
+        f" CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END y"
+        f" FROM read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).df()
+    rows = list(zip(li.qty.astype(int), li.disc.astype(int), li.y.astype(int)))
+
+    def best_split(subset):
+        cands = []
+        for feat, idx in (("discount", 1), ("quantity", 0)):
+            vals = sorted({r[idx] for r in subset})
+            for t in vals:
+                left = [r for r in subset if r[idx] <= t]
+                right = [r for r in subset if r[idx] > t]
+                if not left or not right:
+                    continue
+                lp = sum(r[2] for r in left)
+                lneg = len(left) - lp
+                rp = sum(r[2] for r in right)
+                rneg = len(right) - rp
+                g = round(
+                    2.0
+                    * (lp * lneg / len(left) + rp * rneg / len(right))
+                    / len(subset)
+                    * 1_000_000
+                )
+                cands.append((g, feat, t, len(left), len(right)))
+        return min(cands) if cands else None
+
+    g, feat, thr, nl, nr = best_split(rows)
+    r = got.loc["root"]
+    assert (r.feature, int(r.threshold), int(r.n_left), int(r.n_right)) == (
+        feat, thr, nl, nr,
+    )
+    assert int(r.gini_e6) == g
+    idx = 0 if feat == "quantity" else 1
+    for node, subset in (
+        ("L", [x for x in rows if x[idx] <= thr]),
+        ("R", [x for x in rows if x[idx] > thr]),
+    ):
+        want = best_split(subset)
+        if want is None:
+            assert node not in got.index
+            continue
+        g2, feat2, thr2, nl2, nr2 = want
+        c = got.loc[node]
+        assert (
+            c.feature, int(c.threshold), int(c.n_left), int(c.n_right),
+            int(c.gini_e6),
+        ) == (feat2, thr2, nl2, nr2, g2)
