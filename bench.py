@@ -263,6 +263,13 @@ HEADLINE = [
     "q_knn_hamming_rerank",
     "q_knn_hamming_postdedup",
     "q_train_tree_depth2",
+    "q_stats_cochran_q",
+    "q_stats_jonckheere",
+    "q_stats_friedman",
+    "q_ts_ljung_box",
+    "q_text_winnowing",
+    "q_stats_brown_forsythe",
+    "q_eval_brier",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

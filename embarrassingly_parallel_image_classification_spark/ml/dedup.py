@@ -1433,3 +1433,214 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# K2/K4 (round 11): WINNOWING document fingerprints — Schleimer,
+# Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+# Fingerprinting" (SIGMOD 2003), the MOSS algorithm: the guarantee-
+# bearing alternative to 0-mod-p fingerprint sampling (every window of
+# w consecutive k-grams contributes >= 1 fingerprint, so any match of
+# length >= w + k - 1 is detected — MinHash/SimHash give no such local
+# guarantee).
+WINNOW_K = 8       # character k-gram width
+WINNOW_W = 4       # winnowing window (grams per window)
+WINNOW_MAXDF = 50  # drop ubiquitous fingerprints (stop-gram guard)
+WINNOW_POSCAP = 1 << 20  # position packing radix (docs < 1M chars)
+_WINNOW_OFFSET = 100_000
+
+_WINNOW_GRAMS_SQL = f"""
+        SELECT doc_id, text,
+               -- range() is EXCLUSIVE of its stop where Spark's
+               -- sequence() is inclusive: stop = len - k + 2 yields
+               -- pos = 1 .. len - k + 1, the full gram set
+               unnest(range(1, CAST(LENGTH(text) AS BIGINT)
+                               - {WINNOW_K - 2})) AS pos
+        FROM docs_a WHERE LENGTH(text) >= {WINNOW_K + WINNOW_W - 1}
+"""
+
+
+@register(
+    "q_text_winnowing",
+    oracle=f"""
+    WITH docs_a AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_WINNOW_OFFSET}, text FROM documents
+    ),
+    grams AS ({_WINNOW_GRAMS_SQL}),
+    keyed AS (
+        SELECT doc_id, pos,
+               CAST(LENGTH(text) AS BIGINT) - {WINNOW_K - 1} AS n_grams,
+               ('0x' || substring(md5(substring(text, CAST(pos AS INT),
+                                                {WINNOW_K})), 1, 10))::BIGINT
+                 * {WINNOW_POSCAP}
+                 + ({WINNOW_POSCAP} - 1 - pos) AS key
+        FROM grams
+    ),
+    wmin AS (
+        SELECT doc_id, pos, n_grams,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW
+                    AND {WINNOW_W - 1} FOLLOWING) AS m
+        FROM keyed
+    ),
+    fph AS (
+        SELECT DISTINCT doc_id, m // {WINNOW_POSCAP} AS fp_hash
+        FROM wmin WHERE pos <= n_grams - {WINNOW_W - 1}
+    ),
+    kept AS (
+        SELECT fp_hash FROM fph GROUP BY fp_hash
+        HAVING COUNT(*) <= {WINNOW_MAXDF}
+    ),
+    fpk AS (SELECT fph.* FROM fph JOIN kept USING (fp_hash)),
+    nfp AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+        FROM fpk GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM fpk a JOIN fpk b
+          ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b,
+           CAST((p.n_shared * 1000000)
+                // LEAST(na.n_fp, nb.n_fp) AS BIGINT) AS containment_e6
+    FROM pairs p
+    JOIN nfp na ON na.doc_id = p.doc_a
+    JOIN nfp nb ON nb.doc_id = p.doc_b
+    ORDER BY p.n_shared DESC, p.doc_a, p.doc_b
+    LIMIT 10
+    """,
+    tags=("K2", "K4", "composite"),
+)
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING FINGERPRINTS (Schleimer-Wilkerson-Aiken 2003, the
+    MOSS plagiarism detector's core): per document, hash every
+    character 8-gram, slide a w=4 window over the gram-hash sequence
+    and keep each window's RIGHTMOST MINIMUM — the selection rule that
+    guarantees at least one shared fingerprint for any common
+    substring of length >= w + k - 1 = 11, the local-match guarantee
+    MinHash (whole-doc similarity) and SimHash (global bit votes)
+    fundamentally lack. Fingerprint-sharing pairs then fall out of an
+    inverted-index equi-join. The corpus is planted with exact clones
+    (doc_id + 100000 — the q_knn_hamming_postdedup pollution pattern)
+    so the detector's output is non-vacuous at every sf: clone pairs
+    surface with containment 10^6 ahead of any organic overlap.
+
+    Determinism / portability: gram hash = first 10 md5 hex digits ->
+    40-bit integer (the q_agg_countmin portable family); the rightmost-
+    min-per-window selection needs NO argmin window function — each
+    gram packs into ONE key = h40 * 2^20 + (2^20 - 1 - pos), whose
+    plain MIN over the w-gram frame decodes to exactly (smallest hash,
+    rightmost position). Ubiquitous fingerprints (doc frequency >
+    {WINNOW_MAXDF}) are dropped before pairing — the stop-gram guard
+    that bounds the inverted-index bucket fan-out, standard in every
+    production fingerprint index.
+
+    Plan at 100 TB: grams never shuffle (generated and windowed inside
+    the per-doc partition — ~n_chars rows/doc, window is ROWS-framed
+    on a dense position); the only shuffles are the fingerprint
+    distinct and the bucket-bounded hash equi-join (candidate pairs
+    are bounded by sum over hashes of df^2 <= MAXDF * total_fps, never
+    all-pairs). Short docs (< k + w - 1 chars) cannot host one full
+    window and are excluded identically in both engines."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs_a = docs.unionAll(
+        docs.select(
+            (F.col("doc_id") + F.lit(_WINNOW_OFFSET)).alias("doc_id"), "text"
+        )
+    )
+    base = docs_a.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+    grams = base.select(
+        "doc_id",
+        "text",
+        (F.length("text").cast("bigint") - F.lit(WINNOW_K - 1)).alias(
+            "n_grams"
+        ),
+        F.explode(
+            F.sequence(
+                F.lit(1).cast("bigint"),
+                F.length("text").cast("bigint") - F.lit(WINNOW_K - 1),
+            )
+        ).alias("pos"),
+    )
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        "n_grams",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.expr(f"substring(text, CAST(pos AS INT), {WINNOW_K})")),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            * F.lit(WINNOW_POSCAP)
+            + (F.lit(WINNOW_POSCAP) - 1 - F.col("pos"))
+        ).alias("key"),
+    )
+    wmin = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    fph = (
+        keyed.select(
+            "doc_id",
+            "pos",
+            "n_grams",
+            F.min("key").over(wmin).alias("m"),
+        )
+        .filter(F.col("pos") <= F.col("n_grams") - F.lit(WINNOW_W - 1))
+        .select(
+            "doc_id",
+            F.expr(f"m div {WINNOW_POSCAP}").alias("fp_hash"),
+        )
+        .distinct()
+    )
+    kept = (
+        fph.groupBy("fp_hash")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= WINNOW_MAXDF)
+        .select("fp_hash")
+    )
+    fpk = fph.join(kept, "fp_hash")
+    nfp = fpk.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_fp"))
+    pairs = (
+        fpk.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+        .join(
+            fpk.select(F.col("doc_id").alias("doc_b"), "fp_hash"), "fp_hash"
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            nfp.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a")),
+            "doc_a",
+        )
+        .join(
+            nfp.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.expr(
+                "CAST((n_shared * 1000000) div least(n_fp_a, n_fp_b) AS BIGINT)"
+            ).alias("containment_e6"),
+        )
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+        .limit(10)
+    )

@@ -968,3 +968,153 @@ def q_select_uncertain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.margin").cast("bigint").alias("margin"),
     )
     return scored.orderBy("margin", "vec_id").limit(_UNCERTAIN_K)
+
+
+@register(
+    "q_eval_brier",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    rng AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM s),
+    b AS (
+        SELECT ((cents - lo) * 10) // (hi - lo + 1) AS bin,
+               cents - lo AS pnum, y, hi - lo AS pden
+        FROM s CROSS JOIN rng
+    ),
+    per_bin AS (
+        SELECT bin, ANY_VALUE(pden) AS pden,
+               CAST(COUNT(*) AS HUGEINT) AS n_b,
+               CAST(SUM(pnum) AS HUGEINT) AS s_b,
+               CAST(SUM(y) AS HUGEINT) AS y_b
+        FROM b GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_b) AS HUGEINT) AS n,
+               CAST(SUM(y_b) AS HUGEINT) AS yy,
+               ANY_VALUE(pden) AS pden,
+               CAST(COUNT(*) AS BIGINT) AS n_bins
+        FROM per_bin
+    ),
+    terms AS (
+        SELECT
+          CAST(SUM(((s_b - per_bin.pden * y_b)
+                    * (s_b - per_bin.pden * y_b) * 1000000000)
+                   // (per_bin.pden * per_bin.pden * n_b)) AS HUGEINT)
+            AS rel_sum,
+          CAST(SUM(((y_b * t.n - t.yy * n_b) * (y_b * t.n - t.yy * n_b)
+                    * 1000000000) // (n_b * t.n * t.n)) AS HUGEINT)
+            AS res_sum,
+          CAST(SUM(ABS(s_b - per_bin.pden * y_b)) AS HUGEINT) AS adev
+        FROM per_bin, tot t
+    )
+    SELECT CAST(t.n AS BIGINT) AS n,
+           t.n_bins,
+           CAST(terms.rel_sum // t.n AS BIGINT) AS rel_e9,
+           CAST(terms.res_sum // t.n AS BIGINT) AS res_e9,
+           CAST((t.yy * (t.n - t.yy) * 1000000000) // (t.n * t.n)
+                AS BIGINT) AS unc_e9,
+           CAST(terms.rel_sum // t.n - terms.res_sum // t.n
+                + (t.yy * (t.n - t.yy) * 1000000000) // (t.n * t.n)
+                AS BIGINT) AS brier_e9,
+           CAST((terms.adev * 1000000000) // (t.pden * t.n) AS BIGINT)
+             AS ece_e9,
+           (terms.adev * 1000000000) // (t.pden * t.n) <= 50000000
+             AS calibrated
+    FROM terms, tot t
+    """,
+    tags=("J1", "D3", "eval"),
+)
+def q_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER SCORE with the MURPHY (1973) DECOMPOSITION + expected
+    calibration error — the quantitative layer over q_eval_calibration's
+    reliability table: for the binned forecast (10 equal-width score
+    bins, the same integer bin rule), Brier = REL - RES + UNC exactly,
+    where REL (reliability) punishes bins whose mean forecast strays
+    from their empirical rate, RES (resolution) rewards bins that
+    separate the base rate, UNC is the irreducible base-rate variance.
+    ECE = sum_b n_b |f_b - ybar_b| / n is the scalar every model card
+    quotes; the 'calibrated' gate is ECE <= 0.05 (a data-quality policy
+    threshold like q_quality_expectations', not a statistical test —
+    stated as such).
+
+    Exactness: the forecast is the rational pnum/pden (cents
+    min-max-normalized, pden = hi - lo), so every bin's deviation
+    d = S_b - pden*Y_b is an exact integer and each term is an exact
+    floor-e9 quotient with domain-bounded operands (d^2 * 10^9 <=
+    (n_b*pden)^2 * 10^9 ~ 10^27 at sf1 — inside HUGEINT/DECIMAL(38,0)
+    through sf100); the Murphy identity is then exact on the staged
+    fixings up to the three stated floors. No float in the gate.
+
+    Plan: the q_eval_calibration shape — one global (min, max) 1-row
+    broadcast, one 10-bin census, arithmetic on the 10-row frame."""
+    ev = t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    rng = ev.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    D38 = "decimal(38,0)"
+    b = ev.crossJoin(F.broadcast(rng)).select(
+        F.expr("((cents - lo) * 10) div (hi - lo + 1)").alias("bin"),
+        (F.col("cents") - F.col("lo")).alias("pnum"),
+        "y",
+        (F.col("hi") - F.col("lo")).alias("pden"),
+    )
+    per_bin = b.groupBy("bin").agg(
+        F.first("pden").cast(D38).alias("pden"),
+        F.count("*").cast(D38).alias("n_b"),
+        F.sum("pnum").cast(D38).alias("s_b"),
+        F.sum("y").cast(D38).alias("y_b"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_b").cast(D38).alias("n"),
+        F.sum("y_b").cast(D38).alias("yy"),
+        F.first("pden").alias("pden_t"),
+        F.count("*").cast("bigint").alias("n_bins"),
+    )
+    terms = per_bin.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "((s_b - pden * y_b) * (s_b - pden * y_b) * 1000000000)"
+                " div (pden * pden * n_b)"
+            )
+        )
+        .cast(D38)
+        .alias("rel_sum"),
+        F.sum(
+            F.expr(
+                "((y_b * n - yy * n_b) * (y_b * n - yy * n_b)"
+                " * 1000000000) div (n_b * n * n)"
+            )
+        )
+        .cast(D38)
+        .alias("res_sum"),
+        F.sum(F.abs(F.col("s_b") - F.col("pden") * F.col("y_b")))
+        .cast(D38)
+        .alias("adev"),
+        F.first("n").alias("n"),
+        F.first("yy").alias("yy"),
+        F.first("pden_t").alias("pden_t"),
+        F.first("n_bins").alias("n_bins"),
+    )
+    return terms.select(
+        F.col("n").cast("bigint").alias("n"),
+        "n_bins",
+        F.expr("CAST(rel_sum div n AS BIGINT)").alias("rel_e9"),
+        F.expr("CAST(res_sum div n AS BIGINT)").alias("res_e9"),
+        F.expr(
+            "CAST((yy * (n - yy) * 1000000000) div (n * n) AS BIGINT)"
+        ).alias("unc_e9"),
+        F.expr(
+            "CAST(rel_sum div n - res_sum div n"
+            " + (yy * (n - yy) * 1000000000) div (n * n) AS BIGINT)"
+        ).alias("brier_e9"),
+        F.expr(
+            "CAST((adev * 1000000000) div (pden_t * n) AS BIGINT)"
+        ).alias("ece_e9"),
+        F.expr(
+            "(adev * 1000000000) div (pden_t * n) <= 50000000"
+        ).alias("calibrated"),
+    )

@@ -2348,3 +2348,781 @@ def q_stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions: the blocked / ordered-alternative corner of the
+# classical battery — Cochran's Q (k correlated binary treatments),
+# Jonckheere-Terpstra (ordered trend across groups), Friedman (blocked
+# ranks), Ljung-Box (autocorrelation portmanteau). Same M14 discipline:
+# one census to a domain-bounded frame, exact integer statistics,
+# cross-multiplied or staged-e6 verdicts, a pure-Python pytest twin each.
+
+# Cochran indicator window: the per-user event-type incidence matrix is
+# nearly all-ones over the full month (67 events/user at sf0.01), which
+# degenerates Q (all-responding blocks carry no information), so the
+# incidence question is asked over the SPARSE first two days.
+COCHRAN_CUTOFF = "2024-01-03"
+COCHRAN_K = 5  # the event-type treatment domain is fixed by the fixture
+
+
+@register(
+    "q_stats_cochran_q",
+    oracle=f"""
+    WITH x AS (
+        SELECT DISTINCT user_id, event_type
+        FROM events WHERE CAST(ts AS DATE) < DATE '{COCHRAN_CUTOFF}'
+    ),
+    rows_ AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS r FROM x GROUP BY user_id
+    ),
+    cols AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY event_type
+    ),
+    s AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows_) AS n_blocks,
+               (SELECT CAST(SUM(r) AS BIGINT) FROM rows_) AS n_total,
+               (SELECT CAST(SUM(r * r) AS BIGINT) FROM rows_) AS sum_row_sq,
+               (SELECT CAST(SUM(c * c) AS BIGINT) FROM cols) AS sum_col_sq
+    )
+    SELECT n_blocks, n_total, sum_row_sq, sum_col_sq,
+           CAST({COCHRAN_K - 1} * ({COCHRAN_K} * sum_col_sq
+                                    - n_total * n_total) AS BIGINT) AS q_num,
+           CAST({COCHRAN_K} * n_total - sum_row_sq AS BIGINT) AS q_den,
+           CAST(CASE WHEN {COCHRAN_K} * n_total - sum_row_sq > 0
+                THEN ({COCHRAN_K - 1} * ({COCHRAN_K} * sum_col_sq
+                       - n_total * n_total) * 1000000)
+                     // ({COCHRAN_K} * n_total - sum_row_sq)
+                ELSE 0 END AS BIGINT) AS q_e6_floor,
+           {COCHRAN_K} * n_total - sum_row_sq > 0
+             AND {COCHRAN_K - 1} * ({COCHRAN_K} * sum_col_sq
+                                    - n_total * n_total) * 1000000
+               > {CHI2_DF4_E6} * ({COCHRAN_K} * n_total - sum_row_sq)
+             AS significant
+    FROM s
+    """,
+    tags=("M2", "M14", "D3"),
+)
+def q_stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN'S Q (1950) — the k-treatment generalization of McNemar:
+    do the FIVE event types have the same per-user incidence rate in
+    the sparse opening window, when every user is their own block?
+    This is the within-subjects sibling of q_stats_chi2's independence
+    test: between-user propensity differences cancel, exactly as the
+    paired design cancels them in q_stats_mcnemar (k=2 reduces to it).
+
+    The algebraic form Q = (k-1)(k*sum(C_j^2) - N^2)/(k*N - sum(R_i^2))
+    is ALL INTEGER (C_j = treatment totals, R_i = block totals,
+    N = sum R_i): the statistic ships as the exact floor quotient
+    q_e6_floor plus its (q_num, q_den) rational pair, and the
+    alpha = 0.05 / df = k-1 = 4 verdict is the cross-multiplied
+    integer comparison q_num * 10^6 > chi2crit_e6 * q_den — no float
+    anywhere. All-zero and all-k blocks carry no information and
+    cancel identically in both engines (they only shift N and the row
+    census together). Operand bound: q_num <= 4k * n_users^2 * 10^6
+    stays under 2^63 through sf 100.
+
+    Plan: one DISTINCT census to the (user, type) incidence domain
+    (map-side combinable), then two tiny aggregates (per-user, per-
+    type) folded into a 1-row frame. Fact scanned once."""
+    x = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").cast("date") < F.lit(COCHRAN_CUTOFF))
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    rows_ = x.groupBy("user_id").agg(F.count("*").cast("bigint").alias("r"))
+    cols = x.groupBy("event_type").agg(F.count("*").cast("bigint").alias("c"))
+    s = rows_.agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum("r").cast("bigint").alias("n_total"),
+        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("sum_row_sq"),
+    ).crossJoin(
+        cols.agg(
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_col_sq")
+        )
+    )
+    k = F.lit(COCHRAN_K)
+    num = (k - 1) * (k * F.col("sum_col_sq") - F.col("n_total") * F.col("n_total"))
+    den = k * F.col("n_total") - F.col("sum_row_sq")
+    return s.select(
+        "n_blocks",
+        "n_total",
+        "sum_row_sq",
+        "sum_col_sq",
+        num.cast("bigint").alias("q_num"),
+        den.cast("bigint").alias("q_den"),
+        F.when(den > 0, F.expr(
+            f"({COCHRAN_K - 1} * ({COCHRAN_K} * sum_col_sq"
+            f" - n_total * n_total) * 1000000)"
+            f" div ({COCHRAN_K} * n_total - sum_row_sq)"
+        ))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("q_e6_floor"),
+        ((den > 0) & (num * 1000000 > F.lit(CHI2_DF4_E6) * den)).alias(
+            "significant"
+        ),
+    )
+
+
+@register(
+    "q_stats_jonckheere",
+    oracle="""
+    WITH x AS (
+        SELECT o_orderpriority AS g,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+        FROM orders
+    ),
+    gv AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY g, v
+    ),
+    grid AS (
+        SELECT vals.v, grps.g, COALESCE(gv.c, 0) AS c
+        FROM (SELECT DISTINCT v FROM x) vals
+        CROSS JOIN (SELECT DISTINCT g FROM x) grps
+        LEFT JOIN gv ON gv.v = vals.v AND gv.g = grps.g
+    ),
+    cum AS (
+        SELECT v, g, c,
+               SUM(c) OVER (PARTITION BY g ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+                 AS cum_lt
+        FROM grid
+    ),
+    jt AS (
+        SELECT CAST(SUM(b.c * (2 * a.cum_lt + a.c)) AS BIGINT) AS jt2
+        FROM gv b JOIN cum a ON a.v = b.v AND a.g < b.g
+    ),
+    ng AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g FROM x GROUP BY g
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(n_g * n_g) AS BIGINT) AS sum_ng_sq,
+               CAST(SUM(n_g * n_g * (2 * n_g + 3)) AS BIGINT) AS sum_ng_var
+        FROM ng
+    ),
+    s AS (
+        SELECT jt.jt2, tot.n,
+               (tot.n * tot.n - tot.sum_ng_sq) // 2 AS e2,
+               tot.n * tot.n * (2 * tot.n + 3) - tot.sum_ng_var AS var_num
+        FROM jt, tot
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(jt2 AS BIGINT) AS jt2,
+           CAST(e2 AS BIGINT) AS e2,
+           CAST(var_num AS BIGINT) AS var_num,
+           CAST((CAST(jt2 - e2 AS HUGEINT) * (jt2 - e2) * 18000000)
+                // var_num AS BIGINT) AS z2_e6_floor,
+           jt2 > e2 AS increasing,
+           CAST(jt2 - e2 AS HUGEINT) * (jt2 - e2) * 180000
+             > CAST(38416 AS HUGEINT) * var_num AS significant
+    FROM s
+    """,
+    tags=("M2", "M14", "E3"),
+)
+def q_stats_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JONCKHEERE-TERPSTRA (1954) — the ORDERED-alternative k-group
+    test: is order value stochastically MONOTONE in priority class
+    (1-URGENT < ... < 5-LOW)? Kruskal-Wallis asks "any difference";
+    JT spends its power on the ordering and is the standard dose-
+    response / severity-trend test. JT = sum over ordered group pairs
+    a<b of the Mann-Whitney count #(x_a < y_b) + 1/2 #(x_a = y_b),
+    carried DOUBLED (jt2) so ties stay integer — the q_stats_
+    mann_whitney u1_x2 convention extended across the k*(k-1)/2 pairs.
+
+    The pair count NEVER enumerates pairs: one census to the (group,
+    value) domain, a dense (value-domain x 5 groups) grid with
+    per-group prefix sums (the q_stats_kendall grid discipline), then
+    each observed (g_b, v) cell contributes c_b * (2*cum_lt_a + c_a)
+    against every lower-ordered group's cell at the same v — a keyed
+    equi-join on v bounded by 5x the value domain, row pairs O(n^2)/5
+    by construction never materialized. Null moments are exact
+    integers (E2 = (n^2 - sum n_g^2)/2 — always even since it equals
+    sum_{a<b} n_a*n_b * 2/2; var_num = n^2(2n+3) - sum n_g^2(2n_g+3),
+    Var = var_num/72, the no-ties normal approximation — the tie
+    correction is omitted and STATED, cents granularity keeps tie mass
+    negligible and the omission is conservative here since ties shrink
+    the true variance). Verdict cross-multiplied in HUGEINT/DECIMAL38:
+    (jt2-e2)^2 * 18 * 10^4 > z2crit_e4 * var_num (z 1.96 two-sided,
+    the MW_Z2_E4 literal) — operands peak ~10^27 at sf1, inside the
+    38-digit headroom through sf100.
+
+    Plan: fact scanned once to the census; the grid build is a 5-row
+    broadcast cross (domain-bounded, allowlisted); two windows over
+    the grid; one keyed join; 1-row fold."""
+    x = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("v"),
+    )
+    gv = x.groupBy("g", "v").agg(F.count("*").cast("bigint").alias("c"))
+    vals = x.select("v").distinct()
+    grps = x.select("g").distinct()
+    grid = (
+        vals.crossJoin(F.broadcast(grps))
+        .join(gv, ["g", "v"], "left")
+        .select("v", "g", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "v",
+        F.col("g").alias("g_a"),
+        F.col("c").alias("c_a"),
+        (F.sum("c").over(wcum) - F.col("c")).alias("cum_lt"),
+    )
+    jt = (
+        gv.select(F.col("g").alias("g_b"), "v", F.col("c").alias("c_b"))
+        .join(cum, "v")
+        .filter(F.col("g_a") < F.col("g_b"))
+        .agg(
+            F.sum(
+                F.col("c_b") * (F.lit(2) * F.col("cum_lt") + F.col("c_a"))
+            )
+            .cast("bigint")
+            .alias("jt2")
+        )
+    )
+    tot = (
+        x.groupBy("g")
+        .agg(F.count("*").cast("bigint").alias("n_g"))
+        .agg(
+            F.sum("n_g").cast("bigint").alias("n"),
+            F.sum(F.col("n_g") * F.col("n_g")).cast("bigint").alias("sum_ng_sq"),
+            F.sum(
+                F.col("n_g") * F.col("n_g") * (2 * F.col("n_g") + 3)
+            )
+            .cast("bigint")
+            .alias("sum_ng_var"),
+        )
+    )
+    s = jt.crossJoin(tot).select(
+        "n",
+        "jt2",
+        F.expr("CAST((n * n - sum_ng_sq) div 2 AS BIGINT)").alias("e2"),
+        (
+            F.col("n") * F.col("n") * (2 * F.col("n") + 3)
+            - F.col("sum_ng_var")
+        )
+        .cast("bigint")
+        .alias("var_num"),
+    )
+    d = (F.col("jt2") - F.col("e2")).cast(D38)
+    return s.withColumn("dd", d).select(
+        "n",
+        "jt2",
+        "e2",
+        "var_num",
+        F.expr(
+            "CAST((dd * dd * 18000000)"
+            " div CAST(var_num AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("z2_e6_floor"),
+        (F.col("jt2") > F.col("e2")).alias("increasing"),
+        (
+            d * d * F.lit(180000)
+            > F.lit(MW_Z2_E4).cast(D38) * F.col("var_num").cast(D38)
+        ).alias("significant"),
+    )
+
+
+FRIEDMAN_K = 5  # event-type treatment domain; blocks = calendar days
+
+
+@register(
+    "q_stats_friedman",
+    oracle=f"""
+    WITH cell AS (
+        SELECT CAST(ts AS DATE) AS d, event_type AS g,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    complete AS (
+        SELECT d FROM cell GROUP BY d HAVING COUNT(*) = {FRIEDMAN_K}
+    ),
+    c2 AS (SELECT cell.* FROM cell JOIN complete USING (d)),
+    tie AS (SELECT d, v, CAST(COUNT(*) AS BIGINT) AS tcnt
+            FROM c2 GROUP BY d, v),
+    rk AS (
+        SELECT d, v,
+               2 * (SUM(tcnt) OVER (PARTITION BY d ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tcnt)
+                 + tcnt + 1 AS r2
+        FROM tie
+    ),
+    s AS (SELECT c2.g, rk.r2 FROM c2
+          JOIN rk ON rk.d = c2.d AND rk.v = c2.v),
+    byg AS (SELECT g, CAST(SUM(r2) AS BIGINT) AS r2_sum FROM s GROUP BY g),
+    tot AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM complete) AS n,
+               (SELECT CAST(SUM(r2 * r2) AS BIGINT) FROM s) AS a2
+    ),
+    q AS (
+        SELECT tot.n, tot.a2,
+               (SELECT CAST(SUM((r2_sum - tot.n * {FRIEDMAN_K + 1})
+                            * (r2_sum - tot.n * {FRIEDMAN_K + 1}))
+                       AS BIGINT) FROM byg) AS devsq
+        FROM tot
+    )
+    SELECT n AS n_blocks,
+           CAST({FRIEDMAN_K} AS BIGINT) AS k,
+           CAST({FRIEDMAN_K - 1} * devsq AS BIGINT) AS q_num,
+           CAST(a2 - n * {FRIEDMAN_K * (FRIEDMAN_K + 1) ** 2} AS BIGINT)
+             AS q_den,
+           CAST(CASE WHEN a2 - n * {FRIEDMAN_K * (FRIEDMAN_K + 1) ** 2} > 0
+                THEN ({FRIEDMAN_K - 1} * devsq * 1000000)
+                     // (a2 - n * {FRIEDMAN_K * (FRIEDMAN_K + 1) ** 2})
+                ELSE 0 END AS BIGINT) AS q_e6_floor,
+           a2 - n * {FRIEDMAN_K * (FRIEDMAN_K + 1) ** 2} > 0
+             AND {FRIEDMAN_K - 1} * devsq * 1000000
+               > {CHI2_DF4_E6}
+                 * (a2 - n * {FRIEDMAN_K * (FRIEDMAN_K + 1) ** 2})
+             AS significant
+    FROM q
+    """,
+    tags=("M2", "M14", "E3"),
+)
+def q_stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRIEDMAN'S TEST (1937) — the blocked-design rank test: across
+    the month's days (blocks), do the five event types (treatments)
+    carry systematically different daily revenue? The repeated-
+    measures sibling of q_stats_kruskal exactly as McNemar is of the
+    chi-square: day-level shocks (weekends, launches) hit all five
+    types together and CANCEL inside each block's ranking, so the test
+    sees only the within-day ordering — the reason Friedman is the
+    standard k-system comparison on shared workloads.
+
+    Blocks are calendar days with a COMPLETE treatment set (all 5
+    types observed — incomplete blocks can't be ranked 1..k and are
+    excluded identically in both engines). Within each block the 5
+    daily cent-sums get DOUBLED midranks via the house tie identity
+    r2 = 2*c_lt + t + 1 (the q_stats_kruskal census trick, applied per
+    block); with s = 2r the tie-corrected statistic
+    Q = (k-1) * sum_j (R_j - n(k+1)/2)^2 / (A - nk(k+1)^2/4)
+    becomes the ALL-INTEGER
+    Q = (k-1) * sum_j (R2_j - n(k+1))^2 / (A2 - nk(k+1)^2),
+    shipped as (q_num, q_den) plus the exact floor fixing, verdict
+    cross-multiplied against the df = k-1 = 4 chi-square critical —
+    no float anywhere, fully-tied-degenerate den = 0 stated (not
+    significant). Operands are bounded by ranks <= 2k and n <= 31:
+    trivially inside BIGINT at every sf.
+
+    Plan: one (day, type) census off a single fact scan; everything
+    after is windows and folds over a <= 31x5 frame — block count
+    grows with the CALENDAR, not the row count, so a 100x scale-up
+    changes only the census sums."""
+    cell = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("ts").cast("date").alias("d"),
+            F.col("event_type").alias("g"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    complete = (
+        cell.groupBy("d").agg(F.count("*").alias("kk"))
+        .filter(F.col("kk") == FRIEDMAN_K)
+        .select("d")
+    )
+    c2 = cell.join(complete, "d")
+    tie = c2.groupBy("d", "v").agg(F.count("*").cast("bigint").alias("tcnt"))
+    wcum = (
+        Window.partitionBy("d")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rk = tie.select(
+        "d",
+        "v",
+        (
+            2 * (F.sum("tcnt").over(wcum) - F.col("tcnt"))
+            + F.col("tcnt")
+            + 1
+        ).alias("r2"),
+    )
+    s = c2.join(rk, ["d", "v"]).select("g", "r2")
+    byg = s.groupBy("g").agg(F.sum("r2").cast("bigint").alias("r2_sum"))
+    tot = s.agg(
+        F.sum(F.col("r2") * F.col("r2")).cast("bigint").alias("a2")
+    ).crossJoin(complete.agg(F.count("*").cast("bigint").alias("n")))
+    q = byg.crossJoin(F.broadcast(tot)).agg(
+        F.first("n").alias("n"),
+        F.first("a2").alias("a2"),
+        F.sum(
+            (F.col("r2_sum") - F.col("n") * F.lit(FRIEDMAN_K + 1))
+            * (F.col("r2_sum") - F.col("n") * F.lit(FRIEDMAN_K + 1))
+        )
+        .cast("bigint")
+        .alias("devsq"),
+    )
+    kk1sq = FRIEDMAN_K * (FRIEDMAN_K + 1) ** 2
+    num = F.lit(FRIEDMAN_K - 1) * F.col("devsq")
+    den = F.col("a2") - F.col("n") * F.lit(kk1sq)
+    return q.select(
+        F.col("n").alias("n_blocks"),
+        F.lit(FRIEDMAN_K).cast("bigint").alias("k"),
+        num.cast("bigint").alias("q_num"),
+        den.cast("bigint").alias("q_den"),
+        F.when(
+            den > 0,
+            F.expr(
+                f"({FRIEDMAN_K - 1} * devsq * 1000000)"
+                f" div (a2 - n * {kk1sq})"
+            ),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("q_e6_floor"),
+        ((den > 0) & (num * 1000000 > F.lit(CHI2_DF4_E6) * den)).alias(
+            "significant"
+        ),
+    )
+
+
+LB_H = 7  # portmanteau lag budget
+CHI2_DF7_E6 = 14_067_140  # chi-square 0.95 critical, df = 7, e6
+
+
+@register(
+    "q_ts_ljung_box",
+    oracle=f"""
+    WITH day AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, x FROM day
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+        FROM idx
+    ),
+    y AS (
+        SELECT i, CAST(tot.n * idx.x - tot.s AS HUGEINT) AS y
+        FROM idx, tot
+    ),
+    c0 AS (SELECT SUM(y * y) AS c0 FROM y),
+    ck AS (
+        SELECT k.k, SUM(a.y * b.y) AS c_k
+        FROM range(1, {LB_H} + 1) k(k)
+        JOIN y a ON TRUE
+        JOIN y b ON b.i = a.i + k.k
+        GROUP BY k.k
+    ),
+    lag_stats AS (
+        SELECT ck.k AS lag,
+               CASE WHEN ck.c_k < 0 THEN -1 ELSE 1 END AS r_sign,
+               CAST((ABS(ck.c_k) * 1000000) // c0.c0 AS BIGINT) AS rabs_e6
+        FROM ck, c0
+    ),
+    terms AS (
+        SELECT lag, r_sign, rabs_e6,
+               CAST((rabs_e6 * rabs_e6) // ((SELECT n FROM tot) - lag)
+                    AS BIGINT) AS term_e12
+        FROM lag_stats
+    ),
+    lb AS (
+        SELECT CAST((tot.n * (tot.n + 2) * (SELECT SUM(term_e12) FROM terms))
+                    // 1000000 AS BIGINT) AS lb_e6,
+               tot.n AS n
+        FROM tot
+    )
+    SELECT t.lag, t.r_sign, t.rabs_e6, t.term_e12,
+           lb.n, lb.lb_e6,
+           lb.lb_e6 > {CHI2_DF7_E6} AS significant
+    FROM terms t, lb
+    ORDER BY t.lag
+    """,
+    tags=("M2", "M14", "D10"),
+)
+def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX PORTMANTEAU (1978) — is the daily-revenue series
+    white noise, or is there autocorrelation structure left at lags
+    1..7? The residual-diagnostic that closes the D10 forecasting
+    loop: q_timeseries_holt fits, q_ts_backtest_mase scores, Ljung-Box
+    tests whether anything forecastable REMAINS. LB = n(n+2) *
+    sum_k r_k^2/(n-k) against chi-square df = h.
+
+    Exactness: mean-centering is made integer by scaling through n
+    (y_t = n*x_t - S, so C'_k = sum y_t y_(t+k) = n^2 * C_k and the
+    ratio r_k = C'_k/C'_0 is unchanged — the house multiply-through
+    lemma); products are HUGEINT/DECIMAL(38,0) (y^2 passes 2^63 from
+    sf0.1). r_k is fixed as rabs_e6 = (|C'_k|*10^6) div C'_0 with the
+    sign carried separately — ABS before the floor division because
+    Spark div truncates while DuckDB // floors and they agree only on
+    non-negatives (the house sign-split rule); r^2 needs only rabs.
+    The staged fixing (r -> e6, r^2 -> e12, per-lag floor by (n-k),
+    final div 10^6) is the q_stats_kruskal documented trade: each
+    stage is an exact integer op performed identically in both
+    engines. Verdict: lb_e6 > the df=7 chi-square critical e6 literal.
+
+    Output: one row per lag (its signed autocorrelation fixing and LB
+    term) with the portmanteau verdict denormalized on — the shape a
+    residual-diagnostic panel actually renders.
+
+    Plan: one fact scan to the 31-row day census; everything after is
+    arithmetic on <= 31-row frames (the lag self-join is 31x7 rows).
+    Block count grows with the calendar, not the row count."""
+    day = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    idx = day.select(
+        F.row_number().over(Window.orderBy("d")).alias("i"), "x"
+    )
+    tot = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    y = idx.crossJoin(F.broadcast(tot)).select(
+        "i",
+        (F.col("n") * F.col("x") - F.col("s")).cast(D38).alias("y"),
+        "n",
+    )
+    c0 = y.agg(F.sum(F.col("y") * F.col("y")).alias("c0"))
+    lags = spark.range(1, LB_H + 1).select(F.col("id").cast("int").alias("lag"))
+    b = y.select(F.col("i").alias("ib"), F.col("y").alias("yb"))
+    ck = (
+        y.crossJoin(F.broadcast(lags))
+        .join(b, F.col("ib") == F.col("i") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("y") * F.col("yb")).alias("c_k"))
+    )
+    lag_stats = ck.crossJoin(F.broadcast(c0)).select(
+        "lag",
+        F.when(F.col("c_k") < 0, -1).otherwise(1).alias("r_sign"),
+        F.expr("CAST((ABS(c_k) * 1000000) div c0 AS BIGINT)").alias(
+            "rabs_e6"
+        ),
+    )
+    terms = lag_stats.crossJoin(F.broadcast(tot)).select(
+        "lag",
+        "r_sign",
+        "rabs_e6",
+        F.expr("CAST((rabs_e6 * rabs_e6) div (n - lag) AS BIGINT)").alias(
+            "term_e12"
+        ),
+    )
+    lb = terms.agg(F.sum("term_e12").alias("sum_terms")).crossJoin(
+        F.broadcast(tot)
+    ).select(
+        F.expr("CAST((n * (n + 2) * sum_terms) div 1000000 AS BIGINT)").alias(
+            "lb_e6"
+        ),
+        "n",
+    )
+    return (
+        terms.crossJoin(F.broadcast(lb))
+        .select(
+            "lag",
+            "r_sign",
+            "rabs_e6",
+            "term_e12",
+            "n",
+            "lb_e6",
+            (F.col("lb_e6") > F.lit(CHI2_DF7_E6)).alias("significant"),
+        )
+        .orderBy("lag")
+    )
+
+
+@register(
+    "q_stats_brown_forsythe",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    gv AS (
+        SELECT g, cents, CAST(COUNT(*) AS BIGINT) AS c
+        FROM x GROUP BY g, cents
+    ),
+    cum AS (
+        SELECT g, cents, c,
+               SUM(c) OVER (PARTITION BY g ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum,
+               SUM(c) OVER (PARTITION BY g) AS n_g
+        FROM gv
+    ),
+    med AS (
+        SELECT g, MIN(cents) AS med
+        FROM cum WHERE cum >= (n_g + 1) // 2 GROUP BY g
+    ),
+    z AS (
+        SELECT gv.g, ABS(gv.cents - med.med) AS z, gv.c
+        FROM gv JOIN med ON med.g = gv.g
+    ),
+    grp AS (
+        SELECT g, CAST(SUM(c) AS HUGEINT) AS n,
+               CAST(SUM(c * z) AS HUGEINT) AS s,
+               CAST(SUM(c * z * z) AS HUGEINT) AS q
+        FROM z GROUP BY g
+    ),
+    gterm AS (
+        SELECT n, s, q,
+               1000000 * ((s * s) // n)
+                 + CAST(ROUND(1000000.0
+                       * CAST((s * s) % n AS DOUBLE)
+                       / CAST(n AS DOUBLE), 0) AS HUGEINT) AS term_e6
+        FROM grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+               CAST(SUM(s) AS HUGEINT) AS ss,
+               CAST(SUM(q) AS HUGEINT) AS qq,
+               CAST(SUM(term_e6) AS HUGEINT) AS a_e6,
+               CAST(COUNT(*) AS HUGEINT) AS k
+        FROM gterm
+    ),
+    fin AS (
+        SELECT nn, k,
+               a_e6 - (1000000 * ((ss * ss) // nn)
+                       + CAST(ROUND(1000000.0
+                             * CAST((ss * ss) % nn AS DOUBLE)
+                             / CAST(nn AS DOUBLE), 0) AS HUGEINT))
+                 AS ssb_e6,
+               1000000 * qq - a_e6 AS ssw_e6
+        FROM tot
+    )
+    SELECT CAST(nn AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS k_groups,
+           CAST(ssb_e6 AS BIGINT) AS ssb_e6,
+           CAST(ssw_e6 AS BIGINT) AS ssw_e6,
+           CAST((ssb_e6 * (nn - k) * 1000000)
+                // (ssw_e6 * (k - 1)) AS BIGINT) AS w_e6_floor,
+           ssb_e6 * (nn - k) * 10000
+             > {ANOVA_F_CRIT_E4} * ssw_e6 * (k - 1) AS significant
+    FROM fin
+    """,
+    tags=("M2", "M14", "D10"),
+)
+def q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE (1974) — the variance-homogeneity test you run
+    BEFORE trusting q_stats_anova: are the five event types' value
+    SPREADS equal? It is Levene's test with the group MEDIAN as the
+    robust center: transform each observation to z = |cents - med_g|,
+    then run one-way ANOVA on the z's — a significant W means the
+    spreads differ and the pooled-variance assumption behind ANOVA/
+    q_ab_test is broken (the diagnostic layered over the decision
+    battery, exactly as q_ts_ljung_box is over the forecasters).
+
+    Exactness: the group median comes from the (group, value) census
+    with a cumulative window — the LOWER median (min value whose
+    cumulative count reaches (n+1) div 2), a deterministic convention
+    both engines share; z is then an exact INTEGER, so the entire
+    q_stats_anova machinery applies verbatim: weighted group sums
+    (n, s, q) from census rows, s^2/n e6-fixed by the DIV/MOD
+    decomposition on identical operand bits, SSB/SSW exact integer
+    sums, W as a floor-e6 quotient and the alpha = 0.05 / df = (4, inf)
+    verdict cross-multiplied — no float in any decision.
+
+    Plan: ONE census to the (group, value-domain) frame serves the
+    median, the z transform, and all three moment sums — the fact
+    table is scanned once and never re-touched; everything after is
+    windows and folds over domain-bounded frames."""
+    x = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    gv = x.groupBy("g", "cents").agg(F.count("*").cast("bigint").alias("c"))
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("g")
+    cum = gv.select(
+        "g",
+        "cents",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wtot).alias("n_g"),
+    )
+    med = (
+        cum.filter(F.col("cum") >= F.expr("(n_g + 1) div 2"))
+        .groupBy("g")
+        .agg(F.min("cents").alias("med"))
+    )
+    z = gv.join(med, "g").select(
+        "g", F.abs(F.col("cents") - F.col("med")).alias("z"), "c"
+    )
+    grp = z.groupBy("g").agg(
+        F.sum("c").cast(D38).alias("n"),
+        F.sum(F.col("c") * F.col("z")).cast(D38).alias("s"),
+        F.sum(F.col("c") * F.col("z") * F.col("z")).cast(D38).alias("q"),
+    )
+    s2 = F.col("s") * F.col("s")
+    gterm = grp.select(
+        "n",
+        "s",
+        "q",
+        (
+            F.lit(1000000).cast(D38) * F.expr("(s * s) div n").cast(D38)
+            + F.round(
+                F.lit(1000000.0)
+                * (s2 % F.col("n")).cast("double")
+                / F.col("n").cast("double"),
+                0,
+            ).cast(D38)
+        ).alias("term_e6"),
+    )
+    tot = gterm.agg(
+        F.sum("n").cast(D38).alias("nn"),
+        F.sum("s").cast(D38).alias("ss"),
+        F.sum("q").cast(D38).alias("qq"),
+        F.sum("term_e6").cast(D38).alias("a_e6"),
+        F.count("*").cast(D38).alias("k"),
+    )
+    ss2 = F.col("ss") * F.col("ss")
+    fin = tot.select(
+        "nn",
+        "k",
+        (
+            F.col("a_e6")
+            - (
+                F.lit(1000000).cast(D38)
+                * F.expr("(ss * ss) div nn").cast(D38)
+                + F.round(
+                    F.lit(1000000.0)
+                    * (ss2 % F.col("nn")).cast("double")
+                    / F.col("nn").cast("double"),
+                    0,
+                ).cast(D38)
+            )
+        ).alias("ssb_e6"),
+        (F.lit(1000000).cast(D38) * F.col("qq") - F.col("a_e6")).alias(
+            "ssw_e6"
+        ),
+    )
+    return fin.select(
+        F.col("nn").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("ssb_e6").cast("bigint").alias("ssb_e6"),
+        F.col("ssw_e6").cast("bigint").alias("ssw_e6"),
+        F.expr(
+            "(ssb_e6 * (nn - k) * 1000000) div (ssw_e6 * (k - 1))"
+        )
+        .cast("bigint")
+        .alias("w_e6_floor"),
+        (
+            F.col("ssb_e6") * (F.col("nn") - F.col("k")) * F.lit(10000)
+            > F.lit(ANOVA_F_CRIT_E4)
+            * F.col("ssw_e6")
+            * (F.col("k") - F.lit(1))
+        ).alias("significant"),
+    )

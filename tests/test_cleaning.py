@@ -117,3 +117,83 @@ def test_winsorize_bounds_bracket_the_distribution(spark):
         assert r.n_lo + r.n_hi <= s.n
         # ~5% tails by construction (ceil ranks): each side ≤ 5% + 1
         assert r.n_lo <= s.n // 20 + 1 and r.n_hi <= s.n // 20 + 1
+
+
+def test_winnowing_matches_brute_force_and_guarantee(spark):
+    """Pure-Python winnowing (hashlib md5, rightmost-min windows, DF
+    filter, pair counts) recomputed over the planted corpus — plus the
+    SWA density guarantee: every w-gram window of every doc contains
+    at least one selected fingerprint position."""
+    import hashlib
+
+    import duckdb
+
+    from embarrassingly_parallel_image_classification_spark import registry
+    from embarrassingly_parallel_image_classification_spark.ml.dedup import (
+        WINNOW_K,
+        WINNOW_MAXDF,
+        WINNOW_W,
+        _WINNOW_OFFSET,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = registry.queries()["q_text_winnowing"](spark, SF_SMOKE).toPandas()
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    corpus = [(d, t) for d, t in docs] + [
+        (d + _WINNOW_OFFSET, t) for d, t in docs
+    ]
+
+    def h40(gram: str) -> int:
+        return int(hashlib.md5(gram.encode()).hexdigest()[:10], 16)
+
+    fps = {}
+    for doc_id, text in corpus:
+        if len(text) < WINNOW_K + WINNOW_W - 1:
+            continue
+        hs = [
+            h40(text[p : p + WINNOW_K])
+            for p in range(len(text) - WINNOW_K + 1)
+        ]
+        sel = set()
+        sel_pos = set()
+        for i in range(len(hs) - WINNOW_W + 1):
+            win = hs[i : i + WINNOW_W]
+            m = min(win)
+            p = max(j for j in range(WINNOW_W) if win[j] == m)
+            sel.add(m)
+            sel_pos.add(i + p)
+        # density guarantee: the window we just scanned contributed a
+        # position inside itself, so every window intersects sel_pos
+        for i in range(len(hs) - WINNOW_W + 1):
+            assert any(i <= p <= i + WINNOW_W - 1 for p in sel_pos)
+        fps[doc_id] = sel
+    df = {}
+    for sel in fps.values():
+        for h in sel:
+            df[h] = df.get(h, 0) + 1
+    kept = {d: {h for h in sel if df[h] <= WINNOW_MAXDF} for d, sel in fps.items()}
+    pairs = {}
+    ids = sorted(kept)
+    from collections import defaultdict
+
+    inv = defaultdict(list)
+    for d in ids:
+        for h in kept[d]:
+            inv[h].append(d)
+    for h, ds in inv.items():
+        for ai in range(len(ds)):
+            for bi in range(ai + 1, len(ds)):
+                pairs[(ds[ai], ds[bi])] = pairs.get((ds[ai], ds[bi]), 0) + 1
+    want = sorted(
+        (
+            (-n, a, b, n, len(kept[a]), len(kept[b]),
+             n * 1_000_000 // min(len(kept[a]), len(kept[b])))
+            for (a, b), n in pairs.items()
+        )
+    )[:10]
+    assert len(got) == min(10, len(want))
+    for row, w in zip(got.itertuples(index=False), want):
+        assert (row.doc_a, row.doc_b, row.n_shared, row.n_fp_a,
+                row.n_fp_b, row.containment_e6) == w[1:]

@@ -326,6 +326,20 @@ _CARTESIAN_OK = {
                              # L/R for the level-2 census — the
                              # q_train_gbt_stumps 1-row scalar-cross
                              # shape (a broadcast variable, not a join)
+    "q_stats_cochran_q",     # 1-row row-census x 1-row column-census
+                             # scalar cross into the Q statistic
+    "q_stats_jonckheere",    # the dense (value-domain x 5 groups) grid
+                             # build is a 5-row broadcast cross (the
+                             # q_stats_kendall grid shape) + the 1-row
+                             # jt x 1-row moments scalar cross
+    "q_stats_friedman",      # two 1-row aggregate scalars (n, A2)
+                             # crossed onto the 5-row rank-sum frame
+    "q_ts_ljung_box",        # 31-row day series x 1-row (n,S) scalar,
+                             # x 7-row lag literal, x 1-row C0 — every
+                             # cross side is calendar/constant-bounded
+    "q_eval_brier",          # q_eval_calibration's 1-row (min,max)
+                             # bounds cross onto the scan + a 1-row
+                             # totals scalar onto the 10-bin frame
 }
 
 

@@ -961,3 +961,213 @@ def test_tree_depth2_matches_brute_force(spark):
             c.feature, int(c.threshold), int(c.n_left), int(c.n_right),
             int(c.gini_e6),
         ) == (feat2, thr2, nl2, nr2, g2)
+
+
+def test_cochran_q_matches_brute_force(spark, events):
+    got = _rows(spark, "q_stats_cochran_q").iloc[0]
+    from embarrassingly_parallel_image_classification_spark.operators.stats import (
+        CHI2_DF4_E6,
+        COCHRAN_CUTOFF,
+        COCHRAN_K,
+    )
+    import pandas as pd
+
+    ev = events.copy()
+    ev = ev[ev["ts"].astype("datetime64[s]") < pd.Timestamp(COCHRAN_CUTOFF)]
+    inc = {(u, g) for u, g in zip(ev.user_id, ev.event_type)}
+    rows = {}
+    cols = {}
+    for u, g in inc:
+        rows[u] = rows.get(u, 0) + 1
+        cols[g] = cols.get(g, 0) + 1
+    n_total = sum(rows.values())
+    srs = sum(r * r for r in rows.values())
+    scs = sum(c * c for c in cols.values())
+    k = COCHRAN_K
+    num = (k - 1) * (k * scs - n_total * n_total)
+    den = k * n_total - srs
+    assert int(got.n_blocks) == len(rows)
+    assert int(got.n_total) == n_total
+    assert (int(got.q_num), int(got.q_den)) == (num, den)
+    assert int(got.q_e6_floor) == (num * 1_000_000 // den if den > 0 else 0)
+    assert bool(got.significant) == (
+        den > 0 and num * 1_000_000 > CHI2_DF4_E6 * den
+    )
+
+
+def test_jonckheere_matches_brute_force(spark):
+    """Definitional JT: every ordered group pair's Mann-Whitney count,
+    by direct bisect — independent of the grid spelling."""
+    import bisect
+
+    got = _rows(spark, "q_stats_jonckheere").iloc[0]
+    orders = duckdb.sql(
+        f"SELECT o_orderpriority g, CAST(ROUND(o_totalprice*100,0) AS BIGINT) v"
+        f" FROM read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).df()
+    groups = {
+        g: sorted(int(x) for x in grp.v) for g, grp in orders.groupby("g")
+    }
+    keys = sorted(groups)
+    jt2 = 0
+    for ai, a in enumerate(keys):
+        for b in keys[ai + 1:]:
+            for yv in groups[b]:
+                lt = bisect.bisect_left(groups[a], yv)
+                eq = bisect.bisect_right(groups[a], yv) - lt
+                jt2 += 2 * lt + eq
+    n = sum(len(v) for v in groups.values())
+    e2 = (n * n - sum(len(v) ** 2 for v in groups.values())) // 2
+    var_num = n * n * (2 * n + 3) - sum(
+        len(v) ** 2 * (2 * len(v) + 3) for v in groups.values()
+    )
+    assert int(got.jt2) == jt2
+    assert int(got.e2) == e2
+    assert int(got.var_num) == var_num
+    d = jt2 - e2
+    assert int(got.z2_e6_floor) == d * d * 18_000_000 // var_num
+    assert bool(got.significant) == (d * d * 180_000 > 38_416 * var_num)
+
+
+def test_friedman_matches_brute_force(spark, events):
+    got = _rows(spark, "q_stats_friedman").iloc[0]
+    from embarrassingly_parallel_image_classification_spark.operators.stats import (
+        CHI2_DF4_E6,
+        FRIEDMAN_K,
+    )
+
+    ev = events.copy()
+    ev["d"] = ev["ts"].astype("datetime64[s]").dt.date
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    cells = ev.groupby(["d", "event_type"])["cents"].sum()
+    blocks = {}
+    for (d, g), v in cells.items():
+        blocks.setdefault(d, {})[g] = int(v)
+    complete = {d: b for d, b in blocks.items() if len(b) == FRIEDMAN_K}
+    n = len(complete)
+    r2sum = {}
+    a2 = 0
+    for b in complete.values():
+        vals = sorted(b.values())
+        for g, v in b.items():
+            import bisect
+
+            lt = bisect.bisect_left(vals, v)
+            tcnt = bisect.bisect_right(vals, v) - lt
+            s = 2 * lt + tcnt + 1
+            r2sum[g] = r2sum.get(g, 0) + s
+            a2 += s * s
+    k = FRIEDMAN_K
+    devsq = sum((r - n * (k + 1)) ** 2 for r in r2sum.values())
+    num = (k - 1) * devsq
+    den = a2 - n * k * (k + 1) ** 2
+    assert int(got.n_blocks) == n
+    assert (int(got.q_num), int(got.q_den)) == (num, den)
+    assert int(got.q_e6_floor) == (num * 1_000_000 // den if den > 0 else 0)
+    assert bool(got.significant) == (
+        den > 0 and num * 1_000_000 > CHI2_DF4_E6 * den
+    )
+
+
+def test_ljung_box_matches_brute_force(spark, events):
+    got = _rows(spark, "q_ts_ljung_box").set_index("lag")
+    from embarrassingly_parallel_image_classification_spark.operators.stats import (
+        CHI2_DF7_E6,
+        LB_H,
+    )
+
+    ev = events.copy()
+    ev["d"] = ev["ts"].astype("datetime64[s]").dt.date
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    xs = [int(v) for _, v in sorted(ev.groupby("d")["cents"].sum().items())]
+    n, s = len(xs), sum(xs)
+    ys = [n * x - s for x in xs]
+    c0 = sum(y * y for y in ys)
+    sum_terms = 0
+    for k in range(1, LB_H + 1):
+        ck = sum(ys[i] * ys[i + k] for i in range(n - k))
+        rabs = abs(ck) * 1_000_000 // c0
+        assert 0 <= rabs <= 1_000_000
+        term = rabs * rabs // (n - k)
+        row = got.loc[k]
+        assert int(row.r_sign) == (-1 if ck < 0 else 1)
+        assert int(row.rabs_e6) == rabs
+        assert int(row.term_e12) == term
+        sum_terms += term
+    lb_e6 = n * (n + 2) * sum_terms // 1_000_000
+    assert (got.lb_e6 == lb_e6).all()
+    assert (got.significant == (lb_e6 > CHI2_DF7_E6)).all()
+
+
+def test_brown_forsythe_matches_brute_force(spark, events):
+    got = _rows(spark, "q_stats_brown_forsythe").iloc[0]
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    groups = {g: sorted(int(v) for v in grp.cents)
+              for g, grp in ev.groupby("event_type")}
+    nn = ss = qq = 0
+    a_e6 = 0
+    for g, xs in groups.items():
+        med = xs[(len(xs) + 1) // 2 - 1]  # lower median, rank (n+1) div 2
+        zs = [abs(x - med) for x in xs]
+        n, s, q = len(zs), sum(zs), sum(z * z for z in zs)
+        nn += n
+        ss += s
+        qq += q
+        a_e6 += 1_000_000 * (s * s // n) + round(1_000_000 * (s * s % n) / n)
+    k = len(groups)
+    ssb_e6 = a_e6 - (
+        1_000_000 * (ss * ss // nn) + round(1_000_000 * (ss * ss % nn) / nn)
+    )
+    ssw_e6 = 1_000_000 * qq - a_e6
+    assert int(got.n) == nn and int(got.k_groups) == k
+    assert int(got.ssb_e6) == ssb_e6
+    assert int(got.ssw_e6) == ssw_e6
+    assert int(got.w_e6_floor) == ssb_e6 * (nn - k) * 1_000_000 // (
+        ssw_e6 * (k - 1)
+    )
+    assert bool(got.significant) == (
+        ssb_e6 * (nn - k) * 10_000 > 23719 * ssw_e6 * (k - 1)
+    )
+
+
+def test_brier_murphy_decomposition_matches_brute_force(spark, events):
+    got = _rows(spark, "q_eval_brier").iloc[0]
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ev["y"] = (ev["event_type"] == "purchase").astype(int)
+    lo, hi = int(ev.cents.min()), int(ev.cents.max())
+    pden = hi - lo
+    bins = {}
+    for c, y in zip(ev.cents, ev.y):
+        b = (int(c) - lo) * 10 // (hi - lo + 1)
+        nb, sb, yb = bins.get(b, (0, 0, 0))
+        bins[b] = (nb + 1, sb + int(c) - lo, yb + int(y))
+    n = sum(v[0] for v in bins.values())
+    yy = sum(v[2] for v in bins.values())
+    rel_sum = sum(
+        (sb - pden * yb) ** 2 * 10**9 // (pden * pden * nb)
+        for nb, sb, yb in bins.values()
+    )
+    res_sum = sum(
+        (yb * n - yy * nb) ** 2 * 10**9 // (nb * n * n)
+        for nb, sb, yb in bins.values()
+    )
+    adev = sum(abs(sb - pden * yb) for nb, sb, yb in bins.values())
+    unc_e9 = yy * (n - yy) * 10**9 // (n * n)
+    assert int(got.n) == n and int(got.n_bins) == len(bins)
+    assert int(got.rel_e9) == rel_sum // n
+    assert int(got.res_e9) == res_sum // n
+    assert int(got.unc_e9) == unc_e9
+    assert int(got.brier_e9) == rel_sum // n - res_sum // n + unc_e9
+    ece_e9 = adev * 10**9 // (pden * n)
+    assert int(got.ece_e9) == ece_e9
+    assert bool(got.calibrated) == (ece_e9 <= 50_000_000)
+    # the decomposition lands within the three stated floors of the
+    # directly-computed binned-forecast Brier score
+    brier_direct = sum(
+        ((sb / (nb * pden)) - y) ** 2
+        for nb, sb, yb in bins.values()
+        for y in ([1] * yb + [0] * (nb - yb))
+    ) / n
+    assert abs(int(got.brier_e9) / 1e9 - brier_direct) < 5e-9
