@@ -270,6 +270,8 @@ HEADLINE = [
     "q_text_winnowing",
     "q_stats_brown_forsythe",
     "q_eval_brier",
+    "q_knn_sq8",
+    "q_sql_execute_immediate",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -1713,3 +1713,153 @@ def q_knn_hamming_postdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# K7 (round 11): SQ8 scalar quantization — the 8-bit tier between the
+# 1-bit Hamming bitmask and the float corpus (FAISS ScalarQuantizer
+# QT_8bit): per-DIMENSION min/max affine quantization to uint8 codes,
+# 4x less scan data than float32, and — unlike the seeded-KMeans PQ
+# codebooks — the quantizer is a DETERMINISTIC pure function of the
+# corpus, so the whole tier is oracle-EXACT (the Hamming-tier property
+# at 8-bit fidelity).
+SQ8_LEVELS = 255
+
+
+@register(
+    "q_knn_sq8",
+    oracle=f"""
+    WITH dims AS (
+        SELECT e.vec_id, i.i AS d,
+               CAST(e.embedding[i.i + 1] AS DOUBLE) AS v
+        FROM embeddings e, range(64) i(i)
+    ),
+    rng AS (
+        SELECT d, MIN(v) AS lo, MAX(v) AS hi FROM dims GROUP BY d
+    ),
+    codes AS (
+        SELECT dims.vec_id, dims.d,
+               CASE WHEN rng.hi > rng.lo
+                    THEN LEAST({SQ8_LEVELS}, FLOOR(
+                        (dims.v - rng.lo) * {SQ8_LEVELS} / (rng.hi - rng.lo)))
+                    ELSE 0 END AS q
+        FROM dims JOIN rng USING (d)
+    ),
+    qc AS (SELECT vec_id AS qid, d, q AS qq FROM codes
+           WHERE vec_id < {N_QUERIES}),
+    dots AS (
+        SELECT qc.qid, c.vec_id,
+               CAST(SUM(c.q * qc.qq) AS BIGINT) AS dot
+        FROM codes c JOIN qc ON qc.d = c.d
+        WHERE c.vec_id <> qc.qid
+        GROUP BY qc.qid, c.vec_id
+    ),
+    topk AS (
+        SELECT qid, vec_id, dot,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY dot DESC, vec_id) AS rank
+        FROM dots
+    ),
+    exact AS (
+        SELECT q.vec_id AS qid, e.vec_id
+        FROM embeddings e
+        CROSS JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings WHERE vec_id < {N_QUERIES}) q
+        WHERE e.vec_id <> q.vec_id
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ROUND(list_cosine_similarity(
+                CAST(e.embedding AS DOUBLE[]), q.emb), 6) DESC,
+                e.vec_id) <= {TOP_K}
+    )
+    SELECT t.qid, CAST(t.rank AS BIGINT) AS rank, t.vec_id, t.dot,
+           EXISTS (SELECT 1 FROM exact x
+                   WHERE x.qid = t.qid AND x.vec_id = t.vec_id)
+             AS in_exact_topk
+    FROM topk t WHERE t.rank <= {TOP_K}
+    ORDER BY t.qid, t.rank
+    """,
+    tags=("K3", "K7", "F3"),
+)
+def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 SCALAR-QUANTIZED vector search (FAISS ScalarQuantizer
+    QT_8bit [PK]) — the 8-bit rung of the K7 ladder between the 1-bit
+    Hamming bitmask (q_knn_hamming) and full float: each dimension is
+    affinely quantized to 0..255 against its own corpus (min, max)
+    — code = floor((v - lo_d) * 255 / (hi_d - lo_d)), clamped at the
+    top so v = hi lands on 255 — and candidates rank by the exact
+    INTEGER dot product of codes (ties by vec_id). 4x less scan data
+    than float32 and integer SIMD arithmetic; the result annotates
+    exact-cosine top-k membership (the Hamming tier's recall census).
+
+    Why this tier is oracle-EXACT when PQ/IVF are rows-only: the
+    quantizer has NO seeded training — (lo_d, hi_d) are exact
+    min/max aggregates, the affine map runs on identical double
+    operand bits in the same operation order in both engines, and
+    everything after floor() is integer. That makes SQ8 the highest-
+    fidelity fully-checkable rung, with the checkable-rung ladder now
+    1-bit (sign) -> 8-bit (affine) -> float (exact).
+
+    Plan at 100 TB: the (dim, lo, hi) table is 64 rows — a broadcast;
+    codes are built map-side (one scan, no shuffle); ranking reuses
+    the K3 broadcast-query-side shape. The long (vec, dim) spelling
+    here keeps the oracle joinable; a columnar deployment packs codes
+    into one BINARY(64) the way q_knn_hamming packs its BIGINT."""
+    emb = t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v"),
+    )
+    rng = dims.groupBy("d").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    codes = dims.join(F.broadcast(rng), "d").select(
+        "vec_id",
+        "d",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.lit(SQ8_LEVELS),
+                F.floor(
+                    (F.col("v") - F.col("lo"))
+                    * F.lit(float(SQ8_LEVELS))
+                    / (F.col("hi") - F.col("lo"))
+                ),
+            ),
+        )
+        .otherwise(0)
+        .alias("q"),
+    )
+    qc = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "d", F.col("q").alias("qq")
+    )
+    dots = (
+        codes.join(F.broadcast(qc), "d")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("q") * F.col("qq")).cast("bigint").alias("dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("vec_id"))
+    topk = (
+        dots.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    exact = knn_exact(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), TOP_K
+    ).select(
+        F.col("qid").alias("xq"),
+        F.col("vec_id").alias("xv"),
+        F.lit(True).alias("hit"),
+    )
+    return (
+        topk.join(
+            F.broadcast(exact),
+            (F.col("xq") == F.col("qid")) & (F.col("xv") == F.col("vec_id")),
+            "left",
+        )
+        .select(
+            "qid",
+            F.col("rank").cast("bigint").alias("rank"),
+            "vec_id",
+            "dot",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("in_exact_topk"),
+        )
+        .orderBy("qid", "rank")
+    )

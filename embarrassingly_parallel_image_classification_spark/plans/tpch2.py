@@ -1250,3 +1250,51 @@ def q_sql_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_sql_execute_immediate",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem
+    WHERE l_quantity < 25
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("N16", "composite"),
+)
+def q_sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC SQL surface (Spark 4.0 SPARK-44811 EXECUTE IMMEDIATE +
+    the 3.5 IDENTIFIER clause, SPARK-43205): the templated-query
+    pattern every BI/ELT tool emits — a SQL string assembled at
+    runtime with the table and measure names bound through
+    IDENTIFIER() (injection-safe name parameterization: IDENTIFIER
+    turns a constant string into a resolved NAME, never into arbitrary
+    SQL) and the filter value
+    bound as a positional ? parameter (plan-cache-friendly value
+    parameterization). Both engines compute the identical static
+    query, so the oracle is that query — what's under test is that
+    Spark's dynamic-SQL front door produces exactly the statically-
+    planned result (same pushdown, same agg), i.e. the template layer
+    adds zero semantic drift.
+
+    Plan: identical to the static spelling — Catalyst parses the inner
+    string once at EXECUTE time; the parquet scan keeps its pushed
+    quantity filter (the template does not defeat pushdown)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    template = (
+        "SELECT l_returnflag, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(ROUND(IDENTIFIER('l_' || 'extendedprice') * 100, 0)"
+        " AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM IDENTIFIER('line' || 'item') "
+        "WHERE l_quantity < ? "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE :tpl USING 25",
+        args={"tpl": template},
+    )

@@ -340,6 +340,10 @@ _CARTESIAN_OK = {
     "q_eval_brier",          # q_eval_calibration's 1-row (min,max)
                              # bounds cross onto the scan + a 1-row
                              # totals scalar onto the 10-bin frame
+    "q_knn_sq8",             # the knn_exact recall-annotation cross
+                             # (broadcast 5-row query side), same as
+                             # q_knn_hamming; the code join is keyed
+                             # on the 64-row dim domain
 }
 
 
