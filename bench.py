@@ -272,6 +272,7 @@ HEADLINE = [
     "q_eval_brier",
     "q_knn_sq8",
     "q_sql_execute_immediate",
+    "q_ts_granger",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -3126,3 +3126,146 @@ def q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("k") - F.lit(1))
         ).alias("significant"),
     )
+
+
+# F(0.95; 1, 26) = t(0.975; 26)^2 = 4.2252, e4-fixed. df2 = 26 is
+# pinned by construction (first 30 day-rows -> m = 29 lagged obs, 3
+# full-model parameters), not assumed from the calendar.
+GRANGER_F_CRIT_E4 = 42252
+_GRANGER_FIX = """CASE WHEN {d} = 0 THEN 0 ELSE
+    (CASE WHEN ({n} < 0) <> ({d} < 0) THEN -1 ELSE 1 END)
+    * ((ABS({n}) * 1000000) {div} ABS({d})) END"""
+
+
+def _granger_sql(div: str) -> str:
+    """The shared Granger CTE body; ``div`` is the engine's integer
+    floor/trunc division spelling ('//' DuckDB, 'div' Spark) — safe
+    here because every quotient is sign-split to |num| div |den|."""
+    fix = lambda n, d: _GRANGER_FIX.format(n=n, d=d, div=div)
+    return f"""
+    WITH day AS (
+        SELECT CAST(ts AS DATE) AS d,
+               COALESCE(
+                 SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(ROUND(value * 100, 0) AS BIGINT) END)
+                 {div} NULLIF(SUM(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END), 0), 0) AS pm,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS vc
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, pm, vc FROM day
+    ),
+    lagf AS (
+        SELECT x, xl, yl FROM (
+            SELECT CAST(pm AS {{big}}) AS x,
+                   CAST(LAG(pm) OVER (ORDER BY i) AS {{big}}) AS xl,
+                   CAST(LAG(vc) OVER (ORDER BY i) AS {{big}}) AS yl
+            FROM idx WHERE i <= 30
+        ) lagged WHERE xl IS NOT NULL
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS {{big}}) AS m,
+               CAST(SUM(x) AS {{big}}) AS sx,
+               CAST(SUM(xl) AS {{big}}) AS sxl,
+               CAST(SUM(yl) AS {{big}}) AS syl,
+               CAST(SUM(xl * xl) AS {{big}}) AS sxlxl,
+               CAST(SUM(yl * yl) AS {{big}}) AS sylyl,
+               CAST(SUM(xl * yl) AS {{big}}) AS sxlyl,
+               CAST(SUM(xl * x) AS {{big}}) AS sxlx,
+               CAST(SUM(yl * x) AS {{big}}) AS sylx
+        FROM lagf
+    ),
+    dets AS (
+        SELECT m,
+               m * (sxlxl * sylyl - sxlyl * sxlyl)
+                 - sxl * (sxl * sylyl - sxlyl * syl)
+                 + syl * (sxl * sxlyl - sxlxl * syl) AS det,
+               sx * (sxlxl * sylyl - sxlyl * sxlyl)
+                 - sxl * (sxlx * sylyl - sxlyl * sylx)
+                 + syl * (sxlx * sxlyl - sxlxl * sylx) AS det_a,
+               m * (sxlx * sylyl - sxlyl * sylx)
+                 - sx * (sxl * sylyl - sxlyl * syl)
+                 + syl * (sxl * sylx - sxlx * syl) AS det_b,
+               m * (sxlxl * sylx - sxlx * sxlyl)
+                 - sxl * (sxl * sylx - sxlx * syl)
+                 + sx * (sxl * sxlyl - sxlxl * syl) AS det_c,
+               m * sxlxl - sxl * sxl AS det_r,
+               sxlxl * sx - sxl * sxlx AS ar_num,
+               m * sxlx - sxl * sx AS br_num
+        FROM s
+    ),
+    coeffs AS (
+        SELECT m,
+               {fix('det_a', 'det')} AS a_e6,
+               {fix('det_b', 'det')} AS b_e6,
+               {fix('det_c', 'det')} AS c_e6,
+               {fix('ar_num', 'det_r')} AS ar_e6,
+               {fix('br_num', 'det_r')} AS br_e6
+        FROM dets
+    ),
+    sse AS (
+        SELECT ANY_VALUE(c.m) AS m,
+               ANY_VALUE(c.b_e6) AS b_e6, ANY_VALUE(c.c_e6) AS c_e6,
+               ANY_VALUE(c.br_e6) AS br_e6,
+               CAST(SUM((l.x * 1000000 - (c.a_e6 + c.b_e6 * l.xl
+                         + c.c_e6 * l.yl))
+                      * (l.x * 1000000 - (c.a_e6 + c.b_e6 * l.xl
+                         + c.c_e6 * l.yl))) AS {{big}}) AS ssef_e12,
+               CAST(SUM((l.x * 1000000 - (c.ar_e6 + c.br_e6 * l.xl))
+                      * (l.x * 1000000 - (c.ar_e6 + c.br_e6 * l.xl)))
+                    AS {{big}}) AS sser_e12
+        FROM lagf l CROSS JOIN coeffs c
+    )
+    SELECT CAST(m AS BIGINT) AS m,
+           CAST(b_e6 AS BIGINT) AS b_e6,
+           CAST(c_e6 AS BIGINT) AS c_e6,
+           CAST(br_e6 AS BIGINT) AS br_e6,
+           CAST(sser_e12 {div} 1000000 AS BIGINT) AS sser_e6,
+           CAST(ssef_e12 {div} 1000000 AS BIGINT) AS ssef_e6,
+           CAST(CASE WHEN ssef_e12 > 0 THEN
+               (GREATEST(sser_e12 - ssef_e12, 0) * (m - 3) * 1000000)
+                 {div} ssef_e12 ELSE 0 END AS BIGINT) AS f_e6_floor,
+           ssef_e12 > 0
+             AND GREATEST(sser_e12 - ssef_e12, 0) * (m - 3) * 10000
+                 > {GRANGER_F_CRIT_E4} * ssef_e12 AS causal
+    FROM sse
+    """
+
+
+@register(
+    "q_ts_granger",
+    oracle=_granger_sql("//").format(big="HUGEINT"),
+    tags=("M2", "M14", "D10", "Q10"),
+)
+def q_ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRANGER CAUSALITY (1969) — does yesterday's VIEW volume carry
+    predictive information about today's mean PURCHASE value beyond
+    what yesterday's purchase value already carries? The F-test
+    between two nested OLS fits on the first 30 day-rows: restricted
+    x_t ~ 1 + x_(t-1) vs full x_t ~ 1 + x_(t-1) + y_(t-1); if adding
+    the lagged second series significantly reduces SSE, y
+    "Granger-causes" x — the standard leading-indicator screen in
+    every metrics warehouse, and the causal bridge between the D10
+    forecasters and the Q-family regressors.
+
+    Exactness: the series are integers by construction (x = per-day
+    FLOOR-mean purchase cents — bounded by the value domain at every
+    sf, unlike a raw sum; y = view count); all nine normal-equation
+    sums are exact integers; the full model solves by CRAMER'S RULE in
+    DECIMAL(38,0)/HUGEINT (3-term products peak ~10^34 at sf10); every
+    coefficient is a SIGN-SPLIT truncated-e6 fixing (|num|*10^6 div
+    |det| with the sign applied after — Spark div truncates, DuckDB //
+    floors, they agree only on non-negatives); SSEs are exact integer
+    sums of squared e6-residuals of those FIXED coefficients (the
+    q_train_ridge staging), so sser >= ssef can be violated only by
+    fixing noise — clamped at 0 and stated. Verdict cross-multiplied
+    vs F(0.95; 1, 26) e4: diff*(m-3)*10^4 > 42252*ssef, df2 = 26
+    pinned by the first-30-days construction.
+
+    Plan: one fact scan to the 30-row day census; lags/sums/Cramer/
+    SSE all on <= 30-row frames (the coefficient cross is a 1-row
+    broadcast). Calendar-bounded, row-count-free after the census."""
+    for name in ("events",):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_granger_sql("div").format(big="DECIMAL(38,0)"))

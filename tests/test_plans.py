@@ -344,6 +344,9 @@ _CARTESIAN_OK = {
                              # (broadcast 5-row query side), same as
                              # q_knn_hamming; the code join is keyed
                              # on the 64-row dim domain
+    "q_ts_granger",          # 29-row lag frame x 1-row Cramer
+                             # coefficient scalar for the SSE pass —
+                             # calendar-bounded both sides
 }
 
 

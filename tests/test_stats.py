@@ -1171,3 +1171,80 @@ def test_brier_murphy_decomposition_matches_brute_force(spark, events):
         for y in ([1] * yb + [0] * (nb - yb))
     ) / n
     assert abs(int(got.brier_e9) / 1e9 - brier_direct) < 5e-9
+
+
+def test_granger_matches_brute_force(spark, events):
+    """Full pure-Python Granger recomputation (integer sums, Cramer
+    dets as exact Python ints, sign-split e6 fixings, e12 SSEs) —
+    independent of both the Spark and DuckDB spellings of the shared
+    CTE body."""
+    got = _rows(spark, "q_ts_granger").iloc[0]
+    from embarrassingly_parallel_image_classification_spark.operators.stats import (
+        GRANGER_F_CRIT_E4,
+    )
+
+    ev = events.copy()
+    ev["d"] = ev["ts"].astype("datetime64[s]").dt.date
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    days = {}
+    for d, g in ev.groupby("d"):
+        p = g[g.event_type == "purchase"]
+        pm = int(p.cents.sum()) // len(p) if len(p) else 0
+        days[d] = (pm, int((g.event_type == "view").sum()))
+    series = [days[d] for d in sorted(days)][:30]
+    rows = [
+        (series[i][0], series[i - 1][0], series[i - 1][1])
+        for i in range(1, len(series))
+    ]
+    m = len(rows)
+    sx = sum(x for x, _, _ in rows)
+    sxl = sum(xl for _, xl, _ in rows)
+    syl = sum(yl for _, _, yl in rows)
+    sxlxl = sum(xl * xl for _, xl, _ in rows)
+    sylyl = sum(yl * yl for _, _, yl in rows)
+    sxlyl = sum(xl * yl for _, xl, yl in rows)
+    sxlx = sum(xl * x for x, xl, _ in rows)
+    sylx = sum(yl * x for x, _, yl in rows)
+
+    def fix(num, den):
+        if den == 0:
+            return 0
+        s = -1 if (num < 0) != (den < 0) else 1
+        return s * (abs(num) * 1_000_000 // abs(den))
+
+    det = (m * (sxlxl * sylyl - sxlyl * sxlyl)
+           - sxl * (sxl * sylyl - sxlyl * syl)
+           + syl * (sxl * sxlyl - sxlxl * syl))
+    det_a = (sx * (sxlxl * sylyl - sxlyl * sxlyl)
+             - sxl * (sxlx * sylyl - sxlyl * sylx)
+             + syl * (sxlx * sxlyl - sxlxl * sylx))
+    det_b = (m * (sxlx * sylyl - sxlyl * sylx)
+             - sx * (sxl * sylyl - sxlyl * syl)
+             + syl * (sxl * sylx - sxlx * syl))
+    det_c = (m * (sxlxl * sylx - sxlx * sxlyl)
+             - sxl * (sxl * sylx - sxlx * syl)
+             + sx * (sxl * sxlyl - sxlxl * syl))
+    a_e6, b_e6, c_e6 = fix(det_a, det), fix(det_b, det), fix(det_c, det)
+    det_r = m * sxlxl - sxl * sxl
+    ar_e6 = fix(sxlxl * sx - sxl * sxlx, det_r)
+    br_e6 = fix(m * sxlx - sxl * sx, det_r)
+    ssef = sum(
+        (x * 1_000_000 - (a_e6 + b_e6 * xl + c_e6 * yl)) ** 2
+        for x, xl, yl in rows
+    )
+    sser = sum(
+        (x * 1_000_000 - (ar_e6 + br_e6 * xl)) ** 2 for x, xl, _ in rows
+    )
+    assert int(got.m) == m
+    assert (int(got.b_e6), int(got.c_e6), int(got.br_e6)) == (
+        b_e6, c_e6, br_e6,
+    )
+    assert int(got.sser_e6) == sser // 1_000_000
+    assert int(got.ssef_e6) == ssef // 1_000_000
+    diff = max(sser - ssef, 0)
+    assert int(got.f_e6_floor) == (
+        diff * (m - 3) * 1_000_000 // ssef if ssef > 0 else 0
+    )
+    assert bool(got.causal) == (
+        ssef > 0 and diff * (m - 3) * 10_000 > GRANGER_F_CRIT_E4 * ssef
+    )
