@@ -273,6 +273,7 @@ HEADLINE = [
     "q_knn_sq8",
     "q_sql_execute_immediate",
     "q_ts_granger",
+    "q_fn_try_arithmetic",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -777,3 +777,133 @@ def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zone", "local_date")
     )
+
+
+@register(
+    "q_fn_try_arithmetic",
+    oracle="""
+    WITH x AS (
+        SELECT CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+               l_returnflag AS flag
+        FROM lineitem
+    ),
+    tried AS (
+        SELECT flag,
+               -- try_add overflow: 2^63-1-7 + qty spills past BIGINT
+               -- exactly when qty > 7
+               CASE WHEN qty > 7 THEN NULL
+                    ELSE 9223372036854775800 + qty END AS t_add,
+               -- try_divide by zero at the qty = 25 rows; the exact
+               -- rational term cents/(qty-25) is carried as the
+               -- integer cents * (L / |d|) * sign(d) with
+               -- L = lcm(1..25) = 26771144400, so the SUM is exact
+               -- (a float sum is partial-order-dependent across
+               -- partitionings and can't be hash-checked)
+               CASE WHEN qty - 25 = 0 THEN NULL
+                    ELSE CAST(cents AS HUGEINT)
+                         * (26771144400 // ABS(qty - 25))
+                         * (CASE WHEN qty - 25 < 0 THEN -1 ELSE 1 END)
+                    END AS t_div_num,
+               -- try_multiply overflow when cents > floor((2^63-1)/2^33)
+               CASE WHEN cents > 1073741823 THEN NULL
+                    ELSE cents * 8589934592 END AS t_mul,
+               -- try_element_at past the 3-element array
+               CASE WHEN qty <= 3
+                    THEN ['a','b','c'][CAST(qty AS INT)] END AS t_elem
+        FROM x
+    )
+    SELECT flag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(t_add) AS BIGINT) AS add_overflows,
+           CAST(SUM(CASE WHEN t_add IS NOT NULL
+                    THEN t_add - 9223372036854775800 END) AS BIGINT)
+             AS add_qty_sum,
+           CAST(COUNT(*) - COUNT(t_div_num) AS BIGINT) AS div_zeroes,
+           CAST((CASE WHEN SUM(t_div_num) < 0 THEN -1 ELSE 1 END)
+                * ((ABS(CAST(SUM(t_div_num) AS HUGEINT)) * 100)
+                   // 26771144400) AS BIGINT) AS div_sum_e2,
+           CAST(COUNT(*) - COUNT(t_mul) AS BIGINT) AS mul_overflows,
+           CAST(COUNT(t_elem) AS BIGINT) AS elem_hits,
+           MIN(t_elem) AS elem_min
+    FROM tried GROUP BY flag ORDER BY flag
+    """,
+    tags=("H4", "H10", "composite"),
+)
+def q_fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERROR-SAFE ARITHMETIC surface — the try_* family (Spark 3.2+
+    ANSI companions): try_add / try_multiply return NULL on BIGINT
+    overflow instead of failing the job, try_divide NULLs division by
+    zero, try_element_at NULLs out-of-range access. This is the
+    contract that makes ANSI mode deployable on dirty data at 100 TB —
+    one poisoned row must not kill a 1000-executor stage, and NULL
+    propagation keeps the error VISIBLE and countable (each per-flag
+    count below is an error-rate metric a quality gate can alert on).
+
+    Overflow sites are PLANTED deterministically from fixture columns
+    (2^63-1-7 + qty overflows iff qty > 7; cents * 2^33 overflows iff
+    cents > 2^30-1; qty = 25 divides by zero; qty > 3 indexes past the
+    3-element array), so every engine-null is predictable and the
+    DuckDB oracle reproduces the NULL pattern with guard CASEs — the
+    oracle checks both that try_* catches every planted error AND that
+    the non-error rows compute exactly. try_divide's NULL sites are
+    counted from the try_* call itself, but the checked SUM uses the
+    exact lcm(1..25)-rational integer spelling — a float sum is
+    partial-order-dependent across partitionings and can never be
+    value-hashed.
+
+    Plan: pure map-side expressions inside whole-stage codegen, one
+    aggregate; no shuffle beyond the 3-group fold."""
+    x = t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("qty"),
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.col("l_returnflag").alias("flag"),
+    )
+    tried = x.select(
+        "flag",
+        F.expr("try_add(9223372036854775800, qty)").alias("t_add"),
+        F.expr(
+            "CASE WHEN qty - 25 = 0 THEN NULL"
+            " ELSE CAST(cents AS DECIMAL(38,0))"
+            " * (26771144400 div ABS(qty - 25))"
+            " * (CASE WHEN qty - 25 < 0 THEN -1 ELSE 1 END) END"
+        ).alias("t_div_num"),
+        F.expr("try_divide(cents, qty - 25)").alias("t_div"),
+        F.expr("try_multiply(cents, 8589934592)").alias("t_mul"),
+        F.expr(
+            "try_element_at(array('a', 'b', 'c'), CAST(qty AS INT))"
+        ).alias("t_elem"),
+    )
+    return (
+        tried.groupBy("flag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            (F.count("*") - F.count("t_add")).cast("bigint").alias(
+                "add_overflows"
+            ),
+            F.sum(
+                F.when(
+                    F.col("t_add").isNotNull(),
+                    F.col("t_add") - F.lit(9223372036854775800).cast("bigint"),
+                )
+            )
+            .cast("bigint")
+            .alias("add_qty_sum"),
+            (F.count("*") - F.count("t_div")).cast("bigint").alias(
+                "div_zeroes"
+            ),
+            F.expr(
+                "CAST((CASE WHEN SUM(t_div_num) < 0 THEN -1 ELSE 1 END)"
+                " * ((ABS(CAST(SUM(t_div_num) AS DECIMAL(38,0))) * 100)"
+                " div 26771144400) AS BIGINT)"
+            ).alias("div_sum_e2"),
+            (F.count("*") - F.count("t_mul")).cast("bigint").alias(
+                "mul_overflows"
+            ),
+            F.count("t_elem").cast("bigint").alias("elem_hits"),
+            F.min("t_elem").alias("elem_min"),
+        )
+        .orderBy("flag")
+    )
