@@ -274,6 +274,7 @@ HEADLINE = [
     "q_sql_execute_immediate",
     "q_ts_granger",
     "q_fn_try_arithmetic",
+    "q_stats_dunn",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -3269,3 +3269,173 @@ def q_ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("events",):
         t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_granger_sql("div").format(big="DECIMAL(38,0)"))
+
+
+# Dunn-Bonferroni per-pair critical: 5 groups -> m = 10 pairwise
+# comparisons, family alpha = 0.05 -> per-pair two-sided 0.005 ->
+# z = 2.8070338, squared e6.
+DUNN_Z2_E6 = 7_879_439
+
+
+@register(
+    "q_stats_dunn",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+        FROM events
+    ),
+    per_v AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM x GROUP BY v
+    ),
+    rk AS (
+        SELECT v, t,
+               2 * (SUM(t) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+                 + t + 1 AS r2
+        FROM per_v
+    ),
+    gv AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY g, v
+    ),
+    grp AS (
+        SELECT gv.g,
+               CAST(SUM(gv.c) AS HUGEINT) AS ng,
+               CAST(SUM(gv.c * rk.r2) AS HUGEINT) AS s2
+        FROM gv JOIN rk ON rk.v = gv.v
+        GROUP BY gv.g
+    ),
+    tot AS (
+        SELECT CAST(SUM(ng) AS HUGEINT) AS n,
+               (SELECT CAST(SUM(t * t * t - t) AS HUGEINT) FROM per_v)
+                 AS ties3
+        FROM grp
+    ),
+    pairs AS (
+        SELECT a.g AS g_a, b.g AS g_b,
+               CAST(a.ng AS BIGINT) AS n_a, CAST(b.ng AS BIGINT) AS n_b,
+               a.s2 * b.ng - b.s2 * a.ng AS dnum,
+               a.ng AS nga, b.ng AS ngb
+        FROM grp a JOIN grp b ON a.g < b.g
+    )
+    SELECT g_a, g_b, n_a, n_b,
+           CAST((CASE WHEN dnum < 0 THEN -1 ELSE 1 END)
+                * ((ABS(dnum) * 1000) // (nga * ngb)) AS BIGINT)
+             AS rankmean_diff2_e3,
+           CAST((3 * (t.n - 1) * ((dnum * dnum) // (nga * ngb))
+                 * 1000000)
+                // ((nga + ngb)
+                    * (t.n * (t.n + 1) * (t.n - 1) - t.ties3))
+                AS BIGINT) AS z2_e6_floor,
+           3 * (t.n - 1) * ((dnum * dnum) // (nga * ngb)) * 1000000
+             > {DUNN_Z2_E6} * (nga + ngb)
+               * (t.n * (t.n + 1) * (t.n - 1) - t.ties3)
+             AS significant
+    FROM pairs, tot t
+    ORDER BY g_a, g_b
+    """,
+    tags=("M2", "M14", "E3"),
+)
+def q_stats_dunn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUNN'S POST-HOC TEST (1964) with Bonferroni control — the
+    decision layer AFTER q_stats_kruskal: the omnibus H only says
+    "some event types' value distributions differ"; Dunn says WHICH of
+    the 10 pairs differ, using the same pooled midranks (never
+    re-ranking per pair, which is why it is Dunn and not 10
+    Mann-Whitneys — the pooled ranking keeps the comparisons mutually
+    consistent) with the tie-corrected variance
+    V = (N(N+1)/12 - sum(t^3-t)/(12(N-1))) and the per-pair critical
+    z(alpha/(k(k-1))) = 2.807 at family alpha = 0.05.
+
+    Exactness: rank sums ride DOUBLED from the q_stats_kruskal tie
+    census (exact HUGEINT); each pair's mean-rank difference is the
+    exact integer cross D = S2_a*n_b - S2_b*n_a over denominator
+    n_a*n_b; z^2 = 3(N-1)*D^2 / (n_a n_b (n_a+n_b)(N(N+1)(N-1)-T))
+    after multiplying the 1/12s through. D^2*10^6 alone passes 38
+    digits at sf1, so ONE staged floor (D^2 div n_a n_b, the Kruskal
+    documented trade) keeps every operand inside DECIMAL(38,0)/HUGEINT
+    through sf100; the verdict is the same staged comparison evaluated
+    identically in both engines, and the reported mean-rank difference
+    is a sign-split e3 fixing (div truncates / // floors — ABS first).
+
+    Plan: the two Kruskal censuses (pooled value domain + group-value
+    domain) reused verbatim, then a 5x5 upper-triangle self-join of
+    the 5-row group frame — 10 output rows, all arithmetic
+    domain-bounded."""
+    x = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("v"),
+    )
+    per_v = x.groupBy("v").agg(F.count("*").cast("bigint").alias("t"))
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = per_v.select(
+        "v",
+        "t",
+        (2 * (F.sum("t").over(wc) - F.col("t")) + F.col("t") + 1).alias("r2"),
+    )
+    gv = x.groupBy("g", "v").agg(F.count("*").cast("bigint").alias("c"))
+    grp = (
+        gv.join(rk, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast(D38).alias("ng"),
+            F.sum(F.col("c") * F.col("r2")).cast(D38).alias("s2"),
+        )
+    )
+    tot = grp.agg(F.sum("ng").cast(D38).alias("n")).crossJoin(
+        per_v.agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            )
+            .cast(D38)
+            .alias("ties3")
+        )
+    )
+    a = grp.select(
+        F.col("g").alias("g_a"), F.col("ng").alias("nga"), F.col("s2").alias("s2a")
+    )
+    b = grp.select(
+        F.col("g").alias("g_b"), F.col("ng").alias("ngb"), F.col("s2").alias("s2b")
+    )
+    pairs = (
+        a.join(b, F.col("g_a") < F.col("g_b"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "g_a",
+            "g_b",
+            F.col("nga").cast("bigint").alias("n_a"),
+            F.col("ngb").cast("bigint").alias("n_b"),
+            (F.col("s2a") * F.col("ngb") - F.col("s2b") * F.col("nga")).alias(
+                "dnum"
+            ),
+            "nga",
+            "ngb",
+            "n",
+            "ties3",
+        )
+    )
+    vterm = (
+        F.col("n") * (F.col("n") + 1) * (F.col("n") - 1) - F.col("ties3")
+    )
+    staged = F.expr("(dnum * dnum) div (nga * ngb)")
+    return pairs.select(
+        "g_a",
+        "g_b",
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST((CASE WHEN dnum < 0 THEN -1 ELSE 1 END)"
+            " * ((ABS(dnum) * 1000) div (nga * ngb)) AS BIGINT)"
+        ).alias("rankmean_diff2_e3"),
+        F.expr(
+            "CAST((3 * (n - 1) * ((dnum * dnum) div (nga * ngb)) * 1000000)"
+            " div ((nga + ngb) * (n * (n + 1) * (n - 1) - ties3))"
+            " AS BIGINT)"
+        ).alias("z2_e6_floor"),
+        (
+            F.lit(3).cast(D38) * (F.col("n") - 1) * staged * F.lit(1000000)
+            > F.lit(DUNN_Z2_E6).cast(D38) * (F.col("nga") + F.col("ngb")) * vterm
+        ).alias("significant"),
+    ).orderBy("g_a", "g_b")

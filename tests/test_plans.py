@@ -347,6 +347,10 @@ _CARTESIAN_OK = {
     "q_ts_granger",          # 29-row lag frame x 1-row Cramer
                              # coefficient scalar for the SSE pass —
                              # calendar-bounded both sides
+    "q_stats_dunn",          # 5x5 upper-triangle self-join of the
+                             # 5-row group-rank frame + the 1-row
+                             # (N, ties) scalar cross — all
+                             # domain-bounded (the Kruskal shape)
 }
 
 

@@ -1248,3 +1248,52 @@ def test_granger_matches_brute_force(spark, events):
     assert bool(got.causal) == (
         ssef > 0 and diff * (m - 3) * 10_000 > GRANGER_F_CRIT_E4 * ssef
     )
+
+
+def test_dunn_matches_brute_force(spark, events):
+    """Pooled midranks recomputed directly (sort + tie groups), every
+    pair's staged z^2 fixing and Bonferroni verdict re-derived in pure
+    Python ints."""
+    got = _rows(spark, "q_stats_dunn").set_index(["g_a", "g_b"])
+    from embarrassingly_parallel_image_classification_spark.operators.stats import (
+        DUNN_Z2_E6,
+    )
+
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    vals = sorted(ev.cents)
+    import bisect
+
+    def r2(v):
+        lt = bisect.bisect_left(vals, v)
+        t_ = bisect.bisect_right(vals, v) - lt
+        return 2 * lt + t_ + 1
+
+    n = len(vals)
+    from collections import Counter
+
+    ties3 = sum(t_**3 - t_ for t_ in Counter(vals).values())
+    groups = {}
+    for g, grp in ev.groupby("event_type"):
+        xs = [int(v) for v in grp.cents]
+        groups[g] = (len(xs), sum(r2(v) for v in xs))
+    keys = sorted(groups)
+    for ai, ga in enumerate(keys):
+        for gb in keys[ai + 1:]:
+            (na, s2a), (nb, s2b) = groups[ga], groups[gb]
+            dnum = s2a * nb - s2b * na
+            sgn = -1 if dnum < 0 else 1
+            row = got.loc[(ga, gb)]
+            assert (int(row.n_a), int(row.n_b)) == (na, nb)
+            assert int(row.rankmean_diff2_e3) == sgn * (
+                abs(dnum) * 1000 // (na * nb)
+            )
+            staged = dnum * dnum // (na * nb)
+            vterm = n * (n + 1) * (n - 1) - ties3
+            assert int(row.z2_e6_floor) == (
+                3 * (n - 1) * staged * 1_000_000 // ((na + nb) * vterm)
+            )
+            assert bool(row.significant) == (
+                3 * (n - 1) * staged * 1_000_000
+                > DUNN_Z2_E6 * (na + nb) * vterm
+            )
