@@ -377,3 +377,31 @@ def test_hamming_postdedup_uplift_invariants(spark):
     # clone, so 12 slots buy at most ceil(12/2) + boundary-tie slack
     assert (got.shortlist_distinct_prededup < budget).all()
     assert (got.shortlist_distinct_prededup >= budget // 2).all()
+
+
+def test_approx_count_distinct_merge_contract(spark):
+    """The HLL sibling of the GK merge pin: approx_count_distinct must
+    be (a) deterministic given a fixed partitioning and (b) within its
+    rsd error bound of the exact count under EVERY layout — HLL
+    register merges are max-operations (commutative, associative,
+    idempotent), so unlike GK the estimate is layout-INVARIANT in
+    theory; this test records whether Spark's implementation actually
+    delivers that bit-identity too."""
+    li = t(spark, SF_T2, "lineitem").select("l_orderkey")
+
+    def run(df):
+        return df.agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("e")
+        ).collect()[0]["e"]
+
+    one = run(li.coalesce(1))
+    eight = run(li.repartition(8, "l_orderkey"))
+    eight_again = run(li.repartition(8, "l_orderkey"))
+    assert eight == eight_again  # (a) deterministic per layout
+    # HLL's register-max merge is layout-invariant — pin the stronger
+    # property since it holds (if this ever breaks, weaken to the rsd
+    # band like the GK pin and record the measurement)
+    assert one == eight
+    exact = li.distinct().count()
+    for est in (one, eight):
+        assert abs(est - exact) / exact < 3 * 0.02
