@@ -273,7 +273,12 @@ HEADLINE = [
     "q_knn_sq8",
     "q_sql_execute_immediate",
     "q_ts_granger",
-    "q_fn_try_arithmetic",
+    # q_fn_try_arithmetic stays non-headline like q_dedup_semantic:
+    # at fixture scale its runtime is ~5 s of ANALYSIS+CODEGEN for
+    # five try_*/decimal expression trees, re-paid per fresh plan
+    # (execution itself is 0.06 s warm) — timing it measures the
+    # compiler, not the engine; its exception-cost finding lives in
+    # BASELINE.md and the oracle checks stay in the driver contract
     "q_stats_dunn",
 ]
 

@@ -790,10 +790,11 @@ def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tried AS (
         SELECT flag,
-               -- try_add overflow: 2^63-1-7 + qty spills past BIGINT
-               -- exactly when qty > 7
-               CASE WHEN qty > 7 THEN NULL
-                    ELSE 9223372036854775800 + qty END AS t_add,
+               -- try_add overflow: 2^63-1-49 + qty spills past BIGINT
+               -- exactly at the qty = 50 rows (~2% — errors must be
+               -- RARE, see the exception-cost note in the docstring)
+               CASE WHEN qty > 49 THEN NULL
+                    ELSE 9223372036854775758 + qty END AS t_add,
                -- try_divide by zero at the qty = 25 rows; the exact
                -- rational term cents/(qty-25) is carried as the
                -- integer cents * (L / |d|) * sign(d) with
@@ -805,9 +806,10 @@ def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
                          * (26771144400 // ABS(qty - 25))
                          * (CASE WHEN qty - 25 < 0 THEN -1 ELSE 1 END)
                     END AS t_div_num,
-               -- try_multiply overflow when cents > floor((2^63-1)/2^33)
-               CASE WHEN cents > 1073741823 THEN NULL
-                    ELSE cents * 8589934592 END AS t_mul,
+               -- try_multiply overflow when cents > (2^63-1)/10^12 —
+               -- only the top price tail
+               CASE WHEN cents > 9223372 THEN NULL
+                    ELSE cents * 1000000000000 END AS t_mul,
                -- try_element_at past the 3-element array
                CASE WHEN qty <= 3
                     THEN ['a','b','c'][CAST(qty AS INT)] END AS t_elem
@@ -817,7 +819,7 @@ def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(COUNT(*) - COUNT(t_add) AS BIGINT) AS add_overflows,
            CAST(SUM(CASE WHEN t_add IS NOT NULL
-                    THEN t_add - 9223372036854775800 END) AS BIGINT)
+                    THEN t_add - 9223372036854775758 END) AS BIGINT)
              AS add_qty_sum,
            CAST(COUNT(*) - COUNT(t_div_num) AS BIGINT) AS div_zeroes,
            CAST((CASE WHEN SUM(t_div_num) < 0 THEN -1 ELSE 1 END)
@@ -841,12 +843,25 @@ def q_fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     count below is an error-rate metric a quality gate can alert on).
 
     Overflow sites are PLANTED deterministically from fixture columns
-    (2^63-1-7 + qty overflows iff qty > 7; cents * 2^33 overflows iff
-    cents > 2^30-1; qty = 25 divides by zero; qty > 3 indexes past the
-    3-element array), so every engine-null is predictable and the
-    DuckDB oracle reproduces the NULL pattern with guard CASEs — the
-    oracle checks both that try_* catches every planted error AND that
-    the non-error rows compute exactly. try_divide's NULL sites are
+    (2^63-1-49 + qty overflows exactly at qty = 50, ~2% of rows;
+    cents * 10^12 overflows only above the 9223372-cent price tail;
+    qty = 25 divides by zero; qty > 3 indexes past the 3-element
+    array), so every engine-null is predictable and the DuckDB oracle
+    reproduces the NULL pattern with guard CASEs — the oracle checks
+    both that try_* catches every planted error AND that the
+    non-error rows compute exactly.
+
+    MEASURED COST RULE (this query's first version planted overflow on
+    ~85% of rows and ran 10 s at sf0.1, every run): Spark implements
+    try_add/try_multiply overflow handling with a per-row Java
+    exception on the error path (~20 us per overflowing row — throw +
+    stack fill), while the success path is plain codegen arithmetic
+    and try_divide / try_element_at NULL their error sites branchlessly.
+    So try_* is the right tool when errors are RARE (the survival
+    contract: one poisoned row must not kill the stage); a column
+    where overflow is the COMMON case needs the guard-CASE spelling —
+    at 100 TB an exception-per-row hot path is a cluster-sized
+    regression. Error sites here are planted rare accordingly. try_divide's NULL sites are
     counted from the try_* call itself, but the checked SUM uses the
     exact lcm(1..25)-rational integer spelling — a float sum is
     partial-order-dependent across partitionings and can never be
@@ -863,7 +878,7 @@ def q_fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tried = x.select(
         "flag",
-        F.expr("try_add(9223372036854775800, qty)").alias("t_add"),
+        F.expr("try_add(9223372036854775758, qty)").alias("t_add"),
         F.expr(
             "CASE WHEN qty - 25 = 0 THEN NULL"
             " ELSE CAST(cents AS DECIMAL(38,0))"
@@ -871,7 +886,7 @@ def q_fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (CASE WHEN qty - 25 < 0 THEN -1 ELSE 1 END) END"
         ).alias("t_div_num"),
         F.expr("try_divide(cents, qty - 25)").alias("t_div"),
-        F.expr("try_multiply(cents, 8589934592)").alias("t_mul"),
+        F.expr("try_multiply(cents, 1000000000000)").alias("t_mul"),
         F.expr(
             "try_element_at(array('a', 'b', 'c'), CAST(qty AS INT))"
         ).alias("t_elem"),
@@ -886,7 +901,7 @@ def q_fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(
                     F.col("t_add").isNotNull(),
-                    F.col("t_add") - F.lit(9223372036854775800).cast("bigint"),
+                    F.col("t_add") - F.lit(9223372036854775758).cast("bigint"),
                 )
             )
             .cast("bigint")
