@@ -280,6 +280,7 @@ HEADLINE = [
     # compiler, not the engine; its exception-cost finding lives in
     # BASELINE.md and the oracle checks stay in the driver contract
     "q_stats_dunn",
+    "q_stats_tukey",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

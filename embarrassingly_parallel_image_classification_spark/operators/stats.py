@@ -3439,3 +3439,160 @@ def q_stats_dunn(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(DUNN_Z2_E6).cast(D38) * (F.col("nga") + F.col("ngb")) * vterm
         ).alias("significant"),
     ).orderBy("g_a", "g_b")
+
+
+# Studentized-range critical q(0.05; k=5, df=inf) = 3.858, squared e4.
+TUKEY_Q2_E4 = 148_842
+
+
+@register(
+    "q_stats_tukey",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    grp AS (
+        SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(cents) AS HUGEINT) AS s,
+               CAST(SUM(cents * cents) AS HUGEINT) AS q
+        FROM x GROUP BY g
+    ),
+    gterm AS (
+        SELECT g, n, s, q,
+               1000000 * ((s * s) // n)
+                 + CAST(ROUND(1000000.0
+                       * CAST((s * s) % n AS DOUBLE)
+                       / CAST(n AS DOUBLE), 0) AS HUGEINT) AS term_e6
+        FROM grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+               CAST(COUNT(*) AS HUGEINT) AS k,
+               1000000 * CAST(SUM(q) AS HUGEINT)
+                 - CAST(SUM(term_e6) AS HUGEINT) AS ssw_e6
+        FROM gterm
+    ),
+    pairs AS (
+        SELECT a.g AS g_a, b.g AS g_b,
+               CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+               a.s * b.n - b.s * a.n AS dnum,
+               a.n AS na, b.n AS nb
+        FROM gterm a JOIN gterm b ON a.g < b.g
+    )
+    SELECT g_a, g_b, n_a, n_b,
+           CAST((CASE WHEN dnum < 0 THEN -1 ELSE 1 END)
+                * ((ABS(dnum) * 100) // (na * nb)) AS BIGINT)
+             AS meandiff_e2,
+           CAST(t.ssw_e6 // (t.nn - t.k) AS BIGINT) AS msw_e6,
+           ((dnum * dnum) // (na * nb)) * 2 * (t.nn - t.k) * 10000000000
+             > {TUKEY_Q2_E4} * t.ssw_e6 * (na + nb)
+             AS significant
+    FROM pairs, tot t
+    ORDER BY g_a, g_b
+    """,
+    tags=("M2", "M14", "D3"),
+)
+def q_stats_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUKEY'S HSD (1949) — the PARAMETRIC post-hoc next to the rank
+    post-hoc q_stats_dunn: after q_stats_anova's omnibus F says "some
+    mean differs", HSD says WHICH pairs differ while controlling the
+    FAMILY error rate through the studentized range (all 10 pairwise
+    mean gaps compared against one q(0.05; k=5, df~inf) = 3.858
+    yardstick — tighter than Bonferroni t-tests because it models the
+    max-gap distribution directly).
+
+    Exactness: the single (group) census gives exact (n, s, q); SSW
+    rides the q_stats_anova e6 DIV/MOD fixing (identical operand
+    bits); each pair's mean gap is the exact integer cross
+    D = s_a*n_b - s_b*n_a over n_a*n_b; the HSD condition
+    (m_a - m_b)^2 > q^2 * (SSW/(N-k))/2 * (1/n_a + 1/n_b)
+    multiplies through to
+    D^2 * 2(N-k) * 10^10 > q2_e4 * ssw_e6 * (n_a+n_b) * n_a*n_b,
+    with ONE staged floor (D^2 div n_a*n_b, the q_stats_dunn trade)
+    keeping operands inside 38 digits through sf10; reported mean
+    differences are sign-split e2 fixings (div/ // agree only after
+    ABS). df = N-k is large at every sf, so the df=inf critical row is
+    the honest constant (stated, like Pocock's boundary).
+
+    Plan: ONE map-side-combined census to 5 rows, a 10-row
+    upper-triangle self-join, a 1-row scalar cross — identical scale
+    shape to q_stats_dunn: the fact table is scanned once."""
+    x = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    grp = x.groupBy("g").agg(
+        F.count("*").cast(D38).alias("n"),
+        F.sum("cents").cast(D38).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast(D38).alias("q"),
+    )
+    s2 = F.col("s") * F.col("s")
+    gterm = grp.select(
+        "g",
+        "n",
+        "s",
+        "q",
+        (
+            F.lit(1000000).cast(D38) * F.expr("(s * s) div n").cast(D38)
+            + F.round(
+                F.lit(1000000.0)
+                * (s2 % F.col("n")).cast("double")
+                / F.col("n").cast("double"),
+                0,
+            ).cast(D38)
+        ).alias("term_e6"),
+    )
+    tot = gterm.agg(
+        F.sum("n").cast(D38).alias("nn"),
+        F.count("*").cast(D38).alias("k"),
+        (
+            F.lit(1000000).cast(D38) * F.sum("q").cast(D38)
+            - F.sum("term_e6").cast(D38)
+        ).alias("ssw_e6"),
+    )
+    a = gterm.select(
+        F.col("g").alias("g_a"), F.col("n").alias("na"), F.col("s").alias("sa")
+    )
+    b = gterm.select(
+        F.col("g").alias("g_b"), F.col("n").alias("nb"), F.col("s").alias("sb")
+    )
+    pairs = (
+        a.join(b, F.col("g_a") < F.col("g_b"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "g_a",
+            "g_b",
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).alias(
+                "dnum"
+            ),
+            "na",
+            "nb",
+            "nn",
+            "k",
+            "ssw_e6",
+        )
+    )
+    return pairs.select(
+        "g_a",
+        "g_b",
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST((CASE WHEN dnum < 0 THEN -1 ELSE 1 END)"
+            " * ((ABS(dnum) * 100) div (na * nb)) AS BIGINT)"
+        ).alias("meandiff_e2"),
+        F.expr("CAST(ssw_e6 div (nn - k) AS BIGINT)").alias("msw_e6"),
+        (
+            F.expr("((dnum * dnum) div (na * nb))")
+            * F.lit(2).cast(D38)
+            * (F.col("nn") - F.col("k"))
+            * F.lit(10000000000).cast(D38)
+            > F.lit(TUKEY_Q2_E4).cast(D38)
+            * F.col("ssw_e6")
+            * (F.col("na") + F.col("nb"))
+        ).alias("significant"),
+    ).orderBy("g_a", "g_b")

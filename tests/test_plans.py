@@ -351,6 +351,9 @@ _CARTESIAN_OK = {
                              # 5-row group-rank frame + the 1-row
                              # (N, ties) scalar cross — all
                              # domain-bounded (the Kruskal shape)
+    "q_stats_tukey",         # same 10-row pair frame x 1-row
+                             # (N, k, SSW) scalar cross — the ANOVA
+                             # census shape
 }
 
 

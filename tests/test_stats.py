@@ -1297,3 +1297,40 @@ def test_dunn_matches_brute_force(spark, events):
                 3 * (n - 1) * staged * 1_000_000
                 > DUNN_Z2_E6 * (na + nb) * vterm
             )
+
+
+def test_tukey_matches_brute_force(spark, events):
+    got = _rows(spark, "q_stats_tukey").set_index(["g_a", "g_b"])
+    from embarrassingly_parallel_image_classification_spark.operators.stats import (
+        TUKEY_Q2_E4,
+    )
+
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    grp = {}
+    a_e6 = 0
+    for g, gg in ev.groupby("event_type"):
+        xs = [int(v) for v in gg.cents]
+        n, s, q = len(xs), sum(xs), sum(v * v for v in xs)
+        grp[g] = (n, s)
+        a_e6 += 1_000_000 * (s * s // n) + round(1_000_000 * (s * s % n) / n)
+    nn = sum(n for n, _ in grp.values())
+    k = len(grp)
+    qq = sum(
+        sum(int(v) ** 2 for v in gg.cents)
+        for _, gg in ev.groupby("event_type")
+    )
+    ssw_e6 = 1_000_000 * qq - a_e6
+    keys = sorted(grp)
+    for ai, ga in enumerate(keys):
+        for gb in keys[ai + 1:]:
+            (na, sa), (nb, sb) = grp[ga], grp[gb]
+            dnum = sa * nb - sb * na
+            sgn = -1 if dnum < 0 else 1
+            row = got.loc[(ga, gb)]
+            assert int(row.meandiff_e2) == sgn * (abs(dnum) * 100 // (na * nb))
+            assert int(row.msw_e6) == ssw_e6 // (nn - k)
+            assert bool(row.significant) == (
+                (dnum * dnum // (na * nb)) * 2 * (nn - k) * 10**10
+                > TUKEY_Q2_E4 * ssw_e6 * (na + nb)
+            )
