@@ -143,33 +143,21 @@ def _ensure_loaded() -> None:
 # alone don't give). Queries registered during round 10 land after slot
 # 50 in registration order and form round 11's never-verified head.
 _DRIVER_PRIORITY = (
-    "q_ts_changepoint_sse",
-    "q_ts_backtest_mase",
-    "q_ab_sequential",
-    "q_alloc_fifo",
-    "q_stats_kendall",
-    "q_stats_anova",
-    "q_stats_cramers_v",
-    "q_stats_sign_bh",
-    "q_stats_kruskal",
-    "q_survival_nelson_aalen",
-    "q_survival_logrank",
-    "q_stats_mcnemar",
-    "q_graph_connected_components",
-    "q_class_knn_vote",
-    "q_knn_hamming",
-    "q_knn_hamming_rerank",
-    "q_privacy_t_closeness",
-    "q_feat_gini_gain",
-    "q_train_ridge",
-    "q_train_lasso_cd",
-    "q_multimodal_keyframes",
-    "q_scan_binary",
-    "q_stream_cusum",
-    "q_sql_decorrelate",
-    "q_sql_variant",
-    "q_lake_identity",
-    "q_lake_check_constraint",
+    "q_stats_cochran_q",
+    "q_stats_jonckheere",
+    "q_stats_friedman",
+    "q_ts_ljung_box",
+    "q_stats_brown_forsythe",
+    "q_ts_granger",
+    "q_stats_dunn",
+    "q_stats_tukey",
+    "q_fn_try_arithmetic",
+    "q_eval_brier",
+    "q_knn_hamming_postdedup",
+    "q_knn_sq8",
+    "q_text_winnowing",
+    "q_train_tree_depth2",
+    "q_sql_execute_immediate",
     "q_tpch_q9",
     "q_stream_tumbling",
     "q_dedup_ngram_jaccard",
@@ -178,21 +166,33 @@ _DRIVER_PRIORITY = (
     "q_text_chunking",
     "q_agg_basic",
     "q_knn_exact",
-    "q_fn_string",
-    "q_fn_regex",
-    "q_change_detection",
-    "q_window_range_frame",
-    "q_fn_datetime",
-    "q_fn_math",
-    "q_fn_array_argmax",
-    "q_fn_dot_product",
-    "q_fn_array_set",
-    "q_fn_map",
-    "q_agg_approx_percentile",
-    "q_knn_lsh",
-    "q_knn_ivf",
-    "q_knn_pq",
-    "q_knn_ivfpq",
+    "q_fn_hash",
+    "q_infer_batch",
+    "q_udf_grouped_map",
+    "q_udf_grouped_agg",
+    "q_udtf_explode",
+    "q_dedup_exact",
+    "q_dedup_embedding_lsh",
+    "q_text_wordcount",
+    "q_text_lang_stats",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_text_fingerprint",
+    "q_text_ngrams",
+    "q_text_tfidf",
+    "q_multimodal",
+    "q_scan_csv",
+    "q_scan_json",
+    "q_sink_partitioned",
+    "q_inmemory_source",
+    "q_scan_custom_source",
+    "q_stream_dedup",
+    "q_stream_enrich",
+    "q_embed_pca",
+    "q_knn_ivfpq_residual",
+    "q_knn_ivf_filtered",
+    "q_dedup_minhash",
+    "q_dedup_minhash_mllib",
 )
 # (round-1-green families act as their own canaries right behind the
 # window: non-priority oracle-backed queries keep registration order.)

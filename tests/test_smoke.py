@@ -113,27 +113,22 @@ def test_registry_driver_window_ordering():
     )
     assert first_rows_only > last_oracle
     must_be_inside = {
-        # round-11 rotation (r10 verdict item 1): the 27 round-10
+        # round-12 rotation (r11 verdict item 1): the 15 round-11
         # registrations that have never had a driver row — ALL of them
         # must sit inside the window (the full 50-name tuple is pinned
         # in registry._DRIVER_PRIORITY; update these alongside each
-        # rotation). 18 slots re-prove the OLDEST standing driver
-        # evidence; the last 5 are the rows-only tail (now rotating:
+        # rotation). 30 slots re-prove the OLDEST standing driver
+        # evidence; the last 5 are the rows-only tail (rotating:
         # next_window.py counts "no_oracle" did-it-run records).
-        "q_ts_changepoint_sse", "q_ts_backtest_mase", "q_ab_sequential",
-        "q_alloc_fifo", "q_stats_kendall", "q_stats_anova",
-        "q_stats_cramers_v", "q_stats_sign_bh", "q_stats_kruskal",
-        "q_survival_nelson_aalen", "q_survival_logrank",
-        "q_stats_mcnemar", "q_graph_connected_components",
-        "q_class_knn_vote", "q_knn_hamming", "q_knn_hamming_rerank",
-        "q_privacy_t_closeness", "q_feat_gini_gain", "q_train_ridge",
-        "q_train_lasso_cd", "q_multimodal_keyframes", "q_scan_binary",
-        "q_stream_cusum", "q_sql_decorrelate", "q_sql_variant",
-        "q_lake_identity", "q_lake_check_constraint",
-        # rows-only tail: the fixed approx_percentile (round-10 red,
-        # now posexploded to scalar rows) + the next 4 unrecorded
-        "q_agg_approx_percentile", "q_knn_lsh", "q_knn_ivf",
-        "q_knn_pq", "q_knn_ivfpq",
+        "q_stats_cochran_q", "q_stats_jonckheere", "q_stats_friedman",
+        "q_ts_ljung_box", "q_stats_brown_forsythe", "q_ts_granger",
+        "q_stats_dunn", "q_stats_tukey", "q_fn_try_arithmetic",
+        "q_eval_brier", "q_knn_hamming_postdedup", "q_knn_sq8",
+        "q_text_winnowing", "q_train_tree_depth2",
+        "q_sql_execute_immediate",
+        # rows-only tail: next 5 unrecorded (knn float tiers + minhash)
+        "q_embed_pca", "q_knn_ivfpq_residual", "q_knn_ivf_filtered",
+        "q_dedup_minhash", "q_dedup_minhash_mllib",
     }
     assert must_be_inside <= set(window), must_be_inside - set(window)
     # rotation slots (stale-green re-proof) fill whatever window slots
