@@ -1547,14 +1547,30 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct and the bucket-bounded hash equi-join (candidate pairs
     are bounded by sum over hashes of df^2 <= MAXDF * total_fps, never
     all-pairs). Short docs (< k + w - 1 chars) cannot host one full
-    window and are excluded identically in both engines."""
+    window and are excluded identically in both engines.
+
+    Two round-12 scale fixes (A/B in BASELINE.md, 17.4 -> 3.2 s cold):
+    (1) EXPLODE FAN-OUT SIZING — Spark sizes scan tasks by INPUT bytes
+    (maxPartitionBytes), but the gram explode multiplies work ~550x
+    per byte, so a 3 MB doc file became a 2-task stage on 32 cores.
+    The repartition(defaultParallelism, doc_id) shuffles only the
+    small pre-explode doc rows AND satisfies the window's
+    hashpartitioning(doc_id) so no extra exchange appears: grams are
+    generated, windowed and distinct'd at full parallelism and still
+    never shuffle. (2) MULTI-CONSUMER PIPELINE — fph feeds four
+    consumers (df guard, the pair join's two sides, per-doc counts);
+    without pinning, Spark recomputes the whole gram pipeline per
+    consumer. localCheckpoint(eager=True) (the house multi-pass
+    pattern, aggregates.py:1051) computes it exactly once."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     docs_a = docs.unionAll(
         docs.select(
             (F.col("doc_id") + F.lit(_WINNOW_OFFSET)).alias("doc_id"), "text"
         )
     )
-    base = docs_a.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+    base = docs_a.filter(
+        F.length("text") >= WINNOW_K + WINNOW_W - 1
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     # gram hashes are built INSIDE a per-doc transform() lambda and
     # only then posexploded: the exploded rows carry an 8-byte hash
     # each instead of dragging the whole text column through the
@@ -1600,6 +1616,9 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"m div {WINNOW_POSCAP}").alias("fp_hash"),
         )
         .distinct()
+        # four consumers below (df guard, pair join a/b, per-doc
+        # counts): pin the gram pipeline so it runs exactly once
+        .localCheckpoint(eager=True)
     )
     kept = (
         fph.groupBy("fp_hash")
