@@ -281,6 +281,15 @@ HEADLINE = [
     # BASELINE.md and the oracle checks stay in the driver contract
     "q_stats_dunn",
     "q_stats_tukey",
+    "q_sql_udf_lateral",
+    "q_sql_exec_into",
+    "q_stats_games_howell",
+    "q_timeseries_holt_winters",
+    "q_train_tree_depth3",
+    "q_stats_mann_kendall",
+    "q_sql_collation",
+    "q_timeseries_decompose",
+    "q_text_symspell",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -1659,3 +1659,133 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
         .limit(10)
     )
+
+
+@register(
+    "q_text_symspell",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    dict AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks WHERE w <> '' GROUP BY w
+    ),
+    typos AS (
+        SELECT DISTINCT
+               substr(w, 1, CAST(p - 1 AS INT))
+                 || substr(w, CAST(p + 1 AS INT), length(w)) AS typo
+        FROM (SELECT w,
+                     ('0x' || substring(md5(w), 1, 10))::BIGINT
+                       % length(w) + 1 AS p
+              FROM dict WHERE length(w) >= 4) src
+    ),
+    dkeys AS (
+        SELECT d.w, d.n,
+               unnest(list_distinct(list_prepend(d.w,
+                   list_transform(range(1, CAST(length(d.w) + 1 AS BIGINT)),
+                       i -> substr(d.w, 1, CAST(i - 1 AS INT))
+                            || substr(d.w, CAST(i + 1 AS INT),
+                                      length(d.w)))))) AS key
+        FROM dict d
+    ),
+    tkeys AS (
+        SELECT t.typo,
+               unnest(list_distinct(list_prepend(t.typo,
+                   list_transform(range(1, CAST(length(t.typo) + 1 AS BIGINT)),
+                       i -> substr(t.typo, 1, CAST(i - 1 AS INT))
+                            || substr(t.typo, CAST(i + 1 AS INT),
+                                      length(t.typo)))))) AS key
+        FROM typos t
+    ),
+    cand AS (
+        SELECT DISTINCT t.typo, d.w, d.n
+        FROM tkeys t JOIN dkeys d USING (key)
+    )
+    SELECT typo, w AS suggestion, n AS dict_n,
+           CAST(levenshtein(typo, w) AS BIGINT) AS ed
+    FROM cand WHERE levenshtein(typo, w) <= 1
+    ORDER BY typo, suggestion
+    """,
+    tags=("K2", "H12", "composite"),
+)
+def q_text_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYMSPELL fuzzy dictionary matching (Garbe's symmetric-delete
+    algorithm [PK], the standard spell-correction index): match typo
+    forms to the corpus vocabulary at edit distance <= 1 WITHOUT the
+    all-pairs |V|^2 levenshtein sweep — both sides expand to their
+    1-DELETION NEIGHBORHOODS ({w} plus every single-character
+    deletion, len+1 keys per word), distance-<=1 pairs are exactly
+    those sharing a key (equality / one insert / one delete / one
+    substitution all collapse into the shared-deletion bucket), and
+    a levenshtein check on the candidate pairs removes the distance-2
+    false positives that share only a mutual deletion. The typo set
+    is PLANTED deterministically (the fixture vocabulary is
+    distance->=2 separated — verified, so organic matches would be
+    vacuous): every word of length >= 4 is corrupted by deleting the
+    character at portable-hash position md5_40(w) mod len + 1.
+
+    Plan at 100 TB: the dictionary census is one map-side-combined
+    groupBy; key expansion is a per-row transform (len+1 rows out,
+    no data shuffled but the 8-40-byte keys); the candidate join is
+    a hash equi-join whose fan-out is bounded by deletion-bucket
+    occupancy — the SymSpell trade of |V| * (len+1) index rows for
+    never touching |V|^2 pairs; the levenshtein verify runs on
+    candidates only. This is the fuzzy-JOIN sibling of H12's scalar
+    edit distance and the K2 banding discipline applied to keys
+    instead of documents."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    dic = toks.groupBy("w").agg(F.count("*").cast("bigint").alias("n"))
+    dels = (
+        "transform(sequence(1, CAST(length({c}) AS INT)),"
+        " i -> concat(substring({c}, 1, i - 1),"
+        " substring({c}, i + 1, length({c}))))"
+    )
+    typos = (
+        dic.filter(F.length("w") >= 4)
+        .select(
+            F.expr(
+                "substring(w, 1, CAST(CAST(conv(substring(md5(w), 1, 10),"
+                " 16, 10) AS BIGINT) % length(w) AS INT))"
+                " || substring(w, CAST(CAST(conv(substring(md5(w), 1, 10),"
+                " 16, 10) AS BIGINT) % length(w) + 2 AS INT), length(w))"
+            ).alias("typo")
+        )
+        .distinct()
+    )
+    dkeys = dic.select(
+        "w",
+        "n",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "concat(array(w), " + dels.format(c="w") + ")"
+                )
+            )
+        ).alias("key"),
+    )
+    tkeys = typos.select(
+        "typo",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "concat(array(typo), " + dels.format(c="typo") + ")"
+                )
+            )
+        ).alias("key"),
+    )
+    cand = tkeys.join(dkeys, "key").select("typo", "w", "n").distinct()
+    return (
+        cand.filter(F.expr("levenshtein(typo, w) <= 1"))
+        .select(
+            "typo",
+            F.col("w").alias("suggestion"),
+            F.col("n").alias("dict_n"),
+            F.expr("CAST(levenshtein(typo, w) AS BIGINT)").alias("ed"),
+        )
+        .orderBy("typo", "suggestion")
+    )

@@ -1553,3 +1553,264 @@ def q_train_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gini_e6",
     )
     return out_root.unionAll(best2).orderBy("node")
+
+
+@register(
+    "q_train_tree_depth3",
+    oracle=f"""
+    WITH base AS ({_TREE2_BASE_SQL}),
+    long0 AS (
+        SELECT 'quantity' AS feature, qty AS val, y FROM base
+        UNION ALL
+        SELECT 'discount' AS feature, disc AS val, y FROM base
+    ),
+    per0 AS (
+        SELECT feature, val,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+        FROM long0 GROUP BY feature, val
+    ),
+    cum0 AS (
+        SELECT feature, val,
+               CAST(SUM(pos) OVER (PARTITION BY feature ORDER BY val
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS lp,
+               CAST(SUM(neg) OVER (PARTITION BY feature ORDER BY val
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS lneg,
+               CAST(SUM(pos) OVER (PARTITION BY feature) AS BIGINT) AS tp,
+               CAST(SUM(neg) OVER (PARTITION BY feature) AS BIGINT) AS tn
+        FROM per0
+    ),
+    splits0 AS (
+        SELECT feature, val AS threshold,
+               lp + lneg AS n_left,
+               (tp - lp) + (tn - lneg) AS n_right,
+               {_TREE2_GINI_SQL} AS gini_e6
+        FROM cum0
+        WHERE lp + lneg > 0 AND (tp - lp) + (tn - lneg) > 0
+    ),
+    root AS (
+        SELECT * FROM splits0 ORDER BY gini_e6, feature, threshold LIMIT 1
+    ),
+    base2 AS (
+        SELECT b.qty, b.disc, b.y,
+               CASE WHEN (r.feature = 'quantity' AND b.qty <= r.threshold)
+                      OR (r.feature = 'discount' AND b.disc <= r.threshold)
+                    THEN 'L' ELSE 'R' END AS node
+        FROM base b CROSS JOIN root r
+    ),
+    long2 AS (
+        SELECT node, 'quantity' AS feature, qty AS val, y FROM base2
+        UNION ALL
+        SELECT node, 'discount' AS feature, disc AS val, y FROM base2
+    ),
+    per2 AS (
+        SELECT node, feature, val,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+        FROM long2 GROUP BY node, feature, val
+    ),
+    cum2 AS (
+        SELECT node, feature, val,
+               CAST(SUM(pos) OVER (PARTITION BY node, feature ORDER BY val
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS lp,
+               CAST(SUM(neg) OVER (PARTITION BY node, feature ORDER BY val
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS lneg,
+               CAST(SUM(pos) OVER (PARTITION BY node, feature) AS BIGINT)
+                   AS tp,
+               CAST(SUM(neg) OVER (PARTITION BY node, feature) AS BIGINT)
+                   AS tn
+        FROM per2
+    ),
+    splits2 AS (
+        SELECT node, feature, val AS threshold,
+               lp + lneg AS n_left,
+               (tp - lp) + (tn - lneg) AS n_right,
+               {_TREE2_GINI_SQL} AS gini_e6
+        FROM cum2
+        WHERE lp + lneg > 0 AND (tp - lp) + (tn - lneg) > 0
+    ),
+    best2 AS (
+        SELECT node, feature, threshold, n_left, n_right, gini_e6
+        FROM splits2
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+            ORDER BY gini_e6, feature, threshold) = 1
+    ),
+    base3 AS (
+        SELECT b.qty, b.disc, b.y,
+               b.node || CASE WHEN (s.feature = 'quantity'
+                                    AND b.qty <= s.threshold)
+                              OR (s.feature = 'discount'
+                                  AND b.disc <= s.threshold)
+                              THEN 'L' ELSE 'R' END AS node
+        FROM base2 b JOIN best2 s ON s.node = b.node
+    ),
+    long3 AS (
+        SELECT node, 'quantity' AS feature, qty AS val, y FROM base3
+        UNION ALL
+        SELECT node, 'discount' AS feature, disc AS val, y FROM base3
+    ),
+    per3 AS (
+        SELECT node, feature, val,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+        FROM long3 GROUP BY node, feature, val
+    ),
+    cum3 AS (
+        SELECT node, feature, val,
+               CAST(SUM(pos) OVER (PARTITION BY node, feature ORDER BY val
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS lp,
+               CAST(SUM(neg) OVER (PARTITION BY node, feature ORDER BY val
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS lneg,
+               CAST(SUM(pos) OVER (PARTITION BY node, feature) AS BIGINT)
+                   AS tp,
+               CAST(SUM(neg) OVER (PARTITION BY node, feature) AS BIGINT)
+                   AS tn
+        FROM per3
+    ),
+    splits3 AS (
+        SELECT node, feature, val AS threshold,
+               lp + lneg AS n_left,
+               (tp - lp) + (tn - lneg) AS n_right,
+               {_TREE2_GINI_SQL} AS gini_e6
+        FROM cum3
+        WHERE lp + lneg > 0 AND (tp - lp) + (tn - lneg) > 0
+    ),
+    best3 AS (
+        SELECT node, feature, threshold, n_left, n_right, gini_e6
+        FROM splits3
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+            ORDER BY gini_e6, feature, threshold) = 1
+    )
+    SELECT 'root' AS node, feature, threshold,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right, gini_e6
+    FROM root
+    UNION ALL
+    SELECT node, feature, threshold,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right, gini_e6
+    FROM best2
+    UNION ALL
+    SELECT node, feature, threshold,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right, gini_e6
+    FROM best3
+    ORDER BY node
+    """,
+    tags=("Q8", "Q11", "D9", "E3"),
+)
+def q_train_tree_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEPTH-3 DECISION TREE — the d=3 instance that PROVES
+    q_train_tree_depth2's central scale claim by induction step: depth
+    d costs exactly d fact-table scans, never 2^d per-node passes.
+    Level 3 scores all FOUR grandchildren (LL/LR/RL/RR) in ONE census
+    keyed (node, feature, value) — the same two windows as level 2,
+    just a wider partition key; the level-2 best-split frame (<=2
+    rows) joins back onto the labeled fact rows as a broadcast hash
+    join on `node`, extending each row's path label by one character.
+
+    Determinism: the q_train_tree_depth2 contract applied three
+    times — exact BIGINT contingencies, identical-operand weighted-
+    Gini e6, ties broken by (feature, threshold); a pure node with no
+    valid split emits no row AND drops its rows from deeper levels
+    through the inner node-join, identically in both engines.
+
+    Output: up to 7 rows — root, both children, all four
+    grandchildren, each with its winning split, exact child sizes and
+    score. Path labels sort lexicographically (L < LL < LR < R < RL
+    < RR < root) the same way in Spark and DuckDB (pure ASCII)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("qty"),
+        F.expr("CAST(ROUND(l_discount * 100, 0) AS BIGINT)").alias("disc"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+
+    def two_features(df: DataFrame, extra: tuple[str, ...]) -> DataFrame:
+        return df.select(
+            *extra, F.lit("quantity").alias("feature"),
+            F.col("qty").alias("val"), "y",
+        ).unionAll(
+            df.select(
+                *extra, F.lit("discount").alias("feature"),
+                F.col("disc").alias("val"), "y",
+            )
+        )
+
+    splits0 = _stump_split_scores(two_features(li, ()), ())
+    root = splits0.orderBy("gini_e6", "feature", "threshold").limit(1)
+    rootb = F.broadcast(
+        root.select(
+            F.col("feature").alias("r_feature"),
+            F.col("threshold").alias("r_threshold"),
+        )
+    )
+    base2 = li.crossJoin(rootb).withColumn(
+        "node",
+        F.when(
+            (
+                (F.col("r_feature") == "quantity")
+                & (F.col("qty") <= F.col("r_threshold"))
+            )
+            | (
+                (F.col("r_feature") == "discount")
+                & (F.col("disc") <= F.col("r_threshold"))
+            ),
+            F.lit("L"),
+        ).otherwise(F.lit("R")),
+    ).select("qty", "disc", "y", "node")
+    splits2 = _stump_split_scores(two_features(base2, ("node",)), ("node",))
+    w2 = Window.partitionBy("node").orderBy("gini_e6", "feature", "threshold")
+    best2 = (
+        splits2.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .select("node", "feature", "threshold", "n_left", "n_right", "gini_e6")
+    )
+    best2b = F.broadcast(
+        best2.select(
+            "node",
+            F.col("feature").alias("s_feature"),
+            F.col("threshold").alias("s_threshold"),
+        )
+    )
+    base3 = (
+        base2.join(best2b, "node")
+        .withColumn(
+            "node",
+            F.concat(
+                F.col("node"),
+                F.when(
+                    (
+                        (F.col("s_feature") == "quantity")
+                        & (F.col("qty") <= F.col("s_threshold"))
+                    )
+                    | (
+                        (F.col("s_feature") == "discount")
+                        & (F.col("disc") <= F.col("s_threshold"))
+                    ),
+                    F.lit("L"),
+                ).otherwise(F.lit("R")),
+            ),
+        )
+        .select("qty", "disc", "y", "node")
+    )
+    splits3 = _stump_split_scores(two_features(base3, ("node",)), ("node",))
+    best3 = (
+        splits3.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .select("node", "feature", "threshold", "n_left", "n_right", "gini_e6")
+    )
+    out_root = root.select(
+        F.lit("root").alias("node"),
+        "feature",
+        "threshold",
+        "n_left",
+        "n_right",
+        "gini_e6",
+    )
+    return out_root.unionAll(best2).unionAll(best3).orderBy("node")

@@ -3596,3 +3596,309 @@ def q_stats_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("na") + F.col("nb"))
         ).alias("significant"),
     ).orderBy("g_a", "g_b")
+
+
+# Games-Howell shares the studentized-range yardstick with Tukey:
+# q(0.05; k=5, df=inf) = 3.858, squared e4. Welch dfs at fixture group
+# sizes are in the tens of thousands (reported per pair as df_e2), so
+# the df=inf critical row is the honest constant, stated like Tukey's.
+GH_Q2_E4 = TUKEY_Q2_E4
+
+
+@register(
+    "q_stats_games_howell",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    grp AS (
+        SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(cents) AS HUGEINT) AS s,
+               CAST(SUM(cents * cents) AS HUGEINT) AS q
+        FROM x GROUP BY g
+    ),
+    gterm AS (
+        SELECT g, n, s,
+               ((n * q - s * s) * 1000000) // (n * n * (n - 1)) AS u_e6
+        FROM grp
+    ),
+    pairs AS (
+        SELECT a.g AS g_a, b.g AS g_b,
+               a.n AS na, b.n AS nb,
+               a.s * b.n - b.s * a.n AS dnum,
+               a.u_e6 AS ua, b.u_e6 AS ub
+        FROM gterm a JOIN gterm b ON a.g < b.g
+    )
+    SELECT g_a, g_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST((CASE WHEN dnum < 0 THEN -1 ELSE 1 END)
+                * ((ABS(dnum) * 100) // (na * nb)) AS BIGINT)
+             AS meandiff_e2,
+           CAST(ua + ub AS BIGINT) AS varsum_e6,
+           CAST(((ua + ub) * (ua + ub) * 100 * (na - 1) * (nb - 1))
+                // GREATEST(ua * ua * (nb - 1)
+                            + ub * ub * (na - 1), 1) AS BIGINT)
+             AS df_welch_e2,
+           ((dnum * dnum) // (na * nb)) * 2 * 10000000000
+             > {GH_Q2_E4} * (ua + ub) * na * nb
+             AS significant
+    FROM pairs
+    ORDER BY g_a, g_b
+    """,
+    tags=("M2", "M14", "D3"),
+)
+def q_stats_games_howell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAMES-HOWELL (1976) — the UNEQUAL-VARIANCE post-hoc that
+    completes the triad beside q_stats_dunn (rank/Bonferroni) and
+    q_stats_tukey (parametric/pooled): when group variances differ,
+    Tukey's pooled MSW yardstick is wrong in both directions
+    (anti-conservative against low-variance pairs, conservative
+    against high-variance ones); Games-Howell replaces it with each
+    pair's OWN Welch standard error s_a^2/n_a + s_b^2/n_b and Welch-
+    Satterthwaite degrees of freedom — the pairwise analogue of
+    Welch's t-test under the studentized-range family control.
+
+    Exactness: the single (group) census gives exact (n, s, q); each
+    group's variance numerator V = n*q - s^2 is an exact non-negative
+    integer (Cauchy-Schwarz), and u = s^2/n-per-observation enters as
+    the e6 fixing U_e6 = (V * 10^6) div (n^2 (n-1)). The pair gap is
+    the exact cross D = s_a*n_b - s_b*n_a; the significance condition
+    (m_a - m_b)^2 > q^2/2 * (s_a^2/n_a + s_b^2/n_b) multiplies
+    through to  T * 2 * 10^10 > q2_e4 * (U_a + U_b) * n_a * n_b  with
+    T = D^2 div (n_a n_b) — the same TWO staged floors (T, U) as the
+    Dunn/Tukey trade, every operand inside 38 digits through sf10.
+    The Welch df is reported per pair as the pinned integer fixing
+    df_e2 = ((U_a+U_b)^2 * 100 * (n_a-1)(n_b-1)) div
+    (U_a^2 (n_b-1) + U_b^2 (n_a-1)) — the common-denominator form
+    with ONE final floor, chosen because the naive per-term staging
+    U^2 div (n-1) is ~6.5e19 at sf0.001 and Spark `div` (which
+    returns BIGINT whatever its operands) would wrap it; df lands in
+    the thousands at every sf, which is what makes the df=inf
+    critical row honest.
+
+    Plan: ONE map-side-combined census to 5 rows, a 10-row
+    upper-triangle self-join — no pooled total is even needed (unlike
+    Tukey there is no MSW scalar), so the fact table is scanned once
+    and the plan is two exchanges end-to-end."""
+    x = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    grp = x.groupBy("g").agg(
+        F.count("*").cast(D38).alias("n"),
+        F.sum("cents").cast(D38).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast(D38).alias("q"),
+    )
+    gterm = grp.select(
+        "g",
+        "n",
+        "s",
+        F.expr(
+            "((n * q - s * s) * 1000000) div (n * n * (n - 1))"
+        ).alias("u_e6"),
+    )
+    a = gterm.select(
+        F.col("g").alias("g_a"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+        F.col("u_e6").alias("ua"),
+    )
+    b = gterm.select(
+        F.col("g").alias("g_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+        F.col("u_e6").alias("ub"),
+    )
+    pairs = a.join(b, F.col("g_a") < F.col("g_b")).select(
+        "g_a",
+        "g_b",
+        "na",
+        "nb",
+        (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).alias("dnum"),
+        "ua",
+        "ub",
+    )
+    return pairs.select(
+        "g_a",
+        "g_b",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.expr(
+            "CAST((CASE WHEN dnum < 0 THEN -1 ELSE 1 END)"
+            " * ((ABS(dnum) * 100) div (na * nb)) AS BIGINT)"
+        ).alias("meandiff_e2"),
+        (F.col("ua") + F.col("ub")).cast("bigint").alias("varsum_e6"),
+        # Spark `div` always returns BIGINT whatever its operands, so
+        # (a) u_e6 (itself a div result) re-enters as BIGINT and every
+        # product must be lifted back to DECIMAL(38,0), and (b) NO
+        # intermediate quotient may exceed int64 — the naive
+        # ua^2 div (na-1) staging is ~6.5e19 at sf0.001 and would
+        # wrap, so the df fixing uses the common-denominator form
+        # with ONE final div (which is also one fewer floor)
+        F.expr(
+            "CAST(((CAST(ua AS decimal(38,0)) + ub)"
+            "      * (CAST(ua AS decimal(38,0)) + ub)"
+            "      * 100 * (na - 1) * (nb - 1))"
+            " div GREATEST(CAST(ua AS decimal(38,0)) * ua * (nb - 1)"
+            "              + CAST(ub AS decimal(38,0)) * ub * (na - 1),"
+            "              1) AS BIGINT)"
+        ).alias("df_welch_e2"),
+        (
+            F.expr("((dnum * dnum) div (na * nb))")
+            * F.lit(2).cast(D38)
+            * F.lit(10000000000).cast(D38)
+            > F.lit(GH_Q2_E4).cast(D38)
+            * (F.col("ua") + F.col("ub"))
+            * F.col("na")
+            * F.col("nb")
+        ).alias("significant"),
+    ).orderBy("g_a", "g_b")
+
+
+@register(
+    "q_stats_mann_kendall",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS v
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.g,
+               CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                             WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+                 AS s_stat
+        FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d
+        GROUP BY a.g
+    ),
+    nn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY g),
+    ties AS (
+        SELECT g,
+               CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t
+              FROM daily GROUP BY g, v) tc
+        WHERE t > 1 GROUP BY g
+    )
+    SELECT nn.g AS event_type, nn.n AS n_days, p.s_stat,
+           CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                - COALESCE(t.tie_term, 0) AS BIGINT) AS var18,
+           CASE WHEN GREATEST(ABS(p.s_stat) - 1, 0)
+                     * GREATEST(ABS(p.s_stat) - 1, 0)
+                     * 18000000
+                     > {CHI2_DF1_E6}
+                       * (nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                          - COALESCE(t.tie_term, 0))
+                THEN (CASE WHEN p.s_stat > 0 THEN 'increasing'
+                           ELSE 'decreasing' END)
+                ELSE 'no_trend' END AS trend,
+           GREATEST(ABS(p.s_stat) - 1, 0)
+             * GREATEST(ABS(p.s_stat) - 1, 0)
+             * 18000000
+             > {CHI2_DF1_E6}
+               * (nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                  - COALESCE(t.tie_term, 0)) AS significant
+    FROM nn JOIN pairs p ON p.g = nn.g
+    LEFT JOIN ties t ON t.g = nn.g
+    ORDER BY event_type
+    """,
+    tags=("M2", "M14", "D10"),
+)
+def q_stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL TREND TEST (Mann 1945 / Kendall 1975) — the
+    nonparametric IS-THERE-A-MONOTONIC-TREND decision that belongs
+    beside q_ts_theil_sen (which estimates the slope but renders no
+    verdict) and q_timeseries_trend (whose OLS slope assumes
+    linearity): per event_type, S = sum over day pairs i<j of
+    sign(v_j - v_i) on the daily cent-sum series; under H0 S ~ 0 with
+    Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)]/18 (tie-corrected),
+    and the two-sided alpha=0.05 verdict uses the continuity-corrected
+    z = (|S|-1)/sqrt(Var).
+
+    Exactness: S is an exact integer; the variance NUMERATOR (x18) is
+    an exact integer from the day count and the value-tie census; the
+    verdict multiplies z^2 > z_crit^2 through to
+    (max(|S|-1,0))^2 * 18*10^6 > chi2(1)_e6 * var18 — wholly integer,
+    no square root ever taken. Direction is reported only when
+    significant (the standard M-K reading).
+
+    Plan at 100 TB: the pair frame is CALENDAR-bounded, not
+    row-bounded — the fact table collapses to one (type, day) census
+    (map-side combined, ~30 rows per series at any sf) and the i<j
+    self-join is an equi-join on type with a date residual over that
+    tiny frame (~n^2/2 = 435 pairs per series); the q_ts_theil_sen /
+    q_stats_kendall domain-bounding discipline. 100x more events
+    changes the daily sums, never the pair count."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("g"),
+            F.col("ts").cast("date").alias("d"),
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("g", "d")
+        .agg(F.sum("cents").cast("bigint").alias("v"))
+    )
+    a = daily.select("g", F.col("d").alias("d_a"), F.col("v").alias("v_a"))
+    b = daily.select(
+        F.col("g").alias("g_b"), F.col("d").alias("d_b"),
+        F.col("v").alias("v_b"),
+    )
+    pairs = (
+        a.join(b, (F.col("g") == F.col("g_b")) & (F.col("d_a") < F.col("d_b")))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.when(F.col("v_b") > F.col("v_a"), 1)
+                .when(F.col("v_b") < F.col("v_a"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("g").agg(F.count("*").cast("bigint").alias("n"))
+    ties = (
+        daily.groupBy("g", "v")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.coalesce(F.col("tie_term"), F.lit(0))
+    ).cast("bigint")
+    corr2 = (
+        F.greatest(F.abs(F.col("s_stat")) - 1, F.lit(0))
+        * F.greatest(F.abs(F.col("s_stat")) - 1, F.lit(0))
+    )
+    sig = corr2 * F.lit(18000000) > F.lit(CHI2_DF1_E6) * var18
+    return (
+        nn.join(pairs, "g")
+        .join(ties, "g", "left")
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("n").alias("n_days"),
+            "s_stat",
+            var18.alias("var18"),
+            F.when(
+                sig,
+                F.when(F.col("s_stat") > 0, F.lit("increasing")).otherwise(
+                    F.lit("decreasing")
+                ),
+            )
+            .otherwise(F.lit("no_trend"))
+            .alias("trend"),
+            sig.alias("significant"),
+        )
+        .orderBy("event_type")
+    )

@@ -1813,3 +1813,284 @@ def q_ts_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.lit(h) * F.col("scale_num")
         ).alias("beats_naive"),
     ).orderBy("event_type")
+
+
+def _hw_weights() -> tuple[list, list, dict, int]:
+    """Exact dyadic weights for additive HOLT-WINTERS (level + trend +
+    m=4 seasonal) with alpha = beta = gamma = 1/2 over exactly 16
+    ticks: the q_timeseries_holt unrolling one component harder. Init
+    after the first season (positions 1..4): s = their mean, b = 0,
+    c_i = x_i - s; recursion runs t = 5..16. Every coefficient's
+    denominator divides 2^24 (mean-of-4 contributes 2^2, twelve
+    halving steps the rest), so scaling by 2^24 makes level, trend,
+    all four seasonal states and every h-step forecast
+    f_h = s + h*b + c_slot(h) exact BIGINT linear combinations of the
+    inputs. Level weights sum to exactly 2^24 and trend/seasonal
+    weights to 0 (a constant series forecasts itself flat) — pinned
+    in the pytest twin. Shared by the Spark plan and the DuckDB
+    oracle, so no engine ever runs the recursion."""
+    from fractions import Fraction as Fr
+
+    k, m = 16, 4
+
+    def unit(i):
+        v = [Fr(0)] * k
+        v[i] = Fr(1)
+        return v
+
+    def comb(a, b, fa, fb):
+        return [fa * x + fb * y for x, y in zip(a, b)]
+
+    s = [Fr(1, m) if i < m else Fr(0) for i in range(k)]
+    b = [Fr(0)] * k
+    c = {i: comb(unit(i), s, Fr(1), Fr(-1)) for i in range(m)}
+    for t in range(m, k):
+        x = unit(t)
+        cm = c[t % m]
+        s_new = comb(
+            comb(x, cm, Fr(1, 2), Fr(-1, 2)), comb(s, b, Fr(1), Fr(1)),
+            Fr(1), Fr(1, 2),
+        )
+        b_new = comb(
+            comb(s_new, s, Fr(1, 2), Fr(-1, 2)), b, Fr(1), Fr(1, 2)
+        )
+        c[t % m] = comb(
+            comb(x, s_new, Fr(1, 2), Fr(-1, 2)), cm, Fr(1), Fr(1, 2)
+        )
+        s, b = s_new, b_new
+    den = 1 << 24
+    ws = [int(f * den) for f in s]
+    wb = [int(f * den) for f in b]
+    wc = {slot: [int(f * den) for f in v] for slot, v in c.items()}
+    return ws, wb, wc, den
+
+
+_HW_WS, _HW_WB, _HW_WC, _HW_DEN = _hw_weights()
+
+
+def _hw_values_sql() -> str:
+    rows = []
+    for i in range(16):
+        # forecast weights: f_h = s + h*b + c[(h-1) % 4]
+        wf = [
+            _HW_WS[i] + h * _HW_WB[i] + _HW_WC[(h - 1) % 4][i]
+            for h in (1, 2, 3, 4)
+        ]
+        rows.append(
+            f"({i + 1}, {_HW_WS[i]}, {_HW_WB[i]}, "
+            f"{wf[0]}, {wf[1]}, {wf[2]}, {wf[3]})"
+        )
+    return ", ".join(rows)
+
+
+@register(
+    "q_timeseries_holt_winters",
+    oracle=f"""
+    WITH w(pos, ws, wb, wf1, wf2, wf3, wf4) AS (VALUES {_hw_values_sql()}),
+    pts AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    last16 AS (SELECT event_type, cents, 17 - rn AS pos
+               FROM pts WHERE rn <= 16)
+    SELECT p.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM(p.cents * w.ws) AS BIGINT) AS level_x2e24,
+           CAST(SUM(p.cents * w.wb) AS BIGINT) AS trend_x2e24,
+           CAST(SUM(p.cents * w.wf1) AS BIGINT) AS f1_x2e24,
+           CAST(SUM(p.cents * w.wf2) AS BIGINT) AS f2_x2e24,
+           CAST(SUM(p.cents * w.wf3) AS BIGINT) AS f3_x2e24,
+           CAST(SUM(p.cents * w.wf4) AS BIGINT) AS f4_x2e24
+    FROM last16 p JOIN w ON w.pos = p.pos
+    GROUP BY p.event_type
+    HAVING COUNT(*) = 16
+    """,
+    tags=("D10", "E1", "timeseries"),
+)
+def q_timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS additive seasonal smoothing — the forecaster that
+    completes the D10 family ladder EWMA (level) -> Holt (level +
+    trend) -> Holt-Winters (level + trend + season): per event_type,
+    run the triple coupled recursion s_t = alpha*(x_t - c_(t-m)) +
+    (1-alpha)(s_(t-1)+b_(t-1)), b_t = beta*(s_t-s_(t-1)) +
+    (1-beta)*b_(t-1), c_t = gamma*(x_t-s_t) + (1-gamma)*c_(t-m) with
+    dyadic alpha = beta = gamma = 1/2 and season length m = 4 over
+    the last 16 ticks, and emit level, trend and the full next-season
+    forecast fan f_h = s + h*b + c_slot(h), h = 1..4.
+
+    Same fixed-point move as Holt, one component harder: the triple
+    recursion unrolls symbolically (once, in _hw_weights, over exact
+    Fractions) to 2^24-denominator dyadic weights per input position,
+    shared VERBATIM with the oracle as a VALUES table — the whole
+    seasonal forecast is six BIGINT dot products, no float, no
+    sequential state, any aggregation order. The twin pins the
+    identities (level weights sum to 2^24; trend and every seasonal
+    weight vector to 0) and replays the FLOAT recursion on random
+    series against the weights to 1e-9.
+
+    Scale: identical shape to q_timeseries_holt — the per-type top-16
+    plans as WindowGroupLimit (per-partition prune BEFORE the
+    shuffle); the 16-row weight table broadcasts; the unrolling is
+    what makes a sequential-looking LINEAR recurrence embarrassingly
+    parallel at 100 TB (seasonality adds state width m, not
+    sequential depth)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    recent = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 16)
+        .withColumn("pos", 17 - F.col("rn"))
+    )
+    wrows = []
+    for i in range(16):
+        wf = [
+            _HW_WS[i] + h * _HW_WB[i] + _HW_WC[(h - 1) % 4][i]
+            for h in (1, 2, 3, 4)
+        ]
+        wrows.append((i + 1, _HW_WS[i], _HW_WB[i], *wf))
+    wdf = recent.sparkSession.createDataFrame(
+        wrows,
+        "pos INT, ws BIGINT, wb BIGINT, wf1 BIGINT, wf2 BIGINT,"
+        " wf3 BIGINT, wf4 BIGINT",
+    )
+    return (
+        recent.join(F.broadcast(wdf), "pos")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_ticks"),
+            *[
+                F.sum(F.col("cents") * F.col(c))
+                .cast("bigint")
+                .alias(f"{name}_x2e24")
+                for c, name in (
+                    ("ws", "level"),
+                    ("wb", "trend"),
+                    ("wf1", "f1"),
+                    ("wf2", "f2"),
+                    ("wf3", "f3"),
+                    ("wf4", "f4"),
+                )
+            ],
+        )
+        .filter(F.col("n_ticks") == 16)
+    )
+
+
+@register(
+    "q_timeseries_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS v
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT g, d, v,
+               CAST(d - DATE '1970-01-01' AS BIGINT) % 7 AS dow,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+               CAST(SUM(v) OVER (PARTITION BY g ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+                 AS trend_x7
+        FROM daily
+    ),
+    detr AS (
+        SELECT g, dow, 7 * v - trend_x7 AS detr_x7
+        FROM seq WHERE rn >= 4 AND rn <= n - 3
+    )
+    SELECT g AS event_type, CAST(dow AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(detr_x7) AS BIGINT) AS seasonal_sum_x7,
+           CAST(MIN(detr_x7) AS BIGINT) AS min_detr_x7,
+           CAST(MAX(detr_x7) AS BIGINT) AS max_detr_x7
+    FROM detr
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("D10", "E2", "timeseries"),
+)
+def q_timeseries_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL ADDITIVE SEASONAL DECOMPOSITION (the moving-average
+    X-11 ancestor) — the DIAGNOSTIC counterpart to
+    q_timeseries_holt_winters's forecaster: per event_type daily
+    series, trend = centered 7-day moving average over the observed
+    day sequence, detrended = value - trend, and the weekly seasonal
+    profile = the detrended values aggregated by day-of-week slot.
+    This is the decomposition an analyst runs BEFORE choosing m for
+    Holt-Winters.
+
+    Exactness: no division anywhere — the trend rides as the exact
+    7-day window SUM (trend_x7), detrended as the exact integer
+    7*v - trend_x7, and each weekday slot reports its exact SUM, min,
+    max and count (the consumer divides; the engine never does).
+    Day-of-week is epoch-day mod 7 computed ARITHMETICALLY because
+    the engines' dayofweek() builtins disagree on week origin (Spark
+    1=Sunday..7 vs DuckDB 0=Sunday..6) — a portability trap this
+    spelling sidesteps. Edge rows without a full centered window
+    (first/last 3 per series) are excluded by rank in both engines.
+
+    Plan at 100 TB: the fact table collapses to one map-side-combined
+    (type, day) census (calendar-bounded, ~30 rows/series at any sf);
+    the centered MA is ONE ROWS-framed window over that tiny frame and
+    the seasonal profile one more bounded groupBy — 100x more events
+    never changes a post-census row count."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("g"),
+            F.col("ts").cast("date").alias("d"),
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("g", "d")
+        .agg(F.sum("cents").cast("bigint").alias("v"))
+    )
+    wseq = Window.partitionBy("g").orderBy("d")
+    wma = wseq.rowsBetween(-3, 3)
+    wall = Window.partitionBy("g")
+    seq = daily.select(
+        "g",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast(
+                "bigint"
+            )
+            % 7
+        ).alias("dow"),
+        "v",
+        F.row_number().over(wseq).alias("rn"),
+        F.count("*").over(wall).cast("bigint").alias("n"),
+        F.sum("v").over(wma).cast("bigint").alias("trend_x7"),
+    )
+    detr = seq.filter(
+        (F.col("rn") >= 4) & (F.col("rn") <= F.col("n") - 3)
+    ).select("g", "dow", (7 * F.col("v") - F.col("trend_x7")).alias("detr_x7"))
+    return (
+        detr.groupBy("g", "dow")
+        .agg(
+            F.count("*").cast("bigint").alias("n_obs"),
+            F.sum("detr_x7").cast("bigint").alias("seasonal_sum_x7"),
+            F.min("detr_x7").cast("bigint").alias("min_detr_x7"),
+            F.max("detr_x7").cast("bigint").alias("max_detr_x7"),
+        )
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("dow").cast("bigint").alias("dow"),
+            "n_obs",
+            "seasonal_sum_x7",
+            "min_detr_x7",
+            "max_detr_x7",
+        )
+        .orderBy("event_type", "dow")
+    )

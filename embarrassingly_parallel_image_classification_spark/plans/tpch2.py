@@ -1298,3 +1298,231 @@ def q_sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "EXECUTE IMMEDIATE :tpl USING 25",
         args={"tpl": template},
     )
+
+
+@register(
+    "q_sql_udf_lateral",
+    oracle="""
+    SELECT l_returnflag, tier, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                AS BIGINT) AS revenue_e4
+    FROM lineitem CROSS JOIN (SELECT unnest(range(1, 6)) AS tier) tiers
+    WHERE tier <= CAST(l_quantity AS BIGINT) // 10
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("N17", "composite"),
+)
+def q_sql_udf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL SQL table function (Spark 4.0 SPARK-46246):
+    the corner q_sql_udf leaves open — there the table function takes
+    a constant parameter; here `qty_tiers(l_quantity)` is invoked
+    once PER ROW through `FROM lineitem, LATERAL qty_tiers(...)`, the
+    row-correlated set-returning call (SQL-standard lateral
+    derived-table semantics) that per-row expansion logic compiles
+    to. A scalar SQL UDF (`rev_e4`: exact revenue in price-cents x
+    discount-percent units, pure integer arithmetic) rides along in
+    the aggregate. Both are inlined by the analyzer, so the optimizer
+    sees raw expressions: whole-stage codegen, pushdown and map-side
+    partial aggregation all survive — the lateral-UDF layer must add
+    ZERO semantic or planner drift, which is what the oracle (the
+    same query with both bodies inlined by hand) checks.
+
+    The table function filters a STATIC 5-element sequence INSIDE the
+    generator — `explode(filter(sequence(1L,5L), x -> x <= q div
+    10))` — for two reasons: (a) a start-greater-than-stop
+    `sequence(1, q div 10)` would generate DESCENDING [1,0] for
+    q < 10 (Spark sequence is bidirectional) instead of zero rows;
+    (b) spelling the correlation as a WHERE in the TVF body leaves a
+    BroadcastNestedLoopJoin against the 5-row side in the plan,
+    while the filter-inside-explode form fuses the correlated
+    predicate INTO the Generate node — the physical plan has NO join
+    at all (pinned by the global cartesian lint). Rows with
+    quantity < 10 produce an empty lateral set and drop out of the
+    INNER lateral identically in both engines (DuckDB oracle:
+    `range(1,6)` cross join + WHERE).
+
+    Plan at 100 TB: one scan -> Generate (<=5x fan-out) -> map-side-
+    combined groupBy; the scan reads only the four referenced columns
+    (UDF inlining preserves column pruning)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION rev_e4(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT "
+        "RETURN CAST(ROUND(p * 100, 0) AS BIGINT) "
+        "       * (100 - CAST(ROUND(d * 100, 0) AS BIGINT))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_tiers(q DOUBLE) "
+        "RETURNS TABLE(tier BIGINT) "
+        "RETURN SELECT explode(filter(sequence(1L, 5L),"
+        " x -> x <= CAST(q AS BIGINT) div 10)) AS tier"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, tier, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rev_e4(l_extendedprice, l_discount)) AS BIGINT)
+                 AS revenue_e4
+        FROM lineitem, LATERAL qty_tiers(l_quantity)
+        GROUP BY l_returnflag, tier
+        ORDER BY l_returnflag, tier
+        """
+    )
+
+
+@register(
+    "q_sql_exec_into",
+    oracle="""
+    WITH cut AS (
+        SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) // COUNT(*) AS cutoff
+        FROM orders
+    ),
+    hi AS (
+        SELECT o_orderpriority, cutoff
+        FROM orders, cut
+        WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) > cutoff
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hi FROM hi)
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above,
+           CAST(MIN(cutoff) AS BIGINT) AS cutoff_cents,
+           CAST(MIN(n_hi) AS BIGINT) AS n_hi_total
+    FROM hi, tot
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("N18", "composite"),
+)
+def q_sql_exec_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`EXECUTE IMMEDIATE ... INTO` (Spark 4.0 SPARK-44811): the
+    dynamic-SQL RESULT-CAPTURE corner that completes the scripting
+    triangle — q_sql_variables pins DECLARE/SET VAR, N16's
+    q_sql_execute_immediate pins dynamic statements; this query pins
+    their composition. Three statements: (1) SET VAR binds the mean
+    order value in exact cents (integer SUM div COUNT — no float)
+    from a scalar subquery; (2) EXECUTE IMMEDIATE ... INTO captures a
+    DYNAMIC statement's scalar result into a second variable, and the
+    dynamic text itself references the first variable — proving
+    session variables resolve INSIDE dynamically-compiled SQL;
+    (3) the final query filters on one variable and projects both,
+    proving the full round-trip. The oracle is the single static
+    query with both variables inlined as CTEs: the capture layer must
+    add zero semantic drift.
+
+    Plan at 100 TB: each SET VAR is one bounded scalar aggregate
+    collected to the session (a broadcast-sized value, the explicit
+    form of a scalar subquery); the final scan then carries the
+    threshold as a LITERAL — Catalyst constant-folds it into the
+    pushed filter, which a correlated scalar subquery would deny to
+    the parquet reader."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE hi_cutoff_cents BIGINT")
+    spark.sql(
+        "SET VAR hi_cutoff_cents = "
+        "(SELECT SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
+        " DIV COUNT(*) FROM orders)"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE n_hi BIGINT")
+    spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT CAST(COUNT(*) AS BIGINT) FROM orders "
+        " WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+        " > hi_cutoff_cents' INTO n_hi"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above,
+               hi_cutoff_cents AS cutoff_cents, n_hi AS n_hi_total
+        FROM orders
+        WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) > hi_cutoff_cents
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+_COLLATE_KEYWORDS = ("agg", "scan", "spark", "table", "vector")
+_COLLATE_OFFSET = 400_000
+
+
+@register(
+    "q_sql_collation",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_COLLATE_OFFSET}, UPPER(text) FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus
+    ),
+    kw(word) AS (VALUES {", ".join(f"('{k}')" for k in _COLLATE_KEYWORDS)})
+    SELECT kw.word AS keyword,
+           CAST(COUNT(*) AS BIGINT) AS n_mentions_ci,
+           CAST(SUM(CASE WHEN t.w = kw.word THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mentions_cs,
+           CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs_ci
+    FROM toks t JOIN kw ON lower(t.w) = kw.word
+    GROUP BY kw.word
+    ORDER BY kw.word
+    """,
+    tags=("N18", "H1"),
+)
+def q_sql_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING COLLATIONS (Spark 4.0 SPARK-46830): case-insensitive
+    comparison as a TYPE property — `w COLLATE UTF8_LCASE = keyword`
+    drives a hash equi-join whose keys compare case-insensitively
+    inside the JVM comparator, replacing the classic lower()-wrapping
+    idiom that (a) materializes a second string per row and (b) hides
+    the original value from pushdown/statistics. The corpus is planted
+    with an UPPER()-shouted copy of every document (doc_id +
+    {_COLLATE_OFFSET} — the winnowing clone pattern) so the collated
+    and binary semantics measurably DIVERGE: for each all-lowercase
+    keyword the result proves n_mentions_ci = 2 x n_mentions_cs
+    (collation matches the shouted copies, binary equality does not)
+    — the oracle spells the same semantics portably with lower().
+
+    Deterministic output contract: collated GROUP BY keys pick an
+    arbitrary case representative, so the result projects the
+    CANONICAL keyword from the broadcast keyword list and only
+    counts ride the collated comparison — counts are
+    representative-free.
+
+    Plan at 100 TB: tokens explode map-side; the keyword list (5
+    rows) broadcasts; one map-side-combined groupBy per keyword —
+    the collation comparator adds zero plan shape."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.select(
+            (F.col("doc_id") + F.lit(_COLLATE_OFFSET)).alias("doc_id"),
+            F.upper("text").alias("text"),
+        )
+    )
+    toks = corpus.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    kw = spark.createDataFrame(
+        [(k,) for k in _COLLATE_KEYWORDS], "word STRING"
+    )
+    joined = toks.join(
+        F.broadcast(kw),
+        F.expr("w COLLATE UTF8_LCASE") == F.col("word"),
+    )
+    return (
+        joined.groupBy("word")
+        .agg(
+            F.count("*").cast("bigint").alias("n_mentions_ci"),
+            F.sum(F.when(F.col("w") == F.col("word"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_mentions_cs"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs_ci"),
+        )
+        .select(
+            F.col("word").alias("keyword"),
+            "n_mentions_ci",
+            "n_mentions_cs",
+            "n_docs_ci",
+        )
+        .orderBy("keyword")
+    )

@@ -326,6 +326,9 @@ _CARTESIAN_OK = {
                              # L/R for the level-2 census — the
                              # q_train_gbt_stumps 1-row scalar-cross
                              # shape (a broadcast variable, not a join)
+    "q_train_tree_depth3",   # same 1-row root scalar-cross; the
+                             # level-2 -> level-3 routing is a plain
+                             # broadcast HASH join on node (<=2 rows)
     "q_stats_cochran_q",     # 1-row row-census x 1-row column-census
                              # scalar cross into the Q statistic
     "q_stats_jonckheere",    # the dense (value-domain x 5 groups) grid
@@ -354,6 +357,10 @@ _CARTESIAN_OK = {
     "q_stats_tukey",         # same 10-row pair frame x 1-row
                              # (N, k, SSW) scalar cross — the ANOVA
                              # census shape
+    "q_stats_games_howell",  # same 5x5 upper-triangle self-join of
+                             # the 5-row census (no scalar cross even
+                             # needed: Welch SE is pairwise, there is
+                             # no pooled MSW)
 }
 
 

@@ -1334,3 +1334,262 @@ def test_tukey_matches_brute_force(spark, events):
                 (dnum * dnum // (na * nb)) * 2 * (nn - k) * 10**10
                 > TUKEY_Q2_E4 * ssw_e6 * (na + nb)
             )
+
+
+def test_games_howell_matches_brute_force(spark, events):
+    """The full integer chain (census -> V -> U_e6 -> staged T ->
+    Welch-df fixing -> significance cross) replayed in pure Python,
+    plus a float sanity check that the pinned chain agrees with the
+    textbook float Games-Howell statistic on every fixture pair."""
+    got = _rows(spark, "q_stats_games_howell").set_index(["g_a", "g_b"])
+    from embarrassingly_parallel_image_classification_spark.operators.stats import (
+        GH_Q2_E4,
+    )
+
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    grp = {}
+    for g, gg in ev.groupby("event_type"):
+        xs = [int(v) for v in gg.cents]
+        n, s, q = len(xs), sum(xs), sum(v * v for v in xs)
+        v = n * q - s * s
+        assert v >= 0  # Cauchy-Schwarz
+        grp[g] = (n, s, (v * 1_000_000) // (n * n * (n - 1)))
+    keys = sorted(grp)
+    for ai, ga in enumerate(keys):
+        for gb in keys[ai + 1:]:
+            (na, sa, ua), (nb, sb, ub) = grp[ga], grp[gb]
+            row = got.loc[(ga, gb)]
+            dnum = sa * nb - sb * na
+            sgn = -1 if dnum < 0 else 1
+            assert int(row.meandiff_e2) == sgn * (abs(dnum) * 100 // (na * nb))
+            assert int(row.varsum_e6) == ua + ub
+            denom = max(ua * ua * (nb - 1) + ub * ub * (na - 1), 1)
+            want_df = ((ua + ub) ** 2 * 100 * (na - 1) * (nb - 1)) // denom
+            assert int(row.df_welch_e2) == want_df
+            staged = dnum * dnum // (na * nb)
+            want = staged * 2 * 10**10 > GH_Q2_E4 * (ua + ub) * na * nb
+            assert bool(row.significant) == want
+            # float sanity: the integer decision == the textbook
+            # (m_a-m_b)^2 > q^2 * (s_a^2/n_a + s_b^2/n_b) / 2 decision
+            ma, mb = sa / na, sb / nb
+            va = (na * sum(1 for _ in [0]) and ua / 1e6)  # U ~ s^2/n e6
+            vb = ub / 1e6
+            lhs = (ma - mb) ** 2
+            rhs = (GH_Q2_E4 / 1e4) * (va + vb) / 2
+            # only assert when the float margin is unambiguous (>1%)
+            if abs(lhs - rhs) > 0.01 * max(lhs, rhs, 1e-9):
+                assert want == (lhs > rhs)
+
+
+def test_games_howell_flags_planted_gap(spark, tmp_path):
+    """Decision-boundary twin on synthetic data: two tight groups a
+    full SD apart MUST flag significant; two overlapping groups must
+    not — exercises the True branch the organic fixture never hits."""
+    import pandas as pd
+
+    rng = random.Random(7)
+    rows = []
+    for g, mu in (("lo", 100.0), ("hi", 140.0), ("mid", 101.0)):
+        for i in range(400):
+            rows.append(
+                {
+                    "event_id": len(rows),
+                    "event_type": g,
+                    "value": mu + rng.gauss(0, 8.0),
+                    "user_id": i,
+                    "ts": "2024-01-01 00:00:00",
+                    "amount": 0.0,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    evp = str(tmp_path / "events.parquet")
+    duckdb.sql("SELECT * FROM pdf").write_parquet(evp)
+    got = (
+        registry.queries()["q_stats_games_howell"](spark, str(tmp_path))
+        .toPandas()
+        .set_index(["g_a", "g_b"])
+    )
+    assert bool(got.loc[("hi", "lo")].significant)
+    assert bool(got.loc[("hi", "mid")].significant)
+    assert not bool(got.loc[("lo", "mid")].significant)
+
+
+def test_holt_winters_weights_match_float_recursion():
+    """The symbolic 2^24 dyadic unrolling IS the Holt-Winters
+    recursion: replay the float recursion on random series and
+    compare every emitted statistic; pin the constant-series
+    identities (level weights sum to 2^24, trend/seasonal to 0)."""
+    from embarrassingly_parallel_image_classification_spark.operators.timeseries import (
+        _HW_DEN,
+        _HW_WB,
+        _HW_WC,
+        _HW_WS,
+    )
+
+    assert _HW_DEN == 1 << 24
+    assert sum(_HW_WS) == _HW_DEN
+    assert sum(_HW_WB) == 0
+    for slot in range(4):
+        assert sum(_HW_WC[slot]) == 0
+    rng = random.Random(11)
+    for _ in range(20):
+        xs = [rng.uniform(-50, 150) for _ in range(16)]
+        sl = sum(xs[:4]) / 4
+        bl = 0.0
+        cl = [x - sl for x in xs[:4]]
+        for t in range(4, 16):
+            cm = cl[t % 4]
+            snew = 0.5 * (xs[t] - cm) + 0.5 * (sl + bl)
+            bnew = 0.5 * (snew - sl) + 0.5 * bl
+            cl[t % 4] = 0.5 * (xs[t] - snew) + 0.5 * cm
+            sl, bl = snew, bnew
+        got_s = sum(w * x for w, x in zip(_HW_WS, xs)) / _HW_DEN
+        got_b = sum(w * x for w, x in zip(_HW_WB, xs)) / _HW_DEN
+        assert abs(got_s - sl) < 1e-8
+        assert abs(got_b - bl) < 1e-8
+        for h in (1, 2, 3, 4):
+            want = sl + h * bl + cl[(h - 1) % 4]
+            wf = [
+                _HW_WS[i] + h * _HW_WB[i] + _HW_WC[(h - 1) % 4][i]
+                for i in range(16)
+            ]
+            got = sum(w * x for w, x in zip(wf, xs)) / _HW_DEN
+            assert abs(got - want) < 1e-8
+
+
+def test_holt_winters_query_vs_python_chain(spark, events):
+    """End-to-end twin: the query's integer dot products recomputed in
+    pure Python from the same last-16 selection."""
+    got = _rows(spark, "q_timeseries_holt_winters").set_index("event_type")
+    from embarrassingly_parallel_image_classification_spark.operators.timeseries import (
+        _HW_WB,
+        _HW_WC,
+        _HW_WS,
+    )
+
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    for g, gg in ev.groupby("event_type"):
+        last = gg.sort_values(
+            ["ts", "event_id"], ascending=[False, False]
+        ).head(16)
+        if len(last) < 16:
+            assert g not in got.index
+            continue
+        xs = [int(v) for v in last.cents][::-1]  # pos 1..16 order
+        row = got.loc[g]
+        assert int(row.level_x2e24) == sum(w * x for w, x in zip(_HW_WS, xs))
+        assert int(row.trend_x2e24) == sum(w * x for w, x in zip(_HW_WB, xs))
+        for h in (1, 2, 3, 4):
+            wf = [
+                _HW_WS[i] + h * _HW_WB[i] + _HW_WC[(h - 1) % 4][i]
+                for i in range(16)
+            ]
+            assert int(row[f"f{h}_x2e24"]) == sum(
+                w * x for w, x in zip(wf, xs)
+            )
+
+
+def test_tree_depth3_matches_brute_force(spark):
+    """The depth-2 CART twin taken one level deeper: all four
+    grandchild splits recomputed by exhaustive pure-Python scoring of
+    the rows each grandchild actually receives."""
+    got = _rows(spark, "q_train_tree_depth3").set_index("node")
+    li = duckdb.sql(
+        f"SELECT CAST(ROUND(l_quantity,0) AS BIGINT) qty,"
+        f" CAST(ROUND(l_discount*100,0) AS BIGINT) disc,"
+        f" CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END y"
+        f" FROM read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).df()
+    rows = list(zip(li.qty.astype(int), li.disc.astype(int), li.y.astype(int)))
+
+    def best_split(subset):
+        cands = []
+        for feat, idx in (("discount", 1), ("quantity", 0)):
+            vals = sorted({r[idx] for r in subset})
+            for t in vals:
+                left = [r for r in subset if r[idx] <= t]
+                right = [r for r in subset if r[idx] > t]
+                if not left or not right:
+                    continue
+                lp = sum(r[2] for r in left)
+                lneg = len(left) - lp
+                rp = sum(r[2] for r in right)
+                rneg = len(right) - rp
+                g = round(
+                    2.0
+                    * (lp * lneg / len(left) + rp * rneg / len(right))
+                    / len(subset)
+                    * 1_000_000
+                )
+                cands.append((g, feat, t, len(left), len(right)))
+        return min(cands) if cands else None
+
+    def check(node, subset):
+        want = best_split(subset)
+        if want is None:
+            assert node not in got.index
+            return None
+        g, feat, thr, nl, nr = want
+        r = got.loc[node]
+        assert (
+            r.feature, int(r.threshold), int(r.n_left), int(r.n_right),
+            int(r.gini_e6),
+        ) == (feat, thr, nl, nr, g)
+        idx = 0 if feat == "quantity" else 1
+        return (
+            [x for x in subset if x[idx] <= thr],
+            [x for x in subset if x[idx] > thr],
+        )
+
+    kids = check("root", rows)
+    assert kids is not None
+    for node, subset in zip(("L", "R"), kids):
+        gkids = check(node, subset)
+        if gkids is None:
+            continue
+        for suffix, gsub in zip(("L", "R"), gkids):
+            check(node + suffix, gsub)
+
+
+def test_mann_kendall_matches_brute_force(spark, events):
+    """S, tie-corrected variance and the continuity-corrected verdict
+    recomputed by the O(n^2) textbook loop over each daily series."""
+    got = _rows(spark, "q_stats_mann_kendall").set_index("event_type")
+    from embarrassingly_parallel_image_classification_spark.operators.stats import (
+        CHI2_DF1_E6,
+    )
+
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ev["day"] = ev["ts"].astype("datetime64[s]").dt.date
+    for g, gg in ev.groupby("event_type"):
+        series = (
+            gg.groupby("day")["cents"].sum().sort_index().astype(int).tolist()
+        )
+        n = len(series)
+        s = sum(
+            (series[j] > series[i]) - (series[j] < series[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        tie_term = sum(
+            t * (t - 1) * (2 * t + 5)
+            for t in Counter(series).values()
+            if t > 1
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie_term
+        corr = max(abs(s) - 1, 0)
+        sig = corr * corr * 18_000_000 > CHI2_DF1_E6 * var18
+        row = got.loc[g]
+        assert int(row.n_days) == n
+        assert int(row.s_stat) == s
+        assert int(row.var18) == var18
+        assert bool(row.significant) == sig
+        want_trend = (
+            ("increasing" if s > 0 else "decreasing") if sig else "no_trend"
+        )
+        assert row.trend == want_trend
