@@ -290,6 +290,9 @@ HEADLINE = [
     "q_sql_collation",
     "q_timeseries_decompose",
     "q_text_symspell",
+    "q_text_phrase_search",
+    "q_stats_jarque_bera",
+    "q_stats_cramer_von_mises",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

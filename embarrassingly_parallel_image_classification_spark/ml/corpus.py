@@ -993,3 +993,90 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("intercept_e6"),
     )
+
+
+_PHRASES = (("table", "hash"), ("merge", "group"), ("slow", "key"))
+
+
+@register(
+    "q_text_phrase_search",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    ph(p1, p2) AS (VALUES {", ".join(f"('{a}', '{b}')" for a, b in _PHRASES)}),
+    hits AS (
+        SELECT ph.p1, ph.p2, d.doc_id,
+               CAST(len(list_filter(range(1, len(d.toks)),
+                    i -> d.toks[i] = ph.p1 AND d.toks[i + 1] = ph.p2))
+                    AS BIGINT) AS n_hits
+        FROM d CROSS JOIN ph
+    )
+    SELECT p1 || ' ' || p2 AS phrase,
+           CAST(SUM(n_hits) AS BIGINT) AS n_occurrences,
+           CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs,
+           CAST(MAX(n_hits) AS BIGINT) AS max_per_doc
+    FROM hits
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("K6", "H5", "composite"),
+)
+def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE SEARCH (positional matching) — the retrieval operator
+    q_text_inverted_index/q_text_bm25 cannot express: "these words
+    ADJACENT, in this order". Classic engines intersect positional
+    postings; at map-reduce scale the cheaper plan is to keep each
+    document's token array INTACT and count adjacency matches inside
+    a per-row higher-order function — `size(filter(sequence(1, n-1),
+    i -> tok[i] = w1 AND tok[i+1] = w2))` — so phrase matching is
+    MAP-ONLY: no positional explode, no (doc, pos) self-join, no
+    shuffle of anything but the final 3-phrase aggregate.
+
+    The phrase list rides an exploded literal array (a Generate, not
+    a join); the token array is bound once per row and referenced
+    twice inside the lambda, which also keeps CollapseProject from
+    inlining the split() into the loop body (alias used more than
+    once is never collapsed — the q_text_winnowing round-11 lesson
+    about expressions inside HOF lambdas).
+
+    Plan at 100 TB: one scan, one Generate (x|phrases|), one
+    map-side-combined 3-row aggregate. The positional-join spelling
+    would explode |tokens| rows per doc and shuffle them; this
+    spelling shuffles 3 rows per partition."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    phrase_arr = ", ".join(
+        f"named_struct('p1', '{a}', 'p2', '{b}')" for a, b in _PHRASES
+    )
+    hits = d.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.expr(f"explode(array({phrase_arr}))").alias("ph"),
+    ).select(
+        F.col("ph.p1").alias("p1"),
+        F.col("ph.p2").alias("p2"),
+        "doc_id",
+        F.expr(
+            "CAST(size(filter(sequence(1, size(toks) - 1),"
+            " i -> element_at(toks, i) = ph.p1"
+            " AND element_at(toks, i + 1) = ph.p2)) AS BIGINT)"
+        ).alias("n_hits"),
+    )
+    return (
+        hits.groupBy("p1", "p2")
+        .agg(
+            F.sum("n_hits").cast("bigint").alias("n_occurrences"),
+            F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.max("n_hits").cast("bigint").alias("max_per_doc"),
+        )
+        .select(
+            F.concat_ws(" ", "p1", "p2").alias("phrase"),
+            "n_occurrences",
+            "n_docs",
+            "max_per_doc",
+        )
+        .orderBy("phrase")
+    )

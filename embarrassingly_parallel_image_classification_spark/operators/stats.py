@@ -3902,3 +3902,276 @@ def q_stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# chi-square(df=2, alpha=0.05) = 5.991465; the verdict compares the
+# staged JB*24*100 fixing against 5.991465 * 24 * 100 * 10 exactly.
+JB24_E3 = 14_379_516
+
+
+@register(
+    "q_stats_jarque_bera",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    cen AS (
+        SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(cents) AS HUGEINT) AS s
+        FROM x GROUP BY g
+    ),
+    ym AS (
+        SELECT x.g, c.n,
+               CAST(x.cents - (c.s // c.n) AS HUGEINT) AS y
+        FROM x JOIN cen c ON c.g = x.g
+    ),
+    mom AS (
+        SELECT g, MAX(n) AS n,
+               CAST(SUM(y * y) AS HUGEINT) AS t2,
+               CAST(SUM(y * y * y) AS HUGEINT) AS t3,
+               CAST(SUM(y * y * y * y) AS HUGEINT) AS t4
+        FROM ym GROUP BY g
+    ),
+    fix AS (
+        SELECT g, n,
+               t2 // n AS m2,
+               (CASE WHEN t3 < 0 THEN -1 ELSE 1 END)
+                 * (ABS(t3) // n) AS m3,
+               t4 // n AS m4
+        FROM mom
+    ),
+    jb AS (
+        SELECT g, n, m2, m3, m4,
+               ((4 * m3 * m3 * m2
+                 + (m4 - 3 * m2 * m2) * (m4 - 3 * m2 * m2))
+                // (m2 * m2)) AS s1
+        FROM fix
+    )
+    SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           CAST(m2 AS BIGINT) AS m2,
+           CAST(m3 AS BIGINT) AS m3,
+           CAST(m4 AS BIGINT) AS m4,
+           CAST((n * s1 * 100) // (m2 * m2) AS BIGINT) AS jb24_e2,
+           (n * s1 * 100) // (m2 * m2) * 1000 > {JB24_E3}
+             AS normality_rejected
+    FROM jb
+    ORDER BY event_type
+    """,
+    tags=("M2", "M14"),
+)
+def q_stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARQUE-BERA NORMALITY TEST (1980) — the distributional
+    PRECONDITION check that completes the assumption-audit corner
+    beside q_stats_brown_forsythe (variance homogeneity): per
+    event_type, JB = n*(skew^2/6 + (kurtosis-3)^2/24) against
+    chi-square(2), deciding whether the parametric layer (ANOVA,
+    Tukey, t) is even admissible for this column.
+
+    Exactness (the pinned fixing chain, identical in both engines and
+    the pytest twin): center c = S div n (the FLOOR mean — the
+    fractional remainder r/n < 1 cent is deliberately omitted from
+    the center because carrying it multiplies every moment by n^k and
+    blows the 4th moment past 38 digits by sf1; with the pinned
+    integer center every operand stays inside 38 digits through
+    sf100); raw moments about c as exact HUGEINT/DECIMAL(38,0) sums
+    of y^2, y^3, y^4; per-observation moments M_k = T_k div n with
+    the ABS-sign-split on the odd moment (Spark div truncates, DuckDB
+    // floors — they agree only after ABS); then
+    JB*24 = n*(4*M3^2*M2 + (M4 - 3*M2^2)^2)/M2^4 evaluated with TWO
+    staged floors (S1 = numerator div M2^2, then the e2 fixing) and
+    the verdict is the exact integer comparison
+    jb24_e2 * 1000 > 5.991465*24*100*10.
+
+    Plan: one fact scan for the center census, one for the moment
+    sums (the two-pass exact-center trade every single-pass
+    'streaming moments' implementation gets wrong in float), both
+    map-side combined to 5 rows; the center joins back as a
+    broadcast. Domain-bounded everywhere."""
+    x = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    cen = x.groupBy("g").agg(
+        F.count("*").cast(D38).alias("n"),
+        F.sum("cents").cast(D38).alias("s"),
+    )
+    ym = x.join(F.broadcast(cen), "g").select(
+        "g",
+        "n",
+        (F.col("cents").cast(D38) - F.expr("s div n")).cast(D38).alias("y"),
+    )
+    mom = ym.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("y * y")).cast(D38).alias("t2"),
+        F.sum(F.expr("y * y * y")).cast(D38).alias("t3"),
+        F.sum(F.expr("y * y * y * y")).cast(D38).alias("t4"),
+    )
+    fix = mom.select(
+        "g",
+        "n",
+        F.expr("t2 div n").cast(D38).alias("m2"),
+        F.expr(
+            "(CASE WHEN t3 < 0 THEN -1 ELSE 1 END) * (ABS(t3) div n)"
+        )
+        .cast(D38)
+        .alias("m3"),
+        F.expr("t4 div n").cast(D38).alias("m4"),
+    )
+    jb = fix.select(
+        "g",
+        "n",
+        "m2",
+        "m3",
+        "m4",
+        F.expr(
+            "(4 * m3 * m3 * m2"
+            " + (m4 - 3 * m2 * m2) * (m4 - 3 * m2 * m2))"
+            " div (m2 * m2)"
+        )
+        .cast(D38)
+        .alias("s1"),
+    )
+    return jb.select(
+        F.col("g").alias("event_type"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("m2").cast("bigint").alias("m2"),
+        F.col("m3").cast("bigint").alias("m3"),
+        F.col("m4").cast("bigint").alias("m4"),
+        F.expr("CAST((n * s1 * 100) div (m2 * m2) AS BIGINT)").alias(
+            "jb24_e2"
+        ),
+        (
+            F.expr("(n * s1 * 100) div (m2 * m2)").cast(D38) * F.lit(1000)
+            > F.lit(JB24_E3).cast(D38)
+        ).alias("normality_rejected"),
+    ).orderBy("event_type")
+
+
+# Two-sample Cramer-von Mises asymptotic critical value at alpha=0.05:
+# T > 0.461 (Anderson 1962's limit distribution of n*m/N^2 * sum(F-G)^2).
+CVM_CRIT_E3 = 461
+
+
+@register(
+    "q_stats_cramer_von_mises",
+    oracle=f"""
+    WITH x AS (
+        SELECT o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    per_v AS (
+        SELECT v,
+               CAST(COUNT(*) FILTER (WHERE st = 'F') AS HUGEINT) AS ca,
+               CAST(COUNT(*) FILTER (WHERE st = 'O') AS HUGEINT) AS cb
+        FROM x GROUP BY v
+    ),
+    cum AS (
+        SELECT ca + cb AS w,
+               CAST(SUM(ca) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS HUGEINT) AS fa,
+               CAST(SUM(cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS HUGEINT) AS fb
+        FROM per_v
+    ),
+    g AS (
+        SELECT MAX(fa) AS n, MAX(fb) AS m,
+               SUM(w * (fa * (SELECT MAX(fb) FROM cum)
+                        - fb * (SELECT MAX(fa) FROM cum))
+                     * (fa * (SELECT MAX(fb) FROM cum)
+                        - fb * (SELECT MAX(fa) FROM cum))) AS t_num
+        FROM cum
+    )
+    SELECT CAST(n AS BIGINT) AS n_f,
+           CAST(m AS BIGINT) AS n_o,
+           CAST(t_num AS BIGINT) AS t_num,
+           CAST((t_num * 1000)
+                // (n * m * (n + m) * (n + m)) AS BIGINT) AS t_e3,
+           t_num * 1000 > {CVM_CRIT_E3} * n * m * (n + m) * (n + m)
+             AS significant
+    FROM g
+    """,
+    tags=("M2", "D10", "E3"),
+)
+def q_stats_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample CRAMER-VON MISES test (Anderson 1962) — the
+    INTEGRATED-SQUARE companion to q_stats_ks_test's sup-norm on the
+    same F-vs-O order split: KS sees only the single worst CDF gap
+    (sensitive to one sharp divergence, blind to many small ones);
+    CvM integrates the squared gap over every pooled observation,
+    T = (nm/N^2) * sum_i (F_n(x_i) - G_m(x_i))^2 — the complementary
+    sensitivity profile every distribution-shift monitor wants both
+    of.
+
+    Exactness: the same per-value census + cumulative window as KS
+    gives exact (fa, fb) at every distinct value; each value
+    contributes weight (ca+cb) times the exact integer cross
+    D_v = fa*m - fb*n squared, so T's numerator
+    t_num = sum_v (ca+cb) * D_v^2 is an exact HUGEINT/DECIMAL(38,0)
+    (denominator n*m*N^2); the alpha=0.05 verdict is the exact
+    cross-multiplication t_num * 1000 > 461 * n*m*N^2 — no division
+    in the decision at all; the reported t_e3 is a single staged
+    floor (t_num*1000 div nmN^2, stated truncation — the DIV/MOD
+    rounding decomposition is NOT available here because the
+    denominator exceeds 2^53 at every sf, so its remainder-to-DOUBLE
+    step would violate the house exact-operand rule).
+
+    Plan: identical shape to KS — one map-side-combined value census,
+    one cumulative window over the value domain, a 1-row aggregate;
+    the fact table is scanned once and never windowed."""
+    x = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    ).select(
+        F.col("o_orderstatus").alias("st"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("v"),
+    )
+    per_v = x.groupBy("v").agg(
+        F.sum(F.when(F.col("st") == "F", 1).otherwise(0))
+        .cast(D38)
+        .alias("ca"),
+        F.sum(F.when(F.col("st") == "O", 1).otherwise(0))
+        .cast(D38)
+        .alias("cb"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.select(
+        (F.col("ca") + F.col("cb")).alias("w"),
+        F.sum("ca").over(wcum).cast(D38).alias("fa"),
+        F.sum("cb").over(wcum).cast(D38).alias("fb"),
+    )
+    tot = cum.agg(
+        F.max("fa").cast(D38).alias("n"), F.max("fb").cast(D38).alias("m")
+    )
+    g = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "m",
+            (
+                F.col("w")
+                * (F.col("fa") * F.col("m") - F.col("fb") * F.col("n"))
+                * (F.col("fa") * F.col("m") - F.col("fb") * F.col("n"))
+            ).alias("term"),
+        )
+        .groupBy("n", "m")
+        .agg(F.sum("term").cast(D38).alias("t_num"))
+    )
+    nm2 = F.expr("n * m * (n + m) * (n + m)")
+    return g.select(
+        F.col("n").cast("bigint").alias("n_f"),
+        F.col("m").cast("bigint").alias("n_o"),
+        F.col("t_num").cast("bigint").alias("t_num"),
+        F.expr(
+            "CAST((t_num * 1000) div (n * m * (n + m) * (n + m)) AS BIGINT)"
+        ).alias("t_e3"),
+        (
+            F.col("t_num") * F.lit(1000).cast(D38)
+            > F.lit(CVM_CRIT_E3).cast(D38) * nm2
+        ).alias("significant"),
+    )

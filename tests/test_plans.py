@@ -331,6 +331,9 @@ _CARTESIAN_OK = {
                              # broadcast HASH join on node (<=2 rows)
     "q_stats_cochran_q",     # 1-row row-census x 1-row column-census
                              # scalar cross into the Q statistic
+    "q_stats_cramer_von_mises",  # value-domain cum frame x 1-row (n, m)
+                             # totals scalar cross — the KS census
+                             # shape with a summed (not max'd) gap
     "q_stats_jonckheere",    # the dense (value-domain x 5 groups) grid
                              # build is a 5-row broadcast cross (the
                              # q_stats_kendall grid shape) + the 1-row

@@ -1593,3 +1593,72 @@ def test_mann_kendall_matches_brute_force(spark, events):
             ("increasing" if s > 0 else "decreasing") if sig else "no_trend"
         )
         assert row.trend == want_trend
+
+
+def test_jarque_bera_matches_brute_force(spark, events):
+    """The pinned integer-center moment chain replayed in pure Python,
+    plus a float JB sanity check wherever the margin is unambiguous."""
+    got = _rows(spark, "q_stats_jarque_bera").set_index("event_type")
+    from embarrassingly_parallel_image_classification_spark.operators.stats import (
+        JB24_E3,
+    )
+
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    for g, gg in ev.groupby("event_type"):
+        xs = [int(v) for v in gg.cents]
+        n, s = len(xs), sum(xs)
+        c = s // n
+        ys = [v - c for v in xs]
+        t2, t3, t4 = (sum(y ** k for y in ys) for k in (2, 3, 4))
+        m2 = t2 // n
+        m3 = (-1 if t3 < 0 else 1) * (abs(t3) // n)
+        m4 = t4 // n
+        s1 = (4 * m3 * m3 * m2 + (m4 - 3 * m2 * m2) ** 2) // (m2 * m2)
+        jb24_e2 = (n * s1 * 100) // (m2 * m2)
+        row = got.loc[g]
+        assert int(row.n) == n
+        assert int(row.m2) == m2
+        assert int(row.m3) == m3
+        assert int(row.m4) == m4
+        assert int(row.jb24_e2) == jb24_e2
+        assert bool(row.normality_rejected) == (jb24_e2 * 1000 > JB24_E3)
+        # float sanity on the statistic itself
+        mu2, mu3, mu4 = t2 / n, t3 / n, t4 / n
+        jb = n * (
+            (mu3 ** 2 / mu2 ** 3) / 6 + (mu4 / mu2 ** 2 - 3) ** 2 / 24
+        )
+        if abs(jb - 5.991465) > 0.05 * max(jb, 5.991465):
+            assert bool(row.normality_rejected) == (jb > 5.991465)
+
+
+def test_cramer_von_mises_matches_brute_force(spark):
+    """t_num recomputed by the direct O(N) loop over pooled sorted
+    cent values; verdict replayed exactly."""
+    got = _rows(spark, "q_stats_cramer_von_mises").iloc[0]
+    from embarrassingly_parallel_image_classification_spark.operators.stats import (
+        CVM_CRIT_E3,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT o_orderstatus st, CAST(ROUND(o_totalprice*100,0) AS BIGINT) v"
+        f" FROM read_parquet('{SF_SMOKE}/orders.parquet')"
+        f" WHERE o_orderstatus IN ('F','O')"
+    ).fetchall()
+    from collections import Counter
+
+    ca = Counter(v for st, v in rows if st == "F")
+    cb = Counter(v for st, v in rows if st == "O")
+    n, m = sum(ca.values()), sum(cb.values())
+    fa = fb = 0
+    t_num = 0
+    for v in sorted(set(ca) | set(cb)):
+        fa += ca.get(v, 0)
+        fb += cb.get(v, 0)
+        d = fa * m - fb * n
+        t_num += (ca.get(v, 0) + cb.get(v, 0)) * d * d
+    assert int(got.n_f) == n and int(got.n_o) == m
+    assert int(got.t_num) == t_num
+    den = n * m * (n + m) ** 2
+    assert int(got.t_e3) == (t_num * 1000) // den
+    assert bool(got.significant) == (t_num * 1000 > CVM_CRIT_E3 * den)
