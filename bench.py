@@ -293,6 +293,8 @@ HEADLINE = [
     "q_text_phrase_search",
     "q_stats_jarque_bera",
     "q_stats_cramer_von_mises",
+    "q_agg_kmv_distinct",
+    "q_graph_clustering_coeff",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

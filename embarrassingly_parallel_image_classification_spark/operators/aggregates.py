@@ -1123,3 +1123,109 @@ def q_agg_group_median_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "g STRING, n BIGINT, k BIGINT, median_c BIGINT"
     )
+
+
+KMV_K = 256  # k-minimum-values sketch size
+
+
+@register(
+    "q_agg_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT
+               ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 10))
+                 ::BIGINT AS hv
+        FROM orders
+    ),
+    ranked AS (
+        SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rk FROM h
+    ),
+    sk AS (
+        SELECT MAX(hv) AS hk, CAST(COUNT(*) AS BIGINT) AS nk
+        FROM ranked WHERE rk <= {KMV_K}
+    ),
+    est AS (
+        SELECT hk, nk,
+               CASE WHEN nk < {KMV_K} THEN nk
+                    ELSE ({KMV_K} - 1) * 1099511627776 // hk END AS e
+        FROM sk
+    ),
+    truth AS (
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_true
+        FROM orders
+    )
+    SELECT CAST({KMV_K} AS BIGINT) AS k,
+           CAST(est.nk AS BIGINT) AS n_in_sketch,
+           CAST(est.hk AS BIGINT) AS h_k,
+           CAST(est.e AS BIGINT) AS est_distinct,
+           truth.n_true,
+           CAST(ABS(est.e - truth.n_true) * 10000 // truth.n_true
+                AS BIGINT) AS abs_err_e4
+    FROM est, truth
+    """,
+    tags=("D5", "S"),
+)
+def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) DISTINCT sketch (Bar-Yossef et al. 2002
+    [PK]) — the ORACLE-CHECKABLE rung in the approximate-distinct
+    ladder, the q_knn_sq8 move applied to the D5 sketch family:
+    approx_count_distinct's HLL is engine-internal (rows-only by
+    nature), but KMV built on the portable 40-bit md5 hash (the
+    q_agg_countmin family) is a PURE FUNCTION OF THE DATA — the k
+    smallest hash values of a set do not depend on partitioning,
+    merge order, or engine, so DuckDB computes the IDENTICAL sketch
+    and the driver hash-checks the estimate itself, not just its
+    error band. Estimator: with h_(k) the k-th smallest of the
+    distinct hashes mapped into [0, 2^40), est = (k-1) * 2^40 / h_(k)
+    (the unbiased KMV form), reported beside the exact distinct count
+    and the integer e4 relative error; a set SMALLER than k does not
+    fill the sketch, in which case KMV degenerates (by definition) to
+    the EXACT count of hashes seen — the standard small-set branch,
+    exercised by the sf0.001 fixture (150 < 256 distinct keys).
+
+    Merge contract (extends the round-11 GK-vs-HLL finding): KMV is
+    layout-INVARIANT like HLL (k-smallest of a union is associative/
+    commutative/idempotent) and UNLIKE percentile_approx's GK — a KMV
+    sketch cached per partition can be re-merged under ANY future
+    layout with bit-identical results; the pytest twin pins this by
+    recomputing the sketch under shuffled input order.
+
+    Plan at 100 TB: map-side DISTINCT on the 8-byte hash, then a
+    global k-smallest — TakeOrdered-shaped, never a full sort; the
+    sketch state is k * 8 bytes regardless of cardinality."""
+    h = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.expr(
+                "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 10),"
+                " 16, 10) AS BIGINT)"
+            ).alias("hv")
+        )
+        .distinct()
+    )
+    sk = (
+        h.orderBy("hv")
+        .limit(KMV_K)
+        .agg(F.max("hv").alias("hk"), F.count("*").cast("bigint").alias("nk"))
+    )
+    est = sk.select(
+        "hk",
+        "nk",
+        F.expr(
+            f"CASE WHEN nk < {KMV_K} THEN nk"
+            f" ELSE ({KMV_K} - 1) * 1099511627776 div hk END"
+        ).alias("e"),
+    )
+    truth = t(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_true")
+    )
+    return est.crossJoin(F.broadcast(truth)).select(
+        F.lit(KMV_K).cast("bigint").alias("k"),
+        F.col("nk").alias("n_in_sketch"),
+        F.col("hk").cast("bigint").alias("h_k"),
+        F.col("e").cast("bigint").alias("est_distinct"),
+        "n_true",
+        F.expr(
+            "CAST(ABS(e - n_true) * 10000 div n_true AS BIGINT)"
+        ).alias("abs_err_e4"),
+    )

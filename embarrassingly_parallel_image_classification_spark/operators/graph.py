@@ -631,3 +631,149 @@ def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").cast("bigint").alias("comp"),
         F.count("*").over(w).cast("bigint").alias("comp_size"),
     ).orderBy("node")
+
+
+@register(
+    "q_graph_clustering_coeff",
+    oracle=f"""
+    WITH base AS ({_EDGES_SQL}),
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM base WHERE src <> dst
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_node AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) t GROUP BY node
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        ) d GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN d.degree >= 2
+                THEN (2 * COALESCE(p.n_tri, 0) * 1000000)
+                     // (d.degree * (d.degree - 1))
+                ELSE 0 END AS BIGINT) AS clustering_e6
+    FROM deg d LEFT JOIN per_node p ON p.node = d.node
+    ORDER BY d.node
+    """,
+    tags=("M5", "graph"),
+)
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-NODE triangle counts + local clustering coefficients with
+    DEGREE-ORIENTED enumeration — the refinement q_graph_triangles'
+    docstring promises ("orient edges by degree so high-degree hubs
+    never fan out") delivered, plus the per-node outputs (graph ML
+    features, community density) the global count cannot give. The Spark plan uses the DEGREE ORIENTATION
+    trick (Cohen's MR triangle algorithm [PK]): each undirected edge
+    is directed from its lower-(degree, id) endpoint to the higher,
+    which makes every triangle countable EXACTLY ONCE as a directed
+    wedge u->v, u->w closed by v->w AND bounds each node's out-
+    adjacency by O(sqrt(E)) on any graph (the arboricity bound) — the
+    difference between a star node exploding the wedge join
+    quadratically and a provably balanced join at 100 TB. The ORACLE
+    deliberately runs the DIFFERENT naive algorithm (a<b<c id-ordered
+    enumeration, no degree logic): agreement of two algorithms pins
+    the count itself, the q_graph_connected_components twin
+    discipline.
+
+    Exactness: triangle counts are exact BIGINTs; the local
+    clustering coefficient 2T/(d(d-1)) is reported as the e6 floor
+    fixing with a degree>=2 guard, identical both engines.
+
+    Plan: the edge census is domain-bounded (<=|V|^2 nation pairs);
+    degrees are one tiny aggregate; the wedge join + closure join are
+    hash equi-joins on oriented endpoints; per-node counts explode 3
+    rows per triangle, never the fact table."""
+    base = _trade_base(spark, sf_dir)
+    und = (
+        base.filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .distinct()
+        # two consumers (degree census, orientation) — pay the
+        # 4-table edge derivation once (q_graph_triangles pattern)
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    # degree orientation: direct each edge from lower (degree, id) to
+    # higher (degree, id) — wedge fan-out bounded by O(sqrt(E))
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+    oriented = (
+        und.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(
+                (F.col("dega") < F.col("degb"))
+                | (
+                    (F.col("dega") == F.col("degb"))
+                    & (F.col("a") < F.col("b"))
+                ),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v"))
+            )
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+        # three consumers (both wedge legs + the closure side)
+        .localCheckpoint(eager=True)
+    )
+    w1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    w2 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    wedges = w1.join(w2, "x").filter(F.col("y") < F.col("z"))
+    # the closing edge exists in `oriented` in exactly ONE (degree-
+    # chosen) direction the wedge cannot predict — canonicalize both
+    # sides to (min id, max id) so the closure is a pure hash
+    # equi-join (an OR-of-orientations join condition would plan as a
+    # BroadcastNestedLoopJoin)
+    closer = oriented.select(
+        F.least("u", "v").alias("y"), F.greatest("u", "v").alias("z")
+    )
+    tri = wedges.join(closer, ["y", "z"]).select("x", "y", "z")
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            F.expr(
+                "CAST(CASE WHEN degree >= 2"
+                " THEN (2 * COALESCE(n_tri, 0) * 1000000)"
+                "      div (degree * (degree - 1))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("clustering_e6"),
+        )
+        .orderBy("node")
+    )

@@ -1491,7 +1491,14 @@ def q_sql_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan at 100 TB: tokens explode map-side; the keyword list (5
     rows) broadcasts; one map-side-combined groupBy per keyword —
-    the collation comparator adds zero plan shape."""
+    the collation comparator adds zero plan shape. Measured cost
+    (BASELINE.md round 12): on short ASCII tokens a COLLATED groupBy
+    is ~13% SLOWER than the lower() spelling it replaces — the
+    comparator pays the case-fold on every hash/compare while
+    lower() pays it once per row — so the collation's value here is
+    semantic (original value preserved for pushdown/statistics/
+    display), not raw speed; on wide strings compared rarely the
+    trade reverses."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.unionAll(
         docs.select(

@@ -405,3 +405,70 @@ def test_approx_count_distinct_merge_contract(spark):
     exact = li.distinct().count()
     for est in (one, eight):
         assert abs(est - exact) / exact < 3 * 0.02
+
+
+def test_kmv_sketch_exact_and_layout_invariant(spark):
+    """The KMV sketch is a pure function of the data: (1) pure-Python
+    md5 replay reproduces h_k and the estimate bit-for-bit; (2) the
+    same pipeline under a hostile repartitioning returns the identical
+    row (the GK-vs-HLL merge-contract finding's third data point —
+    KMV sits on the layout-INVARIANT side)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from embarrassingly_parallel_image_classification_spark import registry
+    from embarrassingly_parallel_image_classification_spark.operators.aggregates import (
+        KMV_K,
+    )
+    from embarrassingly_parallel_image_classification_spark.sources.tables import t
+    from tests.conftest import SF_SMOKE
+
+    got = registry.queries()["q_agg_kmv_distinct"](spark, SF_SMOKE).collect()
+    assert len(got) == 1
+    row = got[0]
+    import duckdb
+
+    keys = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT o_custkey FROM"
+            f" read_parquet('{SF_SMOKE}/orders.parquet')"
+        ).fetchall()
+    ]
+    hs = sorted(
+        {int(hashlib.md5(str(int(k)).encode()).hexdigest()[:10], 16) for k in keys}
+    )
+    nk = min(len(hs), KMV_K)
+    hk = hs[nk - 1]
+    est = nk if nk < KMV_K else (KMV_K - 1) * (1 << 40) // hk
+    assert int(row.n_in_sketch) == nk
+    assert int(row.h_k) == hk
+    assert int(row.est_distinct) == est
+    assert int(row.n_true) == len(keys)
+    assert int(row.abs_err_e4) == abs(est - len(keys)) * 10000 // len(keys)
+    if nk < KMV_K:
+        # small-set branch: the sketch IS the exact count
+        assert est == len(keys)
+    else:
+        # estimator sanity: within 25% at k=256 (3/sqrt(k) ~ 19%)
+        assert abs(est - len(keys)) <= 0.25 * len(keys)
+    # layout invariance: hostile repartitioning, same sketch
+    h = (
+        t(spark, SF_SMOKE, "orders")
+        .repartition(7)
+        .select(
+            F.expr(
+                "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 10),"
+                " 16, 10) AS BIGINT)"
+            ).alias("hv")
+        )
+        .distinct()
+        .repartition(3)
+    )
+    kth = (
+        h.orderBy("hv").limit(KMV_K)
+        .agg(F.max("hv").alias("hk"), F.count("*").alias("nk"))
+        .collect()[0]
+    )
+    assert kth.nk == nk and int(kth.hk) == hk
