@@ -295,6 +295,7 @@ HEADLINE = [
     "q_stats_cramer_von_mises",
     "q_agg_kmv_distinct",
     "q_graph_clustering_coeff",
+    "q_dedup_minhash_affine",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

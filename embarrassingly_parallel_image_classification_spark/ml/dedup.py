@@ -1789,3 +1789,182 @@ def q_text_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("typo", "suggestion")
     )
+
+
+# Portable MinHash machinery: ONE md5-40 hash per shingle folded into
+# the Mersenne domain, then 16 fixed affine permutations
+# h_i = (a_i * h + b_i) mod (2^31 - 1). Constants are deterministic
+# literals rendered identically into the Spark plan and the oracle
+# SQL; a_i * h <= (2^31)^2 ~ 4.6e18 stays inside BIGINT.
+MHP_P = 2_147_483_647
+MHP_PERMS = tuple(
+    (
+        (48271 * (i + 1)) % MHP_P,
+        (2_246_822_519 * (i + 1) + 12_345) % MHP_P,
+    )
+    for i in range(16)
+)
+MHP_BANDS = 4  # 4 bands x 4 rows
+MHP_TAU_E6 = 500_000  # verify threshold: exact Jaccard >= 0.5
+
+
+def _mhp_minexprs_sql(h: str) -> list[str]:
+    return [
+        f"MIN(({a} * {h} + {b}) % {MHP_P})" for a, b in MHP_PERMS
+    ]
+
+
+@register(
+    "q_dedup_minhash_affine",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+        FROM toks, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t
+    ),
+    hv AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(s), 1, 10))::BIGINT % {MHP_P} AS h
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               {", ".join(f"{e} AS m{i}" for i, e in enumerate(_mhp_minexprs_sql("h")))}
+        FROM hv GROUP BY doc_id
+    ),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            f"CAST(m{4 * b} AS VARCHAR) || '|' || CAST(m{4 * b + 1} AS VARCHAR)"
+            f" || '|' || CAST(m{4 * b + 2} AS VARCHAR)"
+            f" || '|' || CAST(m{4 * b + 3} AS VARCHAR) AS key FROM sig"
+            for b in range(MHP_BANDS)
+        )}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.da, c.db, CAST(COUNT(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.da
+        JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+        GROUP BY c.da, c.db
+    )
+    SELECT i.da AS doc_a, i.db AS doc_b, i.i AS n_shared,
+           za.n AS sz_a, zb.n AS sz_b,
+           CAST(i.i * 1000000 // (za.n + zb.n - i.i) AS BIGINT)
+             AS jaccard_e6
+    FROM inter i
+    JOIN sz za ON za.doc_id = i.da
+    JOIN sz zb ON zb.doc_id = i.db
+    WHERE i.i * 1000000 >= {MHP_TAU_E6} * (za.n + zb.n - i.i)
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("K2", "composite"),
+)
+def q_dedup_minhash_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with the AFFINE permutation family + the full
+    candidates->EXACT-VERIFY cascade, oracle-checked end-to-end:
+    q_dedup_minhash_portable (the audit twin of the xxhash64
+    production path) already pins portable signatures and the
+    ESTIMATED Jaccard of band-colliding pairs; this query completes
+    the production pipeline shape — LSH shortlist, then exact-Jaccard
+    verification on candidates only, emitting TRUE verified pairs —
+    as ONE checkable query, and swaps the 16-md5-per-shingle
+    permutation family for the classic affine one
+    (h_i = (a_i*h + b_i) mod (2^31 - 1), ONE md5 per shingle). A/B
+    honestly measured (BASELINE.md round 12): at 16 permutations the
+    two families are at PARITY (~0.5 s signature build at sf0.1,
+    32-way) — the md5 count is not the bottleneck at this permutation
+    count; the affine family's advantage is ALGORITHMIC (hash cost is
+    constant in PERMS where the md5 family is linear — at the 128-256
+    permutations production near-dedup uses, the gap is real).
+    Pipeline: distinct 3-gram shingles -> one md5 per shingle -> 16
+    min-aggregates (signature) -> 4 bands x 4 rows -> band-bucket
+    equi-join -> exact-Jaccard verify (>= 0.5) on candidates only.
+    The fixture's planted near-dups (J ~ 0.99) collide in all four
+    bands, so the output is non-vacuous at every sf.
+
+    Exactness: shingle hashing, permutations and band keys are pure
+    integer arithmetic (a*h <= 2^62, no overflow); the verify is the
+    exact integer cross i*10^6 >= tau_e6 * (|A|+|B|-i); jaccard_e6 is
+    the one floor fixing (// parity on non-negative operands).
+
+    Plan at 100 TB: the signature build is one map-side-combined
+    groupBy carrying 16 running minima (128 bytes/doc state); the
+    candidate join is bucket-bounded by band-key occupancy (never
+    all-pairs — the K2 banding discipline); the verify joins shingles
+    for CANDIDATE pairs only."""
+    d = t(spark, sf_dir, "documents")
+    sh = shingles(d).localCheckpoint(eager=True)  # signature + verify + sizes
+    hv = sh.select(
+        "doc_id",
+        F.expr(
+            f"CAST(conv(substring(md5(shingle), 1, 10), 16, 10) AS BIGINT)"
+            f" % {MHP_P}"
+        ).alias("h"),
+    )
+    sig = hv.groupBy("doc_id").agg(
+        *[
+            F.expr(f"MIN(({a} * h + {b}) % {MHP_P})").alias(f"m{i}")
+            for i, (a, b) in enumerate(MHP_PERMS)
+        ]
+    )
+    bands = None
+    for b in range(MHP_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"m{4 * b + j}").cast("string") for j in range(4)]
+            ).alias("key"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    cand = (
+        bands.select(F.col("doc_id").alias("da"), "band", "key")
+        .join(
+            bands.select(F.col("doc_id").alias("db"), "band", "key"),
+            ["band", "key"],
+        )
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("da"), "shingle"), "da"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("db"), "shingle"),
+            ["db", "shingle"],
+        )
+        .groupBy("da", "db")
+        .agg(F.count("*").cast("bigint").alias("i"))
+    )
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("da"), F.col("n").alias("sz_a")), "da")
+        .join(sz.select(F.col("doc_id").alias("db"), F.col("n").alias("sz_b")), "db")
+        .filter(
+            F.col("i") * F.lit(1000000)
+            >= F.lit(MHP_TAU_E6) * (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+        )
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("i").alias("n_shared"),
+            "sz_a",
+            "sz_b",
+            F.expr(
+                "CAST(i * 1000000 div (sz_a + sz_b - i) AS BIGINT)"
+            ).alias("jaccard_e6"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
