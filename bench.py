@@ -296,6 +296,7 @@ HEADLINE = [
     "q_agg_kmv_distinct",
     "q_graph_clustering_coeff",
     "q_dedup_minhash_affine",
+    "q_stats_mood_median",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -4175,3 +4175,139 @@ def q_stats_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(CVM_CRIT_E3).cast(D38) * nm2
         ).alias("significant"),
     )
+
+
+@register(
+    "q_stats_mood_median",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    pv AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY cents
+    ),
+    cum AS (
+        SELECT cents,
+               SUM(c) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cumc,
+               SUM(c) OVER () AS nn
+        FROM pv
+    ),
+    med AS (
+        SELECT MIN(cents) AS med FROM cum WHERE cumc >= (nn + 1) // 2
+    ),
+    cells AS (
+        SELECT x.g, x.cents > med.med AS above,
+               CAST(COUNT(*) AS DECIMAL(38,0)) AS o
+        FROM x, med GROUP BY x.g, x.cents > med.med
+    ),
+    tot AS (
+        SELECT g, above, o,
+               SUM(o) OVER (PARTITION BY g) AS row_t,
+               SUM(o) OVER (PARTITION BY above) AS col_t,
+               SUM(o) OVER () AS n
+        FROM cells
+    ),
+    terms AS (
+        SELECT g, above, o, row_t, n,
+               CAST(ROUND(CAST((o * n - row_t * col_t)
+                               * (o * n - row_t * col_t) AS DOUBLE)
+                          / CAST(n * row_t * col_t AS DOUBLE) * 1000000, 0)
+                    AS BIGINT) AS term_e6
+        FROM tot
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(med.med) AS BIGINT) AS pooled_median_cents,
+           CAST(SUM(CASE WHEN above THEN o ELSE 0 END) AS BIGINT)
+             AS n_above,
+           CAST(SUM(term_e6) AS BIGINT) AS chi2_e6,
+           SUM(term_e6) > {CHI2_DF4_E6} AS significant
+    FROM terms, med
+    """,
+    tags=("M2", "M14", "D9"),
+)
+def q_stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOOD'S MEDIAN TEST (1950) — the classic k-group location test
+    that completes the robustness LADDER beside q_stats_anova
+    (parametric means), q_stats_kruskal (all ranks) and
+    q_stats_brown_forsythe (median-centered spreads): it uses the
+    LEAST information of the three — only which side of the POOLED
+    median each observation falls — which is exactly why it is the
+    recommended screen under extreme outliers or heavy censoring
+    where even ranks are distorted.
+
+    Machinery reuse, both proven elsewhere: the pooled lower median
+    comes from the q_stats_brown_forsythe value-census selection
+    (MIN cents with running count >= (N+1) div 2 — exact, no
+    percentile approximation), and the 5x2 above/at-or-below
+    contingency runs through the q_stats_chi2 multiplied-through
+    per-cell fixing (O*n - row*col)^2 / (n*row*col) with the e6
+    rounding on identical operand bits, df = (5-1)(2-1) = 4 verdict
+    against the same 9.487729 critical value.
+
+    Plan: one pooled value census (domain-bounded) + one window for
+    the median, one 10-cell census + three windows over it — the
+    fact table is scanned twice (median pass, cell pass), the
+    classic two-pass exact-selection trade."""
+    x = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    pv = x.groupBy("cents").agg(F.count("*").cast("bigint").alias("c"))
+    wcum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = pv.select(
+        "cents",
+        F.sum("c").over(wcum).alias("cumc"),
+        F.sum("c").over(wall).alias("nn"),
+    )
+    med = cum.filter(
+        F.col("cumc") >= F.expr("(nn + 1) div 2")
+    ).agg(F.min("cents").alias("med"))
+    cells = (
+        x.crossJoin(F.broadcast(med))
+        .groupBy("g", (F.col("cents") > F.col("med")).alias("above"))
+        .agg(
+            F.count("*").cast(D38).alias("o"),
+            F.max("med").alias("med"),
+        )
+    )
+    wrow = Window.partitionBy("g")
+    wcol = Window.partitionBy("above")
+    tot = cells.select(
+        "above",
+        "o",
+        "med",
+        F.sum("o").over(wrow).alias("row_t"),
+        F.sum("o").over(wcol).alias("col_t"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    num = F.col("o") * F.col("n") - F.col("row_t") * F.col("col_t")
+    terms = tot.select(
+        "above",
+        "o",
+        "med",
+        "n",
+        F.round(
+            (num * num).cast("double")
+            / (F.col("n") * F.col("row_t") * F.col("col_t")).cast("double")
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("term_e6"),
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("med").cast("bigint").alias("pooled_median_cents"),
+        F.sum(F.when(F.col("above"), F.col("o")).otherwise(F.lit(0).cast(D38)))
+        .cast("bigint")
+        .alias("n_above"),
+        F.sum("term_e6").cast("bigint").alias("chi2_e6"),
+        (F.sum("term_e6") > F.lit(CHI2_DF4_E6)).alias("significant"),
+    )

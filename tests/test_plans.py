@@ -334,6 +334,11 @@ _CARTESIAN_OK = {
     "q_stats_cramer_von_mises",  # value-domain cum frame x 1-row (n, m)
                              # totals scalar cross — the KS census
                              # shape with a summed (not max'd) gap
+    "q_stats_mood_median",   # 1-row pooled-median scalar cross onto
+                             # the fact scan for the above/below
+                             # routing — the tree-depth2 root shape
+    "q_agg_kmv_distinct",    # 1-row sketch x 1-row exact-truth scalar
+                             # cross for the in-result error report
     "q_stats_jonckheere",    # the dense (value-domain x 5 groups) grid
                              # build is a 5-row broadcast cross (the
                              # q_stats_kendall grid shape) + the 1-row

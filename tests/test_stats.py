@@ -1662,3 +1662,36 @@ def test_cramer_von_mises_matches_brute_force(spark):
     den = n * m * (n + m) ** 2
     assert int(got.t_e3) == (t_num * 1000) // den
     assert bool(got.significant) == (t_num * 1000 > CVM_CRIT_E3 * den)
+
+
+def test_mood_median_matches_brute_force(spark, events):
+    """Pooled lower median, 5x2 contingency and the per-cell e6 chi2
+    fixings recomputed in pure Python."""
+    got = _rows(spark, "q_stats_mood_median").iloc[0]
+    from embarrassingly_parallel_image_classification_spark.operators.stats import (
+        CHI2_DF4_E6,
+    )
+
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    xs = sorted(int(v) for v in ev.cents)
+    n = len(xs)
+    med = xs[(n + 1) // 2 - 1]
+    assert int(got.pooled_median_cents) == med
+    cells = {}
+    for g, gg in ev.groupby("event_type"):
+        a = int((gg.cents > med).sum())
+        cells[g] = (a, len(gg) - a)
+    col_a = sum(a for a, _ in cells.values())
+    col_b = sum(b for _, b in cells.values())
+    assert int(got.n) == n
+    assert int(got.n_above) == col_a
+    chi2_e6 = 0
+    for g, (a, b) in cells.items():
+        row = a + b
+        for o, col in ((a, col_a), (b, col_b)):
+            chi2_e6 += round(
+                (o * n - row * col) ** 2 / (n * row * col) * 1_000_000
+            )
+    assert int(got.chi2_e6) == chi2_e6
+    assert bool(got.significant) == (chi2_e6 > CHI2_DF4_E6)
