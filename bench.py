@@ -297,6 +297,7 @@ HEADLINE = [
     "q_graph_clustering_coeff",
     "q_dedup_minhash_affine",
     "q_stats_mood_median",
+    "q_stats_ansari_bradley",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

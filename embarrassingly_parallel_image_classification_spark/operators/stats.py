@@ -4311,3 +4311,213 @@ def q_stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term_e6").cast("bigint").alias("chi2_e6"),
         (F.sum("term_e6") > F.lit(CHI2_DF4_E6)).alias("significant"),
     )
+
+
+# T(x) = sum_{j=1..x} min(j, N+1-j): the prefix sum of Ansari-Bradley
+# scores, closed form with integer-exact halves (both branches are
+# products of consecutive integers). h = (N+1) div 2 is the peak.
+_AB_T = (
+    "(CASE WHEN {x} <= (({n} + 1) div 2)"
+    " THEN ({x} * ({x} + 1)) div 2"
+    " ELSE ((({n} + 1) div 2) * (({n} + 1) div 2 + 1)) div 2"
+    "      + ((2 * {n} + 1 - (({n} + 1) div 2) - {x})"
+    "         * ({x} - (({n} + 1) div 2))) div 2 END)"
+)
+_AB_T_DUCK = (
+    "(CASE WHEN {x} <= (({n} + 1) // 2)"
+    " THEN ({x} * ({x} + 1)) // 2"
+    " ELSE ((({n} + 1) // 2) * (({n} + 1) // 2 + 1)) // 2"
+    "      + ((2 * {n} + 1 - (({n} + 1) // 2) - {x})"
+    "         * ({x} - (({n} + 1) // 2))) // 2 END)"
+)
+
+
+@register(
+    "q_stats_ansari_bradley",
+    oracle=f"""
+    WITH x AS (
+        SELECT o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    pv AS (
+        SELECT v,
+               CAST(COUNT(*) FILTER (WHERE st = 'F') AS BIGINT) AS ca,
+               CAST(COUNT(*) AS BIGINT) AS t
+        FROM x GROUP BY v
+    ),
+    pos AS (
+        SELECT v, ca, t,
+               SUM(t) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t
+                 AS cumb,
+               SUM(t) OVER () AS nn
+        FROM pv
+    ),
+    bs AS (
+        SELECT ca, t, nn,
+               {_AB_T_DUCK.format(x="(cumb + t)", n="nn")}
+                 - {_AB_T_DUCK.format(x="cumb", n="nn")} AS bsum
+        FROM pos
+    ),
+    agg AS (
+        SELECT CAST(MAX(nn) AS HUGEINT) AS nn,
+               CAST(SUM(ca) AS HUGEINT) AS n,
+               CAST(MAX(nn) - SUM(ca) AS HUGEINT) AS m,
+               CAST(SUM(bsum) AS HUGEINT) AS s1,
+               CAST(SUM(1000 * ((ca * bsum) // t)
+                        + CAST(ROUND(1000.0
+                              * CAST((ca * bsum) % t AS DOUBLE)
+                              / CAST(t AS DOUBLE), 0) AS HUGEINT))
+                    AS HUGEINT) AS ab_e3,
+               CAST(SUM(1000 * ((bsum * bsum) // t)
+                        + CAST(ROUND(1000.0
+                              * CAST((bsum * bsum) % t AS DOUBLE)
+                              / CAST(t AS DOUBLE), 0) AS HUGEINT))
+                    AS HUGEINT) AS s2_e3
+        FROM bs
+    ),
+    fin AS (
+        SELECT nn, n, m, s1, ab_e3,
+               ABS(ab_e3 * nn - n * s1 * 1000) // 1000 AS dstage,
+               GREATEST(nn * s2_e3 - s1 * s1 * 1000, 0) AS vnum_e3
+        FROM agg
+    ),
+    vr AS (
+        SELECT fin.*,
+               GREATEST(n * m * (vnum_e3 // 1000000), 1) AS r1
+        FROM fin
+    )
+    SELECT CAST(n AS BIGINT) AS n_f, CAST(m AS BIGINT) AS n_o,
+           CAST(s1 AS BIGINT) AS score_total,
+           CAST(ab_e3 AS BIGINT) AS ab_f_e3,
+           CAST((dstage * dstage * (nn - 1)) // r1 AS BIGINT)
+             AS z2_e3,
+           (dstage * dstage * (nn - 1)) // r1 > 3841
+             AS significant
+    FROM vr
+    """,
+    tags=("M2", "M14"),
+)
+def q_stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSARI-BRADLEY rank scale test (1960) — the DISPERSION member
+    that completes the two-sample corner on the F/O order split:
+    location (q_stats_mann_whitney), whole-distribution sup
+    (q_stats_ks_test), integrated square (q_stats_cramer_von_mises),
+    and now SCALE — do the two cohorts differ in spread, judged
+    nonparametrically by the center-folded scores
+    a_r = min(r, N+1-r) (small at both extremes, large in the
+    middle: sample A concentrating in the middle means larger spread
+    for B). The rank-based sibling of q_stats_brown_forsythe's
+    moment-based variance check.
+
+    Exactness (the pinned chain): pooled value census -> each tie
+    block's SCORE SUM via the closed-form prefix
+    T(x) = sum min(j, N+1-j) (two consecutive-integer products, exact
+    integer halves — verified against brute force in the twin);
+    average tie scores enter through the ANOVA e3 DIV/MOD fixing
+    (operands < 2^53 guaranteed since remainders are < t); exact
+    integer cross D = ab_e3*N - n*S1*1000; null moments conditional
+    on the tie pattern (Hollander-Wolfe): E = n*S1/N,
+    Var = nm(N*sum(a^2) - S1^2)/(N^2(N-1)); the z^2 verdict runs on
+    THREE pinned staged floors (dstage = |D| div 1000, r1 = nm*vnum
+    div 10^6, z2_e3 = the final quotient) with the boundary
+    convention z2_e3 > 3841 stated (declares significance when the
+    pinned z^2 exceeds ~3.8415 by at least the floor resolution).
+    Operand audit: every product stays inside 38 digits through
+    sf0.1 even at maximal separation; beyond that the fixing scales
+    shrink (stated, the q_stats_cramer_von_mises bound style).
+
+    Plan: identical shape to KS/CvM — one map-side-combined value
+    census, one cumulative window over the value domain, a 1-row
+    aggregate; the fact table is scanned once."""
+    x = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    ).select(
+        F.col("o_orderstatus").alias("st"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("v"),
+    )
+    pv = x.groupBy("v").agg(
+        F.sum(F.when(F.col("st") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.count("*").cast("bigint").alias("t"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    pos = pv.select(
+        "ca",
+        "t",
+        (F.sum("t").over(wcum) - F.col("t")).alias("cumb"),
+        F.sum("t").over(wall).alias("nn"),
+    )
+    bs = pos.select(
+        "ca",
+        "t",
+        "nn",
+        (
+            F.expr(_AB_T.format(x="(cumb + t)", n="nn"))
+            - F.expr(_AB_T.format(x="cumb", n="nn"))
+        ).alias("bsum"),
+    )
+    fix = (
+        "1000 * (({num}) div t)"
+        " + CAST(ROUND(1000.0 * CAST(({num}) % t AS DOUBLE)"
+        " / CAST(t AS DOUBLE), 0) AS BIGINT)"
+    )
+    agg = bs.agg(
+        F.max("nn").cast(D38).alias("nn"),
+        F.sum("ca").cast(D38).alias("n"),
+        (F.max("nn") - F.sum("ca")).cast(D38).alias("m"),
+        F.sum("bsum").cast(D38).alias("s1"),
+        F.sum(F.expr(fix.format(num="ca * bsum"))).cast(D38).alias("ab_e3"),
+        F.sum(F.expr(fix.format(num="bsum * bsum")))
+        .cast(D38)
+        .alias("s2_e3"),
+    )
+    fin = agg.select(
+        "nn",
+        "n",
+        "m",
+        "s1",
+        "ab_e3",
+        F.expr("ABS(ab_e3 * nn - n * s1 * 1000) div 1000")
+        .cast(D38)
+        .alias("dstage"),
+        F.expr("GREATEST(nn * s2_e3 - s1 * s1 * 1000, CAST(0 AS decimal(38,0)))")
+        .cast(D38)
+        .alias("vnum_e3"),
+    )
+    # the floor MUST run on vnum_e3 alone: Spark `div` returns BIGINT
+    # and silently WRAPS quotients > int64 (probed round 12 —
+    # 5.1e27 div 1e6 = garbage, no error in non-ANSI), and
+    # (n*m*vnum_e3) div 1e6 ~ 5.1e24 at sf0.1 while
+    # vnum_e3 div 1e6 ~ 2.1e15 is safe through sf100; the product
+    # n*m*v6 then stays in DECIMAL(38,0). sf0.01 fit int64 by only
+    # 2x, which is why the oracle gate alone could not catch this.
+    vr = fin.withColumn(
+        "r1",
+        F.expr(
+            "GREATEST(n * m * (vnum_e3 div 1000000),"
+            " CAST(1 AS decimal(38,0)))"
+        ).cast(D38),
+    )
+    return vr.select(
+        F.col("n").cast("bigint").alias("n_f"),
+        F.col("m").cast("bigint").alias("n_o"),
+        F.col("s1").cast("bigint").alias("score_total"),
+        F.col("ab_e3").cast("bigint").alias("ab_f_e3"),
+        F.expr(
+            "CAST((CAST(dstage AS decimal(38,0)) * dstage * (nn - 1))"
+            " div r1 AS BIGINT)"
+        ).alias("z2_e3"),
+        (
+            F.expr(
+                "(CAST(dstage AS decimal(38,0)) * dstage * (nn - 1))"
+                " div r1"
+            )
+            > F.lit(3841)
+        ).alias("significant"),
+    )

@@ -1695,3 +1695,113 @@ def test_mood_median_matches_brute_force(spark, events):
             )
     assert int(got.chi2_e6) == chi2_e6
     assert bool(got.significant) == (chi2_e6 > CHI2_DF4_E6)
+
+
+def test_ansari_bradley_matches_brute_force(spark):
+    """The pinned chain (closed-form block score sums, e3 fixings,
+    staged z^2) replayed in pure Python, plus a float sanity check of
+    the z^2 against the direct average-tie-score computation."""
+    got = _rows(spark, "q_stats_ansari_bradley").iloc[0]
+    rows = duckdb.sql(
+        f"SELECT o_orderstatus st, CAST(ROUND(o_totalprice*100,0) AS BIGINT) v"
+        f" FROM read_parquet('{SF_SMOKE}/orders.parquet')"
+        f" WHERE o_orderstatus IN ('F','O')"
+    ).fetchall()
+    from collections import Counter
+
+    ca = Counter(v for st, v in rows if st == "F")
+    call = Counter(v for _, v in rows)
+    N = sum(call.values())
+    n = sum(ca.values())
+    m = N - n
+
+    def T(x):
+        h = (N + 1) // 2
+        if x <= h:
+            return x * (x + 1) // 2
+        return h * (h + 1) // 2 + (2 * N + 1 - h - x) * (x - h) // 2
+
+    def fix(num, t):
+        return 1000 * (num // t) + round(1000 * (num % t) / t)
+
+    cum = 0
+    s1 = ab_e3 = s2_e3 = 0
+    ab_float = 0.0
+    s2_float = 0.0
+    for v in sorted(call):
+        t_ = call[v]
+        bsum = T(cum + t_) - T(cum)
+        s1 += bsum
+        ab_e3 += fix(ca.get(v, 0) * bsum, t_)
+        s2_e3 += fix(bsum * bsum, t_)
+        ab_float += ca.get(v, 0) * bsum / t_
+        s2_float += bsum * bsum / t_
+        cum += t_
+    dstage = abs(ab_e3 * N - n * s1 * 1000) // 1000
+    vnum_e3 = max(N * s2_e3 - s1 * s1 * 1000, 0)
+    r1 = max(n * m * (vnum_e3 // 1_000_000), 1)
+    z2_e3 = (dstage * dstage * (N - 1)) // r1
+    assert int(got.n_f) == n and int(got.n_o) == m
+    assert int(got.score_total) == s1
+    assert int(got.ab_f_e3) == ab_e3
+    assert int(got.z2_e3) == z2_e3
+    assert bool(got.significant) == (z2_e3 > 3841)
+    # float sanity: Hollander-Wolfe conditional z^2 on average scores
+    e = n * s1 / N
+    var = n * m * (N * s2_float - s1 * s1) / (N * N * (N - 1))
+    z2 = (ab_float - e) ** 2 / var
+    assert abs(z2 - z2_e3 / 1000) < max(0.01 * z2, 0.01)
+
+
+def test_ansari_bradley_sf01_no_quotient_wrap(spark):
+    """Regression guard for the round-12 div-quotient wrap: the r1
+    staging fit int64 by only 2x at sf0.01 (the oracle gate's scale)
+    and silently wrapped at sf0.1 — Spark `div` returns BIGINT and
+    WRAPS oversized quotients without error in non-ANSI mode. Pin the
+    full chain at sf0.1 where the old spelling produced z2_e3 ~ 2.3e9
+    instead of 2815."""
+    import os
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf01, "orders.parquet")):
+        import pytest
+
+        pytest.skip("sf0.1 fixture not present")
+    got = _rows(spark, "q_stats_ansari_bradley", sf_dir=sf01).iloc[0]
+    rows = duckdb.sql(
+        f"SELECT o_orderstatus st, CAST(ROUND(o_totalprice*100,0) AS BIGINT) v"
+        f" FROM read_parquet('{sf01}/orders.parquet')"
+        f" WHERE o_orderstatus IN ('F','O')"
+    ).fetchall()
+    from collections import Counter
+
+    ca = Counter(v for st, v in rows if st == "F")
+    call = Counter(v for _, v in rows)
+    N = sum(call.values())
+    n = sum(ca.values())
+    m = N - n
+
+    def T(x):
+        h = (N + 1) // 2
+        if x <= h:
+            return x * (x + 1) // 2
+        return h * (h + 1) // 2 + (2 * N + 1 - h - x) * (x - h) // 2
+
+    def fix(num, t):
+        return 1000 * (num // t) + round(1000 * (num % t) / t)
+
+    cum = 0
+    s1 = ab_e3 = s2_e3 = 0
+    for v in sorted(call):
+        t_ = call[v]
+        bs = T(cum + t_) - T(cum)
+        s1 += bs
+        ab_e3 += fix(ca.get(v, 0) * bs, t_)
+        s2_e3 += fix(bs * bs, t_)
+        cum += t_
+    dstage = abs(ab_e3 * N - n * s1 * 1000) // 1000
+    vnum_e3 = max(N * s2_e3 - s1 * s1 * 1000, 0)
+    r1 = max(n * m * (vnum_e3 // 1_000_000), 1)
+    z2_e3 = (dstage * dstage * (N - 1)) // r1
+    assert int(got.z2_e3) == z2_e3
+    assert bool(got.significant) == (z2_e3 > 3841)
