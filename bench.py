@@ -298,6 +298,20 @@ HEADLINE = [
     "q_dedup_minhash_affine",
     "q_stats_mood_median",
     "q_stats_ansari_bradley",
+    "q_stats_lepage",
+    "q_stats_cochran_armitage",
+    "q_graph_assortativity",
+    "q_stats_cmh",
+    "q_stats_page_trend",
+    "q_fn_luhn",
+    "q_graph_kcore",
+    "q_stats_seasonal_mk",
+    "q_timeseries_croston",
+    "q_stats_prop_ztest",
+    "q_graph_reciprocity",
+    "q_sql_lateral_alias",
+    "q_stats_mh_odds",
+    "q_train_perceptron",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

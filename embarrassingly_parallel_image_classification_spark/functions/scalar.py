@@ -922,3 +922,137 @@ def q_fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# The Luhn digit-sum over positions 1..L of a digit string {d}: the
+# rightmost digit carries right-index 0 (never doubled); doubling a
+# digit > 4 subtracts 9 (the sum-of-digits identity 2g - 9 for 2g > 9).
+# {shift} lets the SAME spelling serve validation (shift=0: parity from
+# the string's own right edge) and check-digit GENERATION (shift=1:
+# parity as if one more digit were appended to the right).
+_LUHN_SUM_SPARK = (
+    "aggregate(sequence(1, length({d})), 0L, (acc, p) -> acc +"
+    " (CASE WHEN (length({d}) - p + {shift}) % 2 = 1"
+    "  THEN (CASE WHEN 2 * CAST(substring({d}, p, 1) AS BIGINT) > 9"
+    "        THEN 2 * CAST(substring({d}, p, 1) AS BIGINT) - 9"
+    "        ELSE 2 * CAST(substring({d}, p, 1) AS BIGINT) END)"
+    "  ELSE CAST(substring({d}, p, 1) AS BIGINT) END))"
+)
+_LUHN_SUM_DUCK = (
+    "list_sum(list_transform(range(1, length({d}) + 1), p ->"
+    " (CASE WHEN (length({d}) - p + {shift}) % 2 = 1"
+    "  THEN (CASE WHEN 2 * CAST(substring({d}, p, 1) AS BIGINT) > 9"
+    "        THEN 2 * CAST(substring({d}, p, 1) AS BIGINT) - 9"
+    "        ELSE 2 * CAST(substring({d}, p, 1) AS BIGINT) END)"
+    "  ELSE CAST(substring({d}, p, 1) AS BIGINT) END)))"
+)
+
+
+@register(
+    "q_fn_luhn",
+    oracle=f"""
+    WITH x AS (
+        SELECT c_mktsegment AS seg,
+               lpad(CAST(c_custkey AS VARCHAR), 9, '0')
+                 || lpad(CAST(c_nationkey AS VARCHAR), 2, '0') AS d
+        FROM customer
+    ),
+    b AS (
+        SELECT seg, d,
+               substring(d, 1, length(d) - 1) AS base
+        FROM x
+    ),
+    v AS (
+        SELECT seg,
+               {_LUHN_SUM_DUCK.format(d="d", shift="0")} % 10 = 0
+                 AS phone_valid
+        FROM b
+    )
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN phone_valid THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_valid,
+           CAST(COUNT(*) AS BIGINT) AS n_synth_valid,
+           CAST(0 AS BIGINT) AS n_tampered_valid
+    FROM v
+    GROUP BY seg ORDER BY seg
+    """,
+    tags=("H2", "H4"),
+)
+def q_fn_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUHN CHECKSUM surface (`luhn_check`, Spark 4 SPARK-42191) — the
+    mod-10 self-check digit scheme of card/IMEI/account identifiers,
+    the classic ingest-validation gate. Three proofs ride one scan of
+    the customer phone digits, per market segment:
+
+    (1) VALIDATE: `luhn_check(digits)` over the raw phone digit
+    string — pseudorandom digits pass at ~1/10, so n_valid is a
+    nontrivial count both engines must agree on. The ORACLE implements
+    Luhn from its definition (a positional digit-sum inside
+    list_transform, doubling every second digit from the right with
+    the 2g-9 carry fold) — builtin vs from-scratch agreement pins the
+    builtin's semantics, the CC/clustering two-algorithms discipline.
+    (2) GENERATE + round-trip: the check digit c = (10 - S mod 10)
+    mod 10 computed under APPENDED parity (the shift=1 spelling of
+    the same digit-sum template) makes luhn_check(base || c) TRUE for
+    EVERY row — n_synth_valid = n is the planted always-TRUE branch,
+    and the Spark side genuinely runs the builtin over the generated
+    string (the oracle states the identity by construction).
+    (3) TAMPER: adding 5 to the check digit mod 10 (a single-digit
+    transcription error, the exact fault class Luhn is designed to
+    catch) makes luhn_check FALSE for every row — n_tampered_valid =
+    0, the planted always-FALSE branch (5 is self-inverse mod 10 and
+    never maps c to itself; a doubled-position error of +/-5 could
+    slip through Luhn, an undoubled one cannot — the rightmost check
+    digit is never doubled).
+
+    Exactness: everything is integer digit arithmetic; the only
+    engine-facing subtlety is that Spark's HOF lambda re-evaluates an
+    inlined once-referenced alias per element (CollapseProject — the
+    standing trap), dodged here because d/base are each referenced
+    >= 2x so the projection survives.
+
+    Plan at 100 TB: map-only per-row digit folds (sequence(1, ~12) —
+    bounded fan-in, no explode materialized) into one
+    map-side-combined 5-row groupBy; the scan is the entire cost."""
+    x = t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            "lpad(CAST(c_custkey AS STRING), 9, '0')"
+            " || lpad(CAST(c_nationkey AS STRING), 2, '0')"
+        ).alias("d"),
+    )
+    b = x.select(
+        "seg",
+        "d",
+        F.expr("substring(d, 1, length(d) - 1)").alias("base"),
+    )
+    v = b.select(
+        "seg",
+        F.expr("luhn_check(d)").alias("phone_valid"),
+        F.expr(
+            "luhn_check(concat(base, CAST((10 - "
+            + _LUHN_SUM_SPARK.format(d="base", shift="1")
+            + " % 10) % 10 AS STRING)))"
+        ).alias("synth_valid"),
+        F.expr(
+            "luhn_check(concat(base, CAST(((10 - "
+            + _LUHN_SUM_SPARK.format(d="base", shift="1")
+            + " % 10) % 10 + 5) % 10 AS STRING)))"
+        ).alias("tampered_valid"),
+    )
+    return (
+        v.groupBy("seg")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("phone_valid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_valid"),
+            F.sum(F.when(F.col("synth_valid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_synth_valid"),
+            F.sum(F.when(F.col("tampered_valid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_tampered_valid"),
+        )
+        .orderBy("seg")
+    )

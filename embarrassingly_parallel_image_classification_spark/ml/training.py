@@ -1842,3 +1842,181 @@ def q_train_tree_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gini_e6",
     )
     return out_root.unionAll(best2).unionAll(best3).orderBy("node")
+
+
+_PERC_EPOCHS = 3
+
+
+def _perceptron_oracle() -> str:
+    """Census + unrolled batch-perceptron epochs as MATERIALIZED CTEs
+    (the q_graph_kcore double-pin rule: every epoch CTE is referenced
+    by the next epoch AND the final audit — un-materialized, DuckDB
+    re-expands the chain per reference)."""
+    parts = [
+        """WITH cells AS MATERIALIZED (
+        SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS x1,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) // 1000000
+                 AS x2,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE -1 END AS y,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1, 2, 3
+    ),
+    w0 AS MATERIALIZED (
+        SELECT CAST(0 AS BIGINT) AS wb, CAST(0 AS BIGINT) AS w1,
+               CAST(0 AS BIGINT) AS w2
+    )"""
+    ]
+    prev = "w0"
+    for e in range(1, _PERC_EPOCHS + 1):
+        parts.append(
+            f""",
+    w{e} AS MATERIALIZED (
+        SELECT {prev}.wb + COALESCE(SUM(CASE WHEN
+                   c.y * ({prev}.wb + {prev}.w1 * c.x1
+                          + {prev}.w2 * c.x2) <= 0
+                   THEN c.cnt * c.y ELSE 0 END), 0) AS wb,
+               {prev}.w1 + COALESCE(SUM(CASE WHEN
+                   c.y * ({prev}.wb + {prev}.w1 * c.x1
+                          + {prev}.w2 * c.x2) <= 0
+                   THEN c.cnt * c.y * c.x1 ELSE 0 END), 0) AS w1,
+               {prev}.w2 + COALESCE(SUM(CASE WHEN
+                   c.y * ({prev}.wb + {prev}.w1 * c.x1
+                          + {prev}.w2 * c.x2) <= 0
+                   THEN c.cnt * c.y * c.x2 ELSE 0 END), 0) AS w2
+        FROM cells c CROSS JOIN {prev}
+        GROUP BY {prev}.wb, {prev}.w1, {prev}.w2
+    )"""
+        )
+        prev = f"w{e}"
+    parts.append(
+        f"""
+    SELECT CAST(w.wb AS BIGINT) AS wb, CAST(w.w1 AS BIGINT) AS w1,
+           CAST(w.w2 AS BIGINT) AS w2,
+           CAST(SUM(c.cnt) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN c.y * (w.wb + w.w1 * c.x1 + w.w2 * c.x2)
+                         <= 0 THEN c.cnt ELSE 0 END) AS BIGINT)
+             AS n_misclassified,
+           CAST((SUM(c.cnt) - SUM(CASE WHEN
+                    c.y * (w.wb + w.w1 * c.x1 + w.w2 * c.x2) <= 0
+                    THEN c.cnt ELSE 0 END)) * 1000000 // SUM(c.cnt)
+                AS BIGINT) AS accuracy_e6
+    FROM cells c CROSS JOIN {prev} w
+    GROUP BY w.wb, w.w1, w.w2"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "q_train_perceptron", oracle=_perceptron_oracle(), tags=("Q5", "ml")
+)
+def q_train_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH PERCEPTRON (Rosenblatt 1958, full-batch variant) — the
+    original linear classifier, trained EXACTLY: integer features
+    (x1 = priority digit 1..5, x2 = price in $10k floor units), label
+    y = +/-1 on final order status, eta = 1, w = 0 start, and the
+    FULL-BATCH update w += sum over misclassified of cnt*y*x per
+    epoch. The per-sample perceptron is inherently SEQUENTIAL
+    (order-dependent mistakes); the batch variant is the
+    data-parallel spelling — every epoch is one aggregate over the
+    (x1, x2, y) CENSUS, which is domain-bounded (<= ~70 cells), so
+    3 epochs = 3 tiny aggregates over a frame that never grows with
+    the data. The Q-family's missing ur-trainer beside GD/NB/stumps.
+
+    Exactness: everything is BIGINT — integer features, integer
+    counts, eta = 1 keeps weights integer forever; the margin test
+    y*(w.x) <= 0 is an integer comparison (epoch 1 from w = 0
+    classifies EVERYTHING as misclassified by the <= convention,
+    stated — the standard batch-perceptron cold start, giving
+    w_1 = the class-weighted feature sums). Weight audit: |w| grows
+    <= n*5 per epoch ~ 2.3e7 at sf1 after 3 epochs; margins
+    <= ~2e8 — trivially BIGINT at any sf.
+
+    Plan at 100 TB: ONE map-side-combined census scan, then 3
+    chained (70-row x 1-row) broadcast scalar crosses + a final
+    audit cross — the whole training loop shuffles nothing larger
+    than the census; the fact table is scanned exactly once. Both
+    engines pin the chain against re-expansion (localCheckpoint per
+    epoch / AS MATERIALIZED per CTE — the q_graph_kcore rule)."""
+    cells = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr("CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT)").alias(
+                "x1"
+            ),
+            F.expr(
+                "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) div 1000000"
+            ).alias("x2"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(-1)
+            .alias("y"),
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        # consumed by every epoch + the final audit: pin once
+        .localCheckpoint(eager=True)
+    )
+    w = spark.createDataFrame(
+        [(0, 0, 0)], "wb BIGINT, w1 BIGINT, w2 BIGINT"
+    )
+    margin = "y * (wb + w1 * x1 + w2 * x2)"
+    for _ in range(_PERC_EPOCHS):
+        w = (
+            cells.crossJoin(F.broadcast(w))
+            .groupBy("wb", "w1", "w2")
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"CASE WHEN {margin} <= 0 THEN cnt * y ELSE 0 END"
+                    )
+                ).alias("db"),
+                F.sum(
+                    F.expr(
+                        f"CASE WHEN {margin} <= 0 THEN cnt * y * x1"
+                        " ELSE 0 END"
+                    )
+                ).alias("d1"),
+                F.sum(
+                    F.expr(
+                        f"CASE WHEN {margin} <= 0 THEN cnt * y * x2"
+                        " ELSE 0 END"
+                    )
+                ).alias("d2"),
+            )
+            .select(
+                (F.col("wb") + F.coalesce(F.col("db"), F.lit(0)))
+                .cast("bigint")
+                .alias("wb"),
+                (F.col("w1") + F.coalesce(F.col("d1"), F.lit(0)))
+                .cast("bigint")
+                .alias("w1"),
+                (F.col("w2") + F.coalesce(F.col("d2"), F.lit(0)))
+                .cast("bigint")
+                .alias("w2"),
+            )
+            # each epoch's 1-row weights feed the next epoch AND (for
+            # the last) the final audit: pin (q_graph_kcore rule)
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cells.crossJoin(F.broadcast(w))
+        .groupBy("wb", "w1", "w2")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_train"),
+            F.sum(
+                F.expr(f"CASE WHEN {margin} <= 0 THEN cnt ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("n_misclassified"),
+        )
+        .select(
+            "wb",
+            "w1",
+            "w2",
+            "n_train",
+            "n_misclassified",
+            F.expr(
+                "(n_train - n_misclassified) * 1000000 div n_train"
+            )
+            .cast("bigint")
+            .alias("accuracy_e6"),
+        )
+    )

@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources.tables import t
 
+D38 = "decimal(38,0)"
+
 _SCALE = 10**12  # fixed-point unit: 1 rank point = 1e-12
 _DAMP_NUM, _DAMP_DEN = 85, 100  # d = 0.85 as an integer ratio
 _ITERS = 10
@@ -776,4 +778,440 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_e6"),
         )
         .orderBy("node")
+    )
+
+
+@register(
+    "q_graph_assortativity",
+    oracle=f"""
+    WITH base AS ({_EDGES_SQL}),
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM base WHERE src <> dst
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        ) d GROUP BY node
+    ),
+    dir AS (
+        SELECT u.a AS s, u.b AS t FROM und u
+        UNION ALL
+        SELECT u.b, u.a FROM und u
+    ),
+    ends AS (
+        SELECT CAST(ds.degree AS HUGEINT) AS j,
+               CAST(dt.degree AS HUGEINT) AS k
+        FROM dir
+        JOIN deg ds ON ds.node = dir.s
+        JOIN deg dt ON dt.node = dir.t
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS m2,
+               CAST(SUM(j * k) AS HUGEINT) AS sjk,
+               CAST(SUM(j) AS HUGEINT) AS sj,
+               CAST(SUM(j * j) AS HUGEINT) AS sj2
+        FROM ends
+    ),
+    fin AS (
+        SELECT m2, sjk, sj, sj2,
+               m2 * sjk - sj * sj AS num,
+               GREATEST(m2 * sj2 - sj * sj, 1) AS den
+        FROM agg
+    )
+    SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+           CAST(num AS BIGINT) AS r_num,
+           CAST(den AS BIGINT) AS r_den,
+           CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                * ((ABS(num) * 1000000) // den) AS BIGINT) AS r_e6,
+           num > 0 AS assortative
+    FROM fin
+    """,
+    tags=("M5", "graph"),
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY (Newman 2002): do high-degree nodes link
+    to other high-degree nodes (r > 0, social-network shape) or to
+    low-degree ones (r < 0, hub-and-spoke/internet shape)? THE
+    summary statistic of a graph's wiring beyond the degree sequence
+    itself, and the quantity that decides whether degree-oriented
+    algorithms (q_graph_clustering_coeff's wedge bound) face a
+    friendly or adversarial topology.
+
+    r is the Pearson correlation of the endpoint-degree pairs taken
+    over every edge in BOTH directions (the standard undirected
+    convention: each edge contributes (j,k) and (k,j), which makes
+    the two marginals identical). Multiplying through by (2M)^2:
+    num = 2M*sum(jk) - (sum j)^2, den = 2M*sum(j^2) - (sum j)^2 —
+    PURE integer Pearson, no mean ever materialized. Reported as the
+    sign-split magnitude floor r_e6 = sign(num) * (|num|*1e6 div den)
+    — the house negative-quotient rule (Spark `div` truncates toward
+    zero, DuckDB `//` floors; they agree only on non-negatives, so
+    the floor runs on |num| and the sign re-enters by multiplication,
+    identical in both engines). num/den are also output raw so the
+    twin can verify r as an exact rational.
+
+    Plan at 100 TB: the edge census is domain-bounded (nation pairs
+    here; any graph's edge table generally); the degree frame is
+    |V|-sized and BROADCAST onto the directed edge list twice — two
+    map-side hash joins, one 1-row aggregate, no shuffle wider than
+    the degree census itself."""
+    base = _trade_base(spark, sf_dir)
+    und = (
+        base.filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .distinct()
+        # two consumers (degree census, directed expansion): pay the
+        # 4-table edge derivation once (q_graph_clustering_coeff
+        # pattern)
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    direct = und.select(F.col("a").alias("s"), F.col("b").alias("t")).unionAll(
+        und.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    ds = deg.select(F.col("node").alias("s"), F.col("degree").alias("j"))
+    dt = deg.select(F.col("node").alias("t"), F.col("degree").alias("k"))
+    ends = (
+        direct.join(F.broadcast(ds), "s")
+        .join(F.broadcast(dt), "t")
+        .select(F.col("j").cast(D38).alias("j"), F.col("k").cast(D38).alias("k"))
+    )
+    agg = ends.agg(
+        F.count("*").cast(D38).alias("m2"),
+        F.sum(F.col("j") * F.col("k")).cast(D38).alias("sjk"),
+        F.sum("j").cast(D38).alias("sj"),
+        F.sum(F.col("j") * F.col("j")).cast(D38).alias("sj2"),
+    )
+    fin = agg.select(
+        "m2",
+        (F.col("m2") * F.col("sjk") - F.col("sj") * F.col("sj"))
+        .cast(D38)
+        .alias("num"),
+        F.expr(
+            "GREATEST(m2 * sj2 - sj * sj, CAST(1 AS decimal(38,0)))"
+        )
+        .cast(D38)
+        .alias("den"),
+    )
+    return fin.select(
+        F.expr("CAST(m2 div 2 AS BIGINT)").alias("n_edges"),
+        F.col("num").cast("bigint").alias("r_num"),
+        F.col("den").cast("bigint").alias("r_den"),
+        (
+            F.when(F.col("num") < 0, -1).otherwise(1)
+            * F.expr("ABS(num) * 1000000 div den")
+        )
+        .cast("bigint")
+        .alias("r_e6"),
+        (F.col("num") > 0).alias("assortative"),
+    )
+
+
+_KCORE_K = 7
+_KCORE_TOPM = 6
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling rounds as chained CTEs (the SSSP/CC
+    discipline): alive_r = nodes whose degree AMONG alive_{r-1}
+    survivors is >= k. Generated once at import so query and oracle
+    share the round count."""
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and each round references the previous alive set
+    # twice — un-materialized, the 4-round unroll re-expands the
+    # 4-table edge join exponentially and never finishes (measured:
+    # blew the contract timeout; the Spark twin of this same hazard
+    # is the eager localCheckpoint per round)
+    parts = [
+        f"""WITH pairs AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+    ),
+    topm AS MATERIALIZED (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                       ORDER BY cnt DESC, dst) AS rn
+            FROM pairs) t WHERE rn <= {_KCORE_TOPM}
+    ),""",
+        """
+    und AS MATERIALIZED (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM topm
+    ),
+    a0 AS MATERIALIZED (
+        SELECT DISTINCT node FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        ) n
+    )""",
+    ]
+    prev = "a0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+    e{r} AS MATERIALIZED (
+        SELECT und.a, und.b FROM und
+        JOIN {prev} x ON x.node = und.a
+        JOIN {prev} y ON y.node = und.b
+    ),
+    d{r} AS MATERIALIZED (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (
+            SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r}
+        ) n GROUP BY node
+    ),
+    a{r} AS MATERIALIZED
+        (SELECT node FROM d{r} WHERE degree >= {_KCORE_K})"""
+        )
+        prev = f"a{r}"
+    last = _KCORE_ROUNDS
+    joins = "\n".join(
+        f"    LEFT JOIN a{r} s{r} ON s{r}.node = a0.node"
+        for r in range(1, last + 1)
+    )
+    removed = " ".join(
+        f"WHEN s{r}.node IS NULL THEN {r}" for r in range(1, last + 1)
+    )
+    parts.append(
+        f""",
+    conv AS (
+        SELECT (SELECT COUNT(*) FROM a{last})
+             = (SELECT COUNT(*) FROM a{last - 1}) AS converged
+    )
+    SELECT a0.node,
+           CAST(CASE {removed} ELSE 0 END AS BIGINT) AS removed_round,
+           s{last}.node IS NOT NULL AS in_core,
+           CAST(COALESCE(fd.degree, 0) AS BIGINT) AS core_degree,
+           conv.converged
+    FROM a0
+{joins}
+    LEFT JOIN (
+        SELECT node, degree FROM d{last}
+        WHERE node IN (SELECT node FROM a{last})
+    ) fd ON fd.node = a0.node
+    CROSS JOIN conv
+    ORDER BY a0.node"""
+    )
+    return "".join(parts)
+
+
+@register("q_graph_kcore", oracle=_kcore_oracle(), tags=("M5", "graph"))
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE DECOMPOSITION (k=3) by ITERATIVE PEELING — the maximal
+    subgraph in which every node keeps >= k neighbors, THE standard
+    graph-density screen (community cores, spam/bot rings, the
+    "where is the real structure" filter before expensive per-node
+    analytics like q_graph_clustering_coeff). The graph is the trade
+    graph SPARSIFIED deterministically to each nation's top-6
+    partners by trade count (ties by id) — the raw nation graph
+    saturates to a clique as sf grows, which would leave the peeling
+    branch dead; top-m keeps a degree spread (6..24) at every sf so
+    k=7 genuinely peels (probed: core 10 of 25 at sf0.001, 8 of 25 at
+    sf0.01, converging in <= 2 rounds). Peeling is the textbook
+    algorithm: repeatedly delete nodes of degree < k; what survives
+    is exactly the k-core regardless of deletion order — order
+    independence is what makes a data-parallel unroll correct.
+
+    Determinism contract: BOTH engines run exactly ROUNDS=4 peeling
+    rounds (Spark as a chained 25-node broadcast-join plan, the
+    oracle as unrolled CTEs — the SSSP/CC discipline), so outputs
+    match EVEN IF 4 rounds were not enough; the `converged` column
+    (round 4 removed nothing = fixed point certificate) reports
+    whether the result IS the k-core, and the pytest twin asserts
+    convergence on this fixture plus replays peeling to a true fixed
+    point independently. Per node: the round it was peeled
+    (removed_round, 0 = survivor), core membership, and its degree at
+    the FINAL census (>= k for every survivor by construction of the
+    alive filter — a self-certifying output; equal to the true
+    in-core degree exactly when converged=true, which the twin
+    asserts).
+
+    Plan at 100 TB: the alive set is |V|-bounded and BROADCAST onto
+    the edge list each round (two map-side hash semi-joins + one
+    |V|-row degree census per round — no shuffle ever exceeds the
+    node census); the 4-round unroll hands Catalyst ONE linear plan,
+    and a production run on a huge graph would localCheckpoint the
+    alive set per round exactly as q_graph_pagerank documents."""
+    base = _trade_base(spark, sf_dir)
+    pairs = (
+        base.filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    wtop = Window.partitionBy("src").orderBy(
+        F.col("cnt").desc(), F.col("dst")
+    )
+    topm = (
+        pairs.select(
+            "src", "dst", F.row_number().over(wtop).alias("rn")
+        )
+        .filter(F.col("rn") <= _KCORE_TOPM)
+        .select("src", "dst")
+    )
+    und = (
+        topm.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        # consumed once per peeling round — pay the 4-table edge
+        # derivation once (q_graph_clustering_coeff pattern)
+        .localCheckpoint(eager=True)
+    )
+    a0 = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    alive = [a0]
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        prev = alive[-1]
+        ea = und.join(
+            F.broadcast(prev.select(F.col("node").alias("a"))), "a"
+        ).join(F.broadcast(prev.select(F.col("node").alias("b"))), "b")
+        deg = (
+            ea.select(F.col("a").alias("node"))
+            .unionAll(ea.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("degree"))
+        )
+        # each alive set is consumed by the next round's two
+        # semi-joins AND the final removed_round/conv/core_degree
+        # consumers — without an eager pin the nested lazy plan
+        # re-executes every prior round per consumer (measured: the
+        # 4-round unroll blew past the contract timeout; 25-row pins
+        # collapse it to one job per round)
+        alive.append(
+            deg.filter(F.col("degree") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+    last, prior = alive[-1], alive[-2]
+    conv = last.agg(F.count("*").alias("c_last")).crossJoin(
+        prior.agg(F.count("*").alias("c_prior"))
+    ).select((F.col("c_last") == F.col("c_prior")).alias("converged"))
+    out = a0
+    for r in range(1, _KCORE_ROUNDS + 1):
+        out = out.join(
+            F.broadcast(
+                alive[r].select(F.col("node"), F.lit(1).alias(f"s{r}"))
+            ),
+            "node",
+            "left",
+        )
+    removed = F.lit(0)
+    for r in range(_KCORE_ROUNDS, 0, -1):
+        removed = F.when(F.col(f"s{r}").isNull(), r).otherwise(removed)
+    core_deg = deg.join(F.broadcast(last), "node").select(
+        "node", F.col("degree").alias("fdeg")
+    )
+    return (
+        out.join(F.broadcast(core_deg), "node", "left")
+        .crossJoin(F.broadcast(conv))
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            removed.cast("bigint").alias("removed_round"),
+            F.col(f"s{_KCORE_ROUNDS}").isNotNull().alias("in_core"),
+            F.coalesce(F.col("fdeg"), F.lit(0))
+            .cast("bigint")
+            .alias("core_degree"),
+            F.col("converged"),
+        )
+        .orderBy("node")
+    )
+
+
+@register(
+    "q_graph_reciprocity",
+    oracle=f"""
+    WITH base AS ({_EDGES_SQL}),
+    dir AS (SELECT src, dst FROM base WHERE src <> dst),
+    recip AS (
+        SELECT d.src, d.dst,
+               CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS has_rev
+        FROM dir d
+        LEFT JOIN dir r ON r.src = d.dst AND r.dst = d.src
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m_dir,
+               CAST(SUM(has_rev) AS BIGINT) AS m_recip
+        FROM recip
+    )
+    SELECT m_dir, m_recip,
+           CAST((m_recip * 1000000) // m_dir AS BIGINT) AS reciprocity_e6,
+           CAST(m_recip // 2 AS BIGINT) AS n_mutual_pairs
+    FROM agg
+    """,
+    tags=("M5", "graph"),
+)
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDGE RECIPROCITY — the DIRECTED-graph summary beside
+    q_graph_assortativity's undirected one: what fraction of
+    customer-nation -> supplier-nation trade edges is answered by the
+    reverse edge? (1.0 = fully mutual trade; near 0 = pure
+    importer/exporter roles.) The trade graph is naturally DIRECTED
+    — every other graph query canonicalizes it undirected; this is
+    the one that must NOT, which is exactly what it verifies: the
+    reverse-probe is a self-join on the SWAPPED key pair, and
+    m_recip is even by construction (mutuality is symmetric), pinned
+    by the n_mutual_pairs = m_recip/2 output.
+
+    Exactness: pure integer counts; reciprocity_e6 is the standard
+    non-negative magnitude floor (both operands >= 0 — no
+    truncate-vs-floor hazard at all).
+
+    Plan at 100 TB: the directed edge census is domain-bounded
+    (nation pairs); the reverse probe is ONE hash equi-join of the
+    census against its own projection — never the fact table; one
+    1-row aggregate."""
+    base = _trade_base(spark, sf_dir)
+    direct = (
+        base.filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .distinct()
+        # two consumers (probe side + reverse side): pay the 4-table
+        # edge derivation once (q_graph_clustering_coeff pattern)
+        .localCheckpoint(eager=True)
+    )
+    rev = direct.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("has_rev")
+    )
+    recip = direct.join(rev, ["src", "dst"], "left")
+    agg = recip.agg(
+        F.count("*").cast("bigint").alias("m_dir"),
+        F.sum(F.coalesce(F.col("has_rev"), F.lit(0)))
+        .cast("bigint")
+        .alias("m_recip"),
+    )
+    return agg.select(
+        "m_dir",
+        "m_recip",
+        F.expr("(m_recip * 1000000) div m_dir")
+        .cast("bigint")
+        .alias("reciprocity_e6"),
+        F.expr("m_recip div 2").cast("bigint").alias("n_mutual_pairs"),
     )

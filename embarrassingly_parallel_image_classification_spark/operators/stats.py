@@ -4521,3 +4521,1024 @@ def q_stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(3841)
         ).alias("significant"),
     )
+
+
+# Chi-square df=2 critical value at alpha=0.05 (5.991465), e3-fixed:
+# the Lepage D = z_W^2 + z_AB^2 verdict threshold.
+LEPAGE_D_E3 = 5991
+
+
+@register(
+    "q_stats_lepage",
+    oracle=f"""
+    WITH x AS (
+        SELECT o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    pv AS (
+        SELECT v,
+               CAST(COUNT(*) FILTER (WHERE st = 'F') AS BIGINT) AS ca,
+               CAST(COUNT(*) AS BIGINT) AS t
+        FROM x GROUP BY v
+    ),
+    pos AS (
+        SELECT v, ca, t,
+               SUM(t) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t
+                 AS cumb,
+               SUM(t) OVER () AS nn
+        FROM pv
+    ),
+    bs AS (
+        SELECT ca, t, nn, cumb,
+               {{ab_t_hi}} - {{ab_t_lo}} AS bsum
+        FROM pos
+    ),
+    agg AS (
+        SELECT CAST(MAX(nn) AS HUGEINT) AS nn,
+               CAST(SUM(ca) AS HUGEINT) AS n,
+               CAST(MAX(nn) - SUM(ca) AS HUGEINT) AS m,
+               CAST(SUM(bsum) AS HUGEINT) AS s1,
+               CAST(SUM(ca * (2 * cumb + t + 1)) AS HUGEINT) AS r1x2,
+               CAST(SUM(t * t * t - t) AS HUGEINT) AS tie3,
+               CAST(SUM(1000 * ((ca * bsum) // t)
+                        + CAST(ROUND(1000.0
+                              * CAST((ca * bsum) % t AS DOUBLE)
+                              / CAST(t AS DOUBLE), 0) AS HUGEINT))
+                    AS HUGEINT) AS ab_e3,
+               CAST(SUM(1000 * ((bsum * bsum) // t)
+                        + CAST(ROUND(1000.0
+                              * CAST((bsum * bsum) % t AS DOUBLE)
+                              / CAST(t AS DOUBLE), 0) AS HUGEINT))
+                    AS HUGEINT) AS s2_e3
+        FROM bs
+    ),
+    fin AS (
+        SELECT nn, n, m, s1, r1x2, ab_e3,
+               r1x2 - n * (nn + 1) AS wdiff,
+               GREATEST(n * m * (nn * (nn * nn - 1) - tie3), 1) AS wden,
+               ABS(ab_e3 * nn - n * s1 * 1000) // 1000 AS dstage,
+               GREATEST(nn * s2_e3 - s1 * s1 * 1000, 0) AS vnum_e3
+        FROM agg
+    ),
+    z AS (
+        SELECT nn, n, m, r1x2,
+               (wdiff * wdiff * 3 * nn * (nn - 1) * 1000) // wden AS zw2_e3,
+               (dstage * dstage * (nn - 1))
+                 // GREATEST(n * m * (vnum_e3 // 1000000), 1) AS zab2_e3
+        FROM fin
+    )
+    SELECT CAST(n AS BIGINT) AS n_f, CAST(m AS BIGINT) AS n_o,
+           CAST(r1x2 AS BIGINT) AS w_r1_x2,
+           CAST(zw2_e3 AS BIGINT) AS zw2_e3,
+           CAST(zab2_e3 AS BIGINT) AS zab2_e3,
+           CAST(zw2_e3 + zab2_e3 AS BIGINT) AS d_e3,
+           zw2_e3 + zab2_e3 > {LEPAGE_D_E3} AS significant
+    FROM z
+    """.format(
+        ab_t_hi=_AB_T_DUCK.format(x="(cumb + t)", n="nn"),
+        ab_t_lo=_AB_T_DUCK.format(x="cumb", n="nn"),
+    ),
+    tags=("M2", "M14"),
+)
+def q_stats_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEPAGE location-scale omnibus (1971) — the two-sample test that
+    catches a shift in EITHER center or spread: D = z_W^2 + z_AB^2,
+    the sum of the squared standardized Wilcoxon rank-sum (location,
+    q_stats_mann_whitney's statistic) and Ansari-Bradley (scale,
+    q_stats_ansari_bradley's statistic), judged against chi-square
+    df=2 (D_e3 > 5991). The canonical pre-test before choosing which
+    specific alternative to chase — the rank-world analog of running
+    t-test + F-test at once.
+
+    The load-bearing design point: BOTH components are functions of
+    the SAME pooled tie census. The chain is one (value -> ca, t)
+    census, one cumulative window over the value domain, and a single
+    1-row aggregate that folds the Wilcoxon quantities (2R1 =
+    sum ca*(2*cumb + t + 1), tie3 = sum(t^3 - t)) and the AB
+    quantities (closed-form block score sums via the T(x) prefix,
+    e3 DIV/MOD average-score fixings) side by side — Lepage costs ONE
+    extra aggregate column set over the AB scan, not a second pass.
+
+    Exactness: z_W^2 is PURE integer cross-multiplication — with
+    E(2R1) = n(N+1) and Var(2R1) = nm*kk/(3N(N-1)) where
+    kk = N(N^2-1) - sum(t^3 - t), the e3 verdict is
+    (2R1 - n(N+1))^2 * 3N(N-1) * 1000 div (nm*kk) — no float
+    anywhere. z_AB^2 reuses the AB chain verbatim (dstage / vnum_e3 /
+    staged r1 floors, incl. the round-12 div-quotient-wrap pin:
+    the vnum floor runs on vnum_e3 ALONE before multiplying by nm).
+    Operand audit: the z_W numerator wdiff^2 * 3N(N-1) * 1000 stays
+    inside 38 digits through sf0.1 even at maximal separation
+    (8.6e33); beyond that the fixing scales shrink (stated, the
+    q_stats_ansari_bradley bound style). Quotients: both z^2 e3
+    values are <= ~1000*N — nowhere near the int64 wrap.
+
+    Plan at 100 TB: identical shape to KS/CvM/AB — one map-side-
+    combined value census (domain-bounded, not row-bounded), one
+    window over the census, a 1-row aggregate; the fact table is
+    scanned once."""
+    x = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    ).select(
+        F.col("o_orderstatus").alias("st"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("v"),
+    )
+    pv = x.groupBy("v").agg(
+        F.sum(F.when(F.col("st") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.count("*").cast("bigint").alias("t"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    pos = pv.select(
+        "ca",
+        "t",
+        (F.sum("t").over(wcum) - F.col("t")).alias("cumb"),
+        F.sum("t").over(wall).alias("nn"),
+    )
+    bs = pos.select(
+        "ca",
+        "t",
+        "nn",
+        "cumb",
+        (
+            F.expr(_AB_T.format(x="(cumb + t)", n="nn"))
+            - F.expr(_AB_T.format(x="cumb", n="nn"))
+        ).alias("bsum"),
+    )
+    fix = (
+        "1000 * (({num}) div t)"
+        " + CAST(ROUND(1000.0 * CAST(({num}) % t AS DOUBLE)"
+        " / CAST(t AS DOUBLE), 0) AS BIGINT)"
+    )
+    agg = bs.agg(
+        F.max("nn").cast(D38).alias("nn"),
+        F.sum("ca").cast(D38).alias("n"),
+        (F.max("nn") - F.sum("ca")).cast(D38).alias("m"),
+        F.sum("bsum").cast(D38).alias("s1"),
+        F.sum(F.col("ca") * (2 * F.col("cumb") + F.col("t") + 1))
+        .cast(D38)
+        .alias("r1x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast(D38)
+        .alias("tie3"),
+        F.sum(F.expr(fix.format(num="ca * bsum"))).cast(D38).alias("ab_e3"),
+        F.sum(F.expr(fix.format(num="bsum * bsum")))
+        .cast(D38)
+        .alias("s2_e3"),
+    )
+    fin = agg.select(
+        "nn",
+        "n",
+        "m",
+        "s1",
+        "r1x2",
+        "ab_e3",
+        (F.col("r1x2") - F.col("n") * (F.col("nn") + 1))
+        .cast(D38)
+        .alias("wdiff"),
+        F.expr(
+            "GREATEST(n * m * (nn * (nn * nn - 1) - tie3),"
+            " CAST(1 AS decimal(38,0)))"
+        )
+        .cast(D38)
+        .alias("wden"),
+        F.expr("ABS(ab_e3 * nn - n * s1 * 1000) div 1000")
+        .cast(D38)
+        .alias("dstage"),
+        F.expr("GREATEST(nn * s2_e3 - s1 * s1 * 1000, CAST(0 AS decimal(38,0)))")
+        .cast(D38)
+        .alias("vnum_e3"),
+    )
+    # both floors follow the round-12 quotient-wrap pin: the AB vnum
+    # floor runs on vnum_e3 alone (quotient ~2.1e15 at sf0.1, safe
+    # through sf100) before the nm product re-enters DECIMAL(38,0);
+    # the Wilcoxon quotient is z^2*1000 <= ~1000*N — never near int64.
+    z = fin.select(
+        "nn",
+        "n",
+        "m",
+        "r1x2",
+        F.expr(
+            "(CAST(wdiff AS decimal(38,0)) * wdiff * 3 * nn * (nn - 1)"
+            " * 1000) div wden"
+        ).alias("zw2_e3"),
+        F.expr(
+            "(CAST(dstage AS decimal(38,0)) * dstage * (nn - 1))"
+            " div GREATEST(n * m * (vnum_e3 div 1000000),"
+            " CAST(1 AS decimal(38,0)))"
+        ).alias("zab2_e3"),
+    )
+    return z.select(
+        F.col("n").cast("bigint").alias("n_f"),
+        F.col("m").cast("bigint").alias("n_o"),
+        F.col("r1x2").cast("bigint").alias("w_r1_x2"),
+        F.col("zw2_e3").cast("bigint").alias("zw2_e3"),
+        F.col("zab2_e3").cast("bigint").alias("zab2_e3"),
+        (F.col("zw2_e3") + F.col("zab2_e3")).cast("bigint").alias("d_e3"),
+        (F.col("zw2_e3") + F.col("zab2_e3") > F.lit(LEPAGE_D_E3)).alias(
+            "significant"
+        ),
+    )
+
+
+@register(
+    "q_stats_cochran_armitage",
+    oracle="""
+    WITH x AS (
+        SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS w,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS succ
+        FROM orders
+    ),
+    census AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS ni,
+               CAST(SUM(succ) AS BIGINT) AS ri
+        FROM x GROUP BY w
+    ),
+    agg AS (
+        SELECT CAST(SUM(ni) AS HUGEINT) AS n,
+               CAST(SUM(ri) AS HUGEINT) AS r,
+               CAST(SUM(w * ri) AS HUGEINT) AS swr,
+               CAST(SUM(w * ni) AS HUGEINT) AS swn,
+               CAST(SUM(w * w * ni) AS HUGEINT) AS sw2n,
+               CAST(COUNT(*) AS BIGINT) AS n_groups
+        FROM census
+    ),
+    fin AS (
+        SELECT n, r, n_groups,
+               n * swr - r * swn AS tnum,
+               GREATEST(r * (n - r) * (n * sw2n - swn * swn), 1) AS den
+        FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS n_success,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(tnum AS BIGINT) AS trend_num,
+           CASE WHEN tnum > 0 THEN 1 WHEN tnum < 0 THEN -1 ELSE 0 END
+             AS trend_sign,
+           CAST((tnum * tnum * n * 1000) // den AS BIGINT) AS z2_e3,
+           (tnum * tnum * n * 1000) // den > 3841 AS significant
+    FROM fin
+    """,
+    tags=("M2", "M14"),
+)
+def q_stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN-ARMITAGE trend test (1954/1955) — IS there a monotone
+    dose-response in a binary outcome across ORDERED groups? The
+    ordered-alternative sibling of q_stats_chi2's unordered 2xk
+    association (chi2 spends k-1 df and misses a monotone drift;
+    Armitage spends 1 df ON the ordering and finds it), and the
+    binary-outcome counterpart of q_stats_jonckheere's continuous
+    one. Dose scores w = the priority digit (1-URGENT..5-LOW);
+    outcome = final-status order.
+
+    Exactness — the cleanest chain in the whole M14 pack, NOTHING but
+    integers end to end: with U = sum w_i(r_i - n_i*pbar) the
+    multiply-through by N gives T = N*sum(w_i r_i) - R*sum(w_i n_i),
+    and the null variance multiplies through to
+    z^2 = T^2 * N / (R(N-R) * (N*sum(n_i w_i^2) - (sum(n_i w_i))^2))
+    — a SINGLE e3 staged floor produces the verdict against the
+    chi-square df=1 bound (3841); no DIV/MOD fixing is even needed
+    because no per-group division ever happens. Operand audit:
+    T^2*N*1000 <= ~2e35 at sf1 (inside 38 digits through sf1, a
+    tighter bound than the rank tests); the quotient is z^2*1000 <=
+    ~1000*N — never near the int64 wrap. T's sign is reported
+    separately (trend_sign) so the squared verdict loses no
+    information.
+
+    Plan at 100 TB: ONE map-side-combined census down to the 5-row
+    dose domain, then a 1-row aggregate — the scan is the entire
+    cost; nothing shuffles more than 5 rows."""
+    x = t(spark, sf_dir, "orders").select(
+        F.expr("CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT)").alias("w"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("succ"),
+    )
+    census = x.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("ni"),
+        F.sum("succ").cast("bigint").alias("ri"),
+    )
+    agg = census.agg(
+        F.sum("ni").cast(D38).alias("n"),
+        F.sum("ri").cast(D38).alias("r"),
+        F.sum(F.col("w") * F.col("ri")).cast(D38).alias("swr"),
+        F.sum(F.col("w") * F.col("ni")).cast(D38).alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("ni")).cast(D38).alias("sw2n"),
+        F.count("*").cast("bigint").alias("n_groups"),
+    )
+    fin = agg.select(
+        "n",
+        "r",
+        "n_groups",
+        (F.col("n") * F.col("swr") - F.col("r") * F.col("swn"))
+        .cast(D38)
+        .alias("tnum"),
+        F.expr(
+            "GREATEST(r * (n - r) * (n * sw2n - swn * swn),"
+            " CAST(1 AS decimal(38,0)))"
+        )
+        .cast(D38)
+        .alias("den"),
+    )
+    z2 = F.expr("(CAST(tnum AS decimal(38,0)) * tnum * n * 1000) div den")
+    return fin.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("r").cast("bigint").alias("n_success"),
+        F.col("n_groups").cast("bigint").alias("n_groups"),
+        F.col("tnum").cast("bigint").alias("trend_num"),
+        F.when(F.col("tnum") > 0, 1)
+        .when(F.col("tnum") < 0, -1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("trend_sign"),
+        z2.cast("bigint").alias("z2_e3"),
+        (z2 > F.lit(3841)).alias("significant"),
+    )
+
+
+@register(
+    "q_stats_cmh",
+    oracle="""
+    WITH x AS (
+        SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS k,
+               CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS e,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS s
+        FROM orders
+    ),
+    strata AS (
+        SELECT k,
+               CAST(COUNT(*) AS HUGEINT) AS nk,
+               CAST(SUM(e) AS HUGEINT) AS r1,
+               CAST(SUM(s) AS HUGEINT) AS c1,
+               CAST(SUM(e * s) AS HUGEINT) AS a
+        FROM x GROUP BY k
+    ),
+    terms AS (
+        SELECT k, nk, a,
+               1000000 * a
+                 - (1000000 * ((r1 * c1) // nk)
+                    + CAST(ROUND(1000000.0
+                          * CAST((r1 * c1) % nk AS DOUBLE)
+                          / CAST(nk AS DOUBLE), 0) AS HUGEINT))
+                 AS num_e6,
+               1000000 * ((r1 * (nk - r1) * c1 * (nk - c1))
+                          // (nk * nk * (nk - 1)))
+                 + CAST(ROUND(1000000.0
+                       * CAST((r1 * (nk - r1) * c1 * (nk - c1))
+                              % (nk * nk * (nk - 1)) AS DOUBLE)
+                       / CAST(nk * nk * (nk - 1) AS DOUBLE), 0) AS HUGEINT)
+                 AS var_e6
+        FROM strata WHERE nk >= 2
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(SUM(nk) AS HUGEINT) AS n,
+               CAST(SUM(a) AS HUGEINT) AS a_total,
+               CAST(SUM(num_e6) AS HUGEINT) AS num_e6,
+               GREATEST(CAST(SUM(var_e6) AS HUGEINT), 1) AS var_e6
+        FROM terms
+    )
+    SELECT CAST(n AS BIGINT) AS n, n_strata,
+           CAST(a_total AS BIGINT) AS a_total,
+           CAST(num_e6 AS BIGINT) AS num_e6,
+           CAST(var_e6 AS BIGINT) AS var_e6,
+           CAST((num_e6 * num_e6 * 1000) // (1000000 * var_e6) AS BIGINT)
+             AS z2_e3,
+           (num_e6 * num_e6 * 1000) // (1000000 * var_e6) > 3841
+             AS significant
+    FROM agg
+    """,
+    tags=("M2", "M14"),
+)
+def q_stats_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN-MANTEL-HAENSZEL test (1959) — exposure/outcome
+    association judged ACROSS strata: is even-custkey exposure
+    associated with final order status AFTER controlling for priority
+    class? The confounder-adjusted sibling of q_stats_chi2 (a crude
+    pooled 2x2 is vulnerable to Simpson's paradox — a stratum-mix
+    shift can fabricate or erase association; CMH sums per-stratum
+    evidence instead) and the k-strata generalization of the single
+    2x2. Epidemiology's standard stratified test, spelled as a
+    5-stratum census here.
+
+    Exactness: per stratum the expected count E_k = r1*c1/n and the
+    hypergeometric variance r1*r0*c1*c0/(n^2(n-1)) enter through the
+    house e6 DIV/MOD fixing (integer quotient + correctly-rounded
+    remainder; the variance product needs DECIMAL(38,0)/HUGEINT — it
+    passes 4.7e20 at sf1, far beyond BIGINT). num_e6 =
+    sum(1e6*a_k - fix(r1*c1, n)) stays an EXACT signed integer (no
+    floor-sign hazard: each fixing's operands are non-negative, the
+    signed difference is pure subtraction). Verdict: z^2 =
+    num_e6^2/(1e6*var_e6) as ONE staged e3 floor against chi-square
+    df=1 (3841; the classic continuity correction is deliberately
+    omitted — stated convention, both engines identical). Operand
+    audit: num_e6^2*1000 <= ~1.4e24 at sf0.1 (inside 38 digits
+    through sf10); the remainder/divisor double division stays exact
+    while n_k^2(n_k-1) < 2^53, i.e. through sf0.1 — beyond that the
+    fixing scale shrinks (stated, the q_stats_ansari_bradley bound
+    style). Degenerate strata (n_k < 2) are excluded identically in
+    both engines.
+
+    Plan at 100 TB: ONE map-side-combined census to the 5-row stratum
+    domain (four conditional sums per stratum), then a 1-row
+    aggregate — the scan is the entire cost, the classic
+    stratified-analysis shape: evidence pools WITHOUT ever joining
+    strata against each other."""
+    x = t(spark, sf_dir, "orders").select(
+        F.expr("CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT)").alias("k"),
+        F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(0).alias("e"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("s"),
+    )
+    strata = x.groupBy("k").agg(
+        F.count("*").cast(D38).alias("nk"),
+        F.sum("e").cast(D38).alias("r1"),
+        F.sum("s").cast(D38).alias("c1"),
+        F.sum(F.col("e") * F.col("s")).cast(D38).alias("a"),
+    )
+    terms = strata.filter(F.col("nk") >= 2).select(
+        "k",
+        "nk",
+        "a",
+        F.expr(
+            "1000000 * a"
+            " - (1000000 * ((r1 * c1) div nk)"
+            "    + CAST(ROUND(1000000.0 * CAST((r1 * c1) % nk AS DOUBLE)"
+            "           / CAST(nk AS DOUBLE), 0) AS decimal(38,0)))"
+        )
+        .cast(D38)
+        .alias("num_e6"),
+        F.expr(
+            "1000000 * ((r1 * (nk - r1) * c1 * (nk - c1))"
+            "           div (nk * nk * (nk - 1)))"
+            " + CAST(ROUND(1000000.0"
+            "       * CAST((r1 * (nk - r1) * c1 * (nk - c1))"
+            "              % (nk * nk * (nk - 1)) AS DOUBLE)"
+            "       / CAST(nk * nk * (nk - 1) AS DOUBLE), 0)"
+            "   AS decimal(38,0))"
+        )
+        .cast(D38)
+        .alias("var_e6"),
+    )
+    agg = terms.agg(
+        F.count("*").cast("bigint").alias("n_strata"),
+        F.sum("nk").cast(D38).alias("n"),
+        F.sum("a").cast(D38).alias("a_total"),
+        F.sum("num_e6").cast(D38).alias("num_e6"),
+        F.expr(
+            "GREATEST(CAST(SUM(var_e6) AS decimal(38,0)),"
+            " CAST(1 AS decimal(38,0)))"
+        ).alias("var_e6"),
+    )
+    z2 = F.expr(
+        "(CAST(num_e6 AS decimal(38,0)) * num_e6 * 1000)"
+        " div (1000000 * var_e6)"
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        "n_strata",
+        F.col("a_total").cast("bigint").alias("a_total"),
+        F.col("num_e6").cast("bigint").alias("num_e6"),
+        F.col("var_e6").cast("bigint").alias("var_e6"),
+        z2.cast("bigint").alias("z2_e3"),
+        (z2 > F.lit(3841)).alias("significant"),
+    )
+
+
+@register(
+    "q_stats_page_trend",
+    oracle=f"""
+    WITH cell AS (
+        SELECT CAST(ts AS DATE) AS d, event_type AS g,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    complete AS (
+        SELECT d FROM cell GROUP BY d HAVING COUNT(*) = {FRIEDMAN_K}
+    ),
+    c2 AS (SELECT cell.* FROM cell JOIN complete USING (d)),
+    tie AS (SELECT d, v, CAST(COUNT(*) AS BIGINT) AS tcnt
+            FROM c2 GROUP BY d, v),
+    rk AS (
+        SELECT d, v,
+               2 * (SUM(tcnt) OVER (PARTITION BY d ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tcnt)
+                 + tcnt + 1 AS r2
+        FROM tie
+    ),
+    s AS (SELECT c2.g, rk.r2 FROM c2
+          JOIN rk ON rk.d = c2.d AND rk.v = c2.v),
+    byg AS (SELECT g, CAST(SUM(r2) AS BIGINT) AS r2_sum FROM s GROUP BY g),
+    scored AS (
+        SELECT g, r2_sum,
+               CAST(DENSE_RANK() OVER (ORDER BY g) AS BIGINT) AS j
+        FROM byg
+    ),
+    agg AS (
+        SELECT CAST(SUM(j * r2_sum) AS BIGINT) AS l2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM complete) AS b
+        FROM scored
+    ),
+    fin AS (
+        SELECT l2, b,
+               l2 - b * {FRIEDMAN_K * (FRIEDMAN_K + 1) ** 2 // 2} AS diff
+        FROM agg
+    )
+    SELECT b AS n_blocks, CAST({FRIEDMAN_K} AS BIGINT) AS k, l2 AS l_x2,
+           CAST(diff AS BIGINT) AS diff_x2,
+           CASE WHEN diff > 0 THEN 1 WHEN diff < 0 THEN -1 ELSE 0 END
+             AS trend_sign,
+           CAST(CASE WHEN b > 0 THEN (diff * diff * 36000)
+                // (b * {FRIEDMAN_K ** 2 * (FRIEDMAN_K + 1) ** 2
+                        * (FRIEDMAN_K - 1)}) ELSE 0 END AS BIGINT) AS z2_e3,
+           b > 0 AND (diff * diff * 36000)
+                // (b * {FRIEDMAN_K ** 2 * (FRIEDMAN_K + 1) ** 2
+                        * (FRIEDMAN_K - 1)}) > 3841 AS significant
+    FROM fin
+    """,
+    tags=("M2", "M14"),
+)
+def q_stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE'S L TEST (1963) — the ORDERED-alternative refinement of
+    q_stats_friedman on the SAME blocked frame: Friedman asks "do the
+    k treatments differ at all?" (k-1 df); Page asks "do they
+    INCREASE along a hypothesized order?" (1 df on the ordering),
+    exactly as q_stats_jonckheere refines q_stats_kruskal for
+    independent groups and q_stats_cochran_armitage refines the chi2
+    for binary outcomes — completing the ordered-alternative triad.
+    L = sum_j j * R_j over per-block treatment ranks, scored by the
+    alphabetical event-type order (the a-priori ordering convention,
+    stated; the twin replays the same convention).
+
+    Exactness: blocks/ranks reuse the Friedman chain verbatim —
+    complete calendar-day blocks, DOUBLED midranks r2 = 2*c_lt + t +
+    1 per block — so L2 = sum j*R2_j is an exact integer. Null
+    moments in the doubled units: E(L2) = b*k(k+1)^2/2 and Var(L2) =
+    b*k^2(k+1)^2(k-1)/36 (the CLASSIC no-ties moments — within-block
+    cent-sum ties are measure-zero in this fixture and the
+    convention is stated, the q_stats_jonckheere documented-omission
+    style). Verdict: z2_e3 = (L2-E)^2*36*1000 div (b*k^2(k+1)^2(k-1))
+    — with k=5 the denominator is 3600*b, every operand bounded by
+    (2bk^2)^2*36000 ~ 1e12 at ANY sf (ranks live on the calendar x
+    treatment domain, never the fact table) — trivially inside
+    BIGINT; trend direction reported separately (trend_sign).
+
+    Plan at 100 TB: identical to Friedman — one (day, type) census
+    off a single fact scan, windows over a <=31x5 frame; scale
+    changes only the census sums, never the frame."""
+    cell = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("ts").cast("date").alias("d"),
+            F.col("event_type").alias("g"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    complete = (
+        cell.groupBy("d").agg(F.count("*").alias("kk"))
+        .filter(F.col("kk") == FRIEDMAN_K)
+        .select("d")
+    )
+    c2 = cell.join(complete, "d")
+    tie = c2.groupBy("d", "v").agg(F.count("*").cast("bigint").alias("tcnt"))
+    wcum = (
+        Window.partitionBy("d")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rk = tie.select(
+        "d",
+        "v",
+        (
+            2 * (F.sum("tcnt").over(wcum) - F.col("tcnt"))
+            + F.col("tcnt")
+            + 1
+        ).alias("r2"),
+    )
+    s = c2.join(rk, ["d", "v"]).select("g", "r2")
+    byg = s.groupBy("g").agg(F.sum("r2").cast("bigint").alias("r2_sum"))
+    scored = byg.select(
+        "g",
+        "r2_sum",
+        F.dense_rank().over(Window.orderBy("g")).cast("bigint").alias("j"),
+    )
+    agg = scored.agg(
+        F.sum(F.col("j") * F.col("r2_sum")).cast("bigint").alias("l2")
+    ).crossJoin(complete.agg(F.count("*").cast("bigint").alias("b")))
+    e_half = FRIEDMAN_K * (FRIEDMAN_K + 1) ** 2 // 2
+    vden = FRIEDMAN_K ** 2 * (FRIEDMAN_K + 1) ** 2 * (FRIEDMAN_K - 1)
+    fin = agg.select(
+        "l2",
+        "b",
+        (F.col("l2") - F.col("b") * F.lit(e_half)).alias("diff"),
+    )
+    z2 = F.when(
+        F.col("b") > 0,
+        F.expr(f"(diff * diff * 36000) div (b * {vden})"),
+    ).otherwise(0)
+    return fin.select(
+        F.col("b").alias("n_blocks"),
+        F.lit(FRIEDMAN_K).cast("bigint").alias("k"),
+        F.col("l2").alias("l_x2"),
+        F.col("diff").cast("bigint").alias("diff_x2"),
+        F.when(F.col("diff") > 0, 1)
+        .when(F.col("diff") < 0, -1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("trend_sign"),
+        z2.cast("bigint").alias("z2_e3"),
+        ((F.col("b") > 0) & (z2 > F.lit(3841))).alias("significant"),
+    )
+
+
+@register(
+    "q_stats_seasonal_mk",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7
+                 AS season,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS v
+        FROM events GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+        SELECT a.g, a.season,
+               CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                             WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+                 AS s_h
+        FROM daily a
+        JOIN daily b ON a.g = b.g AND a.season = b.season AND a.d < b.d
+        GROUP BY a.g, a.season
+    ),
+    nn AS (
+        SELECT g, season, CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily GROUP BY g, season
+    ),
+    ties AS (
+        SELECT g, season,
+               CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT g, season, v, CAST(COUNT(*) AS BIGINT) AS t
+              FROM daily GROUP BY g, season, v) tc
+        WHERE t > 1 GROUP BY g, season
+    ),
+    per_season AS (
+        SELECT nn.g, nn.season, nn.n,
+               COALESCE(p.s_h, 0) AS s_h,
+               nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                 - COALESCE(t.tie_term, 0) AS var18_h
+        FROM nn
+        LEFT JOIN pairs p ON p.g = nn.g AND p.season = nn.season
+        LEFT JOIN ties t ON t.g = nn.g AND t.season = nn.season
+    ),
+    tot AS (
+        SELECT g, CAST(SUM(n) AS BIGINT) AS n_days,
+               CAST(COUNT(*) AS BIGINT) AS n_seasons,
+               CAST(SUM(s_h) AS BIGINT) AS s_total,
+               CAST(SUM(var18_h) AS BIGINT) AS var18_total
+        FROM per_season GROUP BY g
+    )
+    SELECT g AS event_type, n_days, n_seasons, s_total, var18_total,
+           CASE WHEN GREATEST(ABS(s_total) - 1, 0)
+                     * GREATEST(ABS(s_total) - 1, 0) * 18000000
+                     > {{chi2}} * var18_total
+                THEN (CASE WHEN s_total > 0 THEN 'increasing'
+                           ELSE 'decreasing' END)
+                ELSE 'no_trend' END AS trend,
+           GREATEST(ABS(s_total) - 1, 0)
+             * GREATEST(ABS(s_total) - 1, 0) * 18000000
+             > {{chi2}} * var18_total AS significant
+    FROM tot ORDER BY event_type
+    """.replace("{chi2}", "{CHI2_DF1_E6}").format(CHI2_DF1_E6=CHI2_DF1_E6),
+    tags=("M2", "M14", "D10"),
+)
+def q_stats_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL MANN-KENDALL (Hirsch-Slack 1984) — the trend verdict
+    q_stats_mann_kendall renders, made robust to a WEEKLY cycle: a
+    strong day-of-week seasonality (weekend dips) manufactures
+    spurious sign reversals in the plain statistic; the seasonal
+    variant compares each day ONLY against days in the SAME weekday
+    slot (S_h per season), then pools S = sum_h S_h and
+    Var = sum_h Var_h (independence across seasons under H0 — the
+    classic Hirsch-Slack form; the serial-correlation covariance
+    refinement is deliberately omitted, stated, the
+    q_stats_jonckheere documented-omission style). The trio is now
+    complete: Theil-Sen estimates the slope, MK judges the raw
+    trend, seasonal MK judges it net of the weekly cycle.
+
+    Day-of-week is epoch-day mod 7 computed ARITHMETICALLY (the
+    q_timeseries_decompose pin: Spark dayofweek is 1=Sun..7 while
+    DuckDB dow is 0=Sun..6 — calendar functions cannot be trusted
+    across engines; subtraction from the 1970-01-01 origin can).
+    Exactness: every S_h is an exact integer; every per-season
+    variance numerator (x18) is exact from the season's day count
+    and value-tie census; sums of exact integers pool exactly; the
+    continuity-corrected two-sided verdict is the mann_kendall
+    cross-multiplication on the POOLED totals — wholly integer.
+
+    Plan at 100 TB: the pair frame is calendar-bounded and ~7x
+    SMALLER than plain MK's (pairs form within weekday slots:
+    7 * (n/7 choose 2) ~ n^2/14) — one (type, day) census, one tiny
+    self-join, three small aggregates; 100x more events changes the
+    daily sums, never the pair count."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("g"),
+            F.col("ts").cast("date").alias("d"),
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("g", "d")
+        .agg(F.sum("cents").cast("bigint").alias("v"))
+        .select(
+            "g",
+            "d",
+            "v",
+            (
+                F.datediff(
+                    F.col("d"), F.lit("1970-01-01").cast("date")
+                ).cast("bigint")
+                % 7
+            ).alias("season"),
+        )
+    )
+    a = daily.select(
+        "g", "season", F.col("d").alias("d_a"), F.col("v").alias("v_a")
+    )
+    b = daily.select(
+        F.col("g").alias("g_b"),
+        F.col("season").alias("season_b"),
+        F.col("d").alias("d_b"),
+        F.col("v").alias("v_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("g") == F.col("g_b"))
+            & (F.col("season") == F.col("season_b"))
+            & (F.col("d_a") < F.col("d_b")),
+        )
+        .groupBy("g", "season")
+        .agg(
+            F.sum(
+                F.when(F.col("v_b") > F.col("v_a"), 1)
+                .when(F.col("v_b") < F.col("v_a"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_h")
+        )
+    )
+    nn = daily.groupBy("g", "season").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    ties = (
+        daily.groupBy("g", "season", "v")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("g", "season")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    per_season = (
+        nn.join(pairs, ["g", "season"], "left")
+        .join(ties, ["g", "season"], "left")
+        .select(
+            "g",
+            "n",
+            F.coalesce(F.col("s_h"), F.lit(0)).alias("s_h"),
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0))
+            ).alias("var18_h"),
+        )
+    )
+    tot = per_season.groupBy("g").agg(
+        F.sum("n").cast("bigint").alias("n_days"),
+        F.count("*").cast("bigint").alias("n_seasons"),
+        F.sum("s_h").cast("bigint").alias("s_total"),
+        F.sum("var18_h").cast("bigint").alias("var18_total"),
+    )
+    corr2 = (
+        F.greatest(F.abs(F.col("s_total")) - 1, F.lit(0))
+        * F.greatest(F.abs(F.col("s_total")) - 1, F.lit(0))
+    )
+    sig = corr2 * F.lit(18000000) > F.lit(CHI2_DF1_E6) * F.col(
+        "var18_total"
+    )
+    return tot.select(
+        F.col("g").alias("event_type"),
+        "n_days",
+        "n_seasons",
+        "s_total",
+        "var18_total",
+        F.when(
+            sig,
+            F.when(F.col("s_total") > 0, F.lit("increasing")).otherwise(
+                F.lit("decreasing")
+            ),
+        )
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+        sig.alias("significant"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_stats_prop_ztest",
+    oracle="""
+    WITH x AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(COUNT(*) FILTER (
+                   WHERE o_orderpriority = '1-URGENT') AS HUGEINT) AS x
+        FROM orders
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS n_urgent,
+           CAST((x * 1000000) // n AS BIGINT) AS p_hat_e6,
+           CAST(5 * x - n AS BIGINT) AS dev_x5,
+           CASE WHEN 5 * x - n > 0 THEN 1
+                WHEN 5 * x - n < 0 THEN -1 ELSE 0 END AS dev_sign,
+           CAST(((5 * x - n) * (5 * x - n) * 1000) // (4 * n) AS BIGINT)
+             AS z2_e3,
+           ((5 * x - n) * (5 * x - n) * 1000) // (4 * n) > 3841
+             AS significant
+    FROM x
+    """,
+    tags=("M2", "M14"),
+)
+def q_stats_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-SAMPLE PROPORTION z-TEST — the most basic inferential
+    question the M14 pack had not yet asked: does an observed share
+    match a HYPOTHESIZED rate? H0: exactly 1/5 of orders are
+    1-URGENT (the uniform-priority null). The single-proportion
+    member completing the proportion corner beside q_stats_chi2
+    (k-group association), q_stats_cochran_armitage (ordered trend)
+    and q_stats_cmh (stratified) — and the template for any SLA /
+    quota / A-A calibration check.
+
+    Exactness — the shortest chain in the pack, pure integers end to
+    end: with p0 = 1/5 rational, z^2 = (x - n*p0)^2 / (n*p0*(1-p0))
+    multiplies through to (5x - n)^2 / (4n) exactly (numerator
+    (x - n/5)^2 = (5x-n)^2/25; denominator n*(1/5)(4/5) = 4n/25; the
+    25s cancel). Verdict: ONE staged e3 floor vs chi-square df=1
+    (3841). Deviation sign reported separately. Operand audit:
+    (5x-n)^2*1000 <= 16n^2*1000 ~ 3.6e16 at sf1 — inside BIGINT
+    through sf10, inside 38 digits through sf10000.
+
+    Plan at 100 TB: one map-side-combined 1-row count aggregate —
+    the scan is the entire cost."""
+    x = t(spark, sf_dir, "orders").agg(
+        F.count("*").cast(D38).alias("n"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        )
+        .cast(D38)
+        .alias("x"),
+    )
+    dev = F.expr("5 * x - n")
+    z2 = F.expr("((5 * x - n) * (5 * x - n) * 1000) div (4 * n)")
+    return x.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("x").cast("bigint").alias("n_urgent"),
+        F.expr("(x * 1000000) div n").cast("bigint").alias("p_hat_e6"),
+        dev.cast("bigint").alias("dev_x5"),
+        F.when(dev > 0, 1)
+        .when(dev < 0, -1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("dev_sign"),
+        z2.cast("bigint").alias("z2_e3"),
+        (z2 > F.lit(3841)).alias("significant"),
+    )
+
+
+@register(
+    "q_stats_mh_odds",
+    oracle="""
+    WITH x AS (
+        SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS k,
+               CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS e,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS s
+        FROM orders
+    ),
+    strata AS (
+        SELECT k,
+               CAST(COUNT(*) AS HUGEINT) AS nk,
+               CAST(SUM(e) AS HUGEINT) AS r1,
+               CAST(SUM(s) AS HUGEINT) AS c1,
+               CAST(SUM(e * s) AS HUGEINT) AS a
+        FROM x GROUP BY k
+    ),
+    cells AS (
+        SELECT k, nk, a,
+               r1 - a AS b,
+               c1 - a AS c,
+               nk - r1 - c1 + a AS d
+        FROM strata WHERE nk >= 2
+    ),
+    terms AS (
+        SELECT k,
+               1000000 * ((a * d) // nk)
+                 + CAST(ROUND(1000000.0 * CAST((a * d) % nk AS DOUBLE)
+                       / CAST(nk AS DOUBLE), 0) AS HUGEINT) AS num_e6,
+               1000000 * ((b * c) // nk)
+                 + CAST(ROUND(1000000.0 * CAST((b * c) % nk AS DOUBLE)
+                       / CAST(nk AS DOUBLE), 0) AS HUGEINT) AS den_e6
+        FROM cells
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(SUM(num_e6) AS HUGEINT) AS num_e6,
+               GREATEST(CAST(SUM(den_e6) AS HUGEINT), 1) AS den_e6
+        FROM terms
+    )
+    SELECT n_strata,
+           CAST(num_e6 AS BIGINT) AS num_e6,
+           CAST(den_e6 AS BIGINT) AS den_e6,
+           CAST((num_e6 * 1000000) // den_e6 AS BIGINT) AS or_mh_e6,
+           num_e6 > den_e6 AS exposure_raises_odds
+    FROM agg
+    """,
+    tags=("M2", "M14"),
+)
+def q_stats_mh_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANTEL-HAENSZEL COMMON ODDS RATIO (1959) — the EFFECT-SIZE
+    companion to q_stats_cmh's verdict on the SAME stratified 2x2
+    census: the test says WHETHER exposure is associated with
+    outcome after controlling for priority strata; OR_MH =
+    sum_k(a_k d_k / n_k) / sum_k(b_k c_k / n_k) says HOW STRONGLY,
+    pooled with the MH weights that remain stable when strata are
+    sparse (the reason MH beats a raw pooled OR under Simpson-style
+    stratum imbalance). The pack's test/effect pairing discipline
+    (chi2 -> Cramer's V, MW -> AUC) applied to the stratified corner.
+
+    Exactness: each stratum's cross products a*d, b*c enter through
+    the house e6 DIV/MOD fixing by n_k (all operands non-negative —
+    no floor-sign hazard anywhere in this query); the pooled ratio is
+    one staged e6 floor of exact HUGEINT sums; the direction verdict
+    (exposure_raises_odds = OR > 1) compares the two sums DIRECTLY —
+    no division in the decision at all. Operand audit: a*d <= n_k^2/4
+    ~ 2.2e10 at sf1 (BIGINT-safe; HUGEINT/DECIMAL38 carried anyway);
+    remainder double-division exact while n_k < 2^53 — through
+    sf10000, a LOOSER bound than the CMH variance fixing since no
+    4-way product appears.
+
+    Plan at 100 TB: identical to q_stats_cmh — ONE map-side-combined
+    5-row stratum census, one 1-row aggregate; at 100 TB the two
+    queries would share one census pass."""
+    x = t(spark, sf_dir, "orders").select(
+        F.expr("CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT)").alias("k"),
+        F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(0).alias("e"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("s"),
+    )
+    strata = x.groupBy("k").agg(
+        F.count("*").cast(D38).alias("nk"),
+        F.sum("e").cast(D38).alias("r1"),
+        F.sum("s").cast(D38).alias("c1"),
+        F.sum(F.col("e") * F.col("s")).cast(D38).alias("a"),
+    )
+    cells = strata.filter(F.col("nk") >= 2).select(
+        "k",
+        "nk",
+        "a",
+        (F.col("r1") - F.col("a")).cast(D38).alias("b"),
+        (F.col("c1") - F.col("a")).cast(D38).alias("c"),
+        (F.col("nk") - F.col("r1") - F.col("c1") + F.col("a"))
+        .cast(D38)
+        .alias("d"),
+    )
+    fix = (
+        "1000000 * (({num}) div nk)"
+        " + CAST(ROUND(1000000.0 * CAST(({num}) % nk AS DOUBLE)"
+        " / CAST(nk AS DOUBLE), 0) AS decimal(38,0))"
+    )
+    terms = cells.select(
+        "k",
+        F.expr(fix.format(num="a * d")).cast(D38).alias("num_e6"),
+        F.expr(fix.format(num="b * c")).cast(D38).alias("den_e6"),
+    )
+    agg = terms.agg(
+        F.count("*").cast("bigint").alias("n_strata"),
+        F.sum("num_e6").cast(D38).alias("num_e6"),
+        F.expr(
+            "GREATEST(CAST(SUM(den_e6) AS decimal(38,0)),"
+            " CAST(1 AS decimal(38,0)))"
+        ).alias("den_e6"),
+    )
+    return agg.select(
+        "n_strata",
+        F.col("num_e6").cast("bigint").alias("num_e6"),
+        F.col("den_e6").cast("bigint").alias("den_e6"),
+        F.expr("(num_e6 * 1000000) div den_e6")
+        .cast("bigint")
+        .alias("or_mh_e6"),
+        (F.col("num_e6") > F.col("den_e6")).alias("exposure_raises_odds"),
+    )

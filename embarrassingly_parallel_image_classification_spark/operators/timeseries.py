@@ -2094,3 +2094,144 @@ def q_timeseries_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+@register(
+    "q_timeseries_croston",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) FILTER (
+                   WHERE CAST(ROUND(value * 100, 0) AS BIGINT) % 20 = 0
+               ) AS BIGINT) AS z
+        FROM events GROUP BY 1, 2
+    ),
+    nz AS (
+        SELECT event_type, d, z,
+               CAST(d - LAG(d) OVER (PARTITION BY event_type ORDER BY d)
+                    AS BIGINT) AS gap,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY d DESC) AS rn
+        FROM daily WHERE z > 0
+    ),
+    win AS (
+        SELECT event_type, z, gap, rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM nz WHERE rn <= 12 AND gap IS NOT NULL
+    ),
+    dot AS (
+        SELECT event_type, MAX(n) AS n,
+               CAST(SUM(z * (CASE WHEN n - rn + 1 = 1 THEN 1
+                    ELSE (CAST(1 AS BIGINT) << (n - rn - 1)) END))
+                    AS BIGINT) AS z_num,
+               CAST(SUM(gap * (CASE WHEN n - rn + 1 = 1 THEN 1
+                    ELSE (CAST(1 AS BIGINT) << (n - rn - 1)) END))
+                    AS BIGINT) AS p_num
+        FROM win GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_demands,
+           z_num, p_num,
+           CAST((z_num * 1000000) // p_num AS BIGINT) AS rate_e6,
+           CAST((z_num * 750000) // p_num AS BIGINT) AS sba_rate_e6
+    FROM dot WHERE n >= 2
+    ORDER BY event_type
+    """,
+    tags=("D10", "timeseries"),
+)
+def q_timeseries_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSTON'S METHOD (1972) — the forecaster for INTERMITTENT
+    demand, the regime where Holt/EWMA systematically under-forecast:
+    a series that is mostly zeros with occasional positive spikes
+    (spare parts, long-tail SKUs, rare-event telemetry) must be
+    smoothed as TWO series — the nonzero demand SIZES z_i and the
+    INTER-DEMAND intervals p_i — with the demand rate forecast
+    z_hat/p_hat; plus the Syntetos-Boylan approximation (SBA 2005),
+    the (1 - alpha/2) = 3/4 bias correction of Croston's ratio.
+    Demand here = the day's count of twenty-cent-multiple events
+    (cents % 20 = 0, ~5% of events), which produces genuine
+    zero-gapped days at small/mid sf; as density grows every day goes
+    nonzero, gaps -> 1 and Croston degrades gracefully to plain SES —
+    exactly its real-world behavior on dense series (stated).
+
+    Exactness — the q_timeseries_holt unrolling discipline with a
+    VARIABLE-length window: SES with dyadic alpha = 1/2 over the last
+    n <= 12 (size, gap) pairs unrolls to weights w_1 = 1,
+    w_p = 2^(p-2) (oldest-first positions; integer shiftleft, no
+    POWER double), denominator 2^(n-1); the two dot products z_num,
+    p_num are exact BIGINTs and the DENOMINATORS CANCEL in the ratio
+    — rate_e6 = z_num*1e6 div p_num needs no 2^(n-1) at all (both
+    operands non-negative, no floor-sign hazard). The oldest retained
+    point is the lag-anchor (rn <= 12 with a non-null LAG gap —
+    window 13 loses its head to the differencing, stated identically
+    both engines); series with n < 2 are dropped.
+
+    Plan at 100 TB: one (type, day) census off the fact scan
+    (map-side combined, calendar-bounded), one LAG + one top-13
+    window over the ~30-row-per-type nonzero frame (WindowGroupLimit
+    prunes before the shuffle), one 5-row dot-product aggregate."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.col("ts").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("CAST(ROUND(value * 100, 0) AS BIGINT) % 20")
+                    == 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("z")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wlag = W.partitionBy("event_type").orderBy("d")
+    wdesc = W.partitionBy("event_type").orderBy(F.desc("d"))
+    nz = (
+        daily.filter(F.col("z") > 0)
+        .select(
+            "event_type",
+            "d",
+            "z",
+            F.datediff(F.col("d"), F.lag("d").over(wlag))
+            .cast("bigint")
+            .alias("gap"),
+        )
+        .withColumn("rn", F.row_number().over(wdesc))
+    )
+    win = nz.filter(
+        (F.col("rn") <= 12) & F.col("gap").isNotNull()
+    ).withColumn(
+        "n",
+        F.count("*").over(W.partitionBy("event_type")).cast("bigint"),
+    )
+    wexpr = (
+        "(CASE WHEN n - rn + 1 = 1 THEN CAST(1 AS BIGINT)"
+        " ELSE shiftleft(CAST(1 AS BIGINT), CAST(n - rn - 1 AS INT))"
+        " END)"
+    )
+    dot = win.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_demands"),
+        F.sum(F.expr(f"z * {wexpr}")).cast("bigint").alias("z_num"),
+        F.sum(F.expr(f"gap * {wexpr}")).cast("bigint").alias("p_num"),
+    )
+    return (
+        dot.filter(F.col("n_demands") >= 2)
+        .select(
+            "event_type",
+            "n_demands",
+            "z_num",
+            "p_num",
+            F.expr("(z_num * 1000000) div p_num")
+            .cast("bigint")
+            .alias("rate_e6"),
+            F.expr("(z_num * 750000) div p_num")
+            .cast("bigint")
+            .alias("sba_rate_e6"),
+        )
+        .orderBy("event_type")
+    )

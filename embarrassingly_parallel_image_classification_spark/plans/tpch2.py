@@ -1533,3 +1533,75 @@ def q_sql_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("keyword")
     )
+
+
+@register(
+    "q_sql_lateral_alias",
+    oracle="""
+    WITH x AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                 - CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) % 500000
+                 AS bucket_cents,
+               (CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                 - CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) % 500000)
+                 // 100 AS bucket_dollars
+        FROM orders
+    )
+    SELECT o_orderpriority, bucket_dollars,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM x
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("N17", "SQL"),
+)
+def q_sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL COLUMN ALIAS (Spark 3.4 SPARK-27561) — referencing an
+    alias defined EARLIER IN THE SAME SELECT list, the
+    spreadsheet-style incremental derivation every analyst writes
+    first (`cents`, then `bucket_cents` FROM cents, then
+    `bucket_dollars` FROM bucket_cents — a depth-3 chain proving
+    TRANSITIVE resolution, not just one hop). Pre-3.4 Spark forced
+    either a nested subquery per derivation step or full re-expansion
+    of every intermediate expression; the ORACLE IS the
+    fully-expanded spelling, so the zero-drift contract (identical
+    buckets, counts and extrema) pins the semantics. The
+    session-variable/EXECUTE-IMMEDIATE discipline applied to the
+    SELECT list itself.
+
+    Exactness: pure integer cent arithmetic; the $5000 bucket floor
+    is non-negative (no truncate-vs-floor hazard).
+
+    Plan at 100 TB (measured, pinned in test_plans): the alias
+    spelling is not merely syntax — the optimizer KEEPS the aliased
+    `cents` as a materialized intermediate (a second narrow Project),
+    evaluating the cast/round chain ONCE per row, while the
+    hand-expanded spelling re-evaluates it 3x inside one Project
+    (CollapseProject cannot re-factor common subexpressions it was
+    handed pre-expanded) — the alias chain is the CHEAPER plan for
+    repeated derivations, the inverse of the HOF-lambda inlining
+    trap. Either way: one scan, map-side-combined two-key groupBy,
+    column pruning reaches the scan."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__lca_orders")
+    return spark.sql(
+        """
+        WITH x AS (
+            SELECT o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                   cents - cents % 500000 AS bucket_cents,
+                   bucket_cents div 100 AS bucket_dollars
+            FROM __lca_orders
+        )
+        SELECT o_orderpriority, bucket_dollars,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(cents) AS BIGINT) AS min_cents,
+               CAST(MAX(cents) AS BIGINT) AS max_cents
+        FROM x
+        GROUP BY o_orderpriority, bucket_dollars
+        ORDER BY o_orderpriority, bucket_dollars
+        """
+    )

@@ -3,6 +3,10 @@ the custom Python DataSource — properties the SQL oracle can't pin."""
 
 from __future__ import annotations
 
+import duckdb
+
+from tests.conftest import SF_SMOKE
+
 from embarrassingly_parallel_image_classification_spark.ml.dedup import (
     connected_components,
 )
@@ -129,3 +133,168 @@ def test_label_prop_isolated_node_and_mode_tiebreak(spark):
             for n in labels
         }
     assert got == labels, f"spark {got} != reference {labels}"
+
+
+def test_assortativity_matches_brute_force(spark):
+    """Degrees and the integer Pearson replayed in pure Python over
+    the same undirected nation edge census; float sanity via the
+    direct correlation of the directed endpoint-degree pairs."""
+    from embarrassingly_parallel_image_classification_spark import registry
+    from embarrassingly_parallel_image_classification_spark.operators.graph import (
+        _EDGES_SQL,
+    )
+
+    got = (
+        registry.queries()["q_graph_assortativity"](spark, SF_SMOKE)
+        .toPandas()
+        .iloc[0]
+    )
+    con = duckdb.connect()
+    for tbl in ("lineitem", "orders", "customer", "supplier"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS"
+            f" SELECT * FROM read_parquet('{SF_SMOKE}/{tbl}.parquet')"
+        )
+    edges = con.execute(
+        f"WITH base AS ({_EDGES_SQL}) "
+        "SELECT DISTINCT LEAST(src,dst), GREATEST(src,dst) "
+        "FROM base WHERE src <> dst"
+    ).fetchall()
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    pairs = [(deg[a], deg[b]) for a, b in edges] + [
+        (deg[b], deg[a]) for a, b in edges
+    ]
+    m2 = len(pairs)
+    sjk = sum(j * k for j, k in pairs)
+    sj = sum(j for j, _ in pairs)
+    sj2 = sum(j * j for j, _ in pairs)
+    num = m2 * sjk - sj * sj
+    den = max(m2 * sj2 - sj * sj, 1)
+    r_e6 = (-1 if num < 0 else 1) * ((abs(num) * 1_000_000) // den)
+    assert int(got.n_edges) == len(edges)
+    assert int(got.r_num) == num
+    assert int(got.r_den) == den
+    assert int(got.r_e6) == r_e6
+    assert bool(got.assortative) == (num > 0)
+    # float sanity: direct Pearson over the directed pairs
+    mj = sj / m2
+    cov = sjk / m2 - mj * mj
+    var = sj2 / m2 - mj * mj
+    if var > 0:
+        r = cov / var
+        assert abs(r - r_e6 / 1e6) < 0.001
+
+
+def test_kcore_matches_brute_force(spark):
+    """Top-m sparsification + peeling replayed to a TRUE fixed point
+    in pure Python (no round cap): asserts the 4-round unroll had
+    converged (the certificate column), that the core matches the
+    fixed point exactly, and that both branches (peeled nodes AND
+    survivors) are exercised on this fixture."""
+    from embarrassingly_parallel_image_classification_spark import registry
+    from embarrassingly_parallel_image_classification_spark.operators.graph import (
+        _KCORE_K,
+        _KCORE_TOPM,
+    )
+
+    got = (
+        registry.queries()["q_graph_kcore"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("node")
+    )
+    con = duckdb.connect()
+    for tbl in ("lineitem", "orders", "customer", "supplier"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS"
+            f" SELECT * FROM read_parquet('{SF_SMOKE}/{tbl}.parquet')"
+        )
+    pairs = con.execute(
+        """
+        SELECT c.c_nationkey, s.s_nationkey, COUNT(*)
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for a, b, c in pairs:
+        by_src[a].append((-c, b))
+    edges = set()
+    for a, lst in by_src.items():
+        for _, b in sorted(lst)[:_KCORE_TOPM]:
+            edges.add((min(a, b), max(a, b)))
+    alive = {n for e in edges for n in e}
+    all_nodes = set(alive)
+    removed_round = {}
+    r = 0
+    while True:
+        deg = defaultdict(int)
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        new = {n for n in alive if deg[n] >= _KCORE_K}
+        r += 1
+        if new == alive:
+            break
+        for n in alive - new:
+            removed_round[n] = r
+        alive = new
+    assert bool(got.converged.iloc[0])  # 4 rounds reached fixed point
+    assert 0 < len(alive) < len(all_nodes)  # both branches exercised
+    final_deg = defaultdict(int)
+    for a, b in edges:
+        if a in alive and b in alive:
+            final_deg[a] += 1
+            final_deg[b] += 1
+    for n in all_nodes:
+        assert bool(got.loc[n, "in_core"]) == (n in alive)
+        assert int(got.loc[n, "removed_round"]) == removed_round.get(n, 0)
+        assert int(got.loc[n, "core_degree"]) == (
+            final_deg[n] if n in alive else 0
+        )
+
+
+def test_reciprocity_matches_brute_force(spark):
+    """Directed census + reverse probe replayed in Python; pins the
+    evenness of m_recip (mutuality is symmetric)."""
+    from embarrassingly_parallel_image_classification_spark import registry
+    from embarrassingly_parallel_image_classification_spark.operators.graph import (
+        _EDGES_SQL,
+    )
+
+    got = (
+        registry.queries()["q_graph_reciprocity"](spark, SF_SMOKE)
+        .toPandas()
+        .iloc[0]
+    )
+    con = duckdb.connect()
+    for tbl in ("lineitem", "orders", "customer", "supplier"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS"
+            f" SELECT * FROM read_parquet('{SF_SMOKE}/{tbl}.parquet')"
+        )
+    edges = {
+        (a, b)
+        for a, b in con.execute(
+            f"WITH base AS ({_EDGES_SQL})"
+            " SELECT src, dst FROM base WHERE src <> dst"
+        ).fetchall()
+    }
+    m_dir = len(edges)
+    m_recip = sum(1 for a, b in edges if (b, a) in edges)
+    assert m_recip % 2 == 0
+    assert int(got.m_dir) == m_dir
+    assert int(got.m_recip) == m_recip
+    assert int(got.reciprocity_e6) == (m_recip * 1_000_000) // m_dir
+    assert int(got.n_mutual_pairs) == m_recip // 2

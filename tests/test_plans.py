@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from embarrassingly_parallel_image_classification_spark import registry
 from embarrassingly_parallel_image_classification_spark.sources.formats import scratch
 from embarrassingly_parallel_image_classification_spark.sources.tables import t
-from tests.conftest import SF_T2
+from tests.conftest import SF_SMOKE, SF_T2
 
 
 def explain_str(df) -> str:
@@ -345,6 +345,15 @@ _CARTESIAN_OK = {
                              # jt x 1-row moments scalar cross
     "q_stats_friedman",      # two 1-row aggregate scalars (n, A2)
                              # crossed onto the 5-row rank-sum frame
+    "q_stats_page_trend",    # the Friedman frame's 1-row block-count
+                             # scalar crossed onto the 1-row L2
+                             # aggregate (5-row scored frame upstream)
+    "q_graph_kcore",         # 1-row convergence certificate (count
+                             # equality of the last two 25-row alive
+                             # sets) crossed onto the 25-node output
+    "q_train_perceptron",    # each epoch crosses the <=70-cell census
+                             # with the 1-row weight vector (broadcast
+                             # scalar cross), + the final audit cross
     "q_ts_ljung_box",        # 31-row day series x 1-row (n,S) scalar,
                              # x 7-row lag literal, x 1-row C0 — every
                              # cross side is calendar/constant-bounded
@@ -869,3 +878,52 @@ def test_decorrelate_plan_has_no_nested_loop(spark):
     plan = plan_of(spark, "q_sql_decorrelate")
     assert "NestedLoop" not in plan
     assert "Cartesian" not in plan
+
+
+def test_lateral_alias_plan_matches_expanded(spark):
+    """q_sql_lateral_alias's plan claim pinned (a measured finding,
+    not the naive expectation): the lateral-alias chain keeps `cents`
+    as a materialized intermediate — the cast/round expression is
+    evaluated ONCE in the optimized plan — while the hand-expanded
+    spelling evaluates it 3x inside a single collapsed Project
+    (CollapseProject does not re-factor common subexpressions). The
+    alias spelling is the cheaper plan for repeated derivations."""
+    import re
+
+    from embarrassingly_parallel_image_classification_spark import registry
+
+    sf = SF_SMOKE
+    lca = registry.queries()["q_sql_lateral_alias"](spark, sf)
+    expanded = spark.sql(
+        """
+        WITH x AS (
+            SELECT o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                     - CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                       % 500000 AS bucket_cents,
+                   (CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                     - CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                       % 500000) div 100 AS bucket_dollars
+            FROM __lca_orders
+        )
+        SELECT o_orderpriority, bucket_dollars,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(cents) AS BIGINT) AS min_cents,
+               CAST(MAX(cents) AS BIGINT) AS max_cents
+        FROM x
+        GROUP BY o_orderpriority, bucket_dollars
+        ORDER BY o_orderpriority, bucket_dollars
+        """
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    n_lca = plan(lca).count("cast(round(")
+    n_exp = plan(expanded).count("cast(round(")
+    assert n_lca == 1  # aliased chain: cents computed once
+    assert n_exp >= 3  # pre-expanded: recomputed per reference
+    assert re.sub(r"#\d+L?", "#x", plan(lca)) != re.sub(
+        r"#\d+L?", "#x", plan(expanded)
+    )

@@ -1805,3 +1805,412 @@ def test_ansari_bradley_sf01_no_quotient_wrap(spark):
     z2_e3 = (dstage * dstage * (N - 1)) // r1
     assert int(got.z2_e3) == z2_e3
     assert bool(got.significant) == (z2_e3 > 3841)
+
+
+def test_lepage_matches_brute_force(spark):
+    """Both components replayed in pure Python off the same pooled
+    census (Wilcoxon midranks via 2R1 = sum ca*(2*c_lt + t + 1), AB
+    via the closed-form T(x) block scores + e3 fixings), then a float
+    sanity check of D against the direct standardized sum."""
+    got = _rows(spark, "q_stats_lepage").iloc[0]
+    from embarrassingly_parallel_image_classification_spark.operators.stats import (
+        LEPAGE_D_E3,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT o_orderstatus st, CAST(ROUND(o_totalprice*100,0) AS BIGINT) v"
+        f" FROM read_parquet('{SF_SMOKE}/orders.parquet')"
+        f" WHERE o_orderstatus IN ('F','O')"
+    ).fetchall()
+    from collections import Counter
+
+    ca = Counter(v for st, v in rows if st == "F")
+    call = Counter(v for _, v in rows)
+    N = sum(call.values())
+    n = sum(ca.values())
+    m = N - n
+
+    def T(x):
+        h = (N + 1) // 2
+        if x <= h:
+            return x * (x + 1) // 2
+        return h * (h + 1) // 2 + (2 * N + 1 - h - x) * (x - h) // 2
+
+    def fix(num, t):
+        return 1000 * (num // t) + round(1000 * (num % t) / t)
+
+    cum = 0
+    s1 = ab_e3 = s2_e3 = r1x2 = tie3 = 0
+    for v in sorted(call):
+        t_ = call[v]
+        bs = T(cum + t_) - T(cum)
+        s1 += bs
+        ab_e3 += fix(ca.get(v, 0) * bs, t_)
+        s2_e3 += fix(bs * bs, t_)
+        r1x2 += ca.get(v, 0) * (2 * cum + t_ + 1)
+        tie3 += t_ ** 3 - t_
+        cum += t_
+    # Wilcoxon component: pure integer cross-multiplication
+    wdiff = r1x2 - n * (N + 1)
+    kk = N * (N * N - 1) - tie3
+    wden = max(n * m * kk, 1)
+    zw2_e3 = (wdiff * wdiff * 3 * N * (N - 1) * 1000) // wden
+    # AB component: the q_stats_ansari_bradley chain verbatim
+    dstage = abs(ab_e3 * N - n * s1 * 1000) // 1000
+    vnum_e3 = max(N * s2_e3 - s1 * s1 * 1000, 0)
+    r1 = max(n * m * (vnum_e3 // 1_000_000), 1)
+    zab2_e3 = (dstage * dstage * (N - 1)) // r1
+    assert int(got.n_f) == n and int(got.n_o) == m
+    assert int(got.w_r1_x2) == r1x2
+    assert int(got.zw2_e3) == zw2_e3
+    assert int(got.zab2_e3) == zab2_e3
+    assert int(got.d_e3) == zw2_e3 + zab2_e3
+    assert bool(got.significant) == (zw2_e3 + zab2_e3 > LEPAGE_D_E3)
+    # float sanity: D from the direct standardized components
+    ew = n * (N + 1)
+    varw = n * m * kk / (3 * N * (N - 1))
+    zw2 = (r1x2 - ew) ** 2 / varw
+    assert abs(zw2 - zw2_e3 / 1000) < max(0.01 * zw2, 0.01)
+
+
+def test_cochran_armitage_matches_brute_force(spark):
+    """Pure-integer trend chain replayed from the raw (dose, outcome)
+    rows, plus a float sanity check of z^2 against the textbook
+    U/sqrt(var) form."""
+    got = _rows(spark, "q_stats_cochran_armitage").iloc[0]
+    rows = duckdb.sql(
+        f"SELECT CAST(SUBSTRING(o_orderpriority,1,1) AS BIGINT) w,"
+        f" CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END s"
+        f" FROM read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchall()
+    from collections import defaultdict
+
+    ni = defaultdict(int)
+    ri = defaultdict(int)
+    for w, s in rows:
+        ni[w] += 1
+        ri[w] += s
+    N = sum(ni.values())
+    R = sum(ri.values())
+    swr = sum(w * r for w, r in ri.items())
+    swn = sum(w * n for w, n in ni.items())
+    sw2n = sum(w * w * n for w, n in ni.items())
+    tnum = N * swr - R * swn
+    den = max(R * (N - R) * (N * sw2n - swn * swn), 1)
+    z2_e3 = (tnum * tnum * N * 1000) // den
+    assert int(got.n) == N and int(got.n_success) == R
+    assert int(got.n_groups) == len(ni)
+    assert int(got.trend_num) == tnum
+    assert int(got.trend_sign) == (1 if tnum > 0 else -1 if tnum < 0 else 0)
+    assert int(got.z2_e3) == z2_e3
+    assert bool(got.significant) == (z2_e3 > 3841)
+    # float sanity: z^2 via the textbook form
+    pbar = R / N
+    u = swr - pbar * swn
+    var = pbar * (1 - pbar) * (sw2n - swn * swn / N)
+    if var > 0:
+        z2 = u * u / var
+        assert abs(z2 - z2_e3 / 1000) < max(0.01 * z2, 0.01)
+
+
+def test_cmh_matches_brute_force(spark):
+    """Per-stratum e6 fixings and the staged z^2 replayed in pure
+    Python, plus a float sanity check against the textbook CMH form
+    (no continuity correction — the stated convention)."""
+    got = _rows(spark, "q_stats_cmh").iloc[0]
+    rows = duckdb.sql(
+        f"SELECT CAST(SUBSTRING(o_orderpriority,1,1) AS BIGINT) k,"
+        f" CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END e,"
+        f" CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END s"
+        f" FROM read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchall()
+    from collections import defaultdict
+
+    st = defaultdict(lambda: [0, 0, 0, 0])  # nk, r1, c1, a
+    for k, e, s_ in rows:
+        v = st[k]
+        v[0] += 1
+        v[1] += e
+        v[2] += s_
+        v[3] += e * s_
+
+    def fix(num, den):
+        return 1_000_000 * (num // den) + round(
+            1_000_000 * (num % den) / den
+        )
+
+    num_e6 = var_e6 = 0
+    N = A = n_strata = 0
+    num_f = var_f = 0.0
+    for nk, r1, c1, a in st.values():
+        if nk < 2:
+            continue
+        n_strata += 1
+        N += nk
+        A += a
+        num_e6 += 1_000_000 * a - fix(r1 * c1, nk)
+        var_e6 += fix(
+            r1 * (nk - r1) * c1 * (nk - c1), nk * nk * (nk - 1)
+        )
+        num_f += a - r1 * c1 / nk
+        var_f += r1 * (nk - r1) * c1 * (nk - c1) / (nk * nk * (nk - 1))
+    var_e6 = max(var_e6, 1)
+    z2_e3 = (num_e6 * num_e6 * 1000) // (1_000_000 * var_e6)
+    assert int(got.n) == N and int(got.n_strata) == n_strata
+    assert int(got.a_total) == A
+    assert int(got.num_e6) == num_e6
+    assert int(got.var_e6) == var_e6
+    assert int(got.z2_e3) == z2_e3
+    assert bool(got.significant) == (z2_e3 > 3841)
+    if var_f > 0:
+        z2 = num_f * num_f / var_f
+        assert abs(z2 - z2_e3 / 1000) < max(0.01 * z2, 0.01)
+
+
+def test_page_trend_matches_brute_force(spark, events):
+    """Complete blocks, doubled midranks and L2 = sum j*R2_j replayed
+    in pure Python with the alphabetical score convention; the classic
+    no-ties moments replayed on the verdict."""
+    got = _rows(spark, "q_stats_page_trend").iloc[0]
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ev["d"] = ev["ts"].dt.date
+    k = 5
+    cell = (
+        ev.groupby(["d", "event_type"])["cents"].sum().reset_index()
+    )
+    r2_sum = {}
+    b = 0
+    for d, grp in cell.groupby("d"):
+        if len(grp) != k:
+            continue
+        b += 1
+        vals = sorted(grp["cents"])
+        for _, row in grp.iterrows():
+            v = row["cents"]
+            c_lt = sum(1 for x in vals if x < v)
+            tcnt = sum(1 for x in vals if x == v)
+            r2 = 2 * c_lt + tcnt + 1
+            g = row["event_type"]
+            r2_sum[g] = r2_sum.get(g, 0) + r2
+    l2 = sum(
+        (j + 1) * r2_sum[g] for j, g in enumerate(sorted(r2_sum))
+    )
+    diff = l2 - b * (k * (k + 1) ** 2 // 2)
+    vden = k * k * (k + 1) ** 2 * (k - 1)
+    z2_e3 = (diff * diff * 36000) // (b * vden) if b else 0
+    assert int(got.n_blocks) == b
+    assert int(got.l_x2) == l2
+    assert int(got.diff_x2) == diff
+    assert int(got.z2_e3) == z2_e3
+    assert bool(got.significant) == (b > 0 and z2_e3 > 3841)
+
+
+def test_seasonal_mk_matches_brute_force(spark, events):
+    """Per-season S_h and tie-corrected variance numerators replayed
+    in pure Python with the arithmetic epoch-day-mod-7 season, pooled
+    totals and the continuity-corrected verdict replayed exactly."""
+    got = _rows(spark, "q_stats_seasonal_mk").set_index("event_type")
+    from embarrassingly_parallel_image_classification_spark.operators.stats import (
+        CHI2_DF1_E6,
+    )
+    import datetime
+
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ev["d"] = ev["ts"].dt.date
+    daily = (
+        ev.groupby(["event_type", "d"])["cents"].sum().reset_index()
+    )
+    epoch = datetime.date(1970, 1, 1)
+    daily["season"] = daily["d"].map(lambda d: (d - epoch).days % 7)
+    for g, grp in daily.groupby("event_type"):
+        s_total = var18_total = n_days = 0
+        n_seasons = 0
+        for _, sg in grp.groupby("season"):
+            vals = list(
+                sg.sort_values("d")["cents"]
+            )
+            n = len(vals)
+            n_seasons += 1
+            n_days += n
+            s_h = sum(
+                (1 if vals[j] > vals[i] else -1 if vals[j] < vals[i] else 0)
+                for i in range(n)
+                for j in range(i + 1, n)
+            )
+            from collections import Counter
+
+            tie = sum(
+                t * (t - 1) * (2 * t + 5)
+                for t in Counter(vals).values()
+                if t > 1
+            )
+            s_total += s_h
+            var18_total += n * (n - 1) * (2 * n + 5) - tie
+        assert int(got.loc[g, "n_days"]) == n_days
+        assert int(got.loc[g, "n_seasons"]) == n_seasons
+        assert int(got.loc[g, "s_total"]) == s_total
+        assert int(got.loc[g, "var18_total"]) == var18_total
+        sig = (
+            max(abs(s_total) - 1, 0) ** 2 * 18_000_000
+            > CHI2_DF1_E6 * var18_total
+        )
+        assert bool(got.loc[g, "significant"]) == sig
+        want_trend = (
+            ("increasing" if s_total > 0 else "decreasing")
+            if sig
+            else "no_trend"
+        )
+        assert got.loc[g, "trend"] == want_trend
+
+
+def test_croston_matches_brute_force(spark, events):
+    """The variable-length dyadic SES unroll replayed in pure Python
+    (sizes + gaps, denominators cancelling in the ratio), the SBA 3/4
+    correction, and the float-SES sanity; also asserts the fixture
+    genuinely exercises intermittency (some inter-demand gap > 1)."""
+    got = _rows(spark, "q_timeseries_croston").set_index("event_type")
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ev["d"] = ev["ts"].dt.date
+    ev["hit"] = (ev["cents"] % 20 == 0).astype(int)
+    daily = ev.groupby(["event_type", "d"])["hit"].sum().reset_index()
+    saw_gap = False
+    for g, grp in daily[daily.hit > 0].groupby("event_type"):
+        days = sorted(grp["d"])
+        zs = dict(zip(grp["d"], grp["hit"]))
+        pts = []  # oldest-first (z, gap)
+        for i in range(1, len(days)):
+            pts.append(
+                (int(zs[days[i]]), (days[i] - days[i - 1]).days)
+            )
+        pts = pts[-12:]
+        n = len(pts)
+        if n < 2:
+            assert g not in got.index
+            continue
+        if any(gap > 1 for _, gap in pts):
+            saw_gap = True
+        z_num = p_num = 0
+        for p, (z, gap) in enumerate(pts, start=1):
+            w = 1 if p == 1 else 1 << (p - 2)
+            z_num += z * w
+            p_num += gap * w
+        assert int(got.loc[g, "n_demands"]) == n
+        assert int(got.loc[g, "z_num"]) == z_num
+        assert int(got.loc[g, "p_num"]) == p_num
+        assert int(got.loc[g, "rate_e6"]) == (z_num * 1_000_000) // p_num
+        assert int(got.loc[g, "sba_rate_e6"]) == (z_num * 750_000) // p_num
+        # float sanity: run the actual SES recursions
+        sz = sp = None
+        for z, gap in pts:
+            sz = z if sz is None else (sz + z) / 2
+            sp = gap if sp is None else (sp + gap) / 2
+        den = 1 << (n - 1)
+        assert abs(sz - z_num / den) < 1e-9
+        assert abs(sp - p_num / den) < 1e-9
+    assert saw_gap  # the intermittency the docstring claims is real
+
+
+def test_prop_ztest_matches_brute_force(spark):
+    """The multiplied-through (5x-n)^2/(4n) chain replayed, plus the
+    textbook float z^2 sanity."""
+    got = _rows(spark, "q_stats_prop_ztest").iloc[0]
+    n, x = duckdb.sql(
+        f"SELECT COUNT(*), COUNT(*) FILTER (WHERE o_orderpriority ="
+        f" '1-URGENT') FROM read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchone()
+    dev = 5 * x - n
+    z2_e3 = (dev * dev * 1000) // (4 * n)
+    assert int(got.n) == n and int(got.n_urgent) == x
+    assert int(got.p_hat_e6) == (x * 1_000_000) // n
+    assert int(got.dev_x5) == dev
+    assert int(got.z2_e3) == z2_e3
+    assert bool(got.significant) == (z2_e3 > 3841)
+    p0 = 0.2
+    z2 = (x - n * p0) ** 2 / (n * p0 * (1 - p0))
+    assert abs(z2 - z2_e3 / 1000) < max(0.01 * z2, 0.01)
+
+
+def test_mh_odds_matches_brute_force(spark):
+    """Per-stratum cross-product e6 fixings and the pooled ratio
+    replayed in Python, plus float sanity vs the textbook OR_MH."""
+    got = _rows(spark, "q_stats_mh_odds").iloc[0]
+    rows = duckdb.sql(
+        f"SELECT CAST(SUBSTRING(o_orderpriority,1,1) AS BIGINT) k,"
+        f" CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END e,"
+        f" CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END s"
+        f" FROM read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchall()
+    from collections import defaultdict
+
+    st = defaultdict(lambda: [0, 0, 0, 0])
+    for k, e, s_ in rows:
+        v = st[k]
+        v[0] += 1
+        v[1] += e
+        v[2] += s_
+        v[3] += e * s_
+
+    def fix(num, den):
+        return 1_000_000 * (num // den) + round(
+            1_000_000 * (num % den) / den
+        )
+
+    num_e6 = den_e6 = 0
+    n_strata = 0
+    num_f = den_f = 0.0
+    for nk, r1, c1, a in st.values():
+        if nk < 2:
+            continue
+        n_strata += 1
+        b, c, d = r1 - a, c1 - a, nk - r1 - c1 + a
+        num_e6 += fix(a * d, nk)
+        den_e6 += fix(b * c, nk)
+        num_f += a * d / nk
+        den_f += b * c / nk
+    den_e6 = max(den_e6, 1)
+    assert int(got.n_strata) == n_strata
+    assert int(got.num_e6) == num_e6
+    assert int(got.den_e6) == den_e6
+    assert int(got.or_mh_e6) == (num_e6 * 1_000_000) // den_e6
+    assert bool(got.exposure_raises_odds) == (num_e6 > den_e6)
+    if den_f > 0:
+        or_mh = num_f / den_f
+        assert abs(or_mh - int(got.or_mh_e6) / 1e6) < max(
+            0.001 * or_mh, 0.001
+        )
+
+
+def test_perceptron_matches_brute_force(spark):
+    """The census + 3 full-batch integer epochs replayed in pure
+    Python from the raw rows (not the census — independent path),
+    final weights, misclassification audit and accuracy replayed
+    exactly."""
+    got = _rows(spark, "q_train_perceptron").iloc[0]
+    rows = duckdb.sql(
+        f"SELECT CAST(SUBSTRING(o_orderpriority,1,1) AS BIGINT) x1,"
+        f" CAST(ROUND(o_totalprice*100,0) AS BIGINT) // 1000000 x2,"
+        f" CASE WHEN o_orderstatus='F' THEN 1 ELSE -1 END y"
+        f" FROM read_parquet('{SF_SMOKE}/orders.parquet')"
+    ).fetchall()
+    wb = w1 = w2 = 0
+    for _ in range(3):
+        db = d1 = d2 = 0
+        for x1, x2, y in rows:
+            if y * (wb + w1 * x1 + w2 * x2) <= 0:
+                db += y
+                d1 += y * x1
+                d2 += y * x2
+        wb, w1, w2 = wb + db, w1 + d1, w2 + d2
+    mis = sum(
+        1 for x1, x2, y in rows if y * (wb + w1 * x1 + w2 * x2) <= 0
+    )
+    n = len(rows)
+    assert int(got.wb) == wb
+    assert int(got.w1) == w1
+    assert int(got.w2) == w2
+    assert int(got.n_train) == n
+    assert int(got.n_misclassified) == mis
+    assert int(got.accuracy_e6) == (n - mis) * 1_000_000 // n
