@@ -312,6 +312,11 @@ HEADLINE = [
     "q_sql_lateral_alias",
     "q_stats_mh_odds",
     "q_train_perceptron",
+    "q_stats_kendall_w",
+    "q_stats_cohen_kappa",
+    "q_stats_cronbach_alpha",
+    "q_stats_brunner_munzel",
+    "q_scan_text",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -5542,3 +5542,607 @@ def q_stats_mh_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("or_mh_e6"),
         (F.col("num_e6") > F.col("den_e6")).alias("exposure_raises_odds"),
     )
+
+
+@register(
+    "q_stats_kendall_w",
+    oracle=f"""
+    WITH cell AS (
+        SELECT CAST(ts AS DATE) AS d, event_type AS g,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    complete AS (
+        SELECT d FROM cell GROUP BY d HAVING COUNT(*) = {FRIEDMAN_K}
+    ),
+    c2 AS (SELECT cell.* FROM cell JOIN complete USING (d)),
+    tie AS (SELECT d, v, CAST(COUNT(*) AS BIGINT) AS tcnt
+            FROM c2 GROUP BY d, v),
+    rk AS (
+        SELECT d, v,
+               2 * (SUM(tcnt) OVER (PARTITION BY d ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tcnt)
+                 + tcnt + 1 AS r2
+        FROM tie
+    ),
+    s AS (SELECT c2.g, rk.r2 FROM c2
+          JOIN rk ON rk.d = c2.d AND rk.v = c2.v),
+    byg AS (SELECT g, CAST(SUM(r2) AS BIGINT) AS r2_sum FROM s GROUP BY g),
+    tot AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM complete) AS n,
+               (SELECT CAST(SUM(r2 * r2) AS BIGINT) FROM s) AS a2
+    ),
+    q AS (
+        SELECT tot.n, tot.a2,
+               (SELECT CAST(SUM((r2_sum - tot.n * {FRIEDMAN_K + 1})
+                            * (r2_sum - tot.n * {FRIEDMAN_K + 1}))
+                       AS BIGINT) FROM byg) AS devsq
+        FROM tot
+    ),
+    fin AS (
+        SELECT n,
+               CAST({FRIEDMAN_K - 1} * devsq AS BIGINT) AS q_num,
+               CAST(a2 - n * {FRIEDMAN_K * (FRIEDMAN_K + 1) ** 2} AS BIGINT)
+                 AS q_den
+        FROM q
+    )
+    SELECT n AS n_blocks, CAST({FRIEDMAN_K} AS BIGINT) AS k,
+           q_num, q_den,
+           CAST(CASE WHEN q_den > 0 THEN (q_num * 1000000)
+                // (q_den * n * {FRIEDMAN_K - 1}) ELSE 0 END AS BIGINT)
+             AS w_e6,
+           CASE WHEN q_den <= 0 THEN 'degenerate'
+                WHEN q_num * 10 > q_den * n * {FRIEDMAN_K - 1} * 7
+                  THEN 'strong'
+                WHEN q_num * 10 > q_den * n * {FRIEDMAN_K - 1} * 3
+                  THEN 'moderate'
+                ELSE 'weak' END AS agreement
+    FROM fin
+    """,
+    tags=("M2", "M14"),
+)
+def q_stats_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S W — coefficient of concordance (1939): the EFFECT
+    SIZE companion to q_stats_friedman's verdict on the SAME blocked
+    frame (the test/effect pairing discipline: chi2 -> Cramer's V,
+    MW -> AUC, CMH -> OR_MH — now Friedman -> W). "The days agree in
+    how they rank the five event types" is a 0..1 quantity, not just
+    a yes/no: W = Q / (b(k-1)) with the tie-corrected Q (the identity
+    holds with both carrying the same tie correction, stated), so W
+    rides Friedman's exact integer rational (q_num, q_den) verbatim
+    — ONE extra floor, w_e6 = q_num*1e6 div (q_den*b*(k-1)), and the
+    weak/moderate/strong interpretation buckets (0.3/0.7) are
+    CROSS-MULTIPLIED integer comparisons (q_num*10 vs
+    q_den*b*(k-1)*{{3,7}}) — no float anywhere, fully-tied degenerate
+    den = 0 reported as its own bucket.
+
+    Plan at 100 TB: identical to Friedman — one (day, type) census
+    off a single fact scan, windows over a <= 31x5 frame; block
+    count grows with the CALENDAR, not the row count."""
+    cell = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("ts").cast("date").alias("d"),
+            F.col("event_type").alias("g"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    complete = (
+        cell.groupBy("d").agg(F.count("*").alias("kk"))
+        .filter(F.col("kk") == FRIEDMAN_K)
+        .select("d")
+    )
+    c2 = cell.join(complete, "d")
+    tie = c2.groupBy("d", "v").agg(F.count("*").cast("bigint").alias("tcnt"))
+    wcum = (
+        Window.partitionBy("d")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rk = tie.select(
+        "d",
+        "v",
+        (
+            2 * (F.sum("tcnt").over(wcum) - F.col("tcnt"))
+            + F.col("tcnt")
+            + 1
+        ).alias("r2"),
+    )
+    s = c2.join(rk, ["d", "v"]).select("g", "r2")
+    byg = s.groupBy("g").agg(F.sum("r2").cast("bigint").alias("r2_sum"))
+    tot = s.agg(
+        F.sum(F.col("r2") * F.col("r2")).cast("bigint").alias("a2")
+    ).crossJoin(complete.agg(F.count("*").cast("bigint").alias("n")))
+    q = byg.crossJoin(F.broadcast(tot)).agg(
+        F.first("n").alias("n"),
+        F.first("a2").alias("a2"),
+        F.sum(
+            (F.col("r2_sum") - F.col("n") * F.lit(FRIEDMAN_K + 1))
+            * (F.col("r2_sum") - F.col("n") * F.lit(FRIEDMAN_K + 1))
+        )
+        .cast("bigint")
+        .alias("devsq"),
+    )
+    kk1sq = FRIEDMAN_K * (FRIEDMAN_K + 1) ** 2
+    fin = q.select(
+        "n",
+        (F.lit(FRIEDMAN_K - 1) * F.col("devsq")).cast("bigint").alias(
+            "q_num"
+        ),
+        (F.col("a2") - F.col("n") * F.lit(kk1sq)).cast("bigint").alias(
+            "q_den"
+        ),
+    )
+    wden = f"q_den * n * {FRIEDMAN_K - 1}"
+    return fin.select(
+        F.col("n").alias("n_blocks"),
+        F.lit(FRIEDMAN_K).cast("bigint").alias("k"),
+        "q_num",
+        "q_den",
+        F.expr(
+            f"CAST(CASE WHEN q_den > 0 THEN (q_num * 1000000)"
+            f" div ({wden}) ELSE 0 END AS BIGINT)"
+        ).alias("w_e6"),
+        F.expr(
+            f"CASE WHEN q_den <= 0 THEN 'degenerate'"
+            f" WHEN q_num * 10 > {wden} * 7 THEN 'strong'"
+            f" WHEN q_num * 10 > {wden} * 3 THEN 'moderate'"
+            f" ELSE 'weak' END"
+        ).alias("agreement"),
+    )
+
+
+@register(
+    "q_stats_cohen_kappa",
+    oracle="""
+    WITH rated AS (
+        SELECT CASE WHEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                         < 10000000 THEN 0
+                    WHEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                         < 30000000 THEN 1
+                    ELSE 2 END AS ra,
+               CASE WHEN SUBSTRING(o_orderpriority, 1, 1) IN ('1', '2')
+                      THEN 2
+                    WHEN SUBSTRING(o_orderpriority, 1, 1) = '3' THEN 1
+                    ELSE 0 END AS rb
+        FROM orders
+    ),
+    conf AS (
+        SELECT ra, rb, CAST(COUNT(*) AS HUGEINT) AS cnt
+        FROM rated GROUP BY ra, rb
+    ),
+    marg AS (
+        SELECT CAST(SUM(cnt) AS HUGEINT) AS n,
+               CAST(SUM(CASE WHEN ra = rb THEN cnt ELSE 0 END)
+                    AS HUGEINT) AS agree
+        FROM conf
+    ),
+    diag AS (
+        SELECT CAST(SUM(rt.t * ct.t) AS HUGEINT) AS pe_x
+        FROM (SELECT ra AS cl, SUM(cnt) AS t FROM conf GROUP BY ra) rt
+        JOIN (SELECT rb AS cl, SUM(cnt) AS t FROM conf GROUP BY rb) ct
+          ON ct.cl = rt.cl
+    )
+    SELECT CAST(m.n AS BIGINT) AS n,
+           CAST(m.agree AS BIGINT) AS n_agree,
+           CAST(d.pe_x AS BIGINT) AS chance_x_n2,
+           CAST((CASE WHEN m.n * m.agree - d.pe_x < 0 THEN -1 ELSE 1 END)
+                * ((ABS(m.n * m.agree - d.pe_x) * 1000000)
+                   // GREATEST(m.n * m.n - d.pe_x, 1)) AS BIGINT)
+             AS kappa_e6,
+           m.n * m.agree - d.pe_x > 0 AS beyond_chance
+    FROM marg m CROSS JOIN diag d
+    """,
+    tags=("M2", "M14"),
+)
+def q_stats_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA (1960) — chance-corrected agreement between two
+    raters, THE metric for label-quality audits (two annotators, a
+    model vs a gold rule, two heuristic taggers): raw agreement po
+    flatters raters who both favor a majority class; kappa rescales
+    by the chance agreement pe implied by the marginals. Raters here
+    are two DETERMINISTIC order classifiers into 3 tiers — price
+    (cents < 1e7 / < 3e7 / above) vs urgency (priority 1-2 / 3 /
+    4-5) — near-independent in this fixture, so kappa ~ 0 is the
+    honest expected answer and the beyond_chance boolean genuinely
+    discriminates.
+
+    Exactness: multiply kappa = (po - pe)/(1 - pe) through by N^2:
+    kappa = (N*agree - sum_c row_c*col_c) / (N^2 - sum_c row_c*col_c)
+    — PURE integers off one 3x3 confusion census (chance mass summed
+    over DIAGONAL classes only — the classic kappa subtlety, spelled
+    via an explicit marginal self-join keyed on the class); reported
+    as the sign-split magnitude floor (kappa can be negative —
+    worse-than-chance agreement — and Spark div truncates while
+    DuckDB // floors, the house rule). Operand audit: N^2 <= 2.3e12
+    at sf1 — HUGEINT/DECIMAL38 carried with room through sf10000.
+
+    Plan at 100 TB: ONE map-side-combined 9-cell confusion census,
+    two 3-row marginal folds, a scalar cross — the scan is the
+    entire cost."""
+    rated = t(spark, sf_dir, "orders").select(
+        F.expr(
+            "CASE WHEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+            " < 10000000 THEN 0"
+            " WHEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+            " < 30000000 THEN 1 ELSE 2 END"
+        ).alias("ra"),
+        F.expr(
+            "CASE WHEN SUBSTRING(o_orderpriority, 1, 1) IN ('1', '2')"
+            " THEN 2 WHEN SUBSTRING(o_orderpriority, 1, 1) = '3' THEN 1"
+            " ELSE 0 END"
+        ).alias("rb"),
+    )
+    conf = rated.groupBy("ra", "rb").agg(
+        F.count("*").cast(D38).alias("cnt")
+    )
+    conf = conf.localCheckpoint(eager=True)  # 3 consumers
+    tot = conf.agg(
+        F.sum("cnt").cast(D38).alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("cnt")).otherwise(0))
+        .cast(D38)
+        .alias("agree"),
+    )
+    rt = conf.groupBy("ra").agg(F.sum("cnt").cast(D38).alias("t_a"))
+    ct = conf.groupBy("rb").agg(F.sum("cnt").cast(D38).alias("t_b"))
+    diag = (
+        rt.join(ct, rt["ra"] == ct["rb"])
+        .agg(F.sum(F.col("t_a") * F.col("t_b")).cast(D38).alias("pe_x"))
+    )
+    out = tot.crossJoin(F.broadcast(diag))
+    knum = F.expr("n * agree - pe_x")
+    return out.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("agree").cast("bigint").alias("n_agree"),
+        F.col("pe_x").cast("bigint").alias("chance_x_n2"),
+        (
+            F.when(knum < 0, -1).otherwise(1)
+            * F.expr(
+                "(ABS(n * agree - pe_x) * 1000000)"
+                " div GREATEST(n * n - pe_x, CAST(1 AS decimal(38,0)))"
+            )
+        )
+        .cast("bigint")
+        .alias("kappa_e6"),
+        (knum > 0).alias("beyond_chance"),
+    )
+
+
+@register(
+    "q_stats_cronbach_alpha",
+    oracle=f"""
+    WITH cell AS (
+        SELECT CAST(ts AS DATE) AS d, event_type AS g,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    complete AS (
+        SELECT d FROM cell GROUP BY d HAVING COUNT(*) = {FRIEDMAN_K}
+    ),
+    c2 AS (SELECT cell.* FROM cell JOIN complete USING (d)),
+    nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM complete),
+    items AS (
+        SELECT CAST(SUM(vi) AS HUGEINT) AS sum_vi
+        FROM (
+            SELECT g,
+                   (SELECT n FROM nn)
+                     * CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT)
+                     - CAST(SUM(v) AS HUGEINT) * CAST(SUM(v) AS HUGEINT)
+                     AS vi
+            FROM c2 GROUP BY g
+        ) per_item
+    ),
+    totals AS (
+        SELECT (SELECT n FROM nn)
+                 * CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT)
+                 - CAST(SUM(t) AS HUGEINT) * CAST(SUM(t) AS HUGEINT)
+                 AS v_tot
+        FROM (SELECT d, CAST(SUM(v) AS HUGEINT) AS t
+              FROM c2 GROUP BY d) rows_
+    )
+    SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_cases,
+           CAST({FRIEDMAN_K} AS BIGINT) AS k,
+           CAST(i.sum_vi AS BIGINT) AS sum_item_var_x,
+           CAST(t.v_tot AS BIGINT) AS total_var_x,
+           CAST((CASE WHEN t.v_tot - i.sum_vi < 0 THEN -1 ELSE 1 END)
+                * (({FRIEDMAN_K} * ABS(t.v_tot - i.sum_vi) * 1000000)
+                   // GREATEST({FRIEDMAN_K - 1} * t.v_tot, 1)) AS BIGINT)
+             AS alpha_e6,
+           {FRIEDMAN_K} * (t.v_tot - i.sum_vi) * 10
+             > {FRIEDMAN_K - 1} * t.v_tot * 7 AS reliable
+    FROM items i CROSS JOIN totals t
+    """,
+    tags=("M2", "M14"),
+)
+def q_stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRONBACH'S ALPHA (1951) — internal-consistency reliability:
+    do the five event-type daily revenues move together enough to be
+    read as one composite "daily activity" scale? THE standard
+    reliability coefficient for any composite score (multi-item
+    surveys, multi-sensor indices, ensemble feature groups), and a
+    new flavor for the M14 pack: a VARIANCE-DECOMPOSITION statistic
+    (items-vs-total) on the same complete-day blocked frame Friedman
+    ranks. alpha = k/(k-1) * (1 - sum_i Var_i / Var_total), with
+    Var_total taken over the day's item SUM.
+
+    Exactness: population variances multiplied through by n^2 —
+    V = n*sum(x^2) - (sum x)^2 stays an EXACT integer per item and
+    for the totals (HUGEINT/DECIMAL38: daily cent-sums square past
+    BIGINT from sf1), so alpha is the exact rational
+    k*(V_tot - sum V_i) / ((k-1)*V_tot), reported as the sign-split
+    magnitude floor (alpha < 0 happens when items anti-covary, and
+    Spark div truncates while DuckDB // floors — the house rule);
+    the reliable verdict (alpha > 0.7, the conventional bar) is a
+    CROSS-MULTIPLIED integer comparison, no float. Operand audit:
+    n*sum(x^2) ~ 4e20 at sf1, ~4e24 at sf100 — inside 38 digits for
+    the alpha chain itself; the RAW reporting columns
+    sum_item_var_x / total_var_x are BIGINT-valid through sf1 and
+    would need e6-scaled reporting beyond (stated — the verdict and
+    alpha_e6 never leave DECIMAL38).
+
+    Plan at 100 TB: the Friedman census plan — one (day, type)
+    census off a single fact scan, two tiny variance folds over the
+    <= 31x5 frame, a scalar cross; 100x the data changes the census
+    sums only."""
+    cell = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("ts").cast("date").alias("d"),
+            F.col("event_type").alias("g"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    complete = (
+        cell.groupBy("d").agg(F.count("*").alias("kk"))
+        .filter(F.col("kk") == FRIEDMAN_K)
+        .select("d")
+    )
+    c2 = cell.join(complete, "d").localCheckpoint(eager=True)  # 3 consumers
+    nn = complete.agg(F.count("*").cast(D38).alias("n"))
+    per_item = (
+        c2.groupBy("g")
+        .agg(
+            F.sum(F.col("v").cast(D38) * F.col("v")).cast(D38).alias("sx2"),
+            F.sum("v").cast(D38).alias("sx"),
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            (
+                F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+            )
+            .cast(D38)
+            .alias("vi")
+        )
+    )
+    items = per_item.agg(F.sum("vi").cast(D38).alias("sum_vi"))
+    totals = (
+        c2.groupBy("d")
+        .agg(F.sum("v").cast(D38).alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t")).cast(D38).alias("st2"),
+            F.sum("t").cast(D38).alias("st"),
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            (F.col("n") * F.col("st2") - F.col("st") * F.col("st"))
+            .cast(D38)
+            .alias("v_tot"),
+            F.col("n"),
+        )
+    )
+    out = items.crossJoin(F.broadcast(totals))
+    k, k1 = FRIEDMAN_K, FRIEDMAN_K - 1
+    anum = F.expr("v_tot - sum_vi")
+    return out.select(
+        F.col("n").cast("bigint").alias("n_cases"),
+        F.lit(k).cast("bigint").alias("k"),
+        F.col("sum_vi").cast("bigint").alias("sum_item_var_x"),
+        F.col("v_tot").cast("bigint").alias("total_var_x"),
+        (
+            F.when(anum < 0, -1).otherwise(1)
+            * F.expr(
+                f"({k} * ABS(v_tot - sum_vi) * 1000000)"
+                f" div GREATEST({k1} * v_tot, CAST(1 AS decimal(38,0)))"
+            )
+        )
+        .cast("bigint")
+        .alias("alpha_e6"),
+        F.expr(
+            f"{k} * (v_tot - sum_vi) * 10 > {k1} * v_tot * 7"
+        ).alias("reliable"),
+    )
+
+
+@register(
+    "q_stats_brunner_munzel",
+    oracle="""
+    WITH x AS (
+        SELECT o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    pv AS (
+        SELECT v,
+               CAST(COUNT(*) FILTER (WHERE st = 'F') AS BIGINT) AS ca,
+               CAST(COUNT(*) AS BIGINT) AS t
+        FROM x GROUP BY v
+    ),
+    pos AS (
+        SELECT v, ca, t, t - ca AS cb,
+               SUM(t) OVER w - t AS cum,
+               SUM(ca) OVER w - ca AS cumf,
+               SUM(t - ca) OVER w - (t - ca) AS cumo
+        FROM pv
+        WINDOW w AS (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    cells AS (
+        SELECT ca, cb,
+               2 * cum + t + 1 AS r2,
+               2 * cumo + cb AS p2f,
+               2 * cumf + ca AS p2o
+        FROM pos
+    ),
+    agg AS (
+        SELECT CAST(SUM(ca) AS HUGEINT) AS n1,
+               CAST(SUM(cb) AS HUGEINT) AS n2,
+               CAST(SUM(cb * r2) AS HUGEINT) AS sr2o,
+               CAST(SUM(ca * p2f) AS HUGEINT) AS spf,
+               CAST(SUM(cb * p2o) AS HUGEINT) AS spo,
+               CAST(SUM(ca * p2f * p2f) AS HUGEINT) AS spf2,
+               CAST(SUM(cb * p2o * p2o) AS HUGEINT) AS spo2
+        FROM cells
+    ),
+    fin AS (
+        SELECT n1, n2, sr2o,
+               sr2o - n2 * (n1 + n2 + 1) AS u,
+               n1 * spf2 - spf * spf AS vx1,
+               n2 * spo2 - spo * spo AS vx2
+        FROM agg
+    ),
+    vr AS (
+        SELECT n1, n2, sr2o, u,
+               GREATEST(vx1 * (n2 - 1) + vx2 * (n1 - 1), 1) AS vx
+        FROM fin
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_f, CAST(n2 AS BIGINT) AS n_o,
+           CAST(u AS BIGINT) AS u_x2,
+           CAST(((sr2o - n2 * (n2 + 1)) * 1000000) // (2 * n1 * n2)
+                AS BIGINT) AS phat_e6,
+           CAST((u * u * (n1 - 1) * (n2 - 1) * 1000) // vx AS BIGINT)
+             AS z2_e3,
+           (u * u * (n1 - 1) * (n2 - 1) * 1000) // vx > 3841
+             AS significant
+    FROM vr
+    """,
+    tags=("M2", "M14"),
+)
+def q_stats_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRUNNER-MUNZEL test (2000) — the rank-based BEHRENS-FISHER
+    solution: Mann-Whitney's null is "identical distributions", so
+    under unequal variances MW rejects for spread differences it was
+    never meant to detect; BM tests the pure stochastic-equality null
+    P(X<Y) + P(X=Y)/2 = 1/2 with a variance estimated from each
+    group's PLACEMENTS (pooled rank minus within-group rank) — the
+    modern recommended default for two-sample rank comparison,
+    completing the unequal-variance corner beside
+    q_stats_games_howell (parametric) exactly as MW completes the
+    equal-variance one.
+
+    Exactness — two load-bearing identities: (1) placements come FREE
+    from the census: a cell's doubled placement is
+    p2_F = 2*cumO_before + cb (opposite-group mass below), so both
+    groups' placement sums/squares fold in the SAME single window
+    pass as the pooled midranks; (2) the mean-rank difference
+    n1*SR2_2 - n2*SR2_1 = N * U (since SR2_1 + SR2_2 = N(N+1)), so
+    the N^2 in T^2's numerator CANCELS against the N^2 in its
+    denominator — without this the cross-multiplication overflows 38
+    digits already at sf0.1; with it, z^2 = U^2 (n1-1)(n2-1) / VX
+    with VX = Vx1(n2-1) + Vx2(n1-1), Vx_g = n_g*sum(t_g p2^2) -
+    (sum t_g p2)^2 — every operand inside 38 digits through sf1
+    (U^2 ~ 3e23, x(n-1)(n-1) ~ 1.8e35, VX ~ 9.5e28). The e3 verdict
+    is one staged floor vs chi-square df=1 (3841; the small-sample t
+    approximation BM recommend is a stated large-N omission). Effect
+    size phat = P(F<O) + P(F=O)/2 reported as a non-negative e6
+    floor. Degenerate all-tied VX = 0 guarded to 1.
+
+    Plan at 100 TB: the KS/AB/Lepage census shape exactly — one
+    map-side-combined value census, ONE window pass carrying three
+    running sums, a 1-row aggregate; the fact table is scanned
+    once."""
+    x = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    ).select(
+        F.col("o_orderstatus").alias("st"),
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("v"),
+    )
+    pv = x.groupBy("v").agg(
+        F.sum(F.when(F.col("st") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.count("*").cast("bigint").alias("t"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pos = pv.select(
+        "ca",
+        "t",
+        (F.col("t") - F.col("ca")).alias("cb"),
+        (F.sum("t").over(wcum) - F.col("t")).alias("cum"),
+        (F.sum("ca").over(wcum) - F.col("ca")).alias("cumf"),
+        (
+            F.sum(F.col("t") - F.col("ca")).over(wcum)
+            - (F.col("t") - F.col("ca"))
+        ).alias("cumo"),
+    )
+    cells = pos.select(
+        "ca",
+        "cb",
+        (2 * F.col("cum") + F.col("ca") + F.col("cb") + 1).alias("r2"),
+        (2 * F.col("cumo") + F.col("cb")).alias("p2f"),
+        (2 * F.col("cumf") + F.col("ca")).alias("p2o"),
+    )
+    agg = cells.agg(
+        F.sum("ca").cast(D38).alias("n1"),
+        F.sum("cb").cast(D38).alias("n2"),
+        F.sum(F.col("cb") * F.col("r2")).cast(D38).alias("sr2o"),
+        F.sum(F.col("ca") * F.col("p2f")).cast(D38).alias("spf"),
+        F.sum(F.col("cb") * F.col("p2o")).cast(D38).alias("spo"),
+        F.sum(F.col("ca") * F.col("p2f") * F.col("p2f"))
+        .cast(D38)
+        .alias("spf2"),
+        F.sum(F.col("cb") * F.col("p2o") * F.col("p2o"))
+        .cast(D38)
+        .alias("spo2"),
+    )
+    fin = agg.select(
+        "n1",
+        "n2",
+        "sr2o",
+        (F.col("sr2o") - F.col("n2") * (F.col("n1") + F.col("n2") + 1))
+        .cast(D38)
+        .alias("u"),
+        (F.col("n1") * F.col("spf2") - F.col("spf") * F.col("spf"))
+        .cast(D38)
+        .alias("vx1"),
+        (F.col("n2") * F.col("spo2") - F.col("spo") * F.col("spo"))
+        .cast(D38)
+        .alias("vx2"),
+    )
+    vr = fin.select(
+        "n1",
+        "n2",
+        "sr2o",
+        "u",
+        F.expr(
+            "GREATEST(vx1 * (n2 - 1) + vx2 * (n1 - 1),"
+            " CAST(1 AS decimal(38,0)))"
+        )
+        .cast(D38)
+        .alias("vx"),
+    )
+    z2 = F.expr(
+        "(CAST(u AS decimal(38,0)) * u * (n1 - 1) * (n2 - 1) * 1000)"
+        " div vx"
+    )
+    return vr.select(
+        F.col("n1").cast("bigint").alias("n_f"),
+        F.col("n2").cast("bigint").alias("n_o"),
+        F.col("u").cast("bigint").alias("u_x2"),
+        F.expr(
+            "((sr2o - n2 * (n2 + 1)) * 1000000) div (2 * n1 * n2)"
+        )
+        .cast("bigint")
+        .alias("phat_e6"),
+        z2.cast("bigint").alias("z2_e3"),
+        (z2 > F.lit(3841)).alias("significant"),
+    )

@@ -552,3 +552,63 @@ def q_scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+@register(
+    "q_scan_text",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(length(REPLACE(text, chr(10), ' '))) AS BIGINT)
+             AS chars,
+           CAST(SUM(CASE WHEN REPLACE(text, chr(10), ' ')
+                         LIKE '%data%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_data
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("A2", "A7"),
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT-format sink + scan round-trip (`spark.read.text` — the
+    rawest source Spark has: one line, one row, one string column;
+    the on-ramp for every crawl dump, log file and line-delimited
+    corpus BEFORE a schema exists). Documents are flattened to one
+    line each as `lang\\tTEXT` (embedded newlines folded to spaces —
+    a text sink has no escaping, the format's defining limitation,
+    stated), written via the text writer, read back as raw `value`
+    lines and re-split — the oracle recomputes the aggregate from the
+    parquet origin through the SAME newline fold, so any loss or
+    mangling in the round-trip fails the hash. The split uses
+    substring arithmetic on the FIRST tab only (document text may
+    contain tabs; split-by-tab would truncate it — the classic
+    delimited-text trap, dodged and stated).
+
+    Plan at 100 TB: the text source is line-splittable exactly like
+    CSV — full parallel scan; map-side-combined 5-row groupBy; one
+    narrow projection (instr/substring) per row."""
+    path = scratch("docs_text", sf_dir)
+    docs = t(spark, sf_dir, "documents").select(
+        F.concat_ws(
+            "\t",
+            F.col("lang"),
+            F.regexp_replace("text", "\n", " "),
+        ).alias("value")
+    )
+    docs.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    parsed = back.select(
+        F.expr("substring(value, 1, instr(value, '\t') - 1)").alias("lang"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
+    return (
+        parsed.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.length("text")).cast("bigint").alias("chars"),
+            F.sum(
+                F.when(F.col("text").contains("data"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_data"),
+        )
+        .orderBy("lang")
+    )

@@ -354,6 +354,14 @@ _CARTESIAN_OK = {
     "q_train_perceptron",    # each epoch crosses the <=70-cell census
                              # with the 1-row weight vector (broadcast
                              # scalar cross), + the final audit cross
+    "q_stats_kendall_w",     # the Friedman frame's two 1-row scalars
+                             # (n, A2) crossed onto the 5-row rank-sum
+                             # frame (identical to q_stats_friedman)
+    "q_stats_cohen_kappa",   # 1-row totals x 1-row diagonal chance
+                             # mass scalar cross off the 9-cell census
+    "q_stats_cronbach_alpha",  # 1-row item-variance x 1-row
+                             # total-variance scalar cross (+ the
+                             # 1-row n onto two 5-row folds)
     "q_ts_ljung_box",        # 31-row day series x 1-row (n,S) scalar,
                              # x 7-row lag literal, x 1-row C0 — every
                              # cross side is calendar/constant-bounded

@@ -2214,3 +2214,178 @@ def test_perceptron_matches_brute_force(spark):
     assert int(got.n_train) == n
     assert int(got.n_misclassified) == mis
     assert int(got.accuracy_e6) == (n - mis) * 1_000_000 // n
+
+
+def test_kendall_w_matches_brute_force(spark, events):
+    """W replayed off the Friedman integers in pure Python; the
+    bucket thresholds replayed as cross-multiplications."""
+    got = _rows(spark, "q_stats_kendall_w").iloc[0]
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ev["d"] = ev["ts"].dt.date
+    k = 5
+    cell = ev.groupby(["d", "event_type"])["cents"].sum().reset_index()
+    r2_sum = {}
+    a2 = 0
+    b = 0
+    for d, grp in cell.groupby("d"):
+        if len(grp) != k:
+            continue
+        b += 1
+        vals = sorted(grp["cents"])
+        for _, row in grp.iterrows():
+            v = row["cents"]
+            c_lt = sum(1 for x in vals if x < v)
+            tcnt = sum(1 for x in vals if x == v)
+            r2 = 2 * c_lt + tcnt + 1
+            a2 += r2 * r2
+            g = row["event_type"]
+            r2_sum[g] = r2_sum.get(g, 0) + r2
+    devsq = sum((r - b * (k + 1)) ** 2 for r in r2_sum.values())
+    q_num = (k - 1) * devsq
+    q_den = a2 - b * k * (k + 1) ** 2
+    assert int(got.n_blocks) == b
+    assert int(got.q_num) == q_num
+    assert int(got.q_den) == q_den
+    wden = q_den * b * (k - 1)
+    w_e6 = (q_num * 1_000_000) // wden if q_den > 0 else 0
+    assert int(got.w_e6) == w_e6
+    want = (
+        "degenerate"
+        if q_den <= 0
+        else "strong"
+        if q_num * 10 > wden * 7
+        else "moderate"
+        if q_num * 10 > wden * 3
+        else "weak"
+    )
+    assert got.agreement == want
+    if q_den > 0:
+        # float sanity: W = Q / (b(k-1))
+        qf = q_num / q_den
+        assert abs(qf / (b * (k - 1)) - w_e6 / 1e6) < 1e-3
+
+
+def test_cohen_kappa_matches_brute_force(spark):
+    """Confusion census, diagonal chance mass and the sign-split
+    kappa floor replayed in Python, plus textbook float sanity."""
+    got = _rows(spark, "q_stats_cohen_kappa").iloc[0]
+    rows = duckdb.sql(
+        f"""SELECT CASE WHEN CAST(ROUND(o_totalprice*100,0) AS BIGINT)
+                        < 10000000 THEN 0
+                   WHEN CAST(ROUND(o_totalprice*100,0) AS BIGINT)
+                        < 30000000 THEN 1 ELSE 2 END ra,
+              CASE WHEN SUBSTRING(o_orderpriority,1,1) IN ('1','2') THEN 2
+                   WHEN SUBSTRING(o_orderpriority,1,1)='3' THEN 1
+                   ELSE 0 END rb
+           FROM read_parquet('{SF_SMOKE}/orders.parquet')"""
+    ).fetchall()
+    from collections import Counter
+
+    n = len(rows)
+    agree = sum(1 for a, b in rows if a == b)
+    ra_t = Counter(a for a, _ in rows)
+    rb_t = Counter(b for _, b in rows)
+    pe_x = sum(ra_t[c] * rb_t.get(c, 0) for c in ra_t)
+    knum = n * agree - pe_x
+    kden = max(n * n - pe_x, 1)
+    kappa_e6 = (-1 if knum < 0 else 1) * ((abs(knum) * 1_000_000) // kden)
+    assert int(got.n) == n
+    assert int(got.n_agree) == agree
+    assert int(got.chance_x_n2) == pe_x
+    assert int(got.kappa_e6) == kappa_e6
+    assert bool(got.beyond_chance) == (knum > 0)
+    po, pe = agree / n, pe_x / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    assert abs(kappa - kappa_e6 / 1e6) < 1e-3
+
+
+def test_cronbach_alpha_matches_brute_force(spark, events):
+    """Multiplied-through item/total variances and the sign-split
+    alpha floor replayed in Python, plus textbook float sanity."""
+    got = _rows(spark, "q_stats_cronbach_alpha").iloc[0]
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ev["d"] = ev["ts"].dt.date
+    k = 5
+    cell = ev.groupby(["d", "event_type"])["cents"].sum().reset_index()
+    counts = cell.groupby("d").size()
+    days = sorted(counts[counts == k].index)
+    n = len(days)
+    sub = cell[cell["d"].isin(days)]
+    sum_vi = 0
+    for _, grp in sub.groupby("event_type"):
+        xs = [int(v) for v in grp["cents"]]
+        sum_vi += n * sum(x * x for x in xs) - sum(xs) ** 2
+    ts = [int(v) for v in sub.groupby("d")["cents"].sum()]
+    v_tot = n * sum(x * x for x in ts) - sum(ts) ** 2
+    anum = v_tot - sum_vi
+    aden = max((k - 1) * v_tot, 1)
+    alpha_e6 = (-1 if anum < 0 else 1) * (
+        (k * abs(anum) * 1_000_000) // aden
+    )
+    assert int(got.n_cases) == n
+    assert int(got.sum_item_var_x) == sum_vi
+    assert int(got.total_var_x) == v_tot
+    assert int(got.alpha_e6) == alpha_e6
+    assert bool(got.reliable) == (k * anum * 10 > (k - 1) * v_tot * 7)
+    if v_tot > 0:
+        alpha = k / (k - 1) * (1 - sum_vi / v_tot)
+        assert abs(alpha - alpha_e6 / 1e6) < 1e-3
+
+
+def test_brunner_munzel_matches_brute_force(spark):
+    """The placement identities (p2 from opposite-group mass, the
+    N*U cancellation) replayed in pure Python from raw values, plus
+    a float replay of the textbook BM statistic on actual midranks
+    and placements."""
+    got = _rows(spark, "q_stats_brunner_munzel").iloc[0]
+    rows = duckdb.sql(
+        f"SELECT o_orderstatus st, CAST(ROUND(o_totalprice*100,0) AS BIGINT) v"
+        f" FROM read_parquet('{SF_SMOKE}/orders.parquet')"
+        f" WHERE o_orderstatus IN ('F','O')"
+    ).fetchall()
+    from collections import Counter
+
+    ca = Counter(v for st, v in rows if st == "F")
+    call = Counter(v for _, v in rows)
+    n1 = sum(ca.values())
+    N = sum(call.values())
+    n2 = N - n1
+    cum = cumf = cumo = 0
+    sr2o = spf = spo = spf2 = spo2 = 0
+    for v in sorted(call):
+        t_ = call[v]
+        a = ca.get(v, 0)
+        b = t_ - a
+        r2 = 2 * cum + t_ + 1
+        p2f = 2 * cumo + b
+        p2o = 2 * cumf + a
+        sr2o += b * r2
+        spf += a * p2f
+        spo += b * p2o
+        spf2 += a * p2f * p2f
+        spo2 += b * p2o * p2o
+        cum += t_
+        cumf += a
+        cumo += b
+    u = sr2o - n2 * (N + 1)
+    vx1 = n1 * spf2 - spf * spf
+    vx2 = n2 * spo2 - spo * spo
+    vx = max(vx1 * (n2 - 1) + vx2 * (n1 - 1), 1)
+    z2_e3 = (u * u * (n1 - 1) * (n2 - 1) * 1000) // vx
+    phat_e6 = ((sr2o - n2 * (n2 + 1)) * 1_000_000) // (2 * n1 * n2)
+    assert int(got.n_f) == n1 and int(got.n_o) == n2
+    assert int(got.u_x2) == u
+    assert int(got.phat_e6) == phat_e6
+    assert int(got.z2_e3) == z2_e3
+    assert bool(got.significant) == (z2_e3 > 3841)
+    # float replay of the textbook statistic (lawstat spelling):
+    # v_k = placement sample variance = Vx_k / (4 n_k (n_k-1)),
+    # BM = n1 n2 (m2 - m1) / (N sqrt(n1 v1 + n2 v2))
+    v1 = vx1 / (4 * n1 * (n1 - 1))
+    v2 = vx2 / (4 * n2 * (n2 - 1))
+    m1 = (N * (N + 1) - sr2o) / (2 * n1)  # mean pooled rank group F
+    m2 = sr2o / (2 * n2)
+    bm = n1 * n2 * (m2 - m1) / (N * (n1 * v1 + n2 * v2) ** 0.5)
+    assert abs(bm * bm - z2_e3 / 1000) < max(0.01 * bm * bm, 0.01)
