@@ -317,6 +317,11 @@ HEADLINE = [
     "q_stats_cronbach_alpha",
     "q_stats_brunner_munzel",
     "q_scan_text",
+    "q_stats_eta_squared",
+    "q_stats_partial_corr",
+    "q_stats_point_biserial",
+    "q_stats_durbin_watson",
+    "q_stats_turning_points",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -6146,3 +6146,710 @@ def q_stats_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
         z2.cast("bigint").alias("z2_e3"),
         (z2 > F.lit(3841)).alias("significant"),
     )
+
+
+@register(
+    "q_stats_eta_squared",
+    oracle="""
+    WITH x AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    grp AS (
+        SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(cents) AS HUGEINT) AS s,
+               CAST(SUM(cents * cents) AS HUGEINT) AS q
+        FROM x GROUP BY g
+    ),
+    gterm AS (
+        SELECT n, s, q,
+               1000000 * ((s * s) // n)
+                 + CAST(ROUND(1000000.0 * CAST((s * s) % n AS DOUBLE)
+                       / CAST(n AS DOUBLE), 0) AS HUGEINT) AS term_e6
+        FROM grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+               CAST(SUM(s) AS HUGEINT) AS ss,
+               CAST(SUM(q) AS HUGEINT) AS qq,
+               CAST(SUM(term_e6) AS HUGEINT) AS a_e6,
+               CAST(COUNT(*) AS HUGEINT) AS k
+        FROM gterm
+    ),
+    fin AS (
+        SELECT nn, k,
+               a_e6 - (1000000 * ((ss * ss) // nn)
+                       + CAST(ROUND(1000000.0
+                             * CAST((ss * ss) % nn AS DOUBLE)
+                             / CAST(nn AS DOUBLE), 0) AS HUGEINT))
+                 AS ssb_e6,
+               1000000 * qq - a_e6 AS ssw_e6
+        FROM tot
+    )
+    SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           CAST((ssb_e6 * 1000000)
+                // GREATEST(ssb_e6 + ssw_e6, 1) AS BIGINT) AS eta2_e6,
+           CAST((CASE WHEN ssb_e6 * (nn - k) - (k - 1) * ssw_e6 < 0
+                      THEN -1 ELSE 1 END)
+                * ((ABS(ssb_e6 * (nn - k) - (k - 1) * ssw_e6) * 1000000)
+                   // GREATEST((ssb_e6 + ssw_e6) * (nn - k) + ssw_e6, 1))
+                AS BIGINT) AS omega2_e6,
+           (ssb_e6 * 1000000) // GREATEST(ssb_e6 + ssw_e6, 1) > 10000
+             AS meaningful
+    FROM fin
+    """,
+    tags=("M2", "M14"),
+)
+def q_stats_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETA-SQUARED + OMEGA-SQUARED — the EFFECT SIZES for
+    q_stats_anova's verdict (the test/effect pairing discipline,
+    closing the last unpaired omnibus: chi2->V, MW->AUC, CMH->OR_MH,
+    Friedman->W, now ANOVA->eta2/omega2): eta2 = SSB/SST is the
+    variance fraction the grouping explains (the R^2 of the one-way
+    design, biased upward in small samples); omega2 =
+    (SSB - (k-1)MSW)/(SST + MSW) is its unbiased correction — CAN go
+    negative when F < 1, which is exactly why it is reported
+    sign-split.
+
+    Exactness: rides q_stats_anova's chain verbatim — per-group
+    s^2/n e6 DIV/MOD fixings, SSB_e6/SSW_e6 as exact integer sums of
+    those fixings — then BOTH effect sizes are defined ON the
+    e6-fixed quantities (the pinned-chain convention: deterministic,
+    identical in both engines): eta2_e6 one non-negative floor;
+    omega2 multiplied through by (N-k) to
+    (SSB(N-k) - (k-1)SSW)/((SST)(N-k) + SSW) — one sign-split floor,
+    zero new division. The meaningful flag is the conventional
+    eta2 > 0.01 smallest-effect bar, cross-multiplied. Operand
+    audit: SST_e6*(N-k) ~ 2e25 at sf1 — inside 38 digits through
+    sf100.
+
+    Plan at 100 TB: the ANOVA plan exactly — one map-side-combined
+    5-row census, arithmetic on a 5-row frame, the fact table
+    scanned once; at scale this query and q_stats_anova share one
+    census pass."""
+    x = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    grp = x.groupBy("g").agg(
+        F.count("*").cast(D38).alias("n"),
+        F.sum("cents").cast(D38).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast(D38).alias("q"),
+    )
+    s2 = F.col("s") * F.col("s")
+    gterm = grp.select(
+        "n",
+        "s",
+        "q",
+        (
+            F.lit(1000000).cast(D38) * F.expr("(s * s) div n").cast(D38)
+            + F.round(
+                F.lit(1000000.0)
+                * (s2 % F.col("n")).cast("double")
+                / F.col("n").cast("double"),
+                0,
+            ).cast(D38)
+        ).alias("term_e6"),
+    )
+    tot = gterm.agg(
+        F.sum("n").cast(D38).alias("nn"),
+        F.sum("s").cast(D38).alias("ss"),
+        F.sum("q").cast(D38).alias("qq"),
+        F.sum("term_e6").cast(D38).alias("a_e6"),
+        F.count("*").cast(D38).alias("k"),
+    )
+    ss2 = F.col("ss") * F.col("ss")
+    fin = tot.select(
+        "nn",
+        "k",
+        (
+            F.col("a_e6")
+            - (
+                F.lit(1000000).cast(D38)
+                * F.expr("(ss * ss) div nn").cast(D38)
+                + F.round(
+                    F.lit(1000000.0)
+                    * (ss2 % F.col("nn")).cast("double")
+                    / F.col("nn").cast("double"),
+                    0,
+                ).cast(D38)
+            )
+        )
+        .cast(D38)
+        .alias("ssb_e6"),
+        (F.lit(1000000).cast(D38) * F.col("qq") - F.col("a_e6"))
+        .cast(D38)
+        .alias("ssw_e6"),
+    )
+    onum = F.expr("ssb_e6 * (nn - k) - (k - 1) * ssw_e6")
+    eta = F.expr(
+        "(ssb_e6 * 1000000)"
+        " div GREATEST(ssb_e6 + ssw_e6, CAST(1 AS decimal(38,0)))"
+    )
+    return fin.select(
+        F.col("nn").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        eta.cast("bigint").alias("eta2_e6"),
+        (
+            F.when(onum < 0, -1).otherwise(1)
+            * F.expr(
+                "(ABS(ssb_e6 * (nn - k) - (k - 1) * ssw_e6) * 1000000)"
+                " div GREATEST((ssb_e6 + ssw_e6) * (nn - k) + ssw_e6,"
+                " CAST(1 AS decimal(38,0)))"
+            )
+        )
+        .cast("bigint")
+        .alias("omega2_e6"),
+        (eta > F.lit(10000)).alias("meaningful"),
+    )
+
+
+@register(
+    "q_stats_partial_corr",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    seq AS (
+        SELECT x, y,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS z
+        FROM daily
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(z) AS HUGEINT) AS sz,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+               CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+               CAST(SUM(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz
+        FROM seq
+    ),
+    c AS (
+        SELECT n,
+               n * sxx - sx * sx AS cxx,
+               n * syy - sy * sy AS cyy,
+               n * szz - sz * sz AS czz,
+               n * sxy - sx * sy AS cxy,
+               n * sxz - sx * sz AS cxz,
+               n * syz - sy * sz AS cyz
+        FROM sums
+    ),
+    p AS (
+        SELECT n, cxy, cxx, cyy,
+               cxy * czz - cxz * cyz AS np,
+               GREATEST(cxx * czz - cxz * cxz, 1) AS d1,
+               GREATEST(cyy * czz - cyz * cyz, 1) AS d2
+        FROM c
+    ),
+    st AS (
+        SELECT n, cxy, cxx, cyy, np, d1, d2,
+               (ABS(np) * 1000000000) // d1 AS a_e9
+        FROM p
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST((CASE WHEN cxy < 0 THEN -1 ELSE 1 END)
+                * ((cxy * cxy * 1000000)
+                   // GREATEST(cxx * cyy, 1)) AS BIGINT)
+             AS r2_xy_signed_e6,
+           CAST((CASE WHEN np < 0 THEN -1 ELSE 1 END)
+                * ((a_e9 * a_e9 * d1) // (d2 * 1000000000000))
+                AS BIGINT) AS r2_partial_signed_e6,
+           (CASE WHEN np < 0 THEN -1 ELSE 1 END)
+             * ((a_e9 * a_e9 * d1) // (d2 * 1000000000000)) > 90000
+             AS partial_corr_meaningful
+    FROM st
+    """,
+    tags=("M2", "M14", "D10"),
+)
+def q_stats_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL CORRELATION r_xy.z — is daily revenue correlated with
+    daily event volume NET OF the shared time trend? The classic
+    confounder-removal question (two series both drifting upward
+    correlate spuriously; partialling out the day index z asks what
+    co-movement remains), the continuous sibling of q_stats_cmh's
+    stratified adjustment. Identity used:
+    r_xy.z = (Cxy*Czz - Cxz*Cyz) / sqrt((Cxx*Czz - Cxz^2)(Cyy*Czz -
+    Cyz^2)) with C_ab = n*S_ab - S_a*S_b — every C is an EXACT
+    integer off one pass of nine sums.
+
+    Exactness — a documented STAGED chain (N_p^2 alone would pass 38
+    digits already at sf0.1, so the square is taken on a reduced
+    stage): a_e9 = |N_p|*1e9 div D1 (quotient ~ |r_p|*sqrt(D2/D1)*1e9
+    — bounded ~1e5 here since x-cents dominate y-counts, nowhere
+    near the int64 wrap), then r_p^2_e6 = a_e9^2 * D1 div (D2*1e12)
+    — algebraically N_p^2*1e6/(D1*D2) with resolution ~2r^2/a_e9
+    (pinned convention, identical floors both engines). The sign
+    (D1, D2 >= 0 by Cauchy-Schwarz) rides separately, house
+    sign-split. The raw r_xy^2 is the direct cross-multiplication
+    (operands inside 38 digits through sf1, stated). Verdict:
+    |r_p| > 0.3 as r_p^2_e6 > 90000 on the staged value (stated).
+
+    Plan at 100 TB: one (day) census off the fact scan, a 31-row
+    ROW_NUMBER window, one 1-row nine-sum aggregate — the frame is
+    CALENDAR-bounded; scale changes the census sums only."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x"),
+            F.count("*").cast("bigint").alias("y"),
+        )
+    )
+    seq = daily.select(
+        "x",
+        "y",
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("z"),
+    )
+    sums = seq.agg(
+        F.count("*").cast(D38).alias("n"),
+        F.sum("x").cast(D38).alias("sx"),
+        F.sum("y").cast(D38).alias("sy"),
+        F.sum("z").cast(D38).alias("sz"),
+        F.sum(F.col("x").cast(D38) * F.col("x")).cast(D38).alias("sxx"),
+        F.sum(F.col("y").cast(D38) * F.col("y")).cast(D38).alias("syy"),
+        F.sum(F.col("z").cast(D38) * F.col("z")).cast(D38).alias("szz"),
+        F.sum(F.col("x").cast(D38) * F.col("y")).cast(D38).alias("sxy"),
+        F.sum(F.col("x").cast(D38) * F.col("z")).cast(D38).alias("sxz"),
+        F.sum(F.col("y").cast(D38) * F.col("z")).cast(D38).alias("syz"),
+    )
+    c = sums.select(
+        "n",
+        F.expr("n * sxx - sx * sx").cast(D38).alias("cxx"),
+        F.expr("n * syy - sy * sy").cast(D38).alias("cyy"),
+        F.expr("n * szz - sz * sz").cast(D38).alias("czz"),
+        F.expr("n * sxy - sx * sy").cast(D38).alias("cxy"),
+        F.expr("n * sxz - sx * sz").cast(D38).alias("cxz"),
+        F.expr("n * syz - sy * sz").cast(D38).alias("cyz"),
+    )
+    p = c.select(
+        "n",
+        "cxy",
+        "cxx",
+        "cyy",
+        F.expr("cxy * czz - cxz * cyz").cast(D38).alias("np"),
+        F.expr(
+            "GREATEST(cxx * czz - cxz * cxz, CAST(1 AS decimal(38,0)))"
+        )
+        .cast(D38)
+        .alias("d1"),
+        F.expr(
+            "GREATEST(cyy * czz - cyz * cyz, CAST(1 AS decimal(38,0)))"
+        )
+        .cast(D38)
+        .alias("d2"),
+    )
+    st = p.select(
+        "n",
+        "cxy",
+        "cxx",
+        "cyy",
+        "np",
+        "d1",
+        "d2",
+        F.expr("(ABS(np) * 1000000000) div d1").cast(D38).alias("a_e9"),
+    )
+    rp2 = F.expr("(a_e9 * a_e9 * d1) div (d2 * 1000000000000)")
+    return st.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        (
+            F.when(F.col("cxy") < 0, -1).otherwise(1)
+            * F.expr(
+                "(cxy * cxy * 1000000)"
+                " div GREATEST(cxx * cyy, CAST(1 AS decimal(38,0)))"
+            )
+        )
+        .cast("bigint")
+        .alias("r2_xy_signed_e6"),
+        (F.when(F.col("np") < 0, -1).otherwise(1) * rp2)
+        .cast("bigint")
+        .alias("r2_partial_signed_e6"),
+        (
+            (F.when(F.col("np") < 0, -1).otherwise(1) * rp2)
+            > F.lit(90000)
+        ).alias("partial_corr_meaningful"),
+    )
+
+
+@register(
+    "q_stats_point_biserial",
+    oracle="""
+    WITH x AS (
+        SELECT event_type AS g,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treat,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+        FROM events
+    ),
+    grp AS (
+        SELECT g,
+               CAST(SUM(treat) AS HUGEINT) AS n1,
+               CAST(COUNT(*) - SUM(treat) AS HUGEINT) AS n0,
+               CAST(SUM(CASE WHEN treat = 1 THEN v ELSE 0 END)
+                    AS HUGEINT) AS s1,
+               CAST(SUM(CASE WHEN treat = 0 THEN v ELSE 0 END)
+                    AS HUGEINT) AS s0,
+               CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+        FROM x GROUP BY g
+    ),
+    c AS (
+        SELECT g, n1, n0, n1 + n0 AS n,
+               n0 * s1 - n1 * s0 AS num,
+               GREATEST(n1 * n0 * ((n1 + n0) * q
+                        - (s1 + s0) * (s1 + s0)), 1) AS den
+        FROM grp
+    )
+    SELECT g AS event_type,
+           CAST(n1 AS BIGINT) AS n_treat, CAST(n0 AS BIGINT) AS n_control,
+           CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                * ((num * num * 1000000) // den) AS BIGINT)
+             AS r2_pb_signed_e6,
+           CAST((num * num * (n - 2) * 1000)
+                // GREATEST(den - num * num, 1) AS BIGINT) AS t2_e3,
+           (num * num * (n - 2) * 1000)
+             // GREATEST(den - num * num, 1) > 3841 AS significant
+    FROM c ORDER BY event_type
+    """,
+    tags=("M2", "M14"),
+)
+def q_stats_point_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-BISERIAL CORRELATION r_pb — the EFFECT SIZE for the
+    binary-vs-continuous design (q_ab_test's t verdict answers "is
+    there a difference"; r_pb answers "how much of the value variance
+    does the treatment flag explain"), per event_type on the same
+    even-user treatment split as MW/Brunner-Munzel. r_pb IS the
+    Pearson correlation of (treat, value), and its square relates to
+    the pooled t by t^2 = r^2(n-2)/(1-r^2) — both reported.
+
+    Exactness — pure integers via the multiply-through:
+    r_pb^2 = (n0*S1 - n1*S0)^2 / (n1*n0*(n*Q - S^2)) (numerator =
+    the mean gap cross-multiplied, denominator = group-size weight x
+    n^2-scaled population variance; every factor exact HUGEINT), one
+    sign-split e6 floor. The t^2 verdict multiplies through the SAME
+    rational: t^2 = A(n-2)/(B - A) with A = num^2, B = den, judged
+    as one staged e3 floor vs chi-square df=1 (3841 — large-n normal
+    limit of the t, stated). Operand audit: A*(n-2)*1000 ~ 6.4e37
+    per type at sf0.1 (stated bound; the e3 scale shrinks beyond —
+    the q_stats_ansari_bradley bound style).
+
+    Plan at 100 TB: ONE map-side-combined 5-row census (five
+    conditional sums per type), arithmetic on the 5-row frame — the
+    q_stats_anova shape; the fact table is scanned once."""
+    x = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("treat"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("v"),
+    )
+    grp = x.groupBy("g").agg(
+        F.sum("treat").cast(D38).alias("n1"),
+        (F.count("*") - F.sum("treat")).cast(D38).alias("n0"),
+        F.sum(F.when(F.col("treat") == 1, F.col("v")).otherwise(0))
+        .cast(D38)
+        .alias("s1"),
+        F.sum(F.when(F.col("treat") == 0, F.col("v")).otherwise(0))
+        .cast(D38)
+        .alias("s0"),
+        F.sum(F.col("v").cast(D38) * F.col("v")).cast(D38).alias("q"),
+    )
+    c = grp.select(
+        "g",
+        "n1",
+        "n0",
+        (F.col("n1") + F.col("n0")).cast(D38).alias("n"),
+        (F.col("n0") * F.col("s1") - F.col("n1") * F.col("s0"))
+        .cast(D38)
+        .alias("num"),
+        F.expr(
+            "GREATEST(n1 * n0 * ((n1 + n0) * q"
+            " - (s1 + s0) * (s1 + s0)), CAST(1 AS decimal(38,0)))"
+        )
+        .cast(D38)
+        .alias("den"),
+    )
+    t2 = F.expr(
+        "(CAST(num AS decimal(38,0)) * num * (n - 2) * 1000)"
+        " div GREATEST(den - num * num, CAST(1 AS decimal(38,0)))"
+    )
+    return c.select(
+        F.col("g").alias("event_type"),
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("n0").cast("bigint").alias("n_control"),
+        (
+            F.when(F.col("num") < 0, -1).otherwise(1)
+            * F.expr("(CAST(num AS decimal(38,0)) * num * 1000000) div den")
+        )
+        .cast("bigint")
+        .alias("r2_pb_signed_e6"),
+        t2.cast("bigint").alias("t2_e3"),
+        (t2 > F.lit(3841)).alias("significant"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_stats_durbin_watson",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS y
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT g, y,
+               CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY d)
+                    AS BIGINT) AS tt
+        FROM daily
+    ),
+    fit AS (
+        SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(COUNT(*) * SUM(tt * y) - SUM(tt) * SUM(y)
+                    AS HUGEINT) AS b_num,
+               CAST(SUM(y) * SUM(tt * tt) - SUM(tt) * SUM(tt * y)
+                    AS HUGEINT) AS a_num,
+               CAST(COUNT(*) * SUM(tt * tt) - SUM(tt) * SUM(tt)
+                    AS HUGEINT) AS den
+        FROM seq GROUP BY g
+    ),
+    resid AS (
+        SELECT s.g,
+               f.den * s.y - f.a_num - f.b_num * s.tt AS e,
+               s.tt
+        FROM seq s JOIN fit f ON f.g = s.g
+    ),
+    diffs AS (
+        SELECT g, e,
+               e - LAG(e) OVER (PARTITION BY g ORDER BY tt) AS de
+        FROM resid
+    ),
+    agg AS (
+        SELECT g,
+               CAST(SUM(de * de) AS HUGEINT) AS dw_num,
+               GREATEST(CAST(SUM(e * e) AS HUGEINT), 1) AS dw_den,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM diffs GROUP BY g
+    )
+    SELECT g AS event_type, n_days,
+           CAST((dw_num * 1000000) // dw_den AS BIGINT) AS dw_e6,
+           CASE WHEN dw_num * 10 < dw_den * 15 THEN 'positive'
+                WHEN dw_num * 10 > dw_den * 25 THEN 'negative'
+                ELSE 'none' END AS autocorrelation
+    FROM agg ORDER BY event_type
+    """,
+    tags=("M2", "M14", "D10"),
+)
+def q_stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DURBIN-WATSON statistic (1950) — serial correlation of
+    REGRESSION residuals, the diagnostic that decides whether an OLS
+    trend fit's standard errors can be believed (positively
+    autocorrelated residuals make trends look significant that
+    aren't): per event_type, fit y_t = a + b*t on the daily cent-sum
+    series and compute DW = sum((e_t - e_(t-1))^2) / sum(e_t^2).
+    Complements q_ts_ljung_box (which diagnoses the RAW series over
+    many lags) with the classic single-statistic residual check at
+    lag 1, and closes the regression-diagnostics loop over the same
+    Cramer OLS machinery as q_ts_granger.
+
+    Exactness: the residual is carried SCALED — with Cramer
+    denominators den = n*St2 - St^2 and numerators a_num/b_num, the
+    integer E_t = den*y_t - a_num - b_num*t equals den*e_t exactly,
+    and den^2 CANCELS in DW's ratio — so DW is an exact rational of
+    HUGEINT/DECIMAL38 sums (E^2 ~ 3.6e25 at sf1, inside 38 digits
+    through sf100); one non-negative e6 floor (both sums are squares
+    — zero sign hazard). The positive/none/negative call uses the
+    conventional 1.5/2.5 screening bounds CROSS-MULTIPLIED (the
+    exact dL/dU tables vary with n and are a stated omission —
+    DW ~ 2(1-rho) makes these bounds the standard quick screen).
+
+    Plan at 100 TB: one (type, day) census off the fact scan, a
+    31-row-per-type window pair (row_number + lag), one 5-row
+    aggregate; calendar-bounded — scale changes the census sums
+    only."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("g"),
+            F.col("ts").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    wseq = Window.partitionBy("g").orderBy("d")
+    seq = daily.select(
+        "g", "y", F.row_number().over(wseq).cast("bigint").alias("tt")
+    ).localCheckpoint(eager=True)  # two consumers: fit + residual join
+    fit = seq.groupBy("g").agg(
+        F.count("*").cast(D38).alias("n"),
+        (
+            F.count("*") * F.sum(F.col("tt") * F.col("y"))
+            - F.sum("tt") * F.sum("y")
+        )
+        .cast(D38)
+        .alias("b_num"),
+        (
+            F.sum("y") * F.sum(F.col("tt") * F.col("tt"))
+            - F.sum("tt") * F.sum(F.col("tt") * F.col("y"))
+        )
+        .cast(D38)
+        .alias("a_num"),
+        (
+            F.count("*") * F.sum(F.col("tt") * F.col("tt"))
+            - F.sum("tt") * F.sum("tt")
+        )
+        .cast(D38)
+        .alias("den"),
+    )
+    resid = seq.join(F.broadcast(fit), "g").select(
+        "g",
+        "tt",
+        (
+            F.col("den") * F.col("y")
+            - F.col("a_num")
+            - F.col("b_num") * F.col("tt")
+        )
+        .cast(D38)
+        .alias("e"),
+    )
+    wlag = Window.partitionBy("g").orderBy("tt")
+    diffs = resid.select(
+        "g", "e", (F.col("e") - F.lag("e").over(wlag)).alias("de")
+    )
+    agg = diffs.groupBy("g").agg(
+        F.sum(F.col("de") * F.col("de")).cast(D38).alias("dw_num"),
+        F.expr(
+            "GREATEST(CAST(SUM(e * e) AS decimal(38,0)),"
+            " CAST(1 AS decimal(38,0)))"
+        ).alias("dw_den"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    return agg.select(
+        F.col("g").alias("event_type"),
+        "n_days",
+        F.expr("(dw_num * 1000000) div dw_den")
+        .cast("bigint")
+        .alias("dw_e6"),
+        F.expr(
+            "CASE WHEN dw_num * 10 < dw_den * 15 THEN 'positive'"
+            " WHEN dw_num * 10 > dw_den * 25 THEN 'negative'"
+            " ELSE 'none' END"
+        ).alias("autocorrelation"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_stats_turning_points",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS y
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT g, y,
+               LAG(y) OVER (PARTITION BY g ORDER BY d) AS yp,
+               LEAD(y) OVER (PARTITION BY g ORDER BY d) AS yn
+        FROM daily
+    ),
+    agg AS (
+        SELECT g,
+               CAST(SUM(CASE WHEN yp IS NOT NULL AND yn IS NOT NULL
+                             AND ((y > yp AND y > yn)
+                                  OR (y < yp AND y < yn))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lagged GROUP BY g
+    )
+    SELECT g AS event_type, n AS n_days, tp AS n_turning_points,
+           CAST(3 * tp - 2 * (n - 2) AS BIGINT) AS dev_x3,
+           CAST(((3 * tp - 2 * (n - 2)) * (3 * tp - 2 * (n - 2)) * 10000)
+                // (16 * n - 29) AS BIGINT) AS z2_e3,
+           ((3 * tp - 2 * (n - 2)) * (3 * tp - 2 * (n - 2)) * 10000)
+             // (16 * n - 29) > 3841 AS nonrandom
+    FROM agg ORDER BY event_type
+    """,
+    tags=("M2", "M14", "D10"),
+)
+def q_stats_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TURNING-POINT TEST (Kendall's randomness check) — does the
+    daily series zig-zag like noise or move in sustained runs? A
+    local extremum at t (strictly higher or strictly lower than both
+    neighbors — ties excluded, stated; cent-sums make them
+    measure-zero) is a "turning point"; under i.i.d. randomness
+    E(T) = 2(n-2)/3 and Var(T) = (16n-29)/90. TOO FEW turning points
+    = momentum/trending (the MK/DW family's signal); TOO MANY =
+    oscillation faster than noise (negative autocorrelation) — the
+    cheapest member of the serial-structure battery beside
+    q_stats_runs_test (level runs), q_stats_durbin_watson (residual
+    lag-1) and q_ts_ljung_box (multi-lag).
+
+    Exactness — the smallest chain in the pack: T is an exact count
+    off one lag/lead window; the verdict multiplies
+    z^2 = (T - E)^2/Var through to
+    (3T - 2(n-2))^2 * 10000 div (16n - 29) in e3 units (the 9 in
+    (3T-2(n-2))^2/9 folds against 90/9 = 10) — every operand fits
+    int32, let alone BIGINT. Deviation sign reported (dev_x3 < 0 =
+    trending, > 0 = oscillating).
+
+    Plan at 100 TB: one (type, day) census, one lag+lead window over
+    the 31-row-per-type frame, a 5-row aggregate — calendar-bounded
+    like the whole D10 diagnostics family."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("g"),
+            F.col("ts").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    w = Window.partitionBy("g").orderBy("d")
+    lagged = daily.select(
+        "g",
+        "y",
+        F.lag("y").over(w).alias("yp"),
+        F.lead("y").over(w).alias("yn"),
+    )
+    agg = lagged.groupBy("g").agg(
+        F.sum(
+            F.when(
+                F.col("yp").isNotNull()
+                & F.col("yn").isNotNull()
+                & (
+                    ((F.col("y") > F.col("yp")) & (F.col("y") > F.col("yn")))
+                    | ((F.col("y") < F.col("yp")) & (F.col("y") < F.col("yn")))
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tp"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    dev = F.expr("3 * tp - 2 * (n - 2)")
+    z2 = F.expr(
+        "((3 * tp - 2 * (n - 2)) * (3 * tp - 2 * (n - 2)) * 10000)"
+        " div (16 * n - 29)"
+    )
+    return agg.select(
+        F.col("g").alias("event_type"),
+        F.col("n").alias("n_days"),
+        F.col("tp").alias("n_turning_points"),
+        dev.cast("bigint").alias("dev_x3"),
+        z2.cast("bigint").alias("z2_e3"),
+        (z2 > F.lit(3841)).alias("nonrandom"),
+    ).orderBy("event_type")

@@ -2389,3 +2389,209 @@ def test_brunner_munzel_matches_brute_force(spark):
     m2 = sr2o / (2 * n2)
     bm = n1 * n2 * (m2 - m1) / (N * (n1 * v1 + n2 * v2) ** 0.5)
     assert abs(bm * bm - z2_e3 / 1000) < max(0.01 * bm * bm, 0.01)
+
+
+def test_eta_squared_matches_brute_force(spark, events):
+    """The ANOVA e6-fixing chain replayed, both effect-size floors
+    replayed on the fixed quantities, plus textbook float sanity."""
+    got = _rows(spark, "q_stats_eta_squared").iloc[0]
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+
+    def fix(num, den):
+        return 1_000_000 * (num // den) + round(
+            1_000_000 * (num % den) / den
+        )
+
+    a_e6 = 0
+    nn = ss = qq = 0
+    k = 0
+    for _, grp in ev.groupby("event_type"):
+        xs = [int(v) for v in grp["cents"]]
+        n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+        k += 1
+        nn += n
+        ss += s
+        qq += q
+        a_e6 += fix(s * s, n)
+    ssb_e6 = a_e6 - fix(ss * ss, nn)
+    ssw_e6 = 1_000_000 * qq - a_e6
+    eta = (ssb_e6 * 1_000_000) // max(ssb_e6 + ssw_e6, 1)
+    onum = ssb_e6 * (nn - k) - (k - 1) * ssw_e6
+    oden = max((ssb_e6 + ssw_e6) * (nn - k) + ssw_e6, 1)
+    omega = (-1 if onum < 0 else 1) * ((abs(onum) * 1_000_000) // oden)
+    assert int(got.n) == nn and int(got.k) == k
+    assert int(got.eta2_e6) == eta
+    assert int(got.omega2_e6) == omega
+    assert bool(got.meaningful) == (eta > 10000)
+    # float sanity
+    gm = ss / nn
+    sst = qq - nn * gm * gm
+    ssb = sum(
+        len(g) * (sum(map(int, g["cents"])) / len(g) - gm) ** 2
+        for _, g in ev.groupby("event_type")
+    )
+    if sst > 0:
+        assert abs(ssb / sst - eta / 1e6) < 1e-3
+
+
+def test_partial_corr_matches_brute_force(spark, events):
+    """The nine-sum C matrix, the a_e9 staging and both signed floors
+    replayed; float sanity vs the textbook partial-correlation
+    identity on the raw series."""
+    got = _rows(spark, "q_stats_partial_corr").iloc[0]
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ev["d"] = ev["ts"].dt.date
+    daily = (
+        ev.groupby("d")
+        .agg(x=("cents", "sum"), y=("cents", "size"))
+        .reset_index()
+        .sort_values("d")
+    )
+    xs = [int(v) for v in daily["x"]]
+    ys = [int(v) for v in daily["y"]]
+    zs = list(range(1, len(xs) + 1))
+    n = len(xs)
+
+    def C(a, b):
+        return n * sum(p * q for p, q in zip(a, b)) - sum(a) * sum(b)
+
+    cxx, cyy, czz = C(xs, xs), C(ys, ys), C(zs, zs)
+    cxy, cxz, cyz = C(xs, ys), C(xs, zs), C(ys, zs)
+    np_ = cxy * czz - cxz * cyz
+    d1 = max(cxx * czz - cxz * cxz, 1)
+    d2 = max(cyy * czz - cyz * cyz, 1)
+    a_e9 = (abs(np_) * 10**9) // d1
+    rp2 = (a_e9 * a_e9 * d1) // (d2 * 10**12)
+    rp2s = (-1 if np_ < 0 else 1) * rp2
+    rxy2s = (-1 if cxy < 0 else 1) * (
+        (cxy * cxy * 1_000_000) // max(cxx * cyy, 1)
+    )
+    assert int(got.n_days) == n
+    assert int(got.r2_xy_signed_e6) == rxy2s
+    assert int(got.r2_partial_signed_e6) == rp2s
+    assert bool(got.partial_corr_meaningful) == (rp2s > 90000)
+    # float sanity: textbook r_xy.z
+    import math
+
+    rxy = cxy / math.sqrt(cxx * cyy)
+    rxz = cxz / math.sqrt(cxx * czz)
+    ryz = cyz / math.sqrt(cyy * czz)
+    rp = (rxy - rxz * ryz) / math.sqrt(
+        (1 - rxz * rxz) * (1 - ryz * ryz)
+    )
+    # staged resolution is ~2r^2/a_e9 — loose tolerance
+    assert abs(rp * rp - rp2 / 1e6) < max(0.02 * rp * rp, 0.002)
+
+
+def test_point_biserial_matches_brute_force(spark, events):
+    """The multiplied-through r_pb^2 and the t^2 rational replayed
+    per type, plus the Pearson-equivalence float sanity."""
+    got = _rows(spark, "q_stats_point_biserial").set_index("event_type")
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ev["treat"] = (ev["user_id"] % 2 == 0).astype(int)
+    import statistics
+
+    for g, grp in ev.groupby("event_type"):
+        n1 = int(grp["treat"].sum())
+        n0 = len(grp) - n1
+        s1 = int(grp.loc[grp.treat == 1, "cents"].sum())
+        s0 = int(grp.loc[grp.treat == 0, "cents"].sum())
+        q = int((grp["cents"].astype(object) ** 2).sum())
+        n = n1 + n0
+        num = n0 * s1 - n1 * s0
+        den = max(n1 * n0 * (n * q - (s1 + s0) ** 2), 1)
+        r2s = (-1 if num < 0 else 1) * ((num * num * 1_000_000) // den)
+        t2 = (num * num * (n - 2) * 1000) // max(den - num * num, 1)
+        assert int(got.loc[g, "n_treat"]) == n1
+        assert int(got.loc[g, "n_control"]) == n0
+        assert int(got.loc[g, "r2_pb_signed_e6"]) == r2s
+        assert int(got.loc[g, "t2_e3"]) == t2
+        assert bool(got.loc[g, "significant"]) == (t2 > 3841)
+        # float sanity: r_pb IS Pearson(treat, value)
+        r = statistics.correlation(
+            [float(v) for v in grp["treat"]],
+            [float(v) for v in grp["cents"]],
+        )
+        assert abs(r * r - abs(r2s) / 1e6) < 1e-3
+
+
+def test_durbin_watson_matches_brute_force(spark, events):
+    """The scaled-residual identity (E = den*e exactly, den^2
+    cancelling in the ratio) replayed in Python, plus float sanity
+    vs a direct float OLS + DW."""
+    got = _rows(spark, "q_stats_durbin_watson").set_index("event_type")
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ev["d"] = ev["ts"].dt.date
+    daily = (
+        ev.groupby(["event_type", "d"])["cents"].sum().reset_index()
+    )
+    for g, grp in daily.groupby("event_type"):
+        ys = [int(v) for v in grp.sort_values("d")["cents"]]
+        n = len(ys)
+        ts_ = list(range(1, n + 1))
+        st, sy = sum(ts_), sum(ys)
+        st2 = sum(t * t for t in ts_)
+        sty = sum(t * y for t, y in zip(ts_, ys))
+        den = n * st2 - st * st
+        b_num = n * sty - st * sy
+        a_num = sy * st2 - st * sty
+        E = [den * y - a_num - b_num * t for t, y in zip(ts_, ys)]
+        dw_num = sum(
+            (E[i] - E[i - 1]) ** 2 for i in range(1, len(E))
+        )
+        dw_den = max(sum(e * e for e in E), 1)
+        dw_e6 = (dw_num * 1_000_000) // dw_den
+        assert int(got.loc[g, "n_days"]) == n
+        assert int(got.loc[g, "dw_e6"]) == dw_e6
+        want = (
+            "positive"
+            if dw_num * 10 < dw_den * 15
+            else "negative"
+            if dw_num * 10 > dw_den * 25
+            else "none"
+        )
+        assert got.loc[g, "autocorrelation"] == want
+        # float sanity: direct float OLS residual DW
+        b = b_num / den
+        a = a_num / den
+        e = [y - a - b * t for t, y in zip(ts_, ys)]
+        dw = sum(
+            (e[i] - e[i - 1]) ** 2 for i in range(1, n)
+        ) / max(sum(x * x for x in e), 1e-12)
+        assert abs(dw - dw_e6 / 1e6) < 1e-3
+
+
+def test_turning_points_matches_brute_force(spark, events):
+    """Turning-point count and the folded z^2 cross-multiplication
+    replayed in pure Python, plus the textbook moment float sanity."""
+    got = _rows(spark, "q_stats_turning_points").set_index("event_type")
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ev["d"] = ev["ts"].dt.date
+    daily = (
+        ev.groupby(["event_type", "d"])["cents"].sum().reset_index()
+    )
+    for g, grp in daily.groupby("event_type"):
+        ys = [int(v) for v in grp.sort_values("d")["cents"]]
+        n = len(ys)
+        tp = sum(
+            1
+            for i in range(1, n - 1)
+            if (ys[i] > ys[i - 1] and ys[i] > ys[i + 1])
+            or (ys[i] < ys[i - 1] and ys[i] < ys[i + 1])
+        )
+        dev = 3 * tp - 2 * (n - 2)
+        z2_e3 = (dev * dev * 10000) // (16 * n - 29)
+        assert int(got.loc[g, "n_days"]) == n
+        assert int(got.loc[g, "n_turning_points"]) == tp
+        assert int(got.loc[g, "dev_x3"]) == dev
+        assert int(got.loc[g, "z2_e3"]) == z2_e3
+        assert bool(got.loc[g, "nonrandom"]) == (z2_e3 > 3841)
+        e = 2 * (n - 2) / 3
+        var = (16 * n - 29) / 90
+        z2 = (tp - e) ** 2 / var
+        assert abs(z2 - z2_e3 / 1000) < max(0.01 * z2, 0.01)
