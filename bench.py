@@ -322,6 +322,11 @@ HEADLINE = [
     "q_stats_point_biserial",
     "q_stats_durbin_watson",
     "q_stats_turning_points",
+    "q_stats_mahalanobis",
+    "q_ab_power",
+    "q_agg_trimmed_mean",
+    "q_knn_self_join",
+    "q_text_kwic",
 ]
 
 # Frozen cross-round comparators (r6 verdict item 8). These are the

@@ -1863,3 +1863,57 @@ def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rank")
     )
+
+
+# kNN self-join block bound: the exact primitive runs per BLOCK of this
+# many vectors; production composes it under LSH/IVF blocking (the
+# documented scale path), never corpus x corpus.
+SELF_JOIN_CAP = 500
+
+
+@register(
+    "q_knn_self_join",
+    oracle=f"""
+    WITH blk AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings WHERE vec_id < {SELF_JOIN_CAP}),
+         scored AS (
+           SELECT a.vec_id AS qid, b.vec_id,
+                  ROUND(list_cosine_similarity(b.emb, a.emb), 6) AS sim
+           FROM blk a CROSS JOIN blk b
+           WHERE b.vec_id <> a.vec_id
+         )
+    SELECT qid, vec_id, sim, rank FROM (
+        SELECT qid, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("K3", "K7", "C7"),
+)
+def q_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN SELF-JOIN — top-k neighbors for EVERY point, the kNN-JOIN
+    primitive the ladder lacked: q_knn_exact answers a handful of
+    query points; graph construction (kNN graphs for clustering /
+    label propagation / UMAP-style layouts), SemDeDup-style
+    neighborhood audits and hard-negative mining all need the
+    all-points variant. Semantics: per vector, the top-3 cosine
+    neighbors excluding self, ranked by ROUND(sim, 6) with vec_id
+    tie-break (the q_knn_exact determinism contract verbatim).
+
+    The block bound IS the scale design: the exact self-join runs on
+    a {SELF_JOIN_CAP}-vector BLOCK (capped by vec_id — O(cap^2) pair
+    scores regardless of sf), because at 100 TB the kNN-join is
+    composed as blocking (LSH buckets / IVF cells, the registered
+    q_dedup_embedding_lsh / q_knn_ivf paths) + THIS primitive within
+    each block + a cross-block merge window — corpus x corpus is
+    never materialized. The same reuse discipline as the ladder's
+    rerank stages: one audited exact kernel, many outer strategies.
+
+    Plan: the block broadcasts (it is the q_knn_exact query-side
+    shape with the block as BOTH sides); pair scores are zip_with
+    JVM expressions; ONE window takes top-3 per qid."""
+    emb = t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < SELF_JOIN_CAP
+    )
+    return knn_exact(emb, emb, TOP_K)

@@ -867,3 +867,92 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("xent_e6"), "doc_id")
         .limit(20)
     )
+
+
+_KWIC_TERM = "data"
+_KWIC_CTX = 3
+
+
+@register(
+    "q_text_kwic",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, arr,
+               unnest(arr) AS tok,
+               generate_subscripts(arr, 1) AS p
+        FROM toks
+    ),
+    hits AS (
+        SELECT doc_id, p,
+               COALESCE(array_to_string(
+                   list_slice(arr, GREATEST(1, p - {_KWIC_CTX}), p - 1),
+                   ' '), '') AS left_ctx,
+               tok AS keyword,
+               COALESCE(array_to_string(
+                   list_slice(arr, p + 1, p + {_KWIC_CTX}), ' '), '')
+                 AS right_ctx
+        FROM pos WHERE tok = '{_KWIC_TERM}'
+    )
+    SELECT doc_id, CAST(p AS BIGINT) AS pos, left_ctx, keyword, right_ctx
+    FROM hits ORDER BY doc_id, pos
+    """,
+    tags=("K4", "text"),
+)
+def q_text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC CONCORDANCE (KeyWord In Context) — every occurrence of a
+    term with its +/-{_KWIC_CTX}-token window, the corpus-linguistics
+    primitive behind search snippets, sense disambiguation review and
+    annotation UIs; the positional complement to
+    q_text_inverted_index (which records WHERE terms occur, not what
+    SURROUNDS them) and q_text_phrase_search (which counts adjacency,
+    not context).
+
+    Portability details that carry the oracle: token positions come
+    from posexplode (0-based) + 1 vs DuckDB's 1-based
+    generate_subscripts — normalized to 1-based on both sides;
+    context slices use Spark's slice(arr, start, LENGTH) vs DuckDB's
+    INCLUSIVE list_slice(arr, a, b) — the left window spells length
+    as p - greatest(1, p-{_KWIC_CTX}) so both engines clamp the
+    document head identically, and both clamp the tail for free. An empty window (keyword at the document edge) is '' in both
+    engines — Spark's array_join of an empty array is '' while
+    DuckDB's array_to_string of an empty slice is NULL, COALESCEd
+    in the oracle (an engine-boundary case the driver diff caught).
+    The
+    tokens array is referenced by BOTH slices and the position
+    filter (>= 2 references), so CollapseProject leaves the split()
+    materialized — the standing HOF-inlining trap dodged by
+    construction.
+
+    Plan at 100 TB: map-only — split, posexplode, filter, two
+    slices; no shuffle at all until the output sort (which a real
+    snippet service would drop); the filter prunes to matching
+    positions before any context string is built."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("arr")
+    )
+    pos = toks.select(
+        "doc_id",
+        "arr",
+        F.posexplode("arr").alias("p0", "tok"),
+    ).select(
+        "doc_id", "arr", "tok", (F.col("p0") + 1).alias("p")
+    )
+    hits = pos.filter(F.col("tok") == _KWIC_TERM).select(
+        "doc_id",
+        F.col("p").cast("bigint").alias("pos"),
+        F.array_join(
+            F.expr(
+                f"slice(arr, GREATEST(1, p - {_KWIC_CTX}),"
+                f" p - GREATEST(1, p - {_KWIC_CTX}))"
+            ),
+            " ",
+        ).alias("left_ctx"),
+        F.col("tok").alias("keyword"),
+        F.array_join(
+            F.expr(f"slice(arr, p + 1, {_KWIC_CTX})"), " "
+        ).alias("right_ctx"),
+    )
+    return hits.orderBy("doc_id", "pos")

@@ -6853,3 +6853,382 @@ def q_stats_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         z2.cast("bigint").alias("z2_e3"),
         (z2 > F.lit(3841)).alias("nonrandom"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_stats_mahalanobis",
+    oracle="""
+    WITH x AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cx,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS cy
+        FROM events
+    ),
+    model AS (
+        SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(cx) AS HUGEINT) AS sx,
+               CAST(SUM(cy) AS HUGEINT) AS sy,
+               CAST(COUNT(*) * SUM(CAST(cx AS HUGEINT) * cx)
+                    - SUM(cx) * SUM(cx) AS HUGEINT) AS cxx,
+               CAST(COUNT(*) * SUM(CAST(cy AS HUGEINT) * cy)
+                    - SUM(cy) * SUM(cy) AS HUGEINT) AS cyy,
+               CAST(COUNT(*) * SUM(CAST(cx AS HUGEINT) * cy)
+                    - SUM(cx) * SUM(cy) AS HUGEINT) AS cxy
+        FROM x GROUP BY g
+    ),
+    scored AS (
+        SELECT x.g,
+               m.cyy * (m.n * x.cx - m.sx) * (m.n * x.cx - m.sx)
+                 - 2 * m.cxy * (m.n * x.cx - m.sx) * (m.n * x.cy - m.sy)
+                 + m.cxx * (m.n * x.cy - m.sy) * (m.n * x.cy - m.sy)
+                 AS qf,
+               GREATEST(m.cxx * m.cyy - m.cxy * m.cxy, 1) AS det
+        FROM x JOIN model m ON m.g = x.g
+    )
+    SELECT g AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN qf * 1000 > 5991 * det THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST((SUM(CASE WHEN qf * 1000 > 5991 * det THEN 1 ELSE 0 END)
+                 * 1000000) // COUNT(*) AS BIGINT) AS outlier_rate_e6,
+           CAST((MAX(qf * 1000 // det)) AS BIGINT) AS d2_max_e3
+    FROM scored GROUP BY g ORDER BY g
+    """,
+    tags=("M2", "M14"),
+)
+def q_stats_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAHALANOBIS OUTLIER DETECTION — the pack's first MULTIVARIATE
+    statistic: per event_type, score every (value-cents, hour-of-day)
+    point against the type's own 2D covariance and flag D^2 >
+    chi-square(2df, 0.05) = 5.991 — the correlation-aware outlier
+    gate that coordinate-wise z-scores cannot express (a point can be
+    unremarkable in each margin yet wildly off the correlation
+    ridge). The data-quality companion to q_scale_skew_audit.
+
+    Exactness — the adjugate multiply-through: with dx = n*x - Sx,
+    dy = n*y - Sy and the n^2-scaled covariance entries
+    C_ab = n*S_ab - S_a*S_b, the identity D^2 = (Cyy*dx^2 -
+    2*Cxy*dx*dy + Cxx*dy^2) / det(C) holds EXACTLY (all the n's
+    cancel: (v-mu) = d/n, Sigma^-1 = n^2 adj(C)/det) — so the
+    per-row quadratic form qf and det are pure HUGEINT/DECIMAL38
+    integers and the outlier verdict qf*1000 > 5991*det is
+    cross-multiplied, float-free, per row. Operand audit: the verdict
+    sides qf*1000 ~ 1.6e35 and 5991*det ~ 1e36 at sf0.1 — exact
+    through sf0.1; at sf1 both cross 38 digits and the e3 scale
+    would shrink (stated, the q_stats_ansari_bradley bound style;
+    the hour column's tiny domain is what keeps Cyy manageable — a
+    second wide-range feature would need staged scaling from the
+    start). Degenerate collinear det = 0 guarded to 1.
+
+    Plan at 100 TB: the TRAIN-THEN-SCORE shape — one
+    map-side-combined 5-row model census, broadcast back onto a
+    second fact scan for per-row scoring (two scans, stated: the
+    standard two-pass anomaly pattern), outlier counts fold
+    map-side."""
+    x = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cx"),
+        F.hour("ts").cast("bigint").alias("cy"),
+    )
+    model = x.groupBy("g").agg(
+        F.count("*").cast(D38).alias("n"),
+        F.sum("cx").cast(D38).alias("sx"),
+        F.sum("cy").cast(D38).alias("sy"),
+        (
+            F.count("*") * F.sum(F.col("cx").cast(D38) * F.col("cx"))
+            - F.sum("cx") * F.sum("cx")
+        )
+        .cast(D38)
+        .alias("cxx"),
+        (
+            F.count("*") * F.sum(F.col("cy").cast(D38) * F.col("cy"))
+            - F.sum("cy") * F.sum("cy")
+        )
+        .cast(D38)
+        .alias("cyy"),
+        (
+            F.count("*") * F.sum(F.col("cx").cast(D38) * F.col("cy"))
+            - F.sum("cx") * F.sum("cy")
+        )
+        .cast(D38)
+        .alias("cxy"),
+    )
+    scored = x.join(F.broadcast(model), "g").select(
+        "g",
+        F.expr(
+            "cyy * (n * cx - sx) * (n * cx - sx)"
+            " - 2 * cxy * (n * cx - sx) * (n * cy - sy)"
+            " + cxx * (n * cy - sy) * (n * cy - sy)"
+        )
+        .cast(D38)
+        .alias("qf"),
+        F.expr(
+            "GREATEST(cxx * cyy - cxy * cxy, CAST(1 AS decimal(38,0)))"
+        )
+        .cast(D38)
+        .alias("det"),
+    )
+    out = F.expr("qf * 1000 > 5991 * det")
+    return (
+        scored.groupBy("g")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(out, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.expr(
+                "CAST((SUM(CASE WHEN qf * 1000 > 5991 * det THEN 1"
+                " ELSE 0 END) * 1000000) div COUNT(*) AS BIGINT)"
+            ).alias("outlier_rate_e6"),
+            F.max(F.expr("qf * 1000 div det")).cast("bigint").alias(
+                "d2_max_e3"
+            ),
+        )
+        .select(
+            F.col("g").alias("event_type"),
+            "n",
+            "n_outliers",
+            "outlier_rate_e6",
+            "d2_max_e3",
+        )
+        .orderBy("event_type")
+    )
+
+
+# (z_{0.025} + z_{0.80})^2 = (1.959964 + 0.841621)^2, e6-fixed: the
+# two-sided alpha=0.05 / 80%-power constant of the sample-size formula.
+POWER_ZSUM2_E6 = 7_848_879
+
+
+@register(
+    "q_ab_power",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+        FROM events
+    ),
+    census AS (
+        SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(v) AS HUGEINT) AS s,
+               CAST(COUNT(*) * SUM(CAST(v AS HUGEINT) * v)
+                    - SUM(v) * SUM(v) AS HUGEINT) AS c
+        FROM x GROUP BY g
+    )
+    SELECT g AS event_type,
+           CAST(n AS BIGINT) AS n_total,
+           CAST(n // 2 AS BIGINT) AS n_per_arm_current,
+           CAST(s // (50 * n) AS BIGINT) AS mde_cents,
+           CAST(({5000 * POWER_ZSUM2_E6} * c + s * s * 1000000 - 1)
+                // (s * s * 1000000) AS BIGINT) AS n_required_per_arm,
+           n // 2 >= ({5000 * POWER_ZSUM2_E6} * c
+                      + s * s * 1000000 - 1) // (s * s * 1000000)
+             AS adequately_powered
+    FROM census ORDER BY event_type
+    """,
+    tags=("M2", "M14"),
+)
+def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B POWER ANALYSIS — "how much data do we need?": per
+    event_type, the required per-arm sample size to detect a 2%
+    shift of the mean value at two-sided alpha = 0.05 with 80%
+    power, n_req = 2(z_alpha/2 + z_beta)^2 sigma^2 / delta^2 —
+    the question every experimentation platform answers BEFORE
+    q_ab_test renders a verdict, and the planning twin of
+    q_ab_sequential's interim looks.
+
+    Exactness — the closed form collapses to ONE exact rational:
+    with delta = 2% of the mean = S/(50n) and population variance
+    sigma^2 = C/n^2 (C = n*Q - S^2 exact), the n^2 and the 2500
+    CANCEL into n_req = 5000 * zsum^2 * C / S^2 — no mean or
+    variance is ever materialized, just the e6-pinned constant
+    (z_0.025 + z_0.80)^2 = 7.848879 and two census integers. The
+    ceiling is the exact integer idiom (a + b - 1) div b (all
+    operands positive — no floor hazard). Operand audit: 5000 *
+    zsum2_e6 * C ~ 6.3e31 at sf1 — inside 38 digits through sf100.
+    MDE reported in cents (the S/(50n) floor) for the reader.
+
+    Plan at 100 TB: ONE map-side-combined 5-row census — the
+    q_stats_anova scan shape; the power answer costs nothing beyond
+    the moments the monitoring pass already collects."""
+    x = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("v"),
+    )
+    census = x.groupBy("g").agg(
+        F.count("*").cast(D38).alias("n"),
+        F.sum("v").cast(D38).alias("s"),
+        (
+            F.count("*") * F.sum(F.col("v").cast(D38) * F.col("v"))
+            - F.sum("v") * F.sum("v")
+        )
+        .cast(D38)
+        .alias("c"),
+    )
+    # the 5000*zsum2 product is folded into ONE precomputed BIGINT
+    # literal: spelled as 5000 * 7848879 both engines parse the
+    # factors as INT32 and Spark silently WRAPS the product in
+    # non-ANSI mode (measured: n_req came out 66.55x too small —
+    # 39244395000 mod 2^32; DuckDB at least raised). Same literal in
+    # the oracle.
+    nreq = F.expr(
+        f"({5000 * POWER_ZSUM2_E6} * c + s * s * 1000000 - 1)"
+        " div (s * s * 1000000)"
+    )
+    return census.select(
+        F.col("g").alias("event_type"),
+        F.col("n").cast("bigint").alias("n_total"),
+        F.expr("n div 2").cast("bigint").alias("n_per_arm_current"),
+        F.expr("s div (50 * n)").cast("bigint").alias("mde_cents"),
+        nreq.cast("bigint").alias("n_required_per_arm"),
+        (F.expr("n div 2") >= nreq).alias("adequately_powered"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_agg_trimmed_mean",
+    oracle="""
+    WITH x AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+        FROM events
+    ),
+    pv AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t
+        FROM x GROUP BY g, v
+    ),
+    cum AS (
+        SELECT g, v, t,
+               SUM(t) OVER (PARTITION BY g ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS c,
+               SUM(t) OVER (PARTITION BY g) AS n
+        FROM pv
+    ),
+    cuts AS (
+        SELECT g, v, t, c, n,
+               n // 10 AS lo,
+               n - n // 10 AS hi
+        FROM cum
+    ),
+    contrib AS (
+        SELECT g, n, lo, hi,
+               GREATEST(0, LEAST(c, hi) - GREATEST(c - t + 1, lo + 1) + 1)
+                 AS kept,
+               CASE WHEN c - t + 1 <= lo + 1 AND c >= lo + 1
+                    THEN v END AS v_lo,
+               CASE WHEN c - t + 1 <= hi AND c >= hi
+                    THEN v END AS v_hi,
+               v
+        FROM cuts
+    ),
+    agg AS (
+        SELECT g, CAST(MAX(n) AS HUGEINT) AS n,
+               CAST(MAX(lo) AS HUGEINT) AS lo,
+               CAST(SUM(kept * v) AS HUGEINT) AS tsum,
+               CAST(SUM(kept) AS HUGEINT) AS kept_n,
+               CAST(MAX(v_lo) AS HUGEINT) AS v_lo,
+               CAST(MAX(v_hi) AS HUGEINT) AS v_hi
+        FROM contrib GROUP BY g
+    )
+    SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           CAST(kept_n AS BIGINT) AS n_kept,
+           CAST((tsum * 100) // kept_n AS BIGINT) AS trimmed_mean_e2,
+           CAST(((tsum + lo * v_lo + lo * v_hi) * 100) // n AS BIGINT)
+             AS winsorized_mean_e2,
+           CAST(v_lo AS BIGINT) AS p10_cents,
+           CAST(v_hi AS BIGINT) AS p90_cents
+    FROM agg ORDER BY event_type
+    """,
+    tags=("D9", "M14"),
+)
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIMMED + WINSORIZED MEAN (10% two-sided) — the robust
+    location pair between the mean (efficient, outlier-fragile) and
+    the median (maximally robust, throws away 98% of the
+    information): trim DROPS the tail mass, winsorize CLAMPS it to
+    the cut values; both are what monitoring dashboards should plot
+    when q_stats_mahalanobis is flagging tail points. Completes the
+    robust corner beside median/MAD (q_window_rolling_median,
+    q_feat_robust_scale).
+
+    Exactness — no row-level ranking: everything reads off the value
+    census + ONE cumulative window (the BF-median selection
+    machinery). A census cell spanning ranks [c-t+1, c] contributes
+    kept = max(0, min(c, hi) - max(c-t+1, lo+1) + 1) members to the
+    trimmed interior (lo = n div 10, hi = n - lo — pinned rank
+    cuts), so the trimmed sum is an EXACT integer even when a cell
+    STRADDLES a cut; the boundary order statistics v_(lo+1) / v_(hi)
+    fall out of the same frame as the cells covering those ranks
+    (exactly the p10/p90 selection), and the winsorized sum adds
+    lo * v_lo + lo * v_hi exactly. Two e2 floors (all operands
+    non-negative). Operand audit: tsum*100 ~ n*v*100 ~ 4e13 at sf1 —
+    trivially inside BIGINT through sf10000.
+
+    Plan at 100 TB: one map-side-combined (type, value) census, one
+    cumulative window over the census domain, a 5-row aggregate —
+    the KS/median scan shape; the fact table is scanned once and
+    never sorted row-wise."""
+    x = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("v"),
+    )
+    pv = x.groupBy("g", "v").agg(F.count("*").cast("bigint").alias("t"))
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("g")
+    cum = pv.select(
+        "g",
+        "v",
+        "t",
+        F.sum("t").over(wcum).alias("c"),
+        F.sum("t").over(wall).alias("n"),
+    )
+    cuts = cum.select(
+        "g",
+        "v",
+        "t",
+        "c",
+        "n",
+        F.expr("n div 10").alias("lo"),
+        (F.col("n") - F.expr("n div 10")).alias("hi"),
+    )
+    contrib = cuts.select(
+        "g",
+        "n",
+        "lo",
+        "v",
+        F.expr(
+            "GREATEST(0, LEAST(c, hi) - GREATEST(c - t + 1, lo + 1) + 1)"
+        ).alias("kept"),
+        F.expr(
+            "CASE WHEN c - t + 1 <= lo + 1 AND c >= lo + 1 THEN v END"
+        ).alias("v_lo"),
+        F.expr("CASE WHEN c - t + 1 <= hi AND c >= hi THEN v END").alias(
+            "v_hi"
+        ),
+    )
+    agg = contrib.groupBy("g").agg(
+        F.max("n").cast(D38).alias("n"),
+        F.max("lo").cast(D38).alias("lo"),
+        F.sum(F.col("kept") * F.col("v")).cast(D38).alias("tsum"),
+        F.sum("kept").cast(D38).alias("kept_n"),
+        F.max("v_lo").cast(D38).alias("v_lo"),
+        F.max("v_hi").cast(D38).alias("v_hi"),
+    )
+    return agg.select(
+        F.col("g").alias("event_type"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("kept_n").cast("bigint").alias("n_kept"),
+        F.expr("(tsum * 100) div kept_n").cast("bigint").alias(
+            "trimmed_mean_e2"
+        ),
+        F.expr("((tsum + lo * v_lo + lo * v_hi) * 100) div n")
+        .cast("bigint")
+        .alias("winsorized_mean_e2"),
+        F.col("v_lo").cast("bigint").alias("p10_cents"),
+        F.col("v_hi").cast("bigint").alias("p90_cents"),
+    ).orderBy("event_type")

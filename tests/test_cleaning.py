@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+import duckdb
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -197,3 +199,38 @@ def test_winnowing_matches_brute_force_and_guarantee(spark):
     for row, w in zip(got.itertuples(index=False), want):
         assert (row.doc_a, row.doc_b, row.n_shared, row.n_fp_a,
                 row.n_fp_b, row.containment_e6) == w[1:]
+
+
+def test_kwic_matches_brute_force(spark):
+    """Context windows replayed in pure Python over the raw document
+    text (1-based positions, head/tail clamping, empty edges)."""
+    from embarrassingly_parallel_image_classification_spark import registry
+    from embarrassingly_parallel_image_classification_spark.ml.text import (
+        _KWIC_CTX,
+        _KWIC_TERM,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = (
+        registry.queries()["q_text_kwic"](spark, SF_SMOKE)
+        .toPandas()
+    )
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM"
+        f" read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    want = []
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        for i, tok in enumerate(toks, start=1):
+            if tok == _KWIC_TERM:
+                left = " ".join(toks[max(0, i - 1 - _KWIC_CTX):i - 1])
+                right = " ".join(toks[i:i + _KWIC_CTX])
+                want.append((doc_id, i, left, tok, right))
+    want.sort()
+    gotl = [
+        (int(r.doc_id), int(r.pos), r.left_ctx, r.keyword, r.right_ctx)
+        for r in got.itertuples()
+    ]
+    assert gotl == want
+    assert any(l == "" or r == "" for _, _, l, _, r in want)  # edges hit

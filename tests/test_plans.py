@@ -193,6 +193,10 @@ _CARTESIAN_OK = {
     "q_join_range",          # C8: theta/range join (BNLJ by design)
     "q_join_asof",           # C9 oracle-shape uses a range pairing
     "q_knn_exact",           # broadcast crossJoin vs tiny query side
+    "q_knn_self_join",       # the knn_exact kernel with a capped
+                             # 500-vector block as BOTH sides (the
+                             # kNN-join primitive; blocking composes
+                             # it at scale)
     "q_knn_exact_pandas",    # same query-side broadcast
     "q_knn_filtered",        # pre-filtered corpus × tiny query side
                              # (q_knn_exact's shape behind a pushed

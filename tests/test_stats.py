@@ -2595,3 +2595,110 @@ def test_turning_points_matches_brute_force(spark, events):
         var = (16 * n - 29) / 90
         z2 = (tp - e) ** 2 / var
         assert abs(z2 - z2_e3 / 1000) < max(0.01 * z2, 0.01)
+
+
+def test_mahalanobis_matches_brute_force(spark, events):
+    """The adjugate multiply-through replayed per type in Python
+    (model census + per-row quadratic form), plus a float sanity
+    check of D^2 on a sample of rows against the direct inverse-
+    covariance form."""
+    got = _rows(spark, "q_stats_mahalanobis").set_index("event_type")
+    ev = events.copy()
+    ev["cx"] = (ev["value"] * 100).round().astype("int64")
+    ev["cy"] = ev["ts"].dt.hour.astype("int64")
+    for g, grp in ev.groupby("event_type"):
+        xs = [int(v) for v in grp["cx"]]
+        ys = [int(v) for v in grp["cy"]]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        cxx = n * sum(x * x for x in xs) - sx * sx
+        cyy = n * sum(y * y for y in ys) - sy * sy
+        cxy = n * sum(x * y for x, y in zip(xs, ys)) - sx * sy
+        det = max(cxx * cyy - cxy * cxy, 1)
+        n_out = 0
+        d2max = 0
+        for x, y in zip(xs, ys):
+            dx, dy = n * x - sx, n * y - sy
+            qf = cyy * dx * dx - 2 * cxy * dx * dy + cxx * dy * dy
+            if qf * 1000 > 5991 * det:
+                n_out += 1
+            d2max = max(d2max, qf * 1000 // det)
+        assert int(got.loc[g, "n"]) == n
+        assert int(got.loc[g, "n_outliers"]) == n_out
+        assert int(got.loc[g, "outlier_rate_e6"]) == (
+            n_out * 1_000_000
+        ) // n
+        assert int(got.loc[g, "d2_max_e3"]) == d2max
+        # float sanity on one extreme row: direct inverse covariance
+        mx, my = sx / n, sy / n
+        vxx = sum(x * x for x in xs) / n - mx * mx
+        vyy = sum(y * y for y in ys) / n - my * my
+        vxy = sum(x * y for x, y in zip(xs, ys)) / n - mx * my
+        dd = vxx * vyy - vxy * vxy
+        x, y = xs[0], ys[0]
+        d2 = (
+            vyy * (x - mx) ** 2
+            - 2 * vxy * (x - mx) * (y - my)
+            + vxx * (y - my) ** 2
+        ) / dd
+        dx, dy = n * x - sx, n * y - sy
+        qf = cyy * dx * dx - 2 * cxy * dx * dy + cxx * dy * dy
+        assert abs(d2 - qf / det) < 1e-6 * max(1.0, d2)
+
+
+def test_ab_power_matches_brute_force(spark, events):
+    """The collapsed 5000*zsum2*C/S^2 rational and the exact-ceiling
+    idiom replayed; float sanity against the textbook
+    2(z_a+z_b)^2 sigma^2/delta^2 with delta = 2% of the mean."""
+    got = _rows(spark, "q_ab_power").set_index("event_type")
+    from embarrassingly_parallel_image_classification_spark.operators.stats import (
+        POWER_ZSUM2_E6,
+    )
+
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    for g, grp in ev.groupby("event_type"):
+        xs = [int(v) for v in grp["cents"]]
+        n, s = len(xs), sum(xs)
+        c = n * sum(x * x for x in xs) - s * s
+        num = 5000 * POWER_ZSUM2_E6 * c
+        den = s * s * 1_000_000
+        nreq = (num + den - 1) // den
+        assert int(got.loc[g, "n_total"]) == n
+        assert int(got.loc[g, "n_per_arm_current"]) == n // 2
+        assert int(got.loc[g, "mde_cents"]) == s // (50 * n)
+        assert int(got.loc[g, "n_required_per_arm"]) == nreq
+        assert bool(got.loc[g, "adequately_powered"]) == (n // 2 >= nreq)
+        # float sanity
+        mean = s / n
+        var = c / (n * n)
+        delta = 0.02 * mean
+        nf = 2 * (1.959964 + 0.841621) ** 2 * var / (delta * delta)
+        assert abs(nf - nreq) <= max(0.001 * nf, 2.0)
+
+
+def test_trimmed_mean_matches_brute_force(spark, events):
+    """Straddle-aware census trimming replayed against the direct
+    sort-and-slice computation on raw values."""
+    got = _rows(spark, "q_agg_trimmed_mean").set_index("event_type")
+    ev = events.copy()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    for g, grp in ev.groupby("event_type"):
+        xs = sorted(int(v) for v in grp["cents"])
+        n = len(xs)
+        lo = n // 10
+        hi = n - lo
+        interior = xs[lo:hi]  # ranks lo+1 .. hi
+        tsum = sum(interior)
+        kept = len(interior)
+        v_lo = xs[lo]      # value at rank lo+1
+        v_hi = xs[hi - 1]  # value at rank hi
+        wsum = tsum + lo * v_lo + lo * v_hi
+        assert int(got.loc[g, "n"]) == n
+        assert int(got.loc[g, "n_kept"]) == kept
+        assert int(got.loc[g, "trimmed_mean_e2"]) == (tsum * 100) // kept
+        assert int(got.loc[g, "winsorized_mean_e2"]) == (wsum * 100) // n
+        assert int(got.loc[g, "p10_cents"]) == v_lo
+        assert int(got.loc[g, "p90_cents"]) == v_hi
+        # sanity: trimmed mean sits between median and mean pulls
+        assert min(xs) <= tsum // kept <= max(xs)
