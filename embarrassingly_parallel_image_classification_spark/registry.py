@@ -133,16 +133,19 @@ def _ensure_loaded() -> None:
 
 # Names pinned to the FRONT of specs()/queries() order, i.e. inside the
 # driver's verified prefix (50 slots observed in rounds 1-9).
-# ROUND-10 WINDOW (r9 verdict items 1+2; tuple from scripts/next_window.py,
-# generated ONCE at round-10 open): the 31 never-driver-verified round-9
-# registrations (all judge-verified EXACT in the r9 verdict session) +
-# 14 rotation/canary slots re-proving the OLDEST standing driver
-# evidence + a NEW 5-slot rows-only tail (r9 verdict item 2: the driver
-# records its weaker rows-only check for q_sample, the sketch aggs and
-# q_freq_items — independent did-it-run evidence their pytest oracles
-# alone don't give). Queries registered during round 10 land after slot
-# 50 in registration order and form round 11's never-verified head.
+# ROUND-12 WINDOW (r11 verdict item 1; tuple from scripts/next_window.py,
+# generated ONCE at round-12 open): 50 of the 61 never-driver-verified
+# round-11-session-2 registrations, in registration order (11 overflow
+# and lead the round-13 rotation: q_text_kwic, q_text_phrase_search,
+# q_train_tree_depth2/3, q_train_perceptron, q_scan_text,
+# q_sql_execute_immediate/udf_lateral/exec_into/collation/lateral_alias).
+# No rotation/canary or rows-only slots this round — never-verified
+# oracle queries always fill the window first (next_window.py rule 1).
 _DRIVER_PRIORITY = (
+    "q_agg_kmv_distinct",
+    "q_timeseries_holt_winters",
+    "q_timeseries_decompose",
+    "q_timeseries_croston",
     "q_stats_cochran_q",
     "q_stats_jonckheere",
     "q_stats_friedman",
@@ -151,48 +154,44 @@ _DRIVER_PRIORITY = (
     "q_ts_granger",
     "q_stats_dunn",
     "q_stats_tukey",
+    "q_stats_games_howell",
+    "q_stats_mann_kendall",
+    "q_stats_jarque_bera",
+    "q_stats_cramer_von_mises",
+    "q_stats_mood_median",
+    "q_stats_ansari_bradley",
+    "q_stats_lepage",
+    "q_stats_cochran_armitage",
+    "q_stats_cmh",
+    "q_stats_page_trend",
+    "q_stats_seasonal_mk",
+    "q_stats_prop_ztest",
+    "q_stats_mh_odds",
+    "q_stats_kendall_w",
+    "q_stats_cohen_kappa",
+    "q_stats_cronbach_alpha",
+    "q_stats_brunner_munzel",
+    "q_stats_eta_squared",
+    "q_stats_partial_corr",
+    "q_stats_point_biserial",
+    "q_stats_durbin_watson",
+    "q_stats_turning_points",
+    "q_stats_mahalanobis",
+    "q_ab_power",
+    "q_agg_trimmed_mean",
+    "q_graph_clustering_coeff",
+    "q_graph_assortativity",
+    "q_graph_kcore",
+    "q_graph_reciprocity",
     "q_fn_try_arithmetic",
+    "q_fn_luhn",
     "q_eval_brier",
     "q_knn_hamming_postdedup",
     "q_knn_sq8",
+    "q_knn_self_join",
     "q_text_winnowing",
-    "q_train_tree_depth2",
-    "q_sql_execute_immediate",
-    "q_tpch_q9",
-    "q_stream_tumbling",
-    "q_dedup_ngram_jaccard",
-    "q_window_firstlast",
-    "q_join_asof",
-    "q_text_chunking",
-    "q_agg_basic",
-    "q_knn_exact",
-    "q_fn_hash",
-    "q_infer_batch",
-    "q_udf_grouped_map",
-    "q_udf_grouped_agg",
-    "q_udtf_explode",
-    "q_dedup_exact",
-    "q_dedup_embedding_lsh",
-    "q_text_wordcount",
-    "q_text_lang_stats",
-    "q_text_quality",
-    "q_text_tokens",
-    "q_text_fingerprint",
-    "q_text_ngrams",
-    "q_text_tfidf",
-    "q_multimodal",
-    "q_scan_csv",
-    "q_scan_json",
-    "q_sink_partitioned",
-    "q_inmemory_source",
-    "q_scan_custom_source",
-    "q_stream_dedup",
-    "q_stream_enrich",
-    "q_embed_pca",
-    "q_knn_ivfpq_residual",
-    "q_knn_ivf_filtered",
-    "q_dedup_minhash",
-    "q_dedup_minhash_mllib",
+    "q_text_symspell",
+    "q_dedup_minhash_affine",
 )
 # (round-1-green families act as their own canaries right behind the
 # window: non-priority oracle-backed queries keep registration order.)

@@ -113,22 +113,22 @@ def test_registry_driver_window_ordering():
     )
     assert first_rows_only > last_oracle
     must_be_inside = {
-        # round-12 rotation (r11 verdict item 1): the 15 round-11
-        # registrations that have never had a driver row — ALL of them
-        # must sit inside the window (the full 50-name tuple is pinned
-        # in registry._DRIVER_PRIORITY; update these alongside each
-        # rotation). 30 slots re-prove the OLDEST standing driver
-        # evidence; the last 5 are the rows-only tail (rotating:
-        # next_window.py counts "no_oracle" did-it-run records).
+        # round-12 window (r11 verdict item 1): spot-check of the 50
+        # never-driver-verified session-2 registrations that fill the
+        # whole window (61 exist; 11 overflow to round 13; the full
+        # 50-name tuple is pinned in registry._DRIVER_PRIORITY; update
+        # these alongside each rotation). No rows-only tail this round:
+        # never-verified oracle queries always fill the window first.
+        "q_agg_kmv_distinct", "q_timeseries_holt_winters",
+        "q_timeseries_decompose", "q_timeseries_croston",
         "q_stats_cochran_q", "q_stats_jonckheere", "q_stats_friedman",
         "q_ts_ljung_box", "q_stats_brown_forsythe", "q_ts_granger",
-        "q_stats_dunn", "q_stats_tukey", "q_fn_try_arithmetic",
+        "q_stats_dunn", "q_stats_tukey", "q_stats_games_howell",
+        "q_stats_mahalanobis", "q_ab_power", "q_agg_trimmed_mean",
+        "q_graph_kcore", "q_fn_try_arithmetic", "q_fn_luhn",
         "q_eval_brier", "q_knn_hamming_postdedup", "q_knn_sq8",
-        "q_text_winnowing", "q_train_tree_depth2",
-        "q_sql_execute_immediate",
-        # rows-only tail: next 5 unrecorded (knn float tiers + minhash)
-        "q_embed_pca", "q_knn_ivfpq_residual", "q_knn_ivf_filtered",
-        "q_dedup_minhash", "q_dedup_minhash_mllib",
+        "q_knn_self_join", "q_text_winnowing", "q_text_symspell",
+        "q_dedup_minhash_affine",
     }
     assert must_be_inside <= set(window), must_be_inside - set(window)
     # rotation slots (stale-green re-proof) fill whatever window slots
