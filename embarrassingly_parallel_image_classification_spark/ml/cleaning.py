@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
 from ..registry import register
 from ..sources.tables import t
 
@@ -45,20 +46,40 @@ def substring_spans(d: DataFrame, k: int = _K) -> DataFrame:
     as (doc_id, span_start, span_end, span_tokens). Property-tested
     against a brute-force single-node reference in
     tests/test_cleaning.py for arbitrary random corpora."""
-    toks = d.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= k
+    # Round-12 scale fixes, all three from the measured playbook:
+    # (1) repartition-before-explode (the q_text_winnowing rule) — the
+    # input-sized scan stage otherwise carries the whole gram fan-out
+    # on 1–2 tasks; keying it on doc_id makes the exchange double as
+    # the island window's hashpartitioning, so no extra shuffle
+    # appears. (2) grams are hashed to 8-byte xxhash64 keys BEFORE any
+    # shuffle (what this query's docstring always named as the
+    # production spelling; exact barring 64-bit collisions — the
+    # q_dedup_exact / jaccard_pairs_at argument), so the df census and
+    # the mark join move fixed-width longs, never ~40-byte gram
+    # strings. (3) the gram frame feeds TWO consumers (census + mark
+    # join): pin it once (the house multi-pass rule).
+    dp = d.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= k)
+        .repartition(dp, "doc_id")
     )
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(w) - {k}), "
-                f"i -> struct(i AS pos, concat_ws(' ', slice(w, i + 1, {k})) AS gram))"
-            )
-        ).alias("g"),
-    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
-    dup = grams.groupBy("gram").agg(F.count("*").alias("c")).filter("c >= 2")
-    marked = grams.join(dup.select("gram"), "gram").select("doc_id", "pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {k}), "
+                    f"i -> struct(i AS pos, xxhash64(concat_ws(' ', "
+                    f"slice(w, i + 1, {k}))) AS gh))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+        .localCheckpoint(eager=True)
+    )
+    dup = grams.groupBy("gh").agg(F.count("*").alias("c")).filter("c >= 2")
+    marked = grams.join(dup.select("gh"), "gh").select("doc_id", "pos")
     isl = marked.withColumn(
         "grp",
         F.col("pos")
@@ -721,8 +742,8 @@ def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     9-row broadcast join against the constants — the cheapest possible
     full-column pass at any scale."""
     o = t(spark, sf_dir, "orders")
-    exp = spark.createDataFrame(
-        sorted(_BENFORD_E6.items()), "digit bigint, exp_e6 bigint"
+    exp = local_df(
+        spark, sorted(_BENFORD_E6.items()), "digit bigint, exp_e6 bigint"
     )
     obs = (
         o.select(

@@ -43,6 +43,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import quantize_e6
+from ..localframe import local_df
 from ..registry import register
 from ..sources.tables import t
 
@@ -620,7 +621,8 @@ def q_dedup_semantic_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = _update(points, cents)  # training stays HARD
     # soft final assignment: long form + top-2 per vector
     long = points.select("vec_id", F.posexplode("q").alias("pos", "x"))
-    cents_df = points.sparkSession.createDataFrame(
+    cents_df = local_df(
+        points.sparkSession,
         [(cid, pos, cv) for cid, vec in cents for pos, cv in enumerate(vec)],
         "cid bigint, pos int, cv bigint",
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
 from ..registry import register
 from ..sources.tables import t
 
@@ -429,8 +430,8 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ml_self_oracles.py::test_bpe_train_matches_reference
     (iterative argmax is not one SQL query => rows-only here)."""
     merges = train_bpe(spark, sf_dir, n_merges=12)
-    return spark.createDataFrame(
-        merges, "step int, left string, right string, pair_count bigint"
+    return local_df(
+        spark, merges, "step int, left string, right string, pair_count bigint"
     )
 
 

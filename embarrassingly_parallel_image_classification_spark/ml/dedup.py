@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
+from ..localframe import local_df
 from ..registry import register
 from ..sources.tables import t
 
@@ -158,19 +159,24 @@ def jaccard_pairs_at(d: DataFrame, tau: float, n: int = SHINGLE_N) -> DataFrame:
     # sf0.1, and the gap widens with shingle length. Exact-Jaccard on
     # hashes equals Jaccard on strings barring 64-bit collisions
     # (negligible; same argument as q_dedup_exact's hash key). The
-    # hashed frame is scanned three times and deliberately NOT
-    # persisted: a persist() inside a library function returning a lazy
-    # DataFrame can never unpersist, and leaked cache entries churn
-    # executor memory across calls (a probe run slowed 6× from the
-    # accumulation; the persist bought only ~10%). Cache the INPUT
-    # documents frame at pipeline level instead if its scan is dear.
+    # hashed frame feeds FOUR consumers (sizes, document frequency,
+    # prefix ranking, verify sets); round 12 pins it with an eager
+    # localCheckpoint — the house multi-pass pattern the containment
+    # query already uses (its blocks are RDD-owned and reclaimed by
+    # ContextCleaner, unlike a library persist(), whose leaked cache
+    # entries slowed a probe run 6×) — so the corpus is exploded and
+    # hashed ONCE, not once per consumer.
     # tau as an exact decimal rational: Fraction("0.3") = 3/10, never
     # the float 0.2999… — the bounds below are integer-exact in num/den.
     from fractions import Fraction
 
     frac = Fraction(str(tau)).limit_denominator(10**9)
     num, den = frac.numerator, frac.denominator
-    s = shingles(d, n).select("doc_id", F.xxhash64("shingle").alias("sh"))
+    s = (
+        shingles(d, n)
+        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+        .localCheckpoint(eager=True)
+    )
     sizes = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
     df_rank = s.groupBy("sh").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "sh")
@@ -915,8 +921,8 @@ def hyperplane_signatures(
         (int(i), [float(x) for x in rng.standard_normal(dim)])
         for i in range(bands * bits)
     ]
-    plane_df = corpus.sparkSession.createDataFrame(
-        planes, "plane_id int, plane array<double>"
+    plane_df = local_df(
+        corpus.sparkSession, planes, "plane_id int, plane array<double>"
     )
     proj = corpus.crossJoin(F.broadcast(plane_df)).select(
         "vec_id",
@@ -1083,11 +1089,25 @@ def jaccard_cross_at(
 
     frac = Fraction(str(tau)).limit_denominator(10**9)
     num, den = frac.numerator, frac.denominator
-    se = shingles(existing, n).select(
-        F.col("doc_id").alias("id_exist"), F.xxhash64("shingle").alias("sh")
+    # Each side feeds four consumers (sizes, shared df census, prefix
+    # ranking, verify sets): pin each hashed shingle frame once — the
+    # jaccard_pairs_at rule, applied per corpus (round 12; the
+    # unpinned plan re-exploded both corpora per consumer, 10 scans).
+    se = (
+        shingles(existing, n)
+        .select(
+            F.col("doc_id").alias("id_exist"),
+            F.xxhash64("shingle").alias("sh"),
+        )
+        .localCheckpoint(eager=True)
     )
-    si = shingles(incoming, n).select(
-        F.col("doc_id").alias("id_new"), F.xxhash64("shingle").alias("sh")
+    si = (
+        shingles(incoming, n)
+        .select(
+            F.col("doc_id").alias("id_new"),
+            F.xxhash64("shingle").alias("sh"),
+        )
+        .localCheckpoint(eager=True)
     )
     sz_e = se.groupBy("id_exist").agg(F.count("*").alias("sz_e"))
     sz_i = si.groupBy("id_new").agg(F.count("*").alias("sz_i"))

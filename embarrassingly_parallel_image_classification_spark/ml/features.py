@@ -33,6 +33,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
 from ..registry import register
 from ..sources.tables import t
 
@@ -555,8 +556,9 @@ def q_feat_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         (g, got[f"{g}:25"], got[f"{g}:50"], got[f"{g}:75"])
         for g in sorted(init)
     ]
-    qdf = pts.sparkSession.createDataFrame(
-        quart, "g STRING, q25 BIGINT, q50 BIGINT, q75 BIGINT"
+    qdf = local_df(
+        pts.sparkSession, quart,
+        "g STRING, q25 BIGINT, q50 BIGINT, q75 BIGINT",
     )
     return pts.join(F.broadcast(qdf), "g").select(
         "l_orderkey",

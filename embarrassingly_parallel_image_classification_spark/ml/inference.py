@@ -1067,7 +1067,11 @@ def q_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast(D38).alias("n_b"),
         F.sum("pnum").cast(D38).alias("s_b"),
         F.sum("y").cast(D38).alias("y_b"),
-    )
+    ).localCheckpoint(eager=True)
+    # pinned (round 12): the 10-row bin census feeds tot and terms —
+    # unpinned, each re-ran the fact scan + bin pass (4 scans in the
+    # before-plan). Fact passes now: 1 for the (min,max) bounds + 1
+    # for the census — the minimum this two-pass shape admits.
     tot = per_bin.agg(
         F.sum("n_b").cast(D38).alias("n"),
         F.sum("y_b").cast(D38).alias("yy"),

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, l2_dist_sq
+from ..localframe import local_df
 from ..registry import register
 from ..sources.tables import t
 
@@ -239,8 +240,8 @@ class IvfIndex:
             (int(i), [float(x) for x in ctr])
             for i, ctr in enumerate(self.km.clusterCenters())
         ]
-        self.cent_df = corpus.sparkSession.createDataFrame(
-            cents, "cell int, centroid array<double>"
+        self.cent_df = local_df(
+            corpus.sparkSession, cents, "cell int, centroid array<double>"
         )
 
     def query(self, queries: DataFrame, k: int = TOP_K, nprobe: int = 4) -> DataFrame:
@@ -401,7 +402,8 @@ class PqIndex:
         """The per-query tables as a broadcastable (qid, tbl) frame."""
         tables = self._query_tables(queries)
         spark = queries.sparkSession
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [(q, tables[q].tolist()) for q in sorted(tables)],
             "qid bigint, tbl array<double>",
         )
@@ -865,8 +867,8 @@ class IvfPqResidualIndex:
                         (self.pq.codebooks[j] - s) ** 2
                     ).sum(axis=1)
                 rows.append((int(r["vec_id"]), cell, flat.tolist()))
-        return queries.sparkSession.createDataFrame(
-            rows, "qid bigint, cell int, tbl array<double>"
+        return local_df(
+            queries.sparkSession, rows, "qid bigint, cell int, tbl array<double>"
         )
 
     def query(
@@ -1635,7 +1637,16 @@ def q_knn_hamming_postdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clone = emb.select(
         (F.col("vec_id") + F.lit(_DUP_OFFSET)).alias("vec_id"), "embedding"
     )
-    corpus_a = emb.select("vec_id", "embedding").unionAll(clone)
+    # Both corpora feed THREE consumers each (cascade, shortlist
+    # census, exact truth / dedup semi-join) — unpinned, the doubled
+    # corpus union and the dedup semi-join re-ran per consumer (the
+    # round-12 before-plan held 63 parquet scans). Pin once each
+    # (localCheckpoint, the house multi-pass rule).
+    corpus_a = (
+        emb.select("vec_id", "embedding")
+        .unionAll(clone)
+        .localCheckpoint(eager=True)
+    )
     docs_a = docs.select("doc_id", "text").unionAll(
         docs.select(
             (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"), "text"
@@ -1644,7 +1655,9 @@ def q_knn_hamming_postdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = docs_a.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("vec_id")
     ).select("vec_id")
-    corpus_d = corpus_a.join(F.broadcast(survivors), "vec_id", "semi")
+    corpus_d = corpus_a.join(
+        F.broadcast(survivors), "vec_id", "semi"
+    ).localCheckpoint(eager=True)
     truth = knn_exact(
         corpus_d, emb.filter(F.col("vec_id") < N_QUERIES), TOP_K
     ).select(F.col("qid").alias("tq"), F.col("vec_id").alias("tv"))

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
 from ..registry import register
 from ..sources.tables import t
 
@@ -139,9 +140,11 @@ def q_train_linreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan per iteration: one map-side-combined aggregate to FIVE BIGINT
     scalars (treeAggregate shape [PK]); rows never shuffle, Python
-    never touches them, driver state = 3 ints. The feature select is
-    re-derived per scan at fixture scale; production localCheckpoints
-    `pts` once (T scans of one cached column trio). BIGINT headroom:
+    never touches them, driver state = 3 ints. The feature trio is
+    localCheckpoint()ed once and every iteration aggregates the
+    materialized columns (round 12 — previously re-derived per scan;
+    the pin-cost rule applies at T+1 = 8 consumers, and it is the
+    production shape the docstring always promised). BIGINT headroom:
     |resid| ≤ 5e10 e6-units × 1.5e7 rows (sf10) ≈ 2e18 < 2⁶³; past
     that the sums move to DECIMAL(38,0) exactly like q_dedup_semantic's
     128-bit cosine arithmetic."""
@@ -151,7 +154,7 @@ def q_train_linreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(year(o_orderdate) - 1998 AS BIGINT) AS x2",
         "CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) DIV 1000"
         " AS BIGINT) AS y",
-    )
+    ).localCheckpoint(eager=True)
     w = [0, 0, 0]
     log_rows = []
     for k in range(1, GD_ITERS + 1):
@@ -180,9 +183,10 @@ def q_train_linreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     log_rows.append(
         (GD_ITERS + 1, w[0], w[1], w[2], _tdiv(int(fin["sa"]), int(fin["n"])))
     )
-    return spark.createDataFrame(
-        log_rows, "iter BIGINT, w0_e6 BIGINT, w1_e6 BIGINT, w2_e6 BIGINT,"
-        " mae_e6 BIGINT"
+    return local_df(
+        spark, log_rows,
+        "iter BIGINT, w0_e6 BIGINT, w1_e6 BIGINT, w2_e6 BIGINT,"
+        " mae_e6 BIGINT",
     )
 
 
@@ -421,12 +425,14 @@ def q_train_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(l_discount * 100, 0) AS BIGINT)").alias("disc"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
     )
+    # stack(), not unionAll-of-two-selects (round 12): the union
+    # spelling scans the fact table ONCE PER FEATURE — stack() emits
+    # both (feature, val) rows per input row in a single pass, so a
+    # census over F features costs one scan, not F.
     long = li.select(
-        F.lit("quantity").alias("feature"), F.col("qty").alias("val"), "y"
-    ).unionAll(
-        li.select(
-            F.lit("discount").alias("feature"), F.col("disc").alias("val"), "y"
-        )
+        F.expr("stack(2, 'quantity', qty, 'discount', disc)"
+               " AS (feature, val)"),
+        "y",
     )
     per_v = long.groupBy("feature", "val").agg(
         F.sum("y").cast("bigint").alias("pos"),
@@ -887,8 +893,9 @@ def q_train_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             score.alias("score_raw"),
         )
 
-    long1 = li.selectExpr("'discount' AS f", "disc AS v", "y AS s_in").unionAll(
-        li.selectExpr("'tax' AS f", "tax AS v", "y AS s_in")
+    # stack() = one fact scan per census (see q_train_decision_stump)
+    long1 = li.selectExpr(
+        "stack(2, 'discount', disc, 'tax', tax) AS (f, v)", "y AS s_in"
     )
     sc1 = census_scores(long1).withColumn(
         "score", F.round(F.col("score_raw"), 0).cast("bigint")
@@ -916,8 +923,8 @@ def q_train_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("psr") * F.col("pnl"))
         ).alias("z"),
     )
-    long2 = z2.selectExpr("'discount' AS f", "disc AS v", "z AS s_in").unionAll(
-        z2.selectExpr("'tax' AS f", "tax AS v", "z AS s_in")
+    long2 = z2.selectExpr(
+        "stack(2, 'discount', disc, 'tax', tax) AS (f, v)", "z AS s_in"
     )
     p2 = (
         census_scores(long2)
@@ -1511,14 +1518,12 @@ def q_train_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def two_features(df: DataFrame, extra: tuple[str, ...]) -> DataFrame:
+        # stack() = one fact scan per census (see q_train_decision_stump)
         return df.select(
-            *extra, F.lit("quantity").alias("feature"),
-            F.col("qty").alias("val"), "y",
-        ).unionAll(
-            df.select(
-                *extra, F.lit("discount").alias("feature"),
-                F.col("disc").alias("val"), "y",
-            )
+            *extra,
+            F.expr("stack(2, 'quantity', qty, 'discount', disc)"
+                   " AS (feature, val)"),
+            "y",
         )
 
     splits0 = _stump_split_scores(two_features(li, ()), ())
@@ -1742,14 +1747,12 @@ def q_train_tree_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def two_features(df: DataFrame, extra: tuple[str, ...]) -> DataFrame:
+        # stack() = one fact scan per census (see q_train_decision_stump)
         return df.select(
-            *extra, F.lit("quantity").alias("feature"),
-            F.col("qty").alias("val"), "y",
-        ).unionAll(
-            df.select(
-                *extra, F.lit("discount").alias("feature"),
-                F.col("disc").alias("val"), "y",
-            )
+            *extra,
+            F.expr("stack(2, 'quantity', qty, 'discount', disc)"
+                   " AS (feature, val)"),
+            "y",
         )
 
     splits0 = _stump_split_scores(two_features(li, ()), ())
@@ -1954,9 +1957,7 @@ def q_train_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consumed by every epoch + the final audit: pin once
         .localCheckpoint(eager=True)
     )
-    w = spark.createDataFrame(
-        [(0, 0, 0)], "wb BIGINT, w1 BIGINT, w2 BIGINT"
-    )
+    w = local_df(spark, [(0, 0, 0)], "wb BIGINT, w1 BIGINT, w2 BIGINT")
     margin = "y * (wb + w1 * x1 + w2 * x2)"
     for _ in range(_PERC_EPOCHS):
         w = (

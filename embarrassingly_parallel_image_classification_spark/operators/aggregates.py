@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
 from ..registry import register
 from ..sources.tables import t
 
@@ -555,7 +556,7 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({_CMS_SEEDS}, {stack_args}) AS (seed, bucket)"
     )
     sk = b.groupBy("seed", "bucket").agg(F.count("*").alias("c"))
-    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "w string")
+    probes = local_df(spark, [(p,) for p in _CMS_PROBES], "w string")
     pb = probes.select(
         "w", *[bucket(s, F.col("w")) for s in range(_CMS_SEEDS)]
     ).selectExpr("w", f"stack({_CMS_SEEDS}, {stack_args}) AS (seed, bucket)")
@@ -898,7 +899,7 @@ def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _select_exact_ranks(
-    pts: DataFrame, targets: dict[str, tuple[str, int, int, int]], B: int = 256
+    pts: DataFrame, targets: dict[str, tuple[str, int, int, int]], B: int = 4096
 ) -> dict[str, int]:
     """Shared engine for exact rank selection by histogram narrowing
     (used by q_agg_quantile_select and q_agg_group_median_select —
@@ -913,7 +914,17 @@ def _select_exact_ranks(
     covers [lo + b·step, lo + (b+1)·step − 1]; ≤ B ids by
     construction. Converged targets (range ≤ 4096) resolve together
     in one batched value census. Driver state: one (lo, hi, k) triple
-    per target."""
+    per target.
+
+    B = 4096 (round 12; was 256): each narrowing ROUND is a full pass
+    over ``pts`` plus a driver barrier, so rounds — not histogram
+    width — are the scarce resource. 4096 buckets resolve any
+    practical cents domain (≤ 2^24) in ONE round instead of two, and a
+    full 2^63 domain in 5 rounds instead of 7. Cost side: the shuffle
+    still carries ≤ B partial rows per mapper per target (map-side
+    combine), and the driver collect is ≤ B·|targets| ≈ 37 k rows for
+    the 9-target robust-scale case — both trivially bounded at any
+    data scale because B is a constant."""
     done: dict[str, int] = {}
     state = dict(targets)
     while state:
@@ -922,7 +933,8 @@ def _select_exact_ranks(
         }
         active = {tag: s for tag, s in state.items() if tag not in small}
         if small:
-            st = pts.sparkSession.createDataFrame(
+            st = local_df(
+                pts.sparkSession,
                 [(tag, g, lo, hi) for tag, (g, lo, hi, _) in small.items()],
                 "tag STRING, g STRING, lo BIGINT, hi BIGINT",
             )
@@ -951,7 +963,8 @@ def _select_exact_ranks(
             tag: (hi - lo + B) // B  # ceil(width / B), width = hi-lo+1
             for tag, (_, lo, hi, _) in active.items()
         }
-        st = pts.sparkSession.createDataFrame(
+        st = local_df(
+            pts.sparkSession,
             [
                 (tag, g, lo, hi, steps[tag])
                 for tag, (g, lo, hi, _) in active.items()
@@ -1072,7 +1085,7 @@ def q_agg_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     got = _select_exact_ranks(pts, targets)
     out = [(q, (n * q + 99) // 100, got[str(q)]) for q in (50, 90, 99)]
-    return spark.createDataFrame(out, "q BIGINT, k BIGINT, value BIGINT")
+    return local_df(spark, out, "q BIGINT, k BIGINT, value BIGINT")
 
 
 @register(
@@ -1120,8 +1133,8 @@ def q_agg_group_median_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         (g, init[g][2], (init[g][2] * 50 + 99) // 100, got[f"{g}:50"])
         for g in sorted(init)
     ]
-    return spark.createDataFrame(
-        out, "g STRING, n BIGINT, k BIGINT, median_c BIGINT"
+    return local_df(
+        spark, out, "g STRING, n BIGINT, k BIGINT, median_c BIGINT"
     )
 
 

@@ -953,11 +953,17 @@ def q_join_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     is coordinate-source agnostic). At 100 TB this is the standard
     spatial-join pattern: cell key = geohash prefix, skew handled by
     AQE (dense cells split), and the 9× explode stays map-side."""
+    # Repartition-before-explode (the q_text_winnowing rule, round 12):
+    # Spark sizes the scan stage by INPUT bytes, so the 2 MB events
+    # projection became a 1–2-task stage carrying the 9x explode, the
+    # cell join AND the distance verify — measured 4 tasks total with
+    # 30 cores idle. The narrow pre-explode rows are what the exchange
+    # moves; the post-explode work then runs at full width.
     p = t(spark, sf_dir, "events").select(
         F.col("event_id").alias("id"),
         (F.col("user_id") % 1000).alias("x"),
         F.expr("CAST(ROUND(value * 100, 0) AS BIGINT) % 1000").alias("y"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "id")
     offs = F.expr("explode(flatten(transform(sequence(-1, 1), "
                   "dx -> transform(sequence(-1, 1), dy -> struct(dx, dy)))))")
     left = p.select("id", "x", "y", offs.alias("o")).select(

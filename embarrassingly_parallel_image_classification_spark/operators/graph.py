@@ -140,6 +140,15 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"it0 AS (SELECT node, CAST({init} AS BIGINT) AS r FROM {{nodes}})",
     ]
     for k in range(_ITERS):
+        # Round-12 negative result, recorded: BROADCAST hints on the
+        # bounded join sides do NOT help here. Hinting all three sides
+        # (e, p, od) funnels every iteration's rank frame through a
+        # driver broadcast collect (1.8 -> 3.1 s); hinting only the
+        # static sides (e, od) measured 2.46 s unhinted vs 2.88 s
+        # hinted warm, back-to-back same session — AQE already
+        # localizes the tiny exchanges at runtime, and the chain's
+        # wall cost is sequential stage coordination, not join
+        # strategy. Keep the plain spelling.
         ctes.append(
             f"""it{k + 1} AS (
         SELECT n.node,

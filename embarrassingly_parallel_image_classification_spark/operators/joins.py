@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
 from ..registry import register
 from ..sources.tables import t
 
@@ -211,7 +212,8 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast nested loop, the right plan; at scale band membership of a
     huge probe side stays a broadcast BNLJ (O(n·bands))."""
     p = t(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
+    bands = local_df(
+        spark,
         [("small", 0.0, 1000.0), ("mid", 1000.0, 1400.0), ("large", 1400.0, 1e9)],
         "band string, lo double, hi double",
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
 from ..registry import register
 from ..sources.tables import t
 
@@ -224,7 +225,8 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the config joins broadcast; the keep decision is one
     hash-compare per row (no shuffle, no state); the only shuffle is the
     final per-source audit aggregation."""
-    rates = spark.createDataFrame(
+    rates = local_df(
+        spark,
         [(0, 4294967296), (1, 2147483648), (2, 1073741824), (3, 536870912)],
         "bucket int, thr long",
     )

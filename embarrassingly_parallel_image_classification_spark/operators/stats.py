@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
 from ..registry import register
 from ..sources.tables import t
 
@@ -1039,10 +1040,21 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(from_json(props, 'k INT').k AS BIGINT)"
         ).alias("k"),
     )
+    # Round 12: ONE joint census replaces three fact passes (two
+    # marginal censuses + the per-row rank join). The joint (type, v,
+    # k) census is pinned (the q_stats_kendall rule — Catalyst's
+    # per-consumer subtree specialization defeats exchange reuse);
+    # both midrank frames are its marginals, and the sufficient
+    # statistics are the SAME integer sums with each cell weighted by
+    # its count c (Σ_rows rx·ry = Σ_cells c·rx·ry — exact BIGINT
+    # regrouping, identical operand bits into the one float rho).
+    cells = x.groupBy("event_type", "v", "k").agg(
+        F.count("*").cast("bigint").alias("c")
+    ).localCheckpoint(eager=True)
 
     def midranks(col):
-        c = x.groupBy("event_type", col).agg(
-            F.count("*").cast("bigint").alias("t")
+        c = cells.groupBy("event_type", col).agg(
+            F.sum("c").cast("bigint").alias("t")
         )
         w = (
             Window.partitionBy("event_type")
@@ -1059,15 +1071,24 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rv = midranks("v").withColumnRenamed("r2", "rx")
     rk = midranks("k").withColumnRenamed("r2", "ry")
-    ranked = x.join(rv, ["event_type", "v"]).join(rk, ["event_type", "k"])
+    ranked = cells.join(rv, ["event_type", "v"]).join(rk, ["event_type", "k"])
     d38 = "decimal(38,0)"
+    # products cast to DECIMAL(38,0) BEFORE the sum: a BIGINT
+    # accumulator over c·r² terms wraps past ~sf10 (the ansari
+    # div-wrap class); values are identical wherever both fit.
     s = ranked.groupBy("event_type").agg(
-        F.count("*").cast(d38).alias("n"),
-        F.sum("rx").cast(d38).alias("sx"),
-        F.sum("ry").cast(d38).alias("sy"),
-        F.sum(F.col("rx") * F.col("ry")).cast(d38).alias("sxy"),
-        F.sum(F.col("rx") * F.col("rx")).cast(d38).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).cast(d38).alias("syy"),
+        F.sum("c").cast(d38).alias("n"),
+        F.sum((F.col("c") * F.col("rx")).cast(d38)).alias("sx"),
+        F.sum((F.col("c") * F.col("ry")).cast(d38)).alias("sy"),
+        F.sum(
+            (F.col("c") * F.col("rx")).cast(d38) * F.col("ry")
+        ).alias("sxy"),
+        F.sum(
+            (F.col("c") * F.col("rx")).cast(d38) * F.col("rx")
+        ).alias("sxx"),
+        F.sum(
+            (F.col("c") * F.col("ry")).cast(d38) * F.col("ry")
+        ).alias("syy"),
     )
     return s.select(
         "event_type",
@@ -1209,9 +1230,24 @@ def q_stats_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = x.groupBy("g", "v", "k").agg(
         F.count("*").cast("bigint").alias("c")
-    )
-    vd = x.select("g", "v").distinct()
-    kd = x.select("g", "k").distinct()
+    ).localCheckpoint(eager=True)
+    # Every marginal below derives from the JOINT census, not from x
+    # (round-12 optimization): the before-plan re-ran the fact scan +
+    # JSON parse once per marginal (6 scans of events). Deriving from
+    # `cells` alone is not enough — Catalyst specializes each copy of
+    # the census subtree per consumer (RemoveRedundantAggregates +
+    # column pruning), so neither static ReuseExchange nor AQE stage
+    # reuse dedupes them (measured: all scans still ran). The eager
+    # pin of the DOMAIN-BOUNDED census (|v-domain| x |k-domain| x 5
+    # groups, never row count) is what actually makes the fact pass
+    # run once; the pin-cost rule applies (6 consumers). Values are
+    # unchanged: vm/km sum the cell counts the marginal censuses
+    # counted directly, and the distinct (g,v)/(g,k) domains are
+    # exactly the marginal censuses' key sets.
+    vm = cells.groupBy("g", "v").agg(F.sum("c").cast("bigint").alias("tv"))
+    km = cells.groupBy("g", "k").agg(F.sum("c").cast("bigint").alias("tk"))
+    vd = vm.select("g", "v")
+    kd = km.select("g", "k")
     grid = (
         vd.join(kd, "g")
         .join(cells, ["g", "v", "k"], "left")
@@ -1239,7 +1275,6 @@ def q_stats_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ll"),
         F.coalesce(F.lag("p").over(wlag), F.lit(0)).alias("pvm1k"),
     )
-    vm = x.groupBy("g", "v").agg(F.count("*").cast("bigint").alias("tv"))
     wvm = (
         Window.partitionBy("g")
         .orderBy("v")
@@ -1258,7 +1293,6 @@ def q_stats_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tv").cast(D38).alias("n"),
         F.sum(F.expr("tv * (tv - 1) div 2")).cast(D38).alias("n1"),
     )
-    km = x.groupBy("g", "k").agg(F.count("*").cast("bigint").alias("tk"))
     t2 = km.groupBy("g").agg(
         F.sum(F.expr("tk * (tk - 1) div 2")).cast(D38).alias("n2")
     )
@@ -1698,8 +1732,8 @@ def q_stats_sign_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + F.col("neg")).alias("m"),
         F.least("pos", "neg").alias("smin"),
     )
-    pascal = spark.createDataFrame(
-        _pascal_cum_rows(), ["pm", "ps", "kc"]
+    pascal = local_df(
+        spark, _pascal_cum_rows(), "pm BIGINT, ps BIGINT, kc BIGINT"
     )
     pv = mm.join(
         F.broadcast(pascal),
@@ -2556,9 +2590,16 @@ def q_stats_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("g"),
         F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("v"),
     )
-    gv = x.groupBy("g", "v").agg(F.count("*").cast("bigint").alias("c"))
-    vals = x.select("v").distinct()
-    grps = x.select("g").distinct()
+    # Census pinned once, marginals derived from it (the q_stats_kendall
+    # round-12 rule): unpinned, the fact scan re-ran per consumer (the
+    # before-plan held 5 orders scans — vals/grps/tot each re-scanned),
+    # and Catalyst's per-consumer subtree specialization defeats
+    # exchange reuse. The census is domain-bounded (5 x |v-domain|).
+    gv = x.groupBy("g", "v").agg(
+        F.count("*").cast("bigint").alias("c")
+    ).localCheckpoint(eager=True)
+    vals = gv.select("v").distinct()
+    grps = gv.select("g").distinct()
     grid = (
         vals.crossJoin(F.broadcast(grps))
         .join(gv, ["g", "v"], "left")
@@ -2588,8 +2629,8 @@ def q_stats_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = (
-        x.groupBy("g")
-        .agg(F.count("*").cast("bigint").alias("n_g"))
+        gv.groupBy("g")
+        .agg(F.sum("c").cast("bigint").alias("n_g"))
         .agg(
             F.sum("n_g").cast("bigint").alias("n"),
             F.sum(F.col("n_g") * F.col("n_g")).cast("bigint").alias("sum_ng_sq"),
@@ -2725,6 +2766,11 @@ def q_stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("v")
         )
+        # pinned (round 12): the <= 31xK day-census feeds every
+        # downstream frame (complete-block filter, tie census, rank
+        # join) — unpinned, each consumer re-ran the fact scan (the
+        # q_stats_kendall subtree-specialization finding)
+        .localCheckpoint(eager=True)
     )
     complete = (
         cell.groupBy("d").agg(F.count("*").alias("kk"))
@@ -2880,9 +2926,14 @@ def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("x")
         )
     )
+    # Pinned (round 12): the day census feeds tot, y, and through y
+    # every lag frame — unpinned, each consumer re-ran the fact scan
+    # (15 scans in the before-plan; the docstring's "one fact scan"
+    # only became true with the pin, since Catalyst specializes each
+    # subtree copy — the q_stats_kendall finding).
     idx = day.select(
         F.row_number().over(Window.orderBy("d")).alias("i"), "x"
-    )
+    ).localCheckpoint(eager=True)
     tot = idx.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("s"),
@@ -3366,7 +3417,12 @@ def q_stats_dunn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("g"),
         F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("v"),
     )
-    per_v = x.groupBy("v").agg(F.count("*").cast("bigint").alias("t"))
+    # One pinned joint census; the pooled value census is its marginal
+    # (round 12 — the q_stats_kendall rule; before-plan: 7 fact scans).
+    gv = x.groupBy("g", "v").agg(
+        F.count("*").cast("bigint").alias("c")
+    ).localCheckpoint(eager=True)
+    per_v = gv.groupBy("v").agg(F.sum("c").cast("bigint").alias("t"))
     wc = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -3375,7 +3431,6 @@ def q_stats_dunn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         (2 * (F.sum("t").over(wc) - F.col("t")) + F.col("t") + 1).alias("r2"),
     )
-    gv = x.groupBy("g", "v").agg(F.count("*").cast("bigint").alias("c"))
     grp = (
         gv.join(rk, "v")
         .groupBy("g")
@@ -3840,6 +3895,10 @@ def q_stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("g", "d")
         .agg(F.sum("cents").cast("bigint").alias("v"))
+        # pinned (round 12): the calendar-bounded census feeds the
+        # pair self-join's two sides, the day count and the tie census
+        # — unpinned, 4 fact scans (q_stats_kendall finding)
+        .localCheckpoint(eager=True)
     )
     a = daily.select("g", F.col("d").alias("d_a"), F.col("v").alias("v_a"))
     b = daily.select(
@@ -5098,6 +5157,11 @@ def q_stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("v")
         )
+        # pinned (round 12): the <= 31xK day-census feeds every
+        # downstream frame (complete-block filter, tie census, rank
+        # join) — unpinned, each consumer re-ran the fact scan (the
+        # q_stats_kendall subtree-specialization finding)
+        .localCheckpoint(eager=True)
     )
     complete = (
         cell.groupBy("d").agg(F.count("*").alias("kk"))
@@ -5266,6 +5330,10 @@ def q_stats_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 % 7
             ).alias("season"),
         )
+        # pinned (round 12): calendar-bounded census, multiple
+        # consumers (pair join sides, counts, ties) — see
+        # q_stats_mann_kendall
+        .localCheckpoint(eager=True)
     )
     a = daily.select(
         "g", "season", F.col("d").alias("d_a"), F.col("v").alias("v_a")
@@ -5630,6 +5698,11 @@ def q_stats_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("v")
         )
+        # pinned (round 12): the <= 31xK day-census feeds every
+        # downstream frame (complete-block filter, tie census, rank
+        # join) — unpinned, each consumer re-ran the fact scan (the
+        # q_stats_kendall subtree-specialization finding)
+        .localCheckpoint(eager=True)
     )
     complete = (
         cell.groupBy("d").agg(F.count("*").alias("kk"))
@@ -5899,6 +5972,11 @@ def q_stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("v")
         )
+        # pinned (round 12): the <= 31xK day-census feeds every
+        # downstream frame (complete-block filter, tie census, rank
+        # join) — unpinned, each consumer re-ran the fact scan (the
+        # q_stats_kendall subtree-specialization finding)
+        .localCheckpoint(eager=True)
     )
     complete = (
         cell.groupBy("d").agg(F.count("*").alias("kk"))

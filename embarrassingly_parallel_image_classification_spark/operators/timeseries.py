@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
 from ..registry import register
 from ..sources.tables import t
 
@@ -1410,7 +1411,8 @@ def q_timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 12)
         .withColumn("pos", 13 - F.col("rn"))
     )
-    wdf = recent.sparkSession.createDataFrame(
+    wdf = local_df(
+        recent.sparkSession,
         [(p, _HOLT_WS[p], _HOLT_WB[p]) for p in sorted(_HOLT_WS)],
         "pos INT, ws BIGINT, wb BIGINT",
     )
@@ -1960,7 +1962,8 @@ def q_timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             for h in (1, 2, 3, 4)
         ]
         wrows.append((i + 1, _HW_WS[i], _HW_WB[i], *wf))
-    wdf = recent.sparkSession.createDataFrame(
+    wdf = local_df(
+        recent.sparkSession,
         wrows,
         "pos INT, ws BIGINT, wb BIGINT, wf1 BIGINT, wf2 BIGINT,"
         " wf3 BIGINT, wf4 BIGINT",

@@ -39,6 +39,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
 from ..registry import register
 from ..sources.tables import t
 
@@ -4259,7 +4260,8 @@ def q_lake_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.range(1).select(F.lit(2).cast("bigint").alias("o_orderkey")),
     )
     hist = table_history(path)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (h["version"], h["mode"], h["n_files"], h["n_delete_files"])
             for h in hist

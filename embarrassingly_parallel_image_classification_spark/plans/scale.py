@@ -29,6 +29,7 @@ import tempfile
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
 from ..registry import register
 from ..sources.tables import t
 
@@ -122,8 +123,9 @@ def bloom_semi_join(fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str
 
     words = build_bloom(dim, dim_key)
     spark = fact.sparkSession
-    wdf = spark.createDataFrame(
-        [(words,)], StructType([StructField("__bloom", ArrayType(LongType()), False)])
+    wdf = local_df(
+        spark, [(words,)],
+        StructType([StructField("__bloom", ArrayType(LongType()), False)]),
     )
     pruned = (
         fact.crossJoin(F.broadcast(wdf))

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
 from ..registry import register
 from ..sources.tables import t
 from .tpch import _cents
@@ -1509,8 +1510,8 @@ def q_sql_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = corpus.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
-    kw = spark.createDataFrame(
-        [(k,) for k in _COLLATE_KEYWORDS], "word STRING"
+    kw = local_df(
+        spark, [(k,) for k in _COLLATE_KEYWORDS], "word STRING"
     )
     joined = toks.join(
         F.broadcast(kw),

@@ -20,6 +20,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localframe import local_df
 from ..registry import register
 from .tables import t
 
@@ -177,7 +178,8 @@ def q_inmemory_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-memory source: a literal label-taxonomy table (the reference's
     NLCD-code→coarse-class dict [PK]) created driver-side and aggregated
     like any other relation."""
-    taxonomy = spark.createDataFrame(
+    taxonomy = local_df(
+        spark,
         [(11, "Water"), (21, "Developed"), (22, "Developed"),
          (41, "Forest"), (42, "Forest"), (81, "Cultivated")],
         "code int, coarse string",
