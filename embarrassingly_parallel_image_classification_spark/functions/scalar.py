@@ -756,19 +756,22 @@ def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
     spelling is the two-hop timezone(zone, timezone('UTC', ts)) which
     equally never consults the session zone. IANA zone names on both
     engines share the tz database, DST rules included. Map-side
-    conversion (3× explode via the zone dimension) + one groupBy."""
+    conversion — a literal 3-zone array EXPLODE inside the one fact
+    scan (r12: the union-of-three-branches spelling scanned events
+    three times) + one groupBy."""
     zones = ["America/New_York", "Asia/Tokyo", "UTC"]
     e = t(spark, sf_dir, "events")
-    out = None
-    for z in zones:
-        branch = e.select(
-            F.lit(z).alias("zone"),
-            F.convert_timezone(F.lit("UTC"), F.lit(z), F.col("ts"))
-            .cast("date")
-            .alias("local_date"),
-            "user_id",
-        )
-        out = branch if out is None else out.unionByName(branch)
+    out = e.select(
+        F.explode(F.array(*[F.lit(z) for z in zones])).alias("zone"),
+        "ts",
+        "user_id",
+    ).select(
+        "zone",
+        F.convert_timezone(F.lit("UTC"), F.col("zone"), F.col("ts"))
+        .cast("date")
+        .alias("local_date"),
+        "user_id",
+    )
     return (
         out.groupBy("zone", "local_date")
         .agg(

@@ -27,11 +27,59 @@ and no risk of a megabyte-scale expression tree.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import ArrayType, StructType
 
 _INLINE_MAX = 1024
+
+
+class _Unrenderable(Exception):
+    """Value type the SQL-string renderer doesn't cover — fall back to
+    the (correct but py4j-heavy) Column path."""
+
+
+def _sql_val(v, dt) -> str:
+    """One value as a CAST(...) SQL literal of the field's exact type.
+
+    Rendering the whole relation as ONE SQL string matters: the Column
+    spelling costs ~3 py4j round trips per CELL (lit/cast/alias), which
+    measured ~10 s of pure driver time for a 528x3 literal (the
+    q_stats_sign_bh pascal table) — the string parses in the JVM in
+    milliseconds. repr(float) round-trips IEEE doubles exactly in both
+    Python and Java, so the literal bits match F.lit()'s."""
+    if hasattr(v, "item") and not isinstance(v, (list, tuple, str, bytes)):
+        v = v.item()  # numpy scalars
+    ts = dt.simpleString()
+    if v is None:
+        return f"CAST(NULL AS {ts})"
+    if isinstance(dt, ArrayType):
+        if not isinstance(v, (list, tuple)):
+            raise _Unrenderable(type(v))
+        inner = ", ".join(_sql_val(x, dt.elementType) for x in v)
+        return f"CAST(array({inner}) AS {ts})"
+    if isinstance(v, bool):
+        return f"CAST({'true' if v else 'false'} AS {ts})"
+    if isinstance(v, int):
+        return f"CAST({v} AS {ts})"
+    if isinstance(v, float):
+        if math.isnan(v):
+            lit = "'NaN'"
+        elif math.isinf(v):
+            lit = "'Infinity'" if v > 0 else "'-Infinity'"
+        elif v == 0.0 and math.copysign(1.0, v) < 0:
+            # bare -0.0 parses as negate(literal 0.0) and folds to +0.0;
+            # the string cast preserves the sign bit
+            lit = "'-0.0'"
+        else:
+            lit = repr(v)
+        return f"CAST({lit} AS {ts})"
+    if isinstance(v, str):
+        esc = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"CAST('{esc}' AS {ts})"
+    raise _Unrenderable(type(v))
 
 
 def _parse_schema(spark: SparkSession, schema: str | StructType) -> StructType:
@@ -67,6 +115,28 @@ def local_df(
         return spark.createDataFrame(
             spark.sparkContext.parallelize(rows, 1), st
         )
+    # Fast path: the entire relation as ONE SQL expression string —
+    # a single py4j round trip + one JVM parse, vs ~3 py4j calls per
+    # cell on the Column path (which measured ~10 s of driver time for
+    # a 528-row table; see _sql_val).
+    try:
+        structs_sql = []
+        for row in rows:
+            if not isinstance(row, (tuple, list)):
+                row = (row,)
+            fields_sql = ", ".join(
+                f"'{f.name}', {_sql_val(v, f.dataType)}"
+                for v, f in zip(row, st.fields)
+            )
+            structs_sql.append(f"named_struct({fields_sql})")
+        # numPartitions=1: the default range splits by
+        # defaultParallelism, which would launch 31 empty tasks per
+        # materialization.
+        return spark.range(0, 1, 1, 1).select(
+            F.expr(f"inline(array({', '.join(structs_sql)}))")
+        )
+    except _Unrenderable:
+        pass
     structs = []
     for row in rows:
         if not isinstance(row, (tuple, list)):
@@ -79,6 +149,4 @@ def local_df(
                 ]
             )
         )
-    # numPartitions=1: the default range splits by defaultParallelism,
-    # which would launch 31 empty tasks per materialization.
     return spark.range(0, 1, 1, 1).select(F.inline(F.array(*structs)))

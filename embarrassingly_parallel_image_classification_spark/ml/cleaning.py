@@ -293,8 +293,15 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak compiles to TakeOrderedAndProject — no global sort."""
     d = t(spark, sf_dir, "documents").select(F.split("text", " ").alias("w"))
     uni = d.select(F.explode("w").alias("word"))
-    ucnt = uni.groupBy("word").agg(F.count("*").alias("c"))
-    n_tok = uni.count()  # bounded scalar: one 1-row aggregate
+    # pinned unigram census (vocab-sized): both broadcast sides and the
+    # corpus token total are its marginals — unpinned, u1/u2/n_tok each
+    # re-ran the corpus tokenize (r12 pin-cost rule)
+    ucnt = (
+        uni.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n_tok = ucnt.agg(F.sum("c")).collect()[0][0]  # bounded scalar from the pin
     big = d.select(
         F.explode(
             F.arrays_zip(
@@ -441,27 +448,54 @@ def q_quality_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs before joining fact tables at scale, where silent orphans
     turn inner joins into row loss.
 
-    Plan: per edge, one LEFT join of the child's key column against
-    the parent's DISTINCT key set (broadcast — dimension keys are the
-    small side by construction) folded into a single aggregate, then a
-    4-row union. Column pruning reaches the scan: each branch reads
-    exactly one column per table. No orphan rows are materialized —
-    the audit is a count, so the shuffle volume is the key column
-    only."""
-    out = None
+    Plan: every child table is scanned ONCE — its FK edges unstack
+    into (edge, _fk) rows with stack() (map-side, no shuffle before
+    the aggregate), LEFT-joined against the broadcast UNION of the
+    edge-tagged parent DISTINCT key sets (dimension keys are the small
+    side by construction), folded into one per-edge aggregate. r12:
+    the per-edge-branch spelling scanned lineitem three times — the
+    largest table in the audit — for its three FK columns; stack reads
+    all three key columns in one pass. No orphan rows are
+    materialized — the audit is a count, so the shuffle volume is the
+    key columns only."""
+    from collections import defaultdict
+
+    by_child: dict[str, list] = defaultdict(list)
     for label, child, ckey, parent, pkey in _FK_EDGES:
-        p = t(spark, sf_dir, parent).select(F.col(pkey).alias("_pk")).distinct()
+        by_child[child].append((label, ckey, parent, pkey))
+    out = None
+    for child, edges in by_child.items():
+        parents = None
+        for label, _ckey, parent, pkey in edges:
+            p = (
+                t(spark, sf_dir, parent)
+                .select(F.col(pkey).alias("_pk"))
+                .distinct()
+                .select(F.lit(label).alias("pedge"), "_pk")
+            )
+            parents = p if parents is None else parents.unionAll(p)
+        stack_args = ", ".join(
+            f"'{label}', {ckey}" for label, ckey, _p, _pk in edges
+        )
         branch = (
             t(spark, sf_dir, child)
-            .select(F.col(ckey).alias("_fk"))
-            .join(F.broadcast(p), F.col("_fk") == F.col("_pk"), "left")
+            .selectExpr(
+                f"stack({len(edges)}, {stack_args}) AS (edge, _fk)"
+            )
+            .join(
+                F.broadcast(parents),
+                (F.col("edge") == F.col("pedge"))
+                & (F.col("_fk") == F.col("_pk")),
+                "left",
+            )
+            .groupBy("edge")
             .agg(
                 F.count("*").cast("bigint").alias("n_rows"),
                 F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
                 .cast("bigint")
                 .alias("n_orphans"),
             )
-            .select(F.lit(label).alias("edge"), "n_rows", "n_orphans")
+            .select("edge", "n_rows", "n_orphans")
         )
         out = branch if out is None else out.unionAll(branch)
     return out
@@ -618,15 +652,22 @@ def q_privacy_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
     the QI census is the same shuffle a dedup pass pays."""
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
-    l0 = c.groupBy(
-        "c_nationkey",
-        "c_mktsegment",
-        F.expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)"),
-    ).agg(F.count("*").alias("n"))
-    l1 = (
-        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy("n_regionkey", "c_mktsegment")
+    # pinned L0 QI census (domain-bounded); the L1 generalization is
+    # its region rollup through the broadcast dim — unpinned/unrolled,
+    # L1 re-scanned the fact table (kendall rule)
+    l0 = (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)"),
+        )
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    l1 = (
+        l0.join(F.broadcast(n), l0["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_regionkey", "c_mktsegment")
+        .agg(F.sum("n").alias("n"))
     )
     rep = l0.select(F.lit(0).alias("level"), "n").unionByName(
         l1.select(F.lit(1).alias("level"), "n")
@@ -869,16 +910,22 @@ def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.expr("CAST(FLOOR(c_acctbal / 2000) AS BIGINT)").alias("b"),
     )
-    dom = x.groupBy("b").agg(F.count("*").cast("bigint").alias("cb"))
+    # pinned joint (QI, band) census — bounded by domains (~125 groups
+    # x ~6 bands); the band domain, group sizes and global totals are
+    # its exact marginals (kendall rule), so the fact table is scanned
+    # ONCE instead of once per grouping pass.
+    cells = (
+        x.groupBy("c_nationkey", "c_mktsegment", "b")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    dom = cells.groupBy("b").agg(F.sum("c").cast("bigint").alias("cb"))
     gtotal = dom.agg(
         F.sum("cb").cast("bigint").alias("nn"),
         F.count("*").cast("bigint").alias("m"),
     )
-    grp = x.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count("*").cast("bigint").alias("ng")
-    )
-    cells = x.groupBy("c_nationkey", "c_mktsegment", "b").agg(
-        F.count("*").cast("bigint").alias("c")
+    grp = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("c").cast("bigint").alias("ng")
     )
     grid = (
         grp.crossJoin(F.broadcast(dom))

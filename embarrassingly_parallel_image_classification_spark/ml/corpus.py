@@ -133,16 +133,25 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate in the same map stage, so only matching tokens ever
     shuffle."""
     d = t(spark, sf_dir, "documents")
-    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    # pinned (doc_id, dl) length frame: the corpus-stats collect and
+    # the per-doc norm join both need it — unpinned, each re-paid the
+    # full-text split pass (r12 pin-cost rule: expensive rederivation)
+    dl = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl")
+    ).localCheckpoint(eager=True)
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
     ).collect()[0]
     n_docs, total_len = stats["n_docs"], stats["total_len"]
+    # pinned query-term tf census (tiny: only matching tokens survive
+    # the map-side isin); df is its marginal — unpinned, the df subtree
+    # re-ran the corpus tokenize
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word").isin(*_BM25_QUERY))
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log(
@@ -700,23 +709,28 @@ def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
     # integer DIV (not double /): exact at any doc_id magnitude, and
-    # identical to the oracle's // on non-negative operands
-    nv = (
-        tok.groupBy("word")
-        .agg(F.min("doc_id").alias("fd"))
-        .crossJoin(nd)
-        .groupBy(
-            F.expr("CAST((fd * 10) DIV nd AS BIGINT)").alias("bucket")
-        )
-        .agg(F.count("*").alias("new_words"))
-    )
-    tk = (
+    # identical to the oracle's // on non-negative operands.
+    # ONE tokenize pass builds the (bucket, word) census (≤ 10·|vocab|
+    # rows, pinned); both curves are its marginals: tokens per bucket
+    # = Σ counts, and a word's first-occurrence bucket = its MIN bucket
+    # (bucket is monotone in doc_id, so bucket(min doc) = min bucket).
+    # Unpinned, nv and tk each re-ran the explode over the corpus.
+    c = (
         tok.crossJoin(nd)
         .groupBy(
-            F.expr("CAST((doc_id * 10) DIV nd AS BIGINT)").alias("bucket")
+            F.expr("CAST((doc_id * 10) DIV nd AS BIGINT)").alias("bucket"),
+            "word",
         )
-        .agg(F.count("*").alias("tokens"))
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
+    nv = (
+        c.groupBy("word")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("new_words"))
+    )
+    tk = c.groupBy("bucket").agg(F.sum("cnt").alias("tokens"))
     from pyspark.sql import Window as _W
 
     ten = tk.join(nv, "bucket", "left").select(

@@ -210,16 +210,19 @@ def q_dedup_retention_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     fast tier, same plan shape)."""
     d = t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     maxid = F.broadcast(d.agg((F.max("doc_id") + 1).alias("plant0")))
-    planted = (
-        d.filter(F.col("doc_id") % 25 == 0)
-        .crossJoin(maxid)
-        .select(
-            (F.col("doc_id") + F.col("plant0")).alias("doc_id"),
-            "text",
-            "n_chars",
-        )
+    # plant the copies MAP-SIDE with an explode over [id] / [id,
+    # id+plant0] (r12: the union-with-filtered-branch spelling
+    # re-scanned documents — text column included — for the planted 4%)
+    corpus = d.crossJoin(maxid).select(
+        F.explode(
+            F.when(
+                F.col("doc_id") % 25 == 0,
+                F.array(F.col("doc_id"), F.col("doc_id") + F.col("plant0")),
+            ).otherwise(F.array(F.col("doc_id")))
+        ).alias("doc_id"),
+        "text",
+        "n_chars",
     )
-    corpus = d.unionByName(planted)
     keyed = corpus.select(
         F.md5("text").alias("ck"), "doc_id", "n_chars"
     )

@@ -334,9 +334,15 @@ def q_feat_target_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fold"),
         F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
     )
-    gf = pts.groupBy("o_orderpriority", "fold").agg(
-        F.sum("cents").cast("bigint").alias("s_f"),
-        F.count("*").cast("bigint").alias("n_f"),
+    # pinned 25-row (priority, fold) census: gt is its marginal —
+    # unpinned, the gt subtree re-ran the md5-fold fact pass
+    gf = (
+        pts.groupBy("o_orderpriority", "fold")
+        .agg(
+            F.sum("cents").cast("bigint").alias("s_f"),
+            F.count("*").cast("bigint").alias("n_f"),
+        )
+        .localCheckpoint(eager=True)
     )
     gt = gf.groupBy("o_orderpriority").agg(
         F.sum("s_f").cast("bigint").alias("s_t"),
@@ -443,23 +449,35 @@ def q_pipeline_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 5
         ).alias("fold"),
     )
-    counts = pts.groupBy("o_orderpriority").agg(F.count("*").alias("cnt"))
+    # ONE pinned (priority, fold) census (≤ 5x5 rows) carries every
+    # dictionary/bounds aggregate the matrix needs: the string-index
+    # counts, the out-of-fold sums, the totals and the global price
+    # bounds are all exact integer marginals of it (kendall rule) —
+    # unpinned, each of the four aggregates re-paid the fact scan.
+    g2 = (
+        pts.groupBy("o_orderpriority", "fold")
+        .agg(
+            F.sum("cents").cast("bigint").alias("s_f"),
+            F.count("*").cast("bigint").alias("n_f"),
+            F.min("cents").cast("bigint").alias("mn"),
+            F.max("cents").cast("bigint").alias("mx"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts = g2.groupBy("o_orderpriority").agg(F.sum("n_f").alias("cnt"))
     dict_w = Window.orderBy(F.col("cnt").desc(), F.col("o_orderpriority"))
     dic = counts.select(
         "o_orderpriority",
         (F.row_number().over(dict_w) - 1).cast("bigint").alias("prio_idx"),
     )
-    gf = pts.groupBy("o_orderpriority", "fold").agg(
-        F.sum("cents").cast("bigint").alias("s_f"),
-        F.count("*").cast("bigint").alias("n_f"),
-    )
-    gt = gf.groupBy("o_orderpriority").agg(
+    gf = g2.select("o_orderpriority", "fold", "s_f", "n_f")
+    gt = g2.groupBy("o_orderpriority").agg(
         F.sum("s_f").cast("bigint").alias("s_t"),
         F.sum("n_f").cast("bigint").alias("n_t"),
     )
-    bounds = pts.agg(
-        F.min("cents").cast("bigint").alias("lo"),
-        F.max("cents").cast("bigint").alias("hi"),
+    bounds = g2.agg(
+        F.min("mn").cast("bigint").alias("lo"),
+        F.max("mx").cast("bigint").alias("hi"),
     )
     return (
         pts.join(F.broadcast(dic), "o_orderpriority")
@@ -655,7 +673,15 @@ def q_feat_chi2_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     ).distinct()
-    aw = tok.groupBy("w", "lang").agg(F.count("*").cast("bigint").alias("a"))
+    # pinned (word, label) presence census — vocab x 5 rows; its word
+    # marginal feeds the complement columns, and unpinned the two
+    # consumers each re-ran the tokenize + distinct over the corpus
+    # (r12 pin-cost rule: expensive rederivation)
+    aw = (
+        tok.groupBy("w", "lang")
+        .agg(F.count("*").cast("bigint").alias("a"))
+        .localCheckpoint(eager=True)
+    )
     wd = aw.groupBy("w").agg(F.sum("a").cast("bigint").alias("wdocs"))
     cells = (
         aw.join(wd, "w")

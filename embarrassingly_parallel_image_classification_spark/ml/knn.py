@@ -1204,6 +1204,9 @@ def q_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming top-(4k) from the bitmask scan, then exact cosine only on
     the survivors."""
     emb = t(spark, sf_dir, "embeddings")
+    # pinned: the 8-byte bitmask index (what a binary tier materializes
+    # in production) feeds both the query side and the corpus side —
+    # unpinned, each re-paid the float scan and the 63-step sign fold
     bits = emb.select(
         "vec_id",
         F.expr(
@@ -1213,7 +1216,7 @@ def q_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
             "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         ).alias("sig"),
-    )
+    ).localCheckpoint(eager=True)
     q = bits.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("sig").alias("qsig")
     )
@@ -1339,6 +1342,8 @@ def q_knn_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (columnar pruning makes stage 2 cost proportional to the
     SHORTLIST, not the corpus)."""
     emb = t(spark, sf_dir, "embeddings")
+    # pinned bitmask index — shared by the query side and the corpus
+    # side of the shortlist (see q_knn_hamming)
     bits = emb.select(
         "vec_id",
         F.expr(
@@ -1348,7 +1353,7 @@ def q_knn_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
             "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         ).alias("sig"),
-    )
+    ).localCheckpoint(eager=True)
     q = bits.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("sig").alias("qsig")
     )
@@ -1822,7 +1827,16 @@ def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v"),
     )
-    rng = dims.groupBy("d").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    # pinned: the 64-row (dim, lo, hi) quantizer table, then the SQ8
+    # code table itself (the production index artifact — 1 byte/dim);
+    # the query side and the dot-product corpus side both consume the
+    # pinned codes, so the float corpus is posexploded once, not four
+    # times.
+    rng = (
+        dims.groupBy("d")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .localCheckpoint(eager=True)
+    )
     codes = dims.join(F.broadcast(rng), "d").select(
         "vec_id",
         "d",
@@ -1839,7 +1853,7 @@ def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0)
         .alias("q"),
-    )
+    ).localCheckpoint(eager=True)
     qc = codes.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), "d", F.col("q").alias("qq")
     )

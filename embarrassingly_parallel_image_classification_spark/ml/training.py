@@ -281,9 +281,17 @@ def q_train_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % NB_FOLD != 0)
     test = docs.filter(F.col("doc_id") % NB_FOLD == 0)
     ttok = train.select("lang", F.explode(F.split("text", " ")).alias("word"))
-    cw = ttok.groupBy("lang", "word").agg(F.count("*").alias("c"))
-    tl = ttok.groupBy("lang").agg(F.count("*").alias("t"))
-    vocab = ttok.select("word").distinct()
+    # pinned (lang, word) token census — dictionary-bounded (vocab x 5
+    # langs); the per-class totals, the vocabulary and its size are its
+    # exact marginals (kendall rule), so training tokenizes the corpus
+    # ONCE instead of once per aggregate.
+    cw = (
+        ttok.groupBy("lang", "word")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tl = cw.groupBy("lang").agg(F.sum("c").alias("t"))
+    vocab = cw.select("word").distinct()
     vsize = vocab.agg(F.count("*").alias("v"))
     model = (
         tl.crossJoin(vocab)
@@ -304,6 +312,10 @@ def q_train_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lp"),
         )
     )
+    # doc-level class priors: two narrow (doc_id, lang) scans — cheap
+    # columnar reads at any scale, so no pin (the r12 pin-cost rule:
+    # pin only what saves EXPENSIVE rederivation, e.g. the tokenize
+    # census above)
     n_train = train.agg(F.count("*").alias("nt"))
     prior = (
         train.groupBy("lang")
@@ -900,7 +912,14 @@ def q_train_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc1 = census_scores(long1).withColumn(
         "score", F.round(F.col("score_raw"), 0).cast("bigint")
     )
-    p1 = sc1.orderBy(F.col("score").desc(), "f", "v").limit(1)
+    # pinned 1-row round-1 pick: its three consumers (the residual
+    # projection, the round-1 model row, round 2's de-scaling) each
+    # re-ran the round-1 census fact scan unpinned
+    p1 = (
+        sc1.orderBy(F.col("score").desc(), "f", "v")
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
 
     z2 = li.crossJoin(F.broadcast(p1.select(
         F.col("f").alias("pf"),

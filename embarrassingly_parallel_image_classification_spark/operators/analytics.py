@@ -605,8 +605,14 @@ def q_bitmap_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("user_id DIV 64").alias("widx"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").alias("bit"),
     )
-    words = ev.groupBy("event_type", "widx").agg(
-        F.expr("bit_or(bit)").alias("word")
+    # Pinned: the bitmap index (|types|·|users|/64 rows, 8 B words) is
+    # exactly what audience engines materialize; bitmap_overlap consumes
+    # it three times (sizes + both join sides) — unpinned, each consumer
+    # re-paid the fact scan and the bit_or aggregation.
+    words = (
+        ev.groupBy("event_type", "widx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .localCheckpoint(eager=True)
     )
     return bitmap_overlap(words)
 
@@ -1124,10 +1130,15 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     Purchases with zero in-window touches fall to 'direct' at full
     value via an anti-join.
 
-    Plan: one time-bounded self-join on user_id (the asof-join family
-    shape), two window functions over the SAME (pid, recency)
-    partitioning — one sort serves both rank and count — then a
-    channel rollup. At 100 TB the join shuffles on user_id and the
+    Plan: ONE time-bounded LEFT self-join on user_id (the asof-join
+    family shape) — a purchase with zero in-window touches survives as
+    a single null-touch row and becomes its own 'direct' credit, so no
+    separate anti-join recomputes the candidate join (r12: the
+    inner-join + anti-join spelling paid the self-join twice and
+    scanned events 5x; this spelling scans it twice). Two window
+    functions over the SAME (pid, recency) partitioning — one sort
+    serves both rank and count (k counts non-null touches only) — then
+    a channel rollup. At 100 TB the join shuffles on user_id and the
     window on pid; both keys are high-cardinality, no skew beyond
     AQE's reach."""
     from pyspark.sql import Window
@@ -1159,6 +1170,7 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("t_us") == F.col("p_us")) & (F.col("tid") < F.col("pid")))
         )
         & (F.col("t_us") >= F.col("p_us") - 259_200_000_000),
+        "left",
     )
     w = Window.partitionBy("pid").orderBy(F.desc("t_us"), F.desc("tid"))
     ranked = cand.select(
@@ -1166,23 +1178,22 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         "ch",
         F.row_number().over(w).alias("rk"),
-        F.count("*").over(Window.partitionBy("pid")).alias("k"),
+        # count touches only: a zero-touch purchase is one all-null row
+        F.count("tid").over(Window.partitionBy("pid")).alias("k"),
     )
     credit = ranked.select(
-        F.col("ch").alias("channel"),
-        (
+        F.when(F.col("ch").isNull(), F.lit("direct"))
+        .otherwise(F.col("ch"))
+        .alias("channel"),
+        F.when(F.col("ch").isNull(), F.col("cents"))
+        .otherwise(
             F.expr("cents DIV k")
             + F.when(F.col("rk") <= F.col("cents") % F.col("k"), 1).otherwise(0)
-        ).alias("c"),
+        )
+        .alias("c"),
     )
-    direct = p.join(
-        cand.select("pid").distinct(),
-        "pid",
-        "left_anti",
-    ).select(F.lit("direct").alias("channel"), F.col("cents").alias("c"))
     return (
-        credit.unionByName(direct)
-        .groupBy("channel")
+        credit.groupBy("channel")
         .agg(
             F.count("*").cast("bigint").alias("n_credits"),
             F.sum("c").cast("bigint").alias("credited_cents"),

@@ -248,24 +248,77 @@ def q_agg_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries — what optimizers store as statistics and risk systems
     use as empirical quantile bands; the complement of
     q_agg_histogram's equal-WIDTH bins. The oracle spells it NTILE;
-    the Spark plan uses two_phase_rank (deterministic bucket = cents
-    DIV 100000, a prefix of the (cents, o_orderkey) total order) and
-    NTILE's closed-form bucket rule — no single-partition window over
-    the fact table, same exact answer. One bucket shuffle + one tiny
-    aggregate."""
+    the Spark plan (r12) never ranks the fact table at all: every
+    output cell is a CLOSED FORM of order statistics. Bucket row
+    counts follow from n_tot alone (NTILE's remainder rule), and each
+    bucket's [lo, hi] is the cents value at a known global rank —
+    located via a pinned ~600-row BLOCK census (bkt = cents DIV
+    100000, a prefix of the cents order): the block containing each
+    boundary rank is found on the census, then ONE re-scan restricted
+    to the ≤16 boundary blocks ranks within-block only. (The former
+    spelling ranked every fact row via two_phase_rank and crossJoined
+    the count — 4 fact scans and a fact-wide rank shuffle; ties across
+    a bucket boundary don't matter because the VALUE at a rank is
+    tie-permutation invariant.) Two narrow fact scans, all other
+    frames census- or literal-sized."""
     c = t(spark, sf_dir, "orders").select(
-        "o_orderkey",
         F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    ).withColumn("bkt", F.expr("cents DIV 100000"))
+    blocks = (
+        c.groupBy("bkt")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
-    ranked = two_phase_rank(
-        c, F.expr("cents DIV 100000"), ["cents", "o_orderkey"]
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    cum = blocks.select(
+        F.col("bkt").alias("lbkt"),
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("off"),
     )
-    n_tot_frame = ranked.agg(F.count("*").alias("n_tot"))
-    d = ranked.crossJoin(F.broadcast(n_tot_frame)).withColumn(
-        "bucket", F.expr(ntile_from_rank(8))
+    n_tot_frame = blocks.agg(F.sum("cnt").alias("n_tot"))
+    buckets = (
+        spark.range(1, 9, 1, 1)  # one slice: 8 literal rows
+        .select(F.col("id").alias("bucket"))
+        .crossJoin(F.broadcast(n_tot_frame))
+        .selectExpr(
+            "bucket",
+            "n_tot DIV 8 + IF(bucket <= n_tot % 8, 1, 0) AS n",
+            "(bucket - 1) * (n_tot DIV 8)"
+            " + LEAST(bucket - 1, n_tot % 8) + 1 AS rs",
+        )
+        .selectExpr("bucket", "n", "rs", "rs + n - 1 AS re")
     )
-    return d.groupBy("bucket").agg(
-        F.count("*").alias("n"),
-        F.min("cents").alias("lo_cents"),
-        F.max("cents").alias("hi_cents"),
+    bnd = buckets.selectExpr(
+        "bucket", "n", "stack(2, 'lo', rs, 'hi', re) AS (which, r)"
+    )
+    loc = bnd.join(
+        F.broadcast(cum),
+        (F.col("off") < F.col("r")) & (F.col("r") <= F.col("off") + F.col("cnt")),
+    ).select(
+        "bucket", "n", "which", "lbkt", (F.col("r") - F.col("off")).alias("lr")
+    )
+    need = loc.select(F.col("lbkt").alias("nbkt")).distinct()
+    vals = (
+        c.join(F.broadcast(need), F.col("bkt") == F.col("nbkt"))
+        .drop("nbkt")
+        .withColumn(
+            "lrk",
+            F.row_number().over(Window.partitionBy("bkt").orderBy("cents")),
+        )
+        .join(
+            F.broadcast(loc),
+            (F.col("bkt") == F.col("lbkt")) & (F.col("lrk") == F.col("lr")),
+        )
+    )
+    return (
+        vals.groupBy("bucket", "n")
+        .agg(
+            F.min(F.when(F.col("which") == "lo", F.col("cents"))).alias(
+                "lo_cents"
+            ),
+            F.min(F.when(F.col("which") == "hi", F.col("cents"))).alias(
+                "hi_cents"
+            ),
+        )
+        .select("bucket", "n", "lo_cents", "hi_cents")
     )

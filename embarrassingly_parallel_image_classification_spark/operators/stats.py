@@ -416,9 +416,18 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrn = Window.partitionBy("user_id").orderBy(
         F.col("sec").desc(), F.col("event_id").desc()
     )
-    sel = e.select(
-        "user_id", "event_id", "sec", "cents", F.row_number().over(wrn).alias("rn")
-    ).filter(F.col("rn") <= THEIL_SEN_WINDOW)
+    # pinned: the capped last-W-per-user frame (≤ W rows/user) feeds
+    # BOTH self-join sides — unpinned, each side re-paid the fact-wide
+    # rank window shuffle+sort (r12 pin-cost rule: expensive
+    # rederivation)
+    sel = (
+        e.select(
+            "user_id", "event_id", "sec", "cents",
+            F.row_number().over(wrn).alias("rn"),
+        )
+        .filter(F.col("rn") <= THEIL_SEN_WINDOW)
+        .localCheckpoint(eager=True)
+    )
     a = sel.select(
         "user_id",
         F.col("event_id").alias("ia"),
@@ -1704,14 +1713,23 @@ def q_stats_sign_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("day"),
         F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
     )
-    daily = x.groupBy("g", "day").agg(
-        F.count("*").cast(D38).alias("nd"),
-        F.sum("cents").cast(D38).alias("sd"),
+    # pinned (segment, day) census — 310 rows at any SF; its two
+    # consumers (per-segment totals + the sign join) each re-paid the
+    # from_json fact parse unpinned (kendall rule)
+    daily = (
+        x.groupBy("g", "day")
+        .agg(
+            F.count("*").cast(D38).alias("nd"),
+            F.sum("cents").cast(D38).alias("sd"),
+        )
+        .localCheckpoint(eager=True)
     )
     gt = daily.groupBy("g").agg(
         F.sum("nd").alias("ng"), F.sum("sd").alias("sg")
     )
-    d = daily.join(gt, "g")
+    # explicit hint: the pinned census is RDD-backed (no size stats —
+    # the planner assumes huge and would sort-merge this 310x10 join)
+    d = daily.join(F.broadcast(gt), "g")
     signs = d.groupBy("g").agg(
         F.sum(
             F.when(F.col("sd") * F.col("ng") > F.col("sg") * F.col("nd"), 1)
@@ -1878,7 +1896,15 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("g"),
         F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("v"),
     )
-    per_v = x.groupBy("v").agg(F.count("*").cast("bigint").alias("t"))
+    # pinned joint (group, value) census — the pooled value census
+    # (midranks + tie correction) is its marginal (the q_stats_dunn
+    # treatment): ONE fact scan instead of three
+    gv = (
+        x.groupBy("g", "v")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    per_v = gv.groupBy("v").agg(F.sum("c").cast("bigint").alias("t"))
     wv = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1889,7 +1915,6 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * (F.sum("t").over(wv) - F.col("t")) + F.col("t") + 1
         ).alias("r2"),
     )
-    gv = x.groupBy("g", "v").agg(F.count("*").cast("bigint").alias("c"))
     grp = (
         gv.join(rk.select("v", "r2"), "v")
         .groupBy("g")
@@ -3578,10 +3603,16 @@ def q_stats_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("g"),
         F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
     )
-    grp = x.groupBy("g").agg(
-        F.count("*").cast(D38).alias("n"),
-        F.sum("cents").cast(D38).alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).cast(D38).alias("q"),
+    # pinned 5-row group census: every downstream marginal / self-join
+    # side shares it — unpinned, each consumer re-paid the fact scan
+    grp = (
+        x.groupBy("g")
+        .agg(
+            F.count("*").cast(D38).alias("n"),
+            F.sum("cents").cast(D38).alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).cast(D38).alias("q"),
+        )
+        .localCheckpoint(eager=True)
     )
     s2 = F.col("s") * F.col("s")
     gterm = grp.select(
@@ -3741,10 +3772,16 @@ def q_stats_games_howell(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("g"),
         F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
     )
-    grp = x.groupBy("g").agg(
-        F.count("*").cast(D38).alias("n"),
-        F.sum("cents").cast(D38).alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).cast(D38).alias("q"),
+    # pinned 5-row group census: every downstream marginal / self-join
+    # side shares it — unpinned, each consumer re-paid the fact scan
+    grp = (
+        x.groupBy("g")
+        .agg(
+            F.count("*").cast(D38).alias("n"),
+            F.sum("cents").cast(D38).alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).cast(D38).alias("q"),
+        )
+        .localCheckpoint(eager=True)
     )
     gterm = grp.select(
         "g",

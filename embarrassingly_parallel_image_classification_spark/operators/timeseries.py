@@ -707,7 +707,14 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile_disc`` — a true distributed aggregate (no
     collect_list, no driver), bit-identical to DuckDB's quantile_disc
     — so the whole screen is exact and the tiny (type, med, mad)
-    tables broadcast back onto the fact scan."""
+    tables broadcast back onto the fact scan. (r12 A/B, negative
+    result kept as-was: an explicit pinned (type, cents) census with
+    cumulative-count medians measured 0.96–1.01 s warm vs 0.63 s for
+    this spelling at sf0.1 — the census window chain adds sequential
+    stages, and percentile_disc already aggregates a bounded per-group
+    value-count map internally (the cents domain saturates: 17.8k
+    distinct at sf0.1 vs 100k rows), so its memory is domain-bounded
+    at any scale just like the explicit census.)"""
     x = t(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
@@ -779,28 +786,40 @@ def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     with few types it distributes via the same two-phase
     partition-scan + offset-broadcast used by q_skyline's local/global
     frontier (documented there); the fixture spelling keeps the plain
-    window."""
+    window.
+
+    Plan (r12): the ±1 endpoint stream is ONE explode of a 2-struct
+    array per interval (the union-of-two-selects spelling re-scanned
+    the fact table twice), and the per-type peak is an unordered MAX
+    window over the SAME partitioning as the running sum (no second
+    sort, no broadcast self-join) — the whole query is one fact scan
+    and one exchange."""
     from pyspark.sql import Window
 
     ev = t(spark, sf_dir, "events")
-    iv = ev.select(
+    pts = ev.select(
         "event_type",
-        F.col("ts").alias("s"),
-        (F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("e"),
-    )
-    pts = iv.select("event_type", F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
-        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("d"))
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("ts").alias("t"), F.lit(1).alias("d")),
+                F.struct(
+                    (F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("t"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("p"),
+    ).select("event_type", F.col("p.t").alias("t"), F.col("p.d").alias("d"))
     w = (
         Window.partitionBy("event_type")
         .orderBy("t", "d")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    run = pts.withColumn("cur", F.sum("d").over(w))
-    peak = run.groupBy("event_type").agg(F.max("cur").cast("bigint").alias("peak"))
+    wpk = Window.partitionBy("event_type")
+    run = pts.withColumn("cur", F.sum("d").over(w)).withColumn(
+        "peak", F.max("cur").over(wpk).cast("bigint")
+    )
     return (
-        run.join(F.broadcast(peak), "event_type")
-        .filter(F.col("cur") == F.col("peak"))
+        run.filter(F.col("cur") == F.col("peak"))
         .groupBy("event_type", "peak")
         .agg(F.min(F.unix_micros("t")).cast("bigint").alias("first_peak_us"))
         .select("event_type", "peak", "first_peak_us")

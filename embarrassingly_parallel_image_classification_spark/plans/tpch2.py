@@ -28,7 +28,7 @@ both engines; DuckDB HUGEINT sums are CAST to BIGINT before exposure.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..localframe import local_df
@@ -654,10 +654,22 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 suppliers who kept orders waiting: the EXISTS/NOT-EXISTS
     pair — another supplier participated in the order, but no OTHER
     supplier was late. Adapted lateness = shipped >60 days after the
-    order date. Spark: the NOT EXISTS side pre-joins orders once so
-    the anti-join right side carries its own o_orderdate (no
-    correlation into the outer orders row needed); then SEMI (other
-    participant) + ANTI (other late participant) on the same keys."""
+    order date.
+
+    Spark (r12): the EXISTS/NOT-EXISTS pair is decided per ORDER, so
+    one (orderkey, suppkey) census over a single lineitem⋈orders pass
+    replaces both correlated self-joins: per supplier-in-order, count
+    its lineitems and its LATE lineitems; per order (an unordered
+    window over the census — same key, no second exchange), count
+    participating suppliers and late suppliers. A late (order,
+    supplier) pair qualifies iff the order has ≥2 suppliers (EXISTS)
+    and exactly 1 late supplier — itself (NOT EXISTS) — and it
+    contributes its late-lineitem count to numwait. (The former
+    spelling scanned lineitem 3x and orders 2x and paid SEMI + ANTI
+    shuffle joins against the fact; this is 1 scan of each and one
+    fact shuffle.) The EXISTS' l2 and NOT EXISTS' l3 range over the
+    same F-status order as l1, so the one F-filtered join covers all
+    three correlated references."""
     s = t(spark, sf_dir, "supplier")
     n = F.broadcast(t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3"))
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -666,42 +678,28 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").cast("date")
         > F.date_add(F.col("o_orderdate").cast("date"), 60)
     )
-    l1 = (
+    grp = (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(late)
-        .select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count_if(late).alias("n_late_rows"))
     )
-    others = li.select(
-        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
-    )
-    late_others = (
-        li.join(
-            t(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey")
+    wo = Window.partitionBy("l_orderkey")
+    qual = (
+        grp.withColumn("n_supp", F.count("*").over(wo))
+        .withColumn(
+            "n_late_supp", F.count_if(F.col("n_late_rows") > 0).over(wo)
         )
-        .filter(late)
-        .select(
-            F.col("l_orderkey").alias("y_orderkey"),
-            F.col("l_suppkey").alias("y_suppkey"),
-        )
-    )
-    waiting = (
-        l1.join(
-            others,
-            (F.col("x_orderkey") == F.col("l_orderkey"))
-            & (F.col("x_suppkey") != F.col("l_suppkey")),
-            "left_semi",
-        ).join(
-            late_others,
-            (F.col("y_orderkey") == F.col("l_orderkey"))
-            & (F.col("y_suppkey") != F.col("l_suppkey")),
-            "left_anti",
+        .filter(
+            (F.col("n_late_rows") > 0)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
         )
     )
     return (
-        waiting.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        qual.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_late_rows").alias("numwait"))
     )
 
 

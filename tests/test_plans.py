@@ -160,13 +160,15 @@ def test_upsert_latest_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan_of(spark, "q_upsert_latest")
 
 
-def test_tpch_q21_exists_pair_stays_hash_joined(spark):
-    """Q21's EXISTS/NOT-EXISTS pair must plan as LeftSemi + LeftAnti
-    hash joins on the order key — a NestedLoop/Cartesian here means the
-    inequality residual (`l2.suppkey <> l1.suppkey`) displaced the equi
-    key and the query went quadratic in lineitems-per-order-group."""
+def test_tpch_q21_exists_pair_is_one_census_pass(spark):
+    """Q21's EXISTS/NOT-EXISTS pair is decided per ORDER from one
+    (orderkey, suppkey) census + a same-key window (r12 rewrite) — the
+    plan must scan lineitem exactly ONCE (the old SEMI+ANTI spelling
+    scanned it three times) and must never degrade to a
+    NestedLoop/Cartesian on the inequality residual."""
     plan = plan_of(spark, "q_tpch_q21")
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan
 
 
