@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, l2_dist_sq
+from ..functions.vectors import cosine, dot, l2_dist_sq, norm
 from ..localframe import local_df
 from ..registry import register
 from ..sources.tables import t
@@ -61,14 +61,31 @@ def knn_exact(
     Returns (qid, vec_id, *carry, sim, rank) — ``carry`` names extra
     corpus columns passed through to the result (q_knn_filtered rides
     its metadata column this way instead of re-typing the whole
-    tie-break/rounding contract — review finding r7)."""
-    q = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
-    pairs = corpus.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    tie-break/rounding contract — review finding r7).
+
+    r12: each side's norm is computed ONCE PER ROW before the pair
+    cross (the inlined cosine() recomputed both 64-element norm folds
+    per PAIR — 3x the expression work for |corpus|·|queries| pairs).
+    The per-pair expression keeps the exact spelling
+    dot / nullif(norm_a * norm_b, 0) on the same double operands, so
+    every sim bit matches the previous plan and the oracle."""
+    q = queries.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    ).withColumn("__q_norm", norm("q_emb"))
+    pairs = (
+        corpus.withColumn("__c_norm", norm("embedding"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
     scored = pairs.select(
         "qid",
         "vec_id",
         *carry,
-        F.round(cosine("embedding", "q_emb"), 6).alias("sim"),
+        F.round(
+            dot("embedding", "q_emb")
+            / F.nullif(F.col("__c_norm") * F.col("__q_norm"), F.lit(0.0)),
+            6,
+        ).alias("sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
