@@ -8,6 +8,7 @@ with the per-table breakdown so the repeated table is visible.
 
     python scripts/scan_census.py            # whole HEADLINE
     python scripts/scan_census.py q_stats    # substring filter
+    python scripts/scan_census.py --all      # FULL registry (r12 verdict item 1)
 """
 
 from __future__ import annotations
@@ -32,8 +33,12 @@ def main() -> None:
     spark = get_spark("epic-scan-census")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
+    names = list(benchmod.HEADLINE)
+    if "--all" in flt:
+        flt.remove("--all")
+        names = sorted(qs)  # the FULL registry, not just the bench
     rows = []
-    for name in benchmod.HEADLINE:
+    for name in names:
         if name.startswith(SKIP_PREFIXES):
             continue
         if flt and not any(s in name for s in flt):
